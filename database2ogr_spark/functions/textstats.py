@@ -1,0 +1,123 @@
+"""Text-analysis expressions for the training-data pipeline surface:
+language-ID, quality scoring, token counting, fingerprinting.
+
+All native Column expressions (BASELINE.json north star: these are first-class
+operators alongside the reference's geospatial surface). Each has an exact
+ANSI-SQL twin in ``__spark_entry__.oracle_sql`` — keep the two in sync.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from database2ogr_spark.functions.hashing import normalize_text, words
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+# Tiny per-language stopword lists for the n-gram/stopword language heuristic.
+# Deliberately small + frozen: they are part of the operator's contract (the
+# oracle SQL embeds the same lists).
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "in", "is", "that", "it", "was", "for"),
+    "fr": ("le", "la", "les", "de", "des", "et", "est", "une", "que", "pour"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "sich", "auf"),
+    "es": ("el", "la", "los", "de", "que", "y", "es", "una", "por", "para"),
+}
+
+# BPE-ish tokenizer regex: letter runs | digit runs | single non-space symbol.
+TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def whitespace_token_count(col: Column | str) -> Column:
+    """Token count under whitespace tokenization."""
+    return F.size(words(col))
+
+
+def regex_token_count(col: Column | str) -> Column:
+    """Token count under the BPE-ish regex (letters/digits/symbols)."""
+    return F.size(F.regexp_extract_all(_c(col), F.lit(TOKEN_RE), 0))
+
+
+def stopword_hits(col: Column | str, lang: str) -> Column:
+    """Number of tokens that are stopwords of ``lang``."""
+    sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    return F.size(F.filter(words(col), lambda t: F.array_contains(sw, t)))
+
+
+def lang_id(col: Column | str) -> Column:
+    """Stopword-vote language heuristic → 'en'|'fr'|'de'|'es'|'und'.
+
+    Highest hit count wins; ties broken by the fixed language order above;
+    zero hits → 'und' (undetermined). Deterministic, oracle-expressible.
+    """
+    hits = {lang: stopword_hits(col, lang) for lang in STOPWORDS}
+    best = F.greatest(*hits.values())
+    result = F.lit("und")
+    # reversed so earlier languages win ties (last when() checked first wins
+    # is avoided by building the chain in priority order instead):
+    expr = F.when(best == 0, F.lit("und"))
+    for lang in STOPWORDS:
+        expr = expr.when(hits[lang] == best, F.lit(lang))
+    return expr.otherwise(result)
+
+
+def punct_ratio(col: Column | str) -> Column:
+    """Punctuation characters / total characters (0 for empty)."""
+    c = _c(col)
+    n = F.length(c)
+    punct = F.length(c) - F.length(F.regexp_replace(c, r"[^\w\s]", ""))
+    return F.when(n > 0, punct.cast("double") / n.cast("double")).otherwise(F.lit(0.0))
+
+
+def stopword_ratio(col: Column | str) -> Column:
+    """English stopword tokens / total tokens (0 for empty docs)."""
+    n = whitespace_token_count(col)
+    return F.when(
+        n > 0, stopword_hits(col, "en").cast("double") / n.cast("double")
+    ).otherwise(F.lit(0.0))
+
+
+def mean_word_length(col: Column | str) -> Column:
+    ws = words(col)
+    n = F.size(ws)
+    total = F.aggregate(ws, F.lit(0), lambda acc, w: acc + F.length(w))
+    return F.when(n > 0, total.cast("double") / n.cast("double")).otherwise(F.lit(0.0))
+
+
+def quality_score(col: Column | str) -> Column:
+    """Heuristic doc-quality score in [0, 1].
+
+    Components (equal thirds): length sweet-spot (100..20000 chars),
+    punctuation ratio below 0.2, stopword ratio in 0.05..0.6. The formula is
+    frozen — it is mirrored verbatim in the oracle SQL.
+    """
+    c = _c(col)
+    n = F.length(c)
+    len_ok = F.when((n >= 100) & (n <= 20000), F.lit(1.0)).otherwise(F.lit(0.0))
+    punct_ok = F.when(punct_ratio(c) < 0.2, F.lit(1.0)).otherwise(F.lit(0.0))
+    sw = stopword_ratio(c)
+    sw_ok = F.when((sw >= 0.05) & (sw <= 0.6), F.lit(1.0)).otherwise(F.lit(0.0))
+    return F.round((len_ok + punct_ok + sw_ok) / F.lit(3.0), 6)
+
+
+def rolling_fingerprint(col: Column | str, modulus: int = 1_000_000_007) -> Column:
+    """Polynomial rolling hash (base 31, mod 1e9+7) over the characters of the
+    normalized text — a content fingerprint that is cheap, order-sensitive,
+    and exactly reproducible in SQL (the oracle mirrors it with list_reduce).
+    """
+    chars = F.split(normalize_text(col), "")
+    chars = F.filter(chars, lambda ch: ch != "")
+    return F.aggregate(
+        chars,
+        F.lit(0).cast("bigint"),
+        lambda acc, ch: (acc * 31 + F.ascii(ch)) % F.lit(modulus),
+    )
+
+
+def content_fingerprint(col: Column | str) -> Column:
+    """md5 of the normalized text — the exact-dup grouping key."""
+    return F.md5(normalize_text(col))

@@ -1,0 +1,132 @@
+"""Multimodal columns: image/audio/video as opaque ``binary`` + typed
+metadata, processed with Arrow-batched ``mapInPandas`` (north-star extension).
+
+The Spark-side plumbing — schema, partitioning, UDF signatures, batch shapes —
+is real and tested. The actual media decode is STUBBED: the container has no
+image/audio libraries, so ``_decode_stub`` derives deterministic fake features
+from the bytes (documented below); swapping in a real decoder (PIL/librosa/
+pyav) changes only the inner function, not the Spark plan.
+
+Scale notes: ``mapInPandas`` streams Arrow batches — memory is bounded by
+``spark.sql.execution.arrow.maxRecordsPerBatch`` regardless of partition
+size; binary payloads never pass through the driver; repartitioning before
+the decode spreads large blobs evenly.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: typed metadata carried alongside every opaque media payload
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), True),  # image | audio | video
+        T.StructField("mime", T.StringType(), True),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("duration_ms", T.IntegerType(), True),
+    ]
+)
+
+FEATURE_DIM = 8
+
+_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("n_bytes", T.IntegerType()),
+        T.StructField("feature", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def with_media_metadata(df: DataFrame) -> DataFrame:
+    """Attach derived metadata columns (size, content hash) — native
+    expressions, no Python."""
+    return df.withColumn("n_bytes", F.length("payload")).withColumn(
+        "content_hash", F.md5(F.col("payload").cast("string"))
+    )
+
+
+def _decode_stub(payload: bytes | None, dim: int = FEATURE_DIM) -> list[float]:
+    """Deterministic fake 'decoded feature' vector: md5(payload) bytes scaled
+    to [0,1). A real decoder (image resize → embedding, audio fingerprint,
+    …) replaces exactly this function.
+    """
+    if payload is None:
+        raise NotImplementedError(
+            "real media decoding is stubbed in this environment (no image/audio libs)"
+        )
+    digest = hashlib.md5(bytes(payload)).digest()
+    return [digest[i] / 256.0 for i in range(dim)]
+
+
+def decode_features(df: DataFrame, batch_size_hint: int | None = None) -> DataFrame:
+    """Decode/feature-extract over Arrow batches via ``mapInPandas``.
+
+    Input must have (media_id, kind, payload); output is one row per media
+    with a FEATURE_DIM float vector. Batch shape: the inner function receives
+    an iterator of pandas DataFrames (one per Arrow batch) and yields the
+    same — constant memory per task.
+    """
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": pdf["payload"].map(lambda b: 0 if b is None else len(b)).astype("int32"),
+                    "feature": pdf["payload"].map(_decode_stub),
+                }
+            )
+
+    return df.select("media_id", "kind", "payload").mapInPandas(extract, _FEATURES_SCHEMA)
+
+
+def frame_sample(df: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Video frame sampling plumbing: one output row per sampled timestamp.
+
+    The frame *decode* is stubbed (frame bytes = content hash of
+    (payload, ts)); the explode shape — row-per-frame with bounded batches —
+    is the real contract. Uses a native ``sequence`` + ``explode`` so the
+    fan-out happens JVM-side; only the per-frame decode is Python.
+    """
+    frames = df.filter(F.col("kind") == "video").select(
+        "media_id",
+        F.explode(
+            F.sequence(F.lit(0), F.coalesce(F.col("duration_ms"), F.lit(0)), F.lit(every_ms))
+        ).alias("frame_ts_ms"),
+        "payload",
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("frame_ts_ms", T.IntegerType()),
+            T.StructField("frame_hash", T.StringType()),
+        ]
+    )
+
+    def decode_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "frame_ts_ms": pdf["frame_ts_ms"].astype("int32"),
+                    "frame_hash": [
+                        hashlib.md5(bytes(p) + str(t).encode()).hexdigest()
+                        for p, t in zip(pdf["payload"], pdf["frame_ts_ms"])
+                    ],
+                }
+            )
+
+    return frames.mapInPandas(decode_frames, out_schema)

@@ -1,0 +1,245 @@
+"""Deduplication operators for the training-data pipeline surface.
+
+Five families (BASELINE.json north star), all shuffle-conscious:
+
+- exact: md5-of-normalized-text groupBy — one shuffle on a 128-bit key,
+  map-side partial agg; survivor = min doc_id (deterministic).
+- MinHash + LSH: shingle → signature (narrow) → explode bands → self-join on
+  (band, band-hash) buckets — candidate generation never compares all pairs,
+  which is the property that survives 100 TB. Band hash joins are equi-joins
+  on high-cardinality keys → well-distributed shuffle; skew only if a band
+  bucket is degenerate (near-identical corpus), which AQE skew-join splits.
+- SimHash: 64-bit signature; candidates via 16-bit pigeonhole chunks (hamming
+  ≤ 3 over 4 chunks ⇒ ≥ 1 chunk identical).
+- n-gram Jaccard: exact pairwise similarity but only over pairs sharing a
+  shingle (inverted-index join), not a cross join.
+- embedding cosine near-dup: see operators/similarity.py — reuses the
+  normalized-dot-product machinery.
+
+All hashing is the md5-based ``stable_hash64`` so the DuckDB oracle can
+reproduce results exactly; swap ``fast_hash64`` in for raw throughput.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from database2ogr_spark.functions.hashing import (
+    hamming64,
+    minhash_signature,
+    shingles,
+    simhash64,
+    stable_hash64,
+    words,
+)
+from database2ogr_spark.functions.textstats import content_fingerprint
+
+
+def dedup_exact(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact dedup: one surviving row id per normalized-content hash.
+
+    Returns (fingerprint, survivor_id, dup_count). The caller keeps survivors
+    via a semi-join on survivor_id; returning the summary (not the full rows)
+    keeps the shuffle payload at ~48 bytes/row regardless of document size.
+    """
+    return (
+        df.select(content_fingerprint(text_col).alias("fingerprint"), F.col(id_col))
+        .groupBy("fingerprint")
+        .agg(
+            F.min(id_col).alias("survivor_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+    )
+
+
+def dedup_exact_survivors(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """The deduplicated dataset itself (rows whose id is a group survivor)."""
+    survivors = dedup_exact(df, id_col, text_col).select(F.col("survivor_id").alias(id_col))
+    return df.join(survivors, on=id_col, how="left_semi")
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    k_shingle: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-dup candidate pairs via MinHash LSH, scored by signature overlap.
+
+    rows_per_band = num_hashes / bands; a pair lands in a candidate bucket if
+    any band of their signatures is identical. Estimated Jaccard = fraction of
+    matching signature positions. Output: (id_a < id_b, est_jaccard ≥
+    threshold).
+    """
+    assert num_hashes % bands == 0
+    rows_per_band = num_hashes // bands
+
+    sigs = df.select(
+        F.col(id_col).alias("id"),
+        minhash_signature(shingles(text_col, k_shingle), num_hashes).alias("sig"),
+    )
+
+    banded = sigs.select(
+        "id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        # band hash: stable hash of the band's slice, joined —
+                        # a single bigint join key instead of an array key.
+                        stable_hash64(
+                            F.array_join(
+                                F.transform(
+                                    F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+                                    lambda x: x.cast("string"),
+                                ),
+                                ",",
+                            ),
+                            seed=97,
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+    left = banded.alias("l")
+    right = banded.alias("r")
+    cand = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            F.col("l.sig").alias("sig_a"),
+            F.col("r.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+    est = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda a, b: a == b),
+            lambda m: m,
+        )
+    ).cast("double") / F.lit(float(num_hashes))
+    return (
+        cand.withColumn("est_jaccard", est)
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-dup pairs with hamming ≤ max_hamming.
+
+    Candidate generation: split the 64-bit signature into 4 16-bit chunks;
+    by pigeonhole, hamming ≤ 3 implies at least one identical chunk — join on
+    (chunk_index, chunk_value), then verify the exact hamming distance.
+    """
+    sigs = df.select(F.col(id_col).alias("id"), simhash64(words(text_col)).alias("sim"))
+    chunks = sigs.select(
+        "id",
+        "sim",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("chunk"),
+                        F.shiftright(F.col("sim"), i * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("val"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("cc"),
+    ).select("id", "sim", F.col("cc.chunk").alias("chunk"), F.col("cc.val").alias("val"))
+
+    pairs = (
+        chunks.alias("l")
+        .join(
+            chunks.alias("r"),
+            (F.col("l.chunk") == F.col("r.chunk"))
+            & (F.col("l.val") == F.col("r.val"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            F.col("l.sim").alias("sim_a"),
+            F.col("r.sim").alias("sim_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        pairs.withColumn("hamming", hamming64(F.col("sim_a"), F.col("sim_b")))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    k_shingle: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard over candidate pairs that share ≥1 shingle.
+
+    Inverted-index join: explode distinct shingles, self-join on shingle,
+    count shared per pair, then |A∩B| / (|A| + |B| - |A∩B|). Never builds the
+    full cross product; the explode size is Σ doc shingles (linear in corpus),
+    and hot shingles can be stopword-filtered upstream if skewed.
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(shingles(text_col, k_shingle))).alias("shingle"),
+    )
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
+
+    shared = (
+        sh.alias("l")
+        .join(sh.alias("r"), (F.col("l.shingle") == F.col("r.shingle")) & (F.col("l.id") < F.col("r.id")))
+        .groupBy(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    # sizes is one row per doc — NOT broadcastable at corpus scale; these are
+    # shuffle joins on the pair ids and AQE may still broadcast at small SF.
+    jac = (
+        shared.join(sizes.alias("sa"), F.col("id_a") == F.col("sa.id"))
+        .join(sizes.alias("sb"), F.col("id_b") == F.col("sb.id"))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("shared").cast("double")
+                / (F.col("sa.n_shingles") + F.col("sb.n_shingles") - F.col("shared")).cast("double"),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return jac

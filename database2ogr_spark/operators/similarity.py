@@ -1,0 +1,226 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Baseline: brute-force cosine top-k — query side is small and explicitly
+``broadcast()``, so the corpus is scanned exactly once with no shuffle until
+the final per-query top-k (a groupBy on num_queries keys).
+
+Scale path: sign-LSH bucketing (random-hyperplane sketch, deterministic
+seeds) — corpus is pre-bucketed; queries probe only matching buckets, cutting
+the scanned fraction ~2^-bits per probe. At 100 TB the bucketed corpus would
+be written bucketed-by(bucket) so probes prune at the file level.
+
+Dot products use ``zip_with`` + ``aggregate`` higher-order functions —
+JVM-side, no Python in the loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from database2ogr_spark.functions.hashing import stable_hash64
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ in float64, left-to-right (matches the oracle's list ops)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Brute-force cosine top-k: for each query vector, the k nearest corpus
+    vectors (excluding itself if ids collide).
+
+    Output: (query_id, vec_id, cosine_sim, rank). Deterministic tie-break:
+    sim desc, then vec_id asc. The query side is broadcast — the corpus-side
+    scan is embarrassingly parallel and shuffles only (query_id, top-k-widths)
+    rows into the ranking stage.
+    """
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+        )
+    )
+    c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("c_vec"))
+    scored = (
+        c.crossJoin(q)
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def _signs_bucket(vec: Column, *, bits: int, dim: int) -> Column:
+    """Random-hyperplane sign sketch → integer bucket in [0, 2^bits).
+
+    Hyperplane j's component i is a deterministic pseudo-random ±1 derived
+    from ``stable_hash64`` of (j, i) — reproducible anywhere, no stored model.
+    A ±1 hyperplane sketch is standard sign-LSH up to a diagonal scaling and
+    keeps everything integer/expression-side.
+    """
+    def plane_sign(j: int) -> Column:
+        comps = F.array(
+            *[
+                F.when(
+                    F.lit(int_sign(j, i) > 0), F.element_at(vec, i + 1).cast("double")
+                ).otherwise(-F.element_at(vec, i + 1).cast("double"))
+                for i in range(dim)
+            ]
+        )
+        s = F.aggregate(comps, F.lit(0.0), lambda acc, v: acc + v)
+        return F.when(s >= 0, F.lit(1)).otherwise(F.lit(0))
+
+    bucket = F.lit(0)
+    for j in range(bits):
+        bucket = bucket * 2 + plane_sign(j)
+    return bucket
+
+
+_SIGN_CACHE: dict[tuple[int, int], int] = {}
+
+
+def int_sign(j: int, i: int) -> int:
+    """Deterministic ±1 for hyperplane j, dimension i (md5-derived)."""
+    key = (j, i)
+    if key not in _SIGN_CACHE:
+        import hashlib
+
+        h = hashlib.md5(f"plane:{j}:{i}".encode()).digest()
+        _SIGN_CACHE[key] = 1 if h[0] % 2 == 0 else -1
+    return _SIGN_CACHE[key]
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 5,
+    bits: int = 4,
+    dim: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Approximate top-k: probe only corpus vectors in the query's sign-LSH
+    bucket. Recall < 1 by construction; bucket fan-out (multi-probe) can be
+    added by unioning neighboring buckets. ``dim`` defaults to the first
+    corpus vector's length and must be uniform.
+    """
+    if dim is None:
+        dim = len(corpus.select(vec_col).first()[0])
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("c_vec"),
+        _signs_bucket(F.col(vec_col), bits=bits, dim=dim).alias("bucket"),
+    )
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.col(vec_col).alias("q_vec"),
+            _signs_bucket(F.col(vec_col), bits=bits, dim=dim).alias("bucket"),
+        )
+    )
+    scored = (
+        c.join(q, on="bucket")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("vec_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def cosine_pairs_exact(
+    corpus: DataFrame,
+    *,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact embedding-cosine near-dup pairs: all (id_a < id_b) pairs with
+    rounded cosine ≥ threshold. O(n²) — the correctness baseline the LSH
+    variant (:func:`embedding_near_dup_pairs`) approximates; use only on
+    bounded corpora or within blocking buckets."""
+    a = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+    )
+
+
+def embedding_near_dup_pairs(
+    corpus: DataFrame,
+    *,
+    threshold: float = 0.95,
+    bits: int = 6,
+    dim: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via sign-LSH blocking: exact
+    cosine is computed only within buckets (near-identical vectors land in the
+    same bucket with high probability). Output (id_a < id_b, cosine_sim)."""
+    if dim is None:
+        dim = len(corpus.select(vec_col).first()[0])
+    b = corpus.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        _signs_bucket(F.col(vec_col), bits=bits, dim=dim).alias("bucket"),
+    )
+    pairs = (
+        b.alias("l")
+        .join(b.alias("r"), (F.col("l.bucket") == F.col("r.bucket")) & (F.col("l.id") < F.col("r.id")))
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            F.round(cosine(F.col("l.vec"), F.col("r.vec")), 6).alias("cosine_sim"),
+        )
+    )
+    return pairs.filter(F.col("cosine_sim") >= threshold)

@@ -1,0 +1,110 @@
+"""Table resolution: parquet directories (tests/bench) and JDBC (production).
+
+Covers SURVEY.md §2.1:
+
+- S1/S2 — parameterized & full scans. In Spark the "prepared statement" is
+  just a DataFrame builder function; ``WHERE id=$1`` becomes ``df.filter``
+  whose predicate Catalyst pushes into the parquet/JDBC scan (check
+  ``PushedFilters`` in ``.explain``). Reference:
+  ``src/from-ground-up.js:149-171``, ``src/mapboxing.js:123-166``.
+- S4 — env-based connection config (reference README.md:4,
+  ``run_mapboxing.bash:4-10``) becomes ``jdbc_reader`` options.
+- S5 — JSON fixture reading (reference ``test/testy_stuff.js:3-16``) is
+  ``spark.read.schema(...).json``.
+
+Scale note: at 100 TB the parquet paths are directory trees, ideally
+partitioned by a high-level key (e.g. ``area_id`` bucket or date). All loads
+here go through ``spark.read`` so partition pruning + pushdown are free; no
+driver-side row handling ever happens in this module.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+
+class Catalog:
+    """Resolves logical table names to DataFrames for one dataset directory.
+
+    ``sf_dir`` layout is one ``<table>.parquet`` per table (TESTDATA.md). An
+    explicit schema may be supplied per table (ATES fixtures); otherwise the
+    parquet footer schema is used — either way the scan is schema-pruned to
+    the columns the plan touches.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        sf_dir: str,
+        schemas: dict[str, T.StructType] | None = None,
+    ) -> None:
+        self.spark = spark
+        self.sf_dir = sf_dir
+        self.schemas = schemas or {}
+
+    def path(self, table: str) -> str:
+        return os.path.join(self.sf_dir, f"{table}.parquet")
+
+    def table(self, table: str) -> DataFrame:
+        """Full scan (S2): ``SELECT ... FROM t`` with no predicate."""
+        reader = self.spark.read
+        if table in self.schemas:
+            reader = reader.schema(self.schemas[table])
+        return reader.parquet(self.path(table))
+
+    def read_json(self, path: str, schema: T.StructType | None = None) -> DataFrame:
+        """S5 — JSON fixture reader (one object or NDJSON per line)."""
+        reader = self.spark.read
+        if schema is not None:
+            reader = reader.schema(schema)
+        return reader.option("multiLine", "false").json(path)
+
+
+def jdbc_reader(
+    spark: SparkSession,
+    table: str,
+    *,
+    url: str | None = None,
+    partition_column: str | None = None,
+    num_partitions: int = 32,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+) -> DataFrame:
+    """Production-path scan over JDBC (S1/S4).
+
+    Connection config follows the reference's env contract
+    (``PGUSER/PGHOST/PGPASSWORD/PGDATABASE`` or ``ATES_CONNECTION_STRING``,
+    reference ``src/from-ground-up.js:979``, ``run_mapboxing.bash:4-10``)
+    translated to a JDBC URL. ``partition_column`` + bounds split the scan
+    into ``num_partitions`` parallel range reads — the knob that matters when
+    the source table is large; without it a JDBC scan is a single task.
+
+    Filters/projections applied on the returned DataFrame are pushed down to
+    the database by the JDBC source (Catalyst ``PushDownPredicates``).
+    """
+    if url is None:
+        conn = os.environ.get("ATES_CONNECTION_STRING")
+        if conn:
+            url = f"jdbc:{conn}" if not conn.startswith("jdbc:") else conn
+        else:
+            host = os.environ.get("PGHOST", "localhost")
+            db = os.environ.get("PGDATABASE", "ates")
+            url = f"jdbc:postgresql://{host}/{db}"
+    reader = (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+        .option("user", os.environ.get("PGUSER", ""))
+        .option("password", os.environ.get("PGPASSWORD", ""))
+    )
+    if partition_column is not None:
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("numPartitions", str(num_partitions))
+            .option("lowerBound", str(lower_bound if lower_bound is not None else 0))
+            .option("upperBound", str(upper_bound if upper_bound is not None else 1 << 31))
+        )
+    return reader.load()

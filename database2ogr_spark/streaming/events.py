@@ -1,0 +1,115 @@
+"""Structured Streaming surface over the ``events`` table (north-star
+extension, SURVEY.md §2.9 / §7 M6 — the reference has no streaming semantics;
+its Node streams are I/O plumbing only).
+
+Transformations are written against a plain DataFrame so the *same function*
+serves batch (parquet read) and streaming (``readStream``) — the Spark
+batch/stream unification. Event-time correctness: watermark on ``ts`` bounds
+state for the windowed aggregation; late rows beyond the watermark are
+dropped deterministically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events(spark: SparkSession, path: str) -> DataFrame:
+    """Batch read of the events parquet, tolerant of TIMESTAMP(NANOS).
+
+    Spark has no nanosecond timestamp type and rejects NANOS parquet columns
+    by default; ``spark.sql.legacy.parquet.nanosAsLong`` reads them as raw
+    nanosecond longs, which we convert to microsecond timestamps (the
+    precision Spark supports). The conf is session-dynamic, so this also
+    works under an externally-created SparkSession.
+    """
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
+    df = spark.read.parquet(path)
+    if dict(df.dtypes).get("ts") == "bigint":
+        # integer division: float division would lose precision (epoch nanos
+        # ≈ 1.7e18 exceeds double's 53-bit mantissa)
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return df
+
+
+def read_events_stream(
+    spark: SparkSession, path_glob: str, max_files_per_trigger: int = 4
+) -> DataFrame:
+    """File-source stream over event parquet files (each micro-batch picks up
+    new files — the local stand-in for a Kafka source; swap ``format`` and
+    options for Kafka in production, the downstream plan is unchanged)."""
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path_glob)
+    )
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    *,
+    window_duration: str = "5 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Tumbling-window counts + value sum per event_type.
+
+    Works identically on batch and streaming inputs; on streaming the
+    watermark bounds the aggregation state (required for append mode).
+    Output: window_start, window_end, event_type, n_events, sum_value.
+    """
+    src = events
+    if events.isStreaming:
+        src = events.withWatermark("ts", watermark)
+    return (
+        src.groupBy(F.window("ts", window_duration).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sessionize(
+    events: DataFrame,
+    *,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Session windows per user (gap-based). Streaming uses the built-in
+    ``session_window`` (state cleaned by watermark); batch uses the same
+    expression without watermark. Output: user_id, session_start,
+    session_end, n_events."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )

@@ -1,0 +1,60 @@
+"""Dedup operator semantics on crafted corpora (exact, MinHash LSH, SimHash,
+n-gram Jaccard) — the pytest side of the rows-only entries."""
+
+from __future__ import annotations
+
+from database2ogr_spark.operators import dedup as DD
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (2, "the quick brown fox jumps over the lazy dog near the river bank"),  # exact dup of 1
+    (3, "The  quick brown fox jumps over the lazy dog near the river bank "),  # normalized dup
+    (4, "the quick brown fox jumps over the lazy dog near the river today"),  # near dup
+    (5, "spark shuffles partition data across executors for wide joins"),  # unrelated
+]
+
+
+def _docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_dedup_exact_groups_normalized(spark):
+    out = DD.dedup_exact(_docs(spark)).collect()
+    groups = {r.survivor_id: r.dup_count for r in out}
+    # 1,2,3 collapse (case/whitespace normalization); 4 and 5 stand alone
+    assert groups[1] == 3 and groups[4] == 1 and groups[5] == 1
+
+
+def test_dedup_exact_survivors(spark):
+    ids = {r.doc_id for r in DD.dedup_exact_survivors(_docs(spark)).collect()}
+    assert ids == {1, 4, 5}
+
+
+def test_minhash_lsh_finds_near_dups(spark):
+    pairs = DD.minhash_lsh_pairs(_docs(spark), num_hashes=16, bands=8, threshold=0.3).collect()
+    got = {(r.id_a, r.id_b) for r in pairs}
+    # exact dups always collide on every band
+    assert (1, 2) in got and (1, 3) in got
+    # unrelated doc never pairs with the fox docs
+    assert not any(5 in p for p in got)
+    # est_jaccard of identical docs is 1.0
+    est = {(r.id_a, r.id_b): r.est_jaccard for r in pairs}
+    assert est[(1, 2)] == 1.0
+
+
+def test_simhash_pairs_rank_near_dups(spark):
+    pairs = DD.simhash_pairs(_docs(spark), max_hamming=12).collect()
+    ham = {(r.id_a, r.id_b): r.hamming for r in pairs}
+    assert ham.get((1, 2)) == 0  # identical → identical signature
+    if (1, 4) in ham:  # near dup, small distance when caught
+        assert ham[(1, 4)] <= 12
+
+
+def test_ngram_jaccard_exact_values(spark):
+    pairs = DD.ngram_jaccard_pairs(_docs(spark), k_shingle=3, threshold=0.5).collect()
+    jac = {(r.id_a, r.id_b): r.jaccard for r in pairs}
+    assert jac[(1, 2)] == 1.0 and jac[(1, 3)] == 1.0
+    # doc 4 differs in last word: 10 shingles of 12 shared with doc 1:
+    # jaccard = 10 / (11 + 11 - 10)
+    assert abs(jac[(1, 4)] - 10 / 12) < 1e-6
+    assert not any(5 in p for p in jac)

@@ -1,0 +1,155 @@
+"""Unit tests for the scalar/geometry/hash expression library, modeled on the
+reference's fixture-driven style (SURVEY.md §5; test/testy_stuff.js)."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from database2ogr_spark.functions import geometry as G
+from database2ogr_spark.functions import hashing as H
+from database2ogr_spark.functions import text as X
+from database2ogr_spark.functions import textstats as TS
+
+
+def one(spark, col, **named_cols):
+    df = spark.range(1).select(col.alias("v"), *[c.alias(n) for n, c in named_cols.items()])
+    return df.collect()[0]
+
+
+def test_slugify_all_spaces(spark):
+    # bug-ledger pin: replace ALL spaces, unlike JS String.replace
+    r = one(spark, X.slugify(F.lit("Rescue Cache Two Words")))
+    assert r.v == "rescue-cache-two-words"
+
+
+def test_reverse_color(spark):
+    # rrggbbaa -> aabbggrr (KML color encoding, X2)
+    assert one(spark, X.reverse_str(F.lit("55ff0088"))).v == "8800ff55"
+
+
+def test_split_join_roundtrip(spark):
+    r = one(spark, X.join_coords(X.split_coords(F.lit("-117.5, 50.25"))))
+    assert r.v == "-117.5, 50.25"
+
+
+def test_casts_and_validation(spark):
+    r = one(
+        spark,
+        X.to_double(F.lit("-117.5")),
+        i=X.to_int(F.lit("15")),
+        v_ok=X.validate_in(F.lit(15), [11, 15], 11),
+        v_bad=X.validate_in(F.lit(13), [11, 15], 11),
+    )
+    assert r.v == -117.5 and r.i == 15 and r.v_ok == 15 and r.v_bad == 11
+
+
+def test_unescape_quotes(spark):
+    assert one(spark, X.unescape_quotes(F.lit(r"it\'s"))).v == "it's"
+
+
+def test_json_quote_escaping(spark):
+    r = one(spark, X.json_quote(F.lit('say "hi"\nback\\slash')))
+    assert json.loads(r.v) == 'say "hi"\nback\\slash'
+
+
+POINT = '{"type":"Point","coordinates":[-117.5,50.25]}'
+LINE = '{"type":"LineString","coordinates":[[-118,49],[-117,50],[-116.5,50.5]]}'
+POLY_HOLE = (
+    '{"type":"Polygon","coordinates":[[[-118,49],[-117,49],[-117,50],[-118,49]],'
+    "[[-117.8,49.2],[-117.2,49.2],[-117.2,49.8],[-117.8,49.2]]]}"
+)
+MPOLY = (
+    '{"type":"MultiPolygon","coordinates":[[[[-118,49],[-117,49],[-117,50],[-118,49]]],'
+    "[[[-116,49],[-115,49],[-115,50],[-116,49]]]]}"
+)
+
+
+def test_envelope_linestring(spark):
+    r = one(spark, G.envelope_geojson(F.lit(LINE)))
+    g = json.loads(r.v)
+    assert g["type"] == "Polygon"
+    ring = g["coordinates"][0]
+    assert ring[0] == [-118.0, 49.0] and ring[2] == [-116.5, 50.5] and ring[4] == ring[0]
+
+
+def test_envelope_point_degenerates_to_point(spark):
+    g = json.loads(one(spark, G.envelope_geojson(F.lit(POINT))).v)
+    assert g == {"type": "Point", "coordinates": [-117.5, 50.25]}
+
+
+def test_coords_key_matches_reference_shape(spark):
+    # reference: join(', ') over flattened coordinates (from-ground-up.js:224-234)
+    assert one(spark, G.coords_key(F.lit(LINE))).v == "-118, 49, -117, 50, -116.5, 50.5"
+
+
+def test_kml_geometry_kinds(spark):
+    r = one(
+        spark,
+        G.kml_geometry(F.lit(POINT)),
+        line=G.kml_geometry(F.lit(LINE)),
+        poly=G.kml_geometry(F.lit(POLY_HOLE)),
+        mp=G.kml_geometry(F.lit(MPOLY)),
+    )
+    assert r.v == "<Point><coordinates>-117.5,50.25</coordinates></Point>"
+    assert r.line.startswith("<LineString><coordinates>-118.0,49.0 ")
+    assert "<innerBoundaryIs>" in r.poly and r.poly.count("<LinearRing>") == 2
+    assert r.mp.startswith("<MultiGeometry>") and r.mp.count("<Polygon>") == 2
+
+
+def test_kml_roundtrip_coords_key_parity(spark):
+    # the warnify group key must be identical whether geometry is GeoJSON or KML
+    r = one(spark, G.coords_key(F.lit(POINT)), k=G.coords_key(G.kml_geometry(F.lit(POINT))))
+    assert r.v == r.k
+
+
+def test_stable_hash64_range_and_determinism(spark):
+    r1 = one(spark, H.stable_hash64(F.lit("hello"), seed=3))
+    r2 = one(spark, H.stable_hash64(F.lit("hello"), seed=3))
+    r3 = one(spark, H.stable_hash64(F.lit("hello"), seed=4))
+    assert r1.v == r2.v != r3.v
+    assert 0 <= r1.v < 2**60
+
+
+def test_shingles_short_doc_fallback(spark):
+    r = one(spark, H.shingles(F.lit("only two"), 3))
+    assert r.v == ["only two"]
+
+
+def test_shingles_k3(spark):
+    r = one(spark, H.shingles(F.lit("a b c d"), 3))
+    assert r.v == ["a b c", "b c d"]
+
+
+def test_simhash_similar_docs_close(spark):
+    a = "the quick brown fox jumps over the lazy dog again and again today"
+    b = "the quick brown fox jumps over the lazy dog again and again tonight"
+    c = "completely different words about spark partitions and shuffles here"
+    r = one(
+        spark,
+        H.hamming64(H.simhash64(H.words(F.lit(a))), H.simhash64(H.words(F.lit(b)))),
+        far=H.hamming64(H.simhash64(H.words(F.lit(a))), H.simhash64(H.words(F.lit(c)))),
+    )
+    assert r.v < r.far
+
+
+def test_lang_id_and_quality(spark):
+    en = "the cat and the dog sat in that house for it was warm " * 10
+    fr = "le chat et la souris est une des choses que pour les gens " * 10
+    r = one(spark, TS.lang_id(F.lit(en)), fr=TS.lang_id(F.lit(fr)), und=TS.lang_id(F.lit("zzz qqq")))
+    assert r.v == "en" and r.fr == "fr" and r.und == "und"
+    q = one(spark, TS.quality_score(F.lit(en)))
+    assert 0.0 <= q.v <= 1.0
+
+
+def test_rolling_fingerprint_deterministic_and_order_sensitive(spark):
+    r = one(
+        spark,
+        TS.rolling_fingerprint(F.lit("abc")),
+        same=TS.rolling_fingerprint(F.lit("ABC  ")),  # normalization: lower+trim
+        diff=TS.rolling_fingerprint(F.lit("cba")),
+    )
+    assert r.v == r.same != r.diff
+    # polynomial base-31 over ascii: 'abc' -> ((97*31)+98)*31+99
+    assert r.v == ((97 * 31 + 98) * 31 + 99) % 1_000_000_007

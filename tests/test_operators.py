@@ -1,0 +1,79 @@
+"""Query/JoinQuery builder + union operator tests, incl. plan-shape checks
+(pushdown, broadcast) — the engine's equivalent of the reference's
+SQL-generation golden tests (test/testy_stuff.js:32-41)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from database2ogr_spark.operators.query import JoinQuery, Query
+from database2ogr_spark.operators.union import union_by_name
+
+
+def test_query_projection_and_filter(ates_catalog):
+    q = Query("points_of_interest", ["name", "type"], "area_id={param}")
+    df = q.build(ates_catalog, param=1)
+    assert df.columns == ["name", "type", "geometry", "table"]
+    rows = df.collect()
+    assert all(r.table == "points_of_interest" for r in rows)
+    # fixture: POIs alternate areas 1/2, 7 total → area 1 gets ids 1,3,5,7
+    assert len(rows) == 4
+
+
+def test_query_pushdown_reaches_scan(ates_catalog):
+    q = Query("points_of_interest", ["name"], "area_id={param}")
+    plan = q.build(ates_catalog, param=1)._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "area_id" in plan
+
+
+def test_query_bbox_column(ates_catalog):
+    q = Query("areas_vw", ["name"], "id={param}", bounding_box=True)
+    df = q.build(ates_catalog, param=1)
+    assert "bounding_box" in df.columns
+    row = df.collect()[0]
+    assert '"type":"Polygon"' in row.bounding_box
+
+
+def test_query_kml_mode(ates_catalog):
+    q = Query("avalanche_paths", ["name"], "area_id={param}", ogr_type="KML")
+    rows = q.build(ates_catalog, param=1).collect()
+    assert all(r.geometry.startswith("<LineString>") for r in rows)
+
+
+def test_join_query_union_projection_and_filter(ates_catalog):
+    jq = JoinQuery(
+        parent=Query("decision_points", ["id", "name", "area_id", "comments"], None),
+        child=Query("decision_points_warnings", ["warning", "type"], None, None,
+                    geometry_column=None),
+        on=("id", "decision_point_id"),
+        where="p.area_id={param}",
+    )
+    df = jq.build(ates_catalog, param=1)
+    assert df.columns == ["id", "name", "area_id", "comments", "warning", "type",
+                          "geometry", "table"]
+    rows = df.collect()
+    # area 1: dp1 has 3 warnings, dp2 has 1 → 4 joined rows; geometry from parent
+    assert len(rows) == 4
+    assert all(r.geometry.startswith('{"type":"Point"') for r in rows)
+    assert all(r.table == "decision_points" for r in rows)
+
+
+def test_join_query_broadcasts_child(ates_catalog):
+    jq = JoinQuery(
+        parent=Query("decision_points", ["id", "name", "area_id", "comments"], None),
+        child=Query("decision_points_warnings", ["warning", "type"], None, None,
+                    geometry_column=None),
+        on=("id", "decision_point_id"),
+    )
+    plan = jq.build(ates_catalog)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan  # small dim never shuffles the parent
+
+
+def test_union_by_name_missing_columns(spark):
+    a = spark.createDataFrame([(1, "x")], "id int, a string")
+    b = spark.createDataFrame([(2, "y")], "id int, b string")
+    out = union_by_name([a, b]).collect()
+    assert len(out) == 2
+    byid = {r.id: r for r in out}
+    assert byid[1].a == "x" and byid[1].b is None
+    assert byid[2].b == "y" and byid[2].a is None

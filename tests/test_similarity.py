@@ -1,0 +1,56 @@
+"""Similarity-search operator tests on small crafted vector sets."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from database2ogr_spark.operators import similarity as SIM
+
+VECS = [
+    (0, [1.0, 0.0, 0.0, 0.0]),
+    (1, [0.9, 0.1, 0.0, 0.0]),   # close to 0
+    (2, [0.0, 1.0, 0.0, 0.0]),   # orthogonal to 0
+    (3, [0.0, 0.95, 0.05, 0.0]),  # close to 2
+    (4, [-1.0, 0.0, 0.0, 0.0]),  # opposite of 0
+]
+
+
+def _corpus(spark):
+    return spark.createDataFrame(VECS, "vec_id long, embedding array<float>")
+
+
+def test_cosine_topk_exact(spark):
+    corpus = _corpus(spark)
+    queries = corpus.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = SIM.cosine_topk(corpus, queries, k=2, query_id_col="query_id").collect()
+    ranked = sorted(out, key=lambda r: r.rank)
+    assert [r.vec_id for r in ranked] == [1, 2]  # nearest first; self excluded
+    assert ranked[0].cosine_sim > 0.99
+    assert ranked[0].rank == 1
+
+
+def test_cosine_pairs_exact_threshold(spark):
+    pairs = SIM.cosine_pairs_exact(_corpus(spark), threshold=0.9).collect()
+    got = {(r.id_a, r.id_b) for r in pairs}
+    assert (0, 1) in got and (2, 3) in got
+    assert (0, 4) not in got  # opposite vectors: cosine -1
+
+
+def test_lsh_topk_subset_of_exact(spark):
+    corpus = _corpus(spark)
+    queries = corpus.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = SIM.lsh_topk(corpus, queries, k=3, bits=2, dim=4, query_id_col="query_id").collect()
+    # approximate: results come only from the query's bucket, ranked correctly
+    sims = [r.cosine_sim for r in sorted(out, key=lambda r: r.rank)]
+    assert sims == sorted(sims, reverse=True)
+
+
+def test_embedding_near_dup_lsh_blocking(spark):
+    pairs = SIM.embedding_near_dup_pairs(_corpus(spark), threshold=0.9, bits=2, dim=4).collect()
+    got = {(r.id_a, r.id_b) for r in pairs}
+    # identical-direction pair must land in the same sign bucket and be found
+    assert (0, 1) in got

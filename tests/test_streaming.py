@@ -1,0 +1,86 @@
+"""Structured Streaming surface: the same transform functions run batch and
+streaming; streaming execution is verified with a file source + memory sink."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from database2ogr_spark.streaming.events import (
+    EVENTS_SCHEMA,
+    read_events_stream,
+    sessionize,
+    windowed_event_counts,
+)
+
+ROWS = [
+    (1, dt.datetime(2024, 1, 1, 0, 1, 0), 10, "click", 1.0, "{}"),
+    (2, dt.datetime(2024, 1, 1, 0, 2, 0), 10, "click", 2.0, "{}"),
+    (3, dt.datetime(2024, 1, 1, 0, 7, 0), 10, "view", 3.0, "{}"),
+    (4, dt.datetime(2024, 1, 1, 1, 0, 0), 11, "click", 4.0, "{}"),
+]
+
+
+def _events(spark):
+    return spark.createDataFrame(ROWS, EVENTS_SCHEMA)
+
+
+def test_windowed_counts_batch(spark):
+    out = windowed_event_counts(_events(spark)).collect()
+    by_key = {(r.window_start.hour, r.window_start.minute, r.event_type): r.n_events for r in out}
+    assert by_key[(0, 0, "click")] == 2  # 00:00-00:05 window
+    assert by_key[(0, 5, "view")] == 1
+    assert by_key[(1, 0, "click")] == 1
+    assert len(out) == 3
+
+
+def test_sessionize_batch(spark):
+    out = sessionize(_events(spark), gap="30 minutes").collect()
+    u10 = [r for r in out if r.user_id == 10]
+    # events at 0:01,0:02,0:07 all within 30m gaps → one session of 3
+    assert len(u10) == 1 and u10[0].n_events == 3
+    assert u10[0].session_end == dt.datetime(2024, 1, 1, 0, 37, 0)
+
+
+def test_streaming_windowed_counts(spark, tmp_path):
+    src = str(tmp_path / "stream_src")
+    _events(spark).write.parquet(src)
+    stream = read_events_stream(spark, src)
+    assert stream.isStreaming
+    q = (
+        windowed_event_counts(stream)
+        .writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("select * from win_counts").collect()
+    finally:
+        q.stop()
+    assert sum(r.n_events for r in rows) == 4
+    assert {r.event_type for r in rows} == {"click", "view"}
+
+
+def test_streaming_append_with_watermark(spark, tmp_path):
+    # append mode requires watermark-bounded state — the scale-relevant mode
+    src = str(tmp_path / "stream_src2")
+    _events(spark).write.parquet(src)
+    stream = read_events_stream(spark, src)
+    q = (
+        windowed_event_counts(stream, watermark="10 minutes")
+        .writeStream.format("memory")
+        .queryName("win_append")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # windows older than (max ts - watermark) are finalized and emitted
+        rows = spark.sql("select * from win_append").collect()
+    finally:
+        q.stop()
+    emitted = {(r.window_start.minute, r.event_type) for r in rows}
+    assert (0, "click") in emitted and (5, "view") in emitted
