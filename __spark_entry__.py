@@ -30,7 +30,6 @@ from pyspark.sql import functions as F
 from database2ogr_spark.functions import geometry as G
 from database2ogr_spark.functions import text as X
 from database2ogr_spark.functions import textstats as TS
-from database2ogr_spark.functions.hashing import minhash_signature, shingles
 from database2ogr_spark.operators import dedup as DD
 from database2ogr_spark.operators import similarity as SIM
 from database2ogr_spark.operators.query import JoinQuery, Query
@@ -337,14 +336,13 @@ def q_fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Three components of the 16-hash MinHash signature (oracle-checkable
-    core of the LSH pipeline)."""
-    d = _t(spark, sf_dir, "documents")
-    sig = minhash_signature(shingles("text", 3), 16)
-    return d.select(
-        "doc_id",
-        F.element_at(sig, 1).alias("h1"),
-        F.element_at(sig, 8).alias("h8"),
-        F.element_at(sig, 16).alias("h16"),
+    core of the LSH pipeline), via the explode→partial-agg operator."""
+    sigs = DD.minhash_signatures(_t(spark, sf_dir, "documents"), num_hashes=16)
+    return sigs.select(
+        F.col("id").alias("doc_id"),
+        F.element_at(F.col("sig"), 1).alias("h1"),
+        F.element_at(F.col("sig"), 8).alias("h8"),
+        F.element_at(F.col("sig"), 16).alias("h16"),
     )
 
 

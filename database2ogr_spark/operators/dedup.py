@@ -22,18 +22,20 @@ reproduce results exactly; swap ``fast_hash64`` in for raw throughput.
 
 from __future__ import annotations
 
+from functools import reduce
+
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from database2ogr_spark.functions.hashing import (
     hamming64,
-    minhash_signature,
     shingles,
-    simhash64,
     stable_hash64,
     words,
 )
 from database2ogr_spark.functions.textstats import content_fingerprint
+from database2ogr_spark.operators.partitioning import spread
 
 
 def dedup_exact(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -44,7 +46,8 @@ def dedup_exact(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     keeps the shuffle payload at ~48 bytes/row regardless of document size.
     """
     return (
-        df.select(content_fingerprint(text_col).alias("fingerprint"), F.col(id_col))
+        spread(df)
+        .select(content_fingerprint(text_col).alias("fingerprint"), F.col(id_col))
         .groupBy("fingerprint")
         .agg(
             F.min(id_col).alias("survivor_id"),
@@ -59,6 +62,39 @@ def dedup_exact_survivors(
     """The deduplicated dataset itself (rows whose id is a group survivor)."""
     survivors = dedup_exact(df, id_col, text_col).select(F.col("survivor_id").alias(id_col))
     return df.join(survivors, on=id_col, how="left_semi")
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    k_shingle: int = 3,
+    num_hashes: int = 16,
+) -> DataFrame:
+    """MinHash signatures as a DataFrame (id, sig: array<bigint>).
+
+    Shape chosen for scale and local speed alike: explode shingles so the
+    shingling expression is evaluated once per document (the Generate node is
+    a boundary Catalyst won't inline it across — inlining it into each of the
+    ``num_hashes`` array_min families costs ~num_hashes× the work), hash each
+    exploded shingle ``num_hashes`` ways map-side, and let partial aggregation
+    reduce to per-doc mins before the single shuffle — only ``num_hashes``
+    bigints per doc cross the wire regardless of document size.
+    """
+    ex = spread(df).select(
+        F.col(id_col).alias("id"),
+        F.explode(shingles(text_col, k_shingle)).alias("g"),
+    )
+    agg = ex.groupBy("id").agg(
+        *[
+            F.min(stable_hash64(F.col("g"), seed=i + 1)).alias(f"h{i}")
+            for i in range(num_hashes)
+        ]
+    )
+    return agg.select(
+        "id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
+    )
 
 
 def minhash_lsh_pairs(
@@ -77,14 +113,17 @@ def minhash_lsh_pairs(
     any band of their signatures is identical. Estimated Jaccard = fraction of
     matching signature positions. Output: (id_a < id_b, est_jaccard ≥
     threshold).
+
+    The signature table (~``8·num_hashes`` bytes/doc — tiny relative to the
+    corpus) is persisted MEMORY_AND_DISK so the banding self-join reads it
+    once instead of recomputing shingling+hashing for both sides.
     """
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
 
-    sigs = df.select(
-        F.col(id_col).alias("id"),
-        minhash_signature(shingles(text_col, k_shingle), num_hashes).alias("sig"),
-    )
+    sigs = minhash_signatures(
+        df, id_col, text_col, k_shingle=k_shingle, num_hashes=num_hashes
+    ).persist(StorageLevel.MEMORY_AND_DISK)
 
     banded = sigs.select(
         "id",
@@ -144,6 +183,47 @@ def minhash_lsh_pairs(
     )
 
 
+def simhash_signatures(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """60-bit SimHash signatures as a DataFrame (id, sim: bigint).
+
+    Same explode→partial-agg shape as :func:`minhash_signatures`: each token
+    is hashed exactly once, the 60 per-bit ±1 votes are summed map-side
+    (partial aggregation), and only 60 small ints per doc cross the shuffle.
+    The expression form (``functions.hashing.simhash64``) re-evaluates the
+    token-hash array inside every per-bit vote — 60× the hashing work — so it
+    is kept only for small in-row arrays.
+
+    Documents with no tokens get signature 0 (explode_outer keeps them; null
+    hash votes negative on every bit), matching ``simhash64`` on an empty
+    array.
+    """
+    ex = spread(df).select(
+        F.col(id_col).alias("id"), F.explode_outer(words(text_col)).alias("w")
+    )
+    h = ex.select("id", stable_hash64(F.col("w")).alias("h"))
+    votes = h.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+                ).otherwise(F.lit(-1))
+            ).alias(f"v{j}")
+            for j in range(60)
+        ]
+    )
+    sim = reduce(
+        lambda acc, j: acc
+        + F.when(F.col(f"v{j}") > 0, F.lit(1 << j).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        ),
+        range(60),
+        F.lit(0).cast("bigint"),
+    )
+    return votes.select("id", sim.alias("sim"))
+
+
 def simhash_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -156,8 +236,11 @@ def simhash_pairs(
     Candidate generation: split the 64-bit signature into 4 16-bit chunks;
     by pigeonhole, hamming ≤ 3 implies at least one identical chunk — join on
     (chunk_index, chunk_value), then verify the exact hamming distance.
+    Signatures are persisted (8 bytes/doc) so the self-join reads them once.
     """
-    sigs = df.select(F.col(id_col).alias("id"), simhash64(words(text_col)).alias("sim"))
+    sigs = simhash_signatures(df, id_col, text_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     chunks = sigs.select(
         "id",
         "sim",
@@ -214,7 +297,7 @@ def ngram_jaccard_pairs(
     full cross product; the explode size is Σ doc shingles (linear in corpus),
     and hot shingles can be stopword-filtered upstream if skewed.
     """
-    sh = df.select(
+    sh = spread(df).select(
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(shingles(text_col, k_shingle))).alias("shingle"),
     )

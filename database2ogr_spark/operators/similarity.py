@@ -179,19 +179,55 @@ def cosine_pairs_exact(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Exact embedding-cosine near-dup pairs: all (id_a < id_b) pairs with
-    rounded cosine ≥ threshold. O(n²) — the correctness baseline the LSH
-    variant (:func:`embedding_near_dup_pairs`) approximates; use only on
-    bounded corpora or within blocking buckets."""
-    a = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
-    return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a",
-            "id_b",
-            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cosine_sim"),
-        )
-        .filter(F.col("cosine_sim") >= threshold)
+    rounded cosine ≥ threshold. O(n²) by definition — the correctness baseline
+    the LSH variant (:func:`embedding_near_dup_pairs`) approximates.
+
+    Physical strategy: broadcast the full corpus matrix (n×d float64 — the
+    all-pairs semantics already bound n to "fits in one executor's memory";
+    beyond that, use the LSH-blocked variant) and let every partition score
+    its block against it with one vectorized matmul via ``mapInPandas``.
+    Each pair is materialized at most once (masked to id_a < id_b and to
+    scores over threshold), so the Arrow output is only the surviving pairs —
+    vastly cheaper than a joined n² row stream through interpreted
+    higher-order functions.
+    """
+    import numpy as np
+    import pandas as pd
+
+    sel = corpus.select(
+        F.col(id_col).cast("long").alias("id_a"), F.col(vec_col).alias("va")
+    )
+    data = sel.collect()
+    spark = corpus.sparkSession
+    if not data:
+        return spark.createDataFrame([], "id_a long, id_b long, cosine_sim double")
+    ids = np.fromiter((r.id_a for r in data), dtype=np.int64, count=len(data))
+    mat = np.array([r.va for r in data], dtype=np.float64)
+    norms = np.sqrt(np.einsum("ij,ij->i", mat, mat))
+    bc = spark.sparkContext.broadcast((ids, mat, norms))
+    thr = float(threshold)
+
+    def score(batches):
+        bids, bmat, bnorms = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            block = np.array(pdf["va"].tolist(), dtype=np.float64)
+            a_ids = pdf["id_a"].to_numpy()
+            a_norms = np.sqrt(np.einsum("ij,ij->i", block, block))
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = np.round(
+                    (block @ bmat.T) / (a_norms[:, None] * bnorms[None, :]), 6
+                )
+            mask = (cos >= thr) & (a_ids[:, None] < bids[None, :])
+            ii, jj = np.nonzero(mask)
+            yield pd.DataFrame(
+                {"id_a": a_ids[ii], "id_b": bids[jj], "cosine_sim": cos[ii, jj]}
+            )
+
+    n_parts = max(spark.sparkContext.defaultParallelism, 1)
+    return sel.repartition(n_parts).mapInPandas(
+        score, schema="id_a long, id_b long, cosine_sim double"
     )
 
 
