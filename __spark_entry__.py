@@ -34,13 +34,19 @@ from database2ogr_spark.operators import dedup as DD
 from database2ogr_spark.operators import similarity as SIM
 from database2ogr_spark.operators.query import JoinQuery, Query
 from database2ogr_spark.operators.union import union_by_name, union_features
-from database2ogr_spark.operators.warnify import warnify
+from database2ogr_spark.operators.warnify import _POPUP_META, warnify, warnify_html
+
+#: the popup CSS header, SQL-escaped for the DuckDB oracle (contains no
+#: single quotes today; escape defensively anyway)
+_POPUP_META_SQL = _POPUP_META.replace("'", "''")
 from database2ogr_spark.sinks.geojson import feature_json
 from database2ogr_spark.sinks.kml import placemark_xml
+from database2ogr_spark.sinks.recipe import layer_json
 from database2ogr_spark.sources.catalog import Catalog
 from database2ogr_spark.streaming.events import (
     read_events,
     sessionize,
+    user_totals,
     windowed_event_counts,
 )
 
@@ -217,17 +223,15 @@ def q_a1_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_linestatus").distinct()
 
 
-def q_warnify(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A2/A3/A4/X8 — the warnify group/pivot aggregation on TPC-H shapes:
-    orders⋈lineitem rows pivoted by returnflag into the two-key warnings map,
-    Point geometry synthesized from o_orderkey and rebuilt from the group key
-    exactly like the reference (src/from-ground-up.js:221-278)."""
+def _warnify_input(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared decision-point-shaped input for the warnify queries:
+    orders⋈lineitem rows with warning/type/geometry columns."""
     o = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 100)
     li = _t(spark, sf_dir, "lineitem")
     j = o.join(li, F.col("l_orderkey") == F.col("o_orderkey")).filter(
         F.col("l_returnflag").isin("A", "R")
     )
-    df = j.select(
+    return j.select(
         "o_orderkey",
         "o_custkey",
         "o_orderstatus",
@@ -242,6 +246,14 @@ def q_warnify(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("geometry"),
         F.lit("decision_points").alias("table"),
     )
+
+
+def q_warnify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2/A3/A4/X8 — the warnify group/pivot aggregation on TPC-H shapes:
+    orders⋈lineitem rows pivoted by returnflag into the two-key warnings map,
+    Point geometry synthesized from o_orderkey and rebuilt from the group key
+    exactly like the reference (src/from-ground-up.js:221-278)."""
+    df = _warnify_input(spark, sf_dir)
     return warnify(df, carry_cols=("o_orderkey", "o_custkey", "o_orderstatus"))
 
 
@@ -292,6 +304,102 @@ def q_x4_coords_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         key.alias("coords_key"),
         X.to_double(F.col("lon1_s")).alias("first_lon"),
     )
+
+
+def q_tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic scan-heavy rollup (TPC-H Q1 shape): the partial-agg benchmark
+    canary — all heavy lifting happens map-side before a 6-group shuffle.
+
+    Money/quantity sums are computed over scaled integers (cents /
+    ten-thousandths): float-double sums are accumulation-order-dependent and
+    diverge between engines at the 6-decimal rounding this harness hashes;
+    per-addend scaling+rounding is deterministic in both (inputs are 2-decimal
+    values, never at .5 rounding ties)."""
+    li = _t(spark, sf_dir, "lineitem")
+
+    def scaled(col: F.Column, s: int) -> F.Column:
+        return F.round(col * s).cast("bigint")
+
+    g = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(scaled(F.col("l_quantity"), 100)).alias("sum_qty_c"),
+        F.sum(scaled(F.col("l_extendedprice"), 100)).alias("sum_base_price_c"),
+        F.sum(
+            scaled(F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000)
+        ).alias("sum_disc_price_c4"),
+        F.sum(scaled(F.col("l_discount"), 100)).alias("_sum_disc_c"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+    return g.select(
+        "l_returnflag",
+        "l_linestatus",
+        "sum_qty_c",
+        "sum_base_price_c",
+        "sum_disc_price_c4",
+        F.round(F.col("sum_qty_c") / 100.0 / F.col("count_order"), 6).alias("avg_qty"),
+        F.round(F.col("_sum_disc_c") / 100.0 / F.col("count_order"), 6).alias("avg_disc"),
+        "count_order",
+    )
+
+
+def q_topk_quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k by quality score (deterministic tie-break on doc_id) — the
+    sort/limit surface the reference lacks but a data pipeline needs."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", TS.quality_score("text").alias("quality"))
+        .orderBy(F.col("quality").desc(), F.col("doc_id").asc())
+        .limit(100)
+    )
+
+
+def q_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus stats (count / avg length / total chars)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+def q_f5_nonblank_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5 — split + non-blank filter (reference src/make-recipe.js:4-6)."""
+    return _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.size(F.filter(F.split(F.col("p_name"), " "), X.not_blank)).alias("n_tokens"),
+    )
+
+
+def q_x11_unescape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X11 — un-escape ``\\'`` (reference src/from-ground-up.js:510-514);
+    escaped input synthesized so the replacement is observable."""
+    p = _t(spark, sf_dir, "part")
+    escaped = F.concat(F.col("p_name"), F.lit(r" it\'s"))
+    return p.select("p_partkey", X.unescape_quotes(escaped).alias("unescaped"))
+
+
+def q_x12_html_popup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5/X12 — warnify with the KML orange-table HTML popup serialization,
+    on the same TPC-H shape as q_warnify."""
+    df = _warnify_input(spark, sf_dir)
+    out = warnify_html(df, carry_cols=("o_orderkey", "o_custkey"))
+    return out.select("o_orderkey", "o_custkey", "warnings")
+
+
+def q_x13_recipe_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X13/K6 — distributed recipe-layer generation (one JSON layer per
+    region) via sinks.recipe column builders."""
+    r = _t(spark, sf_dir, "region")
+    name = F.lower(F.col("r_name"))
+    return r.select(
+        F.col("r_regionkey").alias("layer_id"),
+        layer_json("ates", name).alias("layer"),
+    )
+
+
+def q_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the applyInPandasWithState running-totals operator."""
+    return user_totals(read_events(spark, os.path.join(sf_dir, "events.parquet")))
 
 
 # ---------------------------------------------------------------------------
@@ -503,6 +611,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a1_distinct": q_a1_distinct,
         "warnify": q_warnify,
         "u1_union": q_u1_union,
+        "tpch_q1_pricing_summary": q_tpch_q1_pricing_summary,
+        "topk_quality_docs": q_topk_quality_docs,
+        "lang_stats": q_lang_stats,
+        "f5_nonblank_tokens": q_f5_nonblank_tokens,
+        "x11_unescape": q_x11_unescape,
+        "x12_html_popup": q_x12_html_popup,
+        "x13_recipe_layers": q_x13_recipe_layers,
+        "user_totals": q_user_totals,
         "geojson_features": q_geojson_features,
         "x4_coords_key": q_x4_coords_key,
         "dedup_exact": q_dedup_exact,
@@ -634,6 +750,93 @@ def oracle_sql() -> dict[str, str]:
             "r_name AS name FROM region "
             "UNION ALL SELECT 'nation', CAST(n_nationkey AS BIGINT), n_name FROM nation "
             "UNION ALL SELECT 'part', CAST(p_partkey AS BIGINT), p_name FROM part"
+        ),
+        "tpch_q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+              sum(CAST(round(l_quantity * 100) AS BIGINT)) AS sum_qty_c,
+              sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_base_price_c,
+              sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))
+                AS sum_disc_price_c4,
+              round(sum(CAST(round(l_quantity * 100) AS BIGINT)) / 100.0 / count(*), 6)
+                AS avg_qty,
+              round(sum(CAST(round(l_discount * 100) AS BIGINT)) / 100.0 / count(*), 6)
+                AS avg_disc,
+              count(*) AS count_order
+            FROM lineitem GROUP BY 1, 2
+        """,
+        "topk_quality_docs": f"""
+            WITH b AS (
+              SELECT doc_id,
+                length(text)::INT AS n_chars_calc,
+                len(list_filter({_WORDS_SQL}, x -> x <> ''))::INT AS ws_tokens,
+                (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))::INT
+                  AS n_punct,
+                {_hits_sql("en")} AS en_hits
+              FROM documents),
+            r AS (
+              SELECT doc_id, n_chars_calc,
+                CASE WHEN n_chars_calc > 0
+                     THEN n_punct / CAST(n_chars_calc AS DOUBLE) ELSE 0.0 END AS praw,
+                CASE WHEN ws_tokens > 0
+                     THEN en_hits / CAST(ws_tokens AS DOUBLE) ELSE 0.0 END AS sraw
+              FROM b)
+            SELECT doc_id,
+              round((CASE WHEN n_chars_calc BETWEEN 100 AND 20000 THEN 1.0 ELSE 0.0 END
+                   + CASE WHEN praw < 0.2 THEN 1.0 ELSE 0.0 END
+                   + CASE WHEN sraw >= 0.05 AND sraw <= 0.6 THEN 1.0 ELSE 0.0 END)
+                   / 3.0, 6) AS quality
+            FROM r ORDER BY quality DESC, doc_id LIMIT 100
+        """,
+        "lang_stats": (
+            "SELECT lang, count(*) AS n_docs, round(avg(n_chars), 6) AS avg_chars, "
+            "sum(n_chars) AS total_chars FROM documents GROUP BY lang"
+        ),
+        "f5_nonblank_tokens": (
+            "SELECT p_partkey, len(list_filter(string_split(p_name, ' '), "
+            "x -> x <> ''))::INT AS n_tokens FROM part"
+        ),
+        "x11_unescape": (
+            "SELECT p_partkey, p_name || ' it''s' AS unescaped FROM part"
+        ),
+        "x12_html_popup": f"""
+            WITH j AS (
+              SELECT o_orderkey, o_custkey,
+                     CAST(l_linenumber AS VARCHAR) AS warning,
+                     CASE WHEN l_returnflag = 'A' THEN 'Managing risk'
+                          ELSE 'Concern' END AS wtype
+              FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+              WHERE o_custkey < 100 AND l_returnflag IN ('A', 'R')),
+            g AS (
+              SELECT o_orderkey,
+                min(o_orderkey) AS o_orderkey_c,
+                min(o_custkey) AS o_custkey,
+                coalesce(list(warning ORDER BY warning)
+                         FILTER (WHERE wtype = 'Managing risk'), []) AS mr,
+                coalesce(list(warning ORDER BY warning)
+                         FILTER (WHERE wtype = 'Concern'), []) AS co
+              FROM j GROUP BY o_orderkey)
+            SELECT o_orderkey_c AS o_orderkey, o_custkey,
+              '{_POPUP_META_SQL}'
+              || '<table class="orange-table"><tbody><tr><th class="first">Concern</th></tr>'
+              || coalesce(array_to_string(list_transform(co,
+                   x -> '<tr><td><span class="red-x">&#x2717;</span>' || x || '</td></tr>'), ''), '')
+              || '</tr><tr><tr><th>Managing risk</th></tr>'
+              || coalesce(array_to_string(list_transform(mr,
+                   x -> '<tr><td><span class="green-check">&#x2717;</span>' || x || '</td></tr>'), ''), '')
+              || '<tr></tbody></table>' AS warnings
+            FROM g
+        """,
+        "x13_recipe_layers": """
+            SELECT r_regionkey AS layer_id,
+              '{"name":"' || lower(r_name)
+              || '","source":"mapbox://tileset-source/ates/' || lower(r_name)
+              || '","minzoom":0,"maxzoom":22}' AS layer
+            FROM region
+        """,
+        "user_totals": (
+            "SELECT user_id, count(*) AS n_events, "
+            "round(sum(coalesce(value, 0.0)), 6) AS total_value "
+            "FROM events GROUP BY user_id"
         ),
         "geojson_features": f"""
             SELECT '{{"type":"Feature","geometry":{{"type":"Point","coordinates":['

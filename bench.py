@@ -23,6 +23,8 @@ from database2ogr_spark.session import get_spark
 #: headline set: the reference-surface pipeline pieces + each training-data
 #: operator family, heaviest variants.
 HEADLINE = [
+    "tpch_q1_pricing_summary",
+    "topk_quality_docs",
     "j1_parent_child_join",
     "warnify",
     "geojson_features",
@@ -48,8 +50,19 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     qs = entrymod.queries()
-    # warmup: JVM + codegen + parquet footer caches
+    # warmup: JVM + codegen + parquet footer caches, then the Python worker
+    # pool + Arrow serialization path (first pandas-UDF query otherwise pays
+    # ~4s of worker startup that isn't the operator's cost)
     qs["s2_full_scan"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    import pandas as pd  # noqa: F401
+
+    def _noop_pd(batches):
+        for b in batches:
+            yield b
+
+    spark.range(64).repartition(32).mapInPandas(_noop_pd, schema="id long").write.format(
+        "noop"
+    ).mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

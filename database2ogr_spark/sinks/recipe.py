@@ -12,6 +12,31 @@ from __future__ import annotations
 
 import json
 
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def layer_source(user: str, name_col: Column | str) -> Column:
+    """X13 — the per-layer tileset-source URI as a Column
+    (``mapbox://tileset-source/<user>/<name>``, reference
+    ``src/make-recipe.js:12-18``)."""
+    name = F.col(name_col) if isinstance(name_col, str) else name_col
+    return F.concat(F.lit(f"mapbox://tileset-source/{user}/"), name)
+
+
+def layer_json(user: str, name_col: Column | str, *, minzoom: int = 0, maxzoom: int = 22) -> Column:
+    """One recipe layer as a JSON string Column (distributed variant of
+    :func:`make_recipe` for catalogs with many layers)."""
+    name = F.col(name_col) if isinstance(name_col, str) else name_col
+    return F.to_json(
+        F.struct(
+            name.alias("name"),
+            layer_source(user, name).alias("source"),
+            F.lit(minzoom).alias("minzoom"),
+            F.lit(maxzoom).alias("maxzoom"),
+        )
+    )
+
 
 def make_recipe(
     files: list[str],

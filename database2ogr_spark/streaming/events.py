@@ -92,6 +92,52 @@ def windowed_event_counts(
     )
 
 
+def user_running_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful streaming operator (``applyInPandasWithState``):
+    per-user running event count and value sum, maintained across
+    micro-batches and emitted (updated) once per batch the user appears in.
+
+    This is the pattern for operators Spark's built-in stateful aggregations
+    can't express (arbitrary per-key state machines); the state here is two
+    numbers per user, so state size is O(distinct users) regardless of event
+    volume. Batch twin: :func:`user_totals` (same output, one groupBy).
+    """
+    import pandas as pd  # noqa: F401 — required by the worker
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = "user_id bigint, n_events bigint, total_value double"
+    state_schema = "n bigint, total double"
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].fillna(0.0).sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def user_totals(events: DataFrame) -> DataFrame:
+    """Batch twin of :func:`user_running_totals` — the final state every user
+    would converge to after the stream drains."""
+    return events.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum(F.coalesce(F.col("value"), F.lit(0.0))), 6).alias("total_value"),
+    )
+
+
 def sessionize(
     events: DataFrame,
     *,

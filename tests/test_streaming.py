@@ -11,6 +11,8 @@ from database2ogr_spark.streaming.events import (
     EVENTS_SCHEMA,
     read_events_stream,
     sessionize,
+    user_running_totals,
+    user_totals,
     windowed_event_counts,
 )
 
@@ -62,6 +64,41 @@ def test_streaming_windowed_counts(spark, tmp_path):
         q.stop()
     assert sum(r.n_events for r in rows) == 4
     assert {r.event_type for r in rows} == {"click", "view"}
+
+
+def test_stateful_running_totals_stream(spark, tmp_path):
+    # custom stateful operator: applyInPandasWithState keeps per-user state
+    # across micro-batches; with maxFilesPerTrigger=1 the two files arrive in
+    # separate batches, so the final update row must reflect BOTH.
+    src = tmp_path / "stream_src3"
+    batch1 = [r for r in ROWS if r[0] <= 2]  # user 10: 2 events, 3.0 total
+    batch2 = [r for r in ROWS if r[0] > 2]  # user 10 +1 event, user 11 appears
+    spark.createDataFrame(batch1, EVENTS_SCHEMA).write.parquet(str(src / "f1"))
+    spark.createDataFrame(batch2, EVENTS_SCHEMA).write.parquet(str(src / "f2"))
+    stream = read_events_stream(spark, f"{src}/*", max_files_per_trigger=1)
+    q = (
+        user_running_totals(stream)
+        .writeStream.format("memory")
+        .queryName("running_totals")
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("select * from running_totals").collect()
+    finally:
+        q.stop()
+    # last emitted state per user == the batch twin's final answer
+    final = {}
+    for r in rows:
+        final[r.user_id] = (r.n_events, r.total_value)
+    assert final[10] == (3, 6.0)
+    assert final[11] == (1, 4.0)
+
+
+def test_user_totals_batch_twin(spark):
+    out = {r.user_id: (r.n_events, r.total_value) for r in user_totals(_events(spark)).collect()}
+    assert out == {10: (3, 6.0), 11: (1, 4.0)}
 
 
 def test_streaming_append_with_watermark(spark, tmp_path):
