@@ -31,6 +31,7 @@ from database2ogr_spark.functions import geometry as G
 from database2ogr_spark.functions import text as X
 from database2ogr_spark.functions import textstats as TS
 from database2ogr_spark.operators import dedup as DD
+from database2ogr_spark.operators import sampling as SMP
 from database2ogr_spark.operators import similarity as SIM
 from database2ogr_spark.operators.query import JoinQuery, Query
 from database2ogr_spark.operators.union import union_by_name, union_features
@@ -402,6 +403,47 @@ def q_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return user_totals(read_events(spark, os.path.join(sf_dir, "events.parquet")))
 
 
+def q_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-keyed 10% sample — deterministic under repartition/retry (unlike
+    df.sample), reproducible in any engine with md5."""
+    return SMP.deterministic_sample(
+        _t(spark, sf_dir, "documents"), pct=10, seed=7
+    ).select("doc_id", "lang")
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy boundary-based sequence packing into ~10k-char bins per lang
+    (window cumsum — parallelism across langs)."""
+    packed = SMP.pack_sequences(
+        _t(spark, sf_dir, "documents"),
+        budget=10_000,
+        group_col="lang",
+        id_col="doc_id",
+        token_col="n_chars",
+    )
+    return packed.select("doc_id", "lang", "n_chars", "bin_id")
+
+
+def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data scrubbing: emails→[EMAIL], long digit runs→[NUM]
+    (redactable tokens appended so the replacement is observable)."""
+    d = _t(spark, sf_dir, "documents")
+    noisy = F.concat(F.col("text"), F.lit(" contact: a.b@test.org 12345678"))
+    return d.select("doc_id", X.redact(noisy).alias("clean"))
+
+
+def q_embedding_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 norm + first normalized component per embedding (the narrow
+    pre-processing stage every ANN pipeline runs)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    norm = SIM.l2_norm(F.col("embedding"))
+    return emb.select(
+        "vec_id",
+        F.round(norm, 6).alias("l2_norm"),
+        F.round(F.element_at("embedding", 1).cast("double") / norm, 6).alias("u0"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # queries — training-data pipeline surface (documents / embeddings / events)
 
@@ -619,6 +661,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x12_html_popup": q_x12_html_popup,
         "x13_recipe_layers": q_x13_recipe_layers,
         "user_totals": q_user_totals,
+        "deterministic_sample": q_deterministic_sample,
+        "pack_sequences": q_pack_sequences,
+        "redact_pii": q_redact_pii,
+        "embedding_normalize": q_embedding_normalize,
         "geojson_features": q_geojson_features,
         "x4_coords_key": q_x4_coords_key,
         "dedup_exact": q_dedup_exact,
@@ -838,6 +884,31 @@ def oracle_sql() -> dict[str, str]:
             "round(sum(coalesce(value, 0.0)), 6) AS total_value "
             "FROM events GROUP BY user_id"
         ),
+        "deterministic_sample": f"""
+            SELECT doc_id, lang FROM documents
+            WHERE {_h64_sql("CAST(doc_id AS VARCHAR)", 7)} % 100 < 10
+        """,
+        "pack_sequences": """
+            SELECT doc_id, lang, n_chars,
+              CAST(floor((sum(n_chars) OVER (PARTITION BY lang ORDER BY doc_id
+                     ROWS UNBOUNDED PRECEDING) - n_chars) / 10000) AS BIGINT) AS bin_id
+            FROM documents
+        """,
+        "redact_pii": (
+            "SELECT doc_id, regexp_replace(regexp_replace("
+            "text || ' contact: a.b@test.org 12345678', "
+            "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g'), "
+            "'[0-9]{7,}', '[NUM]', 'g') AS clean FROM documents"
+        ),
+        "embedding_normalize": """
+            WITH c AS (SELECT vec_id,
+                         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                       FROM embeddings)
+            SELECT vec_id,
+              round(sqrt(list_dot_product(v, v)), 6) AS l2_norm,
+              round(v[1] / sqrt(list_dot_product(v, v)), 6) AS u0
+            FROM c
+        """,
         "geojson_features": f"""
             SELECT '{{"type":"Feature","geometry":{{"type":"Point","coordinates":['
               || lon1_s || ',' || lat1_s || ']}},"properties":{{"table":"customer","id":'

@@ -56,6 +56,20 @@ def unescape_quotes(col: Column | str) -> Column:
     return F.regexp_replace(F.col(col) if isinstance(col, str) else col, r"\\'", "'")
 
 
+#: email-ish pattern kept deliberately simple and anchored on word chars so
+#: the Spark (Java regex) and DuckDB (RE2) engines agree byte-for-byte.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+LONG_NUM_RE = r"[0-9]{7,}"
+
+
+def redact(col: Column | str) -> Column:
+    """Training-data scrubbing: replace email addresses with ``[EMAIL]`` and
+    7+-digit runs (phone/account numbers) with ``[NUM]``. Pure expression —
+    runs inside codegen, no Python in the hot path."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_replace(F.regexp_replace(c, EMAIL_RE, "[EMAIL]"), LONG_NUM_RE, "[NUM]")
+
+
 def filename_stem(col: Column | str) -> Column:
     """X16 — ``file.split('.')[0]`` (reference ``src/make-recipe.js:37``)."""
     return F.split(F.col(col) if isinstance(col, str) else col, r"\.").getItem(0)

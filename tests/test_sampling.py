@@ -1,0 +1,47 @@
+"""Sampling / packing / redaction operator semantics."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from database2ogr_spark.functions.text import redact
+from database2ogr_spark.operators.sampling import deterministic_sample, pack_sequences
+
+
+def test_deterministic_sample_stable_under_repartition(spark):
+    df = spark.range(1000).withColumnRenamed("id", "doc_id")
+    a = {r.doc_id for r in deterministic_sample(df, pct=10).collect()}
+    b = {
+        r.doc_id
+        for r in deterministic_sample(df.repartition(7), pct=10).collect()
+    }
+    assert a == b  # layout-independent
+    assert 40 <= len(a) <= 200  # ~10% of 1000, hash-uniform
+    # monotone: a 20% sample contains the 10% sample
+    c = {r.doc_id for r in deterministic_sample(df, pct=20).collect()}
+    assert a <= c
+
+
+def test_pack_sequences_boundaries(spark):
+    rows = [(i, "en", 60) for i in range(1, 6)]  # cumsum 60..300, budget 100
+    df = spark.createDataFrame(rows, "doc_id long, lang string, n_tokens long")
+    out = {r.doc_id: r.bin_id for r in pack_sequences(df, budget=100).collect()}
+    # prev-cumsums: 0, 60, 120, 180, 240 → bins 0, 0, 1, 1, 2
+    assert out == {1: 0, 2: 0, 3: 1, 4: 1, 5: 2}
+
+
+def test_pack_sequences_groups_independent(spark):
+    rows = [(1, "en", 90), (2, "en", 90), (1, "fr", 90)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, n_tokens long")
+    out = {(r.lang, r.doc_id): r.bin_id for r in pack_sequences(df, budget=100).collect()}
+    assert out[("en", 1)] == 0 and out[("en", 2)] == 0  # prev-cumsum 90 < 100
+    assert out[("fr", 1)] == 0  # fr restarts its own bins
+
+
+def test_redact(spark):
+    df = spark.createDataFrame(
+        [(1, "mail me at jo.doe+x@example.co.uk or call 4165551234 ext 12")],
+        "id long, text string",
+    )
+    out = df.select(redact("text").alias("t")).first().t
+    assert out == "mail me at [EMAIL] or call [NUM] ext 12"
