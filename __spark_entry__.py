@@ -536,6 +536,18 @@ def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.lsh_topk(emb, queries_df, k=5, bits=3, dim=64, query_id_col="query_id")
 
 
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF inverted-list ANN (approximate — rows-only; recall vs brute force
+    asserted in tests/test_similarity.py)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return SIM.ivf_topk(
+        emb, queries_df, k=5, n_centroids=16, n_probe=4, query_id_col="query_id"
+    )
+
+
 def q_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling-window aggregation (batch twin of the streaming path)."""
     w = windowed_event_counts(read_events(spark, os.path.join(sf_dir, "events.parquet")))
@@ -679,6 +691,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": q_cosine_topk,
         "embedding_near_dup": q_embedding_near_dup,
         "lsh_topk": q_lsh_topk,
+        "ivf_topk": q_ivf_topk,
         "events_windowed": q_events_windowed,
         "events_sessionize": q_events_sessionize,
         "events_props_extract": q_events_props_extract,
@@ -799,9 +812,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "tpch_q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
-              sum(CAST(round(l_quantity * 100) AS BIGINT)) AS sum_qty_c,
-              sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_base_price_c,
-              sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))
+              sum(CAST(round(l_quantity * 100) AS BIGINT))::BIGINT AS sum_qty_c,
+              sum(CAST(round(l_extendedprice * 100) AS BIGINT))::BIGINT AS sum_base_price_c,
+              sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))::BIGINT
                 AS sum_disc_price_c4,
               round(sum(CAST(round(l_quantity * 100) AS BIGINT)) / 100.0 / count(*), 6)
                 AS avg_qty,
@@ -835,7 +848,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "lang_stats": (
             "SELECT lang, count(*) AS n_docs, round(avg(n_chars), 6) AS avg_chars, "
-            "sum(n_chars) AS total_chars FROM documents GROUP BY lang"
+            "sum(n_chars)::BIGINT AS total_chars FROM documents GROUP BY lang"
         ),
         "f5_nonblank_tokens": (
             "SELECT p_partkey, len(list_filter(string_split(p_name, ' '), "

@@ -44,6 +44,12 @@ class Catalog:
         self.spark = spark
         self.sf_dir = sf_dir
         self.schemas = schemas or {}
+        try:
+            # tolerate TIMESTAMP(NANOS) parquet (events table): read as raw
+            # nanos longs; streaming/events.read_events converts to timestamps
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        except Exception:
+            pass
 
     def path(self, table: str) -> str:
         return os.path.join(self.sf_dir, f"{table}.parquet")
@@ -54,6 +60,31 @@ class Catalog:
         if table in self.schemas:
             reader = reader.schema(self.schemas[table])
         return reader.parquet(self.path(table))
+
+    def register_views(self, tables: list[str] | None = None, prefix: str = "") -> list[str]:
+        """S3 front-end — register each table as a temp view so users can run
+        plain ``spark.sql`` against the catalog (the engine's replacement for
+        the reference's generated-SQL-string surface). Returns the view names.
+
+        Views are lazy: registering costs nothing; queries against them get
+        the same pushdown/pruning as the DataFrame API.
+        """
+        if tables is None:
+            tables = sorted(
+                f[: -len(".parquet")]
+                for f in os.listdir(self.sf_dir)
+                if f.endswith(".parquet")
+            )
+        names = []
+        for t in tables:
+            name = f"{prefix}{t}"
+            self.table(t).createOrReplaceTempView(name)
+            names.append(name)
+        return names
+
+    def sql(self, query: str) -> DataFrame:
+        """Run SQL against previously registered views."""
+        return self.spark.sql(query)
 
     def read_json(self, path: str, schema: T.StructType | None = None) -> DataFrame:
         """S5 — JSON fixture reader (one object or NDJSON per line)."""

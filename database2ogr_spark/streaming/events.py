@@ -92,6 +92,27 @@ def windowed_event_counts(
     )
 
 
+def streaming_dedup(
+    stream: DataFrame,
+    key_cols: list[str],
+    *,
+    event_time_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup: emit only the first row seen per key.
+
+    ``dropDuplicatesWithinWatermark`` keyed on key_cols: seen-key state is
+    evicted once it ages past the watermark, so state is bounded by keys per
+    watermark window, not all history — a duplicate arriving later than the
+    watermark can re-emit (the documented trade every bounded-state streaming
+    dedup makes). Keys should be content fingerprints
+    (``functions.textstats.content_fingerprint``) so state is ~48 B/key.
+    """
+    return stream.withWatermark(event_time_col, watermark).dropDuplicatesWithinWatermark(
+        key_cols
+    )
+
+
 def user_running_totals(events: DataFrame) -> DataFrame:
     """Custom stateful streaming operator (``applyInPandasWithState``):
     per-user running event count and value sum, maintained across

@@ -49,6 +49,27 @@ def test_lsh_topk_subset_of_exact(spark):
     assert sims == sorted(sims, reverse=True)
 
 
+def test_ivf_topk_recall_on_real_embeddings(spark):
+    # IVF must find most of the exact top-k (approximate, but nontrivially so)
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in SIM.cosine_topk(emb, queries, k=5, query_id_col="query_id").collect()
+    }
+    approx = {
+        (r.query_id, r.vec_id)
+        for r in SIM.ivf_topk(
+            emb, queries, k=5, n_centroids=8, n_probe=4, query_id_col="query_id"
+        ).collect()
+    }
+    assert len(approx) == 15  # 3 queries × k=5 (probed lists were non-empty)
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"IVF recall too low: {recall}"
+
+
 def test_embedding_near_dup_lsh_blocking(spark):
     pairs = SIM.embedding_near_dup_pairs(_corpus(spark), threshold=0.9, bits=2, dim=4).collect()
     got = {(r.id_a, r.id_b) for r in pairs}

@@ -96,6 +96,36 @@ def test_stateful_running_totals_stream(spark, tmp_path):
     assert final[11] == (1, 4.0)
 
 
+def test_streaming_dedup(spark, tmp_path):
+    from database2ogr_spark.streaming.events import streaming_dedup
+
+    src = tmp_path / "dedup_src"
+    # same event_id=1 appears in both batches; within the 1h watermark the
+    # second occurrence must be dropped
+    b1 = [(1, dt.datetime(2024, 1, 1, 0, 1), 10, "click", 1.0, "{}")]
+    b2 = [
+        (1, dt.datetime(2024, 1, 1, 0, 5), 10, "click", 1.0, "{}"),
+        (2, dt.datetime(2024, 1, 1, 0, 6), 11, "view", 2.0, "{}"),
+    ]
+    spark.createDataFrame(b1, EVENTS_SCHEMA).write.parquet(str(src / "f1"))
+    spark.createDataFrame(b2, EVENTS_SCHEMA).write.parquet(str(src / "f2"))
+    stream = read_events_stream(spark, f"{src}/*", max_files_per_trigger=1)
+    q = (
+        streaming_dedup(stream, ["event_id"])
+        .writeStream.format("memory")
+        .queryName("dedup_sink")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("select event_id from dedup_sink").collect()
+    finally:
+        q.stop()
+    ids = sorted(r.event_id for r in rows)
+    assert ids == [1, 2]  # duplicate event_id=1 from batch 2 dropped
+
+
 def test_user_totals_batch_twin(spark):
     out = {r.user_id: (r.n_events, r.total_value) for r in user_totals(_events(spark)).collect()}
     assert out == {10: (3, 6.0), 11: (1, 4.0)}
