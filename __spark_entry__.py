@@ -32,6 +32,7 @@ from database2ogr_spark.functions import text as X
 from database2ogr_spark.functions import textstats as TS
 from database2ogr_spark.operators import dedup as DD
 from database2ogr_spark.operators import sampling as SMP
+from database2ogr_spark.operators.asof import asof_join
 from database2ogr_spark.operators import similarity as SIM
 from database2ogr_spark.operators.query import JoinQuery, Query
 from database2ogr_spark.operators.union import union_by_name, union_features
@@ -403,6 +404,49 @@ def q_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return user_totals(read_events(spark, os.path.join(sf_dir, "events.parquet")))
 
 
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operator Spark lacks natively; DuckDB ASOF JOIN is the
+    oracle): every event joined to the latest at-or-before state update for
+    its user (updates = every 10th event, deduped per (user, ts))."""
+    ev = read_events(spark, os.path.join(sf_dir, "events.parquet"))
+    left = ev.select("event_id", "user_id", "ts")
+    right = (
+        ev.filter(F.col("event_id") % 10 == 0)
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("state_value"))
+    )
+    out = asof_join(left, right, key="user_id", value_cols=["state_value"])
+    # NULL (no prior update) → sentinel: NULL semantics are pytest-verified
+    # (tests/test_asof.py); the harness output avoids NULLs so any
+    # sort-based order-insensitive compare is total
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_timestamp("ts").alias("ts_epoch"),
+        F.coalesce(F.round(F.col("asof_state_value"), 6), F.lit(-1.0)).alias(
+            "asof_state_value"
+        ),
+    )
+
+
+def q_lang_source_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP aggregation (grouping-sets surface) over the documents corpus."""
+    d = _t(spark, sf_dir, "documents")
+    out = d.rollup("lang", "source").agg(
+        F.grouping_id().cast("int").alias("gid"),
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+    # rollup NULL markers → 'ALL' so the output is NULL-free (see q_asof_join)
+    return out.select(
+        F.coalesce(F.col("lang"), F.lit("ALL")).alias("lang"),
+        F.coalesce(F.col("source"), F.lit("ALL")).alias("source"),
+        "gid",
+        "n_docs",
+        "total_chars",
+    )
+
+
 def q_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hash-keyed 10% sample — deterministic under repartition/retry (unlike
     df.sample), reproducible in any engine with md5."""
@@ -673,6 +717,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x12_html_popup": q_x12_html_popup,
         "x13_recipe_layers": q_x13_recipe_layers,
         "user_totals": q_user_totals,
+        "asof_join": q_asof_join,
+        "lang_source_rollup": q_lang_source_rollup,
         "deterministic_sample": q_deterministic_sample,
         "pack_sequences": q_pack_sequences,
         "redact_pii": q_redact_pii,
@@ -897,6 +943,25 @@ def oracle_sql() -> dict[str, str]:
             "round(sum(coalesce(value, 0.0)), 6) AS total_value "
             "FROM events GROUP BY user_id"
         ),
+        "asof_join": """
+            WITH r AS (
+              SELECT user_id, ts, max(value) AS state_value
+              FROM events WHERE event_id % 10 = 0 GROUP BY user_id, ts),
+            l AS (SELECT event_id, user_id, ts FROM events)
+            SELECT l.event_id, l.user_id,
+              CAST(floor(epoch(l.ts)) AS BIGINT) AS ts_epoch,
+              coalesce(round(r.state_value, 6), -1.0) AS asof_state_value
+            FROM l ASOF LEFT JOIN r
+              ON l.user_id = r.user_id AND l.ts >= r.ts
+        """,
+        "lang_source_rollup": """
+            SELECT coalesce(lang, 'ALL') AS lang,
+              coalesce(source, 'ALL') AS source,
+              CAST(GROUPING(lang, source) AS INT) AS gid,
+              count(*) AS n_docs,
+              sum(n_chars)::BIGINT AS total_chars
+            FROM documents GROUP BY ROLLUP (lang, source)
+        """,
         "deterministic_sample": f"""
             SELECT doc_id, lang FROM documents
             WHERE {_h64_sql("CAST(doc_id AS VARCHAR)", 7)} % 100 < 10

@@ -1,0 +1,79 @@
+"""As-of join — for each left row, the latest right row with the same key and
+``right.time <= left.time``. Spark has no native ASOF JOIN (DuckDB/Polars do);
+the training-pipeline use case is joining events to the latest prior state
+(model version, user profile, feature snapshot) without an exploding range
+join.
+
+Implementation is the scalable union+window shape, not a theta join:
+
+1. tag and union both sides (narrow),
+2. one shuffle+sort per key: window ``last(row_struct, ignorenulls=True)``
+   over rows ordered by (time, side) carries the most recent right-side ROW
+   forward — a whole struct per right row, so a legitimately-NULL field in
+   the latest right row is not overridden by an older non-null one. Right
+   rows sort *before* left rows at equal timestamps, giving inclusive
+   at-or-before semantics,
+3. keep left rows, expand the carried struct.
+
+Cost: a single hash shuffle on the key + per-partition sort — the same price
+as any co-grouped operation, vs. the O(|L|·|R|) blowup of an inequality join.
+Skewed keys (one user with millions of events) are split by AQE; at 100 TB,
+pre-bucketing both sides by key makes this shuffle-free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    key: str,
+    left_time: str = "ts",
+    right_time: str = "ts",
+    value_cols: list[str] | None = None,
+) -> DataFrame:
+    """Left as-of join: all left columns plus ``asof_<c>`` for each of the
+    right side's ``value_cols`` — the value from the latest right row
+    at-or-before the left row's time (NULL when no prior right row exists).
+    """
+    if value_cols is None:
+        value_cols = [c for c in right.columns if c not in (key, right_time)]
+
+    l_tag = left.select(
+        *left.columns,
+        F.col(left_time).alias("__t"),
+        F.lit(1).alias("__side"),
+        F.lit(None)
+        .cast(
+            "struct<"
+            + ",".join(f"{c}:{dict(right.dtypes)[c]}" for c in value_cols)
+            + ">"
+        )
+        .alias("__v"),
+    )
+    r_tag = right.select(
+        F.col(key),
+        F.col(right_time).alias("__t"),
+        F.lit(0).alias("__side"),
+        F.struct(*[F.col(c) for c in value_cols]).alias("__v"),
+    )
+    left_only = [c for c in l_tag.columns if c not in r_tag.columns]
+    for c in left_only:
+        r_tag = r_tag.withColumn(c, F.lit(None).cast(dict(l_tag.dtypes)[c]))
+    u = l_tag.unionByName(r_tag.select(l_tag.columns))
+
+    w = (
+        Window.partitionBy(key)
+        .orderBy(F.col("__t").asc(), F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    u = u.withColumn("__v", F.last("__v", ignorenulls=True).over(w))
+    out = u.filter(F.col("__side") == 1)
+    for c in value_cols:
+        out = out.withColumn(f"asof_{c}", F.col("__v").getField(c))
+    return out.drop("__t", "__side", "__v")

@@ -32,7 +32,12 @@ def norm_cell(v):
 
 def df_to_rows(cols, rows):
     idx = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted(tuple(norm_cell(r[i]) for i in idx) for r in rows)
+    # None-safe deterministic sort: rows are compared as multisets, the order
+    # itself doesn't matter as long as both sides use the same key
+    return sorted(
+        (tuple(norm_cell(r[i]) for i in idx) for r in rows),
+        key=lambda t: tuple((v is None, str(v)) for v in t),
+    )
 
 
 def main() -> int:
