@@ -203,24 +203,32 @@ def simhash_signatures(
         F.col(id_col).alias("id"), F.explode_outer(words(text_col)).alias("w")
     )
     h = ex.select("id", stable_hash64(F.col("w")).alias("h"))
+
+    # Pack 4 bit-popcounts per aggregate column (16-bit lanes): 15 sum columns
+    # instead of 60 keeps the generated aggregate code small, and building
+    # each expression as ONE SQL string (F.expr) instead of dozens of chained
+    # Column calls avoids ~3s of py4j round-trips at plan-construction time.
+    # Lanes can't overflow below 65536 tokens/doc. bit j of the signature is
+    # set iff its popcount p_j satisfies 2*p_j > n (same as the +1/-1 vote
+    # sum > 0 of the definitional form in functions/hashing.simhash64).
+    def packed(g: int):  # bits 4g..4g+3 → lanes 0..3
+        lanes = " + ".join(
+            f"(shiftleft(shiftright(h, {4 * g + f}) & 1, {16 * f}))" for f in range(4)
+        )
+        return F.expr(f"sum({lanes})").alias(f"p{g}")
+
     votes = h.groupBy("id").agg(
-        *[
-            F.sum(
-                F.when(
-                    F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, F.lit(1)
-                ).otherwise(F.lit(-1))
-            ).alias(f"v{j}")
-            for j in range(60)
-        ]
+        F.count(F.lit(1)).alias("n"), *[packed(g) for g in range(15)]
     )
-    sim = reduce(
-        lambda acc, j: acc
-        + F.when(F.col(f"v{j}") > 0, F.lit(1 << j).cast("bigint")).otherwise(
-            F.lit(0).cast("bigint")
-        ),
-        range(60),
-        F.lit(0).cast("bigint"),
-    )
+
+    def bit(j: int) -> str:
+        g, f = divmod(j, 4)
+        return (
+            f"(CASE WHEN (shiftright(p{g}, {16 * f}) & 65535) * 2 > n "
+            f"THEN CAST({1 << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        )
+
+    sim = F.expr(" + ".join(bit(j) for j in range(60)))
     return votes.select("id", sim.alias("sim"))
 
 
