@@ -404,6 +404,25 @@ def q_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return user_totals(read_events(spark, os.path.join(sf_dir, "events.parquet")))
 
 
+def q_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language exact length quantiles (corpus profiling — interpolated
+    percentile semantics match DuckDB's quantile_cont bit-for-bit)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.percentile("n_chars", 0.5), 6).alias("p50"),
+        F.round(F.percentile("n_chars", 0.9), 6).alias("p90"),
+        F.round(F.percentile("n_chars", 0.99), 6).alias("p99"),
+    )
+
+
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF top-3 terms per document (inverted-index aggregation)."""
+    from database2ogr_spark.operators.tfidf import tfidf_top_terms
+
+    return tfidf_top_terms(_t(spark, sf_dir, "documents"), top_n=3)
+
+
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (operator Spark lacks natively; DuckDB ASOF JOIN is the
     oracle): every event joined to the latest at-or-before state update for
@@ -719,6 +738,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_totals": q_user_totals,
         "asof_join": q_asof_join,
         "lang_source_rollup": q_lang_source_rollup,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "length_quantiles": q_length_quantiles,
         "deterministic_sample": q_deterministic_sample,
         "pack_sequences": q_pack_sequences,
         "redact_pii": q_redact_pii,
@@ -943,6 +964,30 @@ def oracle_sql() -> dict[str, str]:
             "round(sum(coalesce(value, 0.0)), 6) AS total_value "
             "FROM events GROUP BY user_id"
         ),
+        "length_quantiles": """
+            SELECT lang, count(*) AS n_docs,
+              round(quantile_cont(n_chars, 0.5), 6) AS p50,
+              round(quantile_cont(n_chars, 0.9), 6) AS p90,
+              round(quantile_cont(n_chars, 0.99), 6) AS p99
+            FROM documents GROUP BY lang
+        """,
+        "tfidf_top_terms": f"""
+            WITH tok AS (
+              SELECT doc_id, unnest({_WORDS_SQL}) AS term FROM documents),
+            tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf
+                   FROM tok GROUP BY doc_id, term),
+            dfreq AS (SELECT term, count(*)::BIGINT AS df
+                      FROM (SELECT DISTINCT doc_id, term FROM tok) GROUP BY term),
+            n AS (SELECT count(DISTINCT doc_id)::BIGINT AS n_docs FROM tok),
+            scored AS (
+              SELECT doc_id, tf.term,
+                round(tf * ln(n_docs / CAST(df AS DOUBLE)), 6) AS tfidf
+              FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN n),
+            r AS (SELECT *, row_number() OVER
+                    (PARTITION BY doc_id ORDER BY tfidf DESC, term)::INT AS rank
+                  FROM scored)
+            SELECT doc_id, term, tfidf, rank FROM r WHERE rank <= 3
+        """,
         "asof_join": """
             WITH r AS (
               SELECT user_id, ts, max(value) AS state_value

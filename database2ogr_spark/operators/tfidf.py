@@ -1,0 +1,60 @@
+"""TF-IDF top terms per document — the canonical inverted-index aggregation
+of a text pipeline (keyword extraction, corpus exploration, quality signals).
+
+Shape: explode tokens once → term frequencies (groupBy doc,term) → document
+frequencies (groupBy term) → join on term → score → per-doc top-n window.
+Two shuffles (both partial-agg'd map-side) plus a term-keyed join; the
+single-row corpus count is crossJoin-broadcast. Hot terms (stopwords) skew
+the term join — at scale, filter stopwords upstream or salt; AQE splits the
+residual.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from database2ogr_spark.functions.hashing import words
+from database2ogr_spark.operators.partitioning import spread
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    top_n: int = 3,
+) -> DataFrame:
+    """Top-n terms per doc by tf·idf, idf = ln(n_docs / df(term)).
+
+    Deterministic tie-break: score desc, then term asc. Output:
+    (doc_id, term, tfidf rounded to 6, rank).
+    """
+    tokens = spread(df).select(
+        F.col(id_col).alias("id"), F.explode(words(text_col)).alias("term")
+    )
+    tf = tokens.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = (
+        tokens.distinct().groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    )
+    n_docs = tokens.select("id").distinct().agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    scored = (
+        tf.join(dfreq, on="term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "id",
+            "term",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("id").orderBy(F.col("tfidf").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= top_n)
+        .select(F.col("id").alias(id_col), "term", "tfidf", "rank")
+    )

@@ -45,3 +45,18 @@ def test_redact(spark):
     )
     out = df.select(redact("text").alias("t")).first().t
     assert out == "mail me at [EMAIL] or call [NUM] ext 12"
+
+
+def test_tfidf_top_terms(spark):
+    from database2ogr_spark.operators.tfidf import tfidf_top_terms
+
+    rows = [
+        (1, "apple banana apple"),
+        (2, "banana cherry"),
+        (3, "banana banana durian"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = tfidf_top_terms(df, top_n=1).collect()
+    top = {r.doc_id: r.term for r in out}
+    # 'banana' appears in every doc → idf 0; rarer terms win
+    assert top == {1: "apple", 2: "cherry", 3: "durian"}
