@@ -40,6 +40,12 @@ HEADLINE = [
     "embedding_near_dup",
     "events_windowed",
     "events_sessionize",
+    "asof_join",
+    "tfidf_top_terms",
+    "ivf_topk",
+    "lang_source_rollup",
+    "pack_sequences",
+    "redact_pii",
 ]
 
 
