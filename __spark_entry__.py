@@ -590,6 +590,14 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.cosine_pairs_exact(_t(spark, sf_dir, "embeddings"), threshold=0.35)
 
 
+def q_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH-blocked near-dup pairs — the 100 TB path the exact all-pairs
+    query baselines (rows-only: approximate by construction)."""
+    return SIM.embedding_near_dup_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=0.35, bits=4, dim=64
+    )
+
+
 def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sign-LSH bucketed ANN (approximate by construction — rows-only)."""
     emb = _t(spark, sf_dir, "embeddings")
@@ -757,6 +765,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "cosine_topk": q_cosine_topk,
         "embedding_near_dup": q_embedding_near_dup,
+        "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         "lsh_topk": q_lsh_topk,
         "ivf_topk": q_ivf_topk,
         "events_windowed": q_events_windowed,
