@@ -77,3 +77,14 @@ def test_union_by_name_missing_columns(spark):
     byid = {r.id: r for r in out}
     assert byid[1].a == "x" and byid[1].b is None
     assert byid[2].b == "y" and byid[2].a is None
+
+
+def test_catalog_read_json(spark, tmp_path):
+    # S5 — JSON fixture reader (reference test/testy_stuff.js:3-16)
+    from database2ogr_spark.sources.catalog import Catalog
+
+    p = tmp_path / "fixture.json"
+    p.write_text('{"id": 1, "name": "a"}\n{"id": 2, "name": "b"}\n')
+    cat = Catalog(spark, str(tmp_path))
+    rows = cat.read_json(str(p)).orderBy("id").collect()
+    assert [(r.id, r.name) for r in rows] == [(1, "a"), (2, "b")]
