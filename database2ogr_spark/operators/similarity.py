@@ -133,14 +133,17 @@ def lsh_topk(
     k: int = 5,
     bits: int = 4,
     dim: int | None = None,
+    multi_probe: int = 0,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
 ) -> DataFrame:
     """Approximate top-k: probe only corpus vectors in the query's sign-LSH
-    bucket. Recall < 1 by construction; bucket fan-out (multi-probe) can be
-    added by unioning neighboring buckets. ``dim`` defaults to the first
-    corpus vector's length and must be uniform.
+    bucket. ``multi_probe=n`` additionally probes every bucket within
+    Hamming distance 1 on ``n`` of the sketch bits (n=bits → all 1-bit
+    neighbors) — the standard recall lever: scanned fraction grows from
+    2^-bits to ~(1+n)·2^-bits while staying bucket-pruned. ``dim`` defaults
+    to the first corpus vector's length and must be uniform.
     """
     if dim is None:
         dim = len(corpus.select(vec_col).first()[0])
@@ -149,13 +152,25 @@ def lsh_topk(
         F.col(vec_col).alias("c_vec"),
         _signs_bucket(F.col(vec_col), bits=bits, dim=dim).alias("bucket"),
     )
-    q = F.broadcast(
-        queries.select(
-            F.col(query_id_col).alias("query_id"),
-            F.col(vec_col).alias("q_vec"),
-            _signs_bucket(F.col(vec_col), bits=bits, dim=dim).alias("bucket"),
-        )
+    q_base = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        _signs_bucket(F.col(vec_col), bits=bits, dim=dim).alias("bucket"),
     )
+    if multi_probe > 0:
+        flips = F.array(
+            F.lit(0), *[F.lit(1 << j) for j in range(min(multi_probe, bits))]
+        )
+        q_base = q_base.select(
+            "query_id",
+            "q_vec",
+            F.explode(
+                F.array_distinct(
+                    F.transform(flips, lambda m: F.col("bucket").bitwiseXOR(m))
+                )
+            ).alias("bucket"),
+        )
+    q = F.broadcast(q_base)
     scored = (
         c.join(q, on="bucket")
         .filter(F.col("vec_id") != F.col("query_id"))

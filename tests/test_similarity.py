@@ -75,3 +75,28 @@ def test_embedding_near_dup_lsh_blocking(spark):
     got = {(r.id_a, r.id_b) for r in pairs}
     # identical-direction pair must land in the same sign bucket and be found
     assert (0, 1) in got
+
+
+def test_lsh_topk_multiprobe_recall_not_worse(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in SIM.cosine_topk(emb, queries, k=5, query_id_col="query_id").collect()
+    }
+
+    def recall(mp):
+        got = {
+            (r.query_id, r.vec_id)
+            for r in SIM.lsh_topk(
+                emb, queries, k=5, bits=4, dim=64, multi_probe=mp,
+                query_id_col="query_id",
+            ).collect()
+        }
+        return len(exact & got) / len(exact)
+
+    r0, r4 = recall(0), recall(4)
+    assert r4 >= r0  # probing more buckets can only add candidates
+    assert r4 >= 0.5
