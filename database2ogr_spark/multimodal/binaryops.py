@@ -52,19 +52,21 @@ def with_media_metadata(df: DataFrame) -> DataFrame:
     """Attach derived metadata columns (size, content hash) — native
     expressions, no Python."""
     return df.withColumn("n_bytes", F.length("payload")).withColumn(
-        "content_hash", F.md5(F.col("payload").cast("string"))
+        "content_hash", F.md5(F.col("payload"))
     )
 
 
-def _decode_stub(payload: bytes | None, dim: int = FEATURE_DIM) -> list[float]:
+def _decode_stub(payload: bytes | None, dim: int = FEATURE_DIM) -> list[float] | None:
     """Deterministic fake 'decoded feature' vector: md5(payload) bytes scaled
     to [0,1). A real decoder (image resize → embedding, audio fingerprint,
     …) replaces exactly this function.
+
+    NULL payload → NULL feature (MEDIA_SCHEMA declares payload nullable; one
+    bad row must not kill a 100 TB batch — route NULLs to a quarantine
+    filter downstream instead).
     """
     if payload is None:
-        raise NotImplementedError(
-            "real media decoding is stubbed in this environment (no image/audio libs)"
-        )
+        return None
     digest = hashlib.md5(bytes(payload)).digest()
     return [digest[i] / 256.0 for i in range(dim)]
 
@@ -123,7 +125,9 @@ def frame_sample(df: DataFrame, every_ms: int = 1000) -> DataFrame:
                     "media_id": pdf["media_id"],
                     "frame_ts_ms": pdf["frame_ts_ms"].astype("int32"),
                     "frame_hash": [
-                        hashlib.md5(bytes(p) + str(t).encode()).hexdigest()
+                        None
+                        if p is None
+                        else hashlib.md5(bytes(p) + str(t).encode()).hexdigest()
                         for p, t in zip(pdf["payload"], pdf["frame_ts_ms"])
                     ],
                 }

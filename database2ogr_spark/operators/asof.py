@@ -67,9 +67,13 @@ def asof_join(
         r_tag = r_tag.withColumn(c, F.lit(None).cast(dict(l_tag.dtypes)[c]))
     u = l_tag.unionByName(r_tag.select(l_tag.columns))
 
+    # __v as the final sort key makes simultaneous right-side updates (same
+    # key, same time) resolve deterministically — the greatest value struct
+    # wins — instead of depending on partition layout; left rows all carry
+    # NULL __v so their relative order is irrelevant.
     w = (
         Window.partitionBy(key)
-        .orderBy(F.col("__t").asc(), F.col("__side").asc())
+        .orderBy(F.col("__t").asc(), F.col("__side").asc(), F.col("__v").asc_nulls_first())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     u = u.withColumn("__v", F.last("__v", ignorenulls=True).over(w))

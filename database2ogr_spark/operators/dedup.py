@@ -239,13 +239,27 @@ def simhash_pairs(
     *,
     max_hamming: int = 3,
 ) -> DataFrame:
-    """SimHash near-dup pairs with hamming ≤ max_hamming.
+    """SimHash near-dup pairs with hamming ≤ max_hamming — complete for any
+    threshold.
 
-    Candidate generation: split the 64-bit signature into 4 16-bit chunks;
-    by pigeonhole, hamming ≤ 3 implies at least one identical chunk — join on
-    (chunk_index, chunk_value), then verify the exact hamming distance.
-    Signatures are persisted (8 bytes/doc) so the self-join reads them once.
+    Candidate generation: split the 60-bit signature into ``max_hamming + 1``
+    chunks; by pigeonhole, hamming ≤ max_hamming forces at least one chunk to
+    be bit-identical — join on (chunk_index, chunk_value), then verify the
+    exact distance. The chunk count MUST scale with the threshold (a fixed
+    4-way split is only complete for hamming ≤ 3 and silently loses pairs
+    above that); the cost trade is explicit: higher thresholds → narrower
+    chunks → more bucket collisions → more candidates to verify.
+    Signatures are persisted (8 B/doc; caller may unpersist) so the
+    self-join reads them once.
     """
+    sig_bits = 60
+    n_chunks = min(max_hamming + 1, sig_bits)
+    # exact partition of the 60 bits (first `extra` chunks one bit wider) — a
+    # chunk reaching past bit 60 would be all-zeros for every doc and its
+    # bucket join a full cross product
+    base, extra = divmod(sig_bits, n_chunks)
+    widths = [base + (1 if i < extra else 0) for i in range(n_chunks)]
+    offsets = [sum(widths[:i]) for i in range(n_chunks)]
     sigs = simhash_signatures(df, id_col, text_col).persist(
         StorageLevel.MEMORY_AND_DISK
     )
@@ -257,11 +271,11 @@ def simhash_pairs(
                 *[
                     F.struct(
                         F.lit(i).alias("chunk"),
-                        F.shiftright(F.col("sim"), i * 16)
-                        .bitwiseAND(F.lit(0xFFFF))
+                        F.shiftright(F.col("sim"), offsets[i])
+                        .bitwiseAND(F.lit((1 << widths[i]) - 1))
                         .alias("val"),
                     )
-                    for i in range(4)
+                    for i in range(n_chunks)
                 ]
             )
         ).alias("cc"),
@@ -305,10 +319,14 @@ def ngram_jaccard_pairs(
     full cross product; the explode size is Σ doc shingles (linear in corpus),
     and hot shingles can be stopword-filtered upstream if skewed.
     """
-    sh = spread(df).select(
-        F.col(id_col).alias("id"),
-        F.explode(F.array_distinct(shingles(text_col, k_shingle))).alias("shingle"),
-    )
+    sh = (
+        spread(df)
+        .select(
+            F.col(id_col).alias("id"),
+            F.explode(F.array_distinct(shingles(text_col, k_shingle))).alias("shingle"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )  # read by both join sides and the sizes agg — 3 recomputes otherwise
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
 
     shared = (

@@ -67,7 +67,16 @@ class Query:
         if "{param}" in expr:
             if param is None:
                 raise ValueError(f"query on {self.table} requires a bind parameter")
-            expr = expr.replace("{param}", repr(param) if isinstance(param, str) else str(param))
+            if isinstance(param, str):
+                # SQL-quote properly: single quotes doubled inside a
+                # single-quoted literal (repr() would emit Python quoting —
+                # invalid/ambiguous SQL for values containing apostrophes)
+                bound = "'" + param.replace("'", "''") + "'"
+            elif isinstance(param, (int, float)):
+                bound = str(param)
+            else:
+                raise TypeError(f"unsupported bind parameter type: {type(param).__name__}")
+            expr = expr.replace("{param}", bound)
         return F.expr(expr)
 
     def _geometry_expr(self) -> Column:

@@ -126,6 +126,17 @@ def int_sign(j: int, i: int) -> int:
     return _SIGN_CACHE[key]
 
 
+def _infer_dim(corpus: DataFrame, vec_col: str) -> int | None:
+    """First vector's length, or None for an empty corpus (callers return an
+    empty result instead of crashing on len(None))."""
+    row = corpus.select(vec_col).first()
+    return None if row is None or row[0] is None else len(row[0])
+
+
+def _empty(corpus: DataFrame, schema: str) -> DataFrame:
+    return corpus.sparkSession.createDataFrame([], schema)
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -146,7 +157,9 @@ def lsh_topk(
     to the first corpus vector's length and must be uniform.
     """
     if dim is None:
-        dim = len(corpus.select(vec_col).first()[0])
+        dim = _infer_dim(corpus, vec_col)
+        if dim is None:
+            return _empty(corpus, "query_id long, vec_id long, cosine_sim double, rank int")
     c = corpus.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("c_vec"),
@@ -281,6 +294,8 @@ def ivf_topk(
         .limit(n_centroids)
         .collect()
     )
+    if not cent_rows:
+        return _empty(corpus, "query_id long, vec_id long, cosine_sim double, rank int")
     cents = np.array([r.c_vec for r in cent_rows], dtype=np.float64)
     cents /= np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
     bc = corpus.sparkSession.sparkContext.broadcast(cents)
@@ -355,7 +370,9 @@ def embedding_near_dup_pairs(
     cosine is computed only within buckets (near-identical vectors land in the
     same bucket with high probability). Output (id_a < id_b, cosine_sim)."""
     if dim is None:
-        dim = len(corpus.select(vec_col).first()[0])
+        dim = _infer_dim(corpus, vec_col)
+        if dim is None:
+            return _empty(corpus, "id_a long, id_b long, cosine_sim double")
     b = corpus.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vec"),

@@ -68,11 +68,17 @@ def warnify(
     ``flatten_warnings = JSON.stringify``, ``src/from-ground-up.js:222``),
     ``geometry`` (Point rebuilt from the group key, ``:266-277``), ``table``.
     """
-    key = F.col(key_col) if key_col else G.coords_key(geometry_col)
-    grouped = df.groupBy(key.alias("__key")).agg(
-        *pivoted_warning_lists(F.col(warning_col), F.col(type_col)),
-        *[F.min(c).alias(c) for c in carry_cols],
-        F.min("table").alias("table"),
+    # single source of grouping semantics: warnify_raw (same pinned contract
+    # serves both serializations — JSON here, HTML in warnify_html)
+    base = warnify_raw(
+        df,
+        carry_cols=carry_cols,
+        warning_col=warning_col,
+        type_col=type_col,
+        geometry_col=geometry_col,
+        key_col=key_col,
+        geometry_format=geometry_format,
+        rebuild_point=rebuild_point,
     )
     # A4 — warnings map → JSON string; struct field order fixes key order to
     # {"managing-risk":[...],"concern":[...]} like the reference.
@@ -82,12 +88,9 @@ def warnify(
             F.col("concern").alias("concern"),
         )
     )
-    out = grouped.withColumn("warnings", warnings_json)
-    if rebuild_point:
-        out = out.withColumn("geometry", _rebuild_point(geometry_format))
-    else:
-        out = out.withColumn("geometry", F.col("__key"))
-    return out.drop("__key", "managing_risk", "concern")
+    return base.withColumn("warnings", warnings_json).drop(
+        "managing_risk", "concern"
+    )
 
 
 def _rebuild_point(geometry_format: str) -> Column:
@@ -158,14 +161,17 @@ def warnify_raw(
     geometry_col: str = "geometry",
     key_col: str | None = None,
     geometry_format: str = "geojson",
+    rebuild_point: bool = True,
 ) -> DataFrame:
     """Like :func:`warnify` but keeps the pivoted lists as array columns
     (``managing_risk``, ``concern``) for callers that serialize differently
-    (HTML for KML, JSON for GeoJSON)."""
+    (HTML for KML, JSON for GeoJSON). Holds the single authoritative copy of
+    the pinned grouping semantics (module docstring (a)-(c))."""
     key = F.col(key_col) if key_col else G.coords_key(geometry_col)
     grouped = df.groupBy(key.alias("__key")).agg(
         *pivoted_warning_lists(F.col(warning_col), F.col(type_col)),
         *[F.min(c).alias(c) for c in carry_cols],
         F.min("table").alias("table"),
     )
-    return grouped.withColumn("geometry", _rebuild_point(geometry_format)).drop("__key")
+    geometry = _rebuild_point(geometry_format) if rebuild_point else F.col("__key")
+    return grouped.withColumn("geometry", geometry).drop("__key")

@@ -61,11 +61,14 @@ def make_handler(catalog, export_kmz=None):
                 return
             area_id = int(m.group("area_id"))
             lang = m.group("lang")
-            out = os.path.join(tempfile.mkdtemp(), f"area{area_id}.kmz")
             try:
-                export_kmz(catalog, area_id, out, lang=lang)
-                with open(out, "rb") as fh:
-                    body = fh.read()
+                # TemporaryDirectory cleans up after the body is read — a
+                # long-lived server must not leak one dir per request
+                with tempfile.TemporaryDirectory() as d:
+                    out = os.path.join(d, f"area{area_id}.kmz")
+                    export_kmz(catalog, area_id, out, lang=lang)
+                    with open(out, "rb") as fh:
+                        body = fh.read()
             except Exception as e:  # engine failure → 500, not a hung socket
                 msg = str(e).encode()[:500]
                 self.send_response(500)

@@ -159,7 +159,11 @@ def style_url_col(df: DataFrame) -> Column:
             zone_map.getItem(F.col("class_code")),
         ).otherwise(expr)
     table_map = F.create_map(*[F.lit(x) for kv in TABLE_STYLES.items() for x in kv])
-    return F.coalesce(expr, table_map.getItem(table))
+    # final literal fallback: a NULL styleUrl would null-propagate through the
+    # placemark F.concat and crash kml_document's ''.join (the reference's
+    # `styleUrl || style_urls[table]` never yields null either — it degrades
+    # to a garbage-but-present string; we pin a default style id instead)
+    return F.coalesce(expr, table_map.getItem(table), F.lit("default_styles"))
 
 
 def _xml_escape(col: Column) -> Column:
@@ -229,7 +233,9 @@ def placemark_xml(df: DataFrame) -> Column:
 
     return F.concat(
         F.lit("<Placemark>"),
-        F.col("geometry"),
+        # unknown geometry kinds serialize to NULL (functions/geometry
+        # kml_geometry) — emit a geometry-less placemark, not a NULL row
+        F.coalesce(F.col("geometry"), F.lit("")),
         name_el,
         comments_el,
         description_el,

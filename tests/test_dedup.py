@@ -58,3 +58,34 @@ def test_ngram_jaccard_exact_values(spark):
     # jaccard = 10 / (11 + 11 - 10)
     assert abs(jac[(1, 4)] - 10 / 12) < 1e-6
     assert not any(5 in p for p in jac)
+
+
+def test_simhash_pairs_complete_at_high_threshold(spark):
+    # pigeonhole completeness: every pair with hamming <= max_hamming must be
+    # found, for thresholds well beyond the old fixed 4-chunk limit of 3 —
+    # brute-force over all signature pairs is the ground truth
+    from pyspark.sql import functions as F
+
+    from database2ogr_spark.functions.hashing import hamming64
+    from database2ogr_spark.operators.dedup import simhash_pairs, simhash_signatures
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    max_h = 14
+    sigs = simhash_signatures(docs)
+    brute = (
+        sigs.alias("l")
+        .join(sigs.alias("r"), F.col("l.id") < F.col("r.id"))
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            hamming64(F.col("l.sim"), F.col("r.sim")).alias("h"),
+        )
+        .filter(F.col("h") <= max_h)
+    )
+    truth = {(r.id_a, r.id_b) for r in brute.collect()}
+    got = {
+        (r.id_a, r.id_b)
+        for r in simhash_pairs(docs, max_hamming=max_h).collect()
+    }
+    assert truth, "fixture corpus should contain at least one near-dup pair"
+    assert got == truth
