@@ -33,6 +33,7 @@ from database2ogr_spark.functions import textstats as TS
 from database2ogr_spark.operators import dedup as DD
 from database2ogr_spark.operators import sampling as SMP
 from database2ogr_spark.operators.asof import asof_join
+from database2ogr_spark.operators.graph import near_dup_groups
 from database2ogr_spark.operators import similarity as SIM
 from database2ogr_spark.operators.query import JoinQuery, Query
 from database2ogr_spark.operators.union import union_by_name, union_features
@@ -565,6 +566,15 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_near_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-group assignment: connected components (iterative min-label
+    propagation, operators/graph.py) over the exact n-gram Jaccard pair
+    edges; every doc labeled with its group's min doc_id."""
+    return near_dup_groups(
+        _t(spark, sf_dir, "documents"), k_shingle=3, threshold=0.2
+    )
+
+
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash LSH candidate pairs (banding self-join — rows-only check;
     semantics pytest-verified in tests/test_dedup.py)."""
@@ -761,6 +771,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_rolling": q_fingerprint_rolling,
         "minhash_signatures": q_minhash_signatures,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "near_dup_groups": q_near_dup_groups,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash_pairs": q_simhash_pairs,
         "cosine_topk": q_cosine_topk,
@@ -1134,6 +1145,32 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON id_a = sa.doc_id
             JOIN sizes sb ON id_b = sb.doc_id
             WHERE round(shared / CAST(sa.n + sb.n - shared AS DOUBLE), 6) >= 0.2
+        """,
+        # transitive closure of the ngram_jaccard pair relation via recursive
+        # CTE (UNION dedup guarantees termination); group = min reachable id
+        "near_dup_groups": f"""
+            WITH RECURSIVE sh AS ({_SHINGLES_SQL}),
+            ex AS (SELECT DISTINCT doc_id, g FROM
+                   (SELECT doc_id, unnest(s) AS g FROM sh)),
+            sizes AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY doc_id),
+            shared AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+              FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+            pairs AS (
+              SELECT id_a, id_b FROM shared
+              JOIN sizes sa ON id_a = sa.doc_id
+              JOIN sizes sb ON id_b = sb.doc_id
+              WHERE round(shared / CAST(sa.n + sb.n - shared AS DOUBLE), 6) >= 0.2),
+            sym AS (SELECT id_a AS u, id_b AS v FROM pairs
+                    UNION ALL SELECT id_b, id_a FROM pairs),
+            reach(id, r) AS (
+              SELECT u, u FROM (SELECT DISTINCT u FROM sym) t
+              UNION
+              SELECT s.v, reach.r FROM reach JOIN sym s ON s.u = reach.id),
+            labels AS (SELECT id, MIN(r) AS grp FROM reach GROUP BY id)
+            SELECT d.doc_id, COALESCE(l.grp, d.doc_id) AS group_id
+            FROM documents d LEFT JOIN labels l ON l.id = d.doc_id
         """,
         "cosine_topk": """
             WITH c AS (SELECT vec_id,

@@ -36,6 +36,7 @@ HEADLINE = [
     "minhash_lsh_pairs",
     "simhash_pairs",
     "ngram_jaccard_pairs",
+    "near_dup_groups",
     "cosine_topk",
     "embedding_near_dup",
     "events_windowed",

@@ -1,0 +1,131 @@
+"""Iterative graph operators: connected components over near-dup pair edges.
+
+Pair emitters (``operators/dedup.py``) answer "which documents are similar";
+a training-data pipeline also needs "which documents form one duplicate
+GROUP" — the transitive closure of the pair relation — so one survivor per
+group can be kept. That closure is connected components.
+
+Scale design (the part that must survive 100 TB / 1000 executors):
+
+- Min-label propagation: every vertex starts labeled with itself; each round
+  every vertex takes the min label among itself and its neighbors. Converges
+  in ``diameter(G)`` rounds. Near-dup graphs are unions of small dense
+  clusters (diameter 1-3 in practice), so the round count is tiny and
+  independent of corpus size; the per-round cost is one shuffle of the edge
+  table on the join key — no cross product, no driver-side graph.
+- Lineage is truncated with ``localCheckpoint(eager=True)`` every round.
+  Without it the plan doubles per iteration and Catalyst analysis time blows
+  up long before the data does — the classic iterative-Spark failure mode.
+- Convergence is detected by the monotone invariant: labels only ever
+  decrease, so the label sum (as decimal(38,0) — immune to bigint overflow
+  at any scale) is strictly decreasing until fixpoint. One cheap global agg
+  per round instead of an old⋈new diff join.
+- For graphs with genuinely large diameters (not the dedup use case) the
+  upgrade path is the alternating large-star/small-star algorithm
+  [Kiveris et al., "Connected Components in MapReduce and Beyond", SoCC'14],
+  which converges in O(log² n) rounds; ``max_iter`` guards against feeding
+  such a graph to this simpler kernel.
+
+Reference parity: the reference engine has no graph operator (it exports
+per-area feature documents, `src/from-ground-up.js`); this is part of the
+beyond-reference training-data surface like `operators/dedup.py`.
+"""
+
+from __future__ import annotations
+
+from pyspark import StorageLevel
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    *,
+    max_iter: int = 30,
+) -> DataFrame:
+    """Connected components of the undirected graph given by ``edges``.
+
+    Returns ``(id, component)`` for every vertex that appears in an edge;
+    ``component`` is the minimum vertex id in that vertex's component (a
+    deterministic canonical representative). Vertices with no edges don't
+    appear — callers left-join and coalesce to self (see
+    :func:`near_dup_groups`).
+
+    The result is materialized (checkpointed) — iterating lazily over an
+    unbounded lineage is not an option — so calling this runs Spark jobs.
+    """
+    sym = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .unionByName(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    labels = (
+        sym.select(F.col("u").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+
+    def _label_sum(lb: DataFrame):
+        return lb.agg(
+            F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
+        ).collect()[0]["s"]
+
+    prev_sum = _label_sum(labels)
+    for _ in range(max_iter):
+        msgs = sym.join(labels, sym["u"] == labels["id"]).select(
+            F.col("v").alias("id"), F.col("component")
+        )
+        new_labels = (
+            labels.unionByName(msgs)
+            .groupBy("id")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint(eager=True)
+        )
+        new_sum = _label_sum(new_labels)
+        labels.unpersist()
+        labels = new_labels
+        if new_sum == prev_sum:  # monotone decrease hit fixpoint
+            break
+        prev_sum = new_sum
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds — "
+            "graph diameter exceeds the dedup-shaped assumption; raise "
+            "max_iter or switch to a large-star/small-star implementation"
+        )
+    sym.unpersist()
+    return labels
+
+
+def near_dup_groups(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    k_shingle: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Duplicate-group assignment: every document labeled with the min doc id
+    of its near-dup component (``group_id``); documents with no near-dup are
+    their own group. Edges are the exact n-gram Jaccard pairs at
+    ``threshold`` (deterministic, oracle-checkable); swap in
+    ``minhash_lsh_pairs`` edges for the approximate/cheap variant at scale.
+
+    Output: ``(id_col, group_id)`` — keep ``group_id == id_col`` rows (the
+    min-id survivors) to deduplicate the corpus group-wise.
+    """
+    from database2ogr_spark.operators.dedup import ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(
+        df, id_col, text_col, k_shingle=k_shingle, threshold=threshold
+    ).select("id_a", "id_b")
+    comp = connected_components(pairs)
+    return df.select(F.col(id_col)).join(
+        comp, df[id_col] == comp["id"], "left"
+    ).select(
+        F.col(id_col),
+        F.coalesce(F.col("component"), F.col(id_col)).alias("group_id"),
+    )

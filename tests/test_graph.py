@@ -1,0 +1,59 @@
+"""Connected-components / near-dup-group semantics (operators/graph.py)."""
+
+from __future__ import annotations
+
+from database2ogr_spark.operators.graph import connected_components, near_dup_groups
+
+
+def test_connected_components_chain_triangle(spark):
+    # chain 1-2-3-4 (diameter 3 — needs >1 propagation round), triangle
+    # 10-11-12, isolated edge 20-21
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (10, 11), (11, 12), (12, 10), (20, 21)],
+        "id_a long, id_b long",
+    )
+    got = {r.id: r.component for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_connected_components_empty_edges(spark):
+    edges = spark.createDataFrame([], "id_a long, id_b long")
+    assert connected_components(edges).collect() == []
+
+
+def test_near_dup_groups_matches_brute_closure(spark):
+    from database2ogr_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    pairs = [
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(docs, k_shingle=3, threshold=0.2).collect()
+    ]
+    assert pairs, "fixture corpus should contain near-dup pairs"
+
+    # brute-force union-find over the same edges
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expect_grp = {x: find(x) for x in parent}
+
+    got = {
+        r.doc_id: r.group_id
+        for r in near_dup_groups(docs, k_shingle=3, threshold=0.2).collect()
+    }
+    all_ids = {r.doc_id for r in docs.select("doc_id").collect()}
+    assert set(got) == all_ids  # every doc labeled, singletons included
+    for doc_id, grp in got.items():
+        assert grp == expect_grp.get(doc_id, doc_id)
+    # at least one real multi-doc group
+    assert any(g != d for d, g in got.items())
