@@ -724,6 +724,67 @@ def q_ates_kml_placemarks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# classic relational pack (plans/relational.py) — the join/window/outer-join
+# shapes the reference delegates to Postgres (SURVEY.md §4)
+
+
+def q_tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from database2ogr_spark.plans.relational import shipping_priority
+
+    return shipping_priority(
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "lineitem"),
+    )
+
+
+def q_tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from database2ogr_spark.plans.relational import local_supplier_volume
+
+    return local_supplier_volume(
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "supplier"),
+        _t(spark, sf_dir, "nation"),
+        _t(spark, sf_dir, "region"),
+    )
+
+
+def q_tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from database2ogr_spark.plans.relational import forecast_revenue
+
+    return forecast_revenue(_t(spark, sf_dir, "lineitem"))
+
+
+def q_tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from database2ogr_spark.plans.relational import returned_item_revenue
+
+    return returned_item_revenue(
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "nation"),
+    )
+
+
+def q_tpch_q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from database2ogr_spark.plans.relational import customer_order_distribution
+
+    return customer_order_distribution(
+        _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
+    )
+
+
+def q_window_top_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from database2ogr_spark.plans.relational import top_orders_per_segment
+
+    return top_orders_per_segment(
+        _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
+    )
+
+
+# ---------------------------------------------------------------------------
 # registry
 
 
@@ -747,6 +808,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warnify": q_warnify,
         "u1_union": q_u1_union,
         "tpch_q1_pricing_summary": q_tpch_q1_pricing_summary,
+        "tpch_q3_shipping_priority": q_tpch_q3_shipping_priority,
+        "tpch_q5_local_supplier_volume": q_tpch_q5_local_supplier_volume,
+        "tpch_q6_forecast_revenue": q_tpch_q6_forecast_revenue,
+        "tpch_q10_returned_items": q_tpch_q10_returned_items,
+        "tpch_q13_order_distribution": q_tpch_q13_order_distribution,
+        "window_top_orders_per_segment": q_window_top_orders_per_segment,
         "topk_quality_docs": q_topk_quality_docs,
         "lang_stats": q_lang_stats,
         "f5_nonblank_tokens": q_f5_nonblank_tokens,
@@ -909,6 +976,79 @@ def oracle_sql() -> dict[str, str]:
                 AS avg_disc,
               count(*) AS count_order
             FROM lineitem GROUP BY 1, 2
+        """,
+        "tpch_q3_shipping_priority": """
+            SELECT l.l_orderkey AS o_orderkey,
+              sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGINT))::BIGINT
+                AS revenue_c4,
+              strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            WHERE c.c_mktsegment = 'BUILDING'
+              AND o.o_orderdate < TIMESTAMP '1998-06-01'
+              AND l.l_shipdate > TIMESTAMP '1998-06-01'
+            GROUP BY 1, 3
+            ORDER BY revenue_c4 DESC, o_orderkey ASC
+            LIMIT 10
+        """,
+        "tpch_q5_local_supplier_volume": """
+            SELECT n.n_name,
+              sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGINT))::BIGINT
+                AS revenue_c4
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+             AND s.s_nationkey = c.c_nationkey
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            WHERE r.r_name = 'ASIA'
+              AND o.o_orderdate >= TIMESTAMP '1997-01-01'
+              AND o.o_orderdate < TIMESTAMP '1998-01-01'
+            GROUP BY 1
+        """,
+        "tpch_q6_forecast_revenue": """
+            SELECT
+              sum(CAST(round(l_extendedprice * l_discount * 10000) AS BIGINT))::BIGINT
+                AS revenue_c4,
+              count(*) AS n_items
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate < TIMESTAMP '1998-01-01'
+              AND CAST(round(l_discount * 100) AS INT) BETWEEN 5 AND 7
+              AND l_quantity < 24
+        """,
+        "tpch_q10_returned_items": """
+            SELECT c.c_custkey, c.c_name, c.c_acctbal, n.n_name,
+              sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGINT))::BIGINT
+                AS revenue_c4
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            WHERE l.l_returnflag = 'R'
+              AND o.o_orderdate >= TIMESTAMP '1997-07-01'
+              AND o.o_orderdate < TIMESTAMP '1997-10-01'
+            GROUP BY 1, 2, 3, 4
+            ORDER BY revenue_c4 DESC, c_custkey ASC
+            LIMIT 20
+        """,
+        "tpch_q13_order_distribution": """
+            SELECT c_count, count(*) AS custdist FROM (
+              SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+              FROM customer c
+              LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+              GROUP BY 1)
+            GROUP BY 1
+        """,
+        "window_top_orders_per_segment": """
+            SELECT c_mktsegment, o_orderkey, o_totalprice, rn FROM (
+              SELECT c.c_mktsegment, o.o_orderkey, o.o_totalprice,
+                row_number() OVER (PARTITION BY c.c_mktsegment
+                  ORDER BY o.o_totalprice DESC, o.o_orderkey ASC) AS rn
+              FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey)
+            WHERE rn <= 3
         """,
         "topk_quality_docs": f"""
             WITH b AS (

@@ -24,6 +24,10 @@ from database2ogr_spark.session import get_spark
 #: operator family, heaviest variants.
 HEADLINE = [
     "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q13_order_distribution",
+    "window_top_orders_per_segment",
     "topk_quality_docs",
     "j1_parent_child_join",
     "warnify",

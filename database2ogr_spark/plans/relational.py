@@ -1,0 +1,262 @@
+"""Classic relational query pack (TPC-H-shaped) over the driver's tables.
+
+The reference's relational surface is tiny (one equi-join, one pivot agg —
+SURVEY.md §2.4-2.5); a usable analytics engine also needs the classic
+join-heavy / filter-agg / outer-join / window shapes. Every function here is a
+pure ``DataFrame -> DataFrame`` transform built only from native Column
+expressions, so Catalyst owns the physical strategy end to end.
+
+Scale design (the part that matters at 100 TB / 1000 executors):
+
+- **Filter before join, always.** Each input is filtered and column-pruned
+  before the first join so the parquet scan sees the predicate
+  (``PushedFilters``) and the shuffle moves only surviving columns.
+- **Broadcast only what is small by schema, not by scale factor.**
+  ``nation`` (25 rows) and ``region`` (5 rows) are broadcast-hinted — their
+  size is fixed by the data model. ``customer``/``supplier``/``orders`` grow
+  with SF, so they go through shuffle joins and AQE decides at runtime
+  whether a filtered side shrank enough to convert to broadcast
+  (``spark.sql.adaptive.autoBroadcastJoinThreshold``).
+- **Money sums on scaled integers.** Double summation is
+  accumulation-order-dependent and diverges across engines/partitionings;
+  per-addend ``round(x * 10000) :: bigint`` is associative, overflow-safe
+  (2^63 / 10^4 ≈ 9·10^14 currency units), and bit-identical everywhere.
+- **Top-k is TakeOrderedAndProject**, not a global sort: ``orderBy().limit()``
+  keeps k rows per partition then merges k·P rows on the driver.
+- **The window query partitions by a low-cardinality key** (market segment,
+  5 values) — at extreme scale that is 5 sort tasks; acceptable here because
+  only (o_orderkey, o_totalprice) survive projection into the sort. For
+  high-cardinality per-group top-k prefer the same ``row_number`` shape
+  partitioned by the high-cardinality key (parallelism = #groups).
+
+Reference parity note: the reference delegates all of this to Postgres's
+planner (SURVEY.md §4, `src/from-ground-up.js:117-121`); here Catalyst + AQE
+play that role.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _c4(col: F.Column) -> F.Column:
+    """Per-addend scaled-integer money term: round(x * 10000) as bigint."""
+    return F.round(col * 10000).cast("bigint")
+
+
+def shipping_priority(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    *,
+    segment: str = "BUILDING",
+    cutoff: str = "1998-06-01",
+    topk: int = 10,
+) -> DataFrame:
+    """TPC-H Q3 shape: unshipped-order revenue for one market segment.
+
+    lineitem ⋈ orders is the big shuffle (both sides huge, same key); the
+    filtered customer side joins after and is a candidate for AQE broadcast
+    conversion once the segment filter cuts it to ~1/5.
+    """
+    c = customer.filter(F.col("c_mktsegment") == segment).select("c_custkey")
+    o = orders.filter(
+        F.col("o_orderdate") < F.to_timestamp(F.lit(cutoff))
+    ).select("o_orderkey", "o_custkey", "o_orderdate")
+    li = lineitem.filter(
+        F.col("l_shipdate") > F.to_timestamp(F.lit(cutoff))
+    ).select(
+        "l_orderkey",
+        _c4(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev_c4"),
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.sum("rev_c4").alias("revenue_c4"))
+        .select(
+            "o_orderkey",
+            "revenue_c4",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+        )
+        .orderBy(F.col("revenue_c4").desc(), F.col("o_orderkey").asc())
+        .limit(topk)
+    )
+
+
+def local_supplier_volume(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    *,
+    region_name: str = "ASIA",
+    date_from: str = "1997-01-01",
+    date_to: str = "1998-01-01",
+) -> DataFrame:
+    """TPC-H Q5 shape: revenue by nation where supplier and customer share a
+    nation inside one region.
+
+    region (5 rows) and nation (25 rows) are broadcast by construction; the
+    nation list is pre-joined onto both customer and supplier so the
+    region predicate prunes *before* the big shuffles. The only large
+    shuffles left are lineitem ⋈ orders (orderkey) and the custkey/suppkey
+    joins; the s_nationkey = c_nationkey constraint rides along as a cheap
+    post-join filter on already-co-located rows.
+    """
+    nr = (
+        nation.join(
+            F.broadcast(region.filter(F.col("r_name") == region_name)),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        ).select("n_nationkey", "n_name")
+    )
+    c = customer.join(
+        F.broadcast(nr.withColumnRenamed("n_nationkey", "c_nk")),
+        F.col("c_nationkey") == F.col("c_nk"),
+    ).select("c_custkey", "c_nationkey")
+    s = supplier.join(
+        F.broadcast(nr.select(F.col("n_nationkey").alias("s_nk"), "n_name")),
+        F.col("s_nationkey") == F.col("s_nk"),
+    ).select("s_suppkey", "s_nationkey", "n_name")
+    o = orders.filter(
+        (F.col("o_orderdate") >= F.to_timestamp(F.lit(date_from)))
+        & (F.col("o_orderdate") < F.to_timestamp(F.lit(date_to)))
+    ).select("o_orderkey", "o_custkey")
+    li = lineitem.select(
+        "l_orderkey",
+        "l_suppkey",
+        _c4(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev_c4"),
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, F.col("o_custkey") == c.c_custkey)
+        .join(s, F.col("l_suppkey") == s.s_suppkey)
+        .filter(F.col("s_nationkey") == F.col("c_nationkey"))
+        .groupBy("n_name")
+        .agg(F.sum("rev_c4").alias("revenue_c4"))
+    )
+
+
+def forecast_revenue(
+    lineitem: DataFrame,
+    *,
+    date_from: str = "1997-01-01",
+    date_to: str = "1998-01-01",
+    disc_lo_pct: int = 5,
+    disc_hi_pct: int = 7,
+    max_qty: int = 24,
+) -> DataFrame:
+    """TPC-H Q6 shape: pure scan-filter-aggregate, zero joins — the
+    predicate-pushdown canary. All three predicates reach the parquet reader
+    (min/max row-group pruning on l_shipdate); the aggregate is a single
+    partial-sum + 1-row final merge. The discount band compares on rounded
+    integer percent so float representation never decides membership.
+    """
+    li = lineitem.filter(
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit(date_from)))
+        & (F.col("l_shipdate") < F.to_timestamp(F.lit(date_to)))
+        & F.round(F.col("l_discount") * 100).cast("int").between(disc_lo_pct, disc_hi_pct)
+        & (F.col("l_quantity") < max_qty)
+    )
+    return li.agg(
+        F.sum(_c4(F.col("l_extendedprice") * F.col("l_discount"))).alias("revenue_c4"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+def returned_item_revenue(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    nation: DataFrame,
+    *,
+    date_from: str = "1997-07-01",
+    date_to: str = "1997-10-01",
+    topk: int = 20,
+) -> DataFrame:
+    """TPC-H Q10 shape: top customers by revenue lost to returned items in
+    one quarter. Group-by key includes the carried customer attributes
+    (functionally dependent on c_custkey) so no second join is needed after
+    the aggregate; nation is broadcast. c_acctbal passes through untouched —
+    no arithmetic, so the double stays bit-identical across engines.
+    """
+    o = orders.filter(
+        (F.col("o_orderdate") >= F.to_timestamp(F.lit(date_from)))
+        & (F.col("o_orderdate") < F.to_timestamp(F.lit(date_to)))
+    ).select("o_orderkey", "o_custkey")
+    li = lineitem.filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey",
+        _c4(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev_c4"),
+    )
+    c = customer.join(
+        F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey")
+    ).select("c_custkey", "c_name", "c_acctbal", "n_name")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, F.col("o_custkey") == c.c_custkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.sum("rev_c4").alias("revenue_c4"))
+        .orderBy(F.col("revenue_c4").desc(), F.col("c_custkey").asc())
+        .limit(topk)
+    )
+
+
+def customer_order_distribution(
+    customer: DataFrame, orders: DataFrame
+) -> DataFrame:
+    """TPC-H Q13 shape: distribution of orders-per-customer, including
+    zero-order customers — the left-outer-join + double-aggregation shape.
+    First agg shuffles on c_custkey (high cardinality, even spread); the
+    second groups ~100 distinct counts, a trivial shuffle. At 100 TB the
+    left join is the cost: both sides shuffle on custkey, no skew (TPC-H
+    custkeys are uniform), AQE coalesces the post-filter partitions.
+    """
+    per_cust = (
+        customer.select("c_custkey")
+        .join(
+            orders.select("o_custkey", "o_orderkey"),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist")
+    )
+
+
+def top_orders_per_segment(
+    customer: DataFrame, orders: DataFrame, *, k: int = 3
+) -> DataFrame:
+    """Per-group top-k via ``row_number`` — the window-function surface.
+
+    Partition key is c_mktsegment (5 groups). The rank runs *after* an
+    aggressive projection (3 columns survive into the sort) and the filter
+    ``rn <= k`` is applied before anything else touches the result. For
+    high-cardinality partitions this same shape scales linearly; for
+    low-cardinality ones like this, AQE's skew handling can split the sort
+    spill, and an alternative two-phase top-k (per-partition heap via
+    ``orderBy().limit()`` per group) is only worth it when k·groups is tiny.
+    """
+    j = orders.select("o_orderkey", "o_custkey", "o_totalprice").join(
+        customer.select("c_custkey", "c_mktsegment"),
+        F.col("o_custkey") == F.col("c_custkey"),
+    )
+    w = (
+        Window.partitionBy("c_mktsegment")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+    )
+    return (
+        j.select(
+            "c_mktsegment",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= k)
+    )
