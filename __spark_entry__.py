@@ -768,6 +768,45 @@ def q_tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from database2ogr_spark.plans.relational import order_priority_check
+
+    return order_priority_check(
+        _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "lineitem")
+    )
+
+
+def q_anti_join_orderless_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from database2ogr_spark.plans.relational import customers_without_orders
+
+    return customers_without_orders(
+        _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
+    )
+
+
+def q_distinct_users_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact count-distinct per group — the two-phase distinct-agg shuffle
+    (partial distinct on (event_type, user_id), then count). The scale-path
+    twin is q_distinct_users_approx (HLL sketch, one pass, fixed memory)."""
+    ev = read_events(spark, os.path.join(sf_dir, "events.parquet"))
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+def q_distinct_users_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ approximate count-distinct (rows-only check: sketch estimates
+    are engine-specific). At 100 TB this is the only sane distinct-count:
+    constant memory per group, single shuffle of sketch buffers, mergeable
+    across partitions — vs. the exact variant's shuffle of every distinct
+    (group, user) pair. rsd=0.01 ⇒ ~1% error, ~24 KB per sketch."""
+    ev = read_events(spark, os.path.join(sf_dir, "events.parquet"))
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.01).alias("n_users_approx")
+    )
+
+
 def q_tpch_q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     from database2ogr_spark.plans.relational import customer_order_distribution
 
@@ -812,6 +851,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q5_local_supplier_volume": q_tpch_q5_local_supplier_volume,
         "tpch_q6_forecast_revenue": q_tpch_q6_forecast_revenue,
         "tpch_q10_returned_items": q_tpch_q10_returned_items,
+        "tpch_q4_order_priority": q_tpch_q4_order_priority,
+        "anti_join_orderless_customers": q_anti_join_orderless_customers,
+        "distinct_users_exact": q_distinct_users_exact,
+        "distinct_users_approx": q_distinct_users_approx,
         "tpch_q13_order_distribution": q_tpch_q13_order_distribution,
         "window_top_orders_per_segment": q_window_top_orders_per_segment,
         "topk_quality_docs": q_topk_quality_docs,
@@ -1033,6 +1076,29 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2, 3, 4
             ORDER BY revenue_c4 DESC, c_custkey ASC
             LIMIT 20
+        """,
+        "tpch_q4_order_priority": """
+            SELECT o_orderpriority, count(*) AS order_count
+            FROM orders o
+            WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+              AND o.o_orderdate < TIMESTAMP '1997-04-01'
+              AND EXISTS (SELECT 1 FROM lineitem l
+                          WHERE l.l_orderkey = o.o_orderkey
+                            AND l.l_shipdate > o.o_orderdate)
+            GROUP BY 1
+        """,
+        "anti_join_orderless_customers": """
+            SELECT c_mktsegment, count(*) AS n_customers
+            FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey
+                                AND o.o_orderdate >= TIMESTAMP '1998-01-01')
+            GROUP BY 1
+        """,
+        "distinct_users_exact": """
+            SELECT event_type, count(DISTINCT user_id) AS n_users,
+              count(*) AS n_events
+            FROM events GROUP BY 1
         """,
         "tpch_q13_order_distribution": """
             SELECT c_count, count(*) AS custdist FROM (

@@ -205,6 +205,61 @@ def returned_item_revenue(
     )
 
 
+def order_priority_check(
+    orders: DataFrame,
+    lineitem: DataFrame,
+    *,
+    date_from: str = "1997-01-01",
+    date_to: str = "1997-04-01",
+) -> DataFrame:
+    """TPC-H Q4 shape: orders per priority that had at least one line item
+    shipped after the order date (EXISTS → **left-semi join**).
+
+    The semi join is the right physical shape at scale: it shuffles only the
+    join keys + the one comparison column from lineitem, never materializes
+    the multiplicity of matching line items, and short-circuits per probe row.
+    The extra non-equi term (l_shipdate > o_orderdate) rides on the equi-join
+    as a post-match condition, so this stays a hash/sort-merge semi join, not
+    a nested loop. (This dataset has no commitdate/receiptdate; the
+    late-shipped predicate plays Q4's lateness role.)
+    """
+    o = orders.filter(
+        (F.col("o_orderdate") >= F.to_timestamp(F.lit(date_from)))
+        & (F.col("o_orderdate") < F.to_timestamp(F.lit(date_to)))
+    ).select("o_orderkey", "o_orderdate", "o_orderpriority")
+    li = lineitem.select("l_orderkey", "l_shipdate")
+    return (
+        o.join(
+            li,
+            (o.o_orderkey == li.l_orderkey)
+            & (li.l_shipdate > o.o_orderdate),
+            "leftsemi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+def customers_without_orders(
+    customer: DataFrame, orders: DataFrame, *, since: str = "1998-01-01"
+) -> DataFrame:
+    """NOT EXISTS → **left-anti join**: customers with no orders since a
+    date, counted per market segment. Anti join shuffles only o_custkey from
+    the probe side — at 100 TB that is one bigint column of orders, not the
+    table (and the date filter prunes row groups before the shuffle). The
+    follow-up aggregate groups 5 segments: trivial shuffle, map-side partial.
+    """
+    recent = orders.filter(
+        F.col("o_orderdate") >= F.to_timestamp(F.lit(since))
+    ).select("o_custkey")
+    return (
+        customer.select("c_custkey", "c_mktsegment")
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
 def customer_order_distribution(
     customer: DataFrame, orders: DataFrame
 ) -> DataFrame:
