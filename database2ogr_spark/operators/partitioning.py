@@ -11,6 +11,7 @@ default parallelism.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
@@ -22,3 +23,75 @@ def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     if df.rdd.getNumPartitions() >= target:
         return df
     return df.repartition(target)
+
+
+def salted_join(
+    skewed: DataFrame,
+    other: DataFrame,
+    skewed_key: str,
+    other_key: str,
+    *,
+    salt: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join resilient to a hot key on the *skewed* (probe) side.
+
+    AQE's skew-join splitting (on by default in ``session.py``) is the first
+    line of defense, but it only helps **sort-merge joins reading shuffle
+    files**; a skewed key feeding a hash aggregate or a non-splittable stage
+    still lands on one task. This explicit variant pre-splits the hot rows:
+
+    - ``skewed`` rows get a uniform salt in ``[0, salt)`` — a hot key's rows
+      now hash to ``salt`` different reducers;
+    - ``other`` is exploded ×``salt`` (one copy per salt value) so every
+      probe row still finds its match.
+
+    Cost model: replicating ``other`` multiplies its shuffle volume by
+    ``salt`` — use when ``|other| × salt`` ≪ ``|skewed hot partition|``,
+    i.e. a dimension-like build side too large to broadcast outright but far
+    smaller than the fact side's hot-key volume. (A broadcastable ``other``
+    needs no salting: BroadcastHashJoin has no reducer to skew.)
+
+    Join semantics preserved for ``inner`` and ``left`` (every skewed row
+    keeps exactly its original matches; a left row with no match appears
+    once because it carries one salt value).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    salted = skewed.withColumn(
+        "_salt", (F.rand(seed=7) * salt).cast("int")
+    )
+    exploded = other.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
+    )
+    cond = (salted[skewed_key] == exploded[other_key]) & (
+        salted["_salt"] == exploded["_salt"]
+    )
+    return salted.join(exploded, cond, how).drop(exploded["_salt"]).drop("_salt")
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    key: str,
+    *,
+    buckets: int = 32,
+    mode: str = "overwrite",
+) -> None:
+    """Persist ``df`` hash-bucketed (and sorted) by ``key``.
+
+    Bucketing trades one write-time shuffle for zero shuffles on every later
+    join/aggregation keyed on ``key``: two tables bucketed by the same key
+    into the same bucket count join with *no Exchange* in the plan — at
+    100 TB that's the difference between re-shuffling the fact table per
+    query and never shuffling it again. The sort makes the per-bucket merge
+    join sort-free too. Verified in tests/test_operators.py: the physical
+    plan of a bucketed⋈bucketed join contains no Exchange operator.
+    """
+    (
+        df.write.mode(mode)
+        .bucketBy(buckets, key)
+        .sortBy(key)
+        .format("parquet")
+        .saveAsTable(table)
+    )

@@ -88,3 +88,61 @@ def test_catalog_read_json(spark, tmp_path):
     cat = Catalog(spark, str(tmp_path))
     rows = cat.read_json(str(p)).orderBy("id").collect()
     assert [(r.id, r.name) for r in rows] == [(1, "a"), (2, "b")]
+
+
+def test_salted_join_matches_plain_join(spark):
+    from database2ogr_spark.operators.partitioning import salted_join
+
+    # one hot key (id=1, 500 rows) + a uniform tail
+    fact = spark.createDataFrame(
+        [(1, i) for i in range(500)] + [(k, k) for k in range(2, 50)],
+        "key int, payload int",
+    )
+    dim = spark.createDataFrame(
+        [(k, f"d{k}") for k in range(0, 50, 1)], "dkey int, dval string"
+    )
+    plain = sorted(
+        (r.key, r.payload, r.dval)
+        for r in fact.join(dim, fact.key == dim.dkey).collect()
+    )
+    salted = sorted(
+        (r.key, r.payload, r.dval)
+        for r in salted_join(fact, dim, "key", "dkey", salt=8).collect()
+    )
+    assert salted == plain
+
+    # left join keeps unmatched probe rows exactly once
+    lonely = spark.createDataFrame([(999, 0)], "key int, payload int")
+    out = salted_join(
+        fact.union(lonely), dim, "key", "dkey", salt=8, how="left"
+    )
+    unmatched = [r for r in out.collect() if r.key == 999]
+    assert len(unmatched) == 1 and unmatched[0].dval is None
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    from database2ogr_spark.operators.partitioning import write_bucketed
+
+    left = spark.range(0, 1000).withColumnRenamed("id", "k")
+    right = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    write_bucketed(left, "bkt_left", "k", buckets=4)
+    write_bucketed(right, "bkt_right", "k", buckets=4)
+    # force the sort-merge path (tiny test tables would broadcast): on real
+    # data the same bucketed plan kicks in whenever the sides exceed the
+    # broadcast threshold
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760b")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        l = spark.table("bkt_left")
+        r = spark.table("bkt_right")
+        joined = l.join(r, "k")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in plan, plan
+        assert "Bucketed: true" in plan, plan
+        assert joined.count() == 1000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS bkt_left")
+        spark.sql("DROP TABLE IF EXISTS bkt_right")
