@@ -347,9 +347,18 @@ def q_tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_topk_quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-k by quality score (deterministic tie-break on doc_id) — the
     sort/limit surface the reference lacks but a data pipeline needs."""
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    s = TS.with_text_stats(d, "text", langs=("en",))
     return (
-        d.select("doc_id", TS.quality_score("text").alias("quality"))
+        s.select(
+            "doc_id",
+            TS.quality_from_stats(
+                F.col("__n_chars"),
+                F.col("__n_punct"),
+                F.col("__ws_tokens"),
+                F.col("__hits_en"),
+            ).alias("quality"),
+        )
         .orderBy(F.col("quality").desc(), F.col("doc_id").asc())
         .limit(100)
     )
@@ -523,23 +532,37 @@ def q_dedup_exact_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents")
-    return d.select(
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    s = TS.with_text_stats(
+        d, "text", langs=("en",), include_wordlen=True, include_regex_tokens=True
+    )
+    n = F.col("__n_chars")
+    ws = F.col("__ws_tokens")
+    hits = F.col("__hits_en")
+    pr = F.when(n > 0, F.col("__n_punct").cast("double") / n.cast("double")).otherwise(
+        F.lit(0.0)
+    )
+    swr = F.when(ws > 0, hits.cast("double") / ws.cast("double")).otherwise(F.lit(0.0))
+    mwl = F.when(
+        ws > 0, F.col("__wordlen_total").cast("double") / ws.cast("double")
+    ).otherwise(F.lit(0.0))
+    return s.select(
         "doc_id",
-        F.length("text").alias("n_chars_calc"),
-        TS.whitespace_token_count("text").alias("ws_tokens"),
-        TS.regex_token_count("text").alias("re_tokens"),
-        F.round(TS.punct_ratio("text"), 6).alias("punct_ratio"),
-        F.round(TS.stopword_ratio("text"), 6).alias("stopword_ratio"),
-        F.round(TS.mean_word_length("text"), 6).alias("mean_word_len"),
-        TS.quality_score("text").alias("quality"),
+        n.alias("n_chars_calc"),
+        ws.alias("ws_tokens"),
+        F.col("__re_tokens").alias("re_tokens"),
+        F.round(pr, 6).alias("punct_ratio"),
+        F.round(swr, 6).alias("stopword_ratio"),
+        F.round(mwl, 6).alias("mean_word_len"),
+        TS.quality_from_stats(n, F.col("__n_punct"), ws, hits).alias("quality"),
     )
 
 
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _t(spark, sf_dir, "documents").select(
-        "doc_id", "lang", TS.lang_id("text").alias("lang_guess")
-    )
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    s = TS.with_text_stats(d, "text", langs=tuple(TS.STOPWORDS))
+    hits = {lang: F.col(f"__hits_{lang}") for lang in TS.STOPWORDS}
+    return s.select("doc_id", "lang", TS.lang_id_from_hits(hits).alias("lang_guess"))
 
 
 def q_fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -104,6 +104,90 @@ def quality_score(col: Column | str) -> Column:
     return F.round((len_ok + punct_ok + sw_ok) / F.lit(3.0), 6)
 
 
+# ---------------------------------------------------------------------------
+# Staged (single-tokenization) variants.
+#
+# Column-expression reuse in Python duplicates the expression *tree*, and a
+# projection that falls out of whole-stage codegen re-evaluates every duplicate
+# — measured 4x on topk_quality_docs at sf0.1, where the tokenizing
+# split/filter appeared six times in one Project. The staged API materializes
+# the token array under an alias in one Project and derives every stat from
+# that alias in the next; Spark >= 3.3 CollapseProject refuses to re-inline a
+# non-cheap alias referenced more than once, so the tokenization runs exactly
+# once per row (verified via explain: two stacked Projects, `words(...)` only
+# in the first).
+
+
+def with_text_stats(
+    df,
+    col: str = "text",
+    langs: tuple[str, ...] = ("en",),
+    include_wordlen: bool = False,
+    include_regex_tokens: bool = False,
+):
+    """Append token-derived stat columns to ``df``, tokenizing ONCE per row.
+
+    Adds ``__n_chars``, ``__n_punct``, ``__ws_tokens``, and ``__hits_<lang>``
+    for each requested language; optionally ``__wordlen_total`` (sum of token
+    lengths) and ``__re_tokens`` (BPE-ish regex token count). Downstream
+    formulas (quality_from_stats / lang_id_from_hits) reference only these
+    cheap integer columns.
+    """
+    c = F.col(col)
+    extra1 = []
+    if include_regex_tokens:
+        extra1.append(F.size(F.regexp_extract_all(c, F.lit(TOKEN_RE), 0)).alias("__re_tokens"))
+    stage1 = df.select(
+        "*",
+        words(c).alias("__toks"),
+        F.length(c).alias("__n_chars"),
+        (F.length(c) - F.length(F.regexp_replace(c, r"[^\w\s]", ""))).alias("__n_punct"),
+        *extra1,
+    )
+    toks = F.col("__toks")
+    extra2 = [F.size(toks).alias("__ws_tokens")]
+    def _hits(lang: str) -> Column:
+        sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+        return F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+
+    for lang in langs:
+        extra2.append(_hits(lang).alias(f"__hits_{lang}"))
+    if include_wordlen:
+        extra2.append(
+            F.aggregate(toks, F.lit(0), lambda acc, w: acc + F.length(w)).alias(
+                "__wordlen_total"
+            )
+        )
+    keep = [k for k in stage1.columns if k != "__toks"]
+    return stage1.select(*keep, *extra2)
+
+
+def quality_from_stats(
+    n_chars: Column, n_punct: Column, ws_tokens: Column, en_hits: Column
+) -> Column:
+    """``quality_score`` computed from pre-staged stats — identical frozen
+    formula, but each heavy input is a column reference, not a re-derivation."""
+    len_ok = F.when((n_chars >= 100) & (n_chars <= 20000), F.lit(1.0)).otherwise(F.lit(0.0))
+    pr = F.when(
+        n_chars > 0, n_punct.cast("double") / n_chars.cast("double")
+    ).otherwise(F.lit(0.0))
+    punct_ok = F.when(pr < 0.2, F.lit(1.0)).otherwise(F.lit(0.0))
+    sw = F.when(
+        ws_tokens > 0, en_hits.cast("double") / ws_tokens.cast("double")
+    ).otherwise(F.lit(0.0))
+    sw_ok = F.when((sw >= 0.05) & (sw <= 0.6), F.lit(1.0)).otherwise(F.lit(0.0))
+    return F.round((len_ok + punct_ok + sw_ok) / F.lit(3.0), 6)
+
+
+def lang_id_from_hits(hits: dict[str, Column]) -> Column:
+    """``lang_id`` vote chain over pre-staged per-language hit counts."""
+    best = F.greatest(*hits.values())
+    expr = F.when(best == 0, F.lit("und"))
+    for lang in STOPWORDS:
+        expr = expr.when(hits[lang] == best, F.lit(lang))
+    return expr.otherwise(F.lit("und"))
+
+
 def rolling_fingerprint(col: Column | str, modulus: int = 1_000_000_007) -> Column:
     """Polynomial rolling hash (base 31, mod 1e9+7) over the characters of the
     normalized text — a content fingerprint that is cheap, order-sensitive,
