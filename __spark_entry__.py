@@ -123,6 +123,14 @@ def _h64_sql(expr: str, seed: int) -> str:
     return f"('0x' || substr(md5({payload}), 1, 15))::BIGINT"
 
 
+def _mh_sql(expr: str, i: int) -> str:
+    """DuckDB twin of family member ``i`` of functions/hashing.py
+    minhash_digests/minhash_slice (sha256 digest ``i // 4``, slice ``i % 4``)."""
+    s, j = divmod(i, 4)
+    payload = f"'{s}' || chr(31) || {expr}" if s else expr
+    return f"('0x' || substr(sha256({payload}), {15 * j + 1}, 15))::BIGINT"
+
+
 # ---------------------------------------------------------------------------
 # queries — SURVEY.md §2 relational / scalar surface (TPC-H-shaped)
 
@@ -1354,9 +1362,9 @@ def oracle_sql() -> dict[str, str]:
             WITH sh AS ({_SHINGLES_SQL}),
             ex AS (SELECT doc_id, unnest(s) AS g FROM sh)
             SELECT doc_id,
-              min({_h64_sql("g", 1)}) AS h1,
-              min({_h64_sql("g", 8)}) AS h8,
-              min({_h64_sql("g", 16)}) AS h16
+              min({_mh_sql("g", 0)}) AS h1,
+              min({_mh_sql("g", 7)}) AS h8,
+              min({_mh_sql("g", 15)}) AS h16
             FROM ex GROUP BY doc_id
         """,
         "ngram_jaccard_pairs": f"""

@@ -66,22 +66,48 @@ def shingles(col: Column | str, k: int = 3) -> Column:
     return F.when(n >= k, grams).otherwise(F.array(F.array_join(ws, " ")))
 
 
-def minhash_signature(shingle_col: Column, num_hashes: int = 16) -> Column:
-    """MinHash signature: for each of ``num_hashes`` independent families,
-    the min ``stable_hash64`` over the doc's shingles → array<bigint>.
+def minhash_digests(col: Column | str, num_hashes: int) -> list[Column]:
+    """The ``ceil(num_hashes / 4)`` sha256 digest columns backing a MinHash
+    family: digest ``s`` hashes ``'{s}\\x1f' + value`` (no prefix for s=0) and
+    yields four independent 60-bit slices (15 hex chars each; 64-char digest).
 
-    Pure expression — evaluated per row on executors; the LSH banding join
-    happens in ``operators/dedup.py``. Empty shingle sets yield NULL mins.
+    One crypto hash per FOUR family members instead of one md5 per member —
+    the dominant cost in the MinHash hot path is the per-shingle hashing, so
+    this is a ~3x cut. The DuckDB oracle slices sha256 identically.
     """
-    def hash_family(seed: int):
-        return lambda s: stable_hash64(s, seed=seed)
+    n = (num_hashes + 3) // 4
+    out = []
+    for s in range(n):
+        payload = F.concat(F.lit(f"{s}\x1f"), _c(col)) if s else _c(col)
+        out.append(F.sha2(payload, 256))
+    return out
 
-    return F.array(
-        *[
-            F.array_min(F.transform(shingle_col, hash_family(i + 1)))
-            for i in range(num_hashes)
-        ]
-    )
+
+def minhash_slice(digest: Column, j: int) -> Column:
+    """60-bit nonnegative bigint from slice ``j`` (0..3) of a sha256 hex digest."""
+    return F.conv(F.substring(digest, 15 * j + 1, 15), 16, 10).cast("bigint")
+
+
+def minhash_signature(shingle_col: Column, num_hashes: int = 16) -> Column:
+    """MinHash signature as a pure in-row expression → array<bigint>.
+
+    Same family as ``operators/dedup.minhash_signatures`` (sha256 slices), so
+    the two forms produce identical signatures. Evaluated per row on
+    executors; the LSH banding join happens in ``operators/dedup.py``. Empty
+    shingle sets yield NULL mins. Note the digest is re-derived per family
+    member here (fine for small in-row arrays); the explode→agg operator form
+    stages digests once per shingle and is the one to use on a corpus.
+    """
+    def member(i: int) -> Column:
+        s, j = divmod(i, 4)
+        return F.array_min(
+            F.transform(
+                shingle_col,
+                lambda g: minhash_slice(minhash_digests(g, num_hashes)[s], j),
+            )
+        )
+
+    return F.array(*[member(i) for i in range(num_hashes)])
 
 
 def simhash64(token_col: Column) -> Column:

@@ -77,18 +77,29 @@ def minhash_signatures(
     Shape chosen for scale and local speed alike: explode shingles so the
     shingling expression is evaluated once per document (the Generate node is
     a boundary Catalyst won't inline it across — inlining it into each of the
-    ``num_hashes`` array_min families costs ~num_hashes× the work), hash each
-    exploded shingle ``num_hashes`` ways map-side, and let partial aggregation
-    reduce to per-doc mins before the single shuffle — only ``num_hashes``
-    bigints per doc cross the wire regardless of document size.
+    ``num_hashes`` array_min families costs ~num_hashes× the work), derive the
+    whole hash family from ``num_hashes / 4`` sha256 digests staged in their
+    own projection (one crypto hash per four family members, computed once per
+    shingle), and let partial aggregation reduce to per-doc mins before the
+    single shuffle — only ``num_hashes`` bigints per doc cross the wire
+    regardless of document size.
     """
+    from database2ogr_spark.functions.hashing import minhash_digests, minhash_slice
+
     ex = spread(df).select(
         F.col(id_col).alias("id"),
         F.explode(shingles(text_col, k_shingle)).alias("g"),
     )
-    agg = ex.groupBy("id").agg(
+    digs = ex.select(
+        "id",
         *[
-            F.min(stable_hash64(F.col("g"), seed=i + 1)).alias(f"h{i}")
+            d.alias(f"d{s}")
+            for s, d in enumerate(minhash_digests(F.col("g"), num_hashes))
+        ],
+    )
+    agg = digs.groupBy("id").agg(
+        *[
+            F.min(minhash_slice(F.col(f"d{i // 4}"), i % 4)).alias(f"h{i}")
             for i in range(num_hashes)
         ]
     )

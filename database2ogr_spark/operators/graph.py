@@ -61,18 +61,26 @@ def connected_components(
         .unionByName(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    labels = (
-        sym.select(F.col("u").alias("id"))
-        .distinct()
-        .withColumn("component", F.col("id"))
-        .localCheckpoint(eager=True)
-    )
 
     def _label_sum(lb: DataFrame):
+        # the materializing action of each round: computes the (lazily)
+        # checkpointed label table and the convergence metric in ONE job —
+        # an eager checkpoint followed by a separate sum would double the
+        # job count per round, pure scheduler overhead at every scale
         return lb.agg(
             F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
         ).collect()[0]["s"]
 
+    # start one propagation step ahead: label(v) = min over the CLOSED
+    # neighborhood {v} ∪ N(v), folded into the same aggregation that
+    # enumerates the vertex set — diameter-1 clusters (mutual near-dup pairs,
+    # the overwhelmingly common case) converge on the confirming round alone
+    labels = (
+        sym.select("u", F.least(F.col("u"), F.col("v")).alias("component"))
+        .groupBy(F.col("u").alias("id"))
+        .agg(F.min("component").alias("component"))
+        .localCheckpoint(eager=False)
+    )
     prev_sum = _label_sum(labels)
     for _ in range(max_iter):
         msgs = sym.join(labels, sym["u"] == labels["id"]).select(
@@ -82,7 +90,7 @@ def connected_components(
             labels.unionByName(msgs)
             .groupBy("id")
             .agg(F.min("component").alias("component"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         new_sum = _label_sum(new_labels)
         labels.unpersist()
