@@ -105,15 +105,46 @@ SELECT c_custkey, c_name, c_mktsegment,
 FROM customer
 """
 
-#: normalized text / words / k=3 shingles — DuckDB twins of
-#: functions/hashing.py normalize_text, words, shingles
+#: normalized text / words / k=3 shingle ids — DuckDB twins of
+#: functions/hashing.py normalize_text, words, word_hash_structs,
+#: shingle_structs_of, shingle_ids_of (same md5-per-word + rolling-hash
+#: arithmetic mod 2^31-1; ``s`` is the list of 62-bit ids s1·2^31+s2)
 _NORM_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 _WORDS_SQL = f"list_filter(string_split({_NORM_SQL}, ' '), x -> x <> '')"
+_MH_P = 2147483647  # mirrors hashing.MINHASH_P
+_MH_B1, _MH_B2 = 1000003, 1000033  # mirrors hashing._ROLL_B1/_ROLL_B2
+_WHASH_SQL = f"""
+SELECT doc_id, list_transform({_WORDS_SQL}, x -> [
+    ('0x' || substr(md5(x), 1, 15))::BIGINT % {_MH_P},
+    ('0x' || substr(md5(x), 17, 15))::BIGINT % {_MH_P}]) AS h
+FROM documents
+"""
+
+
+def _roll_sql(chain: int, base: int) -> str:
+    """k=3 rolling hash over word-hash chain ``chain`` starting at index i."""
+    return (
+        f"((((h[i][{chain}] * {base} + h[i+1][{chain}]) % {_MH_P}) * {base}"
+        f" + h[i+2][{chain}]) % {_MH_P})"
+    )
+
+
+def _roll_all_sql(chain: int, base: int) -> str:
+    """Whole-doc rolling hash (the <k-words fallback shingle)."""
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT),"
+        f" list_transform(h, p -> p[{chain}])),"
+        f" (a, b) -> (a * {base} + b) % {_MH_P})"
+    )
+
+
 _SHINGLES_SQL = f"""
-SELECT doc_id, CASE WHEN len(w) >= 3
-  THEN list_transform(generate_series(1, len(w) - 2), i -> array_to_string(w[i:i+2], ' '))
-  ELSE [array_to_string(w, ' ')] END AS s
-FROM (SELECT doc_id, {_WORDS_SQL} AS w FROM documents)
+SELECT doc_id, CASE WHEN len(h) >= 3
+  THEN list_transform(generate_series(1, len(h) - 2), i ->
+    {_roll_sql(1, _MH_B1)} * 2147483648 + {_roll_sql(2, _MH_B2)})
+  ELSE [{_roll_all_sql(1, _MH_B1)} * 2147483648 + {_roll_all_sql(2, _MH_B2)}]
+  END AS s
+FROM ({_WHASH_SQL})
 """
 
 
@@ -124,11 +155,13 @@ def _h64_sql(expr: str, seed: int) -> str:
 
 
 def _mh_sql(expr: str, i: int) -> str:
-    """DuckDB twin of family member ``i`` of functions/hashing.py
-    minhash_digests/minhash_slice (sha256 digest ``i // 4``, slice ``i % 4``)."""
-    s, j = divmod(i, 4)
-    payload = f"'{s}' || chr(31) || {expr}" if s else expr
-    return f"('0x' || substr(sha256({payload}), {15 * j + 1}, 15))::BIGINT"
+    """DuckDB twin of MinHash family member ``i`` over a 62-bit shingle id
+    expr (functions/hashing.py minhash_member over minhash_coeffs)."""
+    from database2ogr_spark.functions.hashing import minhash_coeffs
+
+    a, b, c = minhash_coeffs(i + 1)[i]
+    s1, s2 = f"(({expr}) // 2147483648)", f"(({expr}) % 2147483648)"
+    return f"(({a} * {s1} + {b} * {s2} + {c}) % {_MH_P})"
 
 
 # ---------------------------------------------------------------------------

@@ -66,48 +66,135 @@ def shingles(col: Column | str, k: int = 3) -> Column:
     return F.when(n >= k, grams).otherwise(F.array(F.array_join(ws, " ")))
 
 
-def minhash_digests(col: Column | str, num_hashes: int) -> list[Column]:
-    """The ``ceil(num_hashes / 4)`` sha256 digest columns backing a MinHash
-    family: digest ``s`` hashes ``'{s}\\x1f' + value`` (no prefix for s=0) and
-    yields four independent 60-bit slices (15 hex chars each; 64-char digest).
+#: Mersenne prime 2^31 - 1 — the modulus of the whole shingle/MinHash
+#: arithmetic family. All intermediates stay < 2^52, far inside signed-bigint
+#: range, so the expressions are safe under ANSI overflow checking in Spark
+#: AND reproduce bit-for-bit in DuckDB (the oracle runs the same arithmetic).
+MINHASH_P = 2147483647
+#: rolling-hash bases for the two independent shingle-hash chains (< 2^20 so
+#: ``acc * B`` stays < 2^51)
+_ROLL_B1, _ROLL_B2 = 1000003, 1000033
 
-    One crypto hash per FOUR family members instead of one md5 per member —
-    the dominant cost in the MinHash hot path is the per-shingle hashing, so
-    this is a ~3x cut. The DuckDB oracle slices sha256 identically.
+
+def minhash_coeffs(num_hashes: int) -> list[tuple[int, int, int]]:
+    """Deterministic affine-family coefficients ``(a, b, c)`` with
+    ``a, b < 2^20`` (overflow-safe products) shared by the Spark operators and
+    the DuckDB oracle SQL generator."""
+    import random
+
+    rng = random.Random(0xD1CE)
+    return [
+        (rng.randrange(1, 1 << 20), rng.randrange(1, 1 << 20), rng.randrange(MINHASH_P))
+        for _ in range(num_hashes)
+    ]
+
+
+def word_hash_structs(col: Column | str) -> Column:
+    """array<struct<h1, h2>>: each word hashed ONCE (one md5), yielding two
+    independent 31-bit hashes from disjoint digest halves.
+
+    This is the only crypto hashing in the shingle/MinHash path — everything
+    downstream (k-gram identity, the whole MinHash family) is integer
+    arithmetic on these. Hashing words instead of materialized k-gram strings
+    cuts the hot path ~4x: the k-gram transform+slice+array_join alone costs
+    more than all of this pipeline (measured at sf0.1).
     """
-    n = (num_hashes + 3) // 4
-    out = []
-    for s in range(n):
-        payload = F.concat(F.lit(f"{s}\x1f"), _c(col)) if s else _c(col)
-        out.append(F.sha2(payload, 256))
-    return out
+    def wh(w: Column, lo: int) -> Column:
+        return F.conv(F.substring(F.md5(w), lo, 15), 16, 10).cast("bigint") % MINHASH_P
+
+    return F.transform(
+        words(col), lambda w: F.struct(wh(w, 1).alias("h1"), wh(w, 17).alias("h2"))
+    )
 
 
-def minhash_slice(digest: Column, j: int) -> Column:
-    """60-bit nonnegative bigint from slice ``j`` (0..3) of a sha256 hex digest."""
-    return F.conv(F.substring(digest, 15 * j + 1, 15), 16, 10).cast("bigint")
+def shingle_structs_of(wh: Column, k: int = 3) -> Column:
+    """array<struct<s1, s2>> of order-sensitive k-word rolling hashes mod
+    ``MINHASH_P`` (two independent chains, bases ``_ROLL_B1``/``_ROLL_B2``),
+    from an ALREADY-STAGED :func:`word_hash_structs` column.
 
+    ``wh`` MUST be a plain column reference staged in its own projection, not
+    an inline ``word_hash_structs(...)`` expression: the rolling hash reads
+    ``wh`` via ``element_at`` inside per-element lambdas, and an inline
+    expression there is re-evaluated per element — O(words·shingles) md5
+    calls per document instead of O(words). Measured 16s vs 1.7s at sf0.1
+    (and far worse on long docs); the projection boundary is load-bearing
+    (Catalyst's CollapseProject keeps it because ``wh`` is non-cheap and
+    multiply-referenced).
 
-def minhash_signature(shingle_col: Column, num_hashes: int = 16) -> Column:
-    """MinHash signature as a pure in-row expression → array<bigint>.
-
-    Same family as ``operators/dedup.minhash_signatures`` (sha256 slices), so
-    the two forms produce identical signatures. Evaluated per row on
-    executors; the LSH banding join happens in ``operators/dedup.py``. Empty
-    shingle sets yield NULL mins. Note the digest is re-derived per family
-    member here (fine for small in-row arrays); the explode→agg operator form
-    stages digests once per shingle and is the one to use on a corpus.
+    Same fallback semantics as :func:`shingles`: a doc with fewer than k words
+    yields ONE shingle covering all its words (empty doc → (0, 0)), so short
+    docs still participate in MinHash rather than vanishing.
     """
-    def member(i: int) -> Column:
-        s, j = divmod(i, 4)
-        return F.array_min(
-            F.transform(
-                shingle_col,
-                lambda g: minhash_slice(minhash_digests(g, num_hashes)[s], j),
-            )
+    n = F.size(wh)
+
+    def roll(i: Column, field: str, b: int) -> Column:
+        acc = F.element_at(wh, i)[field]
+        for j in range(1, k):
+            acc = (acc * b + F.element_at(wh, i + j)[field]) % MINHASH_P
+        return acc
+
+
+    def roll_all(field: str, b: int) -> Column:
+        return F.aggregate(
+            wh,
+            F.lit(0).cast("bigint"),
+            lambda acc, w: (acc * b + w[field]) % MINHASH_P,
         )
 
-    return F.array(*[member(i) for i in range(num_hashes)])
+    grams = F.transform(
+        F.sequence(F.lit(1), n - F.lit(k - 1)),
+        lambda i: F.struct(
+            roll(i, "h1", _ROLL_B1).alias("s1"), roll(i, "h2", _ROLL_B2).alias("s2")
+        ),
+    )
+    fallback = F.array(
+        F.struct(
+            roll_all("h1", _ROLL_B1).alias("s1"), roll_all("h2", _ROLL_B2).alias("s2")
+        )
+    )
+    return F.when(n >= k, grams).otherwise(fallback)
+
+
+def shingle_ids_of(shingle_structs: Column) -> Column:
+    """array<bigint>: 62-bit shingle identities ``s1 * 2^31 + s2`` — the
+    collision-resistant key for exact-Jaccard / inverted-index joins (a false
+    merge needs BOTH independent 31-bit chains to collide, ~2^-62)."""
+    return F.transform(
+        shingle_structs,
+        lambda s: s["s1"] * F.lit(1 << 31).cast("bigint") + s["s2"],
+    )
+
+
+def minhash_member(s1: Column, s2: Column, coeff: tuple[int, int, int]) -> Column:
+    """One MinHash family member: ``(a·s1 + b·s2 + c) mod P`` (2-universal-ish
+    over the two independent shingle chains)."""
+    a, b, c = coeff
+    return (F.lit(a) * s1 + F.lit(b) * s2 + F.lit(c)) % MINHASH_P
+
+
+def minhash_signature(shingle_struct_col: Column, num_hashes: int = 16) -> Column:
+    """MinHash signature as a pure in-row expression → array<bigint>, over a
+    :func:`shingle_structs_of` array (stage the word hashes first — see that
+    function's warning).
+
+    Same family as ``operators/dedup.minhash_signatures`` (affine maps of the
+    rolling shingle hashes, see :func:`minhash_coeffs`), so the two forms
+    produce identical signatures. Evaluated per row on executors; the LSH
+    banding join happens in ``operators/dedup.py``. Empty shingle arrays
+    yield NULL mins.
+    """
+    coeffs = minhash_coeffs(num_hashes)
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(
+                    shingle_struct_col,
+                    lambda s, c=c: minhash_member(s["s1"], s["s2"], c),
+                )
+            )
+            for c in coeffs
+        ]
+    )
 
 
 def simhash64(token_col: Column) -> Column:

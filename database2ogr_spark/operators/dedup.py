@@ -30,7 +30,6 @@ from pyspark.sql import functions as F
 
 from database2ogr_spark.functions.hashing import (
     hamming64,
-    shingles,
     stable_hash64,
     words,
 )
@@ -74,33 +73,36 @@ def minhash_signatures(
 ) -> DataFrame:
     """MinHash signatures as a DataFrame (id, sig: array<bigint>).
 
-    Shape chosen for scale and local speed alike: explode shingles so the
-    shingling expression is evaluated once per document (the Generate node is
-    a boundary Catalyst won't inline it across — inlining it into each of the
-    ``num_hashes`` array_min families costs ~num_hashes× the work), derive the
-    whole hash family from ``num_hashes / 4`` sha256 digests staged in their
-    own projection (one crypto hash per four family members, computed once per
-    shingle), and let partial aggregation reduce to per-doc mins before the
-    single shuffle — only ``num_hashes`` bigints per doc cross the wire
-    regardless of document size.
+    Shape chosen for scale and local speed alike: each word is crypto-hashed
+    exactly ONCE (``word_hash_structs``), shingle identity and the whole
+    ``num_hashes``-member family are pure modular arithmetic on those word
+    hashes (``shingle_structs_of``/``minhash_member``), shingle structs are
+    exploded so the shingling expression evaluates once per document (the
+    Generate node is a boundary Catalyst won't inline across), and partial
+    aggregation reduces to per-doc mins before the single shuffle — only
+    ``num_hashes`` bigints per doc cross the wire regardless of document
+    size. Measured ~5x over hashing materialized k-gram strings at sf0.1.
     """
-    from database2ogr_spark.functions.hashing import minhash_digests, minhash_slice
+    from database2ogr_spark.functions.hashing import (
+        minhash_coeffs,
+        minhash_member,
+        shingle_structs_of,
+        word_hash_structs,
+    )
 
-    ex = spread(df).select(
-        F.col(id_col).alias("id"),
-        F.explode(shingles(text_col, k_shingle)).alias("g"),
+    # word hashes staged in their own projection — load-bearing, see the
+    # shingle_structs_of docstring (inline = per-shingle re-hashing)
+    staged = spread(df).select(
+        F.col(id_col).alias("id"), word_hash_structs(text_col).alias("wh")
     )
-    digs = ex.select(
-        "id",
-        *[
-            d.alias(f"d{s}")
-            for s, d in enumerate(minhash_digests(F.col("g"), num_hashes))
-        ],
+    ex = staged.select(
+        "id", F.explode(shingle_structs_of(F.col("wh"), k_shingle)).alias("s")
     )
-    agg = digs.groupBy("id").agg(
+    st = ex.select("id", F.col("s.s1").alias("s1"), F.col("s.s2").alias("s2"))
+    agg = st.groupBy("id").agg(
         *[
-            F.min(minhash_slice(F.col(f"d{i // 4}"), i % 4)).alias(f"h{i}")
-            for i in range(num_hashes)
+            F.min(minhash_member(F.col("s1"), F.col("s2"), c)).alias(f"h{i}")
+            for i, c in enumerate(minhash_coeffs(num_hashes))
         ]
     )
     return agg.select(
@@ -325,16 +327,30 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact n-gram Jaccard over candidate pairs that share ≥1 shingle.
 
-    Inverted-index join: explode distinct shingles, self-join on shingle,
+    Inverted-index join: explode distinct shingle ids, self-join on shingle,
     count shared per pair, then |A∩B| / (|A| + |B| - |A∩B|). Never builds the
     full cross product; the explode size is Σ doc shingles (linear in corpus),
-    and hot shingles can be stopword-filtered upstream if skewed.
+    and hot shingles can be stopword-filtered upstream if skewed. Shingle
+    identity is the 62-bit ``shingle_ids`` rolling hash — an 8-byte join key
+    instead of a k-word string, and no k-gram string materialization.
     """
+    from database2ogr_spark.functions.hashing import (
+        shingle_ids_of,
+        shingle_structs_of,
+        word_hash_structs,
+    )
+
+    staged = spread(df).select(
+        F.col(id_col).alias("id"), word_hash_structs(text_col).alias("wh")
+    )  # staged projection is load-bearing — see shingle_structs_of docstring
     sh = (
-        spread(df)
-        .select(
-            F.col(id_col).alias("id"),
-            F.explode(F.array_distinct(shingles(text_col, k_shingle))).alias("shingle"),
+        staged.select(
+            "id",
+            F.explode(
+                F.array_distinct(
+                    shingle_ids_of(shingle_structs_of(F.col("wh"), k_shingle))
+                )
+            ).alias("shingle"),
         )
         .persist(StorageLevel.MEMORY_AND_DISK)
     )  # read by both join sides and the sizes agg — 3 recomputes otherwise
