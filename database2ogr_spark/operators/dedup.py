@@ -167,7 +167,19 @@ def minhash_lsh_pairs(
 
     left = banded.alias("l")
     right = banded.alias("r")
-    cand = (
+    # similarity is computed and thresholded BEFORE the pair-dedup shuffle:
+    # candidates that fail the estimate die map-side inside the join stage, so
+    # dropDuplicates shuffles only true near-dup pairs (3 scalars each), not
+    # every bucket collision with two signature arrays in tow — at high
+    # collision rates (skewed corpora, many bands) that's the difference
+    # between shuffling ~|matches| and ~|candidates| rows.
+    est = F.size(
+        F.filter(
+            F.zip_with(F.col("l.sig"), F.col("r.sig"), lambda a, b: a == b),
+            lambda m: m,
+        )
+    ).cast("double") / F.lit(float(num_hashes))
+    return (
         left.join(
             right,
             (F.col("l.band") == F.col("r.band"))
@@ -177,22 +189,10 @@ def minhash_lsh_pairs(
         .select(
             F.col("l.id").alias("id_a"),
             F.col("r.id").alias("id_b"),
-            F.col("l.sig").alias("sig_a"),
-            F.col("r.sig").alias("sig_b"),
+            est.alias("est_jaccard"),
         )
-        .dropDuplicates(["id_a", "id_b"])
-    )
-
-    est = F.size(
-        F.filter(
-            F.zip_with("sig_a", "sig_b", lambda a, b: a == b),
-            lambda m: m,
-        )
-    ).cast("double") / F.lit(float(num_hashes))
-    return (
-        cand.withColumn("est_jaccard", est)
         .filter(F.col("est_jaccard") >= threshold)
-        .select("id_a", "id_b", "est_jaccard")
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 
@@ -294,7 +294,11 @@ def simhash_pairs(
         ).alias("cc"),
     ).select("id", "sim", F.col("cc.chunk").alias("chunk"), F.col("cc.val").alias("val"))
 
-    pairs = (
+    # hamming is verified BEFORE the pair-dedup shuffle: bucket collisions
+    # that fail the distance test die map-side inside the join stage (narrow
+    # chunks at high thresholds collide a lot — at sf0.1/max_hamming=10
+    # that's ~3M candidates reduced to the true pairs before any shuffle)
+    return (
         chunks.alias("l")
         .join(
             chunks.alias("r"),
@@ -305,15 +309,10 @@ def simhash_pairs(
         .select(
             F.col("l.id").alias("id_a"),
             F.col("r.id").alias("id_b"),
-            F.col("l.sim").alias("sim_a"),
-            F.col("r.sim").alias("sim_b"),
+            hamming64(F.col("l.sim"), F.col("r.sim")).alias("hamming"),
         )
-        .dropDuplicates(["id_a", "id_b"])
-    )
-    return (
-        pairs.withColumn("hamming", hamming64(F.col("sim_a"), F.col("sim_b")))
         .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 
