@@ -113,20 +113,21 @@ _NORM_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 _WORDS_SQL = f"list_filter(string_split({_NORM_SQL}, ' '), x -> x <> '')"
 _MH_P = 2147483647  # mirrors hashing.MINHASH_P
 _MH_B1, _MH_B2 = 1000003, 1000033  # mirrors hashing._ROLL_B1/_ROLL_B2
-_WHASH_SQL = f"""
+def _whash_sql(source: str = "documents") -> str:
+    return f"""
 SELECT doc_id, list_transform({_WORDS_SQL}, x -> [
     ('0x' || substr(md5(x), 1, 15))::BIGINT % {_MH_P},
     ('0x' || substr(md5(x), 17, 15))::BIGINT % {_MH_P}]) AS h
-FROM documents
+FROM {source}
 """
 
 
-def _roll_sql(chain: int, base: int) -> str:
-    """k=3 rolling hash over word-hash chain ``chain`` starting at index i."""
-    return (
-        f"((((h[i][{chain}] * {base} + h[i+1][{chain}]) % {_MH_P}) * {base}"
-        f" + h[i+2][{chain}]) % {_MH_P})"
-    )
+def _roll_sql(chain: int, base: int, k: int = 3) -> str:
+    """k-word rolling hash over word-hash chain ``chain`` starting at index i."""
+    acc = f"h[i][{chain}]"
+    for j in range(1, k):
+        acc = f"(({acc} * {base} + h[i+{j}][{chain}]) % {_MH_P})"
+    return acc
 
 
 def _roll_all_sql(chain: int, base: int) -> str:
@@ -138,14 +139,20 @@ def _roll_all_sql(chain: int, base: int) -> str:
     )
 
 
-_SHINGLES_SQL = f"""
-SELECT doc_id, CASE WHEN len(h) >= 3
-  THEN list_transform(generate_series(1, len(h) - 2), i ->
-    {_roll_sql(1, _MH_B1)} * 2147483648 + {_roll_sql(2, _MH_B2)})
+def _shingles_sql(k: int = 3, source: str = "documents") -> str:
+    """(doc_id, s: list of 62-bit k-gram ids) for ``source`` — the DuckDB twin
+    of shingle_ids_of(shingle_structs_of(word_hash_structs(text), k))."""
+    return f"""
+SELECT doc_id, CASE WHEN len(h) >= {k}
+  THEN list_transform(generate_series(1, len(h) - {k - 1}), i ->
+    {_roll_sql(1, _MH_B1, k)} * 2147483648 + {_roll_sql(2, _MH_B2, k)})
   ELSE [{_roll_all_sql(1, _MH_B1)} * 2147483648 + {_roll_all_sql(2, _MH_B2)}]
   END AS s
-FROM ({_WHASH_SQL})
+FROM ({_whash_sql(source)})
 """
+
+
+_SHINGLES_SQL = _shingles_sql(3)
 
 
 def _h64_sql(expr: str, seed: int) -> str:
@@ -639,6 +646,25 @@ def q_near_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators/dedup.decontaminate): docs whose
+    id is ≡0 mod 20 play the benchmark; the rest of the corpus survives
+    unless it shares a 13-word-gram with any benchmark doc."""
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+    corpus = docs.filter(F.col("doc_id") % 20 != 0)
+    return DD.decontaminate(corpus, bench, k=13).select("doc_id", "lang", "source")
+
+
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition metrics (operators/repetition.py): duplicate
+    token/bigram fractions in-row, most-frequent-bigram share via
+    explode→two-level partial agg."""
+    from database2ogr_spark.operators.repetition import repetition_stats
+
+    return repetition_stats(_t(spark, sf_dir, "documents"), top_n=2)
+
+
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash LSH candidate pairs (banding self-join — rows-only check;
     semantics pytest-verified in tests/test_dedup.py)."""
@@ -946,6 +972,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": q_minhash_signatures,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "near_dup_groups": q_near_dup_groups,
+        "decontaminate": q_decontaminate,
+        "repetition_stats": q_repetition_stats,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash_pairs": q_simhash_pairs,
         "cosine_topk": q_cosine_topk,
@@ -1441,6 +1469,48 @@ def oracle_sql() -> dict[str, str]:
             labels AS (SELECT id, MIN(r) AS grp FROM reach GROUP BY id)
             SELECT d.doc_id, COALESCE(l.grp, d.doc_id) AS group_id
             FROM documents d LEFT JOIN labels l ON l.id = d.doc_id
+        """,
+        "decontaminate": f"""
+            WITH cg AS (SELECT doc_id, unnest(s) AS gram FROM
+                ({_shingles_sql(13, "(SELECT * FROM documents WHERE doc_id % 20 <> 0)")})),
+            bg AS (SELECT DISTINCT unnest(s) AS gram FROM
+                ({_shingles_sql(13, "(SELECT * FROM documents WHERE doc_id % 20 = 0)")})),
+            bad AS (SELECT DISTINCT cg.doc_id FROM cg JOIN bg USING (gram))
+            SELECT doc_id, lang, source FROM documents
+            WHERE doc_id % 20 <> 0 AND doc_id NOT IN (SELECT doc_id FROM bad)
+        """,
+        "repetition_stats": f"""
+            WITH wh AS ({_whash_sql()}),
+            base AS (
+              SELECT doc_id, CAST(len(h) AS INT) AS n_tokens,
+                list_transform(h, p -> p[1] * 2147483648 + p[2]) AS wids,
+                CASE WHEN len(h) >= 2
+                  THEN list_transform(generate_series(1, len(h) - 1), i ->
+                    {_roll_sql(1, _MH_B1, 2)} * 2147483648 + {_roll_sql(2, _MH_B2, 2)})
+                  ELSE [] END AS bids
+              FROM wh),
+            inrow AS (
+              SELECT doc_id, n_tokens,
+                CASE WHEN n_tokens >= 1 THEN
+                  round(1.0 - len(list_distinct(wids)) / CAST(n_tokens AS DOUBLE), 6)
+                  ELSE 0.0 END AS dup_token_frac,
+                CASE WHEN n_tokens >= 2 THEN
+                  round(1.0 - len(list_distinct(bids)) / CAST(len(bids) AS DOUBLE), 6)
+                  ELSE 0.0 END AS dup_bigram_frac,
+                bids
+              FROM base),
+            gc AS (SELECT doc_id, gram, count(*) AS cnt
+                   FROM (SELECT doc_id, unnest(bids) AS gram FROM inrow)
+                   GROUP BY 1, 2),
+            top AS (SELECT doc_id, max(cnt) AS top_ngram_count,
+                           sum(cnt) AS total_ngrams
+                    FROM gc GROUP BY 1)
+            SELECT i.doc_id, n_tokens, dup_token_frac, dup_bigram_frac,
+              COALESCE(top_ngram_count, 0) AS top_ngram_count,
+              CASE WHEN total_ngrams > 0 THEN
+                round(CAST(top_ngram_count AS DOUBLE) / CAST(total_ngrams AS DOUBLE), 6)
+                ELSE 0.0 END AS top_ngram_frac
+            FROM inrow i LEFT JOIN top USING (doc_id)
         """,
         "cosine_topk": """
             WITH c AS (SELECT vec_id,

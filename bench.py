@@ -36,6 +36,8 @@ HEADLINE = [
     "dedup_exact",
     "text_quality",
     "lang_id",
+    "decontaminate",
+    "repetition_stats",
     "minhash_signatures",
     "minhash_lsh_pairs",
     "simhash_pairs",

@@ -196,6 +196,62 @@ def minhash_lsh_pairs(
     )
 
 
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    k: int = 13,
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """Benchmark decontamination: drop corpus docs sharing ANY word k-gram
+    with any benchmark doc (the standard 13-gram overlap rule used by
+    large-corpus training pipelines).
+
+    Both sides shingle through the same staged word-hash machinery as MinHash
+    (one md5 per word, integer rolling k-gram ids — no k-gram strings), so
+    the match key is an 8-byte bigint. The benchmark gram set is tiny
+    relative to the corpus (eval suites vs 100 TB), so it broadcasts by
+    default and contamination testing is a map-side semi-join — the corpus
+    is never shuffled at all; set ``broadcast_benchmark=False`` if the
+    blocklist outgrows executor memory and let it shuffle-join.
+
+    Docs with fewer than k words contribute one whole-doc gram (the shingle
+    fallback): such a doc is only flagged when the benchmark contains the
+    same fallback gram, i.e. an identical short text.
+
+    Returns the surviving corpus rows (original schema).
+    """
+    from database2ogr_spark.functions.hashing import (
+        shingle_ids_of,
+        shingle_structs_of,
+        word_hash_structs,
+    )
+
+    def grams(df: DataFrame) -> DataFrame:
+        staged = df.select(
+            F.col(id_col).alias("id"), word_hash_structs(text_col).alias("wh")
+        )  # staged projection is load-bearing — see shingle_structs_of
+        return staged.select(
+            "id",
+            F.explode(
+                F.array_distinct(shingle_ids_of(shingle_structs_of(F.col("wh"), k)))
+            ).alias("gram"),
+        )
+
+    bench_grams = grams(benchmark).select("gram").distinct()
+    if broadcast_benchmark:
+        bench_grams = F.broadcast(bench_grams)
+    contaminated = (
+        grams(corpus)
+        .join(bench_grams, "gram", "left_semi")
+        .select(F.col("id").alias(id_col))
+        .distinct()
+    )
+    return corpus.join(contaminated, on=id_col, how="left_anti")
+
+
 def simhash_signatures(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

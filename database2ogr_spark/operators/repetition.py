@@ -1,0 +1,116 @@
+"""Repetition quality metrics à la the Gopher repetition filters
+[Rae et al., "Scaling Language Models: ... Gopher", arXiv:2112.11446 §A1.1]:
+documents dominated by repeated fragments are low-quality training data and
+are filtered on (a) the fraction of duplicate n-grams and (b) the share of
+the single most-frequent n-gram.
+
+Reference parity: the reference engine has no text-quality surface
+(`src/from-ground-up.js` is a geospatial exporter); this module is part of
+the beyond-reference training-data operators (BASELINE.json north star),
+sibling to `functions/textstats.py`.
+
+Scale design: n-gram identity is the same staged word-hash + rolling-hash
+arithmetic as MinHash (`functions/hashing.py` — one md5 per word, everything
+else integer ops, no n-gram strings). The duplicate fractions are pure
+in-row expressions (no shuffle); the most-frequent-gram stats explode gram
+ids and reduce with TWO partial-agg groupBys on the same ``id`` key — Spark
+plans a single exchange for both because the second groupBy's partitioning
+is a prefix of the first's output. Per-doc payload crossing the wire is a
+few bigints regardless of document size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from database2ogr_spark.functions.hashing import (
+    shingle_ids_of,
+    shingle_structs_of,
+    word_hash_structs,
+)
+
+
+def repetition_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    top_n: int = 2,
+) -> DataFrame:
+    """Per-document repetition metrics:
+
+    - ``n_tokens`` — whitespace token count;
+    - ``dup_token_frac`` — ``1 - distinct tokens / tokens`` (0.0 if empty);
+    - ``dup_bigram_frac`` — same over word bigrams (0.0 if < 2 tokens);
+    - ``top_ngram_count`` / ``top_ngram_frac`` — occurrences of the most
+      frequent word ``top_n``-gram and its share of all ``top_n``-grams
+      (0 / 0.0 for docs with < top_n tokens).
+
+    Fractions are rounded to 6 places (oracle parity).
+    """
+    staged = df.select(
+        F.col(id_col).alias("id"), word_hash_structs(text_col).alias("wh")
+    )  # staged projection is load-bearing — see shingle_structs_of
+
+    wh = F.col("wh")
+    word_ids = F.transform(
+        wh, lambda w: w["h1"] * F.lit(1 << 31).cast("bigint") + w["h2"]
+    )
+    bigram_ids = shingle_ids_of(shingle_structs_of(wh, 2))
+
+    def dup_frac(ids, min_tokens: int):
+        total = F.size(ids)
+        return F.when(
+            (F.size(wh) >= min_tokens) & (total > 0),
+            F.round(
+                F.lit(1.0)
+                - F.size(F.array_distinct(ids)).cast("double") / total.cast("double"),
+                6,
+            ),
+        ).otherwise(F.lit(0.0))
+
+    inrow = staged.select(
+        "id",
+        F.size(wh).alias("n_tokens"),
+        dup_frac(word_ids, 1).alias("dup_token_frac"),
+        dup_frac(bigram_ids, 2).alias("dup_bigram_frac"),
+    )
+
+    # most-frequent top_n-gram: explode gram ids, count per (doc, gram),
+    # then max/sum per doc — docs with < top_n tokens produce no grams here
+    # (no shingle fallback: a whole-doc fallback gram would fake a repetition
+    # count of 1) and are restored by the left join below.
+    top_ids = F.when(
+        F.size(wh) >= top_n, shingle_ids_of(shingle_structs_of(wh, top_n))
+    ).otherwise(F.array().cast("array<bigint>"))
+    gram_counts = (
+        staged.select("id", F.explode(top_ids).alias("gram"))
+        .groupBy("id", "gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    top = gram_counts.groupBy("id").agg(
+        F.max("cnt").alias("top_ngram_count"),
+        F.sum("cnt").alias("total_ngrams"),
+    )
+
+    return (
+        inrow.join(top, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            "n_tokens",
+            "dup_token_frac",
+            "dup_bigram_frac",
+            F.coalesce(F.col("top_ngram_count"), F.lit(0)).alias("top_ngram_count"),
+            F.when(
+                F.col("total_ngrams") > 0,
+                F.round(
+                    F.col("top_ngram_count").cast("double")
+                    / F.col("total_ngrams").cast("double"),
+                    6,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("top_ngram_frac"),
+        )
+    )

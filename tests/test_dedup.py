@@ -89,3 +89,51 @@ def test_simhash_pairs_complete_at_high_threshold(spark):
     }
     assert truth, "fixture corpus should contain at least one near-dup pair"
     assert got == truth
+
+
+def test_decontaminate_removes_gram_overlap(spark):
+    # corpus doc 11 shares the benchmark's "alpha beta gamma" trigram; doc 12
+    # is clean; doc 13 is an identical short doc (whole-doc fallback gram);
+    # doc 14 is a different short doc
+    bench = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon"), (2, "tiny doc")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (11, "words before alpha beta gamma and after"),
+            (12, "completely unrelated content about spark shuffles"),
+            (13, "tiny doc"),
+            (14, "other short"),
+        ],
+        "doc_id long, text string",
+    )
+    survivors = {
+        r.doc_id for r in DD.decontaminate(corpus, bench, k=3).collect()
+    }
+    assert survivors == {12, 14}
+
+
+def test_repetition_stats_exact_fracs(spark):
+    from database2ogr_spark.operators.repetition import repetition_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a a a b"),  # tokens: 4 (2 distinct); bigrams: aa,aa,ab
+            (2, "x y z"),  # no repetition
+            (3, "solo"),  # < 2 tokens: bigram stats must be 0
+            (4, ""),  # empty doc: everything 0
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in repetition_stats(docs, top_n=2).collect()}
+    r1 = rows[1]
+    assert r1.n_tokens == 4
+    assert abs(r1.dup_token_frac - 0.5) < 1e-9
+    assert abs(r1.dup_bigram_frac - (1 - 2 / 3)) < 1e-6
+    assert r1.top_ngram_count == 2 and abs(r1.top_ngram_frac - 2 / 3) < 1e-6
+    r2 = rows[2]
+    assert r2.dup_token_frac == 0.0 and r2.dup_bigram_frac == 0.0
+    assert r2.top_ngram_count == 1 and abs(r2.top_ngram_frac - 1 / 2) < 1e-6
+    assert rows[3].n_tokens == 1 and rows[3].top_ngram_count == 0
+    assert rows[4].n_tokens == 0 and rows[4].dup_token_frac == 0.0
