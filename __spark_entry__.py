@@ -874,6 +874,64 @@ def q_anti_join_orderless_customers(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+def q_tpch_q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from database2ogr_spark.plans.relational import nation_volume
+
+    return nation_volume(
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "supplier"),
+        _t(spark, sf_dir, "nation"),
+    )
+
+
+def q_tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from database2ogr_spark.plans.relational import promo_revenue
+
+    return promo_revenue(_t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "part"))
+
+
+def q_tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from database2ogr_spark.plans.relational import top_supplier
+
+    return top_supplier(_t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "supplier"))
+
+
+def q_tpch_q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from database2ogr_spark.plans.relational import small_quantity_revenue
+
+    return small_quantity_revenue(
+        _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "part")
+    )
+
+
+def q_tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from database2ogr_spark.plans.relational import large_volume_orders
+
+    return large_volume_orders(
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "lineitem"),
+    )
+
+
+def q_tpch_q19_band_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from database2ogr_spark.plans.relational import disjunctive_band_revenue
+
+    return disjunctive_band_revenue(
+        _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "part")
+    )
+
+
+def q_tpch_q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from database2ogr_spark.plans.relational import idle_rich_customers
+
+    return idle_rich_customers(
+        _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
+    )
+
+
 def q_distinct_users_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact count-distinct per group — the two-phase distinct-agg shuffle
     (partial distinct on (event_type, user_id), then count). The scale-path
@@ -946,6 +1004,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_users_exact": q_distinct_users_exact,
         "distinct_users_approx": q_distinct_users_approx,
         "tpch_q13_order_distribution": q_tpch_q13_order_distribution,
+        "tpch_q7_nation_volume": q_tpch_q7_nation_volume,
+        "tpch_q14_promo_revenue": q_tpch_q14_promo_revenue,
+        "tpch_q15_top_supplier": q_tpch_q15_top_supplier,
+        "tpch_q17_small_qty_revenue": q_tpch_q17_small_qty_revenue,
+        "tpch_q18_large_orders": q_tpch_q18_large_orders,
+        "tpch_q19_band_revenue": q_tpch_q19_band_revenue,
+        "tpch_q22_idle_rich_customers": q_tpch_q22_idle_rich_customers,
         "window_top_orders_per_segment": q_window_top_orders_per_segment,
         "topk_quality_docs": q_topk_quality_docs,
         "lang_stats": q_lang_stats,
@@ -1191,6 +1256,113 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, count(DISTINCT user_id) AS n_users,
               count(*) AS n_events
             FROM events GROUP BY 1
+        """,
+        "tpch_q7_nation_volume": """
+            SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+              CAST(year(l.l_shipdate) AS INT) AS l_year,
+              sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGINT))::BIGINT
+                AS revenue_c4
+            FROM lineitem l
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+            WHERE sn.n_name IN ('NATION_1', 'NATION_2')
+              AND cn.n_name IN ('NATION_1', 'NATION_2')
+              AND sn.n_name <> cn.n_name
+              AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l.l_shipdate < TIMESTAMP '1998-01-01'
+            GROUP BY 1, 2, 3
+        """,
+        "tpch_q14_promo_revenue": """
+            WITH j AS (
+              SELECT p.p_type,
+                CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGINT)
+                  AS rev_c4
+              FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+              WHERE l.l_shipdate >= TIMESTAMP '1997-09-01'
+                AND l.l_shipdate < TIMESTAMP '1997-10-01')
+            SELECT
+              sum(CASE WHEN p_type = 'PROMO' THEN rev_c4 ELSE 0 END)::BIGINT
+                AS promo_rev_c4,
+              sum(rev_c4)::BIGINT AS total_rev_c4,
+              CAST(round(sum(CASE WHEN p_type = 'PROMO' THEN rev_c4 ELSE 0 END)
+                * 10000.0 / sum(rev_c4)) AS BIGINT) AS promo_share_bp
+            FROM j
+        """,
+        "tpch_q15_top_supplier": """
+            WITH rev AS (
+              SELECT l_suppkey,
+                sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))::BIGINT
+                  AS total_revenue_c4
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1997-07-01'
+                AND l_shipdate < TIMESTAMP '1997-10-01'
+              GROUP BY 1)
+            SELECT s.s_suppkey, s.s_name, rev.total_revenue_c4
+            FROM rev JOIN supplier s ON rev.l_suppkey = s.s_suppkey
+            WHERE rev.total_revenue_c4 = (SELECT max(total_revenue_c4) FROM rev)
+        """,
+        "tpch_q17_small_qty_revenue": """
+            WITH li AS (
+              SELECT l.l_partkey, l.l_quantity, l.l_extendedprice
+              FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+              WHERE p.p_brand = 'Brand#23'),
+            avg_qty AS (
+              SELECT l_partkey,
+                sum(CAST(round(l_quantity * 100) AS BIGINT)) / (100.0 * count(*))
+                  AS avg_qty
+              FROM li GROUP BY 1)
+            SELECT
+              sum(CAST(round(li.l_extendedprice * 10000) AS BIGINT))::BIGINT
+                AS small_qty_rev_c4,
+              count(*) AS n_lines
+            FROM li JOIN avg_qty a ON li.l_partkey = a.l_partkey
+            WHERE li.l_quantity < 0.2 * a.avg_qty
+        """,
+        "tpch_q18_large_orders": """
+            WITH big AS (
+              SELECT l_orderkey,
+                sum(CAST(round(l_quantity * 100) AS BIGINT)) AS qty_c2
+              FROM lineitem GROUP BY 1
+              HAVING sum(CAST(round(l_quantity * 100) AS BIGINT)) > 300 * 100)
+            SELECT c.c_name, c.c_custkey, o.o_orderkey,
+              strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+              o.o_totalprice, big.qty_c2 / 100.0 AS total_qty
+            FROM orders o
+            JOIN big ON o.o_orderkey = big.l_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            ORDER BY o.o_totalprice DESC, o.o_orderkey ASC
+            LIMIT 10
+        """,
+        "tpch_q19_band_revenue": """
+            SELECT
+              sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGINT))::BIGINT
+                AS revenue_c4,
+              count(*) AS n_lines
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+            WHERE p.p_size >= 1 AND (
+                 (p.p_brand = 'Brand#12' AND p.p_size <= 5
+                  AND l.l_quantity BETWEEN 1 AND 11)
+              OR (p.p_brand = 'Brand#23' AND p.p_size <= 10
+                  AND l.l_quantity BETWEEN 10 AND 20)
+              OR (p.p_brand = 'Brand#3' AND p.p_size <= 15
+                  AND l.l_quantity BETWEEN 20 AND 30))
+        """,
+        "tpch_q22_idle_rich_customers": """
+            WITH avg_bal AS (
+              SELECT sum(CAST(round(c_acctbal * 100) AS BIGINT)) / (100.0 * count(*))
+                AS avg_bal
+              FROM customer WHERE c_acctbal > 0)
+            SELECT c.c_mktsegment, count(*) AS n_customers,
+              sum(CAST(round(c.c_acctbal * 100) AS BIGINT))::BIGINT AS total_bal_c2
+            FROM customer c, avg_bal
+            WHERE c.c_acctbal > avg_bal.avg_bal
+              AND NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey
+                                AND o.o_orderdate >= TIMESTAMP '1999-01-01')
+            GROUP BY 1
         """,
         "tpch_q13_order_distribution": """
             SELECT c_count, count(*) AS custdist FROM (

@@ -27,6 +27,9 @@ HEADLINE = [
     "tpch_q3_shipping_priority",
     "tpch_q5_local_supplier_volume",
     "tpch_q13_order_distribution",
+    "tpch_q7_nation_volume",
+    "tpch_q14_promo_revenue",
+    "tpch_q18_large_orders",
     "window_top_orders_per_segment",
     "topk_quality_docs",
     "j1_parent_child_join",

@@ -285,6 +285,270 @@ def customer_order_distribution(
     )
 
 
+def nation_volume(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    *,
+    nation_a: str = "NATION_1",
+    nation_b: str = "NATION_2",
+    date_from: str = "1996-01-01",
+    date_to: str = "1998-01-01",
+) -> DataFrame:
+    """TPC-H Q7 shape: shipped revenue between two nations, by direction and
+    year. The nation dim is broadcast onto *both* ends of the fact (supplier
+    via lineitem, customer via orders) so the two-nation predicate prunes each
+    side before the orderkey shuffle; the cross-pair constraint
+    ``supp_nation != cust_nation`` is a cheap post-join filter. Year comes
+    from ``year(l_shipdate)`` — evaluated on already-filtered rows.
+    """
+    nat = nation.filter(F.col("n_name").isin([nation_a, nation_b])).select(
+        "n_nationkey", "n_name"
+    )
+    s = supplier.join(
+        F.broadcast(nat.select(F.col("n_nationkey").alias("s_nk"),
+                               F.col("n_name").alias("supp_nation"))),
+        F.col("s_nationkey") == F.col("s_nk"),
+    ).select("s_suppkey", "supp_nation")
+    c = customer.join(
+        F.broadcast(nat.select(F.col("n_nationkey").alias("c_nk"),
+                               F.col("n_name").alias("cust_nation"))),
+        F.col("c_nationkey") == F.col("c_nk"),
+    ).select("c_custkey", "cust_nation")
+    li = lineitem.filter(
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit(date_from)))
+        & (F.col("l_shipdate") < F.to_timestamp(F.lit(date_to)))
+    ).select(
+        "l_orderkey",
+        "l_suppkey",
+        F.year("l_shipdate").alias("l_year"),
+        _c4(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev_c4"),
+    )
+    return (
+        li.join(s, li.l_suppkey == s.s_suppkey)
+        .join(orders.select("o_orderkey", "o_custkey"),
+              li.l_orderkey == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == c.c_custkey)
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(F.sum("rev_c4").alias("revenue_c4"))
+    )
+
+
+def promo_revenue(
+    lineitem: DataFrame,
+    part: DataFrame,
+    *,
+    date_from: str = "1997-09-01",
+    date_to: str = "1997-10-01",
+) -> DataFrame:
+    """TPC-H Q14 shape: share of one month's revenue from promo parts — the
+    conditional-aggregation ratio. part (fixed 200k rows/SF vs 6M lineitem)
+    is broadcast; both sums come out of one pass (a ``when()`` inside the
+    aggregate), so there is exactly one scan, one broadcast join, one 1-row
+    final agg. Ratio in basis points on the scaled-integer sums keeps the
+    result engine-portable.
+    """
+    li = lineitem.filter(
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit(date_from)))
+        & (F.col("l_shipdate") < F.to_timestamp(F.lit(date_to)))
+    ).select(
+        "l_partkey",
+        _c4(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev_c4"),
+    )
+    j = li.join(
+        F.broadcast(part.select("p_partkey", "p_type")),
+        li.l_partkey == F.col("p_partkey"),
+    )
+    agg = j.agg(
+        F.sum(F.when(F.col("p_type") == "PROMO", F.col("rev_c4")).otherwise(F.lit(0)))
+        .alias("promo_rev_c4"),
+        F.sum("rev_c4").alias("total_rev_c4"),
+    )
+    return agg.select(
+        "promo_rev_c4",
+        "total_rev_c4",
+        (F.round(F.col("promo_rev_c4") * 10000 / F.col("total_rev_c4"))
+         .cast("bigint")).alias("promo_share_bp"),
+    )
+
+
+def top_supplier(
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    *,
+    date_from: str = "1997-07-01",
+    date_to: str = "1997-10-01",
+) -> DataFrame:
+    """TPC-H Q15 shape: supplier(s) with the maximum quarterly revenue — the
+    scalar-subquery-against-an-aggregate shape. The per-supplier revenue agg
+    is computed once; the 1-row global max is cross-joined back (Catalyst
+    plans a broadcast nested-loop of a single row — free) instead of
+    recomputing the revenue view twice as literal SQL would. Ties all
+    survive, matching the SQL semantics.
+    """
+    rev = (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.to_timestamp(F.lit(date_from)))
+            & (F.col("l_shipdate") < F.to_timestamp(F.lit(date_to)))
+        )
+        .select(
+            "l_suppkey",
+            _c4(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev_c4"),
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum("rev_c4").alias("total_revenue_c4"))
+    )
+    mx = rev.agg(F.max("total_revenue_c4").alias("max_rev_c4"))
+    return (
+        rev.join(F.broadcast(mx), rev.total_revenue_c4 == mx.max_rev_c4)
+        .join(F.broadcast(supplier.select("s_suppkey", "s_name")),
+              rev.l_suppkey == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue_c4")
+    )
+
+
+def small_quantity_revenue(
+    lineitem: DataFrame,
+    part: DataFrame,
+    *,
+    brand: str = "Brand#23",
+    frac: float = 0.2,
+) -> DataFrame:
+    """TPC-H Q17 shape: revenue from orders below 20% of a part's average
+    quantity — the correlated-scalar-subquery shape, decorrelated into an
+    aggregate + self-broadcast-join. lineitem is scanned twice but the
+    per-part average table is #parts-of-one-brand rows (tiny), broadcast onto
+    the second scan — no shuffle of lineitem at all. avg on a scaled-integer
+    sum / count keeps the threshold engine-portable.
+    """
+    p = part.filter(F.col("p_brand") == brand).select("p_partkey")
+    li = lineitem.join(F.broadcast(p), lineitem.l_partkey == p.p_partkey).select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    avg_qty = li.groupBy("l_partkey").agg(
+        (F.sum(F.round(F.col("l_quantity") * 100).cast("bigint"))
+         / (100.0 * F.count(F.lit(1)))).alias("avg_qty")
+    ).select(F.col("l_partkey").alias("a_partkey"), "avg_qty")
+    return (
+        li.join(F.broadcast(avg_qty), li.l_partkey == F.col("a_partkey"))
+        .filter(F.col("l_quantity") < frac * F.col("avg_qty"))
+        .agg(
+            F.sum(_c4(F.col("l_extendedprice"))).alias("small_qty_rev_c4"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+def large_volume_orders(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    *,
+    min_qty: int = 300,
+    topk: int = 10,
+) -> DataFrame:
+    """TPC-H Q18 shape: customers with orders above a total-quantity
+    threshold — the GROUP BY + HAVING → semi-join shape. The heavy agg
+    (sum of quantity per orderkey) runs first and the HAVING filter cuts it
+    to a handful of orderkeys, which then *broadcast*-semi-join back onto
+    orders; customer attaches last. lineitem shuffles once, on its natural
+    key, and nothing downstream touches it again.
+    """
+    big = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.sum(F.round(F.col("l_quantity") * 100).cast("bigint")).alias("qty_c2"))
+        .filter(F.col("qty_c2") > min_qty * 100)
+        .select("l_orderkey", (F.col("qty_c2") / 100.0).alias("total_qty"))
+    )
+    o = orders.select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    return (
+        o.join(F.broadcast(big), o.o_orderkey == big.l_orderkey)
+        .join(customer.select("c_custkey", "c_name"),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_name", "c_custkey", "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_totalprice", "total_qty",
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(topk)
+    )
+
+
+def disjunctive_band_revenue(
+    lineitem: DataFrame,
+    part: DataFrame,
+) -> DataFrame:
+    """TPC-H Q19 shape: revenue over an OR-of-ANDs of (brand, size,
+    quantity) bands — the disjunctive-predicate join. The single
+    part-attribute disjunction stays one broadcast hash join with the OR as
+    the join residual; the shared conjuncts (p_size >= 1) are factored out
+    so they still push into the part scan. No engine should turn this into
+    three unions of the fact table.
+    """
+    p = part.filter(F.col("p_size") >= 1).select("p_partkey", "p_brand", "p_size")
+    li = lineitem.select(
+        "l_partkey", "l_quantity",
+        _c4(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev_c4"),
+    )
+    band = (
+        ((F.col("p_brand") == "Brand#12") & (F.col("p_size") <= 5)
+         & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#23") & (F.col("p_size") <= 10)
+           & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#3") & (F.col("p_size") <= 15)
+           & F.col("l_quantity").between(20, 30))
+    )
+    return (
+        li.join(F.broadcast(p), (li.l_partkey == p.p_partkey) & band)
+        .agg(
+            F.sum("rev_c4").alias("revenue_c4"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+def idle_rich_customers(
+    customer: DataFrame,
+    orders: DataFrame,
+    *,
+    since: str = "1999-01-01",
+) -> DataFrame:
+    """TPC-H Q22 shape: above-average-balance customers with no recent
+    orders — global-average scalar broadcast + anti join. The 1-row average
+    (over strictly-positive balances) broadcast-nested-loop-joins onto
+    customer (free), the anti join probes with just o_custkey after the date
+    filter pruned the orders scan, and the final agg groups 5 market
+    segments (phone-prefix stand-in: this schema has no c_phone; "no orders
+    ever" is also vacuous in this data — every customer has orders). At
+    100 TB: one pass over customer, one single-column pass over recent
+    orders, no wide shuffle anywhere.
+    """
+    avg_bal = customer.filter(F.col("c_acctbal") > 0).agg(
+        (F.sum(F.round(F.col("c_acctbal") * 100).cast("bigint"))
+         / (100.0 * F.count(F.lit(1)))).alias("avg_bal")
+    )
+    rich = (
+        customer.select("c_custkey", "c_mktsegment", "c_acctbal")
+        .join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+    )
+    recent = orders.filter(
+        F.col("o_orderdate") >= F.to_timestamp(F.lit(since))
+    ).select("o_custkey")
+    return (
+        rich.join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(F.round(F.col("c_acctbal") * 100).cast("bigint")).alias("total_bal_c2"),
+        )
+    )
+
+
 def top_orders_per_segment(
     customer: DataFrame, orders: DataFrame, *, k: int = 3
 ) -> DataFrame:
