@@ -193,13 +193,16 @@ def q_s2_full_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_p3_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P3/X7 — ST_Envelope-equivalent bounds over synthesized LineStrings."""
     g = _geo_customer(spark, sf_dir)
-    b = G.envelope_bounds("geom_json")
+    # two-stage select: the fold stays a single staged expression (one token
+    # scan per row) instead of being re-inlined once per extracted field
     return g.select(
+        "c_custkey", G.envelope_bounds("geom_json").alias("bb")
+    ).select(
         "c_custkey",
-        b.getField("xmin").alias("xmin"),
-        b.getField("ymin").alias("ymin"),
-        b.getField("xmax").alias("xmax"),
-        b.getField("ymax").alias("ymax"),
+        F.col("bb").getField("xmin").alias("xmin"),
+        F.col("bb").getField("ymin").alias("ymin"),
+        F.col("bb").getField("xmax").alias("xmax"),
+        F.col("bb").getField("ymax").alias("ymax"),
     )
 
 

@@ -18,6 +18,8 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import __spark_entry__ as entrymod
+from pyspark.sql import functions as F
+
 from database2ogr_spark.session import get_spark
 
 #: headline set: the reference-surface pipeline pieces + each training-data
@@ -70,6 +72,16 @@ def main() -> None:
     # pool + Arrow serialization path (first pandas-UDF query otherwise pays
     # ~4s of worker startup that isn't the operator's cost)
     qs["s2_full_scan"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    # warm the whole-stage-codegen hash-aggregate path on synthetic data:
+    # the first grouped aggregation otherwise pays JVM JIT (C2) compilation
+    # of the generated agg loop — measured ~2s of non-operator cost landing
+    # on whichever agg query runs first
+    (
+        spark.range(1_000_000)
+        .groupBy((F.col("id") % 7).alias("k"))
+        .agg(F.sum("id").alias("s"), F.count(F.lit(1)).alias("n"))
+        .write.format("noop").mode("overwrite").save()
+    )
     import pandas as pd  # noqa: F401
 
     def _noop_pd(batches):

@@ -57,37 +57,92 @@ def _axis(col: Column | str, parity: int) -> Column:
     )
 
 
+def _envelope_fold(col: Column | str, finish) -> Column:
+    """Single-pass envelope: one ``regexp_extract_all`` token scan feeds one
+    ``aggregate`` that tracks min/max per lon/lat parity in its accumulator;
+    ``finish`` maps the final accumulator (fields xmin/ymin/xmax/ymax) to the
+    output. The naive formulation (four ``array_min``/``array_max`` over
+    per-axis filtered copies) re-ran the regexp once per extracted field —
+    on polygon strings the token scan *is* the cost, so folding is a ~4x win
+    on the envelope path at any scale, and producing the *finished* value
+    inside the fold keeps callers from duplicating the whole expression per
+    struct field. ``least``/``greatest`` ignore NULLs, so the
+    NULL-initialized accumulator needs no special casing and an empty
+    coordinate list yields NULL bounds.
+    """
+    nums = coords_numbers(col)
+
+    def step(acc: Column, x: Column) -> Column:
+        d = x.cast("double")
+        is_lon = acc.getField("i") % 2 == 0
+        return F.struct(
+            F.when(is_lon, F.least(acc.getField("xmin"), d))
+            .otherwise(acc.getField("xmin")).alias("xmin"),
+            F.when(~is_lon, F.least(acc.getField("ymin"), d))
+            .otherwise(acc.getField("ymin")).alias("ymin"),
+            F.when(is_lon, F.greatest(acc.getField("xmax"), d))
+            .otherwise(acc.getField("xmax")).alias("xmax"),
+            F.when(~is_lon, F.greatest(acc.getField("ymax"), d))
+            .otherwise(acc.getField("ymax")).alias("ymax"),
+            (acc.getField("i") + 1).alias("i"),
+        )
+
+    null_d = F.lit(None).cast("double")
+    init = F.struct(
+        null_d.alias("xmin"), null_d.alias("ymin"),
+        null_d.alias("xmax"), null_d.alias("ymax"),
+        F.lit(0).alias("i"),
+    )
+    return F.aggregate(nums, init, step, finish)
+
+
 def envelope_bounds(col: Column | str) -> Column:
     """Bounding box as ``struct<xmin,ymin,xmax,ymax:double>`` — the analytic
-    core of ``ST_Envelope`` (reference P3, ``src/from-ground-up.js:86-87``)."""
-    lons, lats = _axis(col, 0), _axis(col, 1)
-    return F.struct(
-        F.array_min(lons).alias("xmin"),
-        F.array_min(lats).alias("ymin"),
-        F.array_max(lons).alias("xmax"),
-        F.array_max(lats).alias("ymax"),
+    core of ``ST_Envelope`` (reference P3, ``src/from-ground-up.js:86-87``).
+
+    Extract the fields from the *selected column* in a second ``select``
+    (``df.select(envelope_bounds(g).alias("bb")).select("bb.xmin", ...)``)
+    rather than calling ``.getField`` on this expression four times —
+    CollapseProject leaves the non-cheap fold staged, so the token scan runs
+    once per row.
+    """
+    return _envelope_fold(
+        col,
+        lambda acc: F.struct(
+            acc.getField("xmin").alias("xmin"),
+            acc.getField("ymin").alias("ymin"),
+            acc.getField("xmax").alias("xmax"),
+            acc.getField("ymax").alias("ymax"),
+        ),
     )
 
 
 def envelope_geojson(col: Column | str) -> Column:
     """``ST_AsGeoJSON(ST_Envelope(geom))`` equivalent: closed-ring Polygon
     GeoJSON string from the bounds (reference emits this as the
-    ``bounding_box`` column, ``src/from-ground-up.js:86-87``)."""
-    b = envelope_bounds(col)
-    xmin, ymin = b.getField("xmin"), b.getField("ymin")
-    xmax, ymax = b.getField("xmax"), b.getField("ymax")
+    ``bounding_box`` column, ``src/from-ground-up.js:86-87``). The string is
+    assembled inside the fold's finish lambda, so the bounds are computed
+    exactly once per row no matter how often each corner appears in the
+    ring text."""
 
     def pt(x: Column, y: Column) -> Column:
         return F.concat(F.lit("["), x.cast("string"), F.lit(","), y.cast("string"), F.lit("]"))
 
-    ring = F.concat_ws(
-        ",", pt(xmin, ymin), pt(xmax, ymin), pt(xmax, ymax), pt(xmin, ymax), pt(xmin, ymin)
-    )
-    # Degenerate box (single position) → Point, matching PostGIS ST_Envelope.
-    return F.when(
-        (xmin == xmax) & (ymin == ymax),
-        F.concat(F.lit('{"type":"Point","coordinates":'), pt(xmin, ymin), F.lit("}")),
-    ).otherwise(F.concat(F.lit('{"type":"Polygon","coordinates":[['), ring, F.lit("]]}")))
+    def finish(acc: Column) -> Column:
+        xmin, ymin = acc.getField("xmin"), acc.getField("ymin")
+        xmax, ymax = acc.getField("xmax"), acc.getField("ymax")
+        ring = F.concat_ws(
+            ",", pt(xmin, ymin), pt(xmax, ymin), pt(xmax, ymax), pt(xmin, ymax), pt(xmin, ymin)
+        )
+        # Degenerate box (single position) → Point, matching PostGIS ST_Envelope.
+        return F.when(
+            (xmin == xmax) & (ymin == ymax),
+            F.concat(F.lit('{"type":"Point","coordinates":'), pt(xmin, ymin), F.lit("}")),
+        ).otherwise(
+            F.concat(F.lit('{"type":"Polygon","coordinates":[['), ring, F.lit("]]}"))
+        )
+
+    return _envelope_fold(col, finish)
 
 
 def point_geojson(lon: Column, lat: Column) -> Column:
