@@ -70,19 +70,27 @@ def minhash_signatures(
     *,
     k_shingle: int = 3,
     num_hashes: int = 16,
+    use_arrow: bool = True,
 ) -> DataFrame:
     """MinHash signatures as a DataFrame (id, sig: array<bigint>).
 
-    Shape chosen for scale and local speed alike: each word is crypto-hashed
-    exactly ONCE (``word_hash_structs``), shingle identity and the whole
-    ``num_hashes``-member family are pure modular arithmetic on those word
-    hashes (``shingle_structs_of``/``minhash_member``), shingle structs are
-    exploded so the shingling expression evaluates once per document (the
-    Generate node is a boundary Catalyst won't inline across), and partial
-    aggregation reduces to per-doc mins before the single shuffle — only
-    ``num_hashes`` bigints per doc cross the wire regardless of document
-    size. Measured ~5x over hashing materialized k-gram strings at sf0.1.
+    Default tier is the Arrow kernel (``functions/gramkernel.py``): one
+    ``mapInPandas`` pass, numpy arithmetic, zero shuffle — signatures are
+    bit-identical to the expression tier below (same md5 halves, same
+    rolling chains, same affine family), so the oracle contract is
+    unchanged. ``use_arrow=False`` selects the pure-Column tier: each word
+    crypto-hashed ONCE (``word_hash_structs``), shingle structs exploded so
+    the shingling expression evaluates once per document, partial
+    aggregation reducing to per-doc mins before a single shuffle of
+    ``num_hashes`` bigints per doc.
     """
+    if use_arrow:
+        from database2ogr_spark.functions.gramkernel import minhash_signature_table
+
+        return minhash_signature_table(
+            spread(df), id_col, text_col, k_shingle, num_hashes
+        )
+
     from database2ogr_spark.functions.hashing import (
         minhash_coeffs,
         minhash_member,
@@ -119,6 +127,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 16,
     bands: int = 4,
     threshold: float = 0.5,
+    use_arrow: bool = True,
 ) -> DataFrame:
     """Near-dup candidate pairs via MinHash LSH, scored by signature overlap.
 
@@ -135,7 +144,8 @@ def minhash_lsh_pairs(
     rows_per_band = num_hashes // bands
 
     sigs = minhash_signatures(
-        df, id_col, text_col, k_shingle=k_shingle, num_hashes=num_hashes
+        df, id_col, text_col, k_shingle=k_shingle, num_hashes=num_hashes,
+        use_arrow=use_arrow,
     ).persist(StorageLevel.MEMORY_AND_DISK)
 
     banded = sigs.select(
@@ -204,6 +214,7 @@ def decontaminate(
     *,
     k: int = 13,
     broadcast_benchmark: bool = True,
+    use_arrow: bool = True,
 ) -> DataFrame:
     """Benchmark decontamination: drop corpus docs sharing ANY word k-gram
     with any benchmark doc (the standard 13-gram overlap rule used by
@@ -230,6 +241,10 @@ def decontaminate(
     )
 
     def grams(df: DataFrame) -> DataFrame:
+        if use_arrow:
+            from database2ogr_spark.functions.gramkernel import distinct_gram_table
+
+            return distinct_gram_table(spread(df), id_col, text_col, k)
         staged = df.select(
             F.col(id_col).alias("id"), word_hash_structs(text_col).alias("wh")
         )  # staged projection is load-bearing — see shingle_structs_of
@@ -253,21 +268,32 @@ def decontaminate(
 
 
 def simhash_signatures(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    *, use_arrow: bool = True,
 ) -> DataFrame:
     """60-bit SimHash signatures as a DataFrame (id, sim: bigint).
 
-    Same explode→partial-agg shape as :func:`minhash_signatures`: each token
-    is hashed exactly once, the 60 per-bit ±1 votes are summed map-side
-    (partial aggregation), and only 60 small ints per doc cross the shuffle.
-    The expression form (``functions.hashing.simhash64``) re-evaluates the
-    token-hash array inside every per-bit vote — 60× the hashing work — so it
-    is kept only for small in-row arrays.
+    Default tier is the Arrow kernel (``functions/gramkernel.simhash_table``):
+    one shuffle-free ``mapInPandas`` pass, per-bit votes as one vectorized
+    ``reduceat`` over the flat token-hash array — identical signatures.
+
+    The ``use_arrow=False`` tier keeps the same explode→partial-agg shape as
+    :func:`minhash_signatures`: each token hashed exactly once, the 60
+    per-bit ±1 votes summed map-side (partial aggregation), only 60 small
+    ints per doc crossing the shuffle. (The pure in-row expression form,
+    ``functions.hashing.simhash64``, re-evaluates the token-hash array inside
+    every per-bit vote — 60× the hashing work — and is kept only for small
+    in-row arrays.)
 
     Documents with no tokens get signature 0 (explode_outer keeps them; null
     hash votes negative on every bit), matching ``simhash64`` on an empty
     array.
     """
+    if use_arrow:
+        from database2ogr_spark.functions.gramkernel import simhash_table
+
+        return simhash_table(spread(df), id_col, text_col)
+
     ex = spread(df).select(
         F.col(id_col).alias("id"), F.explode_outer(words(text_col)).alias("w")
     )
@@ -307,6 +333,7 @@ def simhash_pairs(
     text_col: str = "text",
     *,
     max_hamming: int = 3,
+    use_arrow: bool = True,
 ) -> DataFrame:
     """SimHash near-dup pairs with hamming ≤ max_hamming — complete for any
     threshold.
@@ -329,7 +356,7 @@ def simhash_pairs(
     base, extra = divmod(sig_bits, n_chunks)
     widths = [base + (1 if i < extra else 0) for i in range(n_chunks)]
     offsets = [sum(widths[:i]) for i in range(n_chunks)]
-    sigs = simhash_signatures(df, id_col, text_col).persist(
+    sigs = simhash_signatures(df, id_col, text_col, use_arrow=use_arrow).persist(
         StorageLevel.MEMORY_AND_DISK
     )
     chunks = sigs.select(
@@ -379,6 +406,7 @@ def ngram_jaccard_pairs(
     *,
     k_shingle: int = 3,
     threshold: float = 0.5,
+    use_arrow: bool = True,
 ) -> DataFrame:
     """Exact n-gram Jaccard over candidate pairs that share ≥1 shingle.
 
@@ -388,6 +416,8 @@ def ngram_jaccard_pairs(
     and hot shingles can be stopword-filtered upstream if skewed. Shingle
     identity is the 62-bit ``shingle_ids`` rolling hash — an 8-byte join key
     instead of a k-word string, and no k-gram string materialization.
+    The shingle table comes from the Arrow kernel by default (identical ids;
+    ``use_arrow=False`` selects the Column-expression tier).
     """
     from database2ogr_spark.functions.hashing import (
         shingle_ids_of,
@@ -395,20 +425,27 @@ def ngram_jaccard_pairs(
         word_hash_structs,
     )
 
-    staged = spread(df).select(
-        F.col(id_col).alias("id"), word_hash_structs(text_col).alias("wh")
-    )  # staged projection is load-bearing — see shingle_structs_of docstring
-    sh = (
-        staged.select(
-            "id",
-            F.explode(
-                F.array_distinct(
-                    shingle_ids_of(shingle_structs_of(F.col("wh"), k_shingle))
-                )
-            ).alias("shingle"),
-        )
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )  # read by both join sides and the sizes agg — 3 recomputes otherwise
+    if use_arrow:
+        from database2ogr_spark.functions.gramkernel import distinct_gram_table
+
+        sh = distinct_gram_table(
+            spread(df), id_col, text_col, k_shingle
+        ).withColumnRenamed("gram", "shingle").persist(StorageLevel.MEMORY_AND_DISK)
+    else:
+        staged = spread(df).select(
+            F.col(id_col).alias("id"), word_hash_structs(text_col).alias("wh")
+        )  # staged projection is load-bearing — see shingle_structs_of docstring
+        sh = (
+            staged.select(
+                "id",
+                F.explode(
+                    F.array_distinct(
+                        shingle_ids_of(shingle_structs_of(F.col("wh"), k_shingle))
+                    )
+                ).alias("shingle"),
+            )
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )  # read by both join sides and the sizes agg — 3 recomputes otherwise
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
 
     shared = (

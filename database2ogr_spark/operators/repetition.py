@@ -37,6 +37,7 @@ def repetition_stats(
     text_col: str = "text",
     *,
     top_n: int = 2,
+    use_arrow: bool = True,
 ) -> DataFrame:
     """Per-document repetition metrics:
 
@@ -48,7 +49,41 @@ def repetition_stats(
       (0 / 0.0 for docs with < top_n tokens).
 
     Fractions are rounded to 6 places (oracle parity).
+
+    Default tier: the Arrow kernel computes every COUNT per document in one
+    shuffle-free ``mapInPandas`` pass (the most-frequent-gram count is a
+    per-document statistic — it never needed the explode → groupBy → join
+    pipeline of the expression tier); the fraction/rounding arithmetic is
+    shared Column expressions, so both tiers are bit-identical.
     """
+    if use_arrow:
+        from database2ogr_spark.functions.gramkernel import repetition_counts_table
+        from database2ogr_spark.operators.partitioning import spread
+
+        c = repetition_counts_table(spread(df), id_col, text_col, top_n)
+
+        def frac(num, den):
+            return F.round(
+                F.lit(1.0) - num.cast("double") / den.cast("double"), 6
+            )
+
+        return c.select(
+            F.col("id").alias(id_col),
+            F.col("n_tokens").cast("int").alias("n_tokens"),
+            F.when(F.col("n_tokens") > 0, frac(F.col("nd_tokens"), F.col("n_tokens")))
+            .otherwise(F.lit(0.0)).alias("dup_token_frac"),
+            F.when(F.col("n_bigrams") > 0, frac(F.col("nd_bigrams"), F.col("n_bigrams")))
+            .otherwise(F.lit(0.0)).alias("dup_bigram_frac"),
+            F.col("top_ngram_count"),
+            F.when(
+                F.col("total_ngrams") > 0,
+                F.round(
+                    F.col("top_ngram_count").cast("double")
+                    / F.col("total_ngrams").cast("double"),
+                    6,
+                ),
+            ).otherwise(F.lit(0.0)).alias("top_ngram_frac"),
+        )
     staged = df.select(
         F.col(id_col).alias("id"), word_hash_structs(text_col).alias("wh")
     )  # staged projection is load-bearing — see shingle_structs_of
