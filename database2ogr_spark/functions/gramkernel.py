@@ -287,7 +287,6 @@ def simhash_table(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     60-bit SimHash, bit j set iff the majority of token hashes have bit j set
     (strictly: 2·popcount_j > n). Empty documents → 0."""
     id_type = dict(df.dtypes)[id_col]
-    shifts = np.arange(60, dtype=np.int64)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -298,11 +297,13 @@ def simhash_table(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
                 counts = np.diff(offsets)
                 nonempty = np.nonzero(counts)[0]
                 starts = offsets[nonempty]
-                # W×60 bit matrix, summed per document segment in one reduceat
-                bits = ((s60[:, None] >> shifts) & 1).astype(np.int64)
-                pop = np.add.reduceat(bits, starts, axis=0)
-                maj = (2 * pop) > counts[nonempty][:, None]
-                sims[nonempty] = (maj.astype(np.int64) << shifts).sum(axis=1)
+                half = counts[nonempty]  # majority means 2·popcount > n
+                # one bit at a time: a W×60 bit matrix would allocate
+                # ~500 bytes/token per batch (measured GC collapse at 50k
+                # docs); per-bit the working set is one W-length vector
+                for j in range(60):
+                    pop = np.add.reduceat((s60 >> j) & 1, starts)
+                    sims[nonempty] |= ((2 * pop) > half).astype(np.int64) << j
             yield pd.DataFrame({"id": pdf[id_col].to_numpy(), "sim": sims})
 
     return df.select(id_col, text_col).mapInPandas(
