@@ -151,3 +151,44 @@ def test_streaming_append_with_watermark(spark, tmp_path):
         q.stop()
     emitted = {(r.window_start.minute, r.event_type) for r in rows}
     assert (0, "click") in emitted and (5, "view") in emitted
+
+
+ATTR_ROWS = [
+    (1, dt.datetime(2024, 1, 1, 0, 0, 0), 10, "click", 1.0, "{}"),
+    (2, dt.datetime(2024, 1, 1, 0, 10, 0), 10, "purchase", 5.0, "{}"),
+    (3, dt.datetime(2024, 1, 1, 2, 0, 0), 10, "purchase", 6.0, "{}"),  # > 30m
+    (4, dt.datetime(2024, 1, 1, 0, 5, 0), 11, "click", 1.0, "{}"),
+    (5, dt.datetime(2024, 1, 1, 0, 4, 0), 11, "purchase", 2.0, "{}"),  # before click
+]
+
+
+def test_attribution_join_batch(spark):
+    from database2ogr_spark.streaming.events import attribution_join
+
+    df = spark.createDataFrame(ATTR_ROWS, EVENTS_SCHEMA)
+    out = attribution_join(df).collect()
+    # only purchase 2 is within [click, click + 30m] of a same-user click
+    assert [(r.left_id, r.right_id, r.lag_seconds) for r in out] == [(1, 2, 600)]
+
+
+def test_attribution_join_streaming(spark, tmp_path):
+    # stream-stream interval join: both sides watermarked, state time-bounded
+    from database2ogr_spark.streaming.events import attribution_join
+
+    src = str(tmp_path / "attr_src")
+    spark.createDataFrame(ATTR_ROWS, EVENTS_SCHEMA).write.parquet(src)
+    stream = read_events_stream(spark, src)
+    joined = attribution_join(stream, stream)
+    assert joined.isStreaming
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("attr_join")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("select * from attr_join").collect()
+    finally:
+        q.stop()
+    assert [(r.left_id, r.right_id, r.lag_seconds) for r in rows] == [(1, 2, 600)]
