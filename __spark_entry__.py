@@ -722,6 +722,24 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join, batch twin: click→purchase attribution
+    per user within 30 minutes (streaming/events.attribution_join; the
+    streaming path with watermarked state is tested in
+    tests/test_streaming.py)."""
+    from database2ogr_spark.streaming.events import attribution_join
+
+    j = attribution_join(read_events(spark, os.path.join(sf_dir, "events.parquet")))
+    return j.select(
+        "user_id",
+        "left_id",
+        "right_id",
+        F.unix_timestamp("left_ts").alias("left_ts_epoch"),
+        F.unix_timestamp("right_ts").alias("right_ts_epoch"),
+        "lag_seconds",
+    )
+
+
 def q_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling-window aggregation (batch twin of the streaming path)."""
     w = windowed_event_counts(read_events(spark, os.path.join(sf_dir, "events.parquet")))
@@ -1051,6 +1069,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": q_ivf_topk,
         "events_windowed": q_events_windowed,
         "events_sessionize": q_events_sessionize,
+        "events_attribution_join": q_events_attribution_join,
         "events_props_extract": q_events_props_extract,
         "multimodal_decode": q_multimodal_decode,
         "multimodal_frame_sample": q_multimodal_frame_sample,
@@ -1746,4 +1765,16 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k "
             "FROM events"
         ),
+        "events_attribution_join": """
+            SELECT l.user_id,
+              l.event_id AS left_id, r.event_id AS right_id,
+              CAST(floor(epoch(l.ts)) AS BIGINT) AS left_ts_epoch,
+              CAST(floor(epoch(r.ts)) AS BIGINT) AS right_ts_epoch,
+              CAST(floor(epoch(r.ts)) AS BIGINT) - CAST(floor(epoch(l.ts)) AS BIGINT)
+                AS lag_seconds
+            FROM events l JOIN events r
+              ON l.user_id = r.user_id
+             AND l.event_type = 'click' AND r.event_type = 'purchase'
+             AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 30 MINUTE
+        """,
     }

@@ -159,6 +159,60 @@ def user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def attribution_join(
+    left: DataFrame,
+    right: DataFrame | None = None,
+    *,
+    left_type: str = "click",
+    right_type: str = "purchase",
+    max_lag_minutes: int = 30,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream INNER interval join: attribute each ``right_type`` event
+    to every ``left_type`` event by the same user in the preceding
+    ``max_lag_minutes`` — the classic click→purchase attribution shape.
+
+    Pass one DataFrame (split by ``event_type`` internally) or two. On
+    streaming inputs both sides carry a watermark and the join condition
+    time-bounds the buffered state: Spark can evict a click once the
+    purchase-side watermark passes ``click.ts + max_lag``, so state is
+    O(events per lag window), not O(stream history) — the property that
+    makes the join runnable forever. On batch inputs the same plan is a
+    plain equi-join with a range residual.
+
+    Output: user_id, left_id, right_id, left_ts, right_ts, lag_seconds.
+    """
+    if right is None:
+        right = left
+    lhs = left.filter(F.col("event_type") == left_type).select(
+        F.col("user_id").alias("l_user"),
+        F.col("event_id").alias("left_id"),
+        F.col("ts").alias("l_ts"),
+    )
+    rhs = right.filter(F.col("event_type") == right_type).select(
+        F.col("user_id").alias("r_user"),
+        F.col("event_id").alias("right_id"),
+        F.col("ts").alias("r_ts"),
+    )
+    if lhs.isStreaming:
+        lhs = lhs.withWatermark("l_ts", watermark)
+    if rhs.isStreaming:
+        rhs = rhs.withWatermark("r_ts", watermark)
+    cond = (
+        (F.col("l_user") == F.col("r_user"))
+        & (F.col("r_ts") >= F.col("l_ts"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {max_lag_minutes} MINUTES"))
+    )
+    return lhs.join(rhs, cond).select(
+        F.col("l_user").alias("user_id"),
+        "left_id",
+        "right_id",
+        F.col("l_ts").alias("left_ts"),
+        F.col("r_ts").alias("right_ts"),
+        (F.unix_timestamp("r_ts") - F.unix_timestamp("l_ts")).alias("lag_seconds"),
+    )
+
+
 def sessionize(
     events: DataFrame,
     *,
