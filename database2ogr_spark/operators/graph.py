@@ -44,6 +44,7 @@ def connected_components(
     dst: str = "id_b",
     *,
     max_iter: int = 30,
+    driver_threshold: int = 100_000,
 ) -> DataFrame:
     """Connected components of the undirected graph given by ``edges``.
 
@@ -53,12 +54,59 @@ def connected_components(
     appear — callers left-join and coalesce to self (see
     :func:`near_dup_groups`).
 
-    The result is materialized (checkpointed) — iterating lazily over an
-    unbounded lineage is not an option — so calling this runs Spark jobs.
+    Scale-adaptive: the edge table is persisted and counted once (the
+    count doubles as the materializing action the iteration needs anyway —
+    the persisted edges are reread every round, never rebuilt). If the
+    count fits ``driver_threshold``, components come from a driver-side
+    union-find — near-dup edge sets are usually minuscule relative to the
+    corpus (pairs over a high similarity threshold), and one collect of
+    the already-materialized edges beats 2-4 rounds of shuffle jobs whose
+    cost is pure scheduling at that size. (Deliberately ``count()`` +
+    ``collect()``, NOT ``take(threshold+1)``: CollectLimit executes the
+    plan in scale-up batches and re-ran the expensive pair join 3-4x —
+    measured 12-14 s vs 3 s on the near-dup bench.) Above the threshold,
+    the distributed min-label propagation below runs on the persisted
+    edges — per-round cost is one edge-table shuffle, round count is the
+    component diameter: the 100 TB shape. ``driver_threshold=0`` forces
+    the distributed path.
+
+    The result is materialized (checkpointed or driver-built) — iterating
+    lazily over an unbounded lineage is not an option — so calling this
+    runs Spark jobs.
     """
+    edge_tbl = edges.select(
+        F.col(src).alias("u"), F.col(dst).alias("v")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    if driver_threshold > 0 and edge_tbl.count() <= driver_threshold:
+        head = edge_tbl.collect()
+        edge_tbl.unpersist()
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        for a, b in head:
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # union by min id keeps every root the component minimum
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        rows = [(v, find(v)) for v in parent]
+        id_type = dict(edges.dtypes)[src]
+        return edges.sparkSession.createDataFrame(
+            rows, schema=f"id {id_type}, component {id_type}"
+        )
     sym = (
-        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .unionByName(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        edge_tbl.unionByName(
+            edge_tbl.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
@@ -105,6 +153,7 @@ def connected_components(
             "max_iter or switch to a large-star/small-star implementation"
         )
     sym.unpersist()
+    edge_tbl.unpersist()
     return labels
 
 

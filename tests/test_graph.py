@@ -57,3 +57,19 @@ def test_near_dup_groups_matches_brute_closure(spark):
         assert grp == expect_grp.get(doc_id, doc_id)
     # at least one real multi-doc group
     assert any(g != d for d, g in got.items())
+
+
+def test_connected_components_paths_agree(spark):
+    # the driver union-find short-circuit and the distributed min-label
+    # propagation must produce identical labelings
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (10, 11), (11, 12), (12, 10), (20, 21), (5, 4)],
+        "id_a long, id_b long",
+    )
+    small = {r.id: r.component for r in connected_components(edges).collect()}
+    dist = {
+        r.id: r.component
+        for r in connected_components(edges, driver_threshold=0).collect()
+    }
+    assert small == dist == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
+                             10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
