@@ -527,6 +527,40 @@ def q_lang_source_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lang_source_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE aggregation — all 2^k grouping sets (rollup's sibling surface;
+    same partial-agg expansion, Catalyst plans one Expand + one shuffle)."""
+    d = _t(spark, sf_dir, "documents")
+    out = d.cube("lang", "source").agg(
+        F.grouping_id().cast("int").alias("gid"),
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+    return out.select(
+        F.coalesce(F.col("lang"), F.lit("ALL")).alias("lang"),
+        F.coalesce(F.col("source"), F.lit("ALL")).alias("source"),
+        "gid",
+        "n_docs",
+        "total_chars",
+    )
+
+
+def q_length_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate per-language quantiles via percentile_approx (KLL-style
+    mergeable sketch) — the 100 TB twin of q_length_quantiles: exact
+    percentile materializes every group value at the reducer, the sketch
+    shuffles a fixed-size summary per partition. rows-only check (sketch
+    estimates are engine-specific); accuracy asserted in pytest against the
+    exact values."""
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.percentile_approx("n_chars", 0.5, 10000).alias("p50_approx"),
+        F.percentile_approx("n_chars", 0.9, 10000).alias("p90_approx"),
+        F.percentile_approx("n_chars", 0.99, 10000).alias("p99_approx"),
+    )
+
+
 def q_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hash-keyed 10% sample — deterministic under repartition/retry (unlike
     df.sample), reproducible in any engine with md5."""
@@ -1042,6 +1076,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_totals": q_user_totals,
         "asof_join": q_asof_join,
         "lang_source_rollup": q_lang_source_rollup,
+        "lang_source_cube": q_lang_source_cube,
+        "length_quantiles_approx": q_length_quantiles_approx,
         "tfidf_top_terms": q_tfidf_top_terms,
         "length_quantiles": q_length_quantiles,
         "deterministic_sample": q_deterministic_sample,
@@ -1518,6 +1554,14 @@ def oracle_sql() -> dict[str, str]:
               count(*) AS n_docs,
               sum(n_chars)::BIGINT AS total_chars
             FROM documents GROUP BY ROLLUP (lang, source)
+        """,
+        "lang_source_cube": """
+            SELECT coalesce(lang, 'ALL') AS lang,
+              coalesce(source, 'ALL') AS source,
+              CAST(GROUPING(lang, source) AS INT) AS gid,
+              count(*) AS n_docs,
+              sum(n_chars)::BIGINT AS total_chars
+            FROM documents GROUP BY CUBE (lang, source)
         """,
         "deterministic_sample": f"""
             SELECT doc_id, lang FROM documents

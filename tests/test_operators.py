@@ -146,3 +146,21 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS bkt_left")
         spark.sql("DROP TABLE IF EXISTS bkt_right")
+
+
+def test_approx_quantiles_near_exact(spark):
+    # the sketch twin must land near the exact per-group quantiles; 5%
+    # covers interpolation-vs-element discretization at 70-doc groups
+    # (quantile_cont interpolates, the sketch returns a real element)
+    import __spark_entry__ as e
+
+    sf = "/root/testdata/sf0.01"
+    exact = {r.lang: r for r in e.queries()["length_quantiles"](spark, sf).collect()}
+    approx = {
+        r.lang: r for r in e.queries()["length_quantiles_approx"](spark, sf).collect()
+    }
+    assert set(exact) == set(approx)
+    for lang, ex in exact.items():
+        ap = approx[lang]
+        for p_ex, p_ap in [(ex.p50, ap.p50_approx), (ex.p90, ap.p90_approx), (ex.p99, ap.p99_approx)]:
+            assert abs(p_ap - p_ex) <= max(0.05 * p_ex, 2.0)
