@@ -52,6 +52,7 @@ HEADLINE = [
     "embedding_near_dup",
     "events_windowed",
     "events_sessionize",
+    "events_attribution_join",
     "asof_join",
     "tfidf_top_terms",
     "ivf_topk",
