@@ -561,6 +561,14 @@ def q_length_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking via Python UDTF + LATERAL join
+    (operators/chunking.py) — 32-token windows, stride 24."""
+    from database2ogr_spark.operators.chunking import chunk_documents
+
+    return chunk_documents(_t(spark, sf_dir, "documents"), size=32, stride=24)
+
+
 def q_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hash-keyed 10% sample — deterministic under repartition/retry (unlike
     df.sample), reproducible in any engine with md5."""
@@ -1078,6 +1086,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_source_rollup": q_lang_source_rollup,
         "lang_source_cube": q_lang_source_cube,
         "length_quantiles_approx": q_length_quantiles_approx,
+        "chunk_documents": q_chunk_documents,
         "tfidf_top_terms": q_tfidf_top_terms,
         "length_quantiles": q_length_quantiles,
         "deterministic_sample": q_deterministic_sample,
@@ -1554,6 +1563,25 @@ def oracle_sql() -> dict[str, str]:
               count(*) AS n_docs,
               sum(n_chars)::BIGINT AS total_chars
             FROM documents GROUP BY ROLLUP (lang, source)
+        """,
+        "chunk_documents": """
+            WITH t AS (
+              SELECT doc_id,
+                list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')
+                  AS toks
+              FROM documents),
+            c AS (
+              SELECT doc_id, toks,
+                CAST(unnest(generate_series(0,
+                  CAST(floor((len(toks) - 1) / 24.0) AS BIGINT))) AS INT)
+                  AS chunk_id
+              FROM t)
+            SELECT doc_id, chunk_id,
+              array_to_string(
+                toks[chunk_id * 24 + 1 : least(chunk_id * 24 + 32, len(toks))],
+                ' ') AS chunk,
+              CAST(least(32, len(toks) - chunk_id * 24) AS INT) AS n_tokens
+            FROM c
         """,
         "lang_source_cube": """
             SELECT coalesce(lang, 'ALL') AS lang,
