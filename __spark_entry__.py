@@ -987,6 +987,16 @@ def q_tpch_q19_band_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from database2ogr_spark.plans.relational import sole_late_suppliers
+
+    return sole_late_suppliers(
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "supplier"),
+    )
+
+
 def q_tpch_q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     from database2ogr_spark.plans.relational import idle_rich_customers
 
@@ -1073,6 +1083,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q17_small_qty_revenue": q_tpch_q17_small_qty_revenue,
         "tpch_q18_large_orders": q_tpch_q18_large_orders,
         "tpch_q19_band_revenue": q_tpch_q19_band_revenue,
+        "tpch_q21_sole_late_supplier": q_tpch_q21_sole_late_supplier,
         "tpch_q22_idle_rich_customers": q_tpch_q22_idle_rich_customers,
         "window_top_orders_per_segment": q_window_top_orders_per_segment,
         "topk_quality_docs": q_topk_quality_docs,
@@ -1416,6 +1427,24 @@ def oracle_sql() -> dict[str, str]:
                   AND l.l_quantity BETWEEN 10 AND 20)
               OR (p.p_brand = 'Brand#3' AND p.p_size <= 15
                   AND l.l_quantity BETWEEN 20 AND 30))
+        """,
+        "tpch_q21_sole_late_supplier": """
+            WITH late AS (
+              SELECT DISTINCT l.l_orderkey, l.l_suppkey
+              FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+              WHERE l.l_shipdate > o.o_orderdate)
+            SELECT s.s_name, s.s_suppkey, count(*) AS numwait
+            FROM late c
+            JOIN supplier s ON c.l_suppkey = s.s_suppkey
+            WHERE EXISTS (SELECT 1 FROM lineitem x
+                          WHERE x.l_orderkey = c.l_orderkey
+                            AND x.l_suppkey <> c.l_suppkey)
+              AND NOT EXISTS (SELECT 1 FROM late l2
+                              WHERE l2.l_orderkey = c.l_orderkey
+                                AND l2.l_suppkey <> c.l_suppkey)
+            GROUP BY 1, 2
+            ORDER BY numwait DESC, s_suppkey ASC
+            LIMIT 20
         """,
         "tpch_q22_idle_rich_customers": """
             WITH avg_bal AS (

@@ -549,6 +549,60 @@ def idle_rich_customers(
     )
 
 
+def sole_late_suppliers(
+    orders: DataFrame,
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    *,
+    topk: int = 20,
+) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who were the ONLY supplier shipping late
+    on a multi-supplier order — the semi-join + anti-join composition on the
+    same fact table.
+
+    Three derived views of lineitem, all reduced to (orderkey, suppkey)
+    before any join: the candidate late lines, a semi-join proving another
+    supplier exists on the order, and an anti-join disproving any *other*
+    late supplier. Both probes shuffle two bigints per row; the candidate
+    side never re-reads the full width of lineitem. (This schema has no
+    commitdate/receiptdate; shipped-after-order-date plays the lateness
+    role, as in the Q4 shape.)
+    """
+    li = lineitem.select("l_orderkey", "l_suppkey")
+    late = (
+        lineitem.join(
+            orders.select("o_orderkey", "o_orderdate"),
+            lineitem.l_orderkey == F.col("o_orderkey"),
+        )
+        .filter(F.col("l_shipdate") > F.col("o_orderdate"))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    # some other supplier participated in the order …
+    has_other = late.alias("c").join(
+        li.alias("x"),
+        (F.col("c.l_orderkey") == F.col("x.l_orderkey"))
+        & (F.col("c.l_suppkey") != F.col("x.l_suppkey")),
+        "leftsemi",
+    )
+    # … but no OTHER supplier was late on it
+    only_late = has_other.alias("h").join(
+        late.alias("l2"),
+        (F.col("h.l_orderkey") == F.col("l2.l_orderkey"))
+        & (F.col("h.l_suppkey") != F.col("l2.l_suppkey")),
+        "left_anti",
+    )
+    return (
+        only_late.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .join(F.broadcast(supplier.select("s_suppkey", "s_name")),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_name", "s_suppkey", "numwait")
+        .orderBy(F.col("numwait").desc(), F.col("s_suppkey").asc())
+        .limit(topk)
+    )
+
+
 def top_orders_per_segment(
     customer: DataFrame, orders: DataFrame, *, k: int = 3
 ) -> DataFrame:

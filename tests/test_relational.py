@@ -62,6 +62,12 @@ def test_q19_is_one_join_not_a_union(spark, entrymod):
     assert "Union" not in plan
 
 
+def test_q21_composes_semi_and_anti_on_reduced_fact(spark, entrymod):
+    plan = _plan(entrymod.queries()["tpch_q21_sole_late_supplier"](spark, SF))
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert "TakeOrderedAndProject" in plan  # top-k, not a global sort
+
+
 def test_q22_anti_join_with_pruned_probe(spark, entrymod):
     plan = _plan(entrymod.queries()["tpch_q22_idle_rich_customers"](spark, SF))
     assert "LeftAnti" in plan
