@@ -155,9 +155,12 @@ def _gram_ids(g1: np.ndarray, g2: np.ndarray) -> np.ndarray:
 
 
 def distinct_gram_table(
-    df: DataFrame, id_col: str, text_col: str, k: int
+    df: DataFrame, id_col: str, text_col: str, k: int, *, with_count: bool = False
 ) -> DataFrame:
-    """(id, gram) rows: each document's DISTINCT 62-bit k-gram ids, exploded.
+    """(id, gram[, n]) rows: each document's DISTINCT 62-bit k-gram ids,
+    exploded; with ``with_count`` every row also carries the document's
+    distinct-gram count ``n`` (known for free inside the kernel — saves the
+    consumer a per-doc aggregation plus its joins; see ngram Jaccard).
 
     Kernel twin of ``explode(array_distinct(shingle_ids_of(
     shingle_structs_of(word_hash_structs(text), k))))`` — the distinct runs
@@ -177,16 +180,19 @@ def distinct_gram_table(
                 u = np.unique(ids[go[d] : go[d + 1]])
                 out_grams.append(u)
                 out_ids.append(np.full(len(u), id_vals[d]))
-            yield pd.DataFrame(
-                {
-                    "id": np.concatenate(out_ids) if out_ids else np.empty(0, dtype=np.int64),
-                    "gram": np.concatenate(out_grams) if out_grams else np.empty(0, dtype=np.int64),
-                }
-            )
+            cols = {
+                "id": np.concatenate(out_ids) if out_ids else np.empty(0, dtype=np.int64),
+                "gram": np.concatenate(out_grams) if out_grams else np.empty(0, dtype=np.int64),
+            }
+            if with_count:
+                cols["n"] = np.repeat(
+                    np.array([len(u) for u in out_grams], dtype=np.int64),
+                    [len(u) for u in out_grams],
+                ) if out_grams else np.empty(0, dtype=np.int64)
+            yield pd.DataFrame(cols)
 
-    return df.select(id_col, text_col).mapInPandas(
-        gen, schema=f"id {id_type}, gram bigint"
-    )
+    schema = f"id {id_type}, gram bigint" + (", n bigint" if with_count else "")
+    return df.select(id_col, text_col).mapInPandas(gen, schema=schema)
 
 
 def minhash_signature_table(

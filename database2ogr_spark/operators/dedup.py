@@ -428,9 +428,40 @@ def ngram_jaccard_pairs(
     if use_arrow:
         from database2ogr_spark.functions.gramkernel import distinct_gram_table
 
-        sh = distinct_gram_table(
-            spread(df), id_col, text_col, k_shingle
-        ).withColumnRenamed("gram", "shingle").persist(StorageLevel.MEMORY_AND_DISK)
+        # each row carries the doc's distinct-gram count n (free in-kernel),
+        # so the |A|/|B| terms ride the self-join instead of needing a sizes
+        # aggregation plus two joins back onto the pair table
+        sh = (
+            distinct_gram_table(spread(df), id_col, text_col, k_shingle, with_count=True)
+            .withColumnRenamed("gram", "shingle")
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        shared = (
+            sh.alias("l")
+            .join(
+                sh.alias("r"),
+                (F.col("l.shingle") == F.col("r.shingle"))
+                & (F.col("l.id") < F.col("r.id")),
+            )
+            .groupBy(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+            .agg(
+                F.count(F.lit(1)).alias("shared"),
+                F.min(F.col("l.n")).alias("n_a"),
+                F.min(F.col("r.n")).alias("n_b"),
+            )
+        )
+        return (
+            shared.withColumn(
+                "jaccard",
+                F.round(
+                    F.col("shared").cast("double")
+                    / (F.col("n_a") + F.col("n_b") - F.col("shared")).cast("double"),
+                    6,
+                ),
+            )
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard")
+        )
     else:
         staged = spread(df).select(
             F.col(id_col).alias("id"), word_hash_structs(text_col).alias("wh")
