@@ -577,6 +577,17 @@ def q_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang")
 
 
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language deterministic sampling rates (the training-mixture
+    knob): en 50%, zh 20%, others 10%."""
+    return SMP.stratified_sample(
+        _t(spark, sf_dir, "documents"),
+        {"en": 50, "zh": 20},
+        default_pct=10,
+        seed=7,
+    ).select("doc_id", "lang")
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy boundary-based sequence packing into ~10k-char bins per lang
     (window cumsum — parallelism across langs)."""
@@ -1101,6 +1112,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": q_tfidf_top_terms,
         "length_quantiles": q_length_quantiles,
         "deterministic_sample": q_deterministic_sample,
+        "stratified_sample": q_stratified_sample,
         "pack_sequences": q_pack_sequences,
         "redact_pii": q_redact_pii,
         "embedding_normalize": q_embedding_normalize,
@@ -1623,6 +1635,11 @@ def oracle_sql() -> dict[str, str]:
         "deterministic_sample": f"""
             SELECT doc_id, lang FROM documents
             WHERE {_h64_sql("CAST(doc_id AS VARCHAR)", 7)} % 100 < 10
+        """,
+        "stratified_sample": f"""
+            SELECT doc_id, lang FROM documents
+            WHERE {_h64_sql("CAST(doc_id AS VARCHAR)", 7)} % 100 <
+              CASE lang WHEN 'en' THEN 50 WHEN 'zh' THEN 20 ELSE 10 END
         """,
         "pack_sequences": """
             SELECT doc_id, lang, n_chars,

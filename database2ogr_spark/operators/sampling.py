@@ -31,6 +31,35 @@ def deterministic_sample(
     return df.filter(bucket < pct)
 
 
+def stratified_sample(
+    df: DataFrame,
+    fractions: dict[str, int],
+    *,
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    seed: int = 7,
+    default_pct: int = 0,
+) -> DataFrame:
+    """Per-stratum deterministic sampling: keep ~``fractions[stratum]``
+    percent of each stratum (integer percent; strata absent from the map get
+    ``default_pct``) — the data-mixing knob of a training pipeline
+    (up/down-weighting languages or sources).
+
+    Same hash-mod machinery as :func:`deterministic_sample`, so unlike
+    ``DataFrame.sampleBy`` the selection is reproducible across cluster
+    sizes, retries, and repartitioning, and a row's fate depends only on its
+    id — raising a stratum's rate strictly grows its sample (nested samples,
+    the property that makes mixture re-runs comparable). Narrow: the
+    per-stratum threshold is a broadcastable CASE over the hash bucket, no
+    shuffle.
+    """
+    bucket = stable_hash64(F.col(id_col).cast("string"), seed=seed) % 100
+    threshold = F.lit(default_pct)
+    for stratum, pct in sorted(fractions.items()):
+        threshold = F.when(F.col(strata_col) == stratum, F.lit(pct)).otherwise(threshold)
+    return df.filter(bucket < threshold)
+
+
 def pack_sequences(
     df: DataFrame,
     *,

@@ -60,3 +60,21 @@ def test_tfidf_top_terms(spark):
     top = {r.doc_id: r.term for r in out}
     # 'banana' appears in every doc → idf 0; rarer terms win
     assert top == {1: "apple", 2: "cherry", 3: "durian"}
+
+
+def test_stratified_sample_nested_and_deterministic(spark):
+    from database2ogr_spark.operators.sampling import stratified_sample
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    lo = stratified_sample(docs, {"en": 20}, default_pct=5)
+    hi = stratified_sample(docs, {"en": 50}, default_pct=10)
+    lo_ids = {r.doc_id for r in lo.select("doc_id").collect()}
+    hi_ids = {r.doc_id for r in hi.select("doc_id").collect()}
+    assert lo_ids <= hi_ids  # raising rates strictly grows the sample
+    # per-stratum rates land near target (hash uniformity)
+    n_en = docs.filter("lang = 'en'").count()
+    k_en = hi.filter("lang = 'en'").count()
+    assert abs(k_en / n_en - 0.5) < 0.15
+    # determinism: same call → same rows
+    again = {r.doc_id for r in stratified_sample(docs, {"en": 50}, default_pct=10).select("doc_id").collect()}
+    assert again == hi_ids
