@@ -561,6 +561,14 @@ def q_length_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid vectors in long form via grouped-map
+    applyInPandas (operators/similarity.label_centroids)."""
+    from database2ogr_spark.operators.similarity import label_centroids
+
+    return label_centroids(_t(spark, sf_dir, "embeddings"))
+
+
 def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Overlapping token-window chunking via Python UDTF + LATERAL join
     (operators/chunking.py) — 32-token windows, stride 24."""
@@ -1109,6 +1117,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_source_cube": q_lang_source_cube,
         "length_quantiles_approx": q_length_quantiles_approx,
         "chunk_documents": q_chunk_documents,
+        "embedding_centroids": q_embedding_centroids,
         "tfidf_top_terms": q_tfidf_top_terms,
         "length_quantiles": q_length_quantiles,
         "deterministic_sample": q_deterministic_sample,
@@ -1604,6 +1613,14 @@ def oracle_sql() -> dict[str, str]:
               count(*) AS n_docs,
               sum(n_chars)::BIGINT AS total_chars
             FROM documents GROUP BY ROLLUP (lang, source)
+        """,
+        "embedding_centroids": """
+            SELECT label, CAST(idx - 1 AS INT) AS dim,
+              round(sum(val) / count(*), 6) AS mean
+            FROM (SELECT label, unnest(embedding) AS val,
+                    unnest(generate_series(1, len(embedding))) AS idx
+                  FROM embeddings)
+            GROUP BY 1, 2
         """,
         "chunk_documents": """
             WITH t AS (

@@ -388,3 +388,44 @@ def embedding_near_dup_pairs(
         )
     )
     return pairs.filter(F.col("cosine_sim") >= threshold)
+
+
+def label_centroids(
+    embeddings: DataFrame,
+    *,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-label centroid (element-wise mean vector), emitted in LONG form
+    (label, dim, mean) — the grouped-map ``applyInPandas`` surface: state
+    that is awkward as SQL aggregation (whole-vector math) but trivial as a
+    numpy reduction per group.
+
+    Scale: one shuffle on the label key; each group reduces n×d floats to d
+    on the executor. Long-form output keeps the result oracle-comparable
+    cell-by-cell. For centroid *seeding* of IVF see :func:`ivf_topk` (which
+    uses deterministic data-point seeds instead of means on purpose).
+    """
+    import pandas as pd
+
+    label_type = dict(embeddings.dtypes)[label_col]
+
+    def centroid(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        m = np.stack(pdf[vec_col].to_numpy())
+        # sum then divide (not .mean) so the arithmetic is the plain
+        # sequential sum an oracle engine reproduces at double precision
+        mean = m.astype(np.float64).sum(axis=0) / m.shape[0]
+        return pd.DataFrame(
+            {
+                "label": pdf[label_col].iloc[0],
+                "dim": np.arange(m.shape[1], dtype=np.int32),
+                "mean": np.round(mean, round_to),
+            }
+        )
+
+    return embeddings.select(label_col, vec_col).groupBy(label_col).applyInPandas(
+        centroid, schema=f"label {label_type}, dim int, mean double"
+    )

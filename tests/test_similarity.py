@@ -100,3 +100,19 @@ def test_lsh_topk_multiprobe_recall_not_worse(spark):
     r0, r4 = recall(0), recall(4)
     assert r4 >= r0  # probing more buckets can only add candidates
     assert r4 >= 0.5
+
+
+def test_label_centroids_long_form(spark):
+    from database2ogr_spark.operators.similarity import label_centroids
+    import numpy as np
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    out = label_centroids(emb).collect()
+    dims = {r.dim for r in out}
+    assert dims == set(range(64))
+    # cross-check one label against a local numpy mean
+    rows = emb.filter("label = 0").select("embedding").collect()
+    local = np.stack([np.array(r.embedding) for r in rows]).astype(np.float64)
+    expect = np.round(local.sum(axis=0) / len(local), 6)
+    got = sorted((r.dim, r.mean) for r in out if r.label == 0)
+    assert np.allclose([m for _d, m in got], expect, atol=1e-9)
