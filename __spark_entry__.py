@@ -1006,6 +1006,27 @@ def q_tpch_q19_band_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from database2ogr_spark.plans.relational import market_share
+
+    return market_share(
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "supplier"),
+        _t(spark, sf_dir, "nation"),
+        _t(spark, sf_dir, "region"),
+    )
+
+
+def q_tpch_q12_late_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from database2ogr_spark.plans.relational import late_lines_by_priority
+
+    return late_lines_by_priority(
+        _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "lineitem")
+    )
+
+
 def q_tpch_q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     from database2ogr_spark.plans.relational import sole_late_suppliers
 
@@ -1102,6 +1123,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q17_small_qty_revenue": q_tpch_q17_small_qty_revenue,
         "tpch_q18_large_orders": q_tpch_q18_large_orders,
         "tpch_q19_band_revenue": q_tpch_q19_band_revenue,
+        "tpch_q8_market_share": q_tpch_q8_market_share,
+        "tpch_q12_late_lines": q_tpch_q12_late_lines,
         "tpch_q21_sole_late_supplier": q_tpch_q21_sole_late_supplier,
         "tpch_q22_idle_rich_customers": q_tpch_q22_idle_rich_customers,
         "window_top_orders_per_segment": q_window_top_orders_per_segment,
@@ -1386,8 +1409,8 @@ def oracle_sql() -> dict[str, str]:
               sum(CASE WHEN p_type = 'PROMO' THEN rev_c4 ELSE 0 END)::BIGINT
                 AS promo_rev_c4,
               sum(rev_c4)::BIGINT AS total_rev_c4,
-              CAST(round(sum(CASE WHEN p_type = 'PROMO' THEN rev_c4 ELSE 0 END)
-                * 10000.0 / sum(rev_c4)) AS BIGINT) AS promo_share_bp
+              CAST(round((sum(CASE WHEN p_type = 'PROMO' THEN rev_c4 ELSE 0 END)
+                * 10000) / sum(rev_c4)) AS BIGINT) AS promo_share_bp
             FROM j
         """,
         "tpch_q15_top_supplier": """
@@ -1448,6 +1471,42 @@ def oracle_sql() -> dict[str, str]:
                   AND l.l_quantity BETWEEN 10 AND 20)
               OR (p.p_brand = 'Brand#3' AND p.p_size <= 15
                   AND l.l_quantity BETWEEN 20 AND 30))
+        """,
+        "tpch_q8_market_share": """
+            WITH j AS (
+              SELECT CAST(year(o.o_orderdate) AS INT) AS o_year,
+                CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGINT)
+                  AS rev_c4,
+                sn.n_name AS supp_nation
+              FROM lineitem l
+              JOIN orders o ON l.l_orderkey = o.o_orderkey
+              JOIN customer c ON o.o_custkey = c.c_custkey
+              JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+              JOIN region r ON cn.n_regionkey = r.r_regionkey
+              JOIN supplier s ON l.l_suppkey = s.s_suppkey
+              JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+              WHERE r.r_name = 'EUROPE'
+                AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+                AND o.o_orderdate < TIMESTAMP '1998-01-01')
+            SELECT o_year,
+              sum(CASE WHEN supp_nation = 'NATION_5' THEN rev_c4 ELSE 0 END)::BIGINT
+                AS nation_rev_c4,
+              sum(rev_c4)::BIGINT AS total_rev_c4,
+              CAST(round((sum(CASE WHEN supp_nation = 'NATION_5' THEN rev_c4 ELSE 0 END)
+                * 10000) / sum(rev_c4)) AS BIGINT) AS share_bp
+            FROM j GROUP BY 1
+        """,
+        "tpch_q12_late_lines": """
+            SELECT l.l_linestatus,
+              sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                       THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+              sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                       THEN 0 ELSE 1 END)::BIGINT AS low_line_count
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+              AND o.o_orderdate < TIMESTAMP '1998-01-01'
+              AND l.l_shipdate > o.o_orderdate
+            GROUP BY 1
         """,
         "tpch_q21_sole_late_supplier": """
             WITH late AS (

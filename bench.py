@@ -59,6 +59,8 @@ HEADLINE = [
     "lang_source_rollup",
     "pack_sequences",
     "redact_pii",
+    "chunk_documents",
+    "embedding_centroids",
 ]
 
 

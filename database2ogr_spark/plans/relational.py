@@ -549,6 +549,100 @@ def idle_rich_customers(
     )
 
 
+def market_share(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    *,
+    region_name: str = "EUROPE",
+    target_nation: str = "NATION_5",
+    date_from: str = "1996-01-01",
+    date_to: str = "1998-01-01",
+) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of a region's revenue, per year —
+    the grouped conditional-ratio over a multi-join. The region predicate
+    prunes customers through a broadcast nation⋈region dim *before* the big
+    shuffles; the supplier's nation rides along as a broadcast-attached tag
+    and the share is a CASE inside one aggregate (no second pass). Share in
+    basis points on scaled-integer sums stays engine-portable.
+    """
+    nr = nation.join(
+        F.broadcast(region.filter(F.col("r_name") == region_name)),
+        F.col("n_regionkey") == F.col("r_regionkey"),
+    ).select(F.col("n_nationkey").alias("c_nk"))
+    c = customer.join(F.broadcast(nr), F.col("c_nationkey") == F.col("c_nk")).select(
+        "c_custkey"
+    )
+    s = supplier.join(
+        F.broadcast(nation.select("n_nationkey", "n_name")),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    o = orders.filter(
+        (F.col("o_orderdate") >= F.to_timestamp(F.lit(date_from)))
+        & (F.col("o_orderdate") < F.to_timestamp(F.lit(date_to)))
+    ).select("o_orderkey", "o_custkey", F.year("o_orderdate").alias("o_year"))
+    li = lineitem.select(
+        "l_orderkey",
+        "l_suppkey",
+        _c4(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev_c4"),
+    )
+    j = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, F.col("o_custkey") == c.c_custkey)
+        .join(s, F.col("l_suppkey") == s.s_suppkey)
+    )
+    agg = j.groupBy("o_year").agg(
+        F.sum(
+            F.when(F.col("supp_nation") == target_nation, F.col("rev_c4")).otherwise(
+                F.lit(0)
+            )
+        ).alias("nation_rev_c4"),
+        F.sum("rev_c4").alias("total_rev_c4"),
+    )
+    return agg.select(
+        "o_year",
+        "nation_rev_c4",
+        "total_rev_c4",
+        F.round(F.col("nation_rev_c4") * 10000 / F.col("total_rev_c4"))
+        .cast("bigint")
+        .alias("share_bp"),
+    )
+
+
+def late_lines_by_priority(
+    orders: DataFrame,
+    lineitem: DataFrame,
+    *,
+    date_from: str = "1997-01-01",
+    date_to: str = "1998-01-01",
+) -> DataFrame:
+    """TPC-H Q12 shape: per line status, count late-shipped lines on
+    critical- vs non-critical-priority orders — the post-join CASE-count
+    aggregation. One shuffle join on orderkey (only priority + date cross
+    the wire from orders), the conditional split is a CASE pair inside one
+    aggregate. (No shipmode column in this schema; l_linestatus plays the
+    grouping role, shipped-after-order-date the lateness role.)
+    """
+    o = orders.filter(
+        (F.col("o_orderdate") >= F.to_timestamp(F.lit(date_from)))
+        & (F.col("o_orderdate") < F.to_timestamp(F.lit(date_to)))
+    ).select("o_orderkey", "o_orderdate", "o_orderpriority")
+    li = lineitem.select("l_orderkey", "l_linestatus", "l_shipdate")
+    crit = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(crit, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(crit, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
 def sole_late_suppliers(
     orders: DataFrame,
     lineitem: DataFrame,
