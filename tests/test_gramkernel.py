@@ -79,3 +79,29 @@ def test_distinct_gram_table_fallback_semantics(spark, docs):
     assert per_doc[1] == 1  # one word -> whole-doc fallback
     assert per_doc[3] == 1  # exactly k words -> one real gram
     assert per_doc[4] == 1  # identical trigrams dedup to one
+
+
+def test_tier_equivalence_property(spark):
+    # random unicode corpora: the Arrow kernel and the expression tier must
+    # agree byte-for-byte on signatures and gram tables (tokenization uses
+    # the explicit ASCII whitespace class on both sides, so unicode spaces
+    # and case oddities must flow through identically)
+    from hypothesis import given, settings, strategies as st
+
+    texts_strategy = st.lists(
+        st.text(max_size=60), min_size=1, max_size=6
+    )
+
+    @settings(max_examples=10, deadline=None, derandomize=True)
+    @given(texts=texts_strategy)
+    def check(texts):
+        rows = [(i, t) for i, t in enumerate(texts)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        a = _rows(DD.minhash_signatures(df, use_arrow=True))
+        b = _rows(DD.minhash_signatures(df, use_arrow=False))
+        assert a == b
+        c = _rows(DD.simhash_signatures(df, use_arrow=True))
+        d = _rows(DD.simhash_signatures(df, use_arrow=False))
+        assert c == d
+
+    check()
