@@ -845,6 +845,19 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_features(media)
 
 
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from database2ogr_spark.multimodal.binaryops import resize_images
+
+    media = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.encode("text", "utf-8").alias("payload"),
+    )
+    r = resize_images(media, width=32, height=32)
+    # rows-only check: expose sizes, not raw bytes
+    return r.select("media_id", "width", "height", F.length("payload").alias("n_bytes"))
+
+
 def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from database2ogr_spark.multimodal.binaryops import frame_sample
 
@@ -1173,6 +1186,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_props_extract": q_events_props_extract,
         "multimodal_decode": q_multimodal_decode,
         "multimodal_frame_sample": q_multimodal_frame_sample,
+        "multimodal_resize": q_multimodal_resize,
         "ates_geojson_features": q_ates_geojson_features,
         "ates_kml_placemarks": q_ates_kml_placemarks,
     }

@@ -94,6 +94,57 @@ def decode_features(df: DataFrame, batch_size_hint: int | None = None) -> DataFr
     return df.select("media_id", "kind", "payload").mapInPandas(extract, _FEATURES_SCHEMA)
 
 
+_RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("payload", T.BinaryType()),
+    ]
+)
+
+
+def resize_images(df: DataFrame, *, width: int = 64, height: int = 64) -> DataFrame:
+    """Image-resize plumbing: rewrite each image payload at target
+    dimensions. The pixel resample is stubbed (output bytes =
+    sha256-stream of (payload, w, h) sized ``width·height·3/64`` as a
+    stand-in for an RGB thumbnail) — a real backend (PIL
+    ``Image.resize``) replaces only the inner function; the contract
+    (binary in → binary out with updated width/height metadata, non-image
+    rows passed through untouched upstream) is the real plumbing.
+
+    NULL payloads map to NULL output payloads (quarantine downstream, same
+    policy as :func:`decode_features`).
+    """
+    target_len = max(1, width * height * 3 // 64)
+
+    def _fake_resize(p: bytes | None) -> bytes | None:
+        if p is None:
+            return None
+        seed = hashlib.sha256(bytes(p) + f"{width}x{height}".encode()).digest()
+        reps = target_len // len(seed) + 1
+        return (seed * reps)[:target_len]
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "width": pd.Series([width] * len(pdf), dtype="int32"),
+                    "height": pd.Series([height] * len(pdf), dtype="int32"),
+                    "payload": pdf["payload"].map(_fake_resize),
+                }
+            )
+
+    return (
+        df.filter(F.col("kind") == "image")
+        .select("media_id", "kind", "payload")
+        .mapInPandas(resize, _RESIZED_SCHEMA)
+    )
+
+
 def frame_sample(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame sampling plumbing: one output row per sampled timestamp.
 

@@ -6,6 +6,7 @@ from pyspark.sql import functions as F
 
 from database2ogr_spark.multimodal.binaryops import (
     FEATURE_DIM,
+    MEDIA_SCHEMA,
     decode_features,
     frame_sample,
     with_media_metadata,
@@ -46,3 +47,24 @@ def test_frame_sample_row_per_frame(spark):
     assert len(out) == 4
     assert {r.frame_ts_ms for r in out} == {0, 1000, 2000, 3000}
     assert len({r.frame_hash for r in out}) == 4
+
+
+def test_resize_images_contract(spark):
+    from database2ogr_spark.multimodal.binaryops import resize_images
+
+    media = spark.createDataFrame(
+        [
+            (1, "image", "img", bytearray(b"\x01\x02\x03"), 100, 80, None),
+            (2, "video", "vid", bytearray(b"\x04"), None, None, 5000),
+            (3, "image", "img", None, 10, 10, None),
+        ],
+        MEDIA_SCHEMA,
+    )
+    out = {r.media_id: r for r in resize_images(media, width=32, height=32).collect()}
+    assert set(out) == {1, 3}  # only images; non-image rows dropped here
+    assert out[1].width == 32 and out[1].height == 32
+    assert len(out[1].payload) == 32 * 32 * 3 // 64
+    assert out[3].payload is None  # NULL payload quarantine policy
+    # deterministic: same input -> same bytes
+    again = {r.media_id: r for r in resize_images(media, width=32, height=32).collect()}
+    assert bytes(again[1].payload) == bytes(out[1].payload)
