@@ -477,6 +477,24 @@ def q_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_frequent_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus heavy hitters: top-50 tokens by total occurrences.
+    Explode stays JVM-side, the count is a map-side partial agg on the
+    token, and top-k compiles to TakeOrderedAndProject (k rows per
+    partition to the driver, no global sort). Deterministic tiebreak on
+    the token string keeps the result oracle-stable."""
+    from database2ogr_spark.functions.hashing import words
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(words("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token").asc())
+        .limit(50)
+    )
+
+
 def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF top-3 terms per document (inverted-index aggregation)."""
     from database2ogr_spark.operators.tfidf import tfidf_top_terms
@@ -1158,6 +1176,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_quantiles": q_length_quantiles,
         "deterministic_sample": q_deterministic_sample,
         "stratified_sample": q_stratified_sample,
+        "frequent_tokens": q_frequent_tokens,
         "pack_sequences": q_pack_sequences,
         "redact_pii": q_redact_pii,
         "embedding_normalize": q_embedding_normalize,
@@ -1730,6 +1749,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, lang FROM documents
             WHERE {_h64_sql("CAST(doc_id AS VARCHAR)", 7)} % 100 <
               CASE lang WHEN 'en' THEN 50 WHEN 'zh' THEN 20 ELSE 10 END
+        """,
+        "frequent_tokens": f"""
+            SELECT u.token, count(*) AS n
+            FROM (SELECT unnest(list_filter(string_split({_NORM_SQL}, ' '),
+                                            x -> x <> '')) AS token
+                  FROM documents) u
+            GROUP BY 1 ORDER BY n DESC, token ASC LIMIT 50
         """,
         "pack_sequences": """
             SELECT doc_id, lang, n_chars,
