@@ -205,56 +205,88 @@ def cosine_pairs_exact(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    blocks: int | None = None,
 ) -> DataFrame:
     """Exact embedding-cosine near-dup pairs: all (id_a < id_b) pairs with
-    rounded cosine ≥ threshold. O(n²) by definition — the correctness baseline
-    the LSH variant (:func:`embedding_near_dup_pairs`) approximates.
+    rounded cosine ≥ threshold. O(n²) compute by definition — the oracle
+    baseline the LSH variant (:func:`embedding_near_dup_pairs`) approximates;
+    at corpus scale the LSH sibling is the default path and this kernel is
+    the audit tool.
 
-    Physical strategy: broadcast the full corpus matrix (n×d float64 — the
-    all-pairs semantics already bound n to "fits in one executor's memory";
-    beyond that, use the LSH-blocked variant) and let every partition score
-    its block against it with one vectorized matmul via ``mapInPandas``.
-    Each pair is materialized at most once (masked to id_a < id_b and to
-    scores over threshold), so the Arrow output is only the surviving pairs —
-    vastly cheaper than a joined n² row stream through interpreted
-    higher-order functions.
+    Physical strategy — fully distributed block matmul, nothing on the
+    driver: rows are hashed into ``blocks`` disjoint blocks; every unordered
+    block pair (i ≤ j) is one task, and each row is shipped to exactly the
+    ``blocks`` tasks it participates in (one explode → one shuffle with
+    replication factor B = ``blocks``). Each task scores its two blocks with
+    one vectorized numpy matmul inside ``applyInPandas`` and emits only the
+    surviving pairs, each materialized exactly once (diagonal tasks mask to
+    the upper triangle; off-diagonal tasks own their pair disjointly).
+
+    Scale: shuffle volume is B·|corpus|; per-task memory is 2·(n/B)·d·8
+    bytes, so B is chosen so two blocks fit an executor — B ≈
+    n·d·16/executor_mem, independent of cluster size. Default B targets
+    local parallelism.
     """
     import numpy as np
     import pandas as pd
 
-    sel = corpus.select(
-        F.col(id_col).cast("long").alias("id_a"), F.col(vec_col).alias("va")
-    )
-    data = sel.collect()
     spark = corpus.sparkSession
-    if not data:
-        return spark.createDataFrame([], "id_a long, id_b long, cosine_sim double")
-    ids = np.fromiter((r.id_a for r in data), dtype=np.int64, count=len(data))
-    mat = np.array([r.va for r in data], dtype=np.float64)
-    norms = np.sqrt(np.einsum("ij,ij->i", mat, mat))
-    bc = spark.sparkContext.broadcast((ids, mat, norms))
+    B = blocks or max(4, int(spark.sparkContext.defaultParallelism ** 0.5) + 1)
     thr = float(threshold)
 
-    def score(batches):
-        bids, bmat, bnorms = bc.value
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            block = np.array(pdf["va"].tolist(), dtype=np.float64)
-            a_ids = pdf["id_a"].to_numpy()
-            a_norms = np.sqrt(np.einsum("ij,ij->i", block, block))
-            with np.errstate(divide="ignore", invalid="ignore"):
-                cos = np.round(
-                    (block @ bmat.T) / (a_norms[:, None] * bnorms[None, :]), 6
+    sel = corpus.select(
+        F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("va")
+    ).withColumn("blk", F.pmod(F.xxhash64(F.col("id")), F.lit(B)).cast("int"))
+    tasks = sel.select(
+        "id",
+        "va",
+        "blk",
+        F.explode(
+            F.array_distinct(
+                F.array(
+                    *[
+                        F.struct(
+                            F.least(F.col("blk"), F.lit(t)).alias("ti"),
+                            F.greatest(F.col("blk"), F.lit(t)).alias("tj"),
+                        )
+                        for t in range(B)
+                    ]
                 )
-            mask = (cos >= thr) & (a_ids[:, None] < bids[None, :])
-            ii, jj = np.nonzero(mask)
-            yield pd.DataFrame(
-                {"id_a": a_ids[ii], "id_b": bids[jj], "cosine_sim": cos[ii, jj]}
             )
+        ).alias("task"),
+    ).select("id", "va", "blk", F.col("task.ti").alias("ti"), F.col("task.tj").alias("tj"))
 
-    n_parts = max(spark.sparkContext.defaultParallelism, 1)
-    return sel.repartition(n_parts).mapInPandas(
+    def score(pdf: pd.DataFrame) -> pd.DataFrame:
+        if pdf.empty:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine_sim": []})
+        ti, tj = int(pdf["ti"].iat[0]), int(pdf["tj"].iat[0])
+        with np.errstate(divide="ignore", invalid="ignore"):
+            if ti == tj:
+                ids = pdf["id"].to_numpy()
+                m = np.array(pdf["va"].tolist(), dtype=np.float64)
+                norms = np.sqrt(np.einsum("ij,ij->i", m, m))
+                cos = np.round((m @ m.T) / (norms[:, None] * norms[None, :]), 6)
+                mask = (cos >= thr) & (ids[:, None] < ids[None, :])
+                ii, jj = np.nonzero(mask)
+                id_a, id_b, sim = ids[ii], ids[jj], cos[ii, jj]
+            else:
+                left = pdf[pdf["blk"] == ti]
+                right = pdf[pdf["blk"] == tj]
+                if left.empty or right.empty:
+                    return pd.DataFrame({"id_a": [], "id_b": [], "cosine_sim": []})
+                la, ra = left["id"].to_numpy(), right["id"].to_numpy()
+                lm = np.array(left["va"].tolist(), dtype=np.float64)
+                rm = np.array(right["va"].tolist(), dtype=np.float64)
+                ln = np.sqrt(np.einsum("ij,ij->i", lm, lm))
+                rn = np.sqrt(np.einsum("ij,ij->i", rm, rm))
+                cos = np.round((lm @ rm.T) / (ln[:, None] * rn[None, :]), 6)
+                ii, jj = np.nonzero(cos >= thr)
+                id_a = np.minimum(la[ii], ra[jj])
+                id_b = np.maximum(la[ii], ra[jj])
+                sim = cos[ii, jj]
+        return pd.DataFrame({"id_a": id_a, "id_b": id_b, "cosine_sim": sim})
+
+    return tasks.groupBy("ti", "tj").applyInPandas(
         score, schema="id_a long, id_b long, cosine_sim double"
     )
 
