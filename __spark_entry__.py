@@ -720,11 +720,24 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_near_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Duplicate-group assignment: connected components (iterative min-label
-    propagation, operators/graph.py) over the exact n-gram Jaccard pair
-    edges; every doc labeled with its group's min doc_id."""
+    """Duplicate-group assignment, the scale default: MinHash-LSH candidate
+    edges → connected components (iterative min-label propagation,
+    operators/graph.py). Candidate generation is banded equi-joins — linear
+    in the corpus, no per-shingle quadratic — which is what survives 100 TB.
+    Approximate by construction → rows-only check; the deterministic twin
+    with a full DuckDB recursive-CTE oracle is q_near_dup_groups_exact."""
     return near_dup_groups(
         _t(spark, sf_dir, "documents"), k_shingle=3, threshold=0.2
+    )
+
+
+def q_near_dup_groups_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The oracle-checkable grouping baseline: exact n-gram Jaccard edges
+    with the hot-shingle guard (max_df) bounding the inverted-index
+    self-join; every doc labeled with its group's min doc_id."""
+    return near_dup_groups(
+        _t(spark, sf_dir, "documents"), k_shingle=3, threshold=0.2,
+        edges="jaccard", max_df=100,
     )
 
 
@@ -1141,7 +1154,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_rolling": q_fingerprint_rolling,
         "minhash_signatures": q_minhash_signatures,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
-        "near_dup_groups": q_near_dup_groups,
+        "near_dup_groups_exact": q_near_dup_groups_exact,
         "decontaminate": q_decontaminate,
         "repetition_stats": q_repetition_stats,
         "frequent_tokens": q_frequent_tokens,
@@ -1157,6 +1170,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ates_geojson_features": q_ates_geojson_features,
         "ates_kml_placemarks": q_ates_kml_placemarks,
         # --- approximate-by-construction (rows-only) entries -------------
+        "near_dup_groups": q_near_dup_groups,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash_pairs": q_simhash_pairs,
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
@@ -1184,9 +1198,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x12_html_popup": q_x12_html_popup,
         "x13_recipe_layers": q_x13_recipe_layers,
         "chunk_documents": q_chunk_documents,
-        "tfidf_top_terms": q_tfidf_top_terms,
         # ------------------------------------------------------- slot 50 ^
         # --- proven green in round 1 (pytest still covers them) ----------
+        "tfidf_top_terms": q_tfidf_top_terms,
         "topk_quality_docs": q_topk_quality_docs,
         "lang_stats": q_lang_stats,
         "user_totals": q_user_totals,
@@ -1885,10 +1899,15 @@ def oracle_sql() -> dict[str, str]:
         """,
         # transitive closure of the ngram_jaccard pair relation via recursive
         # CTE (UNION dedup guarantees termination); group = min reachable id
-        "near_dup_groups": f"""
+        # the DF-cutoff (max_df=100) mirrors the Spark query's hot-shingle
+        # guard: grams in >100 docs leave the universe before pairing and
+        # set sizes are recomputed over the filtered sets
+        "near_dup_groups_exact": f"""
             WITH RECURSIVE sh AS ({_SHINGLES_SQL}),
-            ex AS (SELECT DISTINCT doc_id, g FROM
+            ex0 AS (SELECT DISTINCT doc_id, g FROM
                    (SELECT doc_id, unnest(s) AS g FROM sh)),
+            hot AS (SELECT g FROM ex0 GROUP BY g HAVING count(*) > 100),
+            ex AS (SELECT * FROM ex0 WHERE g NOT IN (SELECT g FROM hot)),
             sizes AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY doc_id),
             shared AS (
               SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared

@@ -48,6 +48,7 @@ HEADLINE = [
     "simhash_pairs",
     "ngram_jaccard_pairs",
     "near_dup_groups",
+    "near_dup_groups_exact",
     "cosine_topk",
     "embedding_near_dup",
     "events_windowed",

@@ -407,17 +407,28 @@ def ngram_jaccard_pairs(
     k_shingle: int = 3,
     threshold: float = 0.5,
     use_arrow: bool = True,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard over candidate pairs that share ≥1 shingle.
 
     Inverted-index join: explode distinct shingle ids, self-join on shingle,
     count shared per pair, then |A∩B| / (|A| + |B| - |A∩B|). Never builds the
-    full cross product; the explode size is Σ doc shingles (linear in corpus),
-    and hot shingles can be stopword-filtered upstream if skewed. Shingle
-    identity is the 62-bit ``shingle_ids`` rolling hash — an 8-byte join key
-    instead of a k-word string, and no k-gram string materialization.
-    The shingle table comes from the Arrow kernel by default (identical ids;
-    ``use_arrow=False`` selects the Column-expression tier).
+    full cross product; the explode size is Σ doc shingles (linear in corpus).
+    Shingle identity is the 62-bit ``shingle_ids`` rolling hash — an 8-byte
+    join key instead of a k-word string, and no k-gram string
+    materialization. The shingle table comes from the Arrow kernel by default
+    (identical ids; ``use_arrow=False`` selects the Column-expression tier).
+
+    ``max_df`` is the hot-shingle guard the self-join needs at scale: a
+    shingle occurring in d documents contributes d·(d-1)/2 join rows, so one
+    stopword-ish shingle with df=10⁶ is a 5·10¹¹-row straggler bucket.
+    With ``max_df`` set, shingles whose document frequency exceeds it are
+    dropped from the gram universe BEFORE the self-join (the hot-shingle
+    list is tiny — only the offenders — and broadcasts into a left-anti
+    join), and the |A|/|B| set sizes are recomputed over the filtered sets,
+    so the result is the exact Jaccard of the df-filtered shingle sets —
+    deterministic, oracle-reproducible semantics, with the within-bucket
+    quadratic bounded by max_df² per shingle.
     """
     from database2ogr_spark.functions.hashing import (
         shingle_ids_of,
@@ -425,7 +436,7 @@ def ngram_jaccard_pairs(
         word_hash_structs,
     )
 
-    if use_arrow:
+    if use_arrow and max_df is None:
         from database2ogr_spark.functions.gramkernel import distinct_gram_table
 
         # each row carries the doc's distinct-gram count n (free in-kernel),
@@ -462,21 +473,50 @@ def ngram_jaccard_pairs(
             .filter(F.col("jaccard") >= threshold)
             .select("id_a", "id_b", "jaccard")
         )
+    elif use_arrow:
+        from database2ogr_spark.functions.gramkernel import distinct_gram_table
+
+        # the RAW gram table is what gets persisted: the hot-list aggregation
+        # and the filtered self-join both read it, and persisting only the
+        # filtered table would recompute the Arrow kernel once per consumer
+        raw = (
+            distinct_gram_table(spread(df), id_col, text_col, k_shingle)
+            .withColumnRenamed("gram", "shingle")
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        # hot-shingle cutoff: the offender list (df > max_df) is tiny by
+        # construction, so it broadcasts and the anti-join is map-side over
+        # the cached gram table; set sizes are recomputed AFTER the filter
+        # so jaccard stays an exact set similarity of what's joined
+        hot = (
+            raw.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_df)
+            .select("shingle")
+        )
+        sh = raw.join(F.broadcast(hot), "shingle", "left_anti")
     else:
         staged = spread(df).select(
             F.col(id_col).alias("id"), word_hash_structs(text_col).alias("wh")
         )  # staged projection is load-bearing — see shingle_structs_of docstring
-        sh = (
-            staged.select(
-                "id",
-                F.explode(
-                    F.array_distinct(
-                        shingle_ids_of(shingle_structs_of(F.col("wh"), k_shingle))
-                    )
-                ).alias("shingle"),
+        sh = staged.select(
+            "id",
+            F.explode(
+                F.array_distinct(
+                    shingle_ids_of(shingle_structs_of(F.col("wh"), k_shingle))
+                )
+            ).alias("shingle"),
+        )
+        if max_df is not None:
+            hot = (
+                sh.groupBy("shingle")
+                .agg(F.count(F.lit(1)).alias("df"))
+                .filter(F.col("df") > max_df)
+                .select("shingle")
             )
-            .persist(StorageLevel.MEMORY_AND_DISK)
-        )  # read by both join sides and the sizes agg — 3 recomputes otherwise
+            sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+        # read by both join sides and the sizes agg — 3 recomputes otherwise
+        sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
 
     shared = (

@@ -164,21 +164,46 @@ def near_dup_groups(
     *,
     k_shingle: int = 3,
     threshold: float = 0.5,
+    edges: str = "minhash",
+    max_df: int | None = None,
 ) -> DataFrame:
     """Duplicate-group assignment: every document labeled with the min doc id
     of its near-dup component (``group_id``); documents with no near-dup are
-    their own group. Edges are the exact n-gram Jaccard pairs at
-    ``threshold`` (deterministic, oracle-checkable); swap in
-    ``minhash_lsh_pairs`` edges for the approximate/cheap variant at scale.
+    their own group.
+
+    Edge generators (``edges=``):
+
+    - ``"minhash"`` (default — the 100 TB path): MinHash-LSH candidate pairs
+      at the signature-estimated ``threshold``. Cost is linear in the corpus
+      plus banded equi-joins; no per-shingle quadratic anywhere. Approximate
+      by construction (rows-only correctness).
+    - ``"jaccard"``: exact n-gram Jaccard pairs — deterministic and
+      oracle-checkable (DuckDB recursive CTE), but the inverted-index
+      self-join is quadratic within a shingle's posting list; pass ``max_df``
+      to cap it (exact Jaccard of the df-filtered shingle sets — still
+      oracle-reproducible). This is the audit/oracle variant; the registry
+      query pins it with ``max_df`` so the correctness gate covers the
+      whole group pipeline.
 
     Output: ``(id_col, group_id)`` — keep ``group_id == id_col`` rows (the
     min-id survivors) to deduplicate the corpus group-wise.
     """
-    from database2ogr_spark.operators.dedup import ngram_jaccard_pairs
+    from database2ogr_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+    )
 
-    pairs = ngram_jaccard_pairs(
-        df, id_col, text_col, k_shingle=k_shingle, threshold=threshold
-    ).select("id_a", "id_b")
+    if edges == "minhash":
+        pairs = minhash_lsh_pairs(
+            df, id_col, text_col, k_shingle=k_shingle, threshold=threshold
+        ).select("id_a", "id_b")
+    elif edges == "jaccard":
+        pairs = ngram_jaccard_pairs(
+            df, id_col, text_col, k_shingle=k_shingle, threshold=threshold,
+            max_df=max_df,
+        ).select("id_a", "id_b")
+    else:
+        raise ValueError(f"unknown edge generator {edges!r}")
     comp = connected_components(pairs)
     return df.select(F.col(id_col)).join(
         comp, df[id_col] == comp["id"], "left"

@@ -49,7 +49,9 @@ def test_near_dup_groups_matches_brute_closure(spark):
 
     got = {
         r.doc_id: r.group_id
-        for r in near_dup_groups(docs, k_shingle=3, threshold=0.2).collect()
+        for r in near_dup_groups(
+            docs, k_shingle=3, threshold=0.2, edges="jaccard"
+        ).collect()
     }
     all_ids = {r.doc_id for r in docs.select("doc_id").collect()}
     assert set(got) == all_ids  # every doc labeled, singletons included
@@ -57,6 +59,70 @@ def test_near_dup_groups_matches_brute_closure(spark):
         assert grp == expect_grp.get(doc_id, doc_id)
     # at least one real multi-doc group
     assert any(g != d for d, g in got.items())
+
+
+def test_near_dup_groups_minhash_default_matches_its_edges(spark):
+    # the scale-default (minhash) grouping must be the exact transitive
+    # closure of the minhash_lsh_pairs edge set it is built from
+    from database2ogr_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    pairs = [
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs(docs, k_shingle=3, threshold=0.2).collect()
+    ]
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expect_grp = {x: find(x) for x in parent}
+
+    got = {
+        r.doc_id: r.group_id
+        for r in near_dup_groups(docs, k_shingle=3, threshold=0.2).collect()
+    }
+    for doc_id, grp in got.items():
+        assert grp == expect_grp.get(doc_id, doc_id)
+
+
+def test_ngram_jaccard_max_df_drops_hot_shingles(spark):
+    # two docs that share ONLY a universally-common shingle must unpair when
+    # max_df removes it; docs sharing rare shingles keep their pair with
+    # jaccard recomputed over the filtered sets
+    from database2ogr_spark.operators.dedup import ngram_jaccard_pairs
+
+    common = "the cat sat"
+    rows = [(i, f"{common} unique{i} filler{i} pad{i}") for i in range(10)]
+    rows += [(100, f"{common} alpha beta gamma"), (101, f"{common} alpha beta gamma")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    plain = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(docs, k_shingle=3, threshold=0.01).collect()
+    }
+    cut = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(
+            docs, k_shingle=3, threshold=0.01, max_df=5
+        ).collect()
+    }
+    # without the cutoff every doc pairs with every other through the shared
+    # prefix shingle; with it only the genuinely-duplicated 100/101 survive
+    assert (100, 101) in plain and (100, 101) in cut
+    assert len(cut) < len(plain)
+    assert all(a in (100, 101) or b in (100, 101) for (a, b) in cut) or len(cut) == 1
+    # exact jaccard of filtered sets: 100/101 differ only pre-cutoff, so
+    # their filtered sets are identical → jaccard 1.0
+    assert cut[(100, 101)] == 1.0
 
 
 def test_connected_components_paths_agree(spark):
