@@ -920,23 +920,44 @@ def _ates_catalog(spark: SparkSession) -> Catalog:
 def q_ates_geojson_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EP2 — the reference's GeoJSON export pipeline end-to-end on ATES
     fixture tables (area 1): 6 queries, warnify, feature normalization,
-    union. Rows-only (geometry serialization is golden-tested in pytest)."""
+    union — reduced to a per-table structural summary (feature count +
+    total serialized length) so the deterministic fixture pipeline gets a
+    hard literal-VALUES oracle; byte-exact documents stay golden-tested in
+    tests/test_ates_pipeline.py."""
     from database2ogr_spark.plans.area_export import _apply_warnify, build_table_dfs
+    from database2ogr_spark.sinks.geojson import with_feature
 
     cat = _ates_catalog(spark)
     table_dfs = _apply_warnify(build_table_dfs(cat, 1, "GeoJSON"), html=False)
-    return union_features([df for _t_, df in table_dfs])
+    per_table = [
+        with_feature(df).agg(
+            F.lit(tbl).alias("tbl"),
+            F.count(F.lit(1)).alias("n_features"),
+            F.sum(F.length("feature")).alias("total_len"),
+        )
+        for tbl, df in table_dfs
+    ]
+    return union_by_name(per_table)
 
 
 def q_ates_kml_placemarks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EP1 core — KML placemark rendering for area 1 (styles resolved J3,
-    warnify HTML popup, KML geometry serialization)."""
+    warnify HTML popup, KML geometry serialization), reduced to a per-table
+    structural summary with a literal-VALUES oracle (byte-exact KML is
+    golden-tested in tests/test_ates_pipeline.py)."""
     from database2ogr_spark.plans.area_export import _apply_warnify, build_table_dfs
 
     cat = _ates_catalog(spark)
     table_dfs = _apply_warnify(build_table_dfs(cat, 1, "KML"), html=True)
-    dfs = [df.select(placemark_xml(df).alias("placemark")) for _t_, df in table_dfs]
-    return union_by_name(dfs)
+    per_table = [
+        df.select(placemark_xml(df).alias("placemark")).agg(
+            F.lit(tbl).alias("tbl"),
+            F.count(F.lit(1)).alias("n_placemarks"),
+            F.sum(F.length("placemark")).alias("total_len"),
+        )
+        for tbl, df in table_dfs
+    ]
+    return union_by_name(per_table)
 
 
 # ---------------------------------------------------------------------------
@@ -2029,6 +2050,33 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k "
             "FROM events"
         ),
+        # golden structural oracles for the ATES fixture pipeline (area 1):
+        # the fixture tables are deterministic (sources/fixtures.py), so the
+        # per-table feature/placemark counts and serialized lengths are
+        # literal constants — recomputed and pinned whenever the export
+        # formatting changes (byte-exact docs are golden-tested in pytest)
+        "ates_geojson_features": """
+            SELECT tbl, CAST(n_features AS BIGINT) AS n_features,
+                   CAST(total_len AS BIGINT) AS total_len
+            FROM (VALUES
+              ('access_roads', 1, 167),
+              ('areas_vw', 1, 295),
+              ('avalanche_paths', 2, 328),
+              ('decision_points', 2, 533),
+              ('points_of_interest', 4, 704),
+              ('zones', 2, 721)) AS t(tbl, n_features, total_len)
+        """,
+        "ates_kml_placemarks": """
+            SELECT tbl, CAST(n_placemarks AS BIGINT) AS n_placemarks,
+                   CAST(total_len AS BIGINT) AS total_len
+            FROM (VALUES
+              ('access_roads', 1, 194),
+              ('areas_vw', 1, 247),
+              ('avalanche_paths', 2, 342),
+              ('decision_points', 2, 2235),
+              ('points_of_interest', 4, 879),
+              ('zones', 2, 794)) AS t(tbl, n_placemarks, total_len)
+        """,
         "events_attribution_join": """
             SELECT l.user_id,
               l.event_id AS left_id, r.event_id AS right_id,

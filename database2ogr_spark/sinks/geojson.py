@@ -61,15 +61,48 @@ def with_feature(df: DataFrame) -> DataFrame:
     return df.select(feature_json(df).alias("feature"))
 
 
-def feature_collection_json(feature_dfs: list[DataFrame]) -> str:
+#: default row cap for the driver-side single-document sinks (K1/K3). A
+#: one-file document is assembled in driver memory by definition; past this
+#: the export belongs on the distributed NDJSON path (K2).
+DRIVER_SINK_MAX_ROWS = 1_000_000
+
+
+class DriverSinkOverflow(RuntimeError):
+    """Raised when a driver-side document sink would collect more rows than
+    its cap — the caller should switch to the distributed sink instead."""
+
+
+def guard_driver_rows(df: DataFrame, *, cap: int, sink: str, alternative: str) -> int:
+    """Count-gate a driver-side collect: one cheap aggregation job up front
+    (count, not CollectLimit — CollectLimit re-executes the plan in scale-up
+    batches) in exchange for never OOM-ing the driver on a fat export."""
+    n = df.count()
+    if n > cap:
+        raise DriverSinkOverflow(
+            f"{sink}: {n} rows exceed the driver-side document cap ({cap}); "
+            f"write this export with {alternative} instead"
+        )
+    return n
+
+
+def feature_collection_json(
+    feature_dfs: list[DataFrame], *, max_rows: int = DRIVER_SINK_MAX_ROWS
+) -> str:
     """K1 — assemble one FeatureCollection document (driver-side collect;
-    small-export path only — see module docstring).
+    small-export path only — see module docstring). Guarded by ``max_rows``
+    (total across tables): an over-cap export raises
+    :class:`DriverSinkOverflow` pointing at the distributed K2 sink.
 
     Section order follows the input list order, mirroring the reference's
     query-list ordering guarantee (SURVEY.md §2.7).
     """
+    budget = max_rows
     chunks: list[str] = []
     for df in feature_dfs:
+        budget -= guard_driver_rows(
+            df, cap=budget, sink="feature_collection_json (K1)",
+            alternative="write_ndjson (K2, distributed)",
+        )
         chunks.extend(r[0] for r in with_feature(df).collect())
     return '{"type":"FeatureCollection","features":[' + ",".join(chunks) + "]}"
 

@@ -253,18 +253,33 @@ def kml_document(
     lang: str = "en",
     icon_dir: str = "files-11",
     icon_number: int = 11,
+    max_rows: int | None = None,
 ) -> str:
     """K3 — assemble the full KML document string.
 
     ``table_dfs`` is the ordered (table, DataFrame) list — folder order
     follows it, mirroring the reference's query-list ordering (SURVEY.md
     §2.7). Placemark rendering runs distributed; only the collected strings
-    are concatenated here.
+    are concatenated here, guarded by ``max_rows`` (default
+    ``geojson.DRIVER_SINK_MAX_ROWS`` across all folders) — an over-cap
+    export raises ``DriverSinkOverflow`` pointing at the distributed NDJSON
+    path.
     """
+    from database2ogr_spark.sinks.geojson import (
+        DRIVER_SINK_MAX_ROWS,
+        guard_driver_rows,
+    )
+
+    budget = DRIVER_SINK_MAX_ROWS if max_rows is None else max_rows
     lang_names = NAMES.get(lang, NAMES["en"])
     folders = []
     for table, df in table_dfs:
-        placemarks = [r[0] for r in df.select(placemark_xml(df)).collect()]
+        rendered = df.select(placemark_xml(df))
+        budget -= guard_driver_rows(
+            rendered, cap=budget, sink="kml_document (K3)",
+            alternative="write_ndjson (K2, distributed) or per-partition KML fragments",
+        )
+        placemarks = [r[0] for r in rendered.collect()]
         fname = lang_names.get(table, table)
         folders.append(f"<Folder>{''.join(placemarks)}<name>{fname}</name></Folder>")
     styles = style_header_xml(icon_dir, icon_number)

@@ -8,6 +8,8 @@ import glob
 import json
 import zipfile
 
+from pyspark.sql import functions as F
+
 from database2ogr_spark.plans.area_export import (
     export_geojson_document,
     export_kml,
@@ -121,3 +123,30 @@ def test_recipe_generation(tmp_path):
     assert r["layers"]["zones"]["minzoom"] == 0 and r["layers"]["zones"]["maxzoom"] == 22
     wrapped = json.loads(make_recipe(["a.json"], "u", wrap_name="myset"))
     assert set(wrapped) == {"recipe", "name"}
+
+
+def test_driver_sink_row_cap_trips(spark):
+    # K1/K3 are driver-bound by design; past the cap they must refuse with a
+    # pointer at the distributed NDJSON sink instead of collecting
+    import pytest
+
+    from database2ogr_spark.sinks.geojson import (
+        DriverSinkOverflow,
+        feature_collection_json,
+    )
+    from database2ogr_spark.sinks.kml import kml_document
+
+    df = spark.range(10).select(
+        F.lit('{"type":"Point","coordinates":[0,0]}').alias("geometry"),
+        F.col("id").alias("poi_id"),
+        F.lit("points_of_interest").alias("table"),
+    )
+    with pytest.raises(DriverSinkOverflow, match="K1.*write_ndjson"):
+        feature_collection_json([df], max_rows=5)
+    with pytest.raises(DriverSinkOverflow, match="K3.*distributed"):
+        kml_document([("points_of_interest", df)], doc_name="x", max_rows=5)
+    # under the cap both assemble normally
+    doc = feature_collection_json([df], max_rows=10)
+    assert doc.count('"type":"Feature"') == 10
+    kml = kml_document([("points_of_interest", df)], doc_name="x", max_rows=10)
+    assert kml.count("<Placemark>") == 10
