@@ -99,6 +99,7 @@ def jdbc_reader(
     table: str,
     *,
     url: str | None = None,
+    driver: str | None = None,
     partition_column: str | None = None,
     num_partitions: int = 32,
     lower_bound: int | None = None,
@@ -131,6 +132,10 @@ def jdbc_reader(
         .option("user", os.environ.get("PGUSER", ""))
         .option("password", os.environ.get("PGPASSWORD", ""))
     )
+    if driver is not None:
+        # explicit driver class (e.g. embedded Derby in tests); the Postgres
+        # production path relies on URL-based driver resolution
+        reader = reader.option("driver", driver)
     if partition_column is not None:
         reader = (
             reader.option("partitionColumn", partition_column)
