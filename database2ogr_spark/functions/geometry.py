@@ -32,6 +32,45 @@ def _c(col: Column | str) -> Column:
     return F.col(col) if isinstance(col, str) else col
 
 
+# --------------------------------------------------------------------------
+# optional Sedona tier (SURVEY.md §1.5): when the Apache Sedona jars +
+# python package are present AND SPARK_GRAFT_USE_SEDONA=1, the P2/P3
+# geometry expressions route through the registered ST_* functions
+# (ST_GeomFromGeoJSON → ST_Envelope → ST_AsGeoJSON), matching how the
+# reference computes them in-database (src/from-ground-up.js:73-90). The
+# expression tier below stays the portable default — it is the oracle
+# contract (byte-stable output formatting) and needs no spatial jar.
+
+_SEDONA_READY: bool | None = None
+
+
+def sedona_available() -> bool:
+    """True when Sedona is importable, registered, and opted into via
+    ``SPARK_GRAFT_USE_SEDONA=1``. Registration happens once per process."""
+    global _SEDONA_READY
+    import os
+
+    if os.environ.get("SPARK_GRAFT_USE_SEDONA") != "1":
+        return False
+    if _SEDONA_READY is None:
+        try:
+            from pyspark.sql import SparkSession
+            from sedona.spark import SedonaContext
+
+            spark = SparkSession.getActiveSession()
+            if spark is None:
+                return False  # don't cache: no session yet
+            SedonaContext.create(spark)
+            _SEDONA_READY = True
+        except Exception:
+            _SEDONA_READY = False
+    return _SEDONA_READY
+
+
+def _st(name: str, *args: Column) -> Column:
+    return F.call_function(name, *args)
+
+
 def geom_type(col: Column | str) -> Column:
     """Geometry kind ('Point', 'LineString', ...) from GeoJSON text."""
     return F.get_json_object(_c(col), "$.type")
@@ -105,7 +144,19 @@ def envelope_bounds(col: Column | str) -> Column:
     rather than calling ``.getField`` on this expression four times —
     CollapseProject leaves the non-cheap fold staged, so the token scan runs
     once per row.
+
+    Routes through Sedona's native ``ST_Envelope`` when the optional tier is
+    enabled (:func:`sedona_available`); identical bounds either way.
     """
+    if sedona_available():
+        g = _st("ST_GeomFromGeoJSON", _c(col))
+        env = _st("ST_Envelope", g)
+        return F.struct(
+            _st("ST_XMin", env).alias("xmin"),
+            _st("ST_YMin", env).alias("ymin"),
+            _st("ST_XMax", env).alias("xmax"),
+            _st("ST_YMax", env).alias("ymax"),
+        )
     return _envelope_fold(
         col,
         lambda acc: F.struct(
