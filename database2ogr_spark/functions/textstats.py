@@ -124,14 +124,16 @@ def with_text_stats(
     langs: tuple[str, ...] = ("en",),
     include_wordlen: bool = False,
     include_regex_tokens: bool = False,
+    include_distinct: bool = False,
 ):
     """Append token-derived stat columns to ``df``, tokenizing ONCE per row.
 
     Adds ``__n_chars``, ``__n_punct``, ``__ws_tokens``, and ``__hits_<lang>``
     for each requested language; optionally ``__wordlen_total`` (sum of token
-    lengths) and ``__re_tokens`` (BPE-ish regex token count). Downstream
-    formulas (quality_from_stats / lang_id_from_hits) reference only these
-    cheap integer columns.
+    lengths), ``__re_tokens`` (BPE-ish regex token count), and
+    ``__distinct_toks`` (distinct token count — the diversity guard of the
+    quality cascade). Downstream formulas (quality_from_stats /
+    lang_id_from_hits) reference only these cheap integer columns.
     """
     c = F.col(col)
     extra1 = []
@@ -158,6 +160,8 @@ def with_text_stats(
                 "__wordlen_total"
             )
         )
+    if include_distinct:
+        extra2.append(F.size(F.array_distinct(toks)).alias("__distinct_toks"))
     keep = [k for k in stage1.columns if k != "__toks"]
     return stage1.select(*keep, *extra2)
 

@@ -1,0 +1,226 @@
+"""Corpus-cleaning operators for training-data pipelines: boilerplate line
+removal (RefinedWeb/CCNet-style), a C4/Gopher-style quality-filter rule
+cascade, and deterministic source-mixture resampling.
+
+These extend the engine beyond the reference's surface (BASELINE.json north
+star — the reference, ``/root/reference/src/from-ground-up.js``, has no corpus
+operators; the closest analogue is its membership-validation filter F4).
+Everything here is expression-tier (whole-stage codegen, no UDFs) with exact
+DuckDB oracle twins in ``__spark_entry__.oracle_sql``.
+
+100 TB design notes, per operator:
+
+- ``remove_boilerplate``: one line-explode + groupBy(line-hash) to build the
+  hot-line table (map-side ``array_distinct`` caps each doc's contribution at
+  one row per distinct line, so the agg input is bounded by corpus line count,
+  not line occurrences), then ONE broadcast join back (the hot-line table is
+  tiny by construction — lines shared by >= min_df docs) and ONE shuffle by
+  doc id to reassemble. No self-joins, no driver collects.
+- ``quality_filter_flags``: purely narrow — a single projection over the
+  staged token stats (functions/textstats.with_text_stats tokenizes once per
+  row). Zero shuffles; filters compose with predicate pushdown.
+- ``mix_sources``: per-source counts are a map-side-combined agg whose output
+  is |sources| rows; the achievable-total reduction and per-source rates stay
+  in-plan (crossJoin of two broadcast-sized aggregates — no driver collect),
+  and the final keep-filter is a narrow hash predicate identical to
+  operators/sampling.deterministic_sample, so the sample is stable under
+  repartitioning, retries, and cluster resizes.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from database2ogr_spark.functions import textstats as TS
+from database2ogr_spark.functions.hashing import stable_hash64
+
+
+def _norm_lines(text_col: Column, sep: str) -> Column:
+    """array<string> of trimmed non-empty ``sep``-separated segments."""
+    parts = F.split(text_col, re.escape(sep))
+    return F.filter(F.transform(parts, F.trim), lambda x: x != "")
+
+
+def boilerplate_lines(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    sep: str = "\n",
+    min_df: int = 2,
+) -> DataFrame:
+    """Lines (trimmed, non-empty) occurring in >= ``min_df`` distinct docs,
+    with their document frequency → (line, n_docs).
+
+    ``array_distinct`` BEFORE the explode makes the count a document
+    frequency without a count_distinct (two-shuffle) aggregate: each doc
+    emits each of its distinct lines once, so a plain ``count(*)`` per line
+    is the doc frequency — one shuffle total.
+    """
+    lines = df.select(
+        F.explode(F.array_distinct(_norm_lines(F.col(text_col), sep))).alias("line")
+    )
+    return (
+        lines.groupBy("line")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= min_df)
+    )
+
+
+def remove_boilerplate(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+    min_df: int = 2,
+    out_col: str = "clean_text",
+) -> DataFrame:
+    """Drop lines shared by >= ``min_df`` docs from every document
+    (RefinedWeb/CCNet boilerplate removal: nav menus, cookie banners, footers
+    repeat across a crawl; real content lines don't).
+
+    Output: (id, ``out_col``, n_removed) — kept lines rejoined with ``sep``
+    in original order; a doc whose every line is boilerplate (or that had no
+    non-empty lines) yields ``''``.
+
+    Contract (frozen, mirrored in the oracle SQL): lines are trimmed,
+    empty lines are dropped *before* frequency counting and from the
+    reassembled text, and matching is exact on the trimmed line.
+    """
+    arr = _norm_lines(F.col(text_col), sep)
+    # sentinel: a doc with zero non-empty lines still needs a group row; ''
+    # never matches a hot line (hot lines are non-empty) and rejoins to ''
+    arr = F.when(F.size(arr) > 0, arr).otherwise(F.array(F.lit("")))
+    hot = boilerplate_lines(df, text_col=text_col, sep=sep, min_df=min_df).select(
+        "line", F.lit(True).alias("__hot")
+    )
+    exploded = df.select(F.col(id_col), F.posexplode(arr).alias("__pos", "line"))
+    flagged = exploded.join(F.broadcast(hot), "line", "left")
+    kept = F.when(
+        F.col("__hot").isNull() & (F.col("line") != ""),
+        F.struct(F.col("__pos"), F.col("line")),
+    )
+    return (
+        flagged.groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(F.array_sort(F.collect_list(kept)), lambda s: s["line"]),
+                sep,
+            ).alias(out_col),
+            F.sum(F.when(F.col("__hot").isNotNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_removed"),
+        )
+    )
+
+
+#: Frozen thresholds of the quality cascade (Gopher-rules flavor, scaled to
+#: this corpus's short synthetic docs). Part of the operator contract — the
+#: oracle SQL embeds the same numbers.
+QUALITY_RULES = {
+    "min_words": 20,
+    "max_words": 100_000,
+    "min_mean_word_len": 2.0,
+    "max_mean_word_len": 12.0,
+    "max_symbol_ratio": 0.1,
+    "min_distinct_ratio": 0.2,
+}
+
+
+def quality_filter_flags(
+    df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """C4/Gopher-style quality-filter cascade → one boolean flag per rule
+    plus the final ``keep`` verdict and a ``fail_reason`` (first failed rule
+    in the fixed order, '' if kept).
+
+    Rules (thresholds in :data:`QUALITY_RULES`): word-count window, mean
+    word length window, symbol(punctuation)-to-char ratio cap, and a
+    distinct-word diversity floor (degenerate repetition guard). Keeping the
+    per-rule flags in the output — rather than just the verdict — is what a
+    real pipeline audits: which rule fires how often per source/shard.
+    """
+    R = QUALITY_RULES
+    s = TS.with_text_stats(
+        df, text_col, langs=(), include_wordlen=True, include_distinct=True
+    )
+    n = F.col("__n_chars")
+    ws = F.col("__ws_tokens").cast("double")
+    mwl = F.when(ws > 0, F.col("__wordlen_total") / ws).otherwise(F.lit(0.0))
+    sym = F.when(n > 0, F.col("__n_punct").cast("double") / n.cast("double")).otherwise(
+        F.lit(0.0)
+    )
+    div = F.when(ws > 0, F.col("__distinct_toks").cast("double") / ws).otherwise(
+        F.lit(0.0)
+    )
+    flags = [
+        (
+            "ok_words",
+            (F.col("__ws_tokens") >= R["min_words"])
+            & (F.col("__ws_tokens") <= R["max_words"]),
+        ),
+        (
+            "ok_word_len",
+            (mwl >= R["min_mean_word_len"]) & (mwl <= R["max_mean_word_len"]),
+        ),
+        ("ok_symbols", sym < R["max_symbol_ratio"]),
+        ("ok_diversity", div >= R["min_distinct_ratio"]),
+    ]
+    keep = flags[0][1]
+    for _, c in flags[1:]:
+        keep = keep & c
+    reason = F.lit("")
+    for name, c in reversed(flags):
+        reason = F.when(~c, F.lit(name)).otherwise(reason)
+    return s.select(
+        F.col(id_col),
+        *[c.alias(name) for name, c in flags],
+        keep.alias("keep"),
+        reason.alias("fail_reason"),
+    )
+
+
+def mix_sources(
+    df: DataFrame,
+    weights: dict[str, float],
+    *,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    seed: int = 11,
+) -> DataFrame:
+    """Resample the corpus to a target source mixture, deterministically and
+    without upsampling: the output is the LARGEST corpus whose per-source
+    share matches ``weights`` exactly (in expectation) using each source at
+    most once.
+
+    Achievable total ``T = min_s(n_s / w_s)`` over weighted sources; source
+    ``s`` keeps ``w_s * T / n_s`` of its rows (the binding source keeps
+    100%). Sources absent from ``weights`` are dropped. Row selection is the
+    same md5 hash-mod rule as sampling.deterministic_sample — a row's fate
+    depends only on its id and the weights, so mixtures are reproducible and
+    nested across reruns.
+    """
+    wcol = F.lit(None).cast("double")
+    for src, w in sorted(weights.items()):
+        wcol = F.when(F.col(source_col) == src, F.lit(float(w))).otherwise(wcol)
+    counts = (
+        df.groupBy(source_col)
+        .agg(F.count(F.lit(1)).cast("double").alias("__n"))
+        .withColumn("__w", wcol)
+        .filter(F.col("__w").isNotNull())
+    )
+    total = counts.agg(F.min(F.col("__n") / F.col("__w")).alias("__T"))
+    rates = counts.crossJoin(F.broadcast(total)).select(
+        source_col, (F.col("__w") * F.col("__T") / F.col("__n")).alias("__rate")
+    )
+    bucket = (
+        stable_hash64(F.col(id_col).cast("string"), seed=seed) % 1_000_000
+    ).cast("double")
+    return (
+        df.join(F.broadcast(rates), source_col)
+        .filter(bucket < F.col("__rate") * 1_000_000.0)
+        .drop("__rate")
+    )
