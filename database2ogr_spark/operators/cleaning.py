@@ -39,9 +39,18 @@ from database2ogr_spark.functions.hashing import stable_hash64
 
 
 def _norm_lines(text_col: Column, sep: str) -> Column:
-    """array<string> of trimmed non-empty ``sep``-separated segments."""
+    """array<string> of trimmed non-empty ``sep``-separated segments.
+
+    Trim strips spaces, tabs, AND carriage returns at both ends (not
+    ``F.trim``, which is space-only): on CRLF corpora each ``\\n``-split
+    line keeps a trailing ``\\r`` that would make identical boilerplate
+    from LF vs CRLF docs never match. Mirrored in the oracle SQL.
+    """
     parts = F.split(text_col, re.escape(sep))
-    return F.filter(F.transform(parts, F.trim), lambda x: x != "")
+    trimmed = F.transform(
+        parts, lambda x: F.regexp_replace(x, r"^[\r\t ]+|[\r\t ]+$", "")
+    )
+    return F.filter(trimmed, lambda x: x != "")
 
 
 def boilerplate_lines(
@@ -77,6 +86,7 @@ def remove_boilerplate(
     sep: str = "\n",
     min_df: int = 2,
     out_col: str = "clean_text",
+    broadcast_hot: bool = False,
 ) -> DataFrame:
     """Drop lines shared by >= ``min_df`` docs from every document
     (RefinedWeb/CCNet boilerplate removal: nav menus, cookie banners, footers
@@ -86,9 +96,18 @@ def remove_boilerplate(
     in original order; a doc whose every line is boilerplate (or that had no
     non-empty lines) yields ``''``.
 
-    Contract (frozen, mirrored in the oracle SQL): lines are trimmed,
-    empty lines are dropped *before* frequency counting and from the
-    reassembled text, and matching is exact on the trimmed line.
+    Contract (frozen, mirrored in the oracle SQL): lines are trimmed
+    (``[\\r\\t ]`` at both ends), empty lines are dropped *before* frequency
+    counting and from the reassembled text, and matching is exact on the
+    trimmed line.
+
+    ``broadcast_hot`` forces a broadcast of the hot-line table into the
+    flagging join. Default OFF: the hot table (every trimmed line appearing
+    in >= ``min_df`` docs) is bounded by corpus distinct-line count, which
+    on a real crawl at ``min_df=2`` can be billions of rows — far past the
+    broadcast limit. Leave it to AQE, which broadcasts when the runtime size
+    qualifies; opt in only when ``min_df`` is high enough that the table is
+    provably small.
     """
     arr = _norm_lines(F.col(text_col), sep)
     # sentinel: a doc with zero non-empty lines still needs a group row; ''
@@ -97,8 +116,10 @@ def remove_boilerplate(
     hot = boilerplate_lines(df, text_col=text_col, sep=sep, min_df=min_df).select(
         "line", F.lit(True).alias("__hot")
     )
+    if broadcast_hot:
+        hot = F.broadcast(hot)
     exploded = df.select(F.col(id_col), F.posexplode(arr).alias("__pos", "line"))
-    flagged = exploded.join(F.broadcast(hot), "line", "left")
+    flagged = exploded.join(hot, "line", "left")
     kept = F.when(
         F.col("__hot").isNull() & (F.col("line") != ""),
         F.struct(F.col("__pos"), F.col("line")),
@@ -156,18 +177,28 @@ def quality_filter_flags(
     div = F.when(ws > 0, F.col("__distinct_toks").cast("double") / ws).otherwise(
         F.lit(0.0)
     )
+    # NULL text must fail, not vanish: a NULL stat makes the raw comparison
+    # NULL, which a keep-filter drops silently while the per-rule audit shows
+    # no rule firing. Coalescing every flag to false makes keep=false and
+    # fail_reason name the first rule for NULL/empty docs.
     flags = [
         (
             "ok_words",
-            (F.col("__ws_tokens") >= R["min_words"])
-            & (F.col("__ws_tokens") <= R["max_words"]),
+            F.coalesce(
+                (F.col("__ws_tokens") >= R["min_words"])
+                & (F.col("__ws_tokens") <= R["max_words"]),
+                F.lit(False),
+            ),
         ),
         (
             "ok_word_len",
-            (mwl >= R["min_mean_word_len"]) & (mwl <= R["max_mean_word_len"]),
+            F.coalesce(
+                (mwl >= R["min_mean_word_len"]) & (mwl <= R["max_mean_word_len"]),
+                F.lit(False),
+            ),
         ),
-        ("ok_symbols", sym < R["max_symbol_ratio"]),
-        ("ok_diversity", div >= R["min_distinct_ratio"]),
+        ("ok_symbols", F.coalesce(sym < R["max_symbol_ratio"], F.lit(False))),
+        ("ok_diversity", F.coalesce(div >= R["min_distinct_ratio"], F.lit(False))),
     ]
     keep = flags[0][1]
     for _, c in flags[1:]:
@@ -202,6 +233,12 @@ def mix_sources(
     same md5 hash-mod rule as sampling.deterministic_sample — a row's fate
     depends only on its id and the weights, so mixtures are reproducible and
     nested across reruns.
+
+    A weighted source with ZERO rows in ``df`` makes the target mixture
+    unachievable; rather than silently returning a corpus that deviates from
+    ``weights``, the achievable total is pinned to 0 (empty output) — the
+    caller sees the violation instead of a skewed mixture. Checked in-plan
+    (count of matched sources vs ``len(weights)``), no driver collect.
     """
     wcol = F.lit(None).cast("double")
     for src, w in sorted(weights.items()):
@@ -212,7 +249,11 @@ def mix_sources(
         .withColumn("__w", wcol)
         .filter(F.col("__w").isNotNull())
     )
-    total = counts.agg(F.min(F.col("__n") / F.col("__w")).alias("__T"))
+    total = counts.agg(
+        F.when(F.count(F.lit(1)) < F.lit(len(weights)), F.lit(0.0))
+        .otherwise(F.min(F.col("__n") / F.col("__w")))
+        .alias("__T")
+    )
     rates = counts.crossJoin(F.broadcast(total)).select(
         source_col, (F.col("__w") * F.col("__T") / F.col("__n")).alias("__rate")
     )
