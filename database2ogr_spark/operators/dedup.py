@@ -495,6 +495,40 @@ def ngram_jaccard_pairs(
             .select("shingle")
         )
         sh = raw.join(F.broadcast(hot), "shingle", "left_anti")
+        # attach the post-filter per-doc size to each gram row BEFORE the
+        # self-join (mirroring the with_count fast path) so |A|/|B| ride the
+        # pair aggregation as min()s. The alternative — joining a sizes table
+        # onto the PAIR table twice — puts two shuffle joins on the largest
+        # relation in the plan; here the one extra join is on the gram table
+        # and the pair table is never re-shuffled.
+        sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+        sh = sh.join(sizes, "id")
+        shared = (
+            sh.alias("l")
+            .join(
+                sh.alias("r"),
+                (F.col("l.shingle") == F.col("r.shingle"))
+                & (F.col("l.id") < F.col("r.id")),
+            )
+            .groupBy(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+            .agg(
+                F.count(F.lit(1)).alias("shared"),
+                F.min(F.col("l.n")).alias("n_a"),
+                F.min(F.col("r.n")).alias("n_b"),
+            )
+        )
+        return (
+            shared.withColumn(
+                "jaccard",
+                F.round(
+                    F.col("shared").cast("double")
+                    / (F.col("n_a") + F.col("n_b") - F.col("shared")).cast("double"),
+                    6,
+                ),
+            )
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard")
+        )
     else:
         staged = spread(df).select(
             F.col(id_col).alias("id"), word_hash_structs(text_col).alias("wh")

@@ -44,7 +44,12 @@ def get_spark(app_name: str = "database2ogr_spark", master: str | None = None) -
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # local mode runs executor tasks inside the driver JVM: 32 concurrent
+        # tasks + persisted shingle/LSH intermediates in an 8g heap meant GC
+        # dominated shuffle-heavy queries (multi-x run-to-run swings on
+        # untouched plans). 24g keeps old-gen churn off the hot path; on a
+        # real cluster this knob is per-executor memory instead.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
