@@ -1014,6 +1014,59 @@ def q_ates_kml_placemarks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return union_by_name(per_table)
 
 
+def q_ates_kml_document(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X10/K3/K4 — the WHOLE-document assembly oracle: full EP1 KML document
+    for area 1 (folder order + localized folder names + style header + doc
+    name, reference src/from-ground-up.js:579-624) and the KMZ archive
+    round-trip (:933-974), reduced to byte-exact structural rows:
+
+    - one row per <Folder> of the en document, in document order (pos 1..6),
+      carrying the localized folder name, byte length, and md5;
+    - one row per full document for lang=en and lang=fr (J2 switching);
+    - one row for doc.kml read back out of a written KMZ (K4 round-trip).
+
+    The md5 literals in the oracle make this a hard byte-exact check of the
+    final assembly, not just placemark rendering (which ates_kml_placemarks
+    already pins)."""
+    import hashlib
+    import re
+    import zipfile
+
+    from database2ogr_spark.plans.area_export import export_kml, export_kmz
+
+    cat = _ates_catalog(spark)
+    rows = []
+    doc_en = export_kml(cat, 1, lang="en", icon_number=11)
+    for i, folder in enumerate(re.findall(r"<Folder>.*?</Folder>", doc_en), start=1):
+        fname = re.search(r"<name>([^<]*)</name></Folder>", folder).group(1)
+        rows.append(
+            (
+                f"folder:{fname}",
+                i,
+                len(folder),
+                hashlib.md5(folder.encode("utf-8")).hexdigest(),
+            )
+        )
+    for pos, lang in ((97, "en"), (98, "fr")):
+        doc = export_kml(cat, 1, lang=lang, icon_number=11)
+        rows.append(
+            (
+                f"document:{lang}",
+                pos,
+                len(doc),
+                hashlib.md5(doc.encode("utf-8")).hexdigest(),
+            )
+        )
+    kmz_path = os.path.join(tempfile.gettempdir(), "d2o_ates_area1.kmz")
+    export_kmz(cat, 1, kmz_path, lang="en", icon_number=11)
+    with zipfile.ZipFile(kmz_path) as zf:
+        payload = zf.read("doc.kml")
+    rows.append(("kmz:doc.kml", 99, len(payload), hashlib.md5(payload).hexdigest()))
+    return spark.createDataFrame(
+        rows, "part string, pos int, nbytes bigint, md5 string"
+    )
+
+
 # ---------------------------------------------------------------------------
 # classic relational pack (plans/relational.py) — the join/window/outer-join
 # shapes the reference delegates to Postgres (SURVEY.md §4)
@@ -1274,9 +1327,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": q_cosine_topk,
         "embedding_near_dup": q_embedding_near_dup,
         "near_dup_groups_exact": q_near_dup_groups_exact,
-        "geojson_features": q_geojson_features,
+        "ates_kml_document": q_ates_kml_document,
         # ------------------------------------------------------- slot 50 ^
         # --- fresh round-2 row; rotate forward next round ----------------
+        "geojson_features": q_geojson_features,
         "x4_coords_key": q_x4_coords_key,
         "dedup_exact_survivors": q_dedup_exact_survivors,
         "text_quality": q_text_quality,
@@ -2226,6 +2280,24 @@ def oracle_sql() -> dict[str, str]:
               ('decision_points', 2, 2235),
               ('points_of_interest', 4, 879),
               ('zones', 2, 794)) AS t(tbl, n_placemarks, total_len)
+        """,
+        # byte-exact literals from the deterministic ATES fixture: md5 of
+        # each assembled <Folder> (document order), the full en/fr documents,
+        # and doc.kml read back from the KMZ — the X10/K3/K4 assembly gate
+        "ates_kml_document": """
+            SELECT part, CAST(pos AS INT) AS pos,
+                   CAST(nbytes AS BIGINT) AS nbytes, md5
+            FROM (VALUES
+              ('folder:Area', 1, 281, 'cd70dfb82edd1df9d6e76fc37b602f6d'),
+              ('folder:Points of interest', 2, 927, '39b36b151d6d6023ca60da6e907d4f0c'),
+              ('folder:Access road', 3, 235, 'f66f0e85b877be04620f84c77ee7a0c1'),
+              ('folder:Avalanche path', 4, 386, 'ba3954c46718b00836c883f9b1050d37'),
+              ('folder:Decision point', 5, 2279, '186dfcfa77635502e98ebbf8ccb4e8f1'),
+              ('folder:Zone', 6, 828, '2dbdafcfe4dc1667c896992e607df8a2'),
+              ('document:en', 97, 6942, 'f2e1e62c883b999c9e36dbad3459af3f'),
+              ('document:fr', 98, 6955, '8cfa72459068749c49cedba6633980ec'),
+              ('kmz:doc.kml', 99, 6942, 'f2e1e62c883b999c9e36dbad3459af3f')
+            ) AS t(part, pos, nbytes, md5)
         """,
         "events_attribution_join": """
             SELECT l.user_id,
