@@ -617,6 +617,25 @@ def q_remove_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return CL.remove_boilerplate(synth)
 
 
+def q_dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide exact paragraph dedup (operators/cleaning.py): first
+    occurrence (min doc_id, then position) of each trimmed paragraph wins;
+    later copies are dropped. Built over the same synthesized crawl shape as
+    remove_boilerplate — but here the per-source and global footers survive
+    in exactly ONE doc each instead of vanishing everywhere."""
+    d = _t(spark, sf_dir, "documents")
+    synth = d.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.col("text"),
+            F.concat(F.lit("from: "), F.col("source")),
+            F.lit("shared footer notice"),
+        ).alias("text"),
+    )
+    return CL.dedup_paragraphs(synth)
+
+
 def q_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4/Gopher quality-filter cascade (operators/cleaning.py): per-rule
     audit flags + keep verdict + first-failed-rule reason."""
@@ -793,6 +812,20 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = docs.filter(F.col("doc_id") % 20 == 0)
     corpus = docs.filter(F.col("doc_id") % 20 != 0)
     return DD.decontaminate(corpus, bench, k=13).select("doc_id", "lang", "source")
+
+
+def q_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-sketch decontamination (operators/dedup.decontaminate_bloom) —
+    the beyond-broadcast scale twin of q_decontaminate, same bench/corpus
+    split. Approximate one-sidedly (false positives only) → rows-only check;
+    the no-false-negatives guarantee is pytest-verified against the exact
+    operator in tests/test_dedup.py."""
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+    corpus = docs.filter(F.col("doc_id") % 20 != 0)
+    return DD.decontaminate_bloom(corpus, bench, k=13).select(
+        "doc_id", "lang", "source"
+    )
 
 
 def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1276,6 +1309,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- NEW this round (operators/cleaning.py wired) ----------------
         "remove_boilerplate": q_remove_boilerplate,
+        "dedup_paragraphs": q_dedup_paragraphs,
         "quality_flags": q_quality_flags,
         "mix_sources": q_mix_sources,
         # --- CHANGED this round (red row fix / graded-plan fix) ----------
@@ -1323,13 +1357,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s1_scan_filter": q_s1_scan_filter,
         "events_windowed": q_events_windowed,
         "decontaminate": q_decontaminate,
+        "decontaminate_bloom": q_decontaminate_bloom,
         "dedup_exact": q_dedup_exact,
-        "cosine_topk": q_cosine_topk,
-        "embedding_near_dup": q_embedding_near_dup,
         "near_dup_groups_exact": q_near_dup_groups_exact,
         "ates_kml_document": q_ates_kml_document,
         # ------------------------------------------------------- slot 50 ^
         # --- fresh round-2 row; rotate forward next round ----------------
+        "cosine_topk": q_cosine_topk,
+        "embedding_near_dup": q_embedding_near_dup,
         "geojson_features": q_geojson_features,
         "x4_coords_key": q_x4_coords_key,
         "dedup_exact_survivors": q_dedup_exact_survivors,
@@ -1956,6 +1991,33 @@ def oracle_sql() -> dict[str, str]:
               CAST(len(list_filter(lines, x -> list_contains(hotlist, x)))
                 AS BIGINT) AS n_removed
             FROM L CROSS JOIN h
+        """,
+        # twin of operators/cleaning.dedup_paragraphs: global winner per
+        # trimmed paragraph = row_number over (doc_id, pos); rn=1 keeps
+        "dedup_paragraphs": """
+            WITH synth AS (
+              SELECT doc_id, concat_ws(chr(10), text, 'from: ' || source,
+                'shared footer notice') AS text
+              FROM documents),
+            L AS (SELECT doc_id,
+                list_filter(list_transform(string_split(text, chr(10)),
+                  x -> regexp_replace(x, '^[\\r\\t ]+|[\\r\\t ]+$', '', 'g')),
+                  x -> x <> '') AS lines
+              FROM synth),
+            E AS (SELECT doc_id, para, pos FROM (
+              SELECT doc_id, unnest(lines) AS para,
+                     generate_subscripts(lines, 1) AS pos FROM L)),
+            W AS (SELECT *, row_number() OVER (PARTITION BY para
+                    ORDER BY doc_id, pos) AS rn FROM E),
+            agg AS (
+              SELECT doc_id,
+                string_agg(CASE WHEN rn = 1 THEN para END, chr(10)
+                           ORDER BY pos) AS dedup_text,
+                count(*) FILTER (WHERE rn > 1) AS n_dropped
+              FROM W GROUP BY doc_id)
+            SELECT d.doc_id, coalesce(a.dedup_text, '') AS dedup_text,
+                   CAST(coalesce(a.n_dropped, 0) AS BIGINT) AS n_dropped
+            FROM documents d LEFT JOIN agg a USING (doc_id)
         """,
         # twin of operators/cleaning.quality_filter_flags — thresholds are
         # the frozen QUALITY_RULES; tokenization identical to text_quality

@@ -214,6 +214,71 @@ def quality_filter_flags(
     )
 
 
+def dedup_paragraphs(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+    out_col: str = "dedup_text",
+) -> DataFrame:
+    """Corpus-WIDE exact paragraph deduplication (C4/CCNet flavor): every
+    duplicated paragraph keeps only its first occurrence — the doc with the
+    smallest ``id_col``, then the smallest position within that doc — and
+    every later occurrence is dropped from the reassembled text.
+
+    Differs from :func:`remove_boilerplate` in semantics, not mechanics:
+    boilerplate removal drops a shared line from EVERY doc once it crosses
+    ``min_df``; paragraph dedup keeps exactly one copy in the corpus.
+
+    Output: (id, ``out_col``, n_dropped). Contract mirrors _norm_lines:
+    paragraphs are ``sep``-split, trimmed of ``[\\r\\t ]``, empties dropped
+    before comparison and reassembly; matching is exact on the trimmed text.
+
+    100 TB design: one wide shuffle — groupBy(paragraph) computing the
+    global winner as ``min(struct(id, pos))`` (map-side combinable, payload
+    is 16 bytes per distinct paragraph) — then an equi-join of the winner
+    table back onto the exploded paragraphs on the paragraph key and one
+    shuffle by doc id to reassemble. No self-joins, no windows over the
+    whole corpus, no driver state. Hot paragraphs (the reason
+    remove_boilerplate needs no guard here): a paragraph with d duplicates
+    contributes d join rows — linear, not quadratic, so no max_df analogue
+    is needed.
+    """
+    arr = _norm_lines(F.col(text_col), sep)
+    arr = F.when(F.size(arr) > 0, arr).otherwise(F.array(F.lit("")))
+    exploded = df.select(
+        F.col(id_col).alias("__id"), F.posexplode(arr).alias("__pos", "para")
+    ).filter(F.col("para") != "")
+    winners = exploded.groupBy("para").agg(
+        F.min(F.struct(F.col("__id"), F.col("__pos"))).alias("__w")
+    )
+    flagged = exploded.join(winners, "para").withColumn(
+        "__keep",
+        (F.col("__w.__id") == F.col("__id")) & (F.col("__w.__pos") == F.col("__pos")),
+    )
+    kept = F.when(F.col("__keep"), F.struct(F.col("__pos"), F.col("para")))
+    reassembled = flagged.groupBy("__id").agg(
+        F.array_join(
+            F.transform(F.array_sort(F.collect_list(kept)), lambda s: s["para"]), sep
+        ).alias(out_col),
+        F.sum(F.when(~F.col("__keep"), 1).otherwise(0)).cast("bigint").alias(
+            "n_dropped"
+        ),
+    )
+    # docs whose every paragraph was dropped (or that had none) still get a
+    # row: left-join from the corpus and coalesce
+    return (
+        df.select(F.col(id_col))
+        .join(reassembled, F.col(id_col) == F.col("__id"), "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col(out_col), F.lit("")).alias(out_col),
+            F.coalesce(F.col("n_dropped"), F.lit(0)).cast("bigint").alias("n_dropped"),
+        )
+    )
+
+
 def mix_sources(
     df: DataFrame,
     weights: dict[str, float],

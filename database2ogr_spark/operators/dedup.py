@@ -267,6 +267,112 @@ def decontaminate(
     return corpus.join(contaminated, on=id_col, how="left_anti")
 
 
+def decontaminate_bloom(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    k: int = 13,
+    num_bits: int = 1 << 23,
+    num_hashes: int = 5,
+) -> DataFrame:
+    """Bloom-filter decontamination — the beyond-broadcast twin of
+    :func:`decontaminate`.
+
+    The exact operator broadcasts the benchmark gram SET (8 bytes/gram):
+    right plan until the blocklist hits ~10^8 grams and the broadcast
+    approaches the 8 GB limit. Here the benchmark compresses into an m-bit
+    Bloom sketch instead — ``num_bits=2^23`` is 1 MiB regardless of gram
+    count — and the corpus probes it map-side, never shuffling.
+
+    Approximate one-sidedly: false NEGATIVES are impossible (every truly
+    contaminated doc is dropped — decontamination errs safe by
+    construction); false positives drop extra clean docs at rate
+    ``~(1 - e^(-kn/m))^h`` — size ``num_bits`` ≥ ~10 bits/gram for <1%.
+
+    Mechanics (all deterministic, retry-stable):
+    - grams are the same 62-bit rolling-hash ids as :func:`decontaminate`;
+    - two independent 64-bit hashes per gram are computed JVM-side
+      (``xxhash64(gram)`` and ``xxhash64(gram, salt)``) and combined
+      Kirsch-Mitzenmacher style (``g_i = h1 + i*h2 mod m``) in vectorized
+      numpy — the Python stage touches only two int64 columns per gram;
+    - each benchmark partition builds a local m-bit numpy bitmap in one
+      ``mapInPandas`` pass; partition bitmaps OR-reduce via ``treeReduce``
+      (depth 2 — the driver sees O(m), not O(partitions·m));
+    - the final bitmap broadcasts and corpus grams probe it in one
+      ``mapInPandas`` pass emitting contaminated ids (deduped per batch).
+
+    Returns the surviving corpus rows (original schema).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from database2ogr_spark.functions.gramkernel import distinct_gram_table
+
+    m = int(num_bits)
+    n_hash = int(num_hashes)
+    salt = 0x9E3779B97F4A7C15 - (1 << 64)  # golden-ratio salt as signed i64
+
+    def hashed_grams(df: DataFrame) -> DataFrame:
+        g = distinct_gram_table(spread(df), id_col, text_col, k)
+        return g.select(
+            "id",
+            F.xxhash64("gram").alias("h1"),
+            F.xxhash64("gram", F.lit(salt).cast("long")).alias("h2"),
+        )
+
+    def positions(h1: "np.ndarray", h2: "np.ndarray") -> "np.ndarray":
+        # (n, num_hashes) bit positions, uint64 wraparound arithmetic
+        i = np.arange(n_hash, dtype=np.uint64)
+        return (h1[:, None] + i[None, :] * h2[:, None]) % np.uint64(m)
+
+    def build_bitmap(batches):
+        bitmap = np.zeros(m // 8, dtype=np.uint8)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            pos = positions(
+                pdf["h1"].to_numpy().astype(np.int64).view(np.uint64),
+                pdf["h2"].to_numpy().astype(np.int64).view(np.uint64),
+            ).ravel()
+            np.bitwise_or.at(bitmap, pos >> np.uint64(3), (1 << (pos & np.uint64(7))).astype(np.uint8))
+        yield pd.DataFrame({"bm": [bitmap.tobytes()]})
+
+    bm_schema = T.StructType([T.StructField("bm", T.BinaryType())])
+    part_bitmaps = hashed_grams(benchmark).mapInPandas(build_bitmap, bm_schema)
+    merged = part_bitmaps.rdd.map(lambda r: bytes(r["bm"])).treeReduce(
+        lambda a, b: (
+            np.frombuffer(a, dtype=np.uint8) | np.frombuffer(b, dtype=np.uint8)
+        ).tobytes(),
+        depth=2,
+    )
+    bloom_bc = corpus.sparkSession.sparkContext.broadcast(merged)
+
+    def probe(batches):
+        bitmap = np.frombuffer(bloom_bc.value, dtype=np.uint8)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            pos = positions(
+                pdf["h1"].to_numpy().astype(np.int64).view(np.uint64),
+                pdf["h2"].to_numpy().astype(np.int64).view(np.uint64),
+            )
+            hit = (bitmap[pos >> np.uint64(3)] & (1 << (pos & np.uint64(7))).astype(np.uint8)) != 0
+            ids = pdf["id"].to_numpy()[hit.all(axis=1)]
+            yield pd.DataFrame({"id": np.unique(ids)})
+
+    id_schema = T.StructType([T.StructField("id", T.LongType())])
+    contaminated = (
+        hashed_grams(corpus)
+        .mapInPandas(probe, id_schema)
+        .select(F.col("id").alias(id_col))
+        .distinct()
+    )
+    return corpus.join(contaminated, on=id_col, how="left_anti")
+
+
 def simhash_signatures(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     *, use_arrow: bool = True,

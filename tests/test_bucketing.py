@@ -1,0 +1,75 @@
+"""Bucketed tables must deliver the plan they exist for: equi-joins and
+aggregations on the bucket key with NO Exchange (sources/bucketing.py)."""
+
+from __future__ import annotations
+
+import pytest
+
+from database2ogr_spark.sources.bucketing import (
+    bucketed_join,
+    suggest_buckets,
+    write_bucketed,
+)
+
+
+@pytest.fixture(scope="module")
+def bucketed_tables(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    stats = docs.selectExpr("doc_id", "n_chars", "length(text) AS true_len")
+    write_bucketed(docs, "b_docs", "doc_id", num_buckets=8)
+    write_bucketed(stats, "b_stats", "doc_id", num_buckets=8)
+    yield "b_docs", "b_stats"
+    for t in ("b_docs", "b_stats"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_bucketed_join_has_no_exchange(spark, bucketed_tables):
+    left, right = bucketed_tables
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = bucketed_join(spark, left, right, "doc_id")
+        plan = _plan(j)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan
+        # both scans must actually use the bucket metadata
+        assert plan.count("Bucketed: true") == 2, plan
+        # NB: a per-bucket Sort remains — since Spark 3.0 bucketed scans
+        # don't expose sortBy ordering unless
+        # spark.sql.legacy.bucketedTableScan.outputOrdering is set; the
+        # shuffle (the scale cost) is what bucketing removes
+        assert j.count() == spark.table(left).count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_bucketed_groupby_has_no_exchange(spark, bucketed_tables):
+    left, _ = bucketed_tables
+    agg = spark.table(left).groupBy("doc_id").count()
+    plan = _plan(agg)
+    assert "Exchange" not in plan, plan
+
+
+def test_unbucketed_join_does_exchange(spark, bucketed_tables):
+    # control: the same join through plain parquet shuffles both sides
+    left, _ = bucketed_tables
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = docs.join(
+            docs.selectExpr("doc_id", "n_chars AS n2"), on="doc_id"
+        )
+        assert "Exchange" in _plan(j)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_suggest_buckets_power_of_two():
+    assert suggest_buckets(100 << 20) == 1
+    assert suggest_buckets(10 << 30) == 128  # 10 GiB / 128 MiB = 80 → 128
+    assert suggest_buckets(0) == 1

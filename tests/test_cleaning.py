@@ -14,6 +14,7 @@ import pytest
 from database2ogr_spark.operators.cleaning import (
     QUALITY_RULES,
     boilerplate_lines,
+    dedup_paragraphs,
     mix_sources,
     quality_filter_flags,
     remove_boilerplate,
@@ -85,6 +86,47 @@ def test_remove_boilerplate_preserves_order_and_broadcast_flag(spark):
     }
     assert row[1]["clean_text"] == "z last\na first\nm mid"
     assert row[1]["n_removed"] == 2
+
+
+def test_dedup_paragraphs_first_occurrence_wins(spark):
+    # the winner is (min doc_id, then min position) — doc 1 keeps both
+    # copies' first occurrence; doc 2's copy of 'dup' is dropped, its own
+    # unique line survives; in-doc repeats keep only the first
+    df = _docs(
+        spark,
+        [
+            (1, "dup\nunique one\ndup"),
+            (2, "unique two\ndup"),
+        ],
+    )
+    out = {
+        r["doc_id"]: (r["dedup_text"], r["n_dropped"])
+        for r in dedup_paragraphs(df).collect()
+    }
+    assert out[1] == ("dup\nunique one", 1)
+    assert out[2] == ("unique two", 1)
+
+
+def test_dedup_paragraphs_crlf_and_degenerate(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "shared\r\nbody a"),
+            (2, " shared \nbody b"),
+            (3, "shared"),
+            (4, "  \n\t"),
+            (5, None),
+        ],
+    )
+    out = {
+        r["doc_id"]: (r["dedup_text"], r["n_dropped"])
+        for r in dedup_paragraphs(df).collect()
+    }
+    assert out[1] == ("shared\nbody a", 0)
+    assert out[2] == ("body b", 1)
+    assert out[3] == ("", 1)
+    assert out[4] == ("", 0)
+    assert out[5] == ("", 0)
 
 
 def test_quality_flags_good_and_bad(spark):

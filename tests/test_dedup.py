@@ -114,6 +114,37 @@ def test_decontaminate_removes_gram_overlap(spark):
     assert survivors == {12, 14}
 
 
+def test_decontaminate_bloom_no_false_negatives(spark):
+    # the Bloom twin may drop EXTRA docs (false positives) but never keeps a
+    # contaminated one: bloom survivors ⊆ exact survivors, always
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    bench = docs.filter("doc_id % 20 = 0")
+    corpus = docs.filter("doc_id % 20 <> 0")
+    exact = {r.doc_id for r in DD.decontaminate(corpus, bench, k=13).collect()}
+    bloom = {
+        r.doc_id for r in DD.decontaminate_bloom(corpus, bench, k=13).collect()
+    }
+    assert bloom.issubset(exact)
+    # at 2^23 bits for a fixture-sized gram set the fp rate is ~0: identical
+    assert bloom == exact
+
+
+def test_decontaminate_bloom_small_filter_still_one_sided(spark):
+    # degenerate 2^10-bit filter: heavy false positives are allowed, a kept
+    # contaminated doc is not
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    bench = docs.filter("doc_id % 20 = 0")
+    corpus = docs.filter("doc_id % 20 <> 0")
+    exact = {r.doc_id for r in DD.decontaminate(corpus, bench, k=13).collect()}
+    bloom = {
+        r.doc_id
+        for r in DD.decontaminate_bloom(
+            corpus, bench, k=13, num_bits=1 << 10, num_hashes=2
+        ).collect()
+    }
+    assert bloom.issubset(exact)
+
+
 def test_repetition_stats_exact_fracs(spark):
     from database2ogr_spark.operators.repetition import repetition_stats
 
