@@ -694,6 +694,62 @@ def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", X.redact(noisy).alias("clean"))
 
 
+def _synth_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic messy URL per document (the corpus carries no URL
+    column): mixed-case scheme/host, www prefixes, default and explicit
+    ports, tracking params, unsorted query, fragments, trailing slashes —
+    one of each normalization rule to exercise."""
+    d = _t(spark, sf_dir, "documents")
+    k = F.col("doc_id")
+    return d.select(
+        "doc_id",
+        F.concat(
+            F.when(k % 3 == 0, F.lit("HTTPS://WWW.")).otherwise(F.lit("http://")),
+            F.when(k % 6 == 0, F.lit("cdn.")).otherwise(F.lit("")),
+            F.col("source"),
+            F.lit("-Example"),
+            F.when(k % 4 == 0, F.lit(".co.uk")).otherwise(F.lit(".com")),
+            F.when(k % 3 == 0, F.lit(":443"))
+            .when(k % 5 == 0, F.lit(":8080"))
+            .otherwise(F.lit("")),
+            F.lit("/Docs/"),
+            k.cast("string"),
+            F.when(k % 2 == 0, F.lit("/")).otherwise(F.lit("")),
+            F.lit("?utm_source=feed&b=2&a=1"),
+            F.when(k % 7 == 0, F.lit("#frag")).otherwise(F.lit("")),
+        ).alias("url"),
+    )
+
+
+def q_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization (functions/urls.py): lowercase scheme/host,
+    strip www/default ports/fragments/tracking params, sort surviving
+    params, collapse trailing slash; plus host and eTLD+1 extraction."""
+    from database2ogr_spark.functions import urls as U
+
+    s = _synth_url(spark, sf_dir)
+    return s.select(
+        "doc_id",
+        U.normalize_url(F.col("url")).alias("url_norm"),
+        U.url_host(F.col("url")).alias("host"),
+        U.registered_domain(U.url_host(F.col("url"))).alias("domain"),
+    )
+
+
+def q_cap_per_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain quota (operators/sampling.cap_per_group): at most 10 docs
+    per registered domain, hash-rank deterministic."""
+    from database2ogr_spark.functions import urls as U
+
+    s = _synth_url(spark, sf_dir)
+    with_domain = s.select(
+        "doc_id", U.registered_domain(U.url_host(F.col("url"))).alias("domain")
+    )
+    return SMP.cap_per_group(
+        with_domain, cap=10, group_col="domain", id_col="doc_id"
+    )
+
+
 def q_embedding_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L2 norm + first normalized component per embedding (the narrow
     pre-processing stage every ANN pipeline runs)."""
@@ -1312,6 +1368,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_paragraphs": q_dedup_paragraphs,
         "quality_flags": q_quality_flags,
         "mix_sources": q_mix_sources,
+        "url_normalize": q_url_normalize,
+        "cap_per_domain": q_cap_per_domain,
         # --- CHANGED this round (red row fix / graded-plan fix) ----------
         "multimodal_decode": q_multimodal_decode,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
@@ -1354,8 +1412,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warnify": q_warnify,
         "ates_kml_placemarks": q_ates_kml_placemarks,
         "ates_geojson_features": q_ates_geojson_features,
-        "s1_scan_filter": q_s1_scan_filter,
-        "events_windowed": q_events_windowed,
         "decontaminate": q_decontaminate,
         "decontaminate_bloom": q_decontaminate_bloom,
         "dedup_exact": q_dedup_exact,
@@ -1363,6 +1419,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ates_kml_document": q_ates_kml_document,
         # ------------------------------------------------------- slot 50 ^
         # --- fresh round-2 row; rotate forward next round ----------------
+        "s1_scan_filter": q_s1_scan_filter,
+        "events_windowed": q_events_windowed,
         "cosine_topk": q_cosine_topk,
         "embedding_near_dup": q_embedding_near_dup,
         "geojson_features": q_geojson_features,
@@ -1403,6 +1461,60 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x13_recipe_layers": q_x13_recipe_layers,
         "chunk_documents": q_chunk_documents,
     }
+
+
+#: DuckDB twin of __spark_entry__._synth_url + functions/urls.py parsing —
+#: shared by the url_normalize and cap_per_domain oracles
+_URL_SUFFIXES_SQL = ", ".join(
+    f"'{s}'"
+    for s in (
+        "co.uk", "org.uk", "gov.uk", "ac.uk",
+        "com.au", "net.au", "org.au",
+        "co.jp", "ne.jp", "or.jp",
+        "com.br", "com.cn", "co.in", "co.kr", "co.nz", "co.za",
+    )
+)
+_URL_PARSE_SQL = f"""
+    WITH s AS (
+      SELECT doc_id,
+        (CASE WHEN doc_id % 3 = 0 THEN 'HTTPS://WWW.' ELSE 'http://' END)
+        || (CASE WHEN doc_id % 6 = 0 THEN 'cdn.' ELSE '' END)
+        || source || '-Example'
+        || (CASE WHEN doc_id % 4 = 0 THEN '.co.uk' ELSE '.com' END)
+        || (CASE WHEN doc_id % 3 = 0 THEN ':443'
+                 WHEN doc_id % 5 = 0 THEN ':8080' ELSE '' END)
+        || '/Docs/' || doc_id
+        || (CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END)
+        || '?utm_source=feed&b=2&a=1'
+        || (CASE WHEN doc_id % 7 = 0 THEN '#frag' ELSE '' END) AS url
+      FROM documents),
+    p AS (
+      SELECT doc_id, url,
+        lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+        regexp_replace(lower(regexp_extract(url,
+          '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/@?#]*@)?([^/:?#]+)', 1)),
+          '^www\\.', '') AS host,
+        regexp_extract(url,
+          '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/@?#]*@)?[^/:?#]+:([0-9]+)', 1) AS port,
+        regexp_replace(regexp_extract(url,
+          '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1), '/$', '') AS path0,
+        regexp_extract(url, '\\?([^#]*)', 1) AS q
+      FROM s),
+    parsed AS (
+      SELECT doc_id, url, scheme, host, port,
+        CASE WHEN path0 = '' THEN '/' ELSE path0 END AS path,
+        array_to_string(list_sort(list_filter(string_split(q, '&'),
+          x -> x <> '' AND NOT regexp_matches(x,
+            '^(utm_[A-Za-z0-9_]*|gclid|fbclid|ref)='))), '&') AS qq,
+        CASE WHEN len(string_split(host, '.')) <= 2 THEN host
+             WHEN list_contains([{_URL_SUFFIXES_SQL}],
+                  string_split(host, '.')[-2] || '.' || string_split(host, '.')[-1])
+             THEN string_split(host, '.')[-3] || '.'
+                  || string_split(host, '.')[-2] || '.' || string_split(host, '.')[-1]
+             ELSE string_split(host, '.')[-2] || '.' || string_split(host, '.')[-1]
+        END AS domain
+      FROM p)
+"""
 
 
 def _stopword_list_sql(lang: str) -> str:
@@ -2075,6 +2187,28 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d JOIN rates USING (source)
             WHERE {_h64_sql("CAST(doc_id AS VARCHAR)", 11)} % 1000000
                   < rate * 1000000.0
+        """,
+        # twins of functions/urls.py over the synthesized messy URLs — every
+        # normalization rule mirrored regex-for-regex
+        "url_normalize": _URL_PARSE_SQL + """
+            SELECT doc_id,
+              CASE WHEN scheme <> '' AND host <> '' THEN
+                scheme || '://' || host
+                || (CASE WHEN port <> '' AND NOT ((scheme = 'http' AND port = '80')
+                          OR (scheme = 'https' AND port = '443'))
+                    THEN ':' || port ELSE '' END)
+                || path
+                || (CASE WHEN qq <> '' THEN '?' || qq ELSE '' END)
+              END AS url_norm,
+              host, domain
+            FROM parsed
+        """,
+        "cap_per_domain": _URL_PARSE_SQL + f"""
+            , r AS (
+              SELECT doc_id, domain, row_number() OVER (PARTITION BY domain
+                ORDER BY {_h64_sql("CAST(doc_id AS VARCHAR)", 7)} ASC, doc_id ASC) AS rk
+              FROM parsed)
+            SELECT doc_id, domain FROM r WHERE rk <= 10
         """,
         "embedding_normalize": """
             WITH c AS (SELECT vec_id,

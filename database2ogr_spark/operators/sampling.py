@@ -60,6 +60,36 @@ def stratified_sample(
     return df.filter(bucket < threshold)
 
 
+def cap_per_group(
+    df: DataFrame,
+    *,
+    cap: int,
+    group_col: str = "domain",
+    id_col: str = "doc_id",
+    seed: int = 7,
+) -> DataFrame:
+    """Keep at most ``cap`` rows per ``group_col`` (per-domain quotas — the
+    standard guard against one crawl host flooding the mixture), chosen
+    deterministically: rows rank by hash of their id within the group and
+    ranks > ``cap`` drop. Same id → same fate on any cluster size or retry;
+    raising ``cap`` strictly grows every group's keep set (nested quotas).
+
+    Scale: one shuffle (window partitioned by ``group_col``). A mega-domain
+    makes a fat partition — the sort is per-group and spills, but if one
+    domain is a double-digit share of the corpus, pre-filter it separately
+    rather than paying its sort here.
+    """
+    w = Window.partitionBy(group_col).orderBy(
+        stable_hash64(F.col(id_col).cast("string"), seed=seed).asc(),
+        F.col(id_col).asc(),
+    )
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= cap)
+        .drop("__rk")
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     *,
