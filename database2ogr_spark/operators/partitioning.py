@@ -70,28 +70,61 @@ def salted_join(
     return salted.join(exploded, cond, how).drop(exploded["_salt"]).drop("_salt")
 
 
+def suggest_buckets(total_bytes: int, target_bucket_bytes: int = 128 << 20) -> int:
+    """Power-of-two bucket count putting ~``target_bucket_bytes`` (default
+    128 MiB) in each bucket of the bigger table — the sizing rule of thumb
+    for :func:`write_bucketed`."""
+    n = max(1, total_bytes // target_bucket_bytes)
+    p = 1
+    while p < n:
+        p <<= 1
+    return p
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,
-    key: str,
+    key: str | list[str],
     *,
     buckets: int = 32,
+    sort: bool = True,
     mode: str = "overwrite",
 ) -> None:
-    """Persist ``df`` hash-bucketed (and sorted) by ``key``.
+    """Persist ``df`` hash-bucketed (and by default sorted) by ``key``.
 
     Bucketing trades one write-time shuffle for zero shuffles on every later
     join/aggregation keyed on ``key``: two tables bucketed by the same key
     into the same bucket count join with *no Exchange* in the plan — at
     100 TB that's the difference between re-shuffling the fact table per
-    query and never shuffling it again. The sort makes the per-bucket merge
-    join sort-free too. Verified in tests/test_operators.py: the physical
-    plan of a bucketed⋈bucketed join contains no Exchange operator.
+    query and never shuffling it again. Verified in tests/test_bucketing.py:
+    bucketed⋈bucketed joins and bucket-key aggregations plan no Exchange.
+
+    The ``repartition`` on the bucket key keeps file count = bucket count
+    (each write task owns whole buckets) instead of tasks × buckets — the
+    small-file guard that matters at thousands of write tasks. Note that
+    Spark >= 3.0 still plans a cheap per-bucket Sort under SortMergeJoin
+    unless ``spark.sql.legacy.bucketedTableScan.outputOrdering`` is enabled;
+    the Exchange is the cost bucketing removes.
+
+    Bucketed tables must go through the session catalog (``saveAsTable``) —
+    path-based parquet writes do not persist bucket metadata.
     """
-    (
-        df.write.mode(mode)
-        .bucketBy(buckets, key)
-        .sortBy(key)
+    cols = [key] if isinstance(key, str) else list(key)
+    writer = (
+        df.repartition(buckets, *[F.col(c) for c in cols])
+        .write.mode(mode)
+        .bucketBy(buckets, *cols)
         .format("parquet")
-        .saveAsTable(table)
     )
+    if sort:
+        writer = writer.sortBy(*cols)
+    writer.saveAsTable(table)
+
+
+def bucketed_join(spark, left_table: str, right_table: str, on: str | list[str]) -> DataFrame:
+    """Join two same-bucketed catalog tables on their bucket key. Pure
+    convenience — the plan benefit comes from the table metadata: with
+    matching bucket counts Catalyst plans a SortMergeJoin with zero
+    Exchange operators."""
+    keys = [on] if isinstance(on, str) else list(on)
+    return spark.table(left_table).join(spark.table(right_table), on=keys)

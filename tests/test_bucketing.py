@@ -1,11 +1,12 @@
 """Bucketed tables must deliver the plan they exist for: equi-joins and
-aggregations on the bucket key with NO Exchange (sources/bucketing.py)."""
+aggregations on the bucket key with NO Exchange
+(operators/partitioning.py write_bucketed / bucketed_join)."""
 
 from __future__ import annotations
 
 import pytest
 
-from database2ogr_spark.sources.bucketing import (
+from database2ogr_spark.operators.partitioning import (
     bucketed_join,
     suggest_buckets,
     write_bucketed,
@@ -16,8 +17,8 @@ from database2ogr_spark.sources.bucketing import (
 def bucketed_tables(spark):
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     stats = docs.selectExpr("doc_id", "n_chars", "length(text) AS true_len")
-    write_bucketed(docs, "b_docs", "doc_id", num_buckets=8)
-    write_bucketed(stats, "b_stats", "doc_id", num_buckets=8)
+    write_bucketed(docs, "b_docs", "doc_id", buckets=8)
+    write_bucketed(stats, "b_stats", "doc_id", buckets=8)
     yield "b_docs", "b_stats"
     for t in ("b_docs", "b_stats"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
@@ -56,7 +57,6 @@ def test_bucketed_groupby_has_no_exchange(spark, bucketed_tables):
 
 def test_unbucketed_join_does_exchange(spark, bucketed_tables):
     # control: the same join through plain parquet shuffles both sides
-    left, _ = bucketed_tables
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
@@ -67,6 +67,22 @@ def test_unbucketed_join_does_exchange(spark, bucketed_tables):
         assert "Exchange" in _plan(j)
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_one_file_per_bucket(spark, bucketed_tables):
+    # the pre-write repartition keeps file count == bucket count, not
+    # tasks x buckets (the small-file guard write_bucketed documents)
+    left, _ = bucketed_tables
+    import glob
+    import os
+
+    loc = (
+        spark.sql(f"DESCRIBE TABLE EXTENDED {left}")
+        .filter("col_name = 'Location'")
+        .collect()[0]["data_type"]
+    )
+    parts = glob.glob(os.path.join(loc.replace("file:", ""), "part-*"))
+    assert len(parts) == 8, parts
 
 
 def test_suggest_buckets_power_of_two():

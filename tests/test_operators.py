@@ -120,34 +120,6 @@ def test_salted_join_matches_plain_join(spark):
     assert len(unmatched) == 1 and unmatched[0].dval is None
 
 
-def test_bucketed_join_has_no_exchange(spark, tmp_path):
-    from database2ogr_spark.operators.partitioning import write_bucketed
-
-    left = spark.range(0, 1000).withColumnRenamed("id", "k")
-    right = spark.range(0, 1000).select(
-        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
-    )
-    write_bucketed(left, "bkt_left", "k", buckets=4)
-    write_bucketed(right, "bkt_right", "k", buckets=4)
-    # force the sort-merge path (tiny test tables would broadcast): on real
-    # data the same bucketed plan kicks in whenever the sides exceed the
-    # broadcast threshold
-    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760b")
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    try:
-        l = spark.table("bkt_left")
-        r = spark.table("bkt_right")
-        joined = l.join(r, "k")
-        plan = joined._jdf.queryExecution().executedPlan().toString()
-        assert "Exchange hashpartitioning" not in plan, plan
-        assert "Bucketed: true" in plan, plan
-        assert joined.count() == 1000
-    finally:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
-        spark.sql("DROP TABLE IF EXISTS bkt_left")
-        spark.sql("DROP TABLE IF EXISTS bkt_right")
-
-
 def test_approx_quantiles_near_exact(spark):
     # the sketch twin must land near the exact per-group quantiles; 5%
     # covers interpolation-vs-element discretization at 70-doc groups
