@@ -916,6 +916,32 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.cosine_topk(emb, queries_df, k=5, query_id_col="query_id")
 
 
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization (operators/similarity.quantize_embeddings)
+    — scale + scalar code projections so the oracle stays hashable."""
+    q = SIM.quantize_embeddings(_t(spark, sf_dir, "embeddings"))
+    return q.select(
+        F.col("id").alias("vec_id"),
+        F.round(F.col("scale"), 9).alias("scale_r"),
+        F.element_at("qvec", 1).cast("int").alias("q1"),
+        F.element_at("qvec", 32).cast("int").alias("q32"),
+        F.element_at("qvec", 64).cast("int").alias("q64"),
+        F.aggregate(
+            F.col("qvec"), F.lit(0), lambda acc, x: acc + F.abs(x.cast("int"))
+        ).alias("q_l1"),
+    )
+
+
+def q_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8-code brute-force ANN (rows-only — approximate by construction;
+    recall vs the float path pinned in tests/test_similarity.py)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return SIM.cosine_topk_quantized(emb, queries_df, k=5, query_id_col="query_id")
+
+
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.cosine_pairs_exact(_t(spark, sf_dir, "embeddings"), threshold=0.35)
 
@@ -1411,14 +1437,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- rotating round-2-green representatives ----------------------
         "warnify": q_warnify,
         "ates_kml_placemarks": q_ates_kml_placemarks,
-        "ates_geojson_features": q_ates_geojson_features,
         "decontaminate": q_decontaminate,
         "decontaminate_bloom": q_decontaminate_bloom,
-        "dedup_exact": q_dedup_exact,
+        "embedding_quantize": q_embedding_quantize,
+        "quantized_topk": q_quantized_topk,
         "near_dup_groups_exact": q_near_dup_groups_exact,
         "ates_kml_document": q_ates_kml_document,
         # ------------------------------------------------------- slot 50 ^
         # --- fresh round-2 row; rotate forward next round ----------------
+        "dedup_exact": q_dedup_exact,
+        "ates_geojson_features": q_ates_geojson_features,
         "s1_scan_filter": q_s1_scan_filter,
         "events_windowed": q_events_windowed,
         "cosine_topk": q_cosine_topk,
@@ -2218,6 +2246,26 @@ def oracle_sql() -> dict[str, str]:
               round(sqrt(list_dot_product(v, v)), 6) AS l2_norm,
               round(v[1] / sqrt(list_dot_product(v, v)), 6) AS u0
             FROM c
+        """,
+        # twin of operators/similarity.quantize_embeddings — scale=max|x|/127,
+        # q_i=round(x/scale) (both engines round ties away from zero)
+        "embedding_quantize": """
+            WITH c AS (SELECT vec_id,
+                         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                       FROM embeddings),
+            s AS (SELECT vec_id, v,
+                    list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+                  FROM c),
+            q AS (SELECT vec_id, scale,
+                    CASE WHEN scale > 0
+                         THEN list_transform(v, x -> CAST(round(x / scale, 0) AS INT))
+                         ELSE list_transform(v, x -> 0) END AS qvec
+                  FROM s)
+            SELECT vec_id, round(scale, 9) AS scale_r,
+              qvec[1] AS q1, qvec[32] AS q32, qvec[64] AS q64,
+              list_reduce(list_prepend(0, list_transform(qvec, x -> abs(x))),
+                          (a, b) -> a + b) AS q_l1
+            FROM q
         """,
         "geojson_features": f"""
             SELECT '{{"type":"Feature","geometry":{{"type":"Point","coordinates":['

@@ -86,6 +86,80 @@ def cosine_topk(
     )
 
 
+def quantize_embeddings(
+    df: DataFrame, *, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Symmetric int8 quantization per vector: ``scale = max|x|/127``,
+    ``q_i = round(x_i/scale)`` ∈ [-127, 127] (zero vector → scale 0, all-zero
+    codes). Pure Column expressions; exact DuckDB oracle twin
+    (``embedding_quantize``).
+
+    The scale story this exists for: a 100 TB embedding store at float32 is
+    4 bytes/dim; int8 codes + one float scale cut memory and scan bandwidth
+    ~4× — the standard first compression tier of an ANN index (IVF lists and
+    LSH buckets store codes, not floats). Ranking error is bounded by the
+    quantization step; re-rank the top candidates against the float vectors
+    when exactness matters (same two-stage shape as ivf_topk's probe).
+
+    Output: (id, scale double, qvec array<tinyint>).
+    """
+    v = F.col(vec_col)
+    scale = (
+        F.array_max(F.transform(v, lambda x: F.abs(x.cast("double")))) / F.lit(127.0)
+    )
+    # staged: scale materialized under an alias first, the codes derived from
+    # it in the next projection (tokenize-once pattern — see textstats)
+    staged = df.select(F.col(id_col).alias("id"), scale.alias("scale"), v.alias("__v"))
+    q = F.when(
+        F.col("scale") > 0,
+        F.transform(
+            F.col("__v"),
+            lambda x: F.round(x.cast("double") / F.col("scale"), 0).cast("tinyint"),
+        ),
+    ).otherwise(F.transform(F.col("__v"), lambda x: F.lit(0).cast("tinyint")))
+    return staged.select("id", "scale", q.alias("qvec"))
+
+
+def cosine_topk_quantized(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Brute-force top-k over int8-quantized vectors (both sides quantized
+    via :func:`quantize_embeddings`): cosine computed on the codes — the
+    scales cancel in the cosine ratio up to per-element rounding, so no
+    rescaling is even needed. Approximate by construction (rows-only entry);
+    recall vs the float path is pinned in tests/test_similarity.py.
+    """
+    cq = quantize_embeddings(corpus, id_col=id_col, vec_col=vec_col).select(
+        F.col("id").alias("vec_id"), F.col("qvec").alias("c_vec")
+    )
+    qq = F.broadcast(
+        quantize_embeddings(queries, id_col=query_id_col, vec_col=vec_col).select(
+            F.col("id").alias("query_id"), F.col("qvec").alias("q_vec")
+        )
+    )
+    scored = (
+        cq.crossJoin(qq)
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("vec_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
 def _signs_bucket(vec: Column, *, bits: int, dim: int) -> Column:
     """Random-hyperplane sign sketch → integer bucket in [0, 2^bits).
 

@@ -116,3 +116,45 @@ def test_label_centroids_long_form(spark):
     expect = np.round(local.sum(axis=0) / len(local), 6)
     got = sorted((r.dim, r.mean) for r in out if r.label == 0)
     assert np.allclose([m for _d, m in got], expect, atol=1e-9)
+
+
+def test_quantize_embeddings_codes_bounded_and_invertible(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = SIM.quantize_embeddings(emb)
+    row = q.selectExpr(
+        "max(array_max(transform(qvec, x -> abs(int(x))))) AS max_code",
+        "min(scale) AS min_scale",
+    ).collect()[0]
+    assert row["max_code"] <= 127
+    assert row["min_scale"] > 0
+    # dequantized vector approximates the original within one step per dim
+    err = (
+        q.join(emb, q["id"] == emb["vec_id"])
+        .selectExpr(
+            "max(array_max(transform(arrays_zip(qvec, embedding), "
+            "p -> abs(double(p.qvec) * scale - double(p.embedding))))) AS e",
+            "max(scale) AS s",
+        )
+        .collect()[0]
+    )
+    assert err["e"] <= err["s"] / 2 + 1e-9
+
+
+def test_quantized_topk_recall_vs_float(spark):
+    # int8 codes must preserve the neighborhood structure: recall@5 >= 0.8
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in SIM.cosine_topk(emb, queries, k=5, query_id_col="query_id").collect()
+    }
+    quant = {
+        (r.query_id, r.vec_id)
+        for r in SIM.cosine_topk_quantized(
+            emb, queries, k=5, query_id_col="query_id"
+        ).collect()
+    }
+    recall = len(exact & quant) / len(exact)
+    assert recall >= 0.8, f"quantized recall too low: {recall}"
