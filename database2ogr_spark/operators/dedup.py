@@ -608,7 +608,10 @@ def ngram_jaccard_pairs(
         # relation in the plan; here the one extra join is on the gram table
         # and the pair table is never re-shuffled.
         sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
-        sh = sh.join(sizes, "id")
+        # persisted: both self-join sides read this table — without the
+        # persist each side re-runs the anti-join + sizes join (~1.1 s of
+        # the ~4 s total at sf0.1, measured A/B)
+        sh = sh.join(sizes, "id").persist(StorageLevel.MEMORY_AND_DISK)
         shared = (
             sh.alias("l")
             .join(
