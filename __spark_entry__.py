@@ -870,6 +870,28 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.decontaminate(corpus, bench, k=13).select("doc_id", "lang", "source")
 
 
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingestion-time incremental dedup (operators/dedup.dedup_incremental):
+    the store holds fingerprints of every doc_id%4==0 doc; the arriving
+    batch is the whole corpus with doc_id%7==3 texts collapsed to one
+    shared string — so the operator must drop exact replays via the store,
+    collapse the in-batch duplicates to their min-id survivor, and admit
+    the rest."""
+    docs = _t(spark, sf_dir, "documents")
+    batch = docs.select(
+        "doc_id",
+        "lang",
+        F.when(F.col("doc_id") % 7 == 3, F.lit("shared duplicate text"))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    store = DD.dedup_exact(docs.filter(F.col("doc_id") % 4 == 0)).select(
+        "fingerprint"
+    )
+    out = DD.dedup_incremental(batch, store)
+    return out.select("doc_id", "lang", "fingerprint")
+
+
 def q_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-sketch decontamination (operators/dedup.decontaminate_bloom) —
     the beyond-broadcast scale twin of q_decontaminate, same bench/corpus
@@ -1437,7 +1459,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- rotating round-2-green representatives ----------------------
         "warnify": q_warnify,
         "ates_kml_placemarks": q_ates_kml_placemarks,
-        "decontaminate": q_decontaminate,
+        "dedup_incremental": q_dedup_incremental,
         "decontaminate_bloom": q_decontaminate_bloom,
         "embedding_quantize": q_embedding_quantize,
         "quantized_topk": q_quantized_topk,
@@ -1446,6 +1468,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ------------------------------------------------------- slot 50 ^
         # --- fresh round-2 row; rotate forward next round ----------------
         "dedup_exact": q_dedup_exact,
+        "decontaminate": q_decontaminate,
         "ates_geojson_features": q_ates_geojson_features,
         "s1_scan_filter": q_s1_scan_filter,
         "events_windowed": q_events_windowed,
@@ -2289,6 +2312,25 @@ def oracle_sql() -> dict[str, str]:
             WITH f AS (SELECT md5({_NORM_SQL}) AS fp, min(doc_id) AS sid
                        FROM documents GROUP BY 1)
             SELECT doc_id, lang, n_chars FROM documents JOIN f ON doc_id = f.sid
+        """,
+        # twin of operators/dedup.dedup_incremental over the synthesized
+        # batch (replays of the %4 store + %7 in-batch duplicates)
+        "dedup_incremental": f"""
+            WITH batch AS (
+              SELECT doc_id, lang,
+                CASE WHEN doc_id % 7 = 3 THEN 'shared duplicate text'
+                     ELSE text END AS text
+              FROM documents),
+            store AS (SELECT DISTINCT md5({_NORM_SQL}) AS fp
+                      FROM documents WHERE doc_id % 4 = 0),
+            fps AS (SELECT doc_id, lang, md5({_NORM_SQL}) AS fingerprint
+                    FROM batch),
+            unseen AS (SELECT * FROM fps
+                       WHERE fingerprint NOT IN (SELECT fp FROM store)),
+            w AS (SELECT fingerprint, min(doc_id) AS doc_id
+                  FROM unseen GROUP BY fingerprint)
+            SELECT u.doc_id, u.lang, u.fingerprint
+            FROM unseen u JOIN w USING (fingerprint, doc_id)
         """,
         "text_quality": f"""
             WITH b AS (

@@ -63,6 +63,42 @@ def dedup_exact_survivors(
     return df.join(survivors, on=id_col, how="left_semi")
 
 
+def dedup_incremental(
+    new_docs: DataFrame,
+    seen_fingerprints: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    fp_col: str = "fingerprint",
+) -> DataFrame:
+    """Incremental exact dedup — the ingestion-time shape: an arriving batch
+    is deduplicated against the historical fingerprint STORE (every fingerprint
+    ever admitted) and within itself, without ever touching historical
+    document bodies.
+
+    Returns the novel rows (original schema + ``fp_col``) — one survivor
+    (min id) per new fingerprint, rows whose fingerprint is already in
+    ``seen_fingerprints`` dropped. Union the returned fingerprints into the
+    store to advance it; same batch replayed → empty result (idempotent
+    ingestion, the property that makes retries safe).
+
+    Scale: the store is fingerprints only (~16 B/doc — 100 TB of corpus is
+    ~a few hundred GB of store, a cheap bucketed table keyed on
+    ``fp_col`` — see partitioning.write_bucketed; bucket both sides and the
+    anti-join below is co-located and shuffle-free). The anti-join is left
+    to AQE (a small store broadcasts, a big one sort-merges); the in-batch
+    dedup is one groupBy on the 128-bit key, map-side combined.
+    """
+    fp = spread(new_docs).select(
+        "*", content_fingerprint(text_col).alias(fp_col)
+    )
+    unseen = fp.join(
+        seen_fingerprints.select(F.col(fp_col)), on=fp_col, how="left_anti"
+    )
+    winners = unseen.groupBy(fp_col).agg(F.min(F.col(id_col)).alias(id_col))
+    return unseen.join(winners, on=[fp_col, id_col], how="left_semi")
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -114,6 +114,26 @@ def test_decontaminate_removes_gram_overlap(spark):
     assert survivors == {12, 14}
 
 
+def test_dedup_incremental_idempotent_ingestion(spark):
+    store0 = spark.createDataFrame([], "fingerprint string")
+    batch = spark.createDataFrame(
+        [(1, "doc one"), (2, "doc two"), (3, "doc one"), (4, "doc three")],
+        "doc_id long, text string",
+    )
+    admitted = DD.dedup_incremental(batch, store0)
+    got = {r.doc_id for r in admitted.collect()}
+    assert got == {1, 2, 4}  # in-batch dup 3 collapsed to min-id survivor 1
+    # advance the store with the admitted fingerprints; replaying the same
+    # batch admits nothing (idempotent ingestion, retry-safe)
+    store1 = admitted.select("fingerprint")
+    assert DD.dedup_incremental(batch, store1).count() == 0
+    # a genuinely new doc still lands
+    batch2 = spark.createDataFrame(
+        [(9, "doc one"), (10, "brand new")], "doc_id long, text string"
+    )
+    assert {r.doc_id for r in DD.dedup_incremental(batch2, store1).collect()} == {10}
+
+
 def test_decontaminate_bloom_no_false_negatives(spark):
     # the Bloom twin may drop EXTRA docs (false positives) but never keeps a
     # contaminated one: bloom survivors ⊆ exact survivors, always
