@@ -1,0 +1,62 @@
+"""Physical-plan audits for the round-3 operators: column pruning must reach
+the scan, and shuffle counts must match the documented designs in SCALE.md.
+A regression here (an extra Exchange, a scan reading the full row) is a
+100 TB cost bug even when results stay correct."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+import __spark_entry__ as entrymod
+
+SF = "/root/testdata/sf0.01"
+
+
+def _plan(spark, name: str) -> str:
+    df = entrymod.queries()[name](spark, SF)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _read_schemas(plan: str) -> list[str]:
+    return re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+
+
+@pytest.mark.parametrize(
+    "name,cols",
+    [
+        ("url_normalize", {"doc_id", "source"}),
+        ("quality_flags", {"doc_id", "text"}),
+        ("embedding_quantize", {"vec_id", "embedding"}),
+    ],
+)
+def test_narrow_ops_prune_and_never_shuffle(spark, name, cols):
+    plan = _plan(spark, name)
+    assert "Exchange" not in plan, plan
+    for schema in _read_schemas(plan):
+        got = {c.split(":")[0] for c in schema.split(",")}
+        assert got <= cols, (name, schema)
+
+
+@pytest.mark.parametrize(
+    "name,max_shuffles",
+    [
+        # df-count agg + doc reassembly
+        ("remove_boilerplate", 2),
+        # winner agg + reassembly (joins broadcast / AQE)
+        ("dedup_paragraphs", 2),
+        # counts agg + keep-join side
+        ("mix_sources", 2),
+        # the single domain-window shuffle
+        ("cap_per_domain", 1),
+        # store fingerprints + in-batch winners + admit join
+        ("dedup_incremental", 3),
+    ],
+)
+def test_shuffle_budgets(spark, name, max_shuffles):
+    plan = _plan(spark, name)
+    n = plan.count("Exchange hashpartitioning") + plan.count(
+        "Exchange rangepartitioning"
+    )
+    assert n <= max_shuffles, f"{name}: {n} shuffles (budget {max_shuffles})\n{plan}"
