@@ -870,6 +870,20 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.decontaminate(corpus, bench, k=13).select("doc_id", "lang", "source")
 
 
+def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL source round-trip (sources/jsonl.py): documents written as
+    JSON-lines and read back through the quarantine reader must reproduce
+    the table exactly (good side complete, quarantine empty)."""
+    from database2ogr_spark.sources.jsonl import read_jsonl
+
+    out = os.path.join(tempfile.gettempdir(), "d2o_jsonl_roundtrip")
+    docs = _t(spark, sf_dir, "documents")
+    docs.coalesce(4).write.mode("overwrite").json(out)
+    good, quarantine = read_jsonl(spark, out)
+    assert quarantine.count() == 0
+    return good.select("doc_id", "lang", "source", "n_chars")
+
+
 def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ingestion-time incremental dedup (operators/dedup.dedup_incremental):
     the store holds fingerprints of every doc_id%4==0 doc; the arriving
@@ -1458,7 +1472,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q22_idle_rich_customers": q_tpch_q22_idle_rich_customers,
         # --- rotating round-2-green representatives ----------------------
         "warnify": q_warnify,
-        "ates_kml_placemarks": q_ates_kml_placemarks,
+        "jsonl_roundtrip": q_jsonl_roundtrip,
         "dedup_incremental": q_dedup_incremental,
         "decontaminate_bloom": q_decontaminate_bloom,
         "embedding_quantize": q_embedding_quantize,
@@ -1469,6 +1483,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- fresh round-2 row; rotate forward next round ----------------
         "dedup_exact": q_dedup_exact,
         "decontaminate": q_decontaminate,
+        "ates_kml_placemarks": q_ates_kml_placemarks,
         "ates_geojson_features": q_ates_geojson_features,
         "s1_scan_filter": q_s1_scan_filter,
         "events_windowed": q_events_windowed,
@@ -2313,6 +2328,10 @@ def oracle_sql() -> dict[str, str]:
                        FROM documents GROUP BY 1)
             SELECT doc_id, lang, n_chars FROM documents JOIN f ON doc_id = f.sid
         """,
+        # the JSONL round-trip must reproduce the table byte-for-byte
+        "jsonl_roundtrip": (
+            "SELECT doc_id, lang, source, n_chars FROM documents"
+        ),
         # twin of operators/dedup.dedup_incremental over the synthesized
         # batch (replays of the %4 store + %7 in-batch duplicates)
         "dedup_incremental": f"""

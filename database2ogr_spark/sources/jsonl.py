@@ -1,0 +1,70 @@
+"""JSONL corpus source with corrupt-record quarantine.
+
+Training corpora overwhelmingly arrive as (gzipped) JSON-lines; at 100 TB a
+single malformed line must neither kill the job (FAILFAST) nor silently
+become a row of NULLs that later stages misread as an empty document
+(naive PERMISSIVE). This reader splits the input into (good, quarantine)
+up front so every downstream count is over verified rows and the bad lines
+stay inspectable.
+
+Scale notes: JSON-lines is splittable (gzip is not — prefer zstd/bzip2 or
+many medium gzip files so the scan parallelizes); schema is REQUIRED (schema
+inference reads the whole input twice); the quarantine side is the raw line,
+so re-parsing after a schema fix needs no re-crawl.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: the engine's document schema on the wire
+DOCUMENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ]
+)
+
+CORRUPT_COL = "_corrupt_record"
+
+
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType = DOCUMENTS_SCHEMA,
+    *,
+    id_col: str = "doc_id",
+) -> tuple[DataFrame, DataFrame]:
+    """Read JSON-lines into ``(good, quarantine)``.
+
+    - ``good``: rows matching ``schema`` with a non-null ``id_col``
+      (a parsed-but-id-less row is as unusable as a corrupt one).
+    - ``quarantine``: the raw offending line (``raw`` string column) —
+      malformed JSON, schema-mismatched rows, and null-id rows.
+
+    PERMISSIVE mode with an explicit ``_corrupt_record`` sink; per Spark's
+    contract the corrupt column must not be the only column referenced, so
+    the split is written against the cached full frame.
+    """
+    full_schema = T.StructType(
+        list(schema.fields) + [T.StructField(CORRUPT_COL, T.StringType())]
+    )
+    df = (
+        spark.read.schema(full_schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+        .json(path)
+    )
+    bad_predicate = F.col(CORRUPT_COL).isNotNull() | F.col(id_col).isNull()
+    good = df.filter(~bad_predicate).drop(CORRUPT_COL)
+    quarantine = df.filter(bad_predicate).select(
+        F.coalesce(F.col(CORRUPT_COL), F.to_json(F.struct(*schema.names))).alias(
+            "raw"
+        )
+    )
+    return good, quarantine
