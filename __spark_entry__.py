@@ -654,6 +654,14 @@ def q_mix_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "source", "lang")
 
 
+def q_split_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (operators/sampling.split_corpus):
+    90/5/5 by hash bucket — disjoint, exhaustive, append-stable."""
+    return SMP.split_corpus(
+        _t(spark, sf_dir, "documents"), {"train": 90, "val": 5, "test": 5}
+    ).select("doc_id", "lang", "split")
+
+
 def q_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hash-keyed 10% sample — deterministic under repartition/retry (unlike
     df.sample), reproducible in any engine with md5."""
@@ -1471,7 +1479,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q21_sole_late_supplier": q_tpch_q21_sole_late_supplier,
         "tpch_q22_idle_rich_customers": q_tpch_q22_idle_rich_customers,
         # --- rotating round-2-green representatives ----------------------
-        "warnify": q_warnify,
+        "split_corpus": q_split_corpus,
         "jsonl_roundtrip": q_jsonl_roundtrip,
         "dedup_incremental": q_dedup_incremental,
         "decontaminate_bloom": q_decontaminate_bloom,
@@ -1481,6 +1489,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ates_kml_document": q_ates_kml_document,
         # ------------------------------------------------------- slot 50 ^
         # --- fresh round-2 row; rotate forward next round ----------------
+        "warnify": q_warnify,
         "dedup_exact": q_dedup_exact,
         "decontaminate": q_decontaminate,
         "ates_kml_placemarks": q_ates_kml_placemarks,
@@ -2116,6 +2125,17 @@ def oracle_sql() -> dict[str, str]:
         "deterministic_sample": f"""
             SELECT doc_id, lang FROM documents
             WHERE {_h64_sql("CAST(doc_id AS VARCHAR)", 7)} % 100 < 10
+        """,
+        # twin of operators/sampling.split_corpus — bucket ranges in sorted
+        # split-name order: test [0,5), train [5,95), val [95,100)
+        "split_corpus": f"""
+            SELECT doc_id, lang,
+              CASE WHEN {_h64_sql("CAST(doc_id AS VARCHAR)", 7)} % 100 < 5
+                     THEN 'test'
+                   WHEN {_h64_sql("CAST(doc_id AS VARCHAR)", 7)} % 100 < 95
+                     THEN 'train'
+                   ELSE 'val' END AS split
+            FROM documents
         """,
         "stratified_sample": f"""
             SELECT doc_id, lang FROM documents

@@ -60,6 +60,36 @@ def stratified_sample(
     return df.filter(bucket < threshold)
 
 
+def split_corpus(
+    df: DataFrame,
+    splits: dict[str, int],
+    *,
+    id_col: str = "doc_id",
+    seed: int = 7,
+) -> DataFrame:
+    """Deterministic disjoint corpus split (train/val/test): integer percents
+    summing to 100, assigned by hash bucket ranges in sorted split-name
+    order. Adds a ``split`` column.
+
+    Every row gets exactly one split; assignment depends only on the id and
+    the split table — stable under repartitioning, retries, cluster
+    resizes, and appends (a new doc's split does not disturb old ones, the
+    property that keeps eval sets frozen as the corpus grows). Narrow: one
+    CASE over the hash bucket, no shuffle.
+    """
+    if sum(splits.values()) != 100:
+        raise ValueError(f"split percents must sum to 100, got {splits}")
+    bucket = stable_hash64(F.col(id_col).cast("string"), seed=seed) % 100
+    expr = F.lit(None).cast("string")
+    lo = 0
+    for name, pct in sorted(splits.items()):
+        expr = F.when((bucket >= lo) & (bucket < lo + pct), F.lit(name)).otherwise(
+            expr
+        )
+        lo += pct
+    return df.withColumn("split", expr)
+
+
 def cap_per_group(
     df: DataFrame,
     *,

@@ -78,3 +78,26 @@ def test_stratified_sample_nested_and_deterministic(spark):
     # determinism: same call → same rows
     again = {r.doc_id for r in stratified_sample(docs, {"en": 50}, default_pct=10).select("doc_id").collect()}
     assert again == hi_ids
+
+
+def test_split_corpus_disjoint_exhaustive_append_stable(spark):
+    from database2ogr_spark.operators.sampling import split_corpus
+
+    df = spark.range(1000).withColumnRenamed("id", "doc_id")
+    out = split_corpus(df, {"train": 90, "val": 5, "test": 5})
+    counts = {r["split"]: r["count"] for r in out.groupBy("split").count().collect()}
+    assert sum(counts.values()) == 1000  # exhaustive — no NULL split
+    assert set(counts) == {"train", "val", "test"}
+    assert 850 <= counts["train"] <= 950
+    # append stability: growing the corpus never reassigns old rows
+    first = {r["doc_id"]: r["split"] for r in out.collect()}
+    bigger = split_corpus(
+        spark.range(2000).withColumnRenamed("id", "doc_id"),
+        {"train": 90, "val": 5, "test": 5},
+    )
+    second = {r["doc_id"]: r["split"] for r in bigger.collect()}
+    assert all(second[k] == v for k, v in first.items())
+    import pytest
+
+    with pytest.raises(ValueError):
+        split_corpus(df, {"train": 90, "val": 5})
