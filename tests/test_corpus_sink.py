@@ -1,0 +1,74 @@
+"""Sharded corpus writer (sinks/corpus.py): stable layout, stable shard
+membership, and a clean end-to-end pipeline round-trip."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from pyspark.sql import functions as F
+
+from database2ogr_spark.sinks.corpus import write_corpus_shards
+
+
+def test_write_corpus_shards_layout_and_roundtrip(spark, tmp_path):
+    from database2ogr_spark.operators.sampling import split_corpus
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    split = split_corpus(docs, {"train": 90, "val": 5, "test": 5})
+    out = str(tmp_path / "corpus")
+    write_corpus_shards(split, out, partition_by=("split",), shards=3)
+
+    # directory layout: one dir per split value
+    dirs = {os.path.basename(d) for d in glob.glob(os.path.join(out, "split=*"))}
+    assert dirs == {"split=train", "split=val", "split=test"}
+
+    # round-trip completeness
+    back = spark.read.parquet(out)
+    assert back.count() == docs.count()
+    assert {r.doc_id for r in back.select("doc_id").collect()} == {
+        r.doc_id for r in docs.select("doc_id").collect()
+    }
+
+
+def test_write_corpus_shards_membership_is_append_stable(spark, tmp_path):
+    base = spark.range(100).select(
+        F.col("id").alias("doc_id"), F.lit("train").alias("split")
+    )
+    out1 = str(tmp_path / "v1")
+    write_corpus_shards(base, out1, shards=4)
+    first = {
+        r.doc_id: os.path.basename(r.f)
+        for r in spark.read.parquet(out1)
+        .select("doc_id", F.input_file_name().alias("f"))
+        .collect()
+    }
+    # shard index is embedded in file ORDER per partition dir; compare via
+    # re-deriving the hash shard instead of file names (names carry UUIDs)
+    from database2ogr_spark.functions.hashing import stable_hash64
+
+    bigger = spark.range(200).select(
+        F.col("id").alias("doc_id"), F.lit("train").alias("split")
+    )
+    out2 = str(tmp_path / "v2")
+    write_corpus_shards(bigger, out2, shards=4)
+    shard_of = (
+        bigger.select(
+            "doc_id",
+            (stable_hash64(F.col("doc_id").cast("string"), seed=7) % 4).alias("s"),
+        )
+        .collect()
+    )
+    # every original doc keeps the same hash shard in the bigger export
+    small_shards = {
+        r.doc_id: r.s for r in shard_of if r.doc_id < 100
+    }
+    again = {
+        r.doc_id: r.s
+        for r in base.select(
+            "doc_id",
+            (stable_hash64(F.col("doc_id").cast("string"), seed=7) % 4).alias("s"),
+        ).collect()
+    }
+    assert small_shards == again
+    assert len(first) == 100
