@@ -528,6 +528,31 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a staleness bound (operators/asof.py
+    tolerance_seconds): matches older than 600 s yield the no-match
+    sentinel, exactly like pandas merge_asof tolerance."""
+    ev = read_events(spark, os.path.join(sf_dir, "events.parquet"))
+    left = ev.select("event_id", "user_id", "ts")
+    right = (
+        ev.filter(F.col("event_id") % 10 == 0)
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("state_value"))
+    )
+    out = asof_join(
+        left, right, key="user_id", value_cols=["state_value"],
+        tolerance_seconds=600,
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_timestamp("ts").alias("ts_epoch"),
+        F.coalesce(F.round(F.col("asof_state_value"), 6), F.lit(-1.0)).alias(
+            "asof_state_value"
+        ),
+    )
+
+
 def q_lang_source_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP aggregation (grouping-sets surface) over the documents corpus."""
     d = _t(spark, sf_dir, "documents")
@@ -1444,6 +1469,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode": q_multimodal_decode,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "simhash_pairs": q_simhash_pairs,
+        "asof_tolerance": q_asof_tolerance,
         # --- last green row is round 1 — re-earn now ---------------------
         "tfidf_top_terms": q_tfidf_top_terms,
         "topk_quality_docs": q_topk_quality_docs,
@@ -1485,10 +1511,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_bloom": q_decontaminate_bloom,
         "embedding_quantize": q_embedding_quantize,
         "quantized_topk": q_quantized_topk,
-        "near_dup_groups_exact": q_near_dup_groups_exact,
         "ates_kml_document": q_ates_kml_document,
         # ------------------------------------------------------- slot 50 ^
         # --- fresh round-2 row; rotate forward next round ----------------
+        "near_dup_groups_exact": q_near_dup_groups_exact,
         "warnify": q_warnify,
         "dedup_exact": q_dedup_exact,
         "decontaminate": q_decontaminate,
@@ -2076,6 +2102,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT l.event_id, l.user_id,
               CAST(floor(epoch(l.ts)) AS BIGINT) AS ts_epoch,
               coalesce(round(r.state_value, 6), -1.0) AS asof_state_value
+            FROM l ASOF LEFT JOIN r
+              ON l.user_id = r.user_id AND l.ts >= r.ts
+        """,
+        # tolerance twin: a match staler than 600 s degrades to the no-match
+        # sentinel (-1.0), mirroring tolerance_seconds on the Spark side
+        "asof_tolerance": """
+            WITH r AS (
+              SELECT user_id, ts, max(value) AS state_value
+              FROM events WHERE event_id % 10 = 0 GROUP BY user_id, ts),
+            l AS (SELECT event_id, user_id, ts FROM events)
+            SELECT l.event_id, l.user_id,
+              CAST(floor(epoch(l.ts)) AS BIGINT) AS ts_epoch,
+              coalesce(CASE WHEN epoch(l.ts) - epoch(r.ts) <= 600
+                            THEN round(r.state_value, 6) END, -1.0)
+                AS asof_state_value
             FROM l ASOF LEFT JOIN r
               ON l.user_id = r.user_id AND l.ts >= r.ts
         """,

@@ -36,21 +36,30 @@ def asof_join(
     left_time: str = "ts",
     right_time: str = "ts",
     value_cols: list[str] | None = None,
+    tolerance_seconds: float | None = None,
 ) -> DataFrame:
     """Left as-of join: all left columns plus ``asof_<c>`` for each of the
     right side's ``value_cols`` — the value from the latest right row
     at-or-before the left row's time (NULL when no prior right row exists).
+
+    ``tolerance_seconds`` bounds how stale the carried state may be (the
+    pandas ``merge_asof`` tolerance semantics): a match older than the
+    tolerance yields NULLs, exactly like no match — the guard against
+    joining events to a feature snapshot from last month. Implemented on
+    the carried struct (which records the matched right-row time), so the
+    plan cost is unchanged: same single shuffle+sort.
     """
     if value_cols is None:
         value_cols = [c for c in right.columns if c not in (key, right_time)]
 
+    rt_type = dict(right.dtypes)[right_time]
     l_tag = left.select(
         *left.columns,
         F.col(left_time).alias("__t"),
         F.lit(1).alias("__side"),
         F.lit(None)
         .cast(
-            "struct<"
+            f"struct<__rt:{rt_type},"
             + ",".join(f"{c}:{dict(right.dtypes)[c]}" for c in value_cols)
             + ">"
         )
@@ -60,7 +69,9 @@ def asof_join(
         F.col(key),
         F.col(right_time).alias("__t"),
         F.lit(0).alias("__side"),
-        F.struct(*[F.col(c) for c in value_cols]).alias("__v"),
+        F.struct(
+            F.col(right_time).alias("__rt"), *[F.col(c) for c in value_cols]
+        ).alias("__v"),
     )
     left_only = [c for c in l_tag.columns if c not in r_tag.columns]
     for c in left_only:
@@ -78,6 +89,22 @@ def asof_join(
     )
     u = u.withColumn("__v", F.last("__v", ignorenulls=True).over(w))
     out = u.filter(F.col("__side") == 1)
+    if tolerance_seconds is not None:
+
+        def _secs(col, dtype: str):
+            # TIMESTAMP_NTZ refuses a direct double cast; go through
+            # unix_micros for any timestamp flavor, plain cast for numerics
+            if dtype.startswith("timestamp"):
+                return F.unix_micros(col.cast("timestamp")) / F.lit(1_000_000.0)
+            return col.cast("double")
+
+        lt_type = dict(left.dtypes)[left_time]
+        age = _secs(F.col("__t"), lt_type) - _secs(
+            F.col("__v").getField("__rt"), rt_type
+        )
+        out = out.withColumn(
+            "__v", F.when(age <= F.lit(float(tolerance_seconds)), F.col("__v"))
+        )
     for c in value_cols:
         out = out.withColumn(f"asof_{c}", F.col("__v").getField(c))
     return out.drop("__t", "__side", "__v")

@@ -56,3 +56,29 @@ def test_asof_multiple_value_cols(spark):
         left, right, key="user_id", value_cols=["state", "version"]
     ).collect()[0]
     assert (out.asof_state, out.asof_version) == ("a", 7)
+
+
+def test_asof_join_tolerance_nulls_stale_matches(spark):
+    from database2ogr_spark.operators.asof import asof_join
+    from pyspark.sql import functions as F
+
+    left = spark.createDataFrame(
+        [(1, 100.0), (2, 1000.0)], "id long, ts double"
+    ).select("id", F.col("ts"))
+    right = spark.createDataFrame(
+        [(1, 50.0, "fresh"), (2, 100.0, "stale")], "id long, ts double, state string"
+    )
+    out = {
+        r.id: r.asof_state
+        for r in asof_join(
+            left, right, key="id", value_cols=["state"], tolerance_seconds=200
+        ).collect()
+    }
+    assert out[1] == "fresh"   # age 50 <= 200
+    assert out[2] is None      # age 900 > 200 -> degraded to no-match
+    # without tolerance the stale match is kept
+    out2 = {
+        r.id: r.asof_state
+        for r in asof_join(left, right, key="id", value_cols=["state"]).collect()
+    }
+    assert out2 == {1: "fresh", 2: "stale"}
