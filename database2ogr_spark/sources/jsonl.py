@@ -47,24 +47,30 @@ def read_jsonl(
     - ``quarantine``: the raw offending line (``raw`` string column) —
       malformed JSON, schema-mismatched rows, and null-id rows.
 
-    PERMISSIVE mode with an explicit ``_corrupt_record`` sink; per Spark's
-    contract the corrupt column must not be the only column referenced, so
-    the split is written against the cached full frame.
+    Implemented as ``text`` + ``from_json`` rather than ``spark.read.json``
+    with a ``_corrupt_record`` column: the corrupt-record column interacts
+    badly with column pruning (a ``count()`` over the good side prunes the
+    data columns, the parser then treats EVERY row as corrupt — the
+    documented Spark caveat that normally forces a ``cache()``). Parsing the
+    raw line in a projection has no such trap, costs one extra narrow stage,
+    and keeps the original line for the quarantine side for free.
     """
     full_schema = T.StructType(
         list(schema.fields) + [T.StructField(CORRUPT_COL, T.StringType())]
     )
-    df = (
-        spark.read.schema(full_schema)
-        .option("mode", "PERMISSIVE")
-        .option("columnNameOfCorruptRecord", CORRUPT_COL)
-        .json(path)
+    parsed = spark.read.text(path).select(
+        F.col("value").alias("raw"),
+        F.from_json(
+            "value",
+            full_schema,
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": CORRUPT_COL},
+        ).alias("p"),
     )
-    bad_predicate = F.col(CORRUPT_COL).isNotNull() | F.col(id_col).isNull()
-    good = df.filter(~bad_predicate).drop(CORRUPT_COL)
-    quarantine = df.filter(bad_predicate).select(
-        F.coalesce(F.col(CORRUPT_COL), F.to_json(F.struct(*schema.names))).alias(
-            "raw"
-        )
+    bad_predicate = (
+        F.col("p").isNull()
+        | F.col(f"p.{CORRUPT_COL}").isNotNull()
+        | F.col(f"p.{id_col}").isNull()
     )
+    good = parsed.filter(~bad_predicate).select("p.*").drop(CORRUPT_COL)
+    quarantine = parsed.filter(bad_predicate).select("raw")
     return good, quarantine

@@ -1,0 +1,75 @@
+"""End-to-end training-data pipeline: JSONL in → quarantine → quality
+cascade → boilerplate removal → exact + incremental dedup → split → sharded
+parquet out. One test proving the operator surfaces compose — interface
+drift between stages breaks here before it breaks a real pipeline."""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+from pyspark.sql import functions as F
+
+
+def test_full_pipeline_composes(spark, tmp_path):
+    from database2ogr_spark.operators.cleaning import (
+        quality_filter_flags,
+        remove_boilerplate,
+    )
+    from database2ogr_spark.operators.dedup import dedup_incremental
+    from database2ogr_spark.operators.sampling import split_corpus
+    from database2ogr_spark.sinks.corpus import write_corpus_shards
+    from database2ogr_spark.sources.jsonl import read_jsonl
+
+    # 1. land a messy JSONL batch: good docs, a dup, boilerplate, junk line
+    # diverse body — the quality cascade (rightly) rejects degenerate
+    # repeated-token text on the diversity rule
+    body = " ".join(f"tok{j:02d}" for j in range(30))
+    lines = [
+        json.dumps(
+            {
+                "doc_id": i,
+                "text": f"COOKIE BANNER\ndoc {i} {body}\nfooter",
+                "lang": "en",
+                "source": "s",
+                "n_chars": 100,
+            }
+        )
+        for i in range(20)
+    ]
+    lines.append(lines[0].replace('"doc_id": 0', '"doc_id": 99'))  # exact dup body
+    lines.append("{broken json")
+    src = tmp_path / "in.jsonl"
+    src.write_text("\n".join(lines) + "\n", encoding="utf-8")
+
+    good, quarantine = read_jsonl(spark, str(src))
+    assert quarantine.count() == 1
+    assert good.count() == 21
+
+    # 2. quality cascade on raw text keeps every well-formed doc
+    flags = quality_filter_flags(good)
+    kept = good.join(flags.filter("keep").select("doc_id"), "doc_id")
+    assert kept.count() == 21
+
+    # 3. exact dedup BEFORE boilerplate removal (order matters: a duplicated
+    #    body would otherwise cross min_df and be removed as boilerplate)
+    admitted = dedup_incremental(kept, spark.createDataFrame([], "fingerprint string"))
+    assert admitted.count() == 20  # doc 99 collapsed into doc 0
+
+    # 4. boilerplate removal: banner+footer shared by all docs vanish,
+    #    unique bodies survive
+    cleaned = remove_boilerplate(admitted)
+    assert cleaned.filter(F.col("clean_text").contains("COOKIE")).count() == 0
+    assert cleaned.filter(F.col("clean_text") == "").count() == 0
+    docs = admitted.select("doc_id", "lang", "source").join(
+        cleaned.withColumnRenamed("clean_text", "text"), "doc_id"
+    )
+
+    # 5. split + sharded export
+    out = str(tmp_path / "out")
+    final = split_corpus(docs, {"train": 90, "val": 5, "test": 5})
+    write_corpus_shards(final, out, shards=2)
+    back = spark.read.parquet(out)
+    assert back.count() == 20
+    assert {os.path.basename(d).split("=")[0] for d in glob.glob(os.path.join(out, "*="))} <= {"split"}
