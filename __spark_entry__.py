@@ -679,6 +679,18 @@ def q_mix_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "source", "lang")
 
 
+def q_top_fraction_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality calibration (operators/sampling.
+    top_fraction_per_group): keep the longest 25% of each source (n_chars as
+    the stand-in score) — deterministic rank, ceil guard for tiny groups."""
+    return SMP.top_fraction_per_group(
+        _t(spark, sf_dir, "documents"),
+        fraction=0.25,
+        score_col="n_chars",
+        group_col="source",
+    ).select("doc_id", "source", "n_chars")
+
+
 def q_split_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test split (operators/sampling.split_corpus):
     90/5/5 by hash bucket — disjoint, exhaustive, append-stable."""
@@ -1506,6 +1518,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q22_idle_rich_customers": q_tpch_q22_idle_rich_customers,
         # --- rotating round-2-green representatives ----------------------
         "split_corpus": q_split_corpus,
+        "top_fraction_per_source": q_top_fraction_per_source,
         "jsonl_roundtrip": q_jsonl_roundtrip,
         "dedup_incremental": q_dedup_incremental,
         "decontaminate_bloom": q_decontaminate_bloom,
@@ -2166,6 +2179,17 @@ def oracle_sql() -> dict[str, str]:
         "deterministic_sample": f"""
             SELECT doc_id, lang FROM documents
             WHERE {_h64_sql("CAST(doc_id AS VARCHAR)", 7)} % 100 < 10
+        """,
+        # twin of operators/sampling.top_fraction_per_group: top 25% of each
+        # source by n_chars, rank ties broken by doc_id, ceil small-group guard
+        "top_fraction_per_source": """
+            WITH r AS (
+              SELECT doc_id, source, n_chars,
+                row_number() OVER (PARTITION BY source
+                  ORDER BY n_chars DESC, doc_id ASC) AS rk,
+                count(*) OVER (PARTITION BY source) AS n
+              FROM documents)
+            SELECT doc_id, source, n_chars FROM r WHERE rk <= ceil(n * 0.25)
         """,
         # twin of operators/sampling.split_corpus — bucket ranges in sorted
         # split-name order: test [0,5), train [5,95), val [95,100)

@@ -120,6 +120,38 @@ def cap_per_group(
     )
 
 
+def top_fraction_per_group(
+    df: DataFrame,
+    *,
+    fraction: float,
+    score_col: str,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep the best ``fraction`` of each group by ``score_col`` — per-source
+    quality calibration: a global score threshold over-prunes weak sources
+    and under-prunes strong ones; taking the top X% *within* each source
+    keeps the mixture while raising quality everywhere.
+
+    Deterministic: rank by (score desc, id asc) — ties cannot flip between
+    runs — and a group keeps ``ceil(fraction * n)`` rows so tiny groups
+    never vanish. One shuffle (window partitioned by group); same
+    mega-group caveat as :func:`cap_per_group`.
+    """
+    if not 0 < fraction <= 1:
+        raise ValueError(f"fraction must be in (0, 1], got {fraction}")
+    w = Window.partitionBy(group_col).orderBy(
+        F.col(score_col).desc(), F.col(id_col).asc()
+    )
+    n = F.count(F.lit(1)).over(Window.partitionBy(group_col))
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .withColumn("__n", n)
+        .filter(F.col("__rk") <= F.ceil(F.col("__n") * F.lit(float(fraction))))
+        .drop("__rk", "__n")
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     *,

@@ -101,3 +101,27 @@ def test_split_corpus_disjoint_exhaustive_append_stable(spark):
 
     with pytest.raises(ValueError):
         split_corpus(df, {"train": 90, "val": 5})
+
+
+def test_top_fraction_per_group_quality_calibration(spark):
+    import pytest
+    from database2ogr_spark.operators.sampling import top_fraction_per_group
+
+    rows = [(i, "big", float(i)) for i in range(100)] + [
+        (200, "tiny", 1.0),
+        (201, "tiny", 2.0),
+        (202, "tiny", 3.0),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, score double")
+    out = top_fraction_per_group(
+        df, fraction=0.25, score_col="score", group_col="source"
+    )
+    by = {r["source"]: r["count"] for r in out.groupBy("source").count().collect()}
+    assert by == {"big": 25, "tiny": 1}  # ceil guard: tiny group keeps 1
+    # the kept rows are the TOP scores
+    assert {r.doc_id for r in out.filter("source = 'big'").collect()} == set(
+        range(75, 100)
+    )
+    assert {r.doc_id for r in out.filter("source = 'tiny'").collect()} == {202}
+    with pytest.raises(ValueError):
+        top_fraction_per_group(df, fraction=0.0, score_col="score")
