@@ -929,6 +929,20 @@ def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return good.select("doc_id", "lang", "source", "n_chars")
 
 
+def q_corpus_shards_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sharded corpus export round-trip (sinks/corpus.py): split + write
+    partitioned/sharded + read back must reproduce every row with its split
+    label intact (oracle = the split_corpus assignment itself)."""
+    from database2ogr_spark.sinks.corpus import write_corpus_shards
+
+    out = os.path.join(tempfile.gettempdir(), "d2o_corpus_shards")
+    split = SMP.split_corpus(
+        _t(spark, sf_dir, "documents"), {"train": 90, "val": 5, "test": 5}
+    )
+    write_corpus_shards(split, out, partition_by=("split",), shards=3)
+    return spark.read.parquet(out).select("doc_id", "lang", "split")
+
+
 def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ingestion-time incremental dedup (operators/dedup.dedup_incremental):
     the store holds fingerprints of every doc_id%4==0 doc; the arriving
@@ -1519,13 +1533,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- rotating round-2-green representatives ----------------------
         "split_corpus": q_split_corpus,
         "top_fraction_per_source": q_top_fraction_per_source,
-        "jsonl_roundtrip": q_jsonl_roundtrip,
+        "corpus_shards_roundtrip": q_corpus_shards_roundtrip,
         "dedup_incremental": q_dedup_incremental,
         "decontaminate_bloom": q_decontaminate_bloom,
         "embedding_quantize": q_embedding_quantize,
-        "quantized_topk": q_quantized_topk,
         "ates_kml_document": q_ates_kml_document,
         # ------------------------------------------------------- slot 50 ^
+        # jsonl_roundtrip / quantized_topk ride just outside the checked
+        # prefix this round: both are pytest-covered, jsonl's read path is
+        # inside corpus_shards_roundtrip, and quantized_topk's oracle-backed
+        # sibling embedding_quantize is checked
+        "jsonl_roundtrip": q_jsonl_roundtrip,
+        "quantized_topk": q_quantized_topk,
         # --- fresh round-2 row; rotate forward next round ----------------
         "near_dup_groups_exact": q_near_dup_groups_exact,
         "warnify": q_warnify,
@@ -2417,6 +2436,16 @@ def oracle_sql() -> dict[str, str]:
         "jsonl_roundtrip": (
             "SELECT doc_id, lang, source, n_chars FROM documents"
         ),
+        # shard write/read round-trip — same assignment as split_corpus
+        "corpus_shards_roundtrip": f"""
+            SELECT doc_id, lang,
+              CASE WHEN {_h64_sql("CAST(doc_id AS VARCHAR)", 7)} % 100 < 5
+                     THEN 'test'
+                   WHEN {_h64_sql("CAST(doc_id AS VARCHAR)", 7)} % 100 < 95
+                     THEN 'train'
+                   ELSE 'val' END AS split
+            FROM documents
+        """,
         # twin of operators/dedup.dedup_incremental over the synthesized
         # batch (replays of the %4 store + %7 in-batch duplicates)
         "dedup_incremental": f"""
