@@ -155,12 +155,26 @@ def _gram_ids(g1: np.ndarray, g2: np.ndarray) -> np.ndarray:
 
 
 def distinct_gram_table(
-    df: DataFrame, id_col: str, text_col: str, k: int, *, with_count: bool = False
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int,
+    *,
+    with_count: bool = False,
+    exclude=None,
 ) -> DataFrame:
     """(id, gram[, n]) rows: each document's DISTINCT 62-bit k-gram ids,
     exploded; with ``with_count`` every row also carries the document's
     distinct-gram count ``n`` (known for free inside the kernel — saves the
     consumer a per-doc aggregation plus its joins; see ngram Jaccard).
+
+    ``exclude`` (a ``SparkContext.broadcast`` of a SORTED int64 numpy array)
+    drops the listed gram ids IN-KERNEL before the distinct count is taken:
+    the hot-shingle guard of the Jaccard self-join becomes a vectorized
+    ``searchsorted`` mask instead of a broadcast anti-join plus a sizes
+    re-aggregation plus a join — ``n`` is the post-filter set size, so the
+    downstream Jaccard is the exact similarity of the df-filtered sets, and
+    a document whose every gram is excluded emits no rows (it cannot pair).
 
     Kernel twin of ``explode(array_distinct(shingle_ids_of(
     shingle_structs_of(word_hash_structs(text), k))))`` — the distinct runs
@@ -169,6 +183,7 @@ def distinct_gram_table(
     id_type = dict(df.dtypes)[id_col]
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ex = None if exclude is None else exclude.value
         for pdf in batches:
             _s60, h1, h2, offsets = _tokenize_and_hash(pdf[text_col])
             g1, g2, go = _doc_grams(h1, h2, offsets, k)
@@ -178,6 +193,12 @@ def distinct_gram_table(
             id_vals = pdf[id_col].to_numpy()
             for d in range(len(go) - 1):
                 u = np.unique(ids[go[d] : go[d + 1]])
+                if ex is not None and len(ex) and len(u):
+                    pos = np.searchsorted(ex, u)
+                    pos_c = np.minimum(pos, len(ex) - 1)
+                    u = u[ex[pos_c] != u]
+                    if not len(u):
+                        continue
                 out_grams.append(u)
                 out_ids.append(np.full(len(u), id_vals[d]))
             cols = {

@@ -312,6 +312,7 @@ def decontaminate_bloom(
     k: int = 13,
     num_bits: int = 1 << 23,
     num_hashes: int = 5,
+    hash_tier: str = "fast",
 ) -> DataFrame:
     """Bloom-filter decontamination — the beyond-broadcast twin of
     :func:`decontaminate`.
@@ -329,10 +330,15 @@ def decontaminate_bloom(
 
     Mechanics (all deterministic, retry-stable):
     - grams are the same 62-bit rolling-hash ids as :func:`decontaminate`;
-    - two independent 64-bit hashes per gram are computed JVM-side
-      (``xxhash64(gram)`` and ``xxhash64(gram, salt)``) and combined
+    - two independent hashes per gram are computed JVM-side and combined
       Kirsch-Mitzenmacher style (``g_i = h1 + i*h2 mod m``) in vectorized
-      numpy — the Python stage touches only two int64 columns per gram;
+      numpy — the Python stage touches only two int64 columns per gram.
+      ``hash_tier="fast"`` (default) uses ``xxhash64(gram)`` /
+      ``xxhash64(gram, salt)`` with uint64 wraparound; ``"stable"`` uses
+      the md5-based 60-bit ``stable_hash64`` pair (seeds 0/131) whose
+      position arithmetic stays inside signed int64 (h1 + 4·h2 < 2^63),
+      so the DuckDB oracle replays the probe bit-for-bit — same two-tier
+      policy as functions/hashing.py;
     - each benchmark partition builds a local m-bit numpy bitmap in one
       ``mapInPandas`` pass; partition bitmaps OR-reduce via ``treeReduce``
       (depth 2 — the driver sees O(m), not O(partitions·m));
@@ -351,8 +357,18 @@ def decontaminate_bloom(
     n_hash = int(num_hashes)
     salt = 0x9E3779B97F4A7C15 - (1 << 64)  # golden-ratio salt as signed i64
 
+    if benchmark.isEmpty():  # no blocklist → nothing to drop (and treeReduce
+        return corpus  # would raise on the empty partition-bitmap RDD)
+
     def hashed_grams(df: DataFrame) -> DataFrame:
         g = distinct_gram_table(spread(df), id_col, text_col, k)
+        if hash_tier == "stable":
+            gs = F.col("gram").cast("string")
+            return g.select(
+                "id",
+                stable_hash64(gs).alias("h1"),
+                stable_hash64(gs, seed=131).alias("h2"),
+            )
         return g.select(
             "id",
             F.xxhash64("gram").alias("h1"),
@@ -399,7 +415,9 @@ def decontaminate_bloom(
             ids = pdf["id"].to_numpy()[hit.all(axis=1)]
             yield pd.DataFrame({"id": np.unique(ids)})
 
-    id_schema = T.StructType([T.StructField("id", T.LongType())])
+    # id field keeps the corpus's own id dtype (string doc ids mis-joined
+    # against a hardcoded LongType before)
+    id_schema = f"id {dict(corpus.dtypes)[id_col]}"
     contaminated = (
         hashed_grams(corpus)
         .mapInPandas(probe, id_schema)
@@ -616,38 +634,50 @@ def ngram_jaccard_pairs(
             .select("id_a", "id_b", "jaccard")
         )
     elif use_arrow:
+        import numpy as np
+
         from database2ogr_spark.functions.gramkernel import distinct_gram_table
 
-        # the RAW gram table is what gets persisted: the hot-list aggregation
-        # and the filtered self-join both read it, and persisting only the
-        # filtered table would recompute the Arrow kernel once per consumer
-        raw = (
+        # hot-shingle cutoff, in-kernel: one raw kernel pass feeds the
+        # df-count aggregation; the offender list (df > max_df, tiny by
+        # construction) is collected and broadcast into a SECOND kernel pass
+        # that masks hot grams with a vectorized searchsorted and emits the
+        # POST-FILTER per-doc size n on every row. That replaces the r3 plan's
+        # broadcast anti-join + sizes aggregation + sizes join (and two of
+        # its three persists): only the final (id, shingle, n) table is
+        # persisted, read by both self-join sides, and jaccard stays the
+        # exact set similarity of the df-filtered sets.
+        hot_rows = (
             distinct_gram_table(spread(df), id_col, text_col, k_shingle)
-            .withColumnRenamed("gram", "shingle")
-            .persist(StorageLevel.MEMORY_AND_DISK)
-        )
-        # hot-shingle cutoff: the offender list (df > max_df) is tiny by
-        # construction, so it broadcasts and the anti-join is map-side over
-        # the cached gram table; set sizes are recomputed AFTER the filter
-        # so jaccard stays an exact set similarity of what's joined
-        hot = (
-            raw.groupBy("shingle")
+            .groupBy("gram")
             .agg(F.count(F.lit(1)).alias("df"))
             .filter(F.col("df") > max_df)
-            .select("shingle")
+            .select("gram")
+            .collect()
         )
-        sh = raw.join(F.broadcast(hot), "shingle", "left_anti")
-        # attach the post-filter per-doc size to each gram row BEFORE the
-        # self-join (mirroring the with_count fast path) so |A|/|B| ride the
-        # pair aggregation as min()s. The alternative — joining a sizes table
-        # onto the PAIR table twice — puts two shuffle joins on the largest
-        # relation in the plan; here the one extra join is on the gram table
-        # and the pair table is never re-shuffled.
-        sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
-        # persisted: both self-join sides read this table — without the
-        # persist each side re-runs the anti-join + sizes join (~1.1 s of
-        # the ~4 s total at sf0.1, measured A/B)
-        sh = sh.join(sizes, "id").persist(StorageLevel.MEMORY_AND_DISK)
+        hot_arr = np.sort(np.array([r["gram"] for r in hot_rows], dtype=np.int64))
+        if len(hot_arr) <= 5_000_000:  # ~40 MB broadcast ceiling
+            hot_bc = df.sparkSession.sparkContext.broadcast(hot_arr)
+            sh = (
+                distinct_gram_table(
+                    spread(df), id_col, text_col, k_shingle,
+                    with_count=True, exclude=hot_bc,
+                )
+                .withColumnRenamed("gram", "shingle")
+                .persist(StorageLevel.MEMORY_AND_DISK)
+            )
+        else:
+            # beyond the driver-broadcast ceiling: distributed anti-join
+            # fallback (no broadcast hint — AQE picks the join strategy)
+            hot_df = df.sparkSession.createDataFrame(
+                [(int(g),) for g in hot_arr], "shingle bigint"
+            )
+            raw = distinct_gram_table(
+                spread(df), id_col, text_col, k_shingle
+            ).withColumnRenamed("gram", "shingle")
+            filt = raw.join(hot_df, "shingle", "left_anti")
+            sizes = filt.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+            sh = filt.join(sizes, "id").persist(StorageLevel.MEMORY_AND_DISK)
         shared = (
             sh.alias("l")
             .join(
