@@ -98,16 +98,18 @@ def main() -> None:
         "noop"
     ).mode("overwrite").save()
 
-    # two timed runs per query, report the min — standard steady-state
+    # three timed runs per query, report the min — standard steady-state
     # microbenchmark practice: a run can absorb ambient load spikes and
     # one-off whole-stage-codegen compilation, neither of which is the
     # operator's cost. Runs are full executions (noop sink, nothing cached).
-    # The passes are INTERLEAVED (full suite, then the suite again) rather
-    # than back-to-back per query: ambient noise on this shared sandbox is
+    # The passes are INTERLEAVED (full suite repeated) rather than
+    # back-to-back per query: ambient noise on this shared sandbox is
     # bursty over ~10s windows, so back-to-back runs of one query share the
-    # same burst and min() can't reject it; a second pass ~a minute later is
-    # decorrelated.
-    RUNS = 2
+    # same burst and min() can't reject it; passes minutes apart are
+    # decorrelated, and three of them make round-over-round per-query
+    # deltas meaningful under the multi-x ambient/GC swings documented in
+    # SCALE.md.
+    RUNS = 3
     timings: dict[str, float] = {name: float("inf") for name in HEADLINE}
     for _ in range(RUNS):
         for name in HEADLINE:

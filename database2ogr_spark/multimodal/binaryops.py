@@ -2,10 +2,14 @@
 metadata, processed with Arrow-batched ``mapInPandas`` (north-star extension).
 
 The Spark-side plumbing — schema, partitioning, UDF signatures, batch shapes —
-is real and tested. The actual media decode is STUBBED: the container has no
-image/audio libraries, so ``_decode_stub`` derives deterministic fake features
-from the bytes (documented below); swapping in a real decoder (PIL/librosa/
-pyav) changes only the inner function, not the Spark plan.
+is real and tested. The media decode has a REAL-DECODER SEAM: when Pillow is
+importable, image payloads are decoded/resized with ``PIL.Image`` (grayscale
+feature strip / RGB thumbnail); otherwise — and for payloads PIL cannot parse,
+e.g. the synthetic random-byte fixtures — the deterministic ``_decode_stub``
+fallback derives fake features from the bytes (documented below). The seam is
+exercised by a golden test on an embedded 1×1 PNG (tests/test_multimodal.py,
+skipped where Pillow is absent — this container has no media libraries), so
+environments with PIL get real decoding with no change to the Spark plan.
 
 Scale notes: ``mapInPandas`` streams Arrow batches — memory is bounded by
 ``spark.sql.execution.arrow.maxRecordsPerBatch`` regardless of partition
@@ -37,6 +41,14 @@ MEDIA_SCHEMA = T.StructType(
 )
 
 FEATURE_DIM = 8
+
+try:  # real-decoder seam: Pillow when present, deterministic stub otherwise
+    from PIL import Image as _PILImage  # noqa: N812
+
+    _HAS_PIL = True
+except ImportError:  # pragma: no cover - exercised where Pillow exists
+    _PILImage = None
+    _HAS_PIL = False
 
 _FEATURES_SCHEMA = T.StructType(
     [
@@ -71,6 +83,29 @@ def _decode_stub(payload: bytes | None, dim: int = FEATURE_DIM) -> list[float] |
     return [digest[i] / 256.0 for i in range(dim)]
 
 
+def _decode_payload(payload: bytes | None, dim: int = FEATURE_DIM) -> list[float] | None:
+    """Decode one payload to a ``dim``-float feature vector.
+
+    Pillow tier: parse the image, grayscale, resize to a ``dim``×1 strip,
+    pixels scaled to [0,1) — a real (if minimal) visual feature. Payloads
+    Pillow cannot parse (corrupt bytes, non-image media) fall back to the
+    deterministic stub instead of killing the batch — same
+    row-never-fails-the-job policy as the NULL rule.
+    """
+    if payload is None:
+        return None
+    if _HAS_PIL:
+        import io
+
+        try:
+            with _PILImage.open(io.BytesIO(bytes(payload))) as im:
+                strip = im.convert("L").resize((dim, 1))
+                return [p / 256.0 for p in strip.getdata()]
+        except Exception:
+            pass
+    return _decode_stub(payload, dim)
+
+
 def decode_features(df: DataFrame, batch_size_hint: int | None = None) -> DataFrame:
     """Decode/feature-extract over Arrow batches via ``mapInPandas``.
 
@@ -87,7 +122,7 @@ def decode_features(df: DataFrame, batch_size_hint: int | None = None) -> DataFr
                     "media_id": pdf["media_id"],
                     "kind": pdf["kind"],
                     "n_bytes": pdf["payload"].map(lambda b: 0 if b is None else len(b)).astype("int32"),
-                    "feature": pdf["payload"].map(_decode_stub),
+                    "feature": pdf["payload"].map(_decode_payload),
                 }
             )
 
@@ -107,12 +142,13 @@ _RESIZED_SCHEMA = T.StructType(
 
 def resize_images(df: DataFrame, *, width: int = 64, height: int = 64) -> DataFrame:
     """Image-resize plumbing: rewrite each image payload at target
-    dimensions. The pixel resample is stubbed (output bytes =
-    sha256-stream of (payload, w, h) sized ``width·height·3/64`` as a
-    stand-in for an RGB thumbnail) — a real backend (PIL
-    ``Image.resize``) replaces only the inner function; the contract
-    (binary in → binary out with updated width/height metadata, non-image
-    rows passed through untouched upstream) is the real plumbing.
+    dimensions. With Pillow present the resample is real (``Image.resize``
+    → raw RGB bytes, ``width·height·3``); without it — or for payloads
+    Pillow cannot parse — output bytes are a deterministic sha256 stream of
+    (payload, w, h) sized ``width·height·3/64`` as a stand-in thumbnail.
+    Either way the contract (binary in → binary out with updated
+    width/height metadata, non-image rows passed through untouched
+    upstream) is the real plumbing.
 
     NULL payloads map to NULL output payloads (quarantine downstream, same
     policy as :func:`decode_features`).
@@ -122,6 +158,14 @@ def resize_images(df: DataFrame, *, width: int = 64, height: int = 64) -> DataFr
     def _fake_resize(p: bytes | None) -> bytes | None:
         if p is None:
             return None
+        if _HAS_PIL:
+            import io
+
+            try:
+                with _PILImage.open(io.BytesIO(bytes(p))) as im:
+                    return im.convert("RGB").resize((width, height)).tobytes()
+            except Exception:
+                pass
         seed = hashlib.sha256(bytes(p) + f"{width}x{height}".encode()).digest()
         reps = target_len // len(seed) + 1
         return (seed * reps)[:target_len]

@@ -6,10 +6,15 @@ membership that does not churn between runs: re-exporting after appending
 docs must not move old docs between shards (loaders checkpoint by file).
 
 ``write_corpus_shards`` delivers that with hash-assigned shards: a doc's
-shard is ``stable_hash64(id) % shards`` — a function of the doc alone. The
-pre-write ``repartition`` on (partition columns, shard) makes one write
-task own each (partition, shard) cell, so file count = cells, not
-tasks × cells (same small-file guard as partitioning.write_bucketed).
+shard is ``stable_hash64(id) % shards`` — a function of the doc alone —
+written as a ``__shard=N`` directory level UNDER the partition dirs. File
+identity therefore derives from the shard value itself, never from shuffle
+task placement: two cells hash-colliding into one write task still land in
+their own directories, so every (partition, shard) cell is exactly one
+file under any ``spark.sql.shuffle.partitions`` setting. The pre-write
+``repartition`` on (partition columns, shard) only guarantees a cell is
+never SPLIT across tasks (the small-file guard, as in
+partitioning.write_bucketed); its task count is pure write parallelism.
 
 Format note: ``parquet`` for training pipelines (column pruning: a loader
 reading only ``text`` skips everything else); ``json`` emits JSON-lines for
@@ -34,26 +39,35 @@ def write_corpus_shards(
     id_col: str = "doc_id",
     fmt: str = "parquet",
     seed: int = 7,
+    num_write_tasks: int | None = None,
 ) -> str:
-    """Write ``df`` partitioned by ``partition_by`` directories with
-    ``shards`` hash-assigned files per partition. Returns ``out_dir``.
+    """Write ``df`` partitioned by ``partition_by``/``__shard=N`` directories
+    — exactly one file per (partition values, shard) cell. Returns
+    ``out_dir``.
 
-    Rows are sorted by ``id_col`` within each shard so re-exports of the
-    same data produce identical file contents (byte-stable modulo parquet
-    footer metadata) — diffable exports.
+    Shard membership is in the PATH (``__shard`` is a partition directory),
+    so it cannot depend on shuffle-partition configuration; readers get
+    ``__shard`` back as an int partition column (drop it or select around
+    it). Rows are sorted by ``id_col`` within each shard so re-exports of
+    the same data produce identical file contents (byte-stable modulo
+    parquet footer metadata) — diffable exports. ``num_write_tasks``
+    (default: the context's parallelism) is write parallelism only; it
+    never affects membership or file count.
     """
     shard_col = (
         stable_hash64(F.col(id_col).cast("string"), seed=seed) % shards
     ).cast("int")
+    n_tasks = num_write_tasks or max(
+        shards, df.sparkSession.sparkContext.defaultParallelism
+    )
     staged = (
         df.withColumn("__shard", shard_col)
-        .repartition(*[F.col(c) for c in partition_by], F.col("__shard"))
+        .repartition(n_tasks, *[F.col(c) for c in partition_by], F.col("__shard"))
         .sortWithinPartitions(*partition_by, "__shard", id_col)
     )
     (
-        staged.drop("__shard")
-        .write.mode("overwrite")
-        .partitionBy(*partition_by)
+        staged.write.mode("overwrite")
+        .partitionBy(*partition_by, "__shard")
         .format(fmt)
         .save(out_dir)
     )

@@ -19,9 +19,15 @@ def test_write_corpus_shards_layout_and_roundtrip(spark, tmp_path):
     out = str(tmp_path / "corpus")
     write_corpus_shards(split, out, partition_by=("split",), shards=3)
 
-    # directory layout: one dir per split value
+    # directory layout: one dir per split value, shard dirs beneath, and
+    # EXACTLY one data file per (split, shard) cell — the guarantee that
+    # cannot depend on spark.sql.shuffle.partitions because file identity
+    # is the __shard path, not task placement
     dirs = {os.path.basename(d) for d in glob.glob(os.path.join(out, "split=*"))}
     assert dirs == {"split=train", "split=val", "split=test"}
+    for cell in glob.glob(os.path.join(out, "split=*", "__shard=*")):
+        files = [f for f in glob.glob(os.path.join(cell, "*")) if "part-" in f]
+        assert len(files) == 1, cell
 
     # round-trip completeness
     back = spark.read.parquet(out)
@@ -38,13 +44,11 @@ def test_write_corpus_shards_membership_is_append_stable(spark, tmp_path):
     out1 = str(tmp_path / "v1")
     write_corpus_shards(base, out1, shards=4)
     first = {
-        r.doc_id: os.path.basename(r.f)
-        for r in spark.read.parquet(out1)
-        .select("doc_id", F.input_file_name().alias("f"))
-        .collect()
+        r.doc_id: r.s
+        for r in spark.read.parquet(out1).select(
+            "doc_id", F.col("__shard").alias("s")
+        ).collect()
     }
-    # shard index is embedded in file ORDER per partition dir; compare via
-    # re-deriving the hash shard instead of file names (names carry UUIDs)
     from database2ogr_spark.functions.hashing import stable_hash64
 
     bigger = spark.range(200).select(
@@ -59,7 +63,8 @@ def test_write_corpus_shards_membership_is_append_stable(spark, tmp_path):
         )
         .collect()
     )
-    # every original doc keeps the same hash shard in the bigger export
+    # every original doc keeps the same hash shard in the bigger export,
+    # and the WRITTEN __shard path matches the doc-only hash derivation
     small_shards = {
         r.doc_id: r.s for r in shard_of if r.doc_id < 100
     }
@@ -71,4 +76,5 @@ def test_write_corpus_shards_membership_is_append_stable(spark, tmp_path):
         ).collect()
     }
     assert small_shards == again
+    assert first == again
     assert len(first) == 100

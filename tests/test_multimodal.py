@@ -49,6 +49,46 @@ def test_frame_sample_row_per_frame(spark):
     assert len({r.frame_hash for r in out}) == 4
 
 
+def test_decode_fallback_on_unparseable_bytes():
+    # garbage bytes must produce the deterministic stub features whether or
+    # not Pillow is installed (PIL raises -> fallback) — row never fails
+    from database2ogr_spark.multimodal.binaryops import _decode_payload, _decode_stub
+
+    junk = b"\x89PNG-not-really-a-png"
+    assert _decode_payload(junk) == _decode_stub(junk)
+    assert _decode_payload(None) is None
+
+
+def test_decode_golden_png_real_seam():
+    # golden test for the real-decoder seam: a 2x1 PNG (black, white pixels)
+    # must decode to real luminance features, not the md5 stub. Skipped where
+    # Pillow is absent (this container); runs wherever media libs exist.
+    import pytest
+
+    PIL_Image = pytest.importorskip("PIL.Image")
+    import io
+
+    from database2ogr_spark.multimodal.binaryops import (
+        FEATURE_DIM,
+        _decode_payload,
+        _decode_stub,
+    )
+
+    im = PIL_Image.new("L", (2, 1))
+    im.putdata([0, 255])
+    buf = io.BytesIO()
+    im.save(buf, format="PNG")
+    png = buf.getvalue()
+    feat = _decode_payload(png)
+    assert len(feat) == FEATURE_DIM
+    assert feat != _decode_stub(png)
+    assert all(0.0 <= x < 1.0 for x in feat)
+    # a black->white strip keeps its gradient direction under any resample
+    assert feat[0] < feat[-1]
+    # and the real decode is deterministic too
+    assert _decode_payload(png) == feat
+
+
 def test_resize_images_contract(spark):
     from database2ogr_spark.multimodal.binaryops import resize_images
 
