@@ -247,6 +247,29 @@ CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS chunk) c
 """
 
 
+def _lsh_bucket_sql(bits: int = 3, dim: int = 64) -> str:
+    """Sign-LSH bucket over a double-list column ``v`` — DuckDB twin of
+    operators/similarity._signs_bucket: hyperplane j's ±1 components are the
+    md5-derived ``int_sign(j, i)`` literals (embedded below), the projection
+    is the same left-to-right sequential sum Spark's ``aggregate`` computes
+    (±1 multiplication is exact, so the doubles match bit-for-bit), and
+    bucket = Σ 2^(bits-1-j)·[sum_j ≥ 0]."""
+    from database2ogr_spark.operators.similarity import int_sign
+
+    terms = []
+    for j in range(bits):
+        signs = "[" + ", ".join(
+            f"{float(int_sign(j, i))}" for i in range(dim)
+        ) + "]"
+        proj = (
+            f"list_reduce(list_prepend(0.0, list_transform("
+            f"generate_series(1, {dim}), i -> v[i] * ({signs}::DOUBLE[])[i])), "
+            f"(a, b) -> a + b)"
+        )
+        terms.append(f"(CASE WHEN {proj} >= 0 THEN {1 << (bits - 1 - j)} ELSE 0 END)")
+    return " + ".join(terms)
+
+
 # ---------------------------------------------------------------------------
 # queries — SURVEY.md §2 relational / scalar surface (TPC-H-shaped)
 
@@ -1133,7 +1156,10 @@ def q_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sign-LSH bucketed ANN (approximate by construction — rows-only)."""
+    """Sign-LSH bucketed ANN. Approximate relative to brute force (recall
+    pinned in tests/test_similarity.py) but DETERMINISTIC given the pinned
+    md5-derived hyperplanes — the DuckDB twin embeds the same ±1 literals
+    and replays the bucket assignment and probe exactly (hash-matched)."""
     emb = _t(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
@@ -1142,8 +1168,11 @@ def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF inverted-list ANN (approximate — rows-only; recall vs brute force
-    asserted in tests/test_similarity.py)."""
+    """IVF inverted-list ANN. Approximate relative to brute force (recall
+    asserted in tests/test_similarity.py) but deterministic given the
+    hash-seeded centroids — the DuckDB twin re-derives the 16 centroids
+    (lowest stable_hash64(vec_id, seed 11)), the argmax list assignment,
+    and the 4-list probe (hash-matched)."""
     emb = _t(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
@@ -1583,10 +1612,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "corpus_shards_roundtrip": q_corpus_shards_roundtrip,
         "multimodal_decode": q_multimodal_decode,
+        "lsh_topk": q_lsh_topk,
+        "ivf_topk": q_ivf_topk,
         # --- last green row is round 2 — re-earn now ---------------------
         "warnify": q_warnify,
         "dedup_exact": q_dedup_exact,
-        "dedup_exact_survivors": q_dedup_exact_survivors,
         "decontaminate": q_decontaminate,
         "ates_kml_placemarks": q_ates_kml_placemarks,
         "ates_geojson_features": q_ates_geojson_features,
@@ -1624,8 +1654,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x11_unescape": q_x11_unescape,
         "x12_html_popup": q_x12_html_popup,
         "x13_recipe_layers": q_x13_recipe_layers,
-        "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         # ------------------------------------------------------- slot 50 ^
+        # Displaced by the newly-oracled lsh_topk/ivf_topk (priority (a)):
+        # dedup_exact_survivors (its groupBy core is graded via dedup_exact;
+        # semi-join shape via anti_join/window entries) and the rows-only
+        # embedding_near_dup_lsh. Both lead the round-5 rotation.
+        "dedup_exact_survivors": q_dedup_exact_survivors,
+        "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         # --- fresh round-3 row; rotate forward next round ----------------
         "remove_boilerplate": q_remove_boilerplate,
         "dedup_paragraphs": q_dedup_paragraphs,
@@ -1672,8 +1707,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental": q_dedup_incremental,
         "embedding_quantize": q_embedding_quantize,
         "ates_kml_document": q_ates_kml_document,
-        "lsh_topk": q_lsh_topk,
-        "ivf_topk": q_ivf_topk,
         "multimodal_resize": q_multimodal_resize,
         "multimodal_frame_sample": q_multimodal_frame_sample,
     }
@@ -2656,6 +2689,69 @@ def oracle_sql() -> dict[str, str]:
             r AS (SELECT *, row_number() OVER
                     (PARTITION BY query_id ORDER BY cosine_sim DESC, vec_id)::INT AS rank
                   FROM sc)
+            SELECT query_id, vec_id, cosine_sim, rank FROM r WHERE rank <= 5
+        """,
+        # sign-LSH ANN twin (bits=3, dim=64): md5-derived ±1 hyperplanes are
+        # embedded as literals; queries probe only their own bucket
+        "lsh_topk": f"""
+            WITH c AS (SELECT vec_id,
+                         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                       FROM embeddings),
+            b AS (SELECT vec_id, v, {_lsh_bucket_sql(3, 64)} AS bucket FROM c),
+            q AS (SELECT vec_id AS query_id, v AS qv, bucket
+                  FROM b WHERE vec_id < 5),
+            s AS (
+              SELECT query_id, b.vec_id,
+                round(list_dot_product(qv, v) /
+                      (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))),
+                      6) AS cosine_sim
+              FROM q JOIN b USING (bucket) WHERE b.vec_id <> query_id),
+            r AS (SELECT *, row_number() OVER
+                    (PARTITION BY query_id ORDER BY cosine_sim DESC, vec_id)::INT AS rank
+                  FROM s)
+            SELECT query_id, vec_id, cosine_sim, rank FROM r WHERE rank <= 5
+        """,
+        # IVF ANN twin (n_centroids=16, n_probe=4): centroids are the 16
+        # corpus vectors with the lowest stable_hash64(vec_id, seed 11),
+        # L2-normalized; corpus rows join their argmax list, queries probe
+        # their top-4 lists; final cosine is over the ORIGINAL vectors
+        "ivf_topk": f"""
+            WITH c AS (SELECT vec_id,
+                         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                       FROM embeddings),
+            n AS (SELECT vec_id, v,
+                    list_transform(v, x -> x /
+                      greatest(sqrt(list_dot_product(v, v)), 1e-12)) AS vn
+                  FROM c),
+            cent AS (
+              SELECT cidx, vn AS cn FROM (
+                SELECT vn, row_number() OVER
+                  (ORDER BY {_h64_sql("CAST(vec_id AS VARCHAR)", 11)}) - 1 AS cidx
+                FROM n) t
+              WHERE cidx < 16),
+            asg AS (
+              SELECT vec_id, v, cidx FROM (
+                SELECT n.vec_id, n.v, cent.cidx, row_number() OVER
+                  (PARTITION BY n.vec_id
+                   ORDER BY list_dot_product(n.vn, cent.cn) DESC, cent.cidx) AS rn
+                FROM n CROSS JOIN cent) t
+              WHERE rn = 1),
+            ql AS (
+              SELECT query_id, qv, cidx FROM (
+                SELECT n.vec_id AS query_id, n.v AS qv, cent.cidx, row_number() OVER
+                  (PARTITION BY n.vec_id
+                   ORDER BY list_dot_product(n.vn, cent.cn) DESC, cent.cidx) AS rn
+                FROM n CROSS JOIN cent WHERE n.vec_id < 5) t
+              WHERE rn <= 4),
+            s AS (
+              SELECT query_id, a.vec_id,
+                round(list_dot_product(qv, a.v) /
+                      (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(a.v, a.v))),
+                      6) AS cosine_sim
+              FROM ql JOIN asg a USING (cidx) WHERE a.vec_id <> query_id),
+            r AS (SELECT *, row_number() OVER
+                    (PARTITION BY query_id ORDER BY cosine_sim DESC, vec_id)::INT AS rank
+                  FROM s)
             SELECT query_id, vec_id, cosine_sim, rank FROM r WHERE rank <= 5
         """,
         # DF-cutoff (max_df=100) mirrors the Spark entry's hot-shingle guard:

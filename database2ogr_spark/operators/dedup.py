@@ -18,6 +18,15 @@ Five families (BASELINE.json north star), all shuffle-conscious:
 
 All hashing is the md5-based ``stable_hash64`` so the DuckDB oracle can
 reproduce results exactly; swap ``fast_hash64`` in for raw throughput.
+
+Persist lifecycle: the pair operators persist small intermediates
+(signature/gram tables) that both sides of their self-joins read; the
+returned DataFrames stay lazy, so the operators cannot unpersist for you
+(the cache must outlive the caller's action). Long-lived sessions issuing
+many dedup queries should call ``spark.catalog.clearCache()`` between
+invocations (as bench.py does) or unpersist via
+``spark.catalog.clearCache()``/``DataFrame.unpersist`` once results are
+materialized; block-manager memory otherwise accumulates across queries.
 """
 
 from __future__ import annotations
