@@ -577,6 +577,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     use_arrow: bool = True,
     max_df: int | None = None,
+    hot_broadcast_limit: int = 5_000_000,
 ) -> DataFrame:
     """Exact n-gram Jaccard over candidate pairs that share ≥1 shingle.
 
@@ -592,12 +593,15 @@ def ngram_jaccard_pairs(
     shingle occurring in d documents contributes d·(d-1)/2 join rows, so one
     stopword-ish shingle with df=10⁶ is a 5·10¹¹-row straggler bucket.
     With ``max_df`` set, shingles whose document frequency exceeds it are
-    dropped from the gram universe BEFORE the self-join (the hot-shingle
-    list is tiny — only the offenders — and broadcasts into a left-anti
-    join), and the |A|/|B| set sizes are recomputed over the filtered sets,
-    so the result is the exact Jaccard of the df-filtered shingle sets —
-    deterministic, oracle-reproducible semantics, with the within-bucket
-    quadratic bounded by max_df² per shingle.
+    dropped from the gram universe BEFORE the self-join, and the |A|/|B|
+    set sizes are recomputed over the filtered sets, so the result is the
+    exact Jaccard of the df-filtered shingle sets — deterministic,
+    oracle-reproducible semantics, with the within-bucket quadratic bounded
+    by max_df² per shingle. The offender list (tiny by construction) is
+    masked in-kernel via a driver broadcast up to ``hot_broadcast_limit``
+    entries (~8 B each); beyond that, a distributed anti-join fallback with
+    AQE-chosen strategy takes over (identical results — equivalence pinned
+    in tests/test_dedup.py).
     """
     from database2ogr_spark.functions.hashing import (
         shingle_ids_of,
@@ -665,7 +669,7 @@ def ngram_jaccard_pairs(
             .collect()
         )
         hot_arr = np.sort(np.array([r["gram"] for r in hot_rows], dtype=np.int64))
-        if len(hot_arr) <= 5_000_000:  # ~40 MB broadcast ceiling
+        if len(hot_arr) <= hot_broadcast_limit:  # ~40 MB ceiling at default
             hot_bc = df.sparkSession.sparkContext.broadcast(hot_arr)
             sh = (
                 distinct_gram_table(

@@ -60,6 +60,33 @@ def test_ngram_jaccard_exact_values(spark):
     assert not any(5 in p for p in jac)
 
 
+def test_ngram_jaccard_guard_paths_equivalent(spark):
+    # the max_df guard has three implementations that must agree exactly:
+    # in-kernel searchsorted mask (default), distributed anti-join fallback
+    # (forced via hot_broadcast_limit=0), and the expression tier. Corpus
+    # crafted so the guard bites: a shingle shared by ALL docs (df=6 > 2).
+    common = "alpha beta gamma"
+    rows = [
+        (i, f"{common} doc{i % 3} unique{i} tail{i} words here and more")
+        for i in range(6)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def run(**kw):
+        return sorted(
+            (r.id_a, r.id_b, r.jaccard)
+            for r in DD.ngram_jaccard_pairs(
+                df, k_shingle=3, threshold=0.05, max_df=2, **kw
+            ).collect()
+        )
+
+    kernel = run()
+    fallback = run(hot_broadcast_limit=0)
+    expr = run(use_arrow=False)
+    assert kernel == fallback == expr
+    assert kernel  # the guard must not empty the result entirely
+
+
 def test_simhash_pairs_complete_at_high_threshold(spark):
     # pigeonhole completeness: every pair with hamming <= max_hamming must be
     # found, for thresholds well beyond the old fixed 4-chunk limit of 3 —
