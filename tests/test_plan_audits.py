@@ -60,3 +60,17 @@ def test_shuffle_budgets(spark, name, max_shuffles):
         "Exchange rangepartitioning"
     )
     assert n <= max_shuffles, f"{name}: {n} shuffles (budget {max_shuffles})\n{plan}"
+
+
+def test_guarded_jaccard_plan_has_no_anti_join(spark):
+    # the round-4 guarded plan masks hot shingles IN-KERNEL: the old
+    # broadcast-anti-join + sizes-join chain must not reappear, and the
+    # whole query (hot-list agg + self-join + pair agg) stays within a
+    # 3-shuffle budget (measured 1 with AQE at sf0.01; headroom for
+    # non-broadcast join picks at larger SF)
+    plan = _plan(spark, "ngram_jaccard_pairs")
+    assert "LeftAnti" not in plan, plan
+    n = plan.count("Exchange hashpartitioning") + plan.count(
+        "Exchange rangepartitioning"
+    )
+    assert n <= 3, f"{n} shuffles\n{plan}"
