@@ -691,15 +691,47 @@ def q_length_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate per-language quantiles via percentile_approx (KLL-style
     mergeable sketch) — the 100 TB twin of q_length_quantiles: exact
     percentile materializes every group value at the reducer, the sketch
-    shuffles a fixed-size summary per partition. rows-only check (sketch
-    estimates are engine-specific); accuracy asserted in pytest against the
-    exact values."""
+    shuffles a fixed-size summary per partition.
+
+    PROPERTY-GRADED: sketch estimates are engine-specific, so the oracle
+    can't hash the estimates themselves — instead the query emits the exact
+    quantiles plus booleans asserting each estimate lies inside the exact
+    [p−0.01, p+0.01] quantile window (accuracy=10000 guarantees rank error
+    ≤ 1e-4, 100× inside the window), and the oracle asserts the exact
+    values with literal TRUEs. A hash match PROVES the accuracy contract
+    held; the exact aggregation exists only in this graded entry, not in
+    the production sketch path."""
     d = _t(spark, sf_dir, "documents")
-    return d.groupBy("lang").agg(
+    agg = d.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.percentile_approx("n_chars", 0.5, 10000).alias("p50_approx"),
-        F.percentile_approx("n_chars", 0.9, 10000).alias("p90_approx"),
-        F.percentile_approx("n_chars", 0.99, 10000).alias("p99_approx"),
+        *[
+            F.round(F.percentile("n_chars", p), 6).alias(f"p{n}")
+            for n, p in (("50", 0.5), ("90", 0.9), ("99", 0.99))
+        ],
+        *[
+            F.percentile("n_chars", p).alias(f"lo{n}")
+            for n, p in (("50", 0.49), ("90", 0.89), ("99", 0.98))
+        ],
+        *[
+            F.percentile("n_chars", p).alias(f"hi{n}")
+            for n, p in (("50", 0.51), ("90", 0.91), ("99", 1.0))
+        ],
+        *[
+            F.percentile_approx("n_chars", p, 10000).alias(f"a{n}")
+            for n, p in (("50", 0.5), ("90", 0.9), ("99", 0.99))
+        ],
+    )
+    return agg.select(
+        "lang",
+        "n_docs",
+        "p50",
+        "p90",
+        "p99",
+        *[
+            F.col(f"a{n}").cast("double").between(F.col(f"lo{n}"), F.col(f"hi{n}"))
+            .alias(f"ok{n}")
+            for n in ("50", "90", "99")
+        ],
     )
 
 
@@ -1553,15 +1585,27 @@ def q_distinct_users_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_distinct_users_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HLL++ approximate count-distinct (rows-only check: sketch estimates
-    are engine-specific). At 100 TB this is the only sane distinct-count:
-    constant memory per group, single shuffle of sketch buffers, mergeable
-    across partitions — vs. the exact variant's shuffle of every distinct
-    (group, user) pair. rsd=0.01 ⇒ ~1% error, ~24 KB per sketch."""
+    """HLL++ approximate count-distinct. At 100 TB this is the only sane
+    distinct-count: constant memory per group, single shuffle of sketch
+    buffers, mergeable across partitions — vs. the exact variant's shuffle
+    of every distinct (group, user) pair. rsd=0.01 ⇒ ~1% error, ~24 KB per
+    sketch.
+
+    PROPERTY-GRADED: the HLL estimate is engine-specific, so the query
+    emits the exact count plus a boolean asserting relative error ≤ 5%
+    (5× the configured rsd; measured ≤0.7% on this data at every SF) and
+    the oracle asserts exact + literal TRUE — a hash match proves the
+    sketch met its accuracy contract. The exact agg lives only in this
+    graded entry; the production path is sketch-only."""
     ev = read_events(spark, os.path.join(sf_dir, "events.parquet"))
-    return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.01).alias("n_users_approx")
+    agg = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.approx_count_distinct("user_id", rsd=0.01).alias("approx"),
     )
+    err = F.abs(F.col("approx") - F.col("n_users")).cast("double") / F.col(
+        "n_users"
+    ).cast("double")
+    return agg.select("event_type", "n_users", (err <= 0.05).alias("within_5pct"))
 
 
 def q_tpch_q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1617,6 +1661,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_topk": q_lsh_topk,
         "ivf_topk": q_ivf_topk,
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
+        "length_quantiles_approx": q_length_quantiles_approx,
+        "distinct_users_approx": q_distinct_users_approx,
         # --- last green row is round 2 — re-earn now ---------------------
         "warnify": q_warnify,
         "dedup_exact": q_dedup_exact,
@@ -1652,19 +1698,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j3_style_lookup": q_j3_style_lookup,
         "a1_distinct": q_a1_distinct,
         "u1_union": q_u1_union,
-        "f5_nonblank_tokens": q_f5_nonblank_tokens,
-        "x11_unescape": q_x11_unescape,
         "x12_html_popup": q_x12_html_popup,
         "x13_recipe_layers": q_x13_recipe_layers,
         # ------------------------------------------------------- slot 50 ^
-        # Displaced by the newly-oracled lsh_topk / ivf_topk /
-        # embedding_near_dup_lsh entries (priority (a)): dedup_exact_survivors
-        # (its groupBy core is graded via dedup_exact; semi-join shape via the
-        # anti_join/window entries) and x4_coords_key (its coords-key string
-        # machinery is a graded constituent of warnify + geojson_features,
-        # both in the prefix). Both lead the round-5 rotation.
+        # Displaced by the newly-graded entries above (priority (a) — the
+        # dedup/ANN oracle chain plus the two property-graded sketch
+        # entries): dedup_exact_survivors (groupBy core graded via
+        # dedup_exact; semi-join shape via the anti_join/window entries),
+        # x4_coords_key (coords-key machinery is a graded constituent of
+        # warnify + geojson_features), f5_nonblank_tokens and x11_unescape
+        # (single-expression ops exercised inside text_quality/redact_pii
+        # and pytest). All four LEAD the round-5 rotation.
         "dedup_exact_survivors": q_dedup_exact_survivors,
         "x4_coords_key": q_x4_coords_key,
+        "f5_nonblank_tokens": q_f5_nonblank_tokens,
+        "x11_unescape": q_x11_unescape,
         # --- fresh round-3 row; rotate forward next round ----------------
         "remove_boilerplate": q_remove_boilerplate,
         "dedup_paragraphs": q_dedup_paragraphs,
@@ -1681,13 +1729,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_source_rollup": q_lang_source_rollup,
         "lang_source_cube": q_lang_source_cube,
         "length_quantiles": q_length_quantiles,
-        "length_quantiles_approx": q_length_quantiles_approx,
         "deterministic_sample": q_deterministic_sample,
         "stratified_sample": q_stratified_sample,
         "embedding_centroids": q_embedding_centroids,
         "anti_join_orderless_customers": q_anti_join_orderless_customers,
         "distinct_users_exact": q_distinct_users_exact,
-        "distinct_users_approx": q_distinct_users_approx,
         "window_top_orders_per_segment": q_window_top_orders_per_segment,
         "tpch_q1_pricing_summary": q_tpch_q1_pricing_summary,
         "tpch_q3_shipping_priority": q_tpch_q3_shipping_priority,
@@ -1971,6 +2017,14 @@ def oracle_sql() -> dict[str, str]:
               count(*) AS n_events
             FROM events GROUP BY 1
         """,
+        # property twin: the HLL estimate itself is engine-specific, so the
+        # Spark query emits exact + an error-bound boolean and the oracle
+        # asserts exact + TRUE — a hash match proves the accuracy contract
+        "distinct_users_approx": """
+            SELECT event_type, count(DISTINCT user_id) AS n_users,
+              TRUE AS within_5pct
+            FROM events GROUP BY 1
+        """,
         "tpch_q7_nation_volume": """
             SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
               CAST(year(l.l_shipdate) AS INT) AS l_year,
@@ -2227,6 +2281,17 @@ def oracle_sql() -> dict[str, str]:
               round(quantile_cont(n_chars, 0.5), 6) AS p50,
               round(quantile_cont(n_chars, 0.9), 6) AS p90,
               round(quantile_cont(n_chars, 0.99), 6) AS p99
+            FROM documents GROUP BY lang
+        """,
+        # property twin: sketch estimates are engine-specific, so the Spark
+        # query checks each percentile_approx estimate against the exact
+        # ±0.01 quantile window and the oracle asserts exact values + TRUEs
+        "length_quantiles_approx": """
+            SELECT lang, count(*) AS n_docs,
+              round(quantile_cont(n_chars, 0.5), 6) AS p50,
+              round(quantile_cont(n_chars, 0.9), 6) AS p90,
+              round(quantile_cont(n_chars, 0.99), 6) AS p99,
+              TRUE AS ok50, TRUE AS ok90, TRUE AS ok99
             FROM documents GROUP BY lang
         """,
         "tfidf_top_terms": f"""
