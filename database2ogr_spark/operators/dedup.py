@@ -651,25 +651,36 @@ def ngram_jaccard_pairs(
 
         from database2ogr_spark.functions.gramkernel import distinct_gram_table
 
-        # hot-shingle cutoff, in-kernel: one raw kernel pass feeds the
-        # df-count aggregation; the offender list (df > max_df, tiny by
-        # construction) is collected and broadcast into a SECOND kernel pass
-        # that masks hot grams with a vectorized searchsorted and emits the
-        # POST-FILTER per-doc size n on every row. That replaces the r3 plan's
-        # broadcast anti-join + sizes aggregation + sizes join (and two of
-        # its three persists): only the final (id, shingle, n) table is
-        # persisted, read by both self-join sides, and jaccard stays the
-        # exact set similarity of the df-filtered sets.
+        # hot-shingle cutoff with a SINGLE kernel pass in the common case:
+        # the raw distinct-gram table (with per-doc counts n, free in-kernel)
+        # is persisted once and feeds the df-count aggregation that finds
+        # offenders (df > max_df). When the guard finds NOTHING — the normal
+        # outcome for a safety-bound max_df on a healthy corpus — the
+        # pre-filter counts already ARE the post-filter counts, so the same
+        # persisted table feeds the self-join directly and the text is never
+        # re-shingled. Only a corpus that actually has hot shingles pays a
+        # second, masked kernel pass (vectorized searchsorted over a driver
+        # broadcast of the offender ids) that re-emits POST-FILTER n per row;
+        # beyond ``hot_broadcast_limit`` offenders, a distributed anti-join
+        # over the persisted table takes over (no broadcast hint — AQE picks
+        # the strategy). All three paths produce the exact Jaccard of the
+        # df-filtered shingle sets — equivalence pinned in tests/test_dedup.
+        raw = (
+            distinct_gram_table(spread(df), id_col, text_col, k_shingle, with_count=True)
+            .withColumnRenamed("gram", "shingle")
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
         hot_rows = (
-            distinct_gram_table(spread(df), id_col, text_col, k_shingle)
-            .groupBy("gram")
+            raw.groupBy("shingle")
             .agg(F.count(F.lit(1)).alias("df"))
             .filter(F.col("df") > max_df)
-            .select("gram")
+            .select("shingle")
             .collect()
         )
-        hot_arr = np.sort(np.array([r["gram"] for r in hot_rows], dtype=np.int64))
-        if len(hot_arr) <= hot_broadcast_limit:  # ~40 MB ceiling at default
+        hot_arr = np.sort(np.array([r["shingle"] for r in hot_rows], dtype=np.int64))
+        if len(hot_arr) == 0:
+            sh = raw
+        elif len(hot_arr) <= hot_broadcast_limit:  # ~40 MB ceiling at default
             hot_bc = df.sparkSession.sparkContext.broadcast(hot_arr)
             sh = (
                 distinct_gram_table(
@@ -679,16 +690,15 @@ def ngram_jaccard_pairs(
                 .withColumnRenamed("gram", "shingle")
                 .persist(StorageLevel.MEMORY_AND_DISK)
             )
+            raw.unpersist()
         else:
-            # beyond the driver-broadcast ceiling: distributed anti-join
-            # fallback (no broadcast hint — AQE picks the join strategy)
-            hot_df = df.sparkSession.createDataFrame(
-                [(int(g),) for g in hot_arr], "shingle bigint"
+            filt = raw.drop("n").join(
+                df.sparkSession.createDataFrame(
+                    [(int(g),) for g in hot_arr], "shingle bigint"
+                ),
+                "shingle",
+                "left_anti",
             )
-            raw = distinct_gram_table(
-                spread(df), id_col, text_col, k_shingle
-            ).withColumnRenamed("gram", "shingle")
-            filt = raw.join(hot_df, "shingle", "left_anti")
             sizes = filt.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
             sh = filt.join(sizes, "id").persist(StorageLevel.MEMORY_AND_DISK)
         shared = (
