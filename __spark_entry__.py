@@ -35,6 +35,7 @@ from database2ogr_spark.operators import dedup as DD
 from database2ogr_spark.operators import sampling as SMP
 from database2ogr_spark.operators.asof import asof_join
 from database2ogr_spark.operators.graph import near_dup_groups
+from database2ogr_spark.operators import clustering as KM
 from database2ogr_spark.operators import similarity as SIM
 from database2ogr_spark.operators.query import JoinQuery, Query
 from database2ogr_spark.operators.union import union_by_name, union_features
@@ -1189,6 +1190,27 @@ def q_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd k-means (operators/clustering.kmeans_embeddings):
+    hash-seeded init, 3 iterations, spherical assignment. Fully
+    deterministic (centroids rounded to 6 decimals between iterations,
+    similarities rounded to 9 before argmax), so the DuckDB twin unrolls
+    the same three iterations as CTEs and the assignment hash-matches."""
+    return KM.kmeans_embeddings(
+        _t(spark, sf_dir, "embeddings"), k=8, n_iter=3
+    )
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup pruning (operators/clustering.semantic_dedup): k-means
+    cluster, then drop every vector cosine-similar (rounded ≥ 0.4) to a
+    lower-id vector in its cluster. The oracle composes the unrolled
+    k-means CTEs with a within-cluster pair anti-join."""
+    return KM.semantic_dedup(
+        _t(spark, sf_dir, "embeddings"), k=8, n_iter=3, threshold=0.4
+    )
+
+
 def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sign-LSH bucketed ANN. Approximate relative to brute force (recall
     pinned in tests/test_similarity.py) but DETERMINISTIC given the pinned
@@ -1649,6 +1671,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     entries; then every entry whose last green row is round 2."""
     return {
         # --- NEW-to-the-gate / CHANGED this round ------------------------
+        "kmeans_embeddings": q_kmeans_embeddings,
+        "semantic_dedup": q_semantic_dedup,
         "jsonl_roundtrip": q_jsonl_roundtrip,
         "quantized_topk": q_quantized_topk,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -1690,8 +1714,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": q_chunk_documents,
         "s2_full_scan": q_s2_full_scan,
         "p3_envelope": q_p3_envelope,
-        "x1_slugify": q_x1_slugify,
-        "x2_reverse_stem": q_x2_reverse_stem,
         "f4_validate_default": q_f4_validate_default,
         "j1_parent_child_join": q_j1_parent_child_join,
         "j2_dim_lookup": q_j2_dim_lookup,
@@ -1702,17 +1724,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x13_recipe_layers": q_x13_recipe_layers,
         # ------------------------------------------------------- slot 50 ^
         # Displaced by the newly-graded entries above (priority (a) — the
-        # dedup/ANN oracle chain plus the two property-graded sketch
-        # entries): dedup_exact_survivors (groupBy core graded via
-        # dedup_exact; semi-join shape via the anti_join/window entries),
-        # x4_coords_key (coords-key machinery is a graded constituent of
-        # warnify + geojson_features), f5_nonblank_tokens and x11_unescape
-        # (single-expression ops exercised inside text_quality/redact_pii
-        # and pytest). All four LEAD the round-5 rotation.
+        # dedup/ANN oracle chain, the two property-graded sketch entries,
+        # and the round-4 clustering family): dedup_exact_survivors
+        # (groupBy core graded via dedup_exact; semi-join shape via the
+        # anti_join/window entries), x4_coords_key (coords-key machinery is
+        # a graded constituent of warnify + geojson_features),
+        # f5_nonblank_tokens and x11_unescape (single-expression ops
+        # exercised inside text_quality/redact_pii and pytest), x1_slugify
+        # and x2_reverse_stem (single-expression string ops, green r1+r2,
+        # exercised inside the ATES sink entries and pytest). All six LEAD
+        # the round-5 rotation.
         "dedup_exact_survivors": q_dedup_exact_survivors,
         "x4_coords_key": q_x4_coords_key,
         "f5_nonblank_tokens": q_f5_nonblank_tokens,
         "x11_unescape": q_x11_unescape,
+        "x1_slugify": q_x1_slugify,
+        "x2_reverse_stem": q_x2_reverse_stem,
         # --- fresh round-3 row; rotate forward next round ----------------
         "remove_boilerplate": q_remove_boilerplate,
         "dedup_paragraphs": q_dedup_paragraphs,
@@ -1828,6 +1855,56 @@ def _hits_sql(lang: str) -> str:
     )
 
 
+def _kmeans_sql(k: int = 8, n_iter: int = 3, dim: int = 64, seed: int = 29) -> str:
+    """DuckDB twin of operators/clustering._fit_centroids + final
+    assignment, unrolled: cent0 (k lowest-hash vectors, rounded), then per
+    iteration an assignment CTE (cosine rounded to 9, ties to lowest
+    cluster id) and a centroid-update CTE (per-position avg rounded to 6,
+    empty clusters keep the previous centroid via COALESCE). Emits WITH
+    CTEs ending in ``asgf`` = the final (vec_id, v, cid) assignment."""
+    cos = (
+        "round(list_dot_product(v.v, c.c) / "
+        "(greatest(sqrt(list_dot_product(v.v, v.v)), 1e-12) * "
+        "greatest(sqrt(list_dot_product(c.c, c.c)), 1e-12)), "
+        f"{KM.SIM_DECIMALS})"
+    )
+
+    def asg(name: str, cent: str) -> str:
+        return f"""
+{name} AS (
+  SELECT vec_id, v, cid FROM (
+    SELECT v.vec_id, v.v, c.cid, row_number() OVER (
+      PARTITION BY v.vec_id ORDER BY {cos} DESC, c.cid) AS rn
+    FROM v CROSS JOIN {cent} c) t
+  WHERE rn = 1)"""
+
+    parts = [
+        f"""
+v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings),
+cent0 AS (
+  SELECT cid, list_transform(c, x -> round(x, {KM.CENTROID_DECIMALS})) AS c
+  FROM (SELECT row_number() OVER
+          (ORDER BY {_h64_sql("CAST(vec_id AS VARCHAR)", seed)}) - 1 AS cid,
+          v AS c FROM v) t
+  WHERE cid < {k}),
+pos AS (SELECT unnest(range(1, {dim + 1})) AS p)"""
+    ]
+    for i in range(1, n_iter + 1):
+        parts.append(asg(f"a{i}", f"cent{i - 1}"))
+        parts.append(f"""
+m{i} AS (
+  SELECT cid, p, round(avg(v[p]), {KM.CENTROID_DECIMALS}) AS m
+  FROM a{i} CROSS JOIN pos GROUP BY cid, p),
+cent{i} AS (
+  SELECT c0.cid, COALESCE(mm.c, c0.c) AS c
+  FROM cent{i - 1} c0 LEFT JOIN
+    (SELECT cid, list(m ORDER BY p) AS c FROM m{i} GROUP BY cid) mm
+  USING (cid))""")
+    parts.append(asg("asgf", f"cent{n_iter}"))
+    return "WITH " + ",".join(parts)
+
+
 def oracle_sql() -> dict[str, str]:
     langs = list(TS.STOPWORDS)
     hits = {lg: _hits_sql(lg) for lg in langs}
@@ -1846,6 +1923,27 @@ def oracle_sql() -> dict[str, str]:
     co_json = warn_list.format(lst="co")
 
     return {
+        "kmeans_embeddings": f"""
+            {_kmeans_sql()}
+            SELECT a.vec_id, CAST(a.cid AS INT) AS cluster_id,
+                   s.n AS cluster_size
+            FROM asgf a
+            JOIN (SELECT cid, count(*) AS n FROM asgf GROUP BY cid) s
+              USING (cid)
+        """,
+        "semantic_dedup": f"""
+            {_kmeans_sql()},
+            dups AS (
+              SELECT DISTINCT b.vec_id AS dup_id
+              FROM asgf a JOIN asgf b
+                ON a.cid = b.cid AND a.vec_id < b.vec_id
+              WHERE round(list_dot_product(a.v, b.v) /
+                (greatest(sqrt(list_dot_product(a.v, a.v)), 1e-12) *
+                 greatest(sqrt(list_dot_product(b.v, b.v)), 1e-12)),
+                {KM.SIM_DECIMALS}) >= 0.4)
+            SELECT vec_id, CAST(cid AS INT) AS cluster_id FROM asgf
+            WHERE vec_id NOT IN (SELECT dup_id FROM dups)
+        """,
         "s1_scan_filter": (
             "SELECT n_nationkey, n_name, 'nation' AS \"table\" "
             "FROM nation WHERE n_regionkey = 2"

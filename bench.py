@@ -64,6 +64,8 @@ HEADLINE = [
     "redact_pii",
     "chunk_documents",
     "embedding_centroids",
+    "kmeans_embeddings",
+    "semantic_dedup",
 ]
 
 
