@@ -1076,6 +1076,26 @@ def q_corpus_shards_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out).select("doc_id", "lang", "split")
 
 
+def q_webdataset_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset tar-shard export round-trip (sinks/webdataset.py): the
+    documents table is written as key-sorted .txt/.json tar shards and read
+    back via the binaryFile + mapInPandas reader; text is hash-compared
+    (md5) and lang is recovered from the .json member, proving the sample
+    payload AND metadata survive the sink byte-exactly."""
+    from database2ogr_spark.sinks.webdataset import read_tar_shards, write_tar_shards
+
+    out = os.path.join(tempfile.gettempdir(), "d2o_wds_shards")
+    docs = _t(spark, sf_dir, "documents")
+    write_tar_shards(docs, out, shards=4, meta_cols=("lang",)).collect()
+    back = read_tar_shards(spark, out)
+    return back.select(
+        F.col("key").alias("doc_id"),
+        F.get_json_object("meta", "$.lang").alias("lang"),
+        F.md5("text").alias("text_md5"),
+        F.length("text").alias("n_chars"),
+    )
+
+
 def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ingestion-time incremental dedup (operators/dedup.dedup_incremental):
     the store holds fingerprints of every doc_id%4==0 doc; the arriving
@@ -1673,6 +1693,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- NEW-to-the-gate / CHANGED this round ------------------------
         "kmeans_embeddings": q_kmeans_embeddings,
         "semantic_dedup": q_semantic_dedup,
+        "webdataset_roundtrip": q_webdataset_roundtrip,
         "jsonl_roundtrip": q_jsonl_roundtrip,
         "quantized_topk": q_quantized_topk,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -1713,7 +1734,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_groups_exact": q_near_dup_groups_exact,
         "chunk_documents": q_chunk_documents,
         "s2_full_scan": q_s2_full_scan,
-        "p3_envelope": q_p3_envelope,
         "f4_validate_default": q_f4_validate_default,
         "j1_parent_child_join": q_j1_parent_child_join,
         "j2_dim_lookup": q_j2_dim_lookup,
@@ -1732,14 +1752,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # f5_nonblank_tokens and x11_unescape (single-expression ops
         # exercised inside text_quality/redact_pii and pytest), x1_slugify
         # and x2_reverse_stem (single-expression string ops, green r1+r2,
-        # exercised inside the ATES sink entries and pytest). All six LEAD
-        # the round-5 rotation.
+        # exercised inside the ATES sink entries and pytest), p3_envelope
+        # (green r1+r2; the envelope expression is a graded constituent of
+        # the ATES geojson entries). All seven LEAD the round-5 rotation.
         "dedup_exact_survivors": q_dedup_exact_survivors,
         "x4_coords_key": q_x4_coords_key,
         "f5_nonblank_tokens": q_f5_nonblank_tokens,
         "x11_unescape": q_x11_unescape,
         "x1_slugify": q_x1_slugify,
         "x2_reverse_stem": q_x2_reverse_stem,
+        "p3_envelope": q_p3_envelope,
         # --- fresh round-3 row; rotate forward next round ----------------
         "remove_boilerplate": q_remove_boilerplate,
         "dedup_paragraphs": q_dedup_paragraphs,
@@ -1943,6 +1965,11 @@ def oracle_sql() -> dict[str, str]:
                 {KM.SIM_DECIMALS}) >= 0.4)
             SELECT vec_id, CAST(cid AS INT) AS cluster_id FROM asgf
             WHERE vec_id NOT IN (SELECT dup_id FROM dups)
+        """,
+        "webdataset_roundtrip": """
+            SELECT doc_id, lang, md5(text) AS text_md5,
+                   length(text) AS n_chars
+            FROM documents
         """,
         "s1_scan_filter": (
             "SELECT n_nationkey, n_name, 'nation' AS \"table\" "
