@@ -74,3 +74,25 @@ def test_guarded_jaccard_plan_has_no_anti_join(spark):
         "Exchange rangepartitioning"
     )
     assert n <= 3, f"{n} shuffles\n{plan}"
+
+
+def test_kmeans_output_plan_is_one_pass_plus_broadcast(spark):
+    # the returned kmeans DataFrame (final assignment + sizes) must be: one
+    # mapInPandas scan feeding a partial-agg sizes groupBy that comes back
+    # via a BROADCAST join — never a shuffle of the assignment on
+    # cluster_id (k keys would funnel the corpus through k reducers)
+    plan = _plan(spark, "kmeans_embeddings")
+    assert "BroadcastHashJoin" in plan, plan
+    assert plan.count("Exchange hashpartitioning") <= 1, plan
+    spark.catalog.clearCache()
+
+
+def test_semantic_dedup_single_cluster_shuffle(spark):
+    # assignment is narrow; the only corpus shuffle is the per-cluster
+    # grouped-map repartition feeding the pair-scan kernel
+    plan = _plan(spark, "semantic_dedup")
+    n = plan.count("Exchange hashpartitioning") + plan.count(
+        "Exchange rangepartitioning"
+    )
+    assert n <= 1, f"{n} shuffles\n{plan}"
+    spark.catalog.clearCache()
