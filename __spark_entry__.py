@@ -1076,6 +1076,17 @@ def q_corpus_shards_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out).select("doc_id", "lang", "split")
 
 
+def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level exact dedup (operators/dedup.duplicate_spans — the
+    Lee-et-al-2022 span-granular shape): k-word windows occurring in 2+
+    docs, merged per doc into maximal spans. Linear posting-list counting,
+    no pair join — the oracle replays the same md5 rolling windows and the
+    gaps-and-islands merge in SQL."""
+    return DD.duplicate_spans(
+        _t(spark, sf_dir, "documents"), k_shingle=3, min_docs=2
+    )
+
+
 def q_webdataset_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WebDataset tar-shard export round-trip (sinks/webdataset.py): the
     documents table is written as key-sorted .txt/.json tar shards and read
@@ -1696,6 +1707,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_embeddings": q_kmeans_embeddings,
         "semantic_dedup": q_semantic_dedup,
         "webdataset_roundtrip": q_webdataset_roundtrip,
+        "duplicate_spans": q_duplicate_spans,
         "jsonl_roundtrip": q_jsonl_roundtrip,
         "quantized_topk": q_quantized_topk,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -1732,7 +1744,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frequent_tokens": q_frequent_tokens,
         "pack_sequences": q_pack_sequences,
         "redact_pii": q_redact_pii,
-        "embedding_normalize": q_embedding_normalize,
         "near_dup_groups_exact": q_near_dup_groups_exact,
         "chunk_documents": q_chunk_documents,
         "s2_full_scan": q_s2_full_scan,
@@ -1756,7 +1767,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # and x2_reverse_stem (single-expression string ops, green r1+r2,
         # exercised inside the ATES sink entries and pytest), p3_envelope
         # (green r1+r2; the envelope expression is a graded constituent of
-        # the ATES geojson entries). All seven LEAD the round-5 rotation.
+        # the ATES geojson entries), embedding_normalize (the l2_norm
+        # expression is a graded constituent of every green cosine entry).
+        # All eight LEAD the round-5 rotation.
         "dedup_exact_survivors": q_dedup_exact_survivors,
         "x4_coords_key": q_x4_coords_key,
         "f5_nonblank_tokens": q_f5_nonblank_tokens,
@@ -1764,6 +1777,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x1_slugify": q_x1_slugify,
         "x2_reverse_stem": q_x2_reverse_stem,
         "p3_envelope": q_p3_envelope,
+        "embedding_normalize": q_embedding_normalize,
         # --- fresh round-3 row; rotate forward next round ----------------
         "remove_boilerplate": q_remove_boilerplate,
         "dedup_paragraphs": q_dedup_paragraphs,
@@ -1967,6 +1981,33 @@ def oracle_sql() -> dict[str, str]:
                 {KM.SIM_DECIMALS}) >= 0.4)
             SELECT vec_id, CAST(cid AS INT) AS cluster_id FROM asgf
             WHERE vec_id NOT IN (SELECT dup_id FROM dups)
+        """,
+        # positions come from indexing the same rolling-shingle list the
+        # Spark expression tier posexplodes (i-1 → 0-based); islands break
+        # when the gap between duplicated window starts exceeds k=3
+        "duplicate_spans": f"""
+            WITH sh AS ({_SHINGLES_SQL}),
+            pt AS (
+              SELECT doc_id, i - 1 AS pos, s[i] AS g
+              FROM sh CROSS JOIN (
+                SELECT unnest(range(1,
+                  (SELECT max(len(s)) FROM ({_SHINGLES_SQL}) q) + 1)) AS i) ii
+              WHERE i <= len(s)),
+            dg AS (
+              SELECT g FROM (SELECT DISTINCT g, doc_id FROM pt) t
+              GROUP BY g HAVING count(*) >= 2),
+            dp AS (SELECT doc_id, pos FROM pt WHERE g IN (SELECT g FROM dg)),
+            isl AS (
+              SELECT doc_id, pos,
+                sum(CASE WHEN prev IS NULL OR pos - prev > 3 THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY doc_id ORDER BY pos) AS island
+              FROM (SELECT doc_id, pos,
+                      lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+                    FROM dp) t)
+            SELECT doc_id, CAST(min(pos) AS INT) AS span_start,
+                   CAST(max(pos) + 2 AS INT) AS span_end,
+                   count(*) AS n_windows
+            FROM isl GROUP BY doc_id, island
         """,
         "webdataset_roundtrip": """
             SELECT doc_id, lang, md5(text) AS text_md5,

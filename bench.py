@@ -66,6 +66,7 @@ HEADLINE = [
     "embedding_centroids",
     "kmeans_embeddings",
     "semantic_dedup",
+    "duplicate_spans",
 ]
 
 

@@ -154,6 +154,40 @@ def _gram_ids(g1: np.ndarray, g2: np.ndarray) -> np.ndarray:
 # DataFrame-level kernels
 
 
+def gram_position_table(
+    df: DataFrame, id_col: str, text_col: str, k: int
+) -> DataFrame:
+    """(id, pos, gram): every k-gram id at its 0-based window-start
+    position — the position-carrying (non-distinct) twin of
+    ``distinct_gram_table``, feeding span-level dedup
+    (operators/dedup.duplicate_spans). Kernel twin of
+    ``posexplode(shingle_ids_of(shingle_structs_of(word_hash_structs(text),
+    k)))`` — identical ids in identical order.
+    """
+    id_type = dict(df.dtypes)[id_col]
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            _s60, h1, h2, offsets = _tokenize_and_hash(pdf[text_col])
+            g1, g2, go = _doc_grams(h1, h2, offsets, k)
+            ids = _gram_ids(g1, g2)
+            counts = np.diff(go)
+            yield pd.DataFrame(
+                {
+                    "id": np.repeat(pdf[id_col].to_numpy(), counts),
+                    "pos": (
+                        np.arange(len(ids), dtype=np.int64)
+                        - np.repeat(go[:-1], counts)
+                    ).astype(np.int32),
+                    "gram": ids,
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(
+        gen, schema=f"id {id_type}, pos int, gram bigint"
+    )
+
+
 def distinct_gram_table(
     df: DataFrame,
     id_col: str,

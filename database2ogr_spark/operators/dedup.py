@@ -774,3 +774,91 @@ def ngram_jaccard_pairs(
         .select("id_a", "id_b", "jaccard")
     )
     return jac
+
+
+def duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    k_shingle: int = 13,
+    min_docs: int = 2,
+    merge_gap: int | None = None,
+    use_arrow: bool = True,
+) -> DataFrame:
+    """Substring-level exact duplicate detection — the span-granular member
+    of the dedup family (public Lee et al. 2022, "Deduplicating Training
+    Data Makes Language Models Better", re-expressed over k-word windows):
+    a k-word window whose rolling-hash id occurs in ``min_docs``+ documents
+    marks a duplicated region; per document, duplicated windows closer than
+    ``merge_gap`` positions (default: ``k_shingle``, i.e. token-overlapping
+    or adjacent) merge into maximal spans.
+
+    Output: (id_col, span_start, span_end, n_windows) — token positions,
+    inclusive; ``span_end = last window start + k - 1``.
+
+    Scale shape — crucially there is NO pair join anywhere: posting lists
+    are *counted*, never self-joined, so cost is linear in total windows
+    regardless of how hot a phrase is (the shape that lets this run where
+    ngram_jaccard_pairs needs its max_df guard). Three linear shuffles:
+    (1) distinct (gram, doc) + df count on the gram key, (2) the
+    positions⋈duplicated-grams equi-join (AQE broadcasts the gram list
+    when small), (3) the per-doc gaps-and-islands window on doc id. The
+    gram ids are the same md5 rolling hashes as the rest of the family, so
+    the DuckDB oracle replays spans exactly. The position table comes from
+    the Arrow kernel by default (identical ids and positions;
+    ``use_arrow=False`` selects the Column-expression spec tier —
+    equivalence pinned in tests/test_dedup.py).
+    """
+    from pyspark.sql.window import Window
+
+    gap = k_shingle if merge_gap is None else merge_gap
+    if use_arrow:
+        from database2ogr_spark.functions.gramkernel import gram_position_table
+
+        pos_table = gram_position_table(spread(df), id_col, text_col, k_shingle)
+    else:
+        from database2ogr_spark.functions.hashing import (
+            shingle_ids_of,
+            shingle_structs_of,
+            word_hash_structs,
+        )
+
+        staged = spread(df).select(
+            F.col(id_col).alias("id"), word_hash_structs(text_col).alias("wh")
+        )  # staged projection is load-bearing — see shingle_structs_of docstring
+        pos_table = staged.select(
+            "id",
+            F.posexplode(
+                shingle_ids_of(shingle_structs_of(F.col("wh"), k_shingle))
+            ).alias("pos", "gram"),
+        )
+    # read by the df-count agg AND the join side — persist (same lifecycle
+    # contract as the pair operators: caller clearCache between queries)
+    pos_table = pos_table.persist(StorageLevel.MEMORY_AND_DISK)
+    dup_grams = (
+        pos_table.select("gram", "id")
+        .distinct()
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= min_docs)
+        .select("gram")
+    )
+    dup_pos = pos_table.join(dup_grams, "gram").select("id", "pos")
+    w = Window.partitionBy("id").orderBy("pos")
+    islands = dup_pos.withColumn(
+        "new_island",
+        F.when(F.col("pos") - F.lag("pos").over(w) > gap, 1).otherwise(0),
+    ).withColumn(
+        "island",
+        F.sum("new_island").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        islands.groupBy("id", "island")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(k_shingle - 1)).alias("span_end"),
+            F.count(F.lit(1)).alias("n_windows"),
+        )
+        .select(F.col("id").alias(id_col), "span_start", "span_end", "n_windows")
+    )

@@ -215,3 +215,59 @@ def test_repetition_stats_exact_fracs(spark):
     assert r2.top_ngram_count == 1 and abs(r2.top_ngram_frac - 1 / 2) < 1e-6
     assert rows[3].n_tokens == 1 and rows[3].top_ngram_count == 0
     assert rows[4].n_tokens == 0 and rows[4].dup_token_frac == 0.0
+
+
+def test_duplicate_spans_exact_boundaries(spark):
+    # docs 1 and 2 share the 5-word run "one two three four five" starting
+    # at word 2 in doc 1 and word 0 in doc 2; k=3 → duplicated window
+    # starts {2,3,4} in doc 1 / {0,1,2} in doc 2, merging to one span each
+    rows = [
+        (1, "aa bb one two three four five cc dd"),
+        (2, "one two three four five xx yy zz"),
+        (3, "nothing in common with the others at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    spans = {
+        r.doc_id: (r.span_start, r.span_end, r.n_windows)
+        for r in DD.duplicate_spans(df, k_shingle=3).collect()
+    }
+    assert spans == {1: (2, 6, 3), 2: (0, 4, 3)}
+
+
+def test_duplicate_spans_merge_gap_splits_distant_repeats(spark):
+    # two shared 3-word phrases separated by >k unique words form two
+    # spans, not one
+    rows = [
+        (1, "p q r u1 u2 u3 u4 u5 u6 u7 x y z"),
+        (2, "p q r a1 a2 a3 a4 a5 a6 a7 x y z"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    spans = sorted(
+        (r.doc_id, r.span_start, r.span_end)
+        for r in DD.duplicate_spans(df, k_shingle=3).collect()
+    )
+    assert spans == [(1, 0, 2), (1, 10, 12), (2, 0, 2), (2, 10, 12)]
+
+
+def test_duplicate_spans_no_shared_grams_is_empty(spark):
+    rows = [(1, "alpha beta gamma delta"), (2, "five six seven eight")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    assert DD.duplicate_spans(df, k_shingle=3).count() == 0
+
+
+def test_duplicate_spans_tiers_equivalent(spark):
+    rows = [
+        (1, "aa bb one two three four five cc dd"),
+        (2, "one two three four five xx yy zz"),
+        (3, "shared tail phrase here one two three"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def run(**kw):
+        return sorted(
+            (r.doc_id, r.span_start, r.span_end, r.n_windows)
+            for r in DD.duplicate_spans(df, k_shingle=3, **kw).collect()
+        )
+
+    assert run() == run(use_arrow=False)
+    spark.catalog.clearCache()
