@@ -1076,6 +1076,29 @@ def q_corpus_shards_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out).select("doc_id", "lang", "split")
 
 
+def q_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature (alpha) source rebalancing with deterministic upsampling
+    (operators/sampling.temperature_resample). The sf corpus is perfectly
+    source-balanced, so the entry first skews it deterministically (source
+    ``srcS`` keeps rows with doc_id % 25 <= S) — rare sources then earn
+    epoch>0 repeats under alpha=0.5. The oracle replays the skew, the
+    rounded rate arithmetic, and the hash-threshold copy rule."""
+    docs = _t(spark, sf_dir, "documents")
+    skewed = docs.filter(
+        F.col("doc_id") % 25 <= F.substring("source", 4, 2).cast("int")
+    )
+    out = SMP.temperature_resample(skewed, alpha=0.5)
+    return out.select("doc_id", "source", "epoch")
+
+
+def q_build_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-ranked vocabulary (operators/tfidf.build_vocab): corpus
+    token counts cut at min_count=5, ids by (count desc, token asc)."""
+    from database2ogr_spark.operators.tfidf import build_vocab
+
+    return build_vocab(_t(spark, sf_dir, "documents"), min_count=5)
+
+
 def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Substring-level exact dedup (operators/dedup.duplicate_spans — the
     Lee-et-al-2022 span-granular shape): k-word windows occurring in 2+
@@ -1708,6 +1731,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": q_semantic_dedup,
         "webdataset_roundtrip": q_webdataset_roundtrip,
         "duplicate_spans": q_duplicate_spans,
+        "temperature_resample": q_temperature_resample,
+        "build_vocab": q_build_vocab,
         "jsonl_roundtrip": q_jsonl_roundtrip,
         "quantized_topk": q_quantized_topk,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -1741,7 +1766,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_rolling": q_fingerprint_rolling,
         "minhash_signatures": q_minhash_signatures,
         "repetition_stats": q_repetition_stats,
-        "frequent_tokens": q_frequent_tokens,
         "pack_sequences": q_pack_sequences,
         "redact_pii": q_redact_pii,
         "near_dup_groups_exact": q_near_dup_groups_exact,
@@ -1751,7 +1775,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j1_parent_child_join": q_j1_parent_child_join,
         "j2_dim_lookup": q_j2_dim_lookup,
         "j3_style_lookup": q_j3_style_lookup,
-        "a1_distinct": q_a1_distinct,
         "u1_union": q_u1_union,
         "x12_html_popup": q_x12_html_popup,
         "x13_recipe_layers": q_x13_recipe_layers,
@@ -1768,8 +1791,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # exercised inside the ATES sink entries and pytest), p3_envelope
         # (green r1+r2; the envelope expression is a graded constituent of
         # the ATES geojson entries), embedding_normalize (the l2_norm
-        # expression is a graded constituent of every green cosine entry).
-        # All eight LEAD the round-5 rotation.
+        # expression is a graded constituent of every green cosine entry),
+        # frequent_tokens (its explode+partial-agg count core is the graded
+        # constituent of the new build_vocab entry, which supersets it with
+        # the cutoff+rank), a1_distinct (distinct-agg shape graded via
+        # distinct_users_exact r3). All ten LEAD the round-5 rotation.
         "dedup_exact_survivors": q_dedup_exact_survivors,
         "x4_coords_key": q_x4_coords_key,
         "f5_nonblank_tokens": q_f5_nonblank_tokens,
@@ -1778,6 +1804,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x2_reverse_stem": q_x2_reverse_stem,
         "p3_envelope": q_p3_envelope,
         "embedding_normalize": q_embedding_normalize,
+        "frequent_tokens": q_frequent_tokens,
+        "a1_distinct": q_a1_distinct,
         # --- fresh round-3 row; rotate forward next round ----------------
         "remove_boilerplate": q_remove_boilerplate,
         "dedup_paragraphs": q_dedup_paragraphs,
@@ -1981,6 +2009,44 @@ def oracle_sql() -> dict[str, str]:
                 {KM.SIM_DECIMALS}) >= 0.4)
             SELECT vec_id, CAST(cid AS INT) AS cluster_id FROM asgf
             WHERE vec_id NOT IN (SELECT dup_id FROM dups)
+        """,
+        # skew rule, alpha=0.5 power rates (rounded 6), md5 hash-threshold
+        # fractional copies, epoch fan-out via range — all mirrored from
+        # sampling.temperature_resample
+        "temperature_resample": f"""
+            WITH skewed AS (
+              SELECT doc_id, source FROM documents
+              WHERE doc_id % 25 <= CAST(substr(source, 4, 2) AS INT)),
+            counts AS (
+              SELECT source, count(*) AS n FROM skewed GROUP BY source),
+            tot AS (
+              SELECT sum(n) AS nn, sum(power(n, 0.5)) AS z FROM counts),
+            rates AS (
+              SELECT source,
+                round(power(n, 0.5) / z * nn / n, 6) AS r
+              FROM counts CROSS JOIN tot),
+            fan AS (
+              SELECT s.doc_id, s.source, r,
+                CAST(floor(r) AS INT) +
+                CASE WHEN {_h64_sql("CAST(s.doc_id AS VARCHAR)", 17)} % 1000000
+                       < CAST(round((r - floor(r)) * 1000000) AS BIGINT)
+                     THEN 1 ELSE 0 END AS n_copies
+              FROM skewed s JOIN rates USING (source))
+            SELECT doc_id, source, CAST(e AS INT) AS epoch
+            FROM fan CROSS JOIN (SELECT unnest(range(0, 1000)) AS e) ee
+            WHERE e < n_copies
+        """,
+        "build_vocab": f"""
+            WITH t AS (
+              SELECT unnest({_WORDS_SQL}) AS token FROM documents),
+            c AS (
+              SELECT token, count(*) AS count FROM t
+              GROUP BY token HAVING count(*) >= 5)
+            SELECT token,
+              CAST(row_number() OVER (ORDER BY count DESC, token) - 1 AS INT)
+                AS token_id,
+              count
+            FROM c
         """,
         # positions come from indexing the same rolling-shingle list the
         # Spark expression tier posexplodes (i-1 → 0-based); islands break

@@ -185,3 +185,74 @@ def pack_sequences(
     return df.withColumn(
         "bin_id", F.floor((cum - F.col(token_col)) / F.lit(budget)).cast("bigint")
     )
+
+
+def temperature_resample(
+    df: DataFrame,
+    *,
+    alpha: float = 0.3,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    seed: int = 17,
+    epoch_col: str = "epoch",
+) -> DataFrame:
+    """Temperature-based source rebalancing WITH upsampling — the
+    multilingual-LLM mixture rule (public XLM-R / mT5 recipe): source
+    shares are flattened to ``q_s ∝ p_s^alpha`` (alpha<1 boosts the tail),
+    and the corpus is materialized at its original total size by REPEATING
+    tail-source documents (cleaning.mix_sources is the downsample-only
+    twin — it never repeats a row).
+
+    Per source the resample rate is ``r_s = q_s·N / n_s`` (rounded to 6
+    decimals — the cross-engine determinism contract): every row emits
+    ``floor(r_s)`` copies, plus one more where the id-hash falls under the
+    fractional part — deterministic, layout-independent, no RNG. Output =
+    input columns plus ``epoch_col`` (0-based copy index; loaders treat
+    epoch>0 as repetition).
+
+    Scale: per-source counts are one partial-agg'd groupBy (rows =
+    #sources); rates come back via a broadcast join; the copy fan-out is
+    a narrow ``explode(sequence())`` — no corpus shuffle anywhere, and
+    expected output size is ~N by construction (Σ q_s·N = N).
+    """
+    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("__n"))
+    tot = counts.agg(
+        F.sum("__n").alias("__N"),
+        F.sum(F.pow(F.col("__n").cast("double"), F.lit(float(alpha)))).alias(
+            "__Z"
+        ),
+    )
+    nn = F.col("c.__n").cast("double")
+    rates = (
+        counts.alias("c")
+        .crossJoin(F.broadcast(tot).alias("t"))
+        .select(
+            source_col,
+            F.round(
+                F.pow(nn, F.lit(float(alpha)))
+                / F.col("t.__Z")
+                * F.col("t.__N")
+                / nn,
+                6,
+            ).alias("__r"),
+        )
+    )
+    h = stable_hash64(F.col(id_col).cast("string"), seed=seed) % 1_000_000
+    n_copies = (
+        F.floor(F.col("__r")).cast("int")
+        + F.when(
+            h < F.round((F.col("__r") - F.floor(F.col("__r"))) * 1_000_000).cast(
+                "long"
+            ),
+            1,
+        ).otherwise(0)
+    )
+    return (
+        df.join(F.broadcast(rates), source_col)
+        .withColumn("__copies", n_copies)
+        .filter(F.col("__copies") > 0)
+        .withColumn(
+            epoch_col, F.explode(F.sequence(F.lit(0), F.col("__copies") - 1))
+        )
+        .drop("__r", "__copies")
+    )

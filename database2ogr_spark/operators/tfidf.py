@@ -64,3 +64,36 @@ def tfidf_top_terms(
         .filter(F.col("rank") <= top_n)
         .select(F.col("id").alias(id_col), "term", "tfidf", "rank")
     )
+
+
+def build_vocab(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    min_count: int = 2,
+    max_size: int | None = None,
+) -> DataFrame:
+    """Frequency-ranked vocabulary over the corpus — the tokenizer-prep
+    aggregation (token, token_id, count): whitespace tokens of normalized
+    text, counted corpus-wide, cut at ``min_count``, ranked by
+    (count desc, token asc) so ids are deterministic; ``max_size`` keeps
+    the top ids only.
+
+    Scale: the explode+count is one partial-agg'd shuffle on the token key
+    (hot stopwords are exactly what map-side combine flattens); the global
+    rank window runs AFTER aggregation+cutoff, over vocabulary-sized data
+    (10⁵–10⁶ rows — driver-adjacent by design, same bound every tokenizer
+    trainer accepts). The corpus itself never sorts globally.
+    """
+    counts = (
+        spread(df)
+        .select(F.explode(words(text_col)).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("count"))
+        .filter(F.col("count") >= min_count)
+    )
+    w = Window.orderBy(F.col("count").desc(), F.col("token").asc())
+    ranked = counts.withColumn("token_id", F.row_number().over(w) - 1)
+    if max_size is not None:
+        ranked = ranked.filter(F.col("token_id") < max_size)
+    return ranked.select("token", "token_id", "count")

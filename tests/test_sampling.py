@@ -125,3 +125,61 @@ def test_top_fraction_per_group_quality_calibration(spark):
     assert {r.doc_id for r in out.filter("source = 'tiny'").collect()} == {202}
     with pytest.raises(ValueError):
         top_fraction_per_group(df, fraction=0.0, score_col="score")
+
+
+def test_temperature_resample_flattens_and_upsamples(spark):
+    from database2ogr_spark.operators.sampling import temperature_resample
+
+    # 10:1 skew; alpha=0.5 targets sqrt-flattened shares, so the rare
+    # source must be upsampled (epochs > 0) and the common one trimmed
+    rows = [(i, "big", "x") for i in range(200)] + [
+        (1000 + i, "rare", "x") for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = temperature_resample(df, alpha=0.5)
+    by = {r["source"]: r["count"] for r in out.groupBy("source").count().collect()}
+    # targets: z = sqrt(200)+sqrt(20); rare -> sqrt(20)/z*220 ~ 53, big ~ 167
+    assert 40 <= by["rare"] <= 66 and 150 <= by["big"] <= 185
+    assert out.filter("source = 'rare' and epoch >= 1").count() > 0
+    assert out.filter("source = 'big' and epoch >= 1").count() == 0
+    # total preserved in expectation
+    assert abs(sum(by.values()) - 220) <= 25
+
+
+def test_temperature_resample_alpha_one_is_identity_rates(spark):
+    from database2ogr_spark.operators.sampling import temperature_resample
+
+    rows = [(i, f"s{i % 3}", "x") for i in range(90)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = temperature_resample(df, alpha=1.0)
+    # alpha=1 -> every rate is exactly 1.0 -> the corpus unchanged, epoch 0
+    assert sorted(r.doc_id for r in out.collect()) == list(range(90))
+    assert out.filter("epoch != 0").count() == 0
+
+
+def test_temperature_resample_deterministic(spark):
+    from database2ogr_spark.operators.sampling import temperature_resample
+
+    rows = [(i, "a" if i < 150 else "b", "x") for i in range(180)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    a = sorted((r.doc_id, r.epoch) for r in temperature_resample(df).collect())
+    b = sorted(
+        (r.doc_id, r.epoch)
+        for r in temperature_resample(df.repartition(7)).collect()
+    )
+    assert a == b
+
+
+def test_build_vocab_rank_and_cutoffs(spark):
+    from database2ogr_spark.operators.tfidf import build_vocab
+
+    rows = [
+        (1, "apple apple apple banana banana cherry"),
+        (2, "apple banana zebra"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    v = {r.token: (r.token_id, r["count"]) for r in build_vocab(df, min_count=2).collect()}
+    # apple(4) -> id 0, banana(3) -> id 1; cherry/zebra cut by min_count
+    assert v == {"apple": (0, 4), "banana": (1, 3)}
+    top1 = build_vocab(df, min_count=1, max_size=1).collect()
+    assert len(top1) == 1 and top1[0].token == "apple"
