@@ -1076,6 +1076,43 @@ def q_corpus_shards_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out).select("doc_id", "lang", "split")
 
 
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketized interval join (operators/timeseries.range_join): events ⋈
+    200 hourly 15-minute maintenance windows. The bucket equi-join replaces
+    the BroadcastNestedLoopJoin Spark would pick for the bare theta
+    predicate (plan pinned in tests/test_timeseries.py); the oracle is the
+    naive theta join itself, so a hash match proves plan equivalence."""
+    from database2ogr_spark.operators.timeseries import range_join
+
+    ev = read_events(spark, os.path.join(sf_dir, "events.parquet"))
+    iv = spark.range(200).select(
+        F.col("id").alias("window_id"),
+        F.expr(
+            "timestamp_ntz'2024-01-01 00:00:00'"
+            " + make_interval(0,0,0,0,CAST(id AS INT),0,0)"
+        ).alias("start"),
+        F.expr(
+            "timestamp_ntz'2024-01-01 00:00:00'"
+            " + make_interval(0,0,0,0,CAST(id AS INT),15,0)"
+        ).alias("end"),
+    )
+    out = range_join(ev, iv, bucket_seconds=3600)
+    return out.select(
+        "event_id", "window_id", F.unix_timestamp("ts").alias("ts_epoch")
+    )
+
+
+def q_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-granularity continuous aggregate
+    (operators/timeseries.hypertable_rollup): ROLLUP (day, hour, minute)
+    over event timestamps — minute, hour, day, and grand-total rows from
+    one shuffle."""
+    from database2ogr_spark.operators.timeseries import hypertable_rollup
+
+    ev = read_events(spark, os.path.join(sf_dir, "events.parquet"))
+    return hypertable_rollup(ev)
+
+
 def q_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature (alpha) source rebalancing with deterministic upsampling
     (operators/sampling.temperature_resample). The sf corpus is perfectly
@@ -1733,6 +1770,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "duplicate_spans": q_duplicate_spans,
         "temperature_resample": q_temperature_resample,
         "build_vocab": q_build_vocab,
+        "range_join": q_range_join,
+        "hypertable_rollup": q_hypertable_rollup,
         "jsonl_roundtrip": q_jsonl_roundtrip,
         "quantized_topk": q_quantized_topk,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -1763,14 +1802,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geojson_features": q_geojson_features,
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
-        "fingerprint_rolling": q_fingerprint_rolling,
         "minhash_signatures": q_minhash_signatures,
         "repetition_stats": q_repetition_stats,
         "pack_sequences": q_pack_sequences,
         "redact_pii": q_redact_pii,
         "near_dup_groups_exact": q_near_dup_groups_exact,
         "chunk_documents": q_chunk_documents,
-        "s2_full_scan": q_s2_full_scan,
         "f4_validate_default": q_f4_validate_default,
         "j1_parent_child_join": q_j1_parent_child_join,
         "j2_dim_lookup": q_j2_dim_lookup,
@@ -1795,7 +1832,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # frequent_tokens (its explode+partial-agg count core is the graded
         # constituent of the new build_vocab entry, which supersets it with
         # the cutoff+rank), a1_distinct (distinct-agg shape graded via
-        # distinct_users_exact r3). All ten LEAD the round-5 rotation.
+        # distinct_users_exact r3), s2_full_scan (projection-only scan;
+        # scan machinery graded via s1_scan_filter, which stays), and
+        # fingerprint_rolling (the rolling gram ids are the hash-matched
+        # constituent of the new duplicate_spans entry). All twelve LEAD
+        # the round-5 rotation.
         "dedup_exact_survivors": q_dedup_exact_survivors,
         "x4_coords_key": q_x4_coords_key,
         "f5_nonblank_tokens": q_f5_nonblank_tokens,
@@ -1806,6 +1847,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_normalize": q_embedding_normalize,
         "frequent_tokens": q_frequent_tokens,
         "a1_distinct": q_a1_distinct,
+        "s2_full_scan": q_s2_full_scan,
+        "fingerprint_rolling": q_fingerprint_rolling,
         # --- fresh round-3 row; rotate forward next round ----------------
         "remove_boilerplate": q_remove_boilerplate,
         "dedup_paragraphs": q_dedup_paragraphs,
@@ -2009,6 +2052,29 @@ def oracle_sql() -> dict[str, str]:
                 {KM.SIM_DECIMALS}) >= 0.4)
             SELECT vec_id, CAST(cid AS INT) AS cluster_id FROM asgf
             WHERE vec_id NOT IN (SELECT dup_id FROM dups)
+        """,
+        # the NAIVE theta join — a hash match proves the bucketized
+        # equi-join plan computes interval containment exactly
+        "range_join": """
+            WITH iv AS (
+              SELECT w AS window_id,
+                TIMESTAMP '2024-01-01 00:00:00' + w * INTERVAL 1 HOUR AS s,
+                TIMESTAMP '2024-01-01 00:00:00' + w * INTERVAL 1 HOUR
+                  + INTERVAL 15 MINUTE AS e
+              FROM (SELECT unnest(range(0, 200)) AS w))
+            SELECT ev.event_id, iv.window_id,
+                   CAST(floor(epoch(ev.ts)) AS BIGINT) AS ts_epoch
+            FROM events ev JOIN iv ON ev.ts >= iv.s AND ev.ts < iv.e
+        """,
+        "hypertable_rollup": """
+            SELECT
+              CAST(floor(epoch(date_trunc('day', ts))) AS BIGINT) AS day,
+              CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS hour,
+              CAST(floor(epoch(date_trunc('minute', ts))) AS BIGINT) AS minute,
+              count(*) AS n_events,
+              round(sum(value), 6) AS sum_value
+            FROM events
+            GROUP BY ROLLUP (1, 2, 3)
         """,
         # skew rule, alpha=0.5 power rates (rounded 6), md5 hash-threshold
         # fractional copies, epoch fan-out via range — all mirrored from

@@ -1,0 +1,103 @@
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from database2ogr_spark.operators.timeseries import hypertable_rollup, range_join
+
+
+def _events(spark):
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, base + dt.timedelta(minutes=7 * i), i % 3, float(i)) for i in range(300)
+    ]
+    return spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, key long, value double"
+    )
+
+
+def _intervals(spark):
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (w, base + dt.timedelta(hours=2 * w), base + dt.timedelta(hours=2 * w, minutes=45))
+        for w in range(20)
+    ]
+    return spark.createDataFrame(rows, "window_id long, start timestamp_ntz, end timestamp_ntz")
+
+
+def test_range_join_matches_naive_theta_join(spark):
+    ev, iv = _events(spark), _intervals(spark)
+    fast = sorted(
+        (r.event_id, r.window_id)
+        for r in range_join(ev, iv, bucket_seconds=1800).collect()
+    )
+    naive = sorted(
+        (r.event_id, r.window_id)
+        for r in ev.join(
+            iv, (ev.ts >= iv.start) & (ev.ts < iv.end)
+        ).collect()
+    )
+    assert fast == naive and fast  # equal AND non-trivial
+    # bucket width must not change results, only fan-out
+    assert fast == sorted(
+        (r.event_id, r.window_id)
+        for r in range_join(ev, iv, bucket_seconds=86400).collect()
+    )
+
+
+def test_range_join_with_key_equality(spark):
+    ev = _events(spark)
+    iv = _intervals(spark).withColumn("key", F.col("window_id") % 3)
+    got = sorted(
+        (r.event_id, r.window_id)
+        for r in range_join(ev, iv, bucket_seconds=3600, key="key").collect()
+    )
+    naive = sorted(
+        (r.event_id, r.window_id)
+        for r in ev.alias("e")
+        .join(
+            iv.alias("i"),
+            (F.col("e.ts") >= F.col("i.start"))
+            & (F.col("e.ts") < F.col("i.end"))
+            & (F.col("e.key") == F.col("i.key")),
+        )
+        .collect()
+    )
+    assert got == naive and got
+
+
+def test_range_join_plan_avoids_nested_loop(spark):
+    ev, iv = _events(spark), _intervals(spark)
+    plan = (
+        range_join(ev, iv, bucket_seconds=3600)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    naive_plan = (
+        ev.join(iv, (ev.ts >= iv.start) & (ev.ts < iv.end))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the bare theta predicate degenerates to an all-pairs physical join —
+    # exactly what the bucketized plan avoids
+    assert (
+        "BroadcastNestedLoopJoin" in naive_plan or "CartesianProduct" in naive_plan
+    )
+
+
+def test_hypertable_rollup_hierarchy_consistent(spark):
+    ev = _events(spark)
+    rows = hypertable_rollup(ev).collect()
+    total = [r for r in rows if r.day is None and r.hour is None and r.minute is None]
+    assert len(total) == 1
+    assert total[0].n_events == 300
+    assert abs(total[0].sum_value - sum(range(300))) < 1e-6
+    # hour rows sum to their day row
+    days = {r.day: r.n_events for r in rows if r.day and not r.hour and not r.minute}
+    by_day_from_hours = {}
+    for r in rows:
+        if r.day and r.hour and not r.minute:
+            by_day_from_hours[r.day] = by_day_from_hours.get(r.day, 0) + r.n_events
+    assert days == by_day_from_hours
