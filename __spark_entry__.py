@@ -1756,12 +1756,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     more than 2 rounds without re-earning its row.
 
     Round 4: the brand-new operator families lead (kmeans_embeddings,
-    semantic_dedup, webdataset_roundtrip), then the two previously-ungraded
-    entries (jsonl_roundtrip, quantized_topk), then the dedup chain whose
-    new DuckDB oracles replace rows-only rows (minhash_lsh_pairs,
-    simhash_pairs, near_dup_groups, decontaminate_bloom) and the
-    perf/robustness-changed entries; then every entry whose last green row
-    is round 2."""
+    semantic_dedup, webdataset_roundtrip, duplicate_spans,
+    temperature_resample, build_vocab, range_join, hypertable_rollup),
+    then the two previously-ungraded entries (jsonl_roundtrip,
+    quantized_topk), then the dedup chain whose new DuckDB oracles replace
+    rows-only rows (minhash_lsh_pairs, simhash_pairs, near_dup_groups,
+    decontaminate_bloom) and the perf/robustness-changed entries; then
+    every entry whose last green row is round 2."""
     return {
         # --- NEW-to-the-gate / CHANGED this round ------------------------
         "kmeans_embeddings": q_kmeans_embeddings,
