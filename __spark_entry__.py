@@ -1076,6 +1076,15 @@ def q_corpus_shards_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out).select("doc_id", "lang", "split")
 
 
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-trained unigram LM quality score
+    (operators/tfidf.unigram_logprob_score) — the CCNet-perplexity filter
+    shape with a corpus-fit unigram model; mean ln P(token) per doc."""
+    from database2ogr_spark.operators.tfidf import unigram_logprob_score
+
+    return unigram_logprob_score(_t(spark, sf_dir, "documents"))
+
+
 def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucketized interval join (operators/timeseries.range_join): events ⋈
     200 hourly 15-minute maintenance windows. The bucket equi-join replaces
@@ -1773,6 +1782,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "build_vocab": q_build_vocab,
         "range_join": q_range_join,
         "hypertable_rollup": q_hypertable_rollup,
+        "unigram_logprob": q_unigram_logprob,
         "jsonl_roundtrip": q_jsonl_roundtrip,
         "quantized_topk": q_quantized_topk,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -1811,7 +1821,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": q_chunk_documents,
         "f4_validate_default": q_f4_validate_default,
         "j1_parent_child_join": q_j1_parent_child_join,
-        "j2_dim_lookup": q_j2_dim_lookup,
         "j3_style_lookup": q_j3_style_lookup,
         "u1_union": q_u1_union,
         "x12_html_popup": q_x12_html_popup,
@@ -1836,8 +1845,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # distinct_users_exact r3), s2_full_scan (projection-only scan;
         # scan machinery graded via s1_scan_filter, which stays), and
         # fingerprint_rolling (the rolling gram ids are the hash-matched
-        # constituent of the new duplicate_spans entry). All twelve LEAD
-        # the round-5 rotation.
+        # constituent of the new duplicate_spans entry), and j2_dim_lookup
+        # (broadcast dim-lookup shape graded via j3_style_lookup, which
+        # stays). All thirteen LEAD the round-5 rotation.
         "dedup_exact_survivors": q_dedup_exact_survivors,
         "x4_coords_key": q_x4_coords_key,
         "f5_nonblank_tokens": q_f5_nonblank_tokens,
@@ -1850,6 +1860,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a1_distinct": q_a1_distinct,
         "s2_full_scan": q_s2_full_scan,
         "fingerprint_rolling": q_fingerprint_rolling,
+        "j2_dim_lookup": q_j2_dim_lookup,
         # --- fresh round-3 row; rotate forward next round ----------------
         "remove_boilerplate": q_remove_boilerplate,
         "dedup_paragraphs": q_dedup_paragraphs,
@@ -2053,6 +2064,17 @@ def oracle_sql() -> dict[str, str]:
                 {KM.SIM_DECIMALS}) >= 0.4)
             SELECT vec_id, CAST(cid AS INT) AS cluster_id FROM asgf
             WHERE vec_id NOT IN (SELECT dup_id FROM dups)
+        """,
+        "unigram_logprob": f"""
+            WITH t AS (
+              SELECT doc_id, unnest({_WORDS_SQL}) AS token FROM documents),
+            c AS (SELECT token, count(*) AS c FROM t GROUP BY token),
+            tot AS (SELECT sum(c) AS total FROM c),
+            p AS (SELECT token, greatest(c, 1)::DOUBLE / total AS p
+                  FROM c CROSS JOIN tot)
+            SELECT doc_id, count(*) AS n_tokens,
+                   round(avg(ln(p)), 6) AS logprob
+            FROM t JOIN p USING (token) GROUP BY doc_id
         """,
         # the NAIVE theta join — a hash match proves the bucketized
         # equi-join plan computes interval containment exactly

@@ -97,3 +97,51 @@ def build_vocab(
     if max_size is not None:
         ranked = ranked.filter(F.col("token_id") < max_size)
     return ranked.select("token", "token_id", "count")
+
+
+def unigram_logprob_score(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    min_count: int = 1,
+) -> DataFrame:
+    """Per-document mean token log-probability under the corpus's own
+    unigram model — the self-trained stand-in for the CCNet/KenLM
+    perplexity quality filter (public CCNet pipeline shape: score docs by
+    LM fit, bucket by score): boilerplate and templated text scores high
+    (common tokens), lorem-noise scores low.
+
+    P(t) = count(t) / total_tokens over the whole corpus; a doc's score is
+    ``round(mean(ln P(t)), 6)`` over its tokens (tokens under ``min_count``
+    floor at count=min_count so unseen-at-threshold tokens don't -inf the
+    doc). Output: (id_col, n_tokens, logprob).
+
+    Scale: token counts are one partial-agg'd shuffle (the build_vocab
+    core); the per-token probability join is a shuffle join on the token
+    key that AQE converts to broadcast while the vocabulary fits (~10⁶
+    entries ≪ executor memory — the usual case; hot stopwords are exactly
+    the keys partial aggregation flattened on the count side); the final
+    per-doc mean is one agg on the id key. Everything JVM-side.
+    """
+    toks = spread(df).select(
+        F.col(id_col).alias("id"), F.explode(words(text_col)).alias("token")
+    )
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("__c"))
+    total = counts.agg(F.sum("__c").alias("__total"))
+    probs = counts.crossJoin(F.broadcast(total)).select(
+        "token",
+        (
+            F.greatest(F.col("__c"), F.lit(int(min_count))).cast("double")
+            / F.col("__total")
+        ).alias("__p"),
+    )
+    return (
+        toks.join(probs, "token")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg(F.log(F.col("__p"))), 6).alias("logprob"),
+        )
+        .select(F.col("id").alias(id_col), "n_tokens", "logprob")
+    )

@@ -137,3 +137,27 @@ def test_approx_quantiles_near_exact(spark):
         ap = approx[lang]
         assert ap.ok50 and ap.ok90 and ap.ok99, (lang, ap)
         assert (ap.p50, ap.p90, ap.p99) == (ex.p50, ex.p90, ex.p99)
+
+
+def test_unigram_logprob_hand_computed(spark):
+    import math
+
+    from database2ogr_spark.operators.tfidf import unigram_logprob_score
+
+    # corpus: tokens a a a b -> P(a)=3/4, P(b)=1/4
+    df = spark.createDataFrame(
+        [(1, "a a"), (2, "a b")], "doc_id long, text string"
+    )
+    got = {r.doc_id: (r.n_tokens, r.logprob) for r in unigram_logprob_score(df).collect()}
+    assert got[1] == (2, round(math.log(0.75), 6))
+    assert got[2] == (2, round((math.log(0.75) + math.log(0.25)) / 2, 6))
+
+
+def test_unigram_logprob_ranks_common_text_higher(spark):
+    from database2ogr_spark.operators.tfidf import unigram_logprob_score
+
+    rows = [(i, "the quick brown fox jumps over the lazy dog") for i in range(20)]
+    rows.append((99, "zxqj vbnm wrtk plgh unique gibberish tokens qqq"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.logprob for r in unigram_logprob_score(df).collect()}
+    assert got[99] < got[0]  # rare-token doc scores lower under the corpus LM

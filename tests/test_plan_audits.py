@@ -96,3 +96,26 @@ def test_semantic_dedup_single_cluster_shuffle(spark):
     )
     assert n <= 1, f"{n} shuffles\n{plan}"
     spark.catalog.clearCache()
+
+
+@pytest.mark.parametrize(
+    "name,max_shuffles",
+    [
+        # counts agg (appears in both the rates and the normalizer branch;
+        # rows = #sources either way); rates come back broadcast; fan-out
+        # is narrow
+        ("temperature_resample", 2),
+        # token-count agg + the vocabulary-sized rank exchange
+        ("build_vocab", 2),
+        # one ROLLUP grouping-sets exchange
+        ("hypertable_rollup", 1),
+        # token counts + prob join + per-doc mean
+        ("unigram_logprob", 3),
+    ],
+)
+def test_round4_shuffle_budgets(spark, name, max_shuffles):
+    plan = _plan(spark, name)
+    n = plan.count("Exchange hashpartitioning") + plan.count(
+        "Exchange rangepartitioning"
+    )
+    assert n <= max_shuffles, f"{name}: {n} shuffles (budget {max_shuffles})\n{plan}"
