@@ -173,14 +173,14 @@ def _mh_sql(expr: str, i: int) -> str:
     return f"(({a} * {s1} + {b} * {s2} + {c}) % {_MH_P})"
 
 
-def _minhash_sig_sql(num_hashes: int = 16) -> str:
+def _minhash_sig_sql(num_hashes: int = 16, source: str = "documents") -> str:
     """(doc_id, sig: list of ``num_hashes`` MinHash values) — DuckDB twin of
     operators/dedup.minhash_signatures (the Arrow kernel and the expression
     tier are bit-identical, so one oracle covers both)."""
     mins = ", ".join(f"min({_mh_sql('g', i)})" for i in range(num_hashes))
     return f"""
 SELECT doc_id, [{mins}] AS sig
-FROM (SELECT doc_id, unnest(s) AS g FROM ({_SHINGLES_SQL}) sh) ex
+FROM (SELECT doc_id, unnest(s) AS g FROM ({_shingles_sql(3, source)}) sh) ex
 GROUP BY doc_id
 """
 
@@ -1076,6 +1076,27 @@ def q_corpus_shards_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out).select("doc_id", "lang", "split")
 
 
+def q_dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingestion-time NEAR-dup dedup vs an LSH signature store
+    (operators/dedup.dedup_incremental_lsh — the fuzzy twin of the green
+    dedup_incremental): the store indexes every doc_id%4==0 doc; the batch
+    is the corpus with doc_id%7==3 texts collapsed to one shared string.
+    Replays die on their own stored signature (est 1.0), the shared-text
+    group collapses to its min-id survivor, the rest admit. The oracle
+    replays signatures, band buckets, and both probe joins exactly."""
+    docs = _t(spark, sf_dir, "documents")
+    batch = docs.select(
+        "doc_id",
+        "lang",
+        F.when(F.col("doc_id") % 7 == 3, F.lit("shared duplicate text"))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    store = DD.minhash_band_table(docs.filter(F.col("doc_id") % 4 == 0))
+    out = DD.dedup_incremental_lsh(batch, store, threshold=0.5)
+    return out.select("doc_id", "lang")
+
+
 def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Self-trained unigram LM quality score
     (operators/tfidf.unigram_logprob_score) — the CCNet-perplexity filter
@@ -1783,6 +1804,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join": q_range_join,
         "hypertable_rollup": q_hypertable_rollup,
         "unigram_logprob": q_unigram_logprob,
+        "dedup_incremental_lsh": q_dedup_incremental_lsh,
         "jsonl_roundtrip": q_jsonl_roundtrip,
         "quantized_topk": q_quantized_topk,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -1813,7 +1835,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geojson_features": q_geojson_features,
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
-        "minhash_signatures": q_minhash_signatures,
         "repetition_stats": q_repetition_stats,
         "pack_sequences": q_pack_sequences,
         "redact_pii": q_redact_pii,
@@ -1845,9 +1866,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # distinct_users_exact r3), s2_full_scan (projection-only scan;
         # scan machinery graded via s1_scan_filter, which stays), and
         # fingerprint_rolling (the rolling gram ids are the hash-matched
-        # constituent of the new duplicate_spans entry), and j2_dim_lookup
+        # constituent of the new duplicate_spans entry), j2_dim_lookup
         # (broadcast dim-lookup shape graded via j3_style_lookup, which
-        # stays). All thirteen LEAD the round-5 rotation.
+        # stays), and minhash_signatures (the full signature chain is the
+        # hash-matched constituent of minhash_lsh_pairs and the new
+        # dedup_incremental_lsh, both in the prefix). All fourteen LEAD
+        # the round-5 rotation.
         "dedup_exact_survivors": q_dedup_exact_survivors,
         "x4_coords_key": q_x4_coords_key,
         "f5_nonblank_tokens": q_f5_nonblank_tokens,
@@ -1861,6 +1885,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s2_full_scan": q_s2_full_scan,
         "fingerprint_rolling": q_fingerprint_rolling,
         "j2_dim_lookup": q_j2_dim_lookup,
+        "minhash_signatures": q_minhash_signatures,
         # --- fresh round-3 row; rotate forward next round ----------------
         "remove_boilerplate": q_remove_boilerplate,
         "dedup_paragraphs": q_dedup_paragraphs,
@@ -2065,6 +2090,43 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id, CAST(cid AS INT) AS cluster_id FROM asgf
             WHERE vec_id NOT IN (SELECT dup_id FROM dups)
         """,
+        # batch signatures from the transformed texts, store signatures
+        # from the originals (doc_id%4==0); a batch doc dies on any store
+        # bucket-mate at est>=0.5 (replays hit their own signature at 1.0)
+        # or any lower-id batch bucket-mate at est>=0.5
+        "dedup_incremental_lsh": (
+            lambda batch_src, band_str: f"""
+            WITH bsig AS ({_minhash_sig_sql(16, source=batch_src)}),
+            ssig AS (SELECT * FROM ({_minhash_sig_sql(16)}) q
+                     WHERE doc_id % 4 = 0),
+            bb AS (SELECT doc_id, sig, band, {_h64_sql(band_str, 97)} AS bucket
+                   FROM bsig CROSS JOIN
+                     (SELECT unnest([0, 1, 2, 3]) AS band) bands),
+            sb AS (SELECT doc_id, sig, band, {_h64_sql(band_str, 97)} AS bucket
+                   FROM ssig CROSS JOIN
+                     (SELECT unnest([0, 1, 2, 3]) AS band) bands),
+            hit_store AS (
+              SELECT DISTINCT b.doc_id FROM bb b JOIN sb s
+                ON b.band = s.band AND b.bucket = s.bucket
+              WHERE len(list_filter(generate_series(1, 16),
+                    i -> b.sig[i] = s.sig[i])) / 16.0 >= 0.5),
+            hit_batch AS (
+              SELECT DISTINCT b.doc_id FROM bb b JOIN bb a
+                ON b.band = a.band AND b.bucket = a.bucket
+                   AND a.doc_id < b.doc_id
+              WHERE len(list_filter(generate_series(1, 16),
+                    i -> b.sig[i] = a.sig[i])) / 16.0 >= 0.5)
+            SELECT doc_id, lang FROM documents
+            WHERE doc_id NOT IN (SELECT doc_id FROM hit_store)
+              AND doc_id NOT IN (SELECT doc_id FROM hit_batch)
+        """
+        )(
+            "(SELECT doc_id, CASE WHEN doc_id % 7 = 3"
+            " THEN 'shared duplicate text' ELSE text END AS text"
+            " FROM documents)",
+            "array_to_string(list_transform(list_slice(sig, band * 4 + 1,"
+            " band * 4 + 4), x -> CAST(x AS VARCHAR)), ',')",
+        ),
         "unigram_logprob": f"""
             WITH t AS (
               SELECT doc_id, unnest({_WORDS_SQL}) AS token FROM documents),

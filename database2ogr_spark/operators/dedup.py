@@ -163,6 +163,141 @@ def minhash_signatures(
     )
 
 
+def _banded(sigs: DataFrame, bands: int, rows_per_band: int) -> DataFrame:
+    """(id, sig, band, bucket): one row per (doc, band); bucket = stable
+    hash of the band's signature slice joined with ',' — a single bigint
+    join key instead of an array key."""
+    return sigs.select(
+        "id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        stable_hash64(
+                            F.array_join(
+                                F.transform(
+                                    F.slice(
+                                        F.col("sig"), b * rows_per_band + 1, rows_per_band
+                                    ),
+                                    lambda x: x.cast("string"),
+                                ),
+                                ",",
+                            ),
+                            seed=97,
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(
+        "id", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+
+
+def minhash_band_table(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    k_shingle: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    use_arrow: bool = True,
+) -> DataFrame:
+    """The LSH index rows (id, sig, band, bucket) for ``df`` — the STORE
+    format of :func:`dedup_incremental_lsh`. At scale, write it as a table
+    bucketed by (band, bucket) (partitioning.write_bucketed) so the
+    ingestion probe join is co-located and shuffle-free."""
+    assert num_hashes % bands == 0
+    sigs = minhash_signatures(
+        df, id_col, text_col, k_shingle=k_shingle, num_hashes=num_hashes,
+        use_arrow=use_arrow,
+    )
+    return _banded(sigs, bands, num_hashes // bands)
+
+
+def dedup_incremental_lsh(
+    new_docs: DataFrame,
+    store: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    k_shingle: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+    use_arrow: bool = True,
+) -> DataFrame:
+    """Ingestion-time NEAR-duplicate dedup against an LSH signature store —
+    the fuzzy twin of :func:`dedup_incremental` (which catches only exact
+    replays): an arriving batch is screened against every document ever
+    admitted WITHOUT touching historical document bodies, using only their
+    banded MinHash signatures (~``8·num_hashes`` B/doc + band rows).
+
+    A batch doc is dropped when
+
+    - any store row shares a band bucket and estimates ≥ ``threshold``
+      (an exact replay collides with its own stored signature at 1.0, so
+      replays are subsumed), or
+    - a lower-id batch doc shares a bucket and estimates ≥ ``threshold``
+      (deterministic min-id survivor within the batch, the same greedy
+      rule as semantic_dedup).
+
+    Returns the admitted rows (original schema). Advance the store by
+    appending ``minhash_band_table(admitted)``; replaying the same batch
+    then admits nothing (idempotent ingestion).
+
+    Scale: both probes are equi-joins on (band, bucket) — high-cardinality
+    hash keys; with the store bucketed by (band, bucket) the store probe
+    is co-located and shuffle-free, and the batch side (today's data)
+    is always the small side. No all-pairs anywhere.
+    """
+    assert num_hashes % bands == 0
+    batch = minhash_band_table(
+        new_docs, id_col, text_col,
+        k_shingle=k_shingle, num_hashes=num_hashes, bands=bands,
+        use_arrow=use_arrow,
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+
+    def est(l: str, r: str):
+        return F.size(
+            F.filter(
+                F.zip_with(F.col(f"{l}.sig"), F.col(f"{r}.sig"), lambda a, b: a == b),
+                lambda m: m,
+            )
+        ).cast("double") / F.lit(float(num_hashes))
+
+    hit_store = (
+        batch.alias("b")
+        .join(
+            store.alias("s"),
+            (F.col("b.band") == F.col("s.band"))
+            & (F.col("b.bucket") == F.col("s.bucket")),
+        )
+        .filter(est("b", "s") >= threshold)
+        .select(F.col("b.id").alias(id_col))
+        .distinct()
+    )
+    hit_batch = (
+        batch.alias("b")
+        .join(
+            batch.alias("a"),
+            (F.col("b.band") == F.col("a.band"))
+            & (F.col("b.bucket") == F.col("a.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .filter(est("b", "a") >= threshold)
+        .select(F.col("b.id").alias(id_col))
+        .distinct()
+    )
+    return new_docs.join(
+        hit_store.union(hit_batch).distinct(), on=id_col, how="left_anti"
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -186,39 +321,12 @@ def minhash_lsh_pairs(
     once instead of recomputing shingling+hashing for both sides.
     """
     assert num_hashes % bands == 0
-    rows_per_band = num_hashes // bands
 
     sigs = minhash_signatures(
         df, id_col, text_col, k_shingle=k_shingle, num_hashes=num_hashes,
         use_arrow=use_arrow,
     ).persist(StorageLevel.MEMORY_AND_DISK)
-
-    banded = sigs.select(
-        "id",
-        "sig",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        # band hash: stable hash of the band's slice, joined —
-                        # a single bigint join key instead of an array key.
-                        stable_hash64(
-                            F.array_join(
-                                F.transform(
-                                    F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
-                                    lambda x: x.cast("string"),
-                                ),
-                                ",",
-                            ),
-                            seed=97,
-                        ).alias("bucket"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("id", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    banded = _banded(sigs, bands, num_hashes // bands)
 
     left = banded.alias("l")
     right = banded.alias("r")

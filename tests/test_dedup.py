@@ -271,3 +271,31 @@ def test_duplicate_spans_tiers_equivalent(spark):
 
     assert run() == run(use_arrow=False)
     spark.catalog.clearCache()
+
+
+def test_dedup_incremental_lsh_near_and_replay(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    store_docs = spark.createDataFrame(
+        [(1, base), (2, "completely different content about spark plans here")],
+        "doc_id long, text string",
+    )
+    store = DD.minhash_band_table(store_docs)
+    batch = spark.createDataFrame(
+        [
+            (10, base),  # exact replay of stored doc 1
+            (11, base + " extra"),  # near-dup of stored doc 1
+            (12, "novel text that matches nothing in the stored corpus"),
+            (13, "novel text that matches nothing in the stored corpus"),  # in-batch dup of 12
+        ],
+        "doc_id long, text string",
+    )
+    out = DD.dedup_incremental_lsh(batch, store, threshold=0.5)
+    assert sorted(r.doc_id for r in out.collect()) == [12]
+    spark.catalog.clearCache()
+
+    # advancing the store with the admitted rows makes a replay a no-op
+    admitted = batch.filter("doc_id = 12")
+    store2 = store.union(DD.minhash_band_table(admitted))
+    out2 = DD.dedup_incremental_lsh(batch, store2, threshold=0.5)
+    assert out2.count() == 0
+    spark.catalog.clearCache()
