@@ -1411,6 +1411,14 @@ def q_events_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GRADED (round 4, was rows-only): the synthetic payloads are utf-8
+    text bytes that no image parser accepts, so the deterministic stub tier
+    (feature[i] = md5(payload).byte[i]/256 — binaryops._decode_stub) is the
+    decode path in EVERY environment, PIL present or not; the PIL tier
+    stays covered by the golden-PNG seam test. Each byte/256 value is exact
+    in float32 and double, so the oracle replays the whole feature vector
+    from md5 hex arithmetic — a full hash row, honestly scoped to the stub
+    tier."""
     from database2ogr_spark.multimodal.binaryops import decode_features
 
     media = _t(spark, sf_dir, "documents").select(
@@ -1418,14 +1426,11 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("image").alias("kind"),
         F.encode("text", "utf-8").alias("payload"),
     )
-    # rows-only check: the driver's canonicalizer sorts output columns, so
-    # the raw feature array<float> must be projected to hashable scalars
-    # (same pattern as q_multimodal_resize)
     f = decode_features(media)
     return f.select(
         "media_id",
         F.size("feature").alias("feat_dim"),
-        F.md5(F.to_json(F.col("feature"))).alias("feat_hash"),
+        F.col("feature").cast("array<double>").alias("feature"),
     )
 
 
@@ -1438,7 +1443,11 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.encode("text", "utf-8").alias("payload"),
     )
     r = resize_images(media, width=32, height=32)
-    # rows-only check: expose sizes, not raw bytes
+    # GRADED (round 4, was rows-only): the stub thumbnail is
+    # width*height*3/64 bytes for every parse-fallback payload (and the
+    # synthetic utf-8 payloads always fall back), so the metadata contract
+    # (row per image, target dims, stub byte count) is oracle-checkable;
+    # the payload bytes themselves stay engine-side (sha256-stream stub)
     return r.select("media_id", "width", "height", F.length("payload").alias("n_bytes"))
 
 
@@ -2089,6 +2098,36 @@ def oracle_sql() -> dict[str, str]:
                 {KM.SIM_DECIMALS}) >= 0.4)
             SELECT vec_id, CAST(cid AS INT) AS cluster_id FROM asgf
             WHERE vec_id NOT IN (SELECT dup_id FROM dups)
+        """,
+        # stub-tier decode arithmetic: feature[i] = md5(utf8(text)) byte i
+        # / 256 — exact in float32/double, replayed from md5 hex
+        "multimodal_decode": """
+            SELECT doc_id AS media_id, 8 AS feat_dim,
+              list_transform(range(1, 9), i ->
+                ('0x' || substr(md5(text), CAST(2*i-1 AS INT), 2))::INT
+                  / 256.0) AS feature
+            FROM documents
+        """,
+        # stub thumbnail contract: target dims, width*height*3/64 bytes
+        "multimodal_resize": """
+            SELECT doc_id AS media_id, 32 AS width, 32 AS height,
+                   48 AS n_bytes
+            FROM documents
+        """,
+        # frame grid 0..duration step 1000 inclusive; frame_hash =
+        # md5(payload_bytes || str(ts)) with payload = utf8(text)
+        "multimodal_frame_sample": """
+            WITH media AS (
+              SELECT doc_id AS media_id, text,
+                     (n_chars % 5) * 1000 AS duration_ms
+              FROM documents),
+            fr AS (
+              SELECT media_id, text,
+                unnest(range(0, duration_ms + 1000, 1000)) AS frame_ts_ms
+              FROM media)
+            SELECT media_id, CAST(frame_ts_ms AS INT) AS frame_ts_ms,
+                   md5(text || CAST(frame_ts_ms AS VARCHAR)) AS frame_hash
+            FROM fr
         """,
         # batch signatures from the transformed texts, store signatures
         # from the originals (doc_id%4==0); a batch doc dies on any store
