@@ -1076,6 +1076,41 @@ def q_corpus_shards_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out).select("doc_id", "lang", "split")
 
 
+#: shared duplicate paragraph for the pretrain-pipeline entry — long and
+#: diverse enough to PASS the quality cascade, so the dedup stage (not the
+#: filter) is what collapses the doc_id%9==5 group to its min-id survivor
+_SHARED_PARA = (
+    "the pipeline must keep exactly one copy of this rather long shared "
+    "paragraph because exact deduplication selects the minimum identifier "
+    "as the surviving document for every duplicate group found here today"
+)
+
+
+def q_pretrain_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship composition (plans/pretrain.pretrain_corpus): quality
+    cascade → exact-dedup survivors → 13-gram decontamination vs the
+    doc_id%20==0 benchmark → temperature mix (alpha=0.7, epoch column) →
+    deterministic 95/5 split. The doc_id%9==5 corpus docs share one
+    quality-passing paragraph so the dedup stage demonstrably fires. The
+    oracle composes the same five stages as nested CTEs — one hash row
+    grades the whole pipeline end-to-end."""
+    from database2ogr_spark.plans.pretrain import pretrain_corpus
+
+    docs = _t(spark, sf_dir, "documents")
+    transformed = docs.select(
+        "doc_id",
+        "source",
+        "lang",
+        F.when(F.col("doc_id") % 9 == 5, F.lit(_SHARED_PARA))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    corpus = transformed.filter(F.col("doc_id") % 20 != 0)
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+    out = pretrain_corpus(corpus, bench, alpha=0.7)
+    return out.select("doc_id", "source", "lang", "epoch", "split")
+
+
 def q_dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ingestion-time NEAR-dup dedup vs an LSH signature store
     (operators/dedup.dedup_incremental_lsh — the fuzzy twin of the green
@@ -1814,6 +1849,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hypertable_rollup": q_hypertable_rollup,
         "unigram_logprob": q_unigram_logprob,
         "dedup_incremental_lsh": q_dedup_incremental_lsh,
+        "pretrain_pipeline": q_pretrain_pipeline,
         "jsonl_roundtrip": q_jsonl_roundtrip,
         "quantized_topk": q_quantized_topk,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -1847,7 +1883,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": q_repetition_stats,
         "pack_sequences": q_pack_sequences,
         "redact_pii": q_redact_pii,
-        "near_dup_groups_exact": q_near_dup_groups_exact,
         "chunk_documents": q_chunk_documents,
         "f4_validate_default": q_f4_validate_default,
         "j1_parent_child_join": q_j1_parent_child_join,
@@ -1877,10 +1912,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # fingerprint_rolling (the rolling gram ids are the hash-matched
         # constituent of the new duplicate_spans entry), j2_dim_lookup
         # (broadcast dim-lookup shape graded via j3_style_lookup, which
-        # stays), and minhash_signatures (the full signature chain is the
+        # stays), minhash_signatures (the full signature chain is the
         # hash-matched constituent of minhash_lsh_pairs and the new
-        # dedup_incremental_lsh, both in the prefix). All fourteen LEAD
-        # the round-5 rotation.
+        # dedup_incremental_lsh, both in the prefix), and
+        # near_dup_groups_exact (its edge chain is graded via
+        # ngram_jaccard_pairs + near_dup_groups, both in the prefix). All
+        # fifteen LEAD the round-5 rotation.
         "dedup_exact_survivors": q_dedup_exact_survivors,
         "x4_coords_key": q_x4_coords_key,
         "f5_nonblank_tokens": q_f5_nonblank_tokens,
@@ -1895,6 +1932,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_rolling": q_fingerprint_rolling,
         "j2_dim_lookup": q_j2_dim_lookup,
         "minhash_signatures": q_minhash_signatures,
+        "near_dup_groups_exact": q_near_dup_groups_exact,
         # --- fresh round-3 row; rotate forward next round ----------------
         "remove_boilerplate": q_remove_boilerplate,
         "dedup_paragraphs": q_dedup_paragraphs,
@@ -2098,6 +2136,80 @@ def oracle_sql() -> dict[str, str]:
                 {KM.SIM_DECIMALS}) >= 0.4)
             SELECT vec_id, CAST(cid AS INT) AS cluster_id FROM asgf
             WHERE vec_id NOT IN (SELECT dup_id FROM dups)
+        """,
+        # the five pipeline stages as nested CTEs: quality keep-predicate
+        # (frozen QUALITY_RULES), min-id survivor per fingerprint, 13-gram
+        # decontamination vs the doc_id%20==0 benchmark, alpha=0.7
+        # temperature rates with hash-threshold copies (seed 17), split
+        # buckets on seed 7 (train [0,95), val [95,100))
+        "pretrain_pipeline": f"""
+            WITH corpus0 AS (
+              SELECT doc_id, source, lang,
+                CASE WHEN doc_id % 9 = 5 THEN '{_SHARED_PARA}'
+                     ELSE text END AS text
+              FROM documents WHERE doc_id % 20 <> 0),
+            qual AS (
+              SELECT doc_id FROM (
+                SELECT doc_id,
+                  length(text)::INT AS n_chars,
+                  len({_WORDS_SQL})::INT AS ws_tokens,
+                  (length(text) -
+                   length(regexp_replace(text, '[^\\w\\s]', '', 'g')))::INT
+                    AS n_punct,
+                  list_reduce(list_prepend(CAST(0 AS BIGINT),
+                    list_transform({_WORDS_SQL},
+                      w -> CAST(length(w) AS BIGINT))),
+                    (a, b) -> a + b) AS sum_wlen,
+                  len(list_distinct({_WORDS_SQL}))::INT AS distinct_toks
+                FROM corpus0) b
+              WHERE coalesce(ws_tokens >= 20 AND ws_tokens <= 100000, false)
+                AND coalesce(CASE WHEN ws_tokens > 0
+                      THEN sum_wlen / CAST(ws_tokens AS DOUBLE)
+                      ELSE 0.0 END BETWEEN 2.0 AND 12.0, false)
+                AND coalesce(CASE WHEN n_chars > 0
+                      THEN n_punct / CAST(n_chars AS DOUBLE)
+                      ELSE 0.0 END < 0.1, false)
+                AND coalesce(CASE WHEN ws_tokens > 0
+                      THEN distinct_toks / CAST(ws_tokens AS DOUBLE)
+                      ELSE 0.0 END >= 0.2, false)),
+            kept AS (SELECT c.* FROM corpus0 c JOIN qual USING (doc_id)),
+            surv AS (SELECT min(doc_id) AS doc_id FROM kept
+                     GROUP BY md5({_NORM_SQL})),
+            ded AS (SELECT k.* FROM kept k JOIN surv USING (doc_id)),
+            bench AS (SELECT doc_id, text FROM documents
+                      WHERE doc_id % 20 = 0),
+            bg AS (SELECT DISTINCT unnest(s) AS gram
+                   FROM ({_shingles_sql(13, "bench")})),
+            cg AS (SELECT doc_id, unnest(s) AS gram
+                   FROM ({_shingles_sql(13, "ded")})),
+            bad AS (SELECT DISTINCT doc_id FROM cg
+                    WHERE gram IN (SELECT gram FROM bg)),
+            clean AS (SELECT * FROM ded
+                      WHERE doc_id NOT IN (SELECT doc_id FROM bad)),
+            counts AS (SELECT source, count(*) AS n FROM clean
+                       GROUP BY source),
+            tot AS (SELECT sum(n) AS nn, sum(power(n, 0.7)) AS z
+                    FROM counts),
+            rates AS (SELECT source, round(power(n, 0.7) / z * nn / n, 6)
+                        AS r
+                      FROM counts CROSS JOIN tot),
+            fan AS (
+              SELECT c.doc_id, c.source, c.lang, r,
+                CAST(floor(r) AS INT) +
+                CASE WHEN {_h64_sql("CAST(c.doc_id AS VARCHAR)", 17)}
+                       % 1000000
+                     < CAST(round((r - floor(r)) * 1000000) AS BIGINT)
+                     THEN 1 ELSE 0 END AS n_copies
+              FROM clean c JOIN rates USING (source)),
+            inst AS (
+              SELECT doc_id, source, lang, CAST(e AS INT) AS epoch
+              FROM fan CROSS JOIN
+                (SELECT unnest(range(0, 1000)) AS e) ee
+              WHERE e < n_copies)
+            SELECT doc_id, source, lang, epoch,
+              CASE WHEN {_h64_sql("CAST(doc_id AS VARCHAR)", 7)} % 100 < 95
+                   THEN 'train' ELSE 'val' END AS split
+            FROM inst
         """,
         # stub-tier decode arithmetic: feature[i] = md5(utf8(text)) byte i
         # / 256 — exact in float32/double, replayed from md5 hex

@@ -67,6 +67,13 @@ HEADLINE = [
     "kmeans_embeddings",
     "semantic_dedup",
     "duplicate_spans",
+    "temperature_resample",
+    "build_vocab",
+    "unigram_logprob",
+    "range_join",
+    "hypertable_rollup",
+    "dedup_incremental_lsh",
+    "webdataset_roundtrip",
 ]
 
 

@@ -73,3 +73,62 @@ def test_full_pipeline_composes(spark, tmp_path):
     back = spark.read.parquet(out)
     assert back.count() == 20
     assert {os.path.basename(d).split("=")[0] for d in glob.glob(os.path.join(out, "*="))} <= {"split"}
+
+
+def test_pretrain_corpus_stages_fire(spark):
+    from pyspark.sql import functions as F
+
+    from database2ogr_spark.plans.pretrain import pretrain_corpus
+
+    long_ok = (
+        "alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+        "kilo lima mike november oscar papa quebec romeo sierra tango "
+        "uniform victor whiskey xray yankee zulu one two three four"
+    )
+    rows = [
+        # quality-fail: too short
+        (1, "s0", "en", "too short"),
+        # duplicate group: 2 and 3 identical, min-id 2 survives
+        (2, "s0", "en", long_ok),
+        (3, "s0", "en", long_ok),
+        # contaminated: shares a 13-gram with the benchmark doc
+        (4, "s1", "en", long_ok + " extra tail tokens here"),
+        # clean survivor — no 13-gram overlap with anything
+        (5, "s1", "en",
+         "omega sigma lambda theta kappa gamma beta zeta iota rho phi chi "
+         "psi epsilon upsilon omicron mu nu xi pi tau eta digamma koppa "
+         "sampi stigma heta sho san qoppa"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, lang string, text string")
+    bench = spark.createDataFrame(
+        [(100, long_ok + " benchmark continuation")], "doc_id long, text string"
+    )
+    out = pretrain_corpus(docs, bench, alpha=1.0)
+    ids = sorted(r.doc_id for r in out.select("doc_id").distinct().collect())
+    # 1 fails quality; 2,3,4 all share the long_ok 13-grams with the
+    # benchmark -> decontaminated; 5 is the only survivor
+    assert ids == [5]
+    # alpha=1.0 -> rates 1.0, single epoch, and the split column is present
+    row = out.first()
+    assert row.epoch == 0 and row.split in ("train", "val")
+
+
+def test_pretrain_corpus_epoch_copies_share_split(spark):
+    from pyspark.sql import functions as F
+
+    from database2ogr_spark.plans.pretrain import pretrain_corpus
+
+    base = (
+        "alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+        "kilo lima mike november oscar papa quebec romeo sierra tango "
+    )
+    # 10:1 source skew with per-doc unique tails (no dups, no contamination)
+    rows = [(i, "big", "en", base + f"unique{i} tail{i} words{i}") for i in range(100)]
+    rows += [(1000 + i, "rare", "en", base + f"rare{i} tokens{i} here{i}") for i in range(10)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, lang string, text string")
+    bench = spark.createDataFrame([(9, "completely unrelated benchmark words")], "doc_id long, text string")
+    out = pretrain_corpus(docs, bench, alpha=0.3)
+    # upsampled rare docs exist, and every epoch-copy of a doc has ONE split
+    assert out.filter("epoch >= 1").count() > 0
+    per_doc = out.groupBy("doc_id").agg(F.countDistinct("split").alias("k"))
+    assert per_doc.filter("k > 1").count() == 0
