@@ -74,6 +74,7 @@ HEADLINE = [
     "hypertable_rollup",
     "dedup_incremental_lsh",
     "webdataset_roundtrip",
+    "pretrain_pipeline",
 ]
 
 
