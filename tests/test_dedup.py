@@ -299,3 +299,59 @@ def test_dedup_incremental_lsh_near_and_replay(spark):
     out2 = DD.dedup_incremental_lsh(batch, store2, threshold=0.5)
     assert out2.count() == 0
     spark.catalog.clearCache()
+
+
+def test_duplicate_spans_matches_bruteforce_property(spark):
+    # random word corpora drawn from a tiny vocabulary (to force shared
+    # k-grams): the operator must agree with a direct python reference
+    # (shared-window detection + gap merge) on every corpus
+    from hypothesis import given, settings, strategies as st
+
+    vocab = ["aa", "bb", "cc", "dd"]
+    docs_strategy = st.lists(
+        st.lists(st.sampled_from(vocab), min_size=1, max_size=12),
+        min_size=2,
+        max_size=4,
+    )
+
+    def reference(texts, k=2, gap=2):
+        grams = {
+            d: [tuple(ws[i : i + k]) for i in range(max(1, len(ws) - k + 1))]
+            if len(ws) >= k
+            else [tuple(ws)]
+            for d, ws in enumerate(texts)
+        }
+        out = []
+        for d, gs in grams.items():
+            dup_pos = [
+                p
+                for p, g in enumerate(gs)
+                if any(g in set(o) for dd, o in grams.items() if dd != d)
+            ]
+            spans = []
+            for p in dup_pos:
+                if spans and p - spans[-1][1] <= gap:
+                    spans[-1] = (spans[-1][0], p, spans[-1][2] + 1)
+                else:
+                    spans.append((p, p, 1))
+            out += [(d, s, e + k - 1, n) for s, e, n in spans]
+        return sorted(out)
+
+    @settings(max_examples=8, deadline=None, derandomize=True)
+    @given(docs=docs_strategy)
+    def check(docs):
+        texts = [" ".join(ws) for ws in docs]
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        got = sorted(
+            (r.doc_id, r.span_start, r.span_end, r.n_windows)
+            for r in DD.duplicate_spans(df, k_shingle=2).collect()
+        )
+        spark.catalog.clearCache()
+        # reference positions are in WINDOW space; short docs (<k words)
+        # collapse to a single whole-doc shingle at position 0, matching
+        # the operator's fallback
+        assert got == reference([t.split() for t in texts])
+
+    check()

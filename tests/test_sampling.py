@@ -183,3 +183,37 @@ def test_build_vocab_rank_and_cutoffs(spark):
     assert v == {"apple": (0, 4), "banana": (1, 3)}
     top1 = build_vocab(df, min_count=1, max_size=1).collect()
     assert len(top1) == 1 and top1[0].token == "apple"
+
+
+def test_temperature_resample_copy_bounds_property(spark):
+    # TRUE invariant for any corpus: every row emits floor(r_s) or
+    # floor(r_s)+1 copies, so each source's output count lies in
+    # [n_s*floor(r_s), n_s*ceil(r_s)] with r_s the rounded power rate
+    import math
+
+    from hypothesis import given, settings, strategies as st
+
+    from database2ogr_spark.operators.sampling import temperature_resample
+
+    @settings(max_examples=6, deadline=None, derandomize=True)
+    @given(
+        sizes=st.lists(st.integers(min_value=1, max_value=60), min_size=2, max_size=4),
+        alpha=st.sampled_from([0.3, 0.5, 0.7]),
+    )
+    def check(sizes, alpha):
+        rows = [
+            (s * 1000 + i, f"s{s}", "x")
+            for s, n in enumerate(sizes)
+            for i in range(n)
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+        out = temperature_resample(df, alpha=alpha)
+        by = {r["source"]: r["count"] for r in out.groupBy("source").count().collect()}
+        N = sum(sizes)
+        z = sum(n**alpha for n in sizes)
+        for s, n in enumerate(sizes):
+            r = round(n**alpha / z * N / n, 6)
+            lo, hi = n * math.floor(r), n * math.ceil(r)
+            assert lo <= by.get(f"s{s}", 0) <= hi, (s, n, r, by)
+
+    check()
