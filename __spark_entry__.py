@@ -1111,6 +1111,13 @@ def q_pretrain_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "source", "lang", "epoch", "split")
 
 
+def q_project_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JL random projection 64→16 dims (similarity.project_embeddings):
+    md5-derived ±1 matrix over √16, components rounded to 6 — the oracle
+    embeds the same ±1 literals as signed sums."""
+    return SIM.project_embeddings(_t(spark, sf_dir, "embeddings"), out_dim=16)
+
+
 def q_dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ingestion-time NEAR-dup dedup vs an LSH signature store
     (operators/dedup.dedup_incremental_lsh — the fuzzy twin of the green
@@ -1850,6 +1857,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_logprob": q_unigram_logprob,
         "dedup_incremental_lsh": q_dedup_incremental_lsh,
         "pretrain_pipeline": q_pretrain_pipeline,
+        "project_embeddings": q_project_embeddings,
         "jsonl_roundtrip": q_jsonl_roundtrip,
         "quantized_topk": q_quantized_topk,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -1874,7 +1882,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_windowed": q_events_windowed,
         "events_sessionize": q_events_sessionize,
         "events_attribution_join": q_events_attribution_join,
-        "events_props_extract": q_events_props_extract,
         "cosine_topk": q_cosine_topk,
         "embedding_near_dup": q_embedding_near_dup,
         "geojson_features": q_geojson_features,
@@ -1916,8 +1923,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # hash-matched constituent of minhash_lsh_pairs and the new
         # dedup_incremental_lsh, both in the prefix), and
         # near_dup_groups_exact (its edge chain is graded via
-        # ngram_jaccard_pairs + near_dup_groups, both in the prefix). All
-        # fifteen LEAD the round-5 rotation.
+        # ngram_jaccard_pairs + near_dup_groups, both in the prefix), and
+        # events_props_extract (the get_json_object machinery is a graded
+        # constituent of webdataset_roundtrip's metadata recovery, in the
+        # prefix). All sixteen LEAD the round-5 rotation.
         "dedup_exact_survivors": q_dedup_exact_survivors,
         "x4_coords_key": q_x4_coords_key,
         "f5_nonblank_tokens": q_f5_nonblank_tokens,
@@ -1933,6 +1942,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j2_dim_lookup": q_j2_dim_lookup,
         "minhash_signatures": q_minhash_signatures,
         "near_dup_groups_exact": q_near_dup_groups_exact,
+        "events_props_extract": q_events_props_extract,
         # --- fresh round-3 row; rotate forward next round ----------------
         "remove_boilerplate": q_remove_boilerplate,
         "dedup_paragraphs": q_dedup_paragraphs,
@@ -2137,6 +2147,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id, CAST(cid AS INT) AS cluster_id FROM asgf
             WHERE vec_id NOT IN (SELECT dup_id FROM dups)
         """,
+        # ±1 JL projection literals (int_sign family), left-to-right signed
+        # sums over doubles, /4 (√16), rounded 6 — same literal-embedding
+        # technique as the lsh_topk oracle
+        "project_embeddings": (
+            lambda comps: f"""
+            SELECT vec_id, [{comps}] AS proj
+            FROM (SELECT vec_id,
+                    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                  FROM embeddings) t
+        """
+        )(
+            ", ".join(
+                "round(("
+                + " + ".join(
+                    ("" if SIM.int_sign(j, i) > 0 else "-") + f"v[{i + 1}]"
+                    for i in range(64)
+                )
+                + ") / 4.0, 6)"
+                for j in range(16)
+            )
+        ),
         # the five pipeline stages as nested CTEs: quality keep-predicate
         # (frozen QUALITY_RULES), min-id survivor per fingerprint, 13-gram
         # decontamination vs the doc_id%20==0 benchmark, alpha=0.7

@@ -535,3 +535,54 @@ def label_centroids(
     return embeddings.select(label_col, vec_col).groupBy(label_col).applyInPandas(
         centroid, schema=f"label {label_type}, dim int, mean double"
     )
+
+
+def project_embeddings(
+    corpus: DataFrame,
+    *,
+    out_dim: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Johnson-Lindenstrauss random projection to ``out_dim`` dimensions —
+    the cheap-ANN / storage-reduction companion to int8 quantization
+    (quantize shrinks bytes per component; projection shrinks components).
+
+    The projection matrix is the same md5-derived ±1 family as the sign-LSH
+    hyperplanes (``int_sign`` — deterministic everywhere, no stored model),
+    scaled by 1/√out_dim so expected pairwise dot products are preserved
+    (the standard ±1 JL construction, public Achlioptas 2003). Output
+    components are rounded to 6 decimals — the cross-engine sum-order
+    contract, which is what lets the DuckDB oracle replay the projection
+    as literal signed sums.
+
+    Execution: one narrow ``mapInPandas`` matmul per batch against a
+    broadcast out_dim×dim sign matrix — zero shuffle, Arrow-batched,
+    identical plan shape at any corpus size.
+    """
+    import numpy as np
+
+    dim = _infer_dim(corpus, vec_col)
+    if dim is None:
+        return _empty(corpus, f"vec_id long, proj array<double>")
+    signs = np.array(
+        [[int_sign(j, i) for i in range(dim)] for j in range(out_dim)],
+        dtype=np.float64,
+    )
+    bc = corpus.sparkSession.sparkContext.broadcast(signs / np.sqrt(out_dim))
+
+    def project(batches):
+        import pandas as pd
+
+        r = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            m = np.array(pdf["v"].tolist(), dtype=np.float64)
+            proj = np.round(m @ r.T, 6)
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "proj": list(proj)}
+            )
+
+    sel = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
+    return sel.mapInPandas(project, schema="vec_id long, proj array<double>")

@@ -158,3 +158,45 @@ def test_quantized_topk_recall_vs_float(spark):
     }
     recall = len(exact & quant) / len(exact)
     assert recall >= 0.8, f"quantized recall too low: {recall}"
+
+
+def test_project_embeddings_matches_numpy_reference(spark):
+    import numpy as np
+
+    from database2ogr_spark.operators.similarity import int_sign, project_embeddings
+
+    rng = np.random.RandomState(3)
+    vecs = rng.randn(40, 64).astype("float32")
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(40)],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r.vec_id: r.proj for r in project_embeddings(df, out_dim=16).collect()}
+    signs = np.array([[int_sign(j, i) for i in range(64)] for j in range(16)])
+    ref = np.round(vecs.astype("float64") @ (signs / 4.0).T, 6)
+    for i in range(40):
+        assert np.allclose(out[i], ref[i], atol=1e-9), i
+
+
+def test_project_embeddings_preserves_dot_products_in_expectation(spark):
+    # JL sanity: projected dot products approximate original ones — mean
+    # absolute error over random pairs well under the vector norms' scale
+    import numpy as np
+
+    from database2ogr_spark.operators.similarity import project_embeddings
+
+    rng = np.random.RandomState(11)
+    vecs = rng.randn(60, 64).astype("float32")
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(60)],
+        "vec_id long, embedding array<float>",
+    )
+    proj = {r.vec_id: np.array(r.proj) for r in project_embeddings(df, out_dim=16).collect()}
+    errs = []
+    for a in range(0, 60, 3):
+        for b in range(a + 1, 60, 7):
+            orig = float(vecs[a] @ vecs[b])
+            approx = float(proj[a] @ proj[b])
+            errs.append(abs(orig - approx))
+    assert np.mean(errs) < 0.25, np.mean(errs)
