@@ -1038,6 +1038,19 @@ def q_near_dup_groups_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_near_dup_groups_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same exact-Jaccard edge set as q_near_dup_groups_exact, closed with
+    the alternating large-star/small-star kernel
+    (graph.connected_components_star — the O(log² n)-round high-diameter
+    path) instead of min-label propagation. Identical labels by
+    construction, so the SAME recursive-CTE oracle grades both kernels —
+    a cross-kernel hash equivalence proof."""
+    return near_dup_groups(
+        _t(spark, sf_dir, "documents"), k_shingle=3, threshold=0.2,
+        edges="jaccard", max_df=100, cc="star",
+    )
+
+
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination (operators/dedup.decontaminate): docs whose
     id is ≡0 mod 20 play the benchmark; the rest of the corpus survives
@@ -1858,6 +1871,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental_lsh": q_dedup_incremental_lsh,
         "pretrain_pipeline": q_pretrain_pipeline,
         "project_embeddings": q_project_embeddings,
+        "near_dup_groups_star": q_near_dup_groups_star,
         "jsonl_roundtrip": q_jsonl_roundtrip,
         "quantized_topk": q_quantized_topk,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -1883,7 +1897,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": q_events_sessionize,
         "events_attribution_join": q_events_attribution_join,
         "cosine_topk": q_cosine_topk,
-        "embedding_near_dup": q_embedding_near_dup,
         "geojson_features": q_geojson_features,
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
@@ -1926,7 +1939,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ngram_jaccard_pairs + near_dup_groups, both in the prefix), and
         # events_props_extract (the get_json_object machinery is a graded
         # constituent of webdataset_roundtrip's metadata recovery, in the
-        # prefix). All sixteen LEAD the round-5 rotation.
+        # prefix), and embedding_near_dup (the exact-cosine pair scan is
+        # the hash-matched constituent of embedding_near_dup_lsh's
+        # in-bucket oracle, in the prefix). All seventeen LEAD the round-5
+        # rotation.
         "dedup_exact_survivors": q_dedup_exact_survivors,
         "x4_coords_key": q_x4_coords_key,
         "f5_nonblank_tokens": q_f5_nonblank_tokens,
@@ -1943,6 +1959,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": q_minhash_signatures,
         "near_dup_groups_exact": q_near_dup_groups_exact,
         "events_props_extract": q_events_props_extract,
+        "embedding_near_dup": q_embedding_near_dup,
         # --- fresh round-3 row; rotate forward next round ----------------
         "remove_boilerplate": q_remove_boilerplate,
         "dedup_paragraphs": q_dedup_paragraphs,
@@ -2125,7 +2142,7 @@ def oracle_sql() -> dict[str, str]:
     mr_json = warn_list.format(lst="mr")
     co_json = warn_list.format(lst="co")
 
-    return {
+    out = {
         "kmeans_embeddings": f"""
             {_kmeans_sql()}
             SELECT a.vec_id, CAST(a.cid AS INT) AS cluster_id,
@@ -3647,3 +3664,8 @@ def oracle_sql() -> dict[str, str]:
              AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 30 MINUTE
         """,
     }
+    # the star kernel must produce the SAME labels as min-label
+    # propagation on the same edge set — one recursive-CTE twin grades
+    # both closure kernels
+    out["near_dup_groups_star"] = out["near_dup_groups_exact"]
+    return out

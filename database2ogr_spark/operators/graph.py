@@ -166,6 +166,7 @@ def near_dup_groups(
     threshold: float = 0.5,
     edges: str = "minhash",
     max_df: int | None = None,
+    cc: str = "propagation",
 ) -> DataFrame:
     """Duplicate-group assignment: every document labeled with the min doc id
     of its near-dup component (``group_id``); documents with no near-dup are
@@ -187,6 +188,11 @@ def near_dup_groups(
 
     Output: ``(id_col, group_id)`` — keep ``group_id == id_col`` rows (the
     min-id survivors) to deduplicate the corpus group-wise.
+
+    ``cc="star"`` swaps the closure kernel for
+    :func:`connected_components_star` (identical labels, O(log² n) rounds)
+    — for corpora whose near-dup graph has chain-like diameter rather than
+    the usual dense-cluster shape.
     """
     from database2ogr_spark.operators.dedup import (
         minhash_lsh_pairs,
@@ -204,10 +210,118 @@ def near_dup_groups(
         ).select("id_a", "id_b")
     else:
         raise ValueError(f"unknown edge generator {edges!r}")
-    comp = connected_components(pairs)
+    if cc == "star":
+        comp = connected_components_star(pairs)
+    elif cc == "propagation":
+        comp = connected_components(pairs)
+    else:
+        raise ValueError(f"unknown cc kernel {cc!r}")
     return df.select(F.col(id_col)).join(
         comp, df[id_col] == comp["id"], "left"
     ).select(
         F.col(id_col),
         F.coalesce(F.col("component"), F.col(id_col)).alias("group_id"),
     )
+
+
+def connected_components_star(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    *,
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components via alternating large-star/small-star rounds
+    [Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14] — the O(log² n)-round path for HIGH-diameter graphs, where
+    :func:`connected_components`' min-label propagation would pay one
+    shuffle round per unit of diameter. Same contract: (id, component) for
+    every vertex on an edge, component = min vertex id.
+
+    Each round is two grouped aggregations + joins on the edge table:
+
+    - **large-star**: for every vertex u with neighborhood min m, connect
+      each strictly LARGER neighbor v directly to m — long chains collapse
+      toward their minimum exponentially;
+    - **small-star**: orient edges toward the larger endpoint, then connect
+      every smaller neighbor (and u itself) to the neighborhood min —
+      canonicalizes the stars large-star built.
+
+    Convergence = the edge set reaches a fixpoint (checked exactly:
+    equal counts + empty subtract — a star forest of (child, root) edges).
+    Lineage is truncated per round (localCheckpoint) exactly like the
+    propagation kernel; per-round shuffle payload is the edge table.
+    For dedup-shaped graphs (diameter 1-3) prefer
+    :func:`connected_components` — fewer jobs per round; this kernel is
+    the documented upgrade path when diameter, not edge count, dominates.
+    """
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    if e.isEmpty():
+        id_type = dict(edges.dtypes)[src]
+        return edges.sparkSession.createDataFrame(
+            [], f"id {id_type}, component {id_type}"
+        )
+
+    def neighborhood_min(sym: DataFrame) -> DataFrame:
+        return (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("_mv"))
+            .select("u", F.least(F.col("u"), F.col("_mv")).alias("m"))
+        )
+
+    for _ in range(max_iter):
+        sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        # large-star: (v, m) for every neighbor v > u
+        large = (
+            sym.join(neighborhood_min(sym), "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # small-star over edges oriented toward the larger endpoint
+        oriented = large.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        m2 = oriented.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            oriented.join(m2, "u")
+            .select(
+                F.explode(
+                    F.array(
+                        F.struct(F.col("v").alias("u"), F.col("m").alias("v")),
+                        F.struct(F.col("u").alias("u"), F.col("m").alias("v")),
+                    )
+                ).alias("p")
+            )
+            .select("p.u", "p.v")
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=False)
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        same = (
+            small.count() == e.count() and small.subtract(e).isEmpty()
+        )
+        e.unpersist()
+        e = small
+        if same:
+            break
+    else:
+        raise RuntimeError(
+            f"connected_components_star did not converge in {max_iter} rounds"
+        )
+    roots = e.select(F.col("v").alias("id")).distinct().join(
+        e.select(F.col("u").alias("id")).distinct(), "id", "left_anti"
+    )
+    labels = e.select(F.col("u").alias("id"), F.col("v").alias("component")).unionByName(
+        roots.select("id", F.col("id").alias("component"))
+    )
+    out = labels.localCheckpoint(eager=True)
+    e.unpersist()
+    return out

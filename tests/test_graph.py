@@ -139,3 +139,54 @@ def test_connected_components_paths_agree(spark):
     }
     assert small == dist == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
                              10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_star_kernel_matches_union_find_on_random_graphs(spark):
+    import random
+
+    from database2ogr_spark.operators.graph import connected_components_star
+
+    rng = random.Random(5)
+    for trial in range(3):
+        n = 40
+        edges = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(25 + trial * 10)
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        df = spark.createDataFrame(edges, "id_a long, id_b long")
+        got = {
+            (r.id, r.component)
+            for r in connected_components_star(df).collect()
+        }
+        parent = {}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                lo, hi = min(ra, rb), max(ra, rb)
+                parent[hi] = lo
+        want = {(v, find(v)) for v in parent}
+        assert got == want, trial
+        spark.catalog.clearCache()
+
+
+def test_star_kernel_high_diameter_chain(spark):
+    # a 60-node path has diameter 59 — min-label propagation would need
+    # ~59 rounds; the star kernel collapses it in O(log^2 n)
+    from database2ogr_spark.operators.graph import connected_components_star
+
+    df = spark.createDataFrame(
+        [(i, i + 1) for i in range(59)], "id_a long, id_b long"
+    )
+    rows = connected_components_star(df, max_iter=12).collect()
+    assert len(rows) == 60
+    assert {r.component for r in rows} == {0}
+    spark.catalog.clearCache()
