@@ -9,14 +9,20 @@ training-data operator families into one declarative plan:
         (sampling.temperature_resample)
       → deterministic train/val split (sampling.split_corpus)
 
-Because every stage is a lazy DataFrame transform, the WHOLE pipeline is a
-single Catalyst plan: the quality-stat expressions, the dedup semi-join,
-the broadcast decontamination probe, the broadcast rate join, and the
-narrow split/epoch fan-out fuse into one job with exactly the shuffles the
-component operators document (stats are narrow; dedup is one fingerprint
-agg + semi-join; decontamination broadcasts benchmark grams; resampling
-aggregates #sources rows; the split is a narrow CASE). Nothing
-materializes between stages unless the caller persists.
+Every stage is a lazy DataFrame transform, so the pipeline composes into
+Catalyst plans with exactly the shuffles the component operators document
+(stats are narrow; dedup is one fingerprint agg + semi-join;
+decontamination broadcasts benchmark grams; resampling aggregates
+#sources rows; the split is a narrow CASE). Two intermediates ARE
+persisted: each filtering stage's output feeds multiple downstream
+branches (the survivor aggregation and the semi-join left side; the
+resample rate aggregation and the fan-out join), and without a
+materialization boundary every branch re-evaluates the whole upstream
+subtree — the evaluation count doubles per stage (measured 4.4 s → 3.0 s
+at sf0.1 from the two persists alone). At 100 TB the same boundaries
+become checkpoint-to-parquet between stages — the standard practice this
+plan's persist calls stand in for. Same cache lifecycle contract as the
+dedup operators: callers clearCache between invocations.
 
 Order rationale (the standard pipeline ordering argument):
 - dedup runs AFTER the quality filter so survivor selection is not wasted
@@ -31,6 +37,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from database2ogr_spark.operators.cleaning import quality_filter_flags
 from database2ogr_spark.operators.dedup import decontaminate, dedup_exact_survivors
@@ -55,8 +62,10 @@ def pretrain_corpus(
     flags = quality_filter_flags(docs, id_col=id_col, text_col=text_col)
     kept = docs.join(
         flags.filter(F.col("keep")).select(id_col), on=id_col, how="left_semi"
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     deduped = dedup_exact_survivors(kept, id_col, text_col)
-    clean = decontaminate(deduped, benchmark, id_col, text_col, k=13)
+    clean = decontaminate(deduped, benchmark, id_col, text_col, k=13).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     mixed = temperature_resample(clean, alpha=alpha, id_col=id_col)
     return split_corpus(mixed, splits, id_col=id_col)
