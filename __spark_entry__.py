@@ -1124,6 +1124,16 @@ def q_pretrain_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "source", "lang", "epoch", "split")
 
 
+def q_score_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quantile tiers (sampling.score_buckets — the CCNet-style
+    head/middle/tail curriculum step): ntile(10) over (n_chars desc,
+    doc_id) within each source."""
+    docs = _t(spark, sf_dir, "documents")
+    return SMP.score_buckets(
+        docs, n_buckets=10, score_col="n_chars", group_col="source"
+    ).select("doc_id", "source", "n_chars", "bucket")
+
+
 def q_project_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JL random projection 64→16 dims (similarity.project_embeddings):
     md5-derived ±1 matrix over √16, components rounded to 6 — the oracle
@@ -1872,6 +1882,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pretrain_pipeline": q_pretrain_pipeline,
         "project_embeddings": q_project_embeddings,
         "near_dup_groups_star": q_near_dup_groups_star,
+        "score_buckets": q_score_buckets,
         "jsonl_roundtrip": q_jsonl_roundtrip,
         "quantized_topk": q_quantized_topk,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -1907,7 +1918,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f4_validate_default": q_f4_validate_default,
         "j1_parent_child_join": q_j1_parent_child_join,
         "j3_style_lookup": q_j3_style_lookup,
-        "u1_union": q_u1_union,
         "x12_html_popup": q_x12_html_popup,
         "x13_recipe_layers": q_x13_recipe_layers,
         # ------------------------------------------------------- slot 50 ^
@@ -1939,10 +1949,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ngram_jaccard_pairs + near_dup_groups, both in the prefix), and
         # events_props_extract (the get_json_object machinery is a graded
         # constituent of webdataset_roundtrip's metadata recovery, in the
-        # prefix), and embedding_near_dup (the exact-cosine pair scan is
+        # prefix), embedding_near_dup (the exact-cosine pair scan is
         # the hash-matched constituent of embedding_near_dup_lsh's
-        # in-bucket oracle, in the prefix). All seventeen LEAD the round-5
-        # rotation.
+        # in-bucket oracle, in the prefix), and u1_union (unionByName is a
+        # graded constituent of the ATES feature-collection entries). All
+        # eighteen LEAD the round-5 rotation.
         "dedup_exact_survivors": q_dedup_exact_survivors,
         "x4_coords_key": q_x4_coords_key,
         "f5_nonblank_tokens": q_f5_nonblank_tokens,
@@ -1960,6 +1971,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_groups_exact": q_near_dup_groups_exact,
         "events_props_extract": q_events_props_extract,
         "embedding_near_dup": q_embedding_near_dup,
+        "u1_union": q_u1_union,
         # --- fresh round-3 row; rotate forward next round ----------------
         "remove_boilerplate": q_remove_boilerplate,
         "dedup_paragraphs": q_dedup_paragraphs,
@@ -2163,6 +2175,12 @@ def oracle_sql() -> dict[str, str]:
                 {KM.SIM_DECIMALS}) >= 0.4)
             SELECT vec_id, CAST(cid AS INT) AS cluster_id FROM asgf
             WHERE vec_id NOT IN (SELECT dup_id FROM dups)
+        """,
+        "score_buckets": """
+            SELECT doc_id, source, n_chars,
+              CAST(ntile(10) OVER (PARTITION BY source
+                     ORDER BY n_chars DESC, doc_id) AS INT) AS bucket
+            FROM documents
         """,
         # ±1 JL projection literals (int_sign family), left-to-right signed
         # sums over doubles, /4 (√16), rounded 6 — same literal-embedding

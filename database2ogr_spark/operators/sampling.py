@@ -256,3 +256,28 @@ def temperature_resample(
         )
         .drop("__r", "__copies")
     )
+
+
+def score_buckets(
+    df: DataFrame,
+    *,
+    n_buckets: int = 10,
+    score_col: str = "score",
+    group_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-group quantile bucketing of a quality score — the curriculum /
+    CCNet-style tiering step (public CCNet buckets docs by LM perplexity
+    into head/middle/tail per language): each group's rows are ranked by
+    (score desc, id asc — the deterministic tie-break every hash-graded
+    operator here uses) and dealt into ``n_buckets`` equal-frequency tiers
+    via ``ntile``; bucket 1 is the best-scoring tier.
+
+    Output: input columns + ``bucket`` (1..n_buckets). One shuffle on the
+    group key; groups sort-and-spill independently, the same shape (and
+    the same mega-group caveat) as cap_per_group.
+    """
+    w = Window.partitionBy(group_col).orderBy(
+        F.col(score_col).desc(), F.col(id_col).asc()
+    )
+    return df.withColumn("bucket", F.ntile(n_buckets).over(w))

@@ -217,3 +217,20 @@ def test_temperature_resample_copy_bounds_property(spark):
             assert lo <= by.get(f"s{s}", 0) <= hi, (s, n, r, by)
 
     check()
+
+
+def test_score_buckets_equal_frequency_and_order(spark):
+    from database2ogr_spark.operators.sampling import score_buckets
+
+    rows = [(i, "a", float(100 - i)) for i in range(20)] + [
+        (100 + i, "b", float(i)) for i in range(7)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, score double")
+    out = score_buckets(df, n_buckets=4, score_col="score")
+    a = {r.doc_id: r.bucket for r in out.filter("source = 'a'").collect()}
+    # group a: 20 rows into 4 tiers of 5; best scores (lowest ids) -> bucket 1
+    assert [a[i] for i in range(20)] == [1 + i // 5 for i in range(20)]
+    b = {r.doc_id: r.bucket for r in out.filter("source = 'b'").collect()}
+    # group b: 7 rows -> sizes 2,2,2,1; best score is doc 106
+    assert b[106] == 1 and b[100] == 4
+    assert sorted(b.values()) == [1, 1, 2, 2, 3, 3, 4]
