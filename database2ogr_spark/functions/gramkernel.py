@@ -172,9 +172,10 @@ def gram_position_table(
             g1, g2, go = _doc_grams(h1, h2, offsets, k)
             ids = _gram_ids(g1, g2)
             counts = np.diff(go)
-            yield pd.DataFrame(
+            doc_ids = np.repeat(pdf[id_col].to_numpy(), counts)
+            out = pd.DataFrame(
                 {
-                    "id": np.repeat(pdf[id_col].to_numpy(), counts),
+                    "id": doc_ids,
                     "pos": (
                         np.arange(len(ids), dtype=np.int64)
                         - np.repeat(go[:-1], counts)
@@ -182,9 +183,14 @@ def gram_position_table(
                     "gram": ids,
                 }
             )
+            # first occurrence of each (doc, gram) — free here, saves the
+            # consumer a whole distinct shuffle when counting document
+            # frequencies (duplicate_spans)
+            out["first"] = ~out.duplicated(["id", "gram"]).to_numpy()
+            yield out
 
     return df.select(id_col, text_col).mapInPandas(
-        gen, schema=f"id {id_type}, pos int, gram bigint"
+        gen, schema=f"id {id_type}, pos int, gram bigint, first boolean"
     )
 
 

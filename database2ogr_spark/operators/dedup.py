@@ -924,6 +924,8 @@ def duplicate_spans(
     if use_arrow:
         from database2ogr_spark.functions.gramkernel import gram_position_table
 
+        # the kernel marks each (doc, gram) first occurrence, so the df
+        # count below filters instead of paying a distinct shuffle
         pos_table = gram_position_table(spread(df), id_col, text_col, k_shingle)
     else:
         from database2ogr_spark.functions.hashing import (
@@ -944,10 +946,12 @@ def duplicate_spans(
     # read by the df-count agg AND the join side — persist (same lifecycle
     # contract as the pair operators: caller clearCache between queries)
     pos_table = pos_table.persist(StorageLevel.MEMORY_AND_DISK)
+    if "first" in pos_table.columns:
+        per_doc_grams = pos_table.filter(F.col("first")).select("gram", "id")
+    else:
+        per_doc_grams = pos_table.select("gram", "id").distinct()
     dup_grams = (
-        pos_table.select("gram", "id")
-        .distinct()
-        .groupBy("gram")
+        per_doc_grams.groupBy("gram")
         .agg(F.count(F.lit(1)).alias("df"))
         .filter(F.col("df") >= min_docs)
         .select("gram")
