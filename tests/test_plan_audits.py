@@ -119,3 +119,15 @@ def test_round4_shuffle_budgets(spark, name, max_shuffles):
         "Exchange rangepartitioning"
     )
     assert n <= max_shuffles, f"{name}: {n} shuffles (budget {max_shuffles})\n{plan}"
+
+
+def test_duplicate_spans_shuffle_budget(spark):
+    # kernel pass -> df count (filter, no distinct) -> dup-gram join ->
+    # islands window: at most 3 exchanges (df agg, join, window; AQE may
+    # broadcast the dup-gram side)
+    plan = _plan(spark, "duplicate_spans")
+    n = plan.count("Exchange hashpartitioning") + plan.count(
+        "Exchange rangepartitioning"
+    )
+    assert n <= 3, f"{n} shuffles\n{plan}"
+    spark.catalog.clearCache()
