@@ -1124,6 +1124,14 @@ def q_pretrain_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "source", "lang", "epoch", "split")
 
 
+def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-trained bigram conditional-LM quality score
+    (operators/tfidf.bigram_logprob_score) — mean ln P(w₂|w₁) per doc."""
+    from database2ogr_spark.operators.tfidf import bigram_logprob_score
+
+    return bigram_logprob_score(_t(spark, sf_dir, "documents"))
+
+
 def q_score_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source quantile tiers (sampling.score_buckets — the CCNet-style
     head/middle/tail curriculum step): ntile(10) over (n_chars desc,
@@ -1883,6 +1891,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "project_embeddings": q_project_embeddings,
         "near_dup_groups_star": q_near_dup_groups_star,
         "score_buckets": q_score_buckets,
+        "bigram_logprob": q_bigram_logprob,
         "jsonl_roundtrip": q_jsonl_roundtrip,
         "quantized_topk": q_quantized_topk,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -1910,7 +1919,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": q_cosine_topk,
         "geojson_features": q_geojson_features,
         "text_quality": q_text_quality,
-        "lang_id": q_lang_id,
         "repetition_stats": q_repetition_stats,
         "pack_sequences": q_pack_sequences,
         "redact_pii": q_redact_pii,
@@ -1951,9 +1959,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # constituent of webdataset_roundtrip's metadata recovery, in the
         # prefix), embedding_near_dup (the exact-cosine pair scan is
         # the hash-matched constituent of embedding_near_dup_lsh's
-        # in-bucket oracle, in the prefix), and u1_union (unionByName is a
-        # graded constituent of the ATES feature-collection entries). All
-        # eighteen LEAD the round-5 rotation.
+        # in-bucket oracle, in the prefix), u1_union (unionByName is a
+        # graded constituent of the ATES feature-collection entries), and
+        # lang_id (the stopword-hit machinery is shared with text_quality,
+        # which stays, and lang_stats, green r3). All nineteen LEAD the
+        # round-5 rotation.
         "dedup_exact_survivors": q_dedup_exact_survivors,
         "x4_coords_key": q_x4_coords_key,
         "f5_nonblank_tokens": q_f5_nonblank_tokens,
@@ -1972,6 +1982,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_props_extract": q_events_props_extract,
         "embedding_near_dup": q_embedding_near_dup,
         "u1_union": q_u1_union,
+        "lang_id": q_lang_id,
         # --- fresh round-3 row; rotate forward next round ----------------
         "remove_boilerplate": q_remove_boilerplate,
         "dedup_paragraphs": q_dedup_paragraphs,
@@ -2175,6 +2186,20 @@ def oracle_sql() -> dict[str, str]:
                 {KM.SIM_DECIMALS}) >= 0.4)
             SELECT vec_id, CAST(cid AS INT) AS cluster_id FROM asgf
             WHERE vec_id NOT IN (SELECT dup_id FROM dups)
+        """,
+        "bigram_logprob": f"""
+            WITH t AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents),
+            bg AS (
+              SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+              FROM t CROSS JOIN
+                (SELECT unnest(range(1, (SELECT max(len(w)) FROM t))) AS i) ii
+              WHERE i <= len(w) - 1),
+            c AS (SELECT w1, w2, count(*) AS c FROM bg GROUP BY w1, w2),
+            s AS (SELECT w1, sum(c) AS s FROM c GROUP BY w1),
+            p AS (SELECT w1, w2, c::DOUBLE / s AS p FROM c JOIN s USING (w1))
+            SELECT doc_id, count(*) AS n_bigrams,
+                   round(avg(ln(p)), 6) AS logprob
+            FROM bg JOIN p USING (w1, w2) GROUP BY doc_id
         """,
         "score_buckets": """
             SELECT doc_id, source, n_chars,

@@ -145,3 +145,56 @@ def unigram_logprob_score(
         )
         .select(F.col("id").alias(id_col), "n_tokens", "logprob")
     )
+
+
+def bigram_logprob_score(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document mean CONDITIONAL log-probability under the corpus's own
+    bigram model — the next step up from :func:`unigram_logprob_score`
+    toward the CCNet/KenLM perplexity filter: P(w₂|w₁) = c(w₁,w₂) / c(w₁·)
+    with c(w₁·) the count of w₁ as a bigram left-member. Self-trained on
+    the scored corpus, so every observed bigram has mass (no smoothing
+    needed) and repetitive/templated word SEQUENCES — not just common
+    words — score high while incoherent token soup scores low.
+
+    Output: (id_col, n_bigrams, logprob) for documents with ≥1 bigram
+    (single-token docs have no conditional events to score — filter or
+    coalesce downstream). logprob = round(mean ln P, 6).
+
+    Scale: bigram extraction is a narrow arrays_zip/slice expression; the
+    model is one partial-agg'd count on the (w₁,w₂) key; left-member
+    totals derive from the bigram counts (no second text pass); the
+    probability join is keyed on (w₁,w₂) — AQE broadcasts while the model
+    fits, and hot bigrams are exactly what map-side combine flattened.
+    """
+    w = words(text_col)
+    pairs = (
+        spread(df)
+        .select(
+            F.col(id_col).alias("id"),
+            F.explode(
+                F.arrays_zip(
+                    F.slice(w, 1, F.greatest(F.size(w) - 1, F.lit(0))).alias("w1"),
+                    F.slice(w, 2, F.greatest(F.size(w) - 1, F.lit(0))).alias("w2"),
+                )
+            ).alias("bg"),
+        )
+        .select("id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    )
+    counts = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("__c"))
+    starts = counts.groupBy("w1").agg(F.sum("__c").alias("__s"))
+    probs = counts.join(starts, "w1").select(
+        "w1", "w2", (F.col("__c").cast("double") / F.col("__s")).alias("__p")
+    )
+    return (
+        pairs.join(probs, ["w1", "w2"])
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg(F.log(F.col("__p"))), 6).alias("logprob"),
+        )
+        .select(F.col("id").alias(id_col), "n_bigrams", "logprob")
+    )

@@ -190,3 +190,20 @@ def test_round4_operators_empty_inputs(spark):
     # total — differs from ANSI engines, which emit one; irrelevant for
     # the graded entry, which always runs on data)
     assert hypertable_rollup(ev).count() == 0
+
+
+def test_bigram_logprob_hand_computed(spark):
+    import math
+
+    from database2ogr_spark.operators.tfidf import bigram_logprob_score
+
+    # bigrams: (a,b) x2 from doc1, (a,c) x1 from doc2 -> P(b|a)=2/3, P(c|a)=1/3
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a c"), (3, "solo")], "doc_id long, text string"
+    )
+    got = {r.doc_id: (r.n_bigrams, r.logprob) for r in bigram_logprob_score(df).collect()}
+    # doc1 bigrams: (a,b),(b,a),(a,b): P(b|a)=2/3, P(a|b)=1/1
+    d1 = (math.log(2 / 3) + math.log(1.0) + math.log(2 / 3)) / 3
+    assert got[1] == (3, round(d1, 6))
+    assert got[2] == (1, round(math.log(1 / 3), 6))
+    assert 3 not in got  # single-token doc has no bigram events
