@@ -1869,12 +1869,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Round 4: the brand-new operator families lead (kmeans_embeddings,
     semantic_dedup, webdataset_roundtrip, duplicate_spans,
-    temperature_resample, build_vocab, range_join, hypertable_rollup),
-    then the two previously-ungraded entries (jsonl_roundtrip,
-    quantized_topk), then the dedup chain whose new DuckDB oracles replace
-    rows-only rows (minhash_lsh_pairs, simhash_pairs, near_dup_groups,
-    decontaminate_bloom) and the perf/robustness-changed entries; then
-    every entry whose last green row is round 2."""
+    temperature_resample, build_vocab, range_join, hypertable_rollup,
+    unigram_logprob, dedup_incremental_lsh, pretrain_pipeline,
+    project_embeddings, near_dup_groups_star, score_buckets,
+    bigram_logprob), then the two previously-ungraded entries
+    (jsonl_roundtrip, quantized_topk), then the dedup chain whose new
+    DuckDB oracles replace rows-only rows (minhash_lsh_pairs,
+    simhash_pairs, near_dup_groups, decontaminate_bloom — and the
+    multimodal trio, now graded on the stub tier) and the
+    perf/robustness-changed entries; then every entry whose last green row
+    is round 2."""
     return {
         # --- NEW-to-the-gate / CHANGED this round ------------------------
         "kmeans_embeddings": q_kmeans_embeddings,
