@@ -1124,6 +1124,18 @@ def q_pretrain_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "source", "lang", "epoch", "split")
 
 
+def q_strip_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The action half of substring dedup
+    (cleaning.strip_duplicate_spans): duplicated k=3 window regions cut
+    from every document's normalized token stream; oracle nests the
+    graded duplicate_spans SQL and replays the cut + reassembly."""
+    from database2ogr_spark.operators.cleaning import strip_duplicate_spans
+
+    return strip_duplicate_spans(
+        _t(spark, sf_dir, "documents"), k_shingle=3, min_docs=2
+    )
+
+
 def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Self-trained bigram conditional-LM quality score
     (operators/tfidf.bigram_logprob_score) — mean ln P(w₂|w₁) per doc."""
@@ -1896,6 +1908,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_groups_star": q_near_dup_groups_star,
         "score_buckets": q_score_buckets,
         "bigram_logprob": q_bigram_logprob,
+        "strip_duplicate_spans": q_strip_duplicate_spans,
         "jsonl_roundtrip": q_jsonl_roundtrip,
         "quantized_topk": q_quantized_topk,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -1917,7 +1930,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ates_kml_placemarks": q_ates_kml_placemarks,
         "ates_geojson_features": q_ates_geojson_features,
         "s1_scan_filter": q_s1_scan_filter,
-        "events_windowed": q_events_windowed,
         "events_sessionize": q_events_sessionize,
         "events_attribution_join": q_events_attribution_join,
         "cosine_topk": q_cosine_topk,
@@ -1966,7 +1978,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # in-bucket oracle, in the prefix), u1_union (unionByName is a
         # graded constituent of the ATES feature-collection entries), and
         # lang_id (the stopword-hit machinery is shared with text_quality,
-        # which stays, and lang_stats, green r3). All nineteen LEAD the
+        # which stays, and lang_stats, green r3), and events_windowed (the
+        # time-bucketed agg shape is graded via hypertable_rollup and
+        # events_sessionize, both in the prefix). All twenty LEAD the
         # round-5 rotation.
         "dedup_exact_survivors": q_dedup_exact_survivors,
         "x4_coords_key": q_x4_coords_key,
@@ -1987,6 +2001,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": q_embedding_near_dup,
         "u1_union": q_u1_union,
         "lang_id": q_lang_id,
+        "events_windowed": q_events_windowed,
         # --- fresh round-3 row; rotate forward next round ----------------
         "remove_boilerplate": q_remove_boilerplate,
         "dedup_paragraphs": q_dedup_paragraphs,
@@ -3715,4 +3730,38 @@ def oracle_sql() -> dict[str, str]:
     # propagation on the same edge set — one recursive-CTE twin grades
     # both closure kernels
     out["near_dup_groups_star"] = out["near_dup_groups_exact"]
+    # the span CUT nests the graded span DETECTION verbatim, then replays
+    # the covered-token anti-join and the ordered reassembly
+    out["strip_duplicate_spans"] = f"""
+        WITH spans AS (SELECT * FROM ({out["duplicate_spans"]}) sp),
+        wt AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents),
+        toks AS (
+          SELECT doc_id, i - 1 AS pos, w[i] AS tok
+          FROM wt CROSS JOIN
+            (SELECT unnest(range(1, (SELECT max(len(w)) FROM wt) + 1)) AS i) ii
+          WHERE i <= len(w)),
+        covered AS (
+          SELECT DISTINCT t.doc_id, t.pos
+          FROM toks t JOIN spans s
+            ON t.doc_id = s.doc_id
+           AND t.pos BETWEEN s.span_start AND s.span_end),
+        kept AS (
+          SELECT t.* FROM toks t LEFT JOIN covered c
+            ON t.doc_id = c.doc_id AND t.pos = c.pos
+          WHERE c.doc_id IS NULL),
+        agg AS (
+          SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+                 count(*) AS n_tokens_kept
+          FROM kept GROUP BY doc_id),
+        drops AS (
+          SELECT doc_id, count(*) AS n_tokens_dropped
+          FROM covered GROUP BY doc_id)
+        SELECT d.doc_id,
+               coalesce(a.clean_text, '') AS clean_text,
+               coalesce(a.n_tokens_kept, 0) AS n_tokens_kept,
+               coalesce(dr.n_tokens_dropped, 0) AS n_tokens_dropped
+        FROM (SELECT DISTINCT doc_id FROM documents) d
+        LEFT JOIN agg a USING (doc_id)
+        LEFT JOIN drops dr USING (doc_id)
+    """
     return out

@@ -330,3 +330,89 @@ def mix_sources(
         .filter(bucket < F.col("__rate") * 1_000_000.0)
         .drop("__rate")
     )
+
+
+def strip_duplicate_spans(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k_shingle: int = 13,
+    min_docs: int = 2,
+) -> DataFrame:
+    """The ACTION half of substring-level dedup (the detection half is
+    dedup.duplicate_spans): cut every duplicated region out of every
+    document's normalized token stream, keeping the surrounding text.
+
+    Semantics: a token is removed when a duplicated k-window span covers
+    its position. Removal is SYMMETRIC — the shared region disappears from
+    ALL documents carrying it (the public Lee et al. 2022 tooling keeps
+    one occurrence; symmetric removal is the deterministic,
+    coordination-free variant: no cross-document election is needed, so
+    the operator stays a per-doc join against the span table. Keep-one
+    semantics require the doc-level group election of near_dup_groups —
+    compose with it when that trade matters.)
+
+    Output: (id_col, clean_text, n_tokens_kept, n_tokens_dropped) over the
+    NORMALIZED token stream (the same whitespace normalization every gram
+    operator applies — byte-level reconstruction would need original
+    offsets, which rolling-gram ids deliberately do not carry).
+
+    Scale: duplicate_spans' three linear shuffles, plus one posexplode of
+    the corpus tokens joined per-doc against its spans (equi-join on the
+    doc id; span count per doc is small) and a per-doc sorted
+    reassembly — one more doc-keyed aggregation, no new quadratic.
+    """
+    from database2ogr_spark.functions.hashing import words
+    from database2ogr_spark.operators.dedup import duplicate_spans
+
+    spans = duplicate_spans(
+        df, id_col, text_col, k_shingle=k_shingle, min_docs=min_docs
+    ).select(F.col(id_col).alias("id"), "span_start", "span_end")
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(words(text_col)).alias("pos", "tok"),
+    )
+    covered = (
+        toks.join(spans, "id")
+        .filter(
+            (F.col("pos") >= F.col("span_start"))
+            & (F.col("pos") <= F.col("span_end"))
+        )
+        .select("id", "pos")
+        .distinct()
+    )
+    kept = toks.join(covered, ["id", "pos"], "left_anti")
+    dropped_counts = covered.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_tokens_dropped")
+    )
+    out = (
+        kept.groupBy("id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("pos"), F.col("tok")))
+                    ),
+                    lambda s: s["tok"],
+                ),
+                " ",
+            ).alias("clean_text"),
+            F.count(F.lit(1)).alias("n_tokens_kept"),
+        )
+    )
+    # docs whose every token was covered vanish from `kept` — resurface
+    # them with empty text; docs with no spans have zero dropped
+    all_ids = df.select(F.col(id_col).alias("id")).distinct()
+    return (
+        all_ids.join(out, "id", "left")
+        .join(dropped_counts, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+            F.coalesce(F.col("n_tokens_kept"), F.lit(0)).alias("n_tokens_kept"),
+            F.coalesce(F.col("n_tokens_dropped"), F.lit(0)).alias(
+                "n_tokens_dropped"
+            ),
+        )
+    )

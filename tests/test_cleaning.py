@@ -187,3 +187,33 @@ def test_mix_sources_missing_weighted_source_yields_empty(spark):
     # contract is an EMPTY result, not a silently-skewed one (ADVICE r2)
     df = _sourced(spark, {"a": 100, "b": 100})
     assert mix_sources(df, {"a": 0.5, "ghost": 0.5}).count() == 0
+
+
+def test_strip_duplicate_spans_cuts_shared_region(spark):
+    from database2ogr_spark.operators.cleaning import strip_duplicate_spans
+
+    rows = [
+        (1, "aa bb one two three four five cc dd"),
+        (2, "one two three four five xx yy zz"),
+        (3, "nothing shared here at all right"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.clean_text, r.n_tokens_kept, r.n_tokens_dropped)
+        for r in strip_duplicate_spans(df, k_shingle=3).collect()
+    }
+    assert got[1] == ("aa bb cc dd", 4, 5)
+    assert got[2] == ("xx yy zz", 3, 5)
+    assert got[3] == ("nothing shared here at all right", 6, 0)
+
+
+def test_strip_duplicate_spans_fully_covered_doc_survives_empty(spark):
+    from database2ogr_spark.operators.cleaning import strip_duplicate_spans
+
+    rows = [(1, "one two three four"), (2, "one two three four")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.clean_text, r.n_tokens_kept, r.n_tokens_dropped)
+        for r in strip_duplicate_spans(df, k_shingle=3).collect()
+    }
+    assert got == {1: ("", 0, 4), 2: ("", 0, 4)}
