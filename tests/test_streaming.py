@@ -256,3 +256,44 @@ def test_idempotent_sink_drives_a_real_stream(spark, tmp_path):
         q.stop()
     got = sorted(r.event_id for r in spark.read.parquet(out).collect())
     assert got == [1, 2]
+
+
+def test_quality_cascade_runs_unchanged_on_a_stream(spark, tmp_path):
+    # batch/stream unification, demonstrated rather than claimed: the SAME
+    # quality_filter_flags function (pure expressions) runs under
+    # readStream and produces exactly the batch verdicts
+    from database2ogr_spark.operators.cleaning import quality_filter_flags
+
+    rows = [
+        (1, "short"),
+        (2, " ".join(f"word{i}" for i in range(30))),
+        (3, "!!! ??? ... ;;; " * 10),
+    ]
+    batch_df = spark.createDataFrame(rows, "doc_id long, text string")
+    src = tmp_path / "docs"
+    batch_df.write.parquet(str(src / "f1"))
+
+    stream = spark.readStream.schema("doc_id long, text string").parquet(
+        f"{src}/*"
+    )
+    q = (
+        quality_filter_flags(stream)
+        .writeStream.format("memory")
+        .queryName("qflags_sink")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            r.doc_id: (r.keep, r.fail_reason)
+            for r in spark.sql("select * from qflags_sink").collect()
+        }
+    finally:
+        q.stop()
+    want = {
+        r.doc_id: (r.keep, r.fail_reason)
+        for r in quality_filter_flags(batch_df).collect()
+    }
+    assert got == want
+    assert want[2][0] is True and want[1][0] is False
