@@ -77,7 +77,10 @@ def write_tar_shards(
         with tarfile.open(fileobj=buf, mode="w") as tar:
             for _, row in pdf.iterrows():
                 key = f"{int(row[key_col]):012d}"
-                payload = str(row[text_col]).encode("utf-8")
+                # NULL text → empty payload, not the string "None" (one
+                # bad row must not silently corrupt a training shard)
+                text = row[text_col]
+                payload = ("" if text is None else str(text)).encode("utf-8")
                 meta = json.dumps(
                     {c: row[c] for c in meta_cols}, sort_keys=True, default=str
                 ).encode("utf-8")

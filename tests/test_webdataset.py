@@ -68,3 +68,13 @@ def test_tar_members_are_normalized_and_sorted(spark, tmp_path):
             for i in range(0, len(names), 2)
         )
         assert all(m.mtime == 0 and m.uid == 0 and m.mode == 0o644 for m in tar.getmembers())
+
+
+def test_null_text_becomes_empty_payload_not_none_string(spark, tmp_path):
+    out = str(tmp_path / "wds_null")
+    df = spark.createDataFrame(
+        [(1, None, "en"), (2, "real", "fr")], "doc_id long, text string, lang string"
+    )
+    write_tar_shards(df, out, shards=1, meta_cols=("lang",)).collect()
+    back = {r.key: r.text for r in read_tar_shards(spark, out).collect()}
+    assert back == {1: "", 2: "real"}
