@@ -1496,14 +1496,15 @@ def q_events_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """GRADED (round 4, was rows-only): the synthetic payloads are utf-8
-    text bytes that no image parser accepts, so the deterministic stub tier
-    (feature[i] = md5(payload).byte[i]/256 — binaryops._decode_stub) is the
-    decode path in EVERY environment, PIL present or not; the PIL tier
-    stays covered by the golden-PNG seam test. Each byte/256 value is exact
-    in float32 and double, so the oracle replays the whole feature vector
-    from md5 hex arithmetic — a full hash row, honestly scoped to the stub
-    tier."""
+    """GRADED (round 4, was rows-only): pinned to the deterministic stub
+    tier (``tier="stub"`` — feature[i] = md5(payload).byte[i]/256,
+    binaryops._decode_stub), so the oracle holds in EVERY environment:
+    Pillow accepts text-shaped formats (PPM/PBM magic), so "text payloads
+    never parse" cannot be assumed and the graded entry does not rely on
+    it. The PIL tier stays covered by the golden-PNG seam test. Each
+    byte/256 value is exact in float32 and double, so the oracle replays
+    the whole feature vector from md5 hex arithmetic — a full hash row,
+    honestly scoped to the stub tier."""
     from database2ogr_spark.multimodal.binaryops import decode_features
 
     media = _t(spark, sf_dir, "documents").select(
@@ -1511,7 +1512,7 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("image").alias("kind"),
         F.encode("text", "utf-8").alias("payload"),
     )
-    f = decode_features(media)
+    f = decode_features(media, tier="stub")
     return f.select(
         "media_id",
         F.size("feature").alias("feat_dim"),
@@ -1527,12 +1528,13 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("image").alias("kind"),
         F.encode("text", "utf-8").alias("payload"),
     )
-    r = resize_images(media, width=32, height=32)
-    # GRADED (round 4, was rows-only): the stub thumbnail is
-    # width*height*3/64 bytes for every parse-fallback payload (and the
-    # synthetic utf-8 payloads always fall back), so the metadata contract
-    # (row per image, target dims, stub byte count) is oracle-checkable;
-    # the payload bytes themselves stay engine-side (sha256-stream stub)
+    r = resize_images(media, width=32, height=32, tier="stub")
+    # GRADED (round 4, was rows-only): pinned to the stub tier (see
+    # q_multimodal_decode — text-shaped payloads CAN parse under Pillow),
+    # whose thumbnail is width*height*3/64 bytes for every payload, so the
+    # metadata contract (row per image, target dims, stub byte count) is
+    # oracle-checkable in any environment; the payload bytes themselves
+    # stay engine-side (sha256-stream stub)
     return r.select("media_id", "width", "height", F.length("payload").alias("n_bytes"))
 
 
@@ -2393,7 +2395,7 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id, unnest({_WORDS_SQL}) AS token FROM documents),
             c AS (SELECT token, count(*) AS c FROM t GROUP BY token),
             tot AS (SELECT sum(c) AS total FROM c),
-            p AS (SELECT token, greatest(c, 1)::DOUBLE / total AS p
+            p AS (SELECT token, c::DOUBLE / total AS p
                   FROM c CROSS JOIN tot)
             SELECT doc_id, count(*) AS n_tokens,
                    round(avg(ln(p)), 6) AS logprob

@@ -83,7 +83,9 @@ def _decode_stub(payload: bytes | None, dim: int = FEATURE_DIM) -> list[float] |
     return [digest[i] / 256.0 for i in range(dim)]
 
 
-def _decode_payload(payload: bytes | None, dim: int = FEATURE_DIM) -> list[float] | None:
+def _decode_payload(
+    payload: bytes | None, dim: int = FEATURE_DIM, *, tier: str = "auto"
+) -> list[float] | None:
     """Decode one payload to a ``dim``-float feature vector.
 
     Pillow tier: parse the image, grayscale, resize to a ``dim``×1 strip,
@@ -91,10 +93,15 @@ def _decode_payload(payload: bytes | None, dim: int = FEATURE_DIM) -> list[float
     Pillow cannot parse (corrupt bytes, non-image media) fall back to the
     deterministic stub instead of killing the batch — same
     row-never-fails-the-job policy as the NULL rule.
+
+    ``tier="stub"`` pins the md5 stub unconditionally — the graded
+    registry entries use it so their DuckDB oracles hold in EVERY
+    environment (Pillow accepts text-shaped formats like PPM/PBM, so
+    "text bytes never parse" is not a safe assumption).
     """
     if payload is None:
         return None
-    if _HAS_PIL:
+    if tier != "stub" and _HAS_PIL:
         import io
 
         try:
@@ -106,7 +113,9 @@ def _decode_payload(payload: bytes | None, dim: int = FEATURE_DIM) -> list[float
     return _decode_stub(payload, dim)
 
 
-def decode_features(df: DataFrame, batch_size_hint: int | None = None) -> DataFrame:
+def decode_features(
+    df: DataFrame, batch_size_hint: int | None = None, *, tier: str = "auto"
+) -> DataFrame:
     """Decode/feature-extract over Arrow batches via ``mapInPandas``.
 
     Input must have (media_id, kind, payload); output is one row per media
@@ -122,7 +131,9 @@ def decode_features(df: DataFrame, batch_size_hint: int | None = None) -> DataFr
                     "media_id": pdf["media_id"],
                     "kind": pdf["kind"],
                     "n_bytes": pdf["payload"].map(lambda b: 0 if b is None else len(b)).astype("int32"),
-                    "feature": pdf["payload"].map(_decode_payload),
+                    "feature": pdf["payload"].map(
+                        lambda b: _decode_payload(b, tier=tier)
+                    ),
                 }
             )
 
@@ -140,7 +151,9 @@ _RESIZED_SCHEMA = T.StructType(
 )
 
 
-def resize_images(df: DataFrame, *, width: int = 64, height: int = 64) -> DataFrame:
+def resize_images(
+    df: DataFrame, *, width: int = 64, height: int = 64, tier: str = "auto"
+) -> DataFrame:
     """Image-resize plumbing: rewrite each image payload at target
     dimensions. With Pillow present the resample is real (``Image.resize``
     → raw RGB bytes, ``width·height·3``); without it — or for payloads
@@ -158,7 +171,7 @@ def resize_images(df: DataFrame, *, width: int = 64, height: int = 64) -> DataFr
     def _fake_resize(p: bytes | None) -> bytes | None:
         if p is None:
             return None
-        if _HAS_PIL:
+        if tier != "stub" and _HAS_PIL:
             import io
 
             try:

@@ -169,7 +169,11 @@ def kmeans_embeddings(
     out = assigned.join(F.broadcast(sizes), "cluster_id").select(
         "vec_id", "cluster_id", "cluster_size"
     )
-    sel.unpersist()
+    # sel stays persisted until the caller materializes `out` — the final
+    # assignment pass is lazy, so unpersisting here would force it to
+    # re-read and re-project the corpus from source (same cache lifecycle
+    # as semantic_dedup and the dedup pair operators: callers clearCache
+    # between queries, as bench/tests do)
     return out
 
 

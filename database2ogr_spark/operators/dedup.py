@@ -778,17 +778,22 @@ def ngram_jaccard_pairs(
             .withColumnRenamed("gram", "shingle")
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
-        hot_rows = (
+        hot = (
             raw.groupBy("shingle")
             .agg(F.count(F.lit(1)).alias("df"))
             .filter(F.col("df") > max_df)
             .select("shingle")
-            .collect()
         )
-        hot_arr = np.sort(np.array([r["shingle"] for r in hot_rows], dtype=np.int64))
-        if len(hot_arr) == 0:
+        # the offender COUNT (one agg over the persisted gram table) gates
+        # which guard runs BEFORE anything reaches the driver — a blocklist
+        # beyond the broadcast ceiling must never be collect()ed at all
+        n_hot = hot.count()
+        if n_hot == 0:
             sh = raw
-        elif len(hot_arr) <= hot_broadcast_limit:  # ~40 MB ceiling at default
+        elif n_hot <= hot_broadcast_limit:  # ~40 MB ceiling at default
+            hot_arr = np.sort(
+                np.array([r["shingle"] for r in hot.collect()], dtype=np.int64)
+            )
             hot_bc = df.sparkSession.sparkContext.broadcast(hot_arr)
             sh = (
                 distinct_gram_table(
@@ -800,13 +805,10 @@ def ngram_jaccard_pairs(
             )
             raw.unpersist()
         else:
-            filt = raw.drop("n").join(
-                df.sparkSession.createDataFrame(
-                    [(int(g),) for g in hot_arr], "shingle bigint"
-                ),
-                "shingle",
-                "left_anti",
-            )
+            # distributed fallback: the offender list stays a DataFrame and
+            # the guard is an anti-join (AQE-chosen strategy); post-filter
+            # sizes recomputed distributively
+            filt = raw.drop("n").join(hot, "shingle", "left_anti")
             sizes = filt.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
             sh = filt.join(sizes, "id").persist(StorageLevel.MEMORY_AND_DISK)
         shared = (

@@ -103,8 +103,6 @@ def unigram_logprob_score(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
-    *,
-    min_count: int = 1,
 ) -> DataFrame:
     """Per-document mean token log-probability under the corpus's own
     unigram model — the self-trained stand-in for the CCNet/KenLM
@@ -113,9 +111,11 @@ def unigram_logprob_score(
     (common tokens), lorem-noise scores low.
 
     P(t) = count(t) / total_tokens over the whole corpus; a doc's score is
-    ``round(mean(ln P(t)), 6)`` over its tokens (tokens under ``min_count``
-    floor at count=min_count so unseen-at-threshold tokens don't -inf the
-    doc). Output: (id_col, n_tokens, logprob).
+    ``round(mean(ln P(t)), 6)`` over its tokens. Self-trained, so every
+    scored token has count ≥ 1 and no smoothing floor is needed — scoring
+    a DIFFERENT corpus against this model would need one (join unseen
+    tokens to a floor probability), which is deliberately out of scope
+    here. Output: (id_col, n_tokens, logprob).
 
     Scale: token counts are one partial-agg'd shuffle (the build_vocab
     core); the per-token probability join is a shuffle join on the token
@@ -131,10 +131,7 @@ def unigram_logprob_score(
     total = counts.agg(F.sum("__c").alias("__total"))
     probs = counts.crossJoin(F.broadcast(total)).select(
         "token",
-        (
-            F.greatest(F.col("__c"), F.lit(int(min_count))).cast("double")
-            / F.col("__total")
-        ).alias("__p"),
+        (F.col("__c").cast("double") / F.col("__total")).alias("__p"),
     )
     return (
         toks.join(probs, "token")

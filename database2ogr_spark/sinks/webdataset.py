@@ -59,8 +59,27 @@ def write_tar_shards(
     The write happens when the returned manifest is materialized (it IS
     the write job); ``out_dir`` must be visible to every executor (shared
     filesystem or object-store mount — on local mode any path works).
+    Existing ``shard-*.tar`` files in ``out_dir`` are removed up front:
+    a re-export of a shrunk corpus can leave a shard empty (its grouped
+    task never fires), and a stale tar surviving from a previous export
+    would silently re-enter the reader's glob as live data.
+
+    Keys must be integers (they zero-pad to 20 digits — the full bigint
+    range — so member order is key order); a non-integer id column is
+    rejected up front with a clear error rather than failing inside the
+    write tasks.
     """
+    key_type = dict(df.dtypes)[key_col]
+    if key_type not in ("tinyint", "smallint", "int", "bigint"):
+        raise ValueError(
+            f"write_tar_shards requires an integer key column; {key_col!r} "
+            f"is {key_type}. Map string ids to a stable int64 first "
+            "(e.g. functions.hashing.stable_hash64)."
+        )
     os.makedirs(out_dir, exist_ok=True)
+    for f in os.listdir(out_dir):
+        if f.startswith("shard-") and f.endswith(".tar"):
+            os.remove(os.path.join(out_dir, f))
     shard_col = (
         stable_hash64(F.col(key_col).cast("string"), seed=seed) % shards
     ).cast("int")
@@ -76,7 +95,7 @@ def write_tar_shards(
         buf = io.BytesIO()
         with tarfile.open(fileobj=buf, mode="w") as tar:
             for _, row in pdf.iterrows():
-                key = f"{int(row[key_col]):012d}"
+                key = f"{int(row[key_col]):020d}"
                 # NULL text → empty payload, not the string "None" (one
                 # bad row must not silently corrupt a training shard)
                 text = row[text_col]
