@@ -78,3 +78,25 @@ def test_null_text_becomes_empty_payload_not_none_string(spark, tmp_path):
     write_tar_shards(df, out, shards=1, meta_cols=("lang",)).collect()
     back = {r.key: r.text for r in read_tar_shards(spark, out).collect()}
     assert back == {1: "", 2: "real"}
+
+
+def test_string_keys_rejected_with_clear_error(spark, tmp_path):
+    import pytest
+
+    df = spark.createDataFrame([("a1", "t")], "doc_id string, text string")
+    with pytest.raises(ValueError, match="integer key column"):
+        write_tar_shards(df, str(tmp_path / "x"))
+
+
+def test_reexport_clears_stale_shards(spark, tmp_path):
+    out = str(tmp_path / "wds")
+    big = spark.createDataFrame(
+        [(i, f"t{i}") for i in range(40)], "doc_id long, text string"
+    )
+    write_tar_shards(big, out, shards=4).collect()
+    # shrink to one doc: some shards now empty; their old tars must not
+    # survive into the re-export
+    small = big.filter("doc_id = 0")
+    write_tar_shards(small, out, shards=4).collect()
+    back = [r.key for r in read_tar_shards(spark, out).collect()]
+    assert back == [0]
