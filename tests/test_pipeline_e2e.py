@@ -132,3 +132,41 @@ def test_pretrain_corpus_epoch_copies_share_split(spark):
     assert out.filter("epoch >= 1").count() > 0
     per_doc = out.groupBy("doc_id").agg(F.countDistinct("split").alias("k"))
     assert per_doc.filter("k > 1").count() == 0
+
+
+def test_run_pretrain_cli_smoke(spark, tmp_path):
+    # the user-facing executable for the flagship path (same precedent as
+    # the mapboxing dry-run script smoke): drive it as a subprocess on the
+    # tiny SF and validate the JSON manifest contract
+    import json
+    import subprocess
+    import sys
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs.filter("doc_id % 20 != 0").write.parquet(str(tmp_path / "docs"))
+    docs.filter("doc_id % 20 = 0").write.parquet(str(tmp_path / "bench"))
+    r = subprocess.run(
+        [
+            sys.executable,
+            "scripts/run_pretrain.py",
+            str(tmp_path / "docs"),
+            str(tmp_path / "bench"),
+            str(tmp_path / "out"),
+            "--shards",
+            "2",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=240,
+        cwd="/root/repo",
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    manifest = json.loads(r.stdout.strip().splitlines()[-1])
+    assert sum(manifest["instances"].values()) > 0
+    assert "train/epoch0" in manifest["instances"]
+    back = spark.read.parquet(manifest["paths"]["root"])
+    assert back.count() == sum(manifest["instances"].values())
+    assert {r.split for r in back.select("split").distinct().collect()} <= {
+        "train",
+        "val",
+    }
