@@ -261,7 +261,11 @@ def connected_components_star(
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    if e.isEmpty():
+    # materialize AND record the edge count once; each round's convergence
+    # check then needs only the NEW set's count plus one subtract — the
+    # previous count is carried instead of recomputed
+    n_edges = e.count()
+    if n_edges == 0:
         id_type = dict(edges.dtypes)[src]
         return edges.sparkSession.createDataFrame(
             [], f"id {id_type}, component {id_type}"
@@ -305,11 +309,11 @@ def connected_components_star(
             .localCheckpoint(eager=False)
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
-        same = (
-            small.count() == e.count() and small.subtract(e).isEmpty()
-        )
+        n_small = small.count()
+        same = n_small == n_edges and small.subtract(e).isEmpty()
         e.unpersist()
         e = small
+        n_edges = n_small
         if same:
             break
     else:

@@ -131,3 +131,13 @@ def test_duplicate_spans_shuffle_budget(spark):
     )
     assert n <= 3, f"{n} shuffles\n{plan}"
     spark.catalog.clearCache()
+
+
+def test_dedup_incremental_lsh_no_cartesian(spark):
+    # both probes must be (band, bucket) equi-joins — never a nested-loop
+    # or cartesian pair scan — and the admit step a left anti join
+    plan = _plan(spark, "dedup_incremental_lsh")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "LeftAnti" in plan, plan
+    spark.catalog.clearCache()
