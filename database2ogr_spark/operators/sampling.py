@@ -214,6 +214,10 @@ def temperature_resample(
     #sources); rates come back via a broadcast join; the copy fan-out is
     a narrow ``explode(sequence())`` — no corpus shuffle anywhere, and
     expected output size is ~N by construction (Σ q_s·N = N).
+
+    Rows with a NULL ``source_col`` are DROPPED (the rate join cannot
+    match a null key and no mixture share is defined for them) — fill or
+    filter unattributed rows upstream if they must survive.
     """
     counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("__n"))
     tot = counts.agg(
@@ -277,7 +281,11 @@ def score_buckets(
     group key; groups sort-and-spill independently, the same shape (and
     the same mega-group caveat) as cap_per_group.
     """
+    # explicit NULLS LAST: Spark's desc() defaults to nulls-last but ANSI
+    # engines (DuckDB) default DESC to nulls-FIRST — pinning it keeps the
+    # operator's tiering portable when scores can be NULL (a NULL score =
+    # worst tier, which is also the sane semantics)
     w = Window.partitionBy(group_col).orderBy(
-        F.col(score_col).desc(), F.col(id_col).asc()
+        F.col(score_col).desc_nulls_last(), F.col(id_col).asc()
     )
     return df.withColumn("bucket", F.ntile(n_buckets).over(w))
