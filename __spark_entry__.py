@@ -1812,6 +1812,67 @@ def q_tpch_q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+def q_tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from database2ogr_spark.plans.relational import min_cost_supplier
+
+    return min_cost_supplier(
+        _t(spark, sf_dir, "part"),
+        _t(spark, sf_dir, "supplier"),
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "nation"),
+        _t(spark, sf_dir, "region"),
+    )
+
+
+def q_tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from database2ogr_spark.plans.relational import product_type_profit
+
+    return product_type_profit(
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "part"),
+        _t(spark, sf_dir, "supplier"),
+        _t(spark, sf_dir, "nation"),
+    )
+
+
+def q_tpch_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from database2ogr_spark.plans.relational import important_parts
+
+    return important_parts(
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "supplier"),
+        _t(spark, sf_dir, "nation"),
+    )
+
+
+def q_tpch_q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from database2ogr_spark.plans.relational import supplier_part_counts
+
+    return supplier_part_counts(
+        _t(spark, sf_dir, "part"),
+        _t(spark, sf_dir, "supplier"),
+        _t(spark, sf_dir, "lineitem"),
+    )
+
+
+def q_tpch_q20_promotable_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from database2ogr_spark.plans.relational import promotable_suppliers
+
+    return promotable_suppliers(
+        _t(spark, sf_dir, "part"),
+        _t(spark, sf_dir, "supplier"),
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "nation"),
+    )
+
+
+def q_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from database2ogr_spark.plans.relational import lineitem_measures_long
+
+    return lineitem_measures_long(_t(spark, sf_dir, "lineitem"))
+
+
 def q_distinct_users_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact count-distinct per group — the two-phase distinct-agg shuffle
     (partial distinct on (event_type, user_id), then count). The scale-path
@@ -1947,6 +2008,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x12_html_popup": q_x12_html_popup,
         "x13_recipe_layers": q_x13_recipe_layers,
         # ------------------------------------------------------- slot 50 ^
+        # Added LATE in round 4 (after the prefix was already full of this
+        # round's 30 new entries + the 20 round-2 re-earners, none of which
+        # can yield their slot without breaking a verification promise):
+        # the six relational completions below sit at slots 51-56 and are
+        # GRADED IN ROUND 5, where they LEAD the prefix (priority (a), ahead
+        # of the twenty constituent-graded entries listed further down).
+        # Until then they are verified by scripts/check_oracle.py at sf0.01
+        # (hash-match vs the same DuckDB twins the driver runs) and by
+        # tests/test_relational.py.
+        "tpch_q2_min_cost_supplier": q_tpch_q2_min_cost_supplier,
+        "tpch_q9_product_profit": q_tpch_q9_product_profit,
+        "tpch_q11_important_parts": q_tpch_q11_important_parts,
+        "tpch_q16_supplier_part_counts": q_tpch_q16_supplier_part_counts,
+        "tpch_q20_promotable_suppliers": q_tpch_q20_promotable_suppliers,
+        "unpivot_measures": q_unpivot_measures,
         # Displaced by the newly-graded entries above (priority (a) — the
         # dedup/ANN oracle chain, the two property-graded sketch entries,
         # and the round-4 clustering family): dedup_exact_survivors
@@ -2833,6 +2909,116 @@ def oracle_sql() -> dict[str, str]:
                               WHERE o.o_custkey = c.c_custkey
                                 AND o.o_orderdate >= TIMESTAMP '1999-01-01')
             GROUP BY 1
+        """,
+        "tpch_q2_min_cost_supplier": """
+            WITH nr AS (
+              SELECT n.n_nationkey, n.n_name
+              FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+              WHERE r.r_name = 'EUROPE'),
+            s AS (
+              SELECT su.s_suppkey, su.s_name, su.s_acctbal, nr.n_name
+              FROM supplier su JOIN nr ON su.s_nationkey = nr.n_nationkey),
+            offers AS (
+              SELECT l_partkey, l_suppkey,
+                min(CAST(floor(100.0 * l_extendedprice / l_quantity) AS BIGINT))
+                  AS cost_c2
+              FROM lineitem
+              WHERE l_suppkey IN (SELECT s_suppkey FROM s)
+              GROUP BY 1, 2),
+            p AS (
+              SELECT p_partkey, p_brand, p_type FROM part WHERE p_size = 15),
+            best AS (
+              SELECT l_partkey, min(cost_c2) AS min_cost_c2
+              FROM offers
+              WHERE l_partkey IN (SELECT p_partkey FROM p)
+              GROUP BY 1)
+            SELECT s.s_acctbal, s.s_name, s.n_name, p.p_partkey, p.p_brand,
+              p.p_type, s.s_suppkey, o.cost_c2
+            FROM offers o
+            JOIN best b ON o.l_partkey = b.l_partkey
+              AND o.cost_c2 = b.min_cost_c2
+            JOIN p ON o.l_partkey = p.p_partkey
+            JOIN s ON o.l_suppkey = s.s_suppkey
+            ORDER BY s.s_acctbal DESC, s.n_name ASC, s.s_name ASC,
+              p.p_partkey ASC
+            LIMIT 10
+        """,
+        "tpch_q9_product_profit": """
+            SELECT nn.n_name AS supp_nation,
+              year(o.o_orderdate) AS o_year,
+              sum(CAST(round((l.l_extendedprice * (1 - l.l_discount)
+                    - 0.6 * p.p_retailprice * l.l_quantity) * 10000) AS BIGINT)
+                 )::BIGINT AS profit_c4
+            FROM lineitem l
+            JOIN part p ON l.l_partkey = p.p_partkey
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN supplier su ON l.l_suppkey = su.s_suppkey
+            JOIN nation nn ON su.s_nationkey = nn.n_nationkey
+            WHERE p.p_name LIKE '%bolt%'
+            GROUP BY 1, 2
+        """,
+        "tpch_q11_important_parts": """
+            WITH per_part AS (
+              SELECT l_partkey,
+                sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+                    AS BIGINT))::BIGINT AS part_value_c4
+              FROM lineitem
+              WHERE l_suppkey IN (
+                SELECT s_suppkey FROM supplier su
+                JOIN nation n ON su.s_nationkey = n.n_nationkey
+                WHERE n.n_name = 'NATION_7')
+              GROUP BY 1)
+            SELECT l_partkey, part_value_c4
+            FROM per_part
+            WHERE part_value_c4 >
+              0.002 * (SELECT sum(part_value_c4) FROM per_part)
+        """,
+        "tpch_q16_supplier_part_counts": """
+            SELECT p.p_brand, p.p_type, p.p_size,
+              count(DISTINCT l.l_suppkey) AS supplier_cnt
+            FROM lineitem l
+            JOIN part p ON l.l_partkey = p.p_partkey
+            WHERE p.p_brand <> 'Brand#5'
+              AND p.p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+              AND l.l_suppkey NOT IN (
+                SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+            GROUP BY 1, 2, 3
+        """,
+        "tpch_q20_promotable_suppliers": """
+            SELECT su.s_suppkey, su.s_name
+            FROM supplier su
+            JOIN nation n ON su.s_nationkey = n.n_nationkey
+            WHERE n.n_name = 'NATION_3'
+              AND su.s_suppkey IN (
+                SELECT l_suppkey FROM lineitem
+                WHERE l_partkey IN (
+                    SELECT p_partkey FROM part WHERE p_name LIKE '%red%')
+                  AND l_shipdate >= TIMESTAMP '1997-01-01'
+                  AND l_shipdate < TIMESTAMP '1998-01-01'
+                GROUP BY l_suppkey, l_partkey
+                HAVING sum(CAST(round(l_quantity * 100) AS BIGINT)) > 50 * 100)
+        """,
+        "unpivot_measures": """
+            WITH wide AS (
+              SELECT l_returnflag, l_linestatus,
+                sum(CAST(round(l_quantity * 100) AS BIGINT))::BIGINT
+                  AS sum_qty_c2,
+                sum(CAST(round(l_extendedprice * 10000) AS BIGINT))::BIGINT
+                  AS sum_base_c4,
+                sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+                    AS BIGINT))::BIGINT AS sum_disc_c4,
+                count(*)::BIGINT AS n_lines
+              FROM lineitem GROUP BY 1, 2)
+            SELECT l_returnflag, l_linestatus, 'sum_qty_c2' AS measure,
+              sum_qty_c2 AS value FROM wide
+            UNION ALL
+            SELECT l_returnflag, l_linestatus, 'sum_base_c4', sum_base_c4
+            FROM wide
+            UNION ALL
+            SELECT l_returnflag, l_linestatus, 'sum_disc_c4', sum_disc_c4
+            FROM wide
+            UNION ALL
+            SELECT l_returnflag, l_linestatus, 'n_lines', n_lines FROM wide
         """,
         "tpch_q13_order_distribution": """
             SELECT c_count, count(*) AS custdist FROM (

@@ -727,3 +727,287 @@ def top_orders_per_segment(
         )
         .filter(F.col("rn") <= k)
     )
+
+
+# ---------------------------------------------------------------------------
+# The five partsupp-dependent TPC-H shapes, adapted to this schema.
+#
+# This dataset has no partsupp table (TESTDATA.md), so Q2/Q9/Q11/Q16/Q20
+# cannot be run literally. What matters for engine coverage is each query's
+# *plan shape* — the decorrelated correlated-min join, the multi-dim profit
+# rollup, the global-fraction HAVING, the distinct-count-with-NOT-IN, and the
+# nested grouped-HAVING semi-join chain. Each adaptation below keeps that
+# shape exactly and substitutes lineitem as the part↔supplier bridge (it is
+# the only table relating parts to suppliers here) and p_retailprice /
+# s_acctbal for the missing cost/complaint columns.
+
+
+def min_cost_supplier(
+    part: DataFrame,
+    supplier: DataFrame,
+    lineitem: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    *,
+    region_name: str = "EUROPE",
+    size: int = 15,
+    topk: int = 10,
+) -> DataFrame:
+    """TPC-H Q2 shape: for each part of one size, the region supplier offering
+    it at the minimum unit price — the correlated scalar-min subquery,
+    decorrelated into an aggregate + equality join back.
+
+    ``offers`` (per part×supplier min unit price, region suppliers only) is
+    computed ONCE and reused for both the per-part min and the winner join —
+    literal SQL would scan the bridge twice. Unit price is ``floor(100·price
+    /qty)`` (floor, not round: IEEE division then floor is bit-identical
+    across engines, no half-way cases). The region filter prunes the bridge
+    BEFORE the per-part aggregate, so at 100 TB the heavy groupBy only sees
+    one region's rows; the per-part min table is #parts-of-one-size rows —
+    broadcast back. Ref parity: `src/from-ground-up.js` has no such query;
+    this is engine-completeness surface (SURVEY.md §2.4 join family).
+    """
+    nr = nation.join(
+        F.broadcast(region.filter(F.col("r_name") == region_name)),
+        F.col("n_regionkey") == F.col("r_regionkey"),
+    ).select("n_nationkey", "n_name")
+    s = supplier.join(
+        F.broadcast(nr), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    offers = (
+        lineitem.select(
+            "l_partkey",
+            "l_suppkey",
+            F.floor(100.0 * F.col("l_extendedprice") / F.col("l_quantity"))
+            .cast("bigint")
+            .alias("unit_c2"),
+        )
+        .join(s.select("s_suppkey"), F.col("l_suppkey") == F.col("s_suppkey"), "leftsemi")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min("unit_c2").alias("cost_c2"))
+    )
+    p = part.filter(F.col("p_size") == size).select("p_partkey", "p_brand", "p_type")
+    best = (
+        offers.join(F.broadcast(p.select("p_partkey")),
+                    F.col("l_partkey") == F.col("p_partkey"), "leftsemi")
+        .groupBy("l_partkey")
+        .agg(F.min("cost_c2").alias("min_cost_c2"))
+        .withColumnRenamed("l_partkey", "b_partkey")
+    )
+    return (
+        offers.join(
+            F.broadcast(best),
+            (offers.l_partkey == F.col("b_partkey"))
+            & (offers.cost_c2 == F.col("min_cost_c2")),
+        )
+        .join(F.broadcast(p), offers.l_partkey == p.p_partkey)
+        .join(s, offers.l_suppkey == s.s_suppkey)
+        .select(
+            "s_acctbal", "s_name", "n_name", "p_partkey", "p_brand", "p_type",
+            "s_suppkey", "cost_c2",
+        )
+        .orderBy(
+            F.col("s_acctbal").desc(), F.col("n_name").asc(),
+            F.col("s_name").asc(), F.col("p_partkey").asc(),
+        )
+        .limit(topk)
+    )
+
+
+def product_type_profit(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    part: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    *,
+    name_token: str = "bolt",
+    cost_frac: float = 0.6,
+) -> DataFrame:
+    """TPC-H Q9 shape: profit on one product family by supplier nation and
+    order year. Margin uses ``cost_frac·p_retailprice·l_quantity`` as the
+    cost basis (no ps_supplycost in this schema).
+
+    The name-filtered part dim is broadcast FIRST so the fact shrinks to one
+    product family before the only big shuffle (orderkey, for the year);
+    supplier→nation rides as a second broadcast. Margins can be negative —
+    both engines round half-away-from-zero, so the c4 term stays portable.
+    """
+    p = part.filter(F.col("p_name").contains(name_token)).select(
+        "p_partkey", "p_retailprice"
+    )
+    sn = supplier.join(
+        F.broadcast(nation.select("n_nationkey", "n_name")),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    li = (
+        lineitem.join(F.broadcast(p), lineitem.l_partkey == p.p_partkey)
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            _c4(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                - cost_frac * F.col("p_retailprice") * F.col("l_quantity")
+            ).alias("margin_c4"),
+        )
+    )
+    return (
+        li.join(orders.select("o_orderkey", F.year("o_orderdate").alias("o_year")),
+                li.l_orderkey == F.col("o_orderkey"))
+        .join(F.broadcast(sn), li.l_suppkey == sn.s_suppkey)
+        .groupBy("supp_nation", "o_year")
+        .agg(F.sum("margin_c4").alias("profit_c4"))
+    )
+
+
+def important_parts(
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    *,
+    nation_name: str = "NATION_7",
+    fraction: float = 0.002,
+) -> DataFrame:
+    """TPC-H Q11 shape: parts holding more than a fixed fraction of one
+    nation's total traded value — the scalar-subquery-in-HAVING.
+
+    The per-part aggregate is computed once; the grand total is a GLOBAL
+    WINDOW over those rows. A separate ``.agg()`` + join-back reads nicer but
+    Catalyst does not share common subplans — the per_part subtree (and the
+    fact scan under it) would be duplicated, verified in
+    tests/test_relational.py. The window funnels only the ~#parts aggregated
+    rows (16 B each) through one task — at 100 TB the fact is touched
+    exactly once and the single-partition exchange moves the small side. If
+    #parts itself were huge, persist per_part and take the two-stage total
+    instead. Value basis is discounted revenue (no ps_availqty·ps_supplycost
+    here).
+    """
+    s = supplier.join(
+        F.broadcast(nation.filter(F.col("n_name") == nation_name)),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey")
+    per_part = (
+        lineitem.select(
+            "l_partkey",
+            "l_suppkey",
+            _c4(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("val_c4"),
+        )
+        .join(s, F.col("l_suppkey") == s.s_suppkey, "leftsemi")
+        .groupBy("l_partkey")
+        .agg(F.sum("val_c4").alias("part_value_c4"))
+    )
+    w = Window.partitionBy()
+    return (
+        per_part.withColumn("total_c4", F.sum("part_value_c4").over(w))
+        .filter(F.col("part_value_c4") > fraction * F.col("total_c4"))
+        .select("l_partkey", "part_value_c4")
+        .orderBy(F.col("part_value_c4").desc(), F.col("l_partkey").asc())
+    )
+
+
+def supplier_part_counts(
+    part: DataFrame,
+    supplier: DataFrame,
+    lineitem: DataFrame,
+    *,
+    exclude_brand: str = "Brand#5",
+    sizes: tuple[int, ...] = (1, 9, 14, 19, 23, 36, 45, 49),
+) -> DataFrame:
+    """TPC-H Q16 shape: how many distinct suppliers can ship each
+    (brand, type, size) — count-distinct over a bridge, minus a NOT-IN
+    supplier denylist (negative account balance stands in for Q16's
+    complaint filter).
+
+    The denylist is an anti join probing with ONE bigint column; the
+    attribute dim is broadcast; the count-distinct shuffles (brand,type,size,
+    suppkey) — Spark plans the standard two-phase distinct-agg expand. The
+    bridge's duplicate (part,supplier) pairs are absorbed by the distinct
+    count, not pre-deduped — one shuffle instead of two.
+    """
+    bad = supplier.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    p = part.filter(
+        (F.col("p_brand") != exclude_brand) & F.col("p_size").isin(list(sizes))
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    return (
+        lineitem.select("l_partkey", "l_suppkey")
+        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .join(F.broadcast(bad), F.col("l_suppkey") == bad.s_suppkey, "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.col("supplier_cnt").desc(), F.col("p_brand").asc(),
+            F.col("p_type").asc(), F.col("p_size").asc(),
+        )
+    )
+
+
+def promotable_suppliers(
+    part: DataFrame,
+    supplier: DataFrame,
+    lineitem: DataFrame,
+    nation: DataFrame,
+    *,
+    name_token: str = "red",
+    nation_name: str = "NATION_3",
+    date_from: str = "1997-01-01",
+    date_to: str = "1998-01-01",
+    min_qty: int = 50,
+) -> DataFrame:
+    """TPC-H Q20 shape: one nation's suppliers who moved real volume of a
+    product family in a year — the nested grouped-HAVING semi-join chain
+    (part-name subquery → per-(supplier,part) quantity aggregate → HAVING →
+    supplier semi-join).
+
+    The name-filtered part list broadcasts into the fact scan (with the date
+    predicate pushed down), the volume aggregate groups the surviving
+    sliver, and the supplier probe is a semi join on one key column. Nothing
+    wide ever shuffles. (Q20's ``0.5·avail_qty`` threshold becomes the flat
+    ``min_qty`` — no availqty column exists here.)
+    """
+    p = part.filter(F.col("p_name").contains(name_token)).select("p_partkey")
+    movers = (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.to_timestamp(F.lit(date_from)))
+            & (F.col("l_shipdate") < F.to_timestamp(F.lit(date_to)))
+        )
+        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey, "leftsemi")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(F.round(F.col("l_quantity") * 100).cast("bigint")).alias("qty_c2"))
+        .filter(F.col("qty_c2") > min_qty * 100)
+        .select("l_suppkey")
+    )
+    return (
+        supplier.join(
+            F.broadcast(nation.filter(F.col("n_name") == nation_name)),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(movers, F.col("s_suppkey") == movers.l_suppkey, "leftsemi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
+def lineitem_measures_long(lineitem: DataFrame) -> DataFrame:
+    """Unpivot (melt) surface: the Q1-style wide aggregate turned long —
+    one (flag, status, measure, value) row per measure.
+
+    ``DataFrame.unpivot`` is a zero-shuffle narrow op (each row expands to
+    #measures rows in place), so the only exchange is the preceding 6-group
+    aggregate. All measures are cast to one bigint domain first — unpivot
+    requires a common value type, and scaled integers keep the values
+    engine-portable. The inverse (pivot) surface is covered by ``warnify``
+    (SURVEY.md §2.5).
+    """
+    wide = lineitem.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(F.round(F.col("l_quantity") * 100).cast("bigint")).alias("sum_qty_c2"),
+        F.sum(_c4(F.col("l_extendedprice"))).alias("sum_base_c4"),
+        F.sum(_c4(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+        .alias("sum_disc_c4"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+    return wide.unpivot(
+        ["l_returnflag", "l_linestatus"],
+        ["sum_qty_c2", "sum_base_c4", "sum_disc_c4", "n_lines"],
+        "measure",
+        "value",
+    )
