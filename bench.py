@@ -77,6 +77,24 @@ HEADLINE = [
     "pretrain_pipeline",
 ]
 
+#: the queries that were in BENCH_r01 (the operative baseline — BASELINE.md:
+#: the reference publishes no numbers). The headline set has grown every
+#: round, so the TOTAL is not comparable across rounds; the JSON line also
+#: reports the subtotal over exactly this set so round-over-round and
+#: vs-baseline comparisons are apples-to-apples.
+BASELINE_R01_SET = frozenset(
+    """asof_join chunk_documents cosine_topk decontaminate dedup_exact
+    embedding_centroids embedding_near_dup events_attribution_join
+    events_sessionize events_windowed geojson_features ivf_topk
+    j1_parent_child_join lang_id lang_source_rollup minhash_lsh_pairs
+    minhash_signatures near_dup_groups ngram_jaccard_pairs p3_envelope
+    pack_sequences redact_pii repetition_stats simhash_pairs text_quality
+    tfidf_top_terms topk_quality_docs tpch_q13_order_distribution
+    tpch_q14_promo_revenue tpch_q18_large_orders tpch_q1_pricing_summary
+    tpch_q3_shipping_priority tpch_q5_local_supplier_volume
+    tpch_q7_nation_volume warnify window_top_orders_per_segment""".split()
+)
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -135,6 +153,9 @@ def main() -> None:
     timings = {k: round(v, 3) for k, v in timings.items()}
 
     total = round(sum(timings.values()), 3)
+    baseline_subtotal = round(
+        sum(v for k, v in timings.items() if k in BASELINE_R01_SET), 3
+    )
     print(
         json.dumps(
             {
@@ -145,6 +166,10 @@ def main() -> None:
                 "sf": sf,
                 "runs_per_query": RUNS,
                 "agg": "min",
+                "baseline_r01_subtotal": baseline_subtotal,
+                "n_baseline_r01_queries": sum(
+                    1 for k in timings if k in BASELINE_R01_SET
+                ),
             }
         )
     )
