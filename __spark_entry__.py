@@ -1873,6 +1873,34 @@ def q_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lineitem_measures_long(_t(spark, sf_dir, "lineitem"))
 
 
+def q_rolling_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Causal per-user rolling features (lag / rowsBetween frames) — all five
+    windows share one (partition, order), so the plan has exactly ONE
+    Exchange + Sort (pinned in tests/test_timeseries_rolling.py)."""
+    from database2ogr_spark.operators.timeseries import rolling_features
+
+    ev = read_events(spark, os.path.join(sf_dir, "events.parquet"))
+    return rolling_features(ev)
+
+
+def q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC + control-strip + whitespace canonicalization; NFC is the
+    one Arrow-batched Python hop, the regex chain is whole-stage codegen."""
+    from database2ogr_spark.operators.cleaning import normalize_text
+
+    d = _t(spark, sf_dir, "documents")
+    return normalize_text(d, "text", out_col="text_norm").select("doc_id", "text_norm")
+
+
+def q_winsorize_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type winsorization at exact interpolated p05/p95 —
+    |groups|-row bounds broadcast back onto the fact."""
+    from database2ogr_spark.operators.cleaning import winsorize
+
+    ev = read_events(spark, os.path.join(sf_dir, "events.parquet"))
+    return winsorize(ev).select("event_id", "event_type", "value", "value_w")
+
+
 def q_distinct_users_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact count-distinct per group — the two-phase distinct-agg shuffle
     (partial distinct on (event_type, user_id), then count). The scale-path
@@ -2011,7 +2039,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Added LATE in round 4 (after the prefix was already full of this
         # round's 30 new entries + the 20 round-2 re-earners, none of which
         # can yield their slot without breaking a verification promise):
-        # the six relational completions below sit at slots 51-56 and are
+        # the nine late-round-4 additions below (five partsupp-family TPC-H
+        # completions, unpivot, rolling window frames, text normalization,
+        # winsorization) sit at slots 51-59 and are
         # GRADED IN ROUND 5, where they LEAD the prefix (priority (a), ahead
         # of the twenty constituent-graded entries listed further down).
         # Until then they are verified by scripts/check_oracle.py at sf0.01
@@ -2023,6 +2053,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q16_supplier_part_counts": q_tpch_q16_supplier_part_counts,
         "tpch_q20_promotable_suppliers": q_tpch_q20_promotable_suppliers,
         "unpivot_measures": q_unpivot_measures,
+        "rolling_features": q_rolling_features,
+        "normalize_text": q_normalize_text,
+        "winsorize_values": q_winsorize_values,
         # Displaced by the newly-graded entries above (priority (a) — the
         # dedup/ANN oracle chain, the two property-graded sketch entries,
         # and the round-4 clustering family): dedup_exact_survivors
@@ -3019,6 +3052,41 @@ def oracle_sql() -> dict[str, str]:
             FROM wide
             UNION ALL
             SELECT l_returnflag, l_linestatus, 'n_lines', n_lines FROM wide
+        """,
+        "rolling_features": """
+            SELECT event_id, user_id, ts,
+              epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap_us,
+              lag(event_type) OVER w AS prev_label,
+              (sum(CAST(round(value * 100) AS BIGINT))
+                 OVER (w ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING))::BIGINT
+                AS roll_sum_c2,
+              count(value) OVER (w ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING)
+                AS roll_n,
+              row_number() OVER w - 1 AS seen_n
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+        """,
+        "normalize_text": """
+            SELECT doc_id,
+              regexp_replace(
+                regexp_replace(
+                  regexp_replace(
+                    regexp_replace(nfc_normalize(text),
+                      '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g'),
+                    '[ \\t]{2,}', ' ', 'g'),
+                  '[ \\t]*\\n([ \\t]*\\n)+[ \\t]*', chr(10) || chr(10), 'g'),
+                '^[ \\t\\r\\n]+|[ \\t\\r\\n]+$', '', 'g') AS text_norm
+            FROM documents
+        """,
+        "winsorize_values": """
+            WITH b AS (
+              SELECT event_type,
+                quantile_cont(value, 0.05) AS _w_lo,
+                quantile_cont(value, 0.95) AS _w_hi
+              FROM events GROUP BY 1)
+            SELECT e.event_id, e.event_type, e.value,
+              round(least(greatest(e.value, b._w_lo), b._w_hi), 6) AS value_w
+            FROM events e JOIN b USING (event_type)
         """,
         "tpch_q13_order_distribution": """
             SELECT c_count, count(*) AS custdist FROM (

@@ -416,3 +416,105 @@ def strip_duplicate_spans(
             ),
         )
     )
+
+
+def _nfc_col(col: Column) -> Column:
+    """Unicode NFC normalization as an Arrow-batched pandas UDF.
+
+    Spark has no native Unicode-normalize expression, so this is the one
+    deliberate Python hop in the cleaning family: one Arrow batch transfer
+    per partition, `unicodedata.normalize` per string (C-implemented in
+    CPython). Known-ASCII corpora can skip it via
+    ``normalize_text(..., nfc=False)`` and stay whole-stage-codegen.
+    DuckDB's ``nfc_normalize`` implements the same Unicode algorithm —
+    equality pinned in tests on composed/decomposed/ligature inputs.
+    """
+    import pandas  # noqa: F401 — resolves the UDF's string annotations
+
+    def _apply(s: "pandas.Series") -> "pandas.Series":
+        import unicodedata
+
+        return s.map(
+            lambda v: unicodedata.normalize("NFC", v) if v is not None else None
+        )
+
+    _apply.__annotations__ = {"s": pandas.Series, "return": pandas.Series}
+    nfc = F.pandas_udf(_apply, "string")
+    return nfc(col)
+
+
+def normalize_text(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    nfc: bool = True,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Canonical text normalization: Unicode NFC, control-character strip,
+    space/tab-run collapse, blank-line-run collapse, edge trim.
+
+    Every step after NFC is a native ``regexp_replace`` chain (JVM,
+    whole-stage codegen) with patterns chosen to mean the same thing in
+    Java regex and RE2 (character classes and bounded repetition only — no
+    lookaround, no ``\\p`` classes): strip C0 controls + DEL except tab and
+    newline, collapse ``[ \\t]{2,}`` to one space, collapse 3+ newlines
+    (with optional surrounding spaces) to exactly two, trim
+    ``[ \\t\\r\\n]`` at both ends. Order matters and is part of the
+    contract: NFC first (so composed/decomposed forms collapse identically
+    before any pattern matching), trims last.
+
+    Scale: narrow, zero shuffle, composes with pushdown on other columns.
+    With ``nfc=False`` the whole operator is expression-tier.
+    """
+    out = out_col or text_col
+    c: Column = F.col(text_col)
+    if nfc:
+        c = _nfc_col(c)
+    c = F.regexp_replace(c, "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", "")
+    c = F.regexp_replace(c, "[ \\t]{2,}", " ")
+    c = F.regexp_replace(c, "[ \\t]*\\n([ \\t]*\\n)+[ \\t]*", "\n\n")
+    c = F.regexp_replace(c, "^[ \\t\\r\\n]+|[ \\t\\r\\n]+$", "")
+    return df.withColumn(out, c)
+
+
+def winsorize(
+    df: DataFrame,
+    value_col: str = "value",
+    group_col: str = "event_type",
+    *,
+    lo: float = 0.05,
+    hi: float = 0.95,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Per-group winsorization: clamp ``value_col`` into its group's exact
+    interpolated [lo, hi] percentile band — outlier control before a metric
+    feeds training or reweighting.
+
+    One aggregation produces |groups| rows of bounds (``F.percentile`` —
+    interpolated, bit-matching DuckDB's ``quantile_cont``, same portability
+    contract as the green ``length_quantiles`` entry); the bounds broadcast
+    back and the clamp is a narrow ``least/greatest``. The percentile agg
+    itself shuffles the full value column to |groups| reducers — at extreme
+    scale swap in ``percentile_approx`` (sketch, map-side mergeable) and
+    accept the documented estimate semantics of the *_approx entries.
+    Clamped output is rounded to 6 dp so engine float formatting can't leak
+    into comparisons.
+    """
+    out = out_col or f"{value_col}_w"
+    bounds = df.groupBy(group_col).agg(
+        F.percentile(value_col, lo).alias("_w_lo"),
+        F.percentile(value_col, hi).alias("_w_hi"),
+    )
+    return (
+        df.join(F.broadcast(bounds), group_col)
+        .withColumn(
+            out,
+            F.round(
+                F.least(
+                    F.greatest(F.col(value_col), F.col("_w_lo")), F.col("_w_hi")
+                ),
+                6,
+            ),
+        )
+        .drop("_w_lo", "_w_hi")
+    )

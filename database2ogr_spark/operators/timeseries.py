@@ -26,6 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def range_join(
@@ -92,4 +93,54 @@ def hypertable_rollup(
     return sel.rollup("day", "hour", "minute").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.round(F.sum("__v"), 6).alias("sum_value"),
+    )
+
+
+def rolling_features(
+    events: DataFrame,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    order_tiebreak: str = "event_id",
+    value_col: str = "value",
+    label_col: str = "event_type",
+    window_rows: int = 5,
+) -> DataFrame:
+    """Per-key ordered rolling features — the window-FRAME surface
+    (``rowsBetween``, ``lag``) that turns an event log into ML feature rows:
+    inter-event gap, previous label, rolling sum/count over the previous
+    ``window_rows`` events, and a running seen-counter.
+
+    Frame semantics are ANSI (``ROWS BETWEEN n PRECEDING AND 1 PRECEDING``),
+    so every feature is *causal* — computed strictly from events before the
+    current one, never leaking the current row into its own feature (the
+    classic training-data bug this operator exists to prevent). The empty
+    first frame yields NULL sum / 0 count in both engines.
+
+    Scale: ONE shuffle, partitioned by ``key_col`` (high-cardinality —
+    parallelism is #keys), then a per-key sort; all five windows share the
+    same (partition, order) so Catalyst computes them in a single Window
+    physical node over one sort — check ``.explain``: exactly one Exchange
+    and one Sort. Ordering ties on ``order_tiebreak`` to stay deterministic
+    under equal timestamps. Gaps are integer microseconds
+    (``unix_micros``) — exact in both engines, no epoch-double drift.
+    """
+    w = Window.partitionBy(key_col).orderBy(
+        F.col(ts_col).asc(), F.col(order_tiebreak).asc()
+    )
+    frame = w.rowsBetween(-window_rows, -1)
+    # parquet timestamps load as TIMESTAMP_NTZ; the session TZ is pinned UTC
+    # (session.py), so the LTZ cast is a pure reinterpretation and unix_micros
+    # matches DuckDB's epoch_us on the same naive values
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    val_c2 = F.round(F.col(value_col) * 100).cast("bigint")
+    return events.select(
+        order_tiebreak,
+        key_col,
+        ts_col,
+        (us - F.lag(us).over(w)).alias("gap_us"),
+        F.lag(F.col(label_col)).over(w).alias("prev_label"),
+        F.sum(val_c2).over(frame).alias("roll_sum_c2"),
+        F.count(F.col(value_col)).over(frame).alias("roll_n"),
+        (F.row_number().over(w) - F.lit(1)).alias("seen_n"),
     )

@@ -217,3 +217,84 @@ def test_strip_duplicate_spans_fully_covered_doc_survives_empty(spark):
         for r in strip_duplicate_spans(df, k_shingle=3).collect()
     }
     assert got == {1: ("", 0, 4), 2: ("", 0, 4)}
+
+
+# ---------------------------------------------------------------------------
+# normalize_text / winsorize (round-4 additions)
+
+
+def test_normalize_text_nfc_unifies_forms(spark):
+    """Composed vs decomposed 'é' normalize to one representation; the
+    DuckDB oracle covers the corpus — this covers the unicode cases the
+    synthetic corpus lacks."""
+    import unicodedata
+
+    from database2ogr_spark.operators.cleaning import normalize_text
+
+    composed = "café"             # é as one codepoint
+    decomposed = "café"          # e + combining acute
+    df = spark.createDataFrame(
+        [(1, composed), (2, decomposed), (3, "ﬁle")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.text for r in normalize_text(df, "text").collect()}
+    assert out[1] == out[2] == unicodedata.normalize("NFC", composed)
+    # NFC does NOT decompose ligatures (that's NFKC) — contract check
+    assert out[3] == "ﬁle"
+
+
+def test_normalize_text_whitespace_and_controls(spark):
+    from database2ogr_spark.operators.cleaning import normalize_text
+
+    raw = "  a\x07b\t\tc  \n \n\n\nd  "
+    df = spark.createDataFrame([(1, raw)], "doc_id long, text string")
+    out = normalize_text(df, "text").collect()[0].text
+    # bell stripped, tab-run collapsed, 3+ blank-line run -> exactly one
+    # blank line, edges trimmed
+    assert out == "ab c\n\nd"
+
+
+def test_normalize_text_expression_tier_when_nfc_off(spark):
+    """nfc=False must stay whole-stage codegen: no Python evals in the plan."""
+    from database2ogr_spark.operators.cleaning import normalize_text
+
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = (
+        normalize_text(df, "text", nfc=False)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_winsorize_matches_numpy_linear_interpolation(spark):
+    import numpy as np
+
+    from database2ogr_spark.operators.cleaning import winsorize
+
+    vals = [1.0, 2.0, 3.0, 4.0, 100.0]
+    df = spark.createDataFrame(
+        [(i, "g", v) for i, v in enumerate(vals)],
+        "event_id long, event_type string, value double",
+    )
+    out = {r.event_id: r.value_w for r in winsorize(df).collect()}
+    lo = np.percentile(vals, 5, method="linear")
+    hi = np.percentile(vals, 95, method="linear")
+    for i, v in enumerate(vals):
+        assert out[i] == round(float(np.clip(v, lo, hi)), 6)
+
+
+def test_winsorize_groups_do_not_leak(spark):
+    from database2ogr_spark.operators.cleaning import winsorize
+
+    rows = [(i, "small", float(i % 3)) for i in range(30)] + [
+        (100 + i, "big", 1000.0 + i) for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "event_id long, event_type string, value double")
+    out = winsorize(df).collect()
+    for r in out:
+        if r.event_type == "small":
+            assert r.value_w <= 2.0
+        else:
+            assert r.value_w >= 1000.0

@@ -101,3 +101,72 @@ def test_hypertable_rollup_hierarchy_consistent(spark):
         if r.day and r.hour and not r.minute:
             by_day_from_hours[r.day] = by_day_from_hours.get(r.day, 0) + r.n_events
     assert days == by_day_from_hours
+
+
+# ---------------------------------------------------------------------------
+# rolling_features (window-frame surface)
+
+
+def test_rolling_features_causal_and_exact(spark):
+    """Hand-computed frame on one key: every feature uses only PRIOR rows."""
+    import datetime as dt
+
+    from database2ogr_spark.operators.timeseries import rolling_features
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, base + dt.timedelta(seconds=10 * i), 1, f"t{i}", float(i + 1))
+        for i in range(4)
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long, event_type string, value double"
+    )
+    out = {
+        r.event_id: r
+        for r in rolling_features(ev, window_rows=2).collect()
+    }
+    # first event: empty frame
+    assert out[0].gap_us is None and out[0].prev_label is None
+    assert out[0].roll_sum_c2 is None and out[0].roll_n == 0 and out[0].seen_n == 0
+    # second event: sees exactly event 0
+    assert out[1].gap_us == 10_000_000 and out[1].prev_label == "t0"
+    assert out[1].roll_sum_c2 == 100 and out[1].roll_n == 1 and out[1].seen_n == 1
+    # fourth event: frame is rows 1..2 only (window_rows=2) — row 3 itself
+    # and row 0 are both excluded
+    assert out[3].roll_sum_c2 == 200 + 300 and out[3].roll_n == 2
+    assert out[3].seen_n == 3
+
+
+def test_rolling_features_single_exchange_and_sort(spark):
+    """All five windows share (partition, order): ONE Exchange, ONE Sort."""
+    from database2ogr_spark.operators.timeseries import rolling_features
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    plan = (
+        rolling_features(ev)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") == 1
+    assert plan.count("+- Sort") == 1
+    assert plan.count("Window") == 1  # fused into a single Window node
+
+
+def test_rolling_features_keys_isolated(spark):
+    """A user's first event never sees another user's history."""
+    import datetime as dt
+
+    from database2ogr_spark.operators.timeseries import rolling_features
+
+    base = dt.datetime(2024, 1, 1)
+    ev = spark.createDataFrame(
+        [
+            (0, base, 1, "a", 5.0),
+            (1, base + dt.timedelta(seconds=1), 2, "b", 7.0),
+        ],
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, value double",
+    )
+    out = {r.event_id: r for r in rolling_features(ev).collect()}
+    assert out[1].gap_us is None and out[1].prev_label is None
+    assert out[1].seen_n == 0
