@@ -1061,6 +1061,27 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.decontaminate(corpus, bench, k=13).select("doc_id", "lang", "source")
 
 
+def q_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc benchmark-overlap share (dedup.contamination_fraction) on the
+    same ≡0-mod-20 benchmark split as q_decontaminate — the measurement
+    behind fraction-threshold decontamination."""
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+    corpus = docs.filter(F.col("doc_id") % 20 != 0)
+    return DD.contamination_fraction(corpus, bench, k=13)
+
+
+def q_decontaminate_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fraction-threshold decontamination (drop at >5% distinct-gram
+    overlap) — the long-document-fair variant of the any-hit rule."""
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+    corpus = docs.filter(F.col("doc_id") % 20 != 0)
+    return DD.decontaminate_fraction(corpus, bench, k=13, max_frac=0.05).select(
+        "doc_id", "lang", "source"
+    )
+
+
 def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSONL source round-trip (sources/jsonl.py): documents written as
     JSON-lines and read back through the quarantine reader must reproduce
@@ -2039,9 +2060,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Added LATE in round 4 (after the prefix was already full of this
         # round's 30 new entries + the 20 round-2 re-earners, none of which
         # can yield their slot without breaking a verification promise):
-        # the nine late-round-4 additions below (five partsupp-family TPC-H
-        # completions, unpivot, rolling window frames, text normalization,
-        # winsorization) sit at slots 51-59 and are
+        # the eleven late-round-4 additions below (five partsupp-family
+        # TPC-H completions, unpivot, rolling window frames, text
+        # normalization, winsorization, the contamination-fraction pair)
+        # sit at slots 51-61 and are
         # GRADED IN ROUND 5, where they LEAD the prefix (priority (a), ahead
         # of the twenty constituent-graded entries listed further down).
         # Until then they are verified by scripts/check_oracle.py at sf0.01
@@ -2056,6 +2078,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_features": q_rolling_features,
         "normalize_text": q_normalize_text,
         "winsorize_values": q_winsorize_values,
+        "contamination_report": q_contamination_report,
+        "decontaminate_fraction": q_decontaminate_fraction,
         # Displaced by the newly-graded entries above (priority (a) — the
         # dedup/ANN oracle chain, the two property-graded sketch entries,
         # and the round-4 clustering family): dedup_exact_survivors
@@ -3800,6 +3824,34 @@ def oracle_sql() -> dict[str, str]:
             bg AS (SELECT DISTINCT unnest(s) AS gram FROM
                 ({_shingles_sql(13, "(SELECT * FROM documents WHERE doc_id % 20 = 0)")})),
             bad AS (SELECT DISTINCT cg.doc_id FROM cg JOIN bg USING (gram))
+            SELECT doc_id, lang, source FROM documents
+            WHERE doc_id % 20 <> 0 AND doc_id NOT IN (SELECT doc_id FROM bad)
+        """,
+        "contamination_report": f"""
+            WITH cg AS (SELECT DISTINCT doc_id, gram FROM
+                (SELECT doc_id, unnest(s) AS gram FROM
+                  ({_shingles_sql(13, "(SELECT * FROM documents WHERE doc_id % 20 <> 0)")}))),
+            bg AS (SELECT DISTINCT unnest(s) AS gram FROM
+                ({_shingles_sql(13, "(SELECT * FROM documents WHERE doc_id % 20 = 0)")})),
+            sizes AS (SELECT doc_id, count(*) AS n_grams FROM cg GROUP BY 1),
+            hits AS (SELECT cg.doc_id, count(*) AS n_hits
+                     FROM cg JOIN bg USING (gram) GROUP BY 1)
+            SELECT s.doc_id, s.n_grams, COALESCE(h.n_hits, 0) AS n_hits,
+              round(COALESCE(h.n_hits, 0) / CAST(s.n_grams AS DOUBLE), 6)
+                AS frac
+            FROM sizes s LEFT JOIN hits h USING (doc_id)
+        """,
+        "decontaminate_fraction": f"""
+            WITH cg AS (SELECT DISTINCT doc_id, gram FROM
+                (SELECT doc_id, unnest(s) AS gram FROM
+                  ({_shingles_sql(13, "(SELECT * FROM documents WHERE doc_id % 20 <> 0)")}))),
+            bg AS (SELECT DISTINCT unnest(s) AS gram FROM
+                ({_shingles_sql(13, "(SELECT * FROM documents WHERE doc_id % 20 = 0)")})),
+            sizes AS (SELECT doc_id, count(*) AS n_grams FROM cg GROUP BY 1),
+            hits AS (SELECT cg.doc_id, count(*) AS n_hits
+                     FROM cg JOIN bg USING (gram) GROUP BY 1),
+            bad AS (SELECT s.doc_id FROM sizes s JOIN hits h USING (doc_id)
+                    WHERE round(h.n_hits / CAST(s.n_grams AS DOUBLE), 6) > 0.05)
             SELECT doc_id, lang, source FROM documents
             WHERE doc_id % 20 <> 0 AND doc_id NOT IN (SELECT doc_id FROM bad)
         """,

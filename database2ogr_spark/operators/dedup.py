@@ -976,3 +976,93 @@ def duplicate_spans(
         )
         .select(F.col("id").alias(id_col), "span_start", "span_end", "n_windows")
     )
+
+
+def contamination_fraction(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    k: int = 13,
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """Per-document benchmark-overlap fraction: |doc grams ∩ benchmark
+    grams| / |doc grams| over distinct word k-grams.
+
+    The any-hit rule (:func:`decontaminate`) treats a 200k-token document
+    with one unlucky shared 13-gram the same as a verbatim benchmark copy;
+    large-corpus pipelines therefore grade contamination by OVERLAP SHARE
+    and drop above a threshold (:func:`decontaminate_fraction`). This
+    operator is the measurement half, usable on its own for contamination
+    reports.
+
+    Plan: the corpus gram table rides the same Arrow kernel as the exact
+    rule, carrying per-doc distinct-gram counts in-kernel (``with_count`` —
+    no sizes join); hits come from a broadcast LEFT SEMI against the
+    benchmark gram set (8-byte ids), then ONE groupBy(id) counts hits.
+    The corpus is never shuffled wide — only (id, n, hit) survive to the
+    aggregate. Fraction is rounded to 6 dp for engine portability.
+
+    Returns (id_col, n_grams, n_hits, frac) — one row per corpus doc,
+    including zero-hit docs (frac 0.0).
+    """
+    from database2ogr_spark.functions.gramkernel import distinct_gram_table
+
+    bench_grams = (
+        distinct_gram_table(spread(benchmark), id_col, text_col, k)
+        .select("gram")
+        .distinct()
+    )
+    if broadcast_benchmark:
+        bench_grams = F.broadcast(bench_grams)
+    corpus_grams = distinct_gram_table(
+        spread(corpus), id_col, text_col, k, with_count=True
+    )
+    hits = (
+        corpus_grams.join(bench_grams, "gram", "left_semi")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    # per-doc gram counts ride every gram row; min() recovers them without a
+    # second kernel pass, and the left join keeps zero-hit docs
+    sizes = corpus_grams.groupBy("id").agg(F.min("n").alias("n_grams"))
+    return (
+        sizes.join(hits, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            "n_grams",
+            F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
+            F.round(
+                F.coalesce(F.col("n_hits"), F.lit(0))
+                / F.col("n_grams").cast("double"),
+                6,
+            ).alias("frac"),
+        )
+    )
+
+
+def decontaminate_fraction(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    k: int = 13,
+    max_frac: float = 0.1,
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """Fraction-threshold decontamination: drop corpus docs whose distinct
+    k-gram overlap with the benchmark exceeds ``max_frac`` of the doc's own
+    grams. ``max_frac=0.0`` reproduces the any-hit rule exactly (any hit →
+    frac > 0) — pinned in tests. Returns surviving rows, original schema.
+    """
+    flagged = (
+        contamination_fraction(
+            corpus, benchmark, id_col, text_col, k=k,
+            broadcast_benchmark=broadcast_benchmark,
+        )
+        .filter(F.col("frac") > max_frac)
+        .select(id_col)
+    )
+    return corpus.join(flagged, on=id_col, how="left_anti")

@@ -355,3 +355,71 @@ def test_duplicate_spans_matches_bruteforce_property(spark):
         assert got == reference([t.split() for t in texts])
 
     check()
+
+
+def test_contamination_fraction_exact_shares(spark):
+    """Hand-computed overlap shares, zero-hit docs included at frac 0."""
+    from database2ogr_spark.operators.dedup import contamination_fraction
+
+    bench = spark.createDataFrame(
+        [(1, "a b c d")], "doc_id long, text string"
+    )
+    corpus = spark.createDataFrame(
+        [
+            # trigrams (k=3): {abc, bcd, cde, def} — hits {abc, bcd} → 2/4
+            (11, "a b c d e f"),
+            # no shared trigram → 0/2
+            (12, "x y z w"),
+            # identical doc: trigrams {abc, bcd} both hit → 2/2
+            (13, "a b c d"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r for r in contamination_fraction(corpus, bench, k=3).collect()
+    }
+    assert len(out) == 3  # zero-hit docs are present
+    assert (out[11].n_grams, out[11].n_hits, out[11].frac) == (4, 2, 0.5)
+    assert (out[12].n_grams, out[12].n_hits, out[12].frac) == (2, 0, 0.0)
+    assert (out[13].n_grams, out[13].n_hits, out[13].frac) == (2, 2, 1.0)
+
+
+def test_decontaminate_fraction_zero_threshold_equals_any_hit(spark):
+    """max_frac=0.0 must reproduce the any-hit rule exactly."""
+    from database2ogr_spark.operators.dedup import (
+        decontaminate,
+        decontaminate_fraction,
+    )
+
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+    corpus = docs.filter(F.col("doc_id") % 20 != 0)
+    strict = {r.doc_id for r in decontaminate(corpus, bench, k=13).collect()}
+    frac0 = {
+        r.doc_id
+        for r in decontaminate_fraction(corpus, bench, k=13, max_frac=0.0).collect()
+    }
+    assert strict == frac0
+
+
+def test_decontaminate_fraction_spares_incidental_overlap(spark):
+    """A long doc with one shared gram survives a 10% threshold; a verbatim
+    copy does not."""
+    from database2ogr_spark.operators.dedup import decontaminate_fraction
+
+    bench = spark.createDataFrame(
+        [(1, "p q r")], "doc_id long, text string"
+    )
+    long_text = " ".join(f"w{i}" for i in range(40)) + " p q r"
+    corpus = spark.createDataFrame(
+        [(11, long_text), (12, "p q r")], "doc_id long, text string"
+    )
+    kept = {
+        r.doc_id
+        for r in decontaminate_fraction(
+            corpus, bench, k=3, max_frac=0.1
+        ).collect()
+    }
+    assert kept == {11}
