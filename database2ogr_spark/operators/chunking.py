@@ -76,3 +76,74 @@ def chunk_documents(
         f"SELECT d.{id_col}, c.chunk_id, c.chunk, c.n_tokens "
         f"FROM {view} d, LATERAL chunk_text(d.{text_col}, {int(size)}, {int(stride)}) c"
     )
+
+
+def truncate_to_budget(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    max_tokens: int = 256,
+    sep: str = "\n\n",
+    out_col: str | None = None,
+) -> DataFrame:
+    """Paragraph-safe token-budget truncation: keep the longest PREFIX of
+    ``sep``-separated segments whose cumulative whitespace-token count fits
+    ``max_tokens``; if the first segment alone exceeds the budget, fall back
+    to a hard token-level cut of that segment (tokens rejoined with single
+    spaces). Adds ``out_col`` (default ``{text_col}_trunc``) and
+    ``n_tokens`` (tokens actually kept).
+
+    Pure higher-order-function expression tier: one ``F.aggregate`` scan
+    with a (cum, kept_n, stopped) struct accumulator — O(#segments) per
+    row, zero shuffle, whole-stage codegen, no UDF. (The DuckDB twin uses
+    the equivalent O(n²) cumulative-slice form — lists per doc are small.)
+    Prefix semantics (stop at the FIRST overflowing segment, even if later
+    ones would fit) are the contract: a budget cut must never splice
+    non-adjacent text.
+    """
+    from pyspark.sql import functions as F
+
+    out = out_col or f"{text_col}_trunc"
+    paras = F.split(F.col(text_col), re.escape(sep))
+
+    def _tokens(p):  # noqa: ANN001 — Column lambda
+        return F.filter(F.split(F.trim(p), "\\s+"), lambda x: x != F.lit(""))
+
+    cnts = F.transform(paras, lambda p: F.size(_tokens(p)))
+
+    acc0 = F.struct(
+        F.lit(0).alias("cum"), F.lit(0).alias("kept_n"), F.lit(False).alias("stop")
+    )
+
+    def _merge(acc, c):  # noqa: ANN001
+        fits = (~acc.stop) & ((acc.cum + c) <= F.lit(max_tokens))
+        return F.struct(
+            F.when(fits, acc.cum + c).otherwise(acc.cum).alias("cum"),
+            F.when(fits, acc.kept_n + 1).otherwise(acc.kept_n).alias("kept_n"),
+            (~fits).alias("stop"),
+        )
+
+    st = F.aggregate(cnts, acc0, _merge)
+    first_toks = _tokens(F.element_at(paras, 1))
+    return (
+        df.withColumn("_tb", st)
+        .withColumn(
+            out,
+            F.when(
+                F.col("_tb.kept_n") == 0,
+                F.array_join(F.slice(first_toks, 1, max_tokens), " "),
+            ).otherwise(
+                F.array_join(F.slice(paras, 1, F.col("_tb.kept_n")), sep)
+            ),
+        )
+        .withColumn(
+            "n_tokens",
+            F.when(
+                F.col("_tb.kept_n") == 0,
+                F.least(F.lit(max_tokens), F.element_at(cnts, 1)),
+            )
+            .otherwise(F.col("_tb.cum"))
+            .cast("bigint"),
+        )
+        .drop("_tb")
+    )

@@ -34,3 +34,59 @@ def test_empty_and_whitespace_docs_yield_nothing(spark):
 def test_whitespace_normalization(spark):
     got = _chunks(spark, [(1, "  a\tb\n c  ")], size=2, stride=2)
     assert got == [(1, 0, "a b", 2), (1, 1, "c", 1)]
+
+
+# ---------------------------------------------------------------------------
+# truncate_to_budget
+
+
+def test_truncate_prefix_stops_at_first_overflow(spark):
+    """Prefix contract: a later small segment must NOT be spliced in after
+    an overflowing one."""
+    from database2ogr_spark.operators.chunking import truncate_to_budget
+
+    #       seg tokens:  3        |      4       | 1
+    text = "a1 a2 a3\n\nb1 b2 b3 b4\n\nc1"
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    r = truncate_to_budget(df, "text", max_tokens=5, sep="\n\n").collect()[0]
+    # only the first segment fits (3 <= 5; 3+4 > 5); c1 would fit numerically
+    # but splicing it past b* is forbidden
+    assert r.text_trunc == "a1 a2 a3"
+    assert r.n_tokens == 3
+
+
+def test_truncate_first_segment_overflow_hard_cuts(spark):
+    from database2ogr_spark.operators.chunking import truncate_to_budget
+
+    text = "  t1  t2\tt3 t4 t5 t6  "
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    r = truncate_to_budget(df, "text", max_tokens=4, sep="\n\n").collect()[0]
+    # token-level cut, whitespace normalized to single spaces
+    assert r.text_trunc == "t1 t2 t3 t4"
+    assert r.n_tokens == 4
+
+
+def test_truncate_keeps_whole_doc_within_budget_and_empty_doc(spark):
+    from database2ogr_spark.operators.chunking import truncate_to_budget
+
+    df = spark.createDataFrame(
+        [(1, "p one\n\np two"), (2, "")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in truncate_to_budget(df, "text", max_tokens=100, sep="\n\n").collect()}
+    assert out[1].text_trunc == "p one\n\np two" and out[1].n_tokens == 4
+    assert out[2].text_trunc == "" and out[2].n_tokens == 0
+
+
+def test_truncate_is_expression_tier(spark):
+    """No Python evals: the whole operator must stay in codegen."""
+    from database2ogr_spark.operators.chunking import truncate_to_budget
+
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = (
+        truncate_to_budget(df, "text")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "Exchange" not in plan  # narrow, zero shuffle
