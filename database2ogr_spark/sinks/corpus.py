@@ -72,3 +72,54 @@ def write_corpus_shards(
         .save(out_dir)
     )
     return out_dir
+
+
+def compact_dataset(
+    spark,
+    in_dir: str,
+    out_dir: str,
+    *,
+    target_bytes: int = 1 << 30,
+    fmt: str = "parquet",
+    sort_within: tuple[str, ...] = (),
+) -> int:
+    """Small-file compaction: rewrite a (possibly fragmented) dataset into
+    ``ceil(input_bytes / target_bytes)`` similarly-sized files. Returns the
+    output file count.
+
+    The small-files problem is a first-order cost at 100 TB: a dataset
+    accreted by many incremental jobs ends up as millions of KB-scale files,
+    and every downstream scan pays a task + open + footer read per file.
+    Compaction is the standard maintenance pass (the OPTIMIZE of table
+    formats, expressed on plain directories).
+
+    Mechanics: input size comes from the driver-side file listing (metadata
+    only, no data read); the rewrite is ONE distributed pass —
+    ``repartition(n)`` round-robins rows into n even output tasks.
+    ``sort_within`` optionally re-sorts rows inside each output file
+    (sortWithinPartitions — no global sort) to restore min/max row-group
+    pruning locality that round-robin would otherwise destroy for the named
+    columns. Uncompacted-size estimation note: n is computed from the
+    INPUT's on-disk bytes, so recompression ratio drift can land files
+    modestly over/under target — fine for the scan-cost purpose.
+    """
+    import math
+
+    from pyspark.sql import SparkSession  # noqa: F401
+
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path(in_dir)
+    fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())
+    total = fs.getContentSummary(jvm_path).getLength()
+    n = max(1, math.ceil(total / target_bytes))
+    df = spark.read.format(fmt).load(in_dir)
+    staged = df.repartition(n)
+    if sort_within:
+        staged = staged.sortWithinPartitions(*sort_within)
+    staged.write.mode("overwrite").format(fmt).save(out_dir)
+    out_path = spark._jvm.org.apache.hadoop.fs.Path(out_dir)
+    listing = fs.listStatus(out_path)
+    return sum(
+        1
+        for i in range(len(listing))
+        if listing[i].getPath().getName().startswith("part-")
+    )

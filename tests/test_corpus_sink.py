@@ -78,3 +78,44 @@ def test_write_corpus_shards_membership_is_append_stable(spark, tmp_path):
     assert small_shards == again
     assert first == again
     assert len(first) == 100
+
+
+def test_compact_dataset_reduces_files_and_preserves_rows(spark, tmp_path):
+    """A fragmented 64-file dataset compacts to the computed file count with
+    content intact; sort_within restores within-file ordering."""
+    from database2ogr_spark.sinks.corpus import compact_dataset
+
+    frag = str(tmp_path / "frag")
+    out = str(tmp_path / "compact")
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs.repartition(64).write.mode("overwrite").parquet(frag)
+    import glob
+
+    assert len(glob.glob(f"{frag}/part-*")) == 64
+    # huge target → everything fits in one file
+    n_files = compact_dataset(
+        spark, frag, out, target_bytes=1 << 40, sort_within=("doc_id",)
+    )
+    assert n_files == 1
+    assert len(glob.glob(f"{out}/part-*")) == 1
+    a = sorted(r.doc_id for r in spark.read.parquet(frag).collect())
+    b = [r.doc_id for r in spark.read.parquet(out).collect()]
+    assert sorted(b) == a
+    # sort_within: the single output file is doc_id-ordered on disk
+    assert b == sorted(b)
+
+
+def test_compact_dataset_splits_to_multiple_targets(spark, tmp_path):
+    from database2ogr_spark.sinks.corpus import compact_dataset
+
+    frag = str(tmp_path / "frag2")
+    out = str(tmp_path / "compact2")
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs.repartition(16).write.mode("overwrite").parquet(frag)
+    import glob, os
+
+    total = sum(os.path.getsize(p) for p in glob.glob(f"{frag}/part-*"))
+    # pick a target that forces >1 output file
+    n_files = compact_dataset(spark, frag, out, target_bytes=max(1, total // 3))
+    assert n_files >= 3
+    assert spark.read.parquet(out).count() == docs.count()
