@@ -75,6 +75,10 @@ HEADLINE = [
     "dedup_incremental_lsh",
     "webdataset_roundtrip",
     "pretrain_pipeline",
+    # late-round-4 families
+    "rolling_features",
+    "normalize_text",
+    "truncate_to_budget",
 ]
 
 #: the queries that were in BENCH_r01 (the operative baseline — BASELINE.md:
