@@ -3155,7 +3155,9 @@ def oracle_sql() -> dict[str, str]:
                 quantile_cont(value, 0.95) AS _w_hi
               FROM events GROUP BY 1)
             SELECT e.event_id, e.event_type, e.value,
-              round(least(greatest(e.value, b._w_lo), b._w_hi), 6) AS value_w
+              CASE WHEN e.value IS NULL THEN NULL
+                ELSE round(least(greatest(e.value, b._w_lo), b._w_hi), 6)
+              END AS value_w
             FROM events e JOIN b USING (event_type)
         """,
         "tpch_q13_order_distribution": """

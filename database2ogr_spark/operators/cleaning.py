@@ -509,11 +509,19 @@ def winsorize(
         df.join(F.broadcast(bounds), group_col)
         .withColumn(
             out,
-            F.round(
-                F.least(
-                    F.greatest(F.col(value_col), F.col("_w_lo")), F.col("_w_hi")
-                ),
-                6,
+            # explicit NULL guard: Spark's least/greatest SKIP nulls (as do
+            # DuckDB's), so without it a NULL value would silently clamp to
+            # the lower bound instead of staying NULL
+            F.when(
+                F.col(value_col).isNull(), F.lit(None).cast("double")
+            ).otherwise(
+                F.round(
+                    F.least(
+                        F.greatest(F.col(value_col), F.col("_w_lo")),
+                        F.col("_w_hi"),
+                    ),
+                    6,
+                )
             ),
         )
         .drop("_w_lo", "_w_hi")

@@ -90,3 +90,61 @@ def test_truncate_is_expression_tier(spark):
     )
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     assert "Exchange" not in plan  # narrow, zero shuffle
+
+
+def test_truncate_matches_python_reference_on_random_texts(spark):
+    """Property test: the expression-tier prefix/fallback semantics equal a
+    straightforward Python reference on random multi-segment texts."""
+    from hypothesis import given, settings, strategies as st
+
+    from database2ogr_spark.operators.chunking import truncate_to_budget
+
+    word = st.text(
+        alphabet=st.characters(whitelist_categories=("Ll", "Nd")),
+        min_size=1,
+        max_size=5,
+    )
+    seg = st.lists(word, min_size=0, max_size=6).map(" ".join)
+    texts = st.lists(
+        st.lists(seg, min_size=1, max_size=4).map("\n\n".join),
+        min_size=1,
+        max_size=5,
+    )
+
+    def reference(text, budget):
+        paras = text.split("\n\n")
+        toks = [len([w for w in p.split() if w]) for p in paras]
+        kept, total = 0, 0
+        for c in toks:
+            if total + c > budget:
+                break
+            total, kept = total + c, kept + 1
+        if kept == 0:
+            words = [w for w in paras[0].split() if w][:budget]
+            return " ".join(words), len(words)
+        return "\n\n".join(paras[:kept]), total
+
+    @settings(max_examples=10, deadline=None, derandomize=True)
+    @given(texts=texts, budget=st.integers(min_value=0, max_value=8))
+    def check(texts, budget):
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        got = {
+            r.doc_id: (r.text_trunc, r.n_tokens)
+            for r in truncate_to_budget(
+                df, "text", max_tokens=budget, sep="\n\n"
+            ).collect()
+        }
+        for i, t in enumerate(texts):
+            assert got[i] == reference(t, budget), (t, budget)
+
+    check()
+
+
+def test_truncate_null_text_propagates_null(spark):
+    from database2ogr_spark.operators.chunking import truncate_to_budget
+
+    df = spark.createDataFrame([(1, None)], "doc_id long, text string")
+    r = truncate_to_budget(df, "text", max_tokens=5).collect()[0]
+    assert r.text_trunc is None

@@ -298,3 +298,42 @@ def test_winsorize_groups_do_not_leak(spark):
             assert r.value_w <= 2.0
         else:
             assert r.value_w >= 1000.0
+
+
+def test_normalize_text_idempotent_on_random_unicode(spark):
+    """normalize(normalize(x)) == normalize(x) — canonicalization property,
+    on unicode including combining marks, controls, and whitespace."""
+    from hypothesis import given, settings, strategies as st
+
+    from database2ogr_spark.operators.cleaning import normalize_text
+
+    texts = st.lists(
+        st.text(max_size=50), min_size=1, max_size=5
+    )
+
+    @settings(max_examples=10, deadline=None, derandomize=True)
+    @given(texts=texts)
+    def check(texts):
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        once = normalize_text(df, "text", out_col="n1")
+        twice = normalize_text(once, "n1", out_col="n2")
+        for r in twice.collect():
+            assert r.n2 == r.n1
+
+    check()
+
+
+def test_normalize_and_winsorize_null_handling(spark):
+    from database2ogr_spark.operators.cleaning import normalize_text, winsorize
+
+    df = spark.createDataFrame([(1, None)], "doc_id long, text string")
+    assert normalize_text(df, "text").collect()[0].text is None
+    ev = spark.createDataFrame(
+        [(1, "a", None), (2, "a", 5.0)],
+        "event_id long, event_type string, value double",
+    )
+    out = {r.event_id: r.value_w for r in winsorize(ev).collect()}
+    # null value clamps to null; percentile ignores nulls in both engines
+    assert out[1] is None and out[2] == 5.0
