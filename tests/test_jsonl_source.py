@@ -37,3 +37,40 @@ def test_read_jsonl_all_good_roundtrip(spark, tmp_path):
     good, quarantine = read_jsonl(spark, _write(tmp_path, rows))
     assert good.count() == 10
     assert quarantine.count() == 0
+
+
+# ---------------------------------------------------------------------------
+# CSV sibling (sources/csvfile.py)
+
+
+def test_csv_quarantine_splits_good_and_bad(spark, tmp_path):
+    from database2ogr_spark.sources.csvfile import read_csv_quarantine
+
+    p = tmp_path / "in"
+    p.mkdir()
+    (p / "a.csv").write_text(
+        '1,"quoted, text",en,web,12\n'
+        "not_a_number,x,y,z,1\n"
+        ",missing_id,en,web,3\n"
+        "2,plain,fr,book,5\n"
+    )
+    good, quar = read_csv_quarantine(spark, str(p))
+    g = {r.doc_id: r for r in good.collect()}
+    assert set(g) == {1, 2}
+    assert g[1].text == "quoted, text"  # embedded delimiter survives quoting
+    q = {r.raw for r in quar.collect()}
+    assert q == {"not_a_number,x,y,z,1", ",missing_id,en,web,3"}
+
+
+def test_csv_quarantine_survives_count_pruning(spark, tmp_path):
+    """The documented _corrupt_record pruning trap must not reappear: a
+    count() over the good side (which prunes data columns) must agree with
+    the collected row count."""
+    from database2ogr_spark.sources.csvfile import read_csv_quarantine
+
+    p = tmp_path / "in2"
+    p.mkdir()
+    (p / "a.csv").write_text("1,t,en,web,1\nbroken line\n2,u,fr,book,1\n")
+    good, quar = read_csv_quarantine(spark, str(p))
+    assert good.count() == len(good.collect()) == 2
+    assert quar.count() == 1
