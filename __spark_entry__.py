@@ -1494,6 +1494,25 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ivf_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persistent-IVF query path (similarity.build_ivf_index +
+    ivf_index_topk): same hyperparameters as q_ivf_topk, graded by the SAME
+    DuckDB twin — the index dataset must change nothing about results, only
+    where assignment work happens (build once, partition-pruned probes)."""
+    from database2ogr_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_index_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    idx = os.path.join(tempfile.gettempdir(), "d2o_ivf_index")
+    build_ivf_index(emb, idx, n_centroids=16)
+    queries_df = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_index_topk(spark, idx, queries_df, k=5, n_probe=4)
+
+
 def q_events_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream interval join, batch twin: click→purchase attribution
     per user within 30 minutes (streaming/events.attribution_join; the
@@ -2089,11 +2108,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Added LATE in round 4 (after the prefix was already full of this
         # round's 30 new entries + the 20 round-2 re-earners, none of which
         # can yield their slot without breaking a verification promise):
-        # the thirteen late-round-4 additions below (five partsupp-family
+        # the fourteen late-round-4 additions below (five partsupp-family
         # TPC-H completions, unpivot, rolling window frames, text
         # normalization, winsorization, the contamination-fraction pair,
-        # token-budget truncation, the CSV quarantine source) sit at
-        # slots 51-63 and are
+        # token-budget truncation, the CSV quarantine source, the
+        # persistent-IVF query path) sit at slots 51-64 and are
         # GRADED IN ROUND 5, where they LEAD the prefix (priority (a), ahead
         # of the twenty constituent-graded entries listed further down).
         # Until then they are verified by scripts/check_oracle.py at sf0.01
@@ -2112,6 +2131,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_fraction": q_decontaminate_fraction,
         "truncate_to_budget": q_truncate_to_budget,
         "csv_roundtrip": q_csv_roundtrip,
+        "ivf_index_topk": q_ivf_index_topk,
         # Displaced by the newly-graded entries above (priority (a) — the
         # dedup/ANN oracle chain, the two property-graded sketch entries,
         # and the round-4 clustering family): dedup_exact_survivors
@@ -4105,6 +4125,10 @@ def oracle_sql() -> dict[str, str]:
     # propagation on the same edge set — one recursive-CTE twin grades
     # both closure kernels
     out["near_dup_groups_star"] = out["near_dup_groups_exact"]
+    # the persistent-index query path shares ivf_topk's centroid pick and
+    # assignment kernel, so the SAME twin grades it — cross-implementation
+    # hash equivalence, like the CC star/propagation pair above
+    out["ivf_index_topk"] = out["ivf_topk"]
     # the span CUT nests the graded span DETECTION verbatim, then replays
     # the covered-token anti-join and the ordered reassembly
     out["strip_duplicate_spans"] = f"""

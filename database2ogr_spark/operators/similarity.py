@@ -394,16 +394,9 @@ def ivf_topk(
     import pandas as pd
 
     sel = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("c_vec"))
-    cent_rows = (
-        sel.withColumn("_h", stable_hash64(F.col("vec_id").cast("string"), seed=11))
-        .orderBy("_h")
-        .limit(n_centroids)
-        .collect()
-    )
-    if not cent_rows:
+    cents = _hash_centroid_matrix(sel, n_centroids)
+    if cents is None:
         return _empty(corpus, "query_id long, vec_id long, cosine_sim double, rank int")
-    cents = np.array([r.c_vec for r in cent_rows], dtype=np.float64)
-    cents /= np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
     bc = corpus.sparkSession.sparkContext.broadcast(cents)
 
     def assign(batches):
@@ -586,3 +579,152 @@ def project_embeddings(
 
     sel = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
     return sel.mapInPandas(project, schema="vec_id long, proj array<double>")
+
+
+def _hash_centroid_matrix(sel: DataFrame, n_centroids: int):
+    """The deterministic centroid pick shared by ivf_topk and the
+    persistent index: the n vectors whose ids hash lowest (seed 11),
+    L2-normalized, ordered by hash — row index IS list_id. Returns a
+    numpy (n, dim) matrix or None on an empty corpus."""
+    import numpy as np
+
+    cent_rows = (
+        sel.withColumn("_h", stable_hash64(F.col("vec_id").cast("string"), seed=11))
+        .orderBy("_h")
+        .limit(n_centroids)
+        .collect()
+    )
+    if not cent_rows:
+        return None
+    cents = np.array([r.c_vec for r in cent_rows], dtype=np.float64)
+    return cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+
+
+def build_ivf_index(
+    corpus: DataFrame,
+    out_dir: str,
+    *,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """Materialize an IVF index as a DATASET: ``out_dir/centroids`` (k rows:
+    list_id, centroid) and ``out_dir/lists`` (the corpus, partitioned by
+    ``list_id`` directories). Returns ``out_dir``.
+
+    :func:`ivf_topk` re-assigns the whole corpus on every call — right for
+    one-shot queries, wasteful for a query SERVICE. The index pays
+    assignment once; because inverted lists are parquet *partition
+    directories*, a probe reads only the ``n_probe`` lists it needs —
+    file-level pruning (``PartitionFilters`` in the scan, pinned in
+    tests/test_similarity.py), which is exactly how the ivf_topk docstring
+    says the 100 TB deployment should store the assignment. Centroid choice
+    and assignment are bit-identical to :func:`ivf_topk` (shared kernel),
+    so index-backed results equal the in-memory operator's exactly.
+    """
+    import numpy as np
+
+    sel = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("c_vec"))
+    cents = _hash_centroid_matrix(sel, n_centroids)
+    if cents is None:
+        raise ValueError("cannot build an IVF index over an empty corpus")
+    spark = corpus.sparkSession
+    bc = spark.sparkContext.broadcast(cents)
+
+    def assign(batches):
+        c = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            m = np.array(pdf["c_vec"].tolist(), dtype=np.float64)
+            norms = np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+            out = pdf[["vec_id", "c_vec"]].copy()
+            out["list_id"] = ((m / norms) @ c.T).argmax(axis=1).astype("int64")
+            yield out
+
+    vec_type = dict(corpus.dtypes)[vec_col]
+    assigned = sel.mapInPandas(
+        assign, schema=f"vec_id long, c_vec {vec_type}, list_id long"
+    )
+    (
+        assigned.repartition(F.col("list_id"))
+        .write.mode("overwrite")
+        .partitionBy("list_id")
+        .parquet(f"{out_dir}/lists")
+    )
+    cent_df = spark.createDataFrame(
+        [(i, [float(x) for x in cents[i]]) for i in range(len(cents))],
+        "list_id long, centroid array<double>",
+    )
+    cent_df.coalesce(1).write.mode("overwrite").parquet(f"{out_dir}/centroids")
+    return out_dir
+
+
+def ivf_index_topk(
+    spark,
+    index_dir: str,
+    queries: DataFrame,
+    *,
+    k: int = 5,
+    n_probe: int = 4,
+    query_id_col: str = "query_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Query a :func:`build_ivf_index` dataset: per query, scan only its
+    ``n_probe`` nearest inverted lists. Results are identical to
+    :func:`ivf_topk` with the same hyperparameters (pinned in pytest AND by
+    sharing the ivf_topk DuckDB oracle).
+
+    The probed-list set (≤ #queries·n_probe small ints) is collected so the
+    list filter is a LITERAL ``IN`` on the partition column — that is what
+    turns it into file-level partition pruning instead of a post-scan
+    filter. Queries assign against the k-row centroid table (driver
+    broadcast, same shape as ivf_topk's probe kernel).
+    """
+    import numpy as np
+    import pandas as pd
+
+    cent_rows = spark.read.parquet(f"{index_dir}/centroids").orderBy("list_id").collect()
+    cents = np.array([r.centroid for r in cent_rows], dtype=np.float64)
+    bc = spark.sparkContext.broadcast(cents)
+
+    def probe(batches):
+        c = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            m = np.array(pdf["q_vec"].tolist(), dtype=np.float64)
+            norms = np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+            lists = np.argsort(-((m / norms) @ c.T), axis=1)[:, :n_probe]
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(pdf["query_id"].to_numpy(), lists.shape[1]),
+                    "q_vec": [v for v in pdf["q_vec"] for _ in range(lists.shape[1])],
+                    "list_id": lists.reshape(-1),
+                }
+            )
+
+    vec_type = dict(queries.dtypes)[vec_col]
+    q_sel = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    q_lists = q_sel.mapInPandas(
+        probe, schema=f"query_id long, q_vec {vec_type}, list_id long"
+    )
+    probed = sorted({r.list_id for r in q_lists.select("list_id").distinct().collect()})
+    lists = spark.read.parquet(f"{index_dir}/lists").filter(
+        F.col("list_id").isin(probed)
+    )
+    scored = (
+        lists.join(F.broadcast(q_lists), on="list_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("vec_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
