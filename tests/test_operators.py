@@ -207,3 +207,24 @@ def test_bigram_logprob_hand_computed(spark):
     assert got[1] == (3, round(d1, 6))
     assert got[2] == (1, round(math.log(1 / 3), 6))
     assert 3 not in got  # single-token doc has no bigram events
+
+
+def test_hll_sketch_merge_equals_direct_at_high_cardinality(spark):
+    """Mergeable-sketch property in estimation (not sparse/exact) mode:
+    union of per-partition sketches over 200k distinct ids must equal the
+    single-pass sketch's estimate, and land within 3% of truth."""
+    from pyspark.sql import functions as F
+
+    n = 200_000
+    df = spark.range(n).select(
+        F.col("id"), (F.col("id") % 16).alias("part")
+    )
+    fine = df.groupBy("part").agg(F.hll_sketch_agg("id").alias("sk"))
+    merged = fine.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_merged")
+    ).collect()[0]
+    direct = df.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("id")).alias("est_direct")
+    ).collect()[0]
+    assert merged.est_merged == direct.est_direct
+    assert abs(merged.est_merged - n) / n <= 0.03
