@@ -329,3 +329,55 @@ def connected_components_star(
     out = labels.localCheckpoint(eager=True)
     e.unpersist()
     return out
+
+
+def pagerank_integer(
+    edges: DataFrame,
+    *,
+    iters: int = 3,
+    scale: int = 1_000_000_000,
+    damping_pct: int = 85,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """PageRank with SCALED-INTEGER arithmetic — deterministic across
+    engines, partitionings, and retries: every contribution is
+    ``(damping·rank) div (100·out_degree)`` on bigints, and bigint sums are
+    associative, so there is no float accumulation-order drift (the same
+    trick as the relational pack's money-c4 sums, applied to an iterative
+    algorithm). Unnormalized variant: ranks start at ``scale`` per node and
+    each round is ``rank'(v) = (100-d)%·scale + Σ_{u→v} d%·rank(u) div
+    (100·deg(u))`` — the relative ordering (what centrality is used for) is
+    the standard one.
+
+    Scale: the degree-annotated edge table is computed once and persisted
+    (callers clearCache when done, same contract as the dedup operators);
+    each iteration is ONE join of edges⋈ranks (shuffle on the src key) and
+    ONE aggregate (shuffle on dst) — cost linear in |E| per round, no
+    driver-side graph, lineage linear in ``iters`` (for tens of rounds add
+    the localCheckpoint cadence of ``connected_components`` above). Nodes
+    with no in-edges settle at the base mass.
+    """
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    ed = e.join(deg, "src").persist(StorageLevel.MEMORY_AND_DISK)
+    base = (100 - damping_pct) * scale // 100
+    ranks = nodes.withColumn("rank_c9", F.lit(scale).cast("bigint"))
+    for _ in range(iters):
+        contrib = ed.join(ranks, ed.src == ranks.node).select(
+            "dst",
+            F.expr(f"({damping_pct} * rank_c9) div (100 * deg)").alias("c"),
+        )
+        summed = contrib.groupBy("dst").agg(F.sum("c").alias("s"))
+        ranks = nodes.join(summed, nodes.node == summed.dst, "left").select(
+            "node",
+            (F.lit(base) + F.coalesce(F.col("s"), F.lit(0)))
+            .cast("bigint")
+            .alias("rank_c9"),
+        )
+    return ranks

@@ -190,3 +190,67 @@ def test_star_kernel_high_diameter_chain(spark):
     assert len(rows) == 60
     assert {r.component for r in rows} == {0}
     spark.catalog.clearCache()
+
+
+# ---------------------------------------------------------------------------
+# pagerank_integer
+
+
+def test_pagerank_hand_computed_star(spark):
+    """Directed star a->c, b->c: after 1 iteration c holds base + both full
+    damped masses; a and b (no in-edges) hold base."""
+    from database2ogr_spark.operators.graph import pagerank_integer
+
+    edges = spark.createDataFrame([(1, 3), (2, 3)], "src long, dst long")
+    r = {
+        row.node: row.rank_c9
+        for row in pagerank_integer(edges, iters=1).collect()
+    }
+    base = 150_000_000
+    contrib = (85 * 1_000_000_000) // 100  # deg=1 each
+    assert r[1] == base and r[2] == base
+    assert r[3] == base + 2 * contrib
+
+
+def test_pagerank_symmetric_cycle_is_uniform(spark):
+    """On a symmetric cycle every node keeps identical rank at every
+    iteration (symmetry), pinning conservation of relative order."""
+    from database2ogr_spark.operators.graph import pagerank_integer
+
+    n = 6
+    cyc = [(i, (i + 1) % n) for i in range(n)] + [((i + 1) % n, i) for i in range(n)]
+    edges = spark.createDataFrame(cyc, "src long, dst long")
+    out = pagerank_integer(edges, iters=3).collect()
+    assert len({r.rank_c9 for r in out}) == 1
+
+
+def test_pagerank_deterministic_under_repartition(spark):
+    """Integer arithmetic makes the result partitioning-invariant — the
+    reason floats are banned from the update rule."""
+    from database2ogr_spark.operators.graph import pagerank_integer
+
+    li = (
+        spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    from pyspark.sql import functions as F
+
+    edges = (
+        li.alias("a")
+        .join(
+            li.alias("b"),
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
+        .distinct()
+    )
+    a = sorted(
+        (r.node, r.rank_c9) for r in pagerank_integer(edges, iters=2).collect()
+    )
+    b = sorted(
+        (r.node, r.rank_c9)
+        for r in pagerank_integer(edges.repartition(7), iters=2).collect()
+    )
+    assert a == b and a
