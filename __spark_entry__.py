@@ -1155,6 +1155,29 @@ def q_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dataset_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation (operators/diff.dataset_diff): the 'new'
+    snapshot deterministically removes ids ≡0 mod 97, rewrites lang to 'xx'
+    for ids ≡0 mod 31, and adds clones at id+10^6 for ids ≡0 mod 89 — the
+    diff must classify every id exactly (full-outer on (id, md5 fp))."""
+    from database2ogr_spark.operators.diff import dataset_diff
+
+    docs = _t(spark, sf_dir, "documents")
+    changed = docs.withColumn(
+        "lang",
+        F.when(F.col("doc_id") % 31 == 0, F.lit("xx")).otherwise(F.col("lang")),
+    )
+    new = (
+        changed.filter(F.col("doc_id") % 97 != 0)
+        .unionByName(
+            docs.filter(F.col("doc_id") % 89 == 0).withColumn(
+                "doc_id", F.col("doc_id") + F.lit(1_000_000)
+            )
+        )
+    )
+    return dataset_diff(docs, new, compare_cols=("text", "lang", "source", "n_chars"))
+
+
 def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ORC source round-trip: documents written as ORC and read back must
     reproduce the table exactly. ORC is Spark-native (columnar, predicate
@@ -2183,12 +2206,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Added LATE in round 4 (after the prefix was already full of this
         # round's 30 new entries + the 20 round-2 re-earners, none of which
         # can yield their slot without breaking a verification promise):
-        # the seventeen late-round-4 additions below (five partsupp-family
+        # the eighteen late-round-4 additions below (five partsupp-family
         # TPC-H completions, unpivot, rolling window frames, text
         # normalization, winsorization, the contamination-fraction pair,
         # token-budget truncation, the CSV quarantine source, the
         # persistent-IVF query path, the mergeable-sketch rollup, the ORC
-        # round-trip, integer PageRank) sit at slots 51-67 and are
+        # round-trip, integer PageRank, dataset diff) sit at slots 51-68
+        # and are
         # GRADED IN ROUND 5, where they LEAD the prefix (priority (a), ahead
         # of the twenty constituent-graded entries listed further down).
         # Until then they are verified by scripts/check_oracle.py at sf0.01
@@ -2211,6 +2235,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_rollup": q_sketch_rollup,
         "orc_roundtrip": q_orc_roundtrip,
         "copurchase_pagerank": q_copurchase_pagerank,
+        "dataset_diff": q_dataset_diff,
         # Displaced by the newly-graded entries above (priority (a) — the
         # dedup/ANN oracle chain, the two property-graded sketch entries,
         # and the round-4 clustering family): dedup_exact_survivors
@@ -3715,6 +3740,27 @@ def oracle_sql() -> dict[str, str]:
         "orc_roundtrip": (
             "SELECT doc_id, lang, source, n_chars FROM documents"
         ),
+        "dataset_diff": """
+            WITH fp AS (
+              SELECT doc_id, md5(concat_ws(chr(31), text, lang, source,
+                CAST(n_chars AS VARCHAR))) AS f
+              FROM documents),
+            changed_fp AS (
+              SELECT doc_id, md5(concat_ws(chr(31), text,
+                CASE WHEN doc_id % 31 = 0 THEN 'xx' ELSE lang END, source,
+                CAST(n_chars AS VARCHAR))) AS f
+              FROM documents),
+            new_fp AS (
+              SELECT doc_id, f FROM changed_fp WHERE doc_id % 97 <> 0
+              UNION ALL
+              SELECT doc_id + 1000000, f FROM fp WHERE doc_id % 89 = 0)
+            SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+              CASE WHEN o.f IS NULL THEN 'added'
+                   WHEN n.f IS NULL THEN 'removed'
+                   WHEN o.f = n.f THEN 'unchanged'
+                   ELSE 'changed' END AS status
+            FROM fp o FULL OUTER JOIN new_fp n ON o.doc_id = n.doc_id
+        """,
         "copurchase_pagerank": """
             WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
             edges AS (
