@@ -1155,6 +1155,16 @@ def q_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly grid + LOCF per user (timeseries.gap_fill_locf) — the
+    resample/gap-fill surface; at sf0.01 ~90% of grid rows are imputed, so
+    the carry-forward path is exercised heavily."""
+    from database2ogr_spark.operators.timeseries import gap_fill_locf
+
+    ev = read_events(spark, os.path.join(sf_dir, "events.parquet"))
+    return gap_fill_locf(ev, unit="hour")
+
+
 def q_dataset_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot reconciliation (operators/diff.dataset_diff): the 'new'
     snapshot deterministically removes ids ≡0 mod 97, rewrites lang to 'xx'
@@ -2206,13 +2216,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Added LATE in round 4 (after the prefix was already full of this
         # round's 30 new entries + the 20 round-2 re-earners, none of which
         # can yield their slot without breaking a verification promise):
-        # the eighteen late-round-4 additions below (five partsupp-family
+        # the nineteen late-round-4 additions below (five partsupp-family
         # TPC-H completions, unpivot, rolling window frames, text
         # normalization, winsorization, the contamination-fraction pair,
         # token-budget truncation, the CSV quarantine source, the
         # persistent-IVF query path, the mergeable-sketch rollup, the ORC
-        # round-trip, integer PageRank, dataset diff) sit at slots 51-68
-        # and are
+        # round-trip, integer PageRank, dataset diff, LOCF gap-fill) sit
+        # at slots 51-69 and are
         # GRADED IN ROUND 5, where they LEAD the prefix (priority (a), ahead
         # of the twenty constituent-graded entries listed further down).
         # Until then they are verified by scripts/check_oracle.py at sf0.01
@@ -2236,6 +2246,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orc_roundtrip": q_orc_roundtrip,
         "copurchase_pagerank": q_copurchase_pagerank,
         "dataset_diff": q_dataset_diff,
+        "gap_fill": q_gap_fill,
         # Displaced by the newly-graded entries above (priority (a) — the
         # dedup/ANN oracle chain, the two property-graded sketch entries,
         # and the round-4 clustering family): dedup_exact_survivors
@@ -3740,6 +3751,27 @@ def oracle_sql() -> dict[str, str]:
         "orc_roundtrip": (
             "SELECT doc_id, lang, source, n_chars FROM documents"
         ),
+        "gap_fill": """
+            WITH pb AS (
+              SELECT user_id, date_trunc('hour', ts) AS bucket,
+                arg_max(value, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+                  || lpad(CAST(event_id AS VARCHAR), 12, '0')) AS v
+              FROM events GROUP BY 1, 2),
+            spans AS (SELECT user_id, min(bucket) AS b0, max(bucket) AS b1
+                      FROM pb GROUP BY 1),
+            grid AS (SELECT user_id,
+                       unnest(generate_series(b0, b1, INTERVAL 1 HOUR))
+                         AS bucket
+                     FROM spans),
+            j AS (SELECT g.user_id, g.bucket, pb.v
+                  FROM grid g LEFT JOIN pb
+                    ON g.user_id = pb.user_id AND g.bucket = pb.bucket)
+            SELECT user_id, bucket,
+              last_value(v IGNORE NULLS) OVER (PARTITION BY user_id
+                ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS value_filled,
+              v IS NOT NULL AS observed
+            FROM j
+        """,
         "dataset_diff": """
             WITH fp AS (
               SELECT doc_id, md5(concat_ws(chr(31), text, lang, source,

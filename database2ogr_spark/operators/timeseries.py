@@ -144,3 +144,67 @@ def rolling_features(
         F.count(F.col(value_col)).over(frame).alias("roll_n"),
         (F.row_number().over(w) - F.lit(1)).alias("seen_n"),
     )
+
+
+def gap_fill_locf(
+    events: DataFrame,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    unit: str = "hour",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Regularize an event stream onto a fixed time grid with
+    last-observation-carried-forward — the resample/gap-fill surface
+    (TimescaleDB's ``time_bucket_gapfill``/``locf`` shape): one row per
+    (key, grid bucket) from the key's first to last observed bucket, with
+    ``value_filled`` carried forward across unobserved buckets and an
+    ``observed`` flag separating measurement from imputation.
+
+    Plan: per-(key, bucket) latest value via ``max_by`` over a zero-padded
+    (epoch-micros, tiebreak) string key (deterministic under timestamp
+    ties, portable — both engines compare the same VARCHAR); per-key spans
+    (|keys| rows); the grid is ``sequence()`` + ``explode`` — fan-out =
+    span/unit per key, generated distributed, never on the driver; LOCF is
+    ``last(ignorenulls)`` over a running frame. Everything shuffles on the
+    key: the agg, the grid join, and the window share partitioning, and AQE
+    coalesces the tiny spans side. Dense-grid caveat at scale: fan-out is
+    (span/unit)·keys rows — pick ``unit`` so the grid is at most ~10× the
+    event count, same sizing rule as range_join's bucket.
+    """
+    sort_key = F.concat(
+        F.lpad(F.unix_micros(F.col(ts_col).cast("timestamp")).cast("string"), 20, "0"),
+        F.lpad(F.col(tiebreak_col).cast("string"), 12, "0"),
+    )
+    per_bucket = (
+        events.select(
+            F.col(key_col),
+            F.date_trunc(unit, F.col(ts_col)).alias("bucket"),
+            F.col(value_col).alias("_v"),
+            sort_key.alias("_sk"),
+        )
+        .groupBy(key_col, "bucket")
+        .agg(F.max_by("_v", "_sk").alias("v"))
+    )
+    spans = per_bucket.groupBy(key_col).agg(
+        F.min("bucket").alias("b0"), F.max("bucket").alias("b1")
+    )
+    grid = spans.select(
+        key_col,
+        F.explode(
+            F.sequence("b0", "b1", F.expr(f"interval 1 {unit}"))
+        ).alias("bucket"),
+    )
+    j = grid.join(per_bucket, [key_col, "bucket"], "left")
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return j.select(
+        key_col,
+        "bucket",
+        F.last("v", ignorenulls=True).over(w).alias("value_filled"),
+        F.col("v").isNotNull().alias("observed"),
+    )

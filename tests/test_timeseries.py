@@ -170,3 +170,54 @@ def test_rolling_features_keys_isolated(spark):
     out = {r.event_id: r for r in rolling_features(ev).collect()}
     assert out[1].gap_us is None and out[1].prev_label is None
     assert out[1].seen_n == 0
+
+
+# ---------------------------------------------------------------------------
+# gap_fill_locf
+
+
+def test_gap_fill_locf_hand_computed(spark):
+    import datetime as dt
+
+    from database2ogr_spark.operators.timeseries import gap_fill_locf
+
+    h = lambda n: dt.datetime(2024, 1, 1, n)
+    ev = spark.createDataFrame(
+        [
+            (0, h(1), 1, "a", 10.0),
+            (1, h(4), 1, "a", 40.0),   # hours 2,3 are gaps
+            (2, h(1), 2, "a", 5.0),    # second key: no gaps, one bucket
+        ],
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, value double",
+    )
+    out = {
+        (r.user_id, r.bucket.hour): (r.value_filled, r.observed)
+        for r in gap_fill_locf(ev, unit="hour").collect()
+    }
+    assert out[(1, 1)] == (10.0, True)
+    assert out[(1, 2)] == (10.0, False)   # carried forward
+    assert out[(1, 3)] == (10.0, False)
+    assert out[(1, 4)] == (40.0, True)
+    assert out[(2, 1)] == (5.0, True)
+    assert len(out) == 5  # grid spans first..last bucket per key, no more
+
+
+def test_gap_fill_locf_latest_in_bucket_wins_with_tiebreak(spark):
+    import datetime as dt
+
+    from database2ogr_spark.operators.timeseries import gap_fill_locf
+
+    t = dt.datetime(2024, 1, 1, 9, 30)
+    ev = spark.createDataFrame(
+        [
+            (0, t, 1, "a", 1.0),
+            (1, t, 1, "a", 2.0),   # same timestamp: higher event_id wins
+            (2, dt.datetime(2024, 1, 1, 9, 45), 1, "a", 3.0),  # later ts wins overall
+        ],
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, value double",
+    )
+    out = gap_fill_locf(ev, unit="hour").collect()
+    assert len(out) == 1 and out[0].value_filled == 3.0
+    ev2 = ev.filter("event_id < 2")
+    out2 = gap_fill_locf(ev2, unit="hour").collect()
+    assert out2[0].value_filled == 2.0
