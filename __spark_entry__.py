@@ -1155,6 +1155,36 @@ def q_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-supervised labeling (graph.label_propagation): brands of every
+    5th part seed a 2-round neighbor-majority propagation over the same
+    co-purchase edges as q_copurchase_pagerank — fully deterministic
+    (count votes, min-label ties), twin unrolled as CTEs."""
+    from database2ogr_spark.operators.graph import label_propagation
+
+    li = (
+        _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    )
+    edges = (
+        li.alias("a")
+        .join(
+            li.alias("b"),
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
+        .distinct()
+    )
+    seeds = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") % 5 == 0)
+        .select(F.col("p_partkey").alias("node"), F.col("p_brand").alias("label"))
+    )
+    return label_propagation(edges, seeds, iters=2).select(
+        F.col("node").alias("part_id"), "label", "is_seed"
+    )
+
+
 def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hourly grid + LOCF per user (timeseries.gap_fill_locf) — the
     resample/gap-fill surface; at sf0.01 ~90% of grid rows are imputed, so
@@ -2216,13 +2246,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Added LATE in round 4 (after the prefix was already full of this
         # round's 30 new entries + the 20 round-2 re-earners, none of which
         # can yield their slot without breaking a verification promise):
-        # the nineteen late-round-4 additions below (five partsupp-family
+        # the twenty late-round-4 additions below (five partsupp-family
         # TPC-H completions, unpivot, rolling window frames, text
         # normalization, winsorization, the contamination-fraction pair,
         # token-budget truncation, the CSV quarantine source, the
         # persistent-IVF query path, the mergeable-sketch rollup, the ORC
-        # round-trip, integer PageRank, dataset diff, LOCF gap-fill) sit
-        # at slots 51-69 and are
+        # round-trip, integer PageRank, dataset diff, LOCF gap-fill,
+        # label propagation) sit at slots 51-70 and are
         # GRADED IN ROUND 5, where they LEAD the prefix (priority (a), ahead
         # of the twenty constituent-graded entries listed further down).
         # Until then they are verified by scripts/check_oracle.py at sf0.01
@@ -2247,6 +2277,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "copurchase_pagerank": q_copurchase_pagerank,
         "dataset_diff": q_dataset_diff,
         "gap_fill": q_gap_fill,
+        "label_propagation": q_label_propagation,
         # Displaced by the newly-graded entries above (priority (a) — the
         # dedup/ANN oracle chain, the two property-graded sketch entries,
         # and the round-4 clustering family): dedup_exact_survivors
@@ -3751,6 +3782,35 @@ def oracle_sql() -> dict[str, str]:
         "orc_roundtrip": (
             "SELECT doc_id, lang, source, n_chars FROM documents"
         ),
+        "label_propagation": """
+            WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+            edges AS (
+              SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+              FROM li a JOIN li b
+                ON a.l_orderkey = b.l_orderkey
+               AND a.l_partkey <> b.l_partkey),
+            seeds AS (SELECT p_partkey AS node, p_brand AS label
+                      FROM part WHERE p_partkey % 5 = 0),
+            v1 AS (SELECT e.dst AS node, s.label, count(*) AS n
+                   FROM edges e JOIN seeds s ON e.src = s.node GROUP BY 1, 2),
+            m1 AS (SELECT node, max(n) AS nm FROM v1 GROUP BY 1),
+            r1 AS (SELECT v1.node, min(v1.label) AS label
+                   FROM v1 JOIN m1 ON v1.node = m1.node AND v1.n = m1.nm
+                   WHERE v1.node NOT IN (SELECT node FROM seeds)
+                   GROUP BY 1),
+            l1 AS (SELECT * FROM seeds UNION ALL SELECT * FROM r1),
+            v2 AS (SELECT e.dst AS node, l.label, count(*) AS n
+                   FROM edges e JOIN l1 l ON e.src = l.node GROUP BY 1, 2),
+            m2 AS (SELECT node, max(n) AS nm FROM v2 GROUP BY 1),
+            r2 AS (SELECT v2.node, min(v2.label) AS label
+                   FROM v2 JOIN m2 ON v2.node = m2.node AND v2.n = m2.nm
+                   WHERE v2.node NOT IN (SELECT node FROM seeds)
+                   GROUP BY 1),
+            l2 AS (SELECT * FROM seeds UNION ALL SELECT * FROM r2)
+            SELECT l2.node AS part_id, l2.label,
+              l2.node IN (SELECT node FROM seeds) AS is_seed
+            FROM l2
+        """,
         "gap_fill": """
             WITH pb AS (
               SELECT user_id, date_trunc('hour', ts) AS bucket,

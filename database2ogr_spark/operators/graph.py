@@ -386,3 +386,67 @@ def pagerank_integer(
             .alias("rank_c9"),
         )
     return ranks
+
+
+def label_propagation(
+    edges: DataFrame,
+    seeds: DataFrame,
+    *,
+    iters: int = 2,
+    node_col: str = "node",
+    label_col: str = "label",
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Semi-supervised label propagation: spread seed labels across a graph
+    by neighbor majority vote — the standard way to extend a small
+    hand-labeled set (quality tiers, topics, languages) through similarity
+    clusters without a model.
+
+    Deterministic by construction (no floats, no randomness): each round,
+    every NON-SEED node takes the label with the highest count among its
+    in-neighbors' current labels, ties broken by smallest label; seeds
+    never change. Round i+1 recomputes every non-seed node fresh from the
+    round-i label set (a node that loses all labeled neighbors would drop
+    back out) — the fixed contract the oracle unrolls.
+
+    Scale: per round, one edges⋈labels join (shuffle on src), one
+    (node,label) count aggregate, one max-count argmin-label resolution
+    (two small aggs on the already-shuffled key), one anti-join to carve
+    out seeds. Cost linear in |E| per round; the degree-style persist and
+    checkpoint cadence notes from ``pagerank_integer``/
+    ``connected_components`` apply unchanged.
+    """
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    sd = seeds.select(
+        F.col(node_col).alias("node"), F.col(label_col).alias("label")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    labels = sd
+    for _ in range(iters):
+        votes = (
+            e.join(labels, e.src == labels.node)
+            .groupBy(F.col("dst"), F.col("label"))
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        # best_n derives FROM votes — rename its join columns so the
+        # self-join resolves unambiguously
+        best_n = votes.groupBy("dst").agg(F.max("n").alias("n_max")).select(
+            F.col("dst").alias("b_dst"), "n_max"
+        )
+        resolved = (
+            votes.join(
+                best_n,
+                (F.col("dst") == F.col("b_dst")) & (F.col("n") == F.col("n_max")),
+            )
+            .select(F.col("dst").alias("node"), "label")
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+        )
+        labels = sd.unionByName(
+            resolved.join(sd.select("node"), "node", "left_anti")
+        )
+    return labels.join(
+        sd.select("node").withColumn("is_seed", F.lit(True)), "node", "left"
+    ).select("node", "label", F.coalesce("is_seed", F.lit(False)).alias("is_seed"))

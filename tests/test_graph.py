@@ -254,3 +254,56 @@ def test_pagerank_deterministic_under_repartition(spark):
         for r in pagerank_integer(edges.repartition(7), iters=2).collect()
     )
     assert a == b and a
+
+
+# ---------------------------------------------------------------------------
+# label_propagation
+
+
+def test_label_propagation_majority_and_ties(spark):
+    from database2ogr_spark.operators.graph import label_propagation
+
+    # node 10 hears 'a' twice (from 1,2) and 'b' once (from 3) -> 'a';
+    # node 11 hears 'a' and 'b' once each -> tie -> min label 'a';
+    # node 12 hears only 'b' -> 'b'
+    edges = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 10), (1, 11), (3, 11), (3, 12)],
+        "src long, dst long",
+    )
+    seeds = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b")], "node long, label string"
+    )
+    out = {
+        r.node: (r.label, r.is_seed)
+        for r in label_propagation(edges, seeds, iters=1).collect()
+    }
+    assert out[10] == ("a", False)
+    assert out[11] == ("a", False)
+    assert out[12] == ("b", False)
+    assert out[1] == ("a", True) and out[3] == ("b", True)
+
+
+def test_label_propagation_seeds_never_flip(spark):
+    from database2ogr_spark.operators.graph import label_propagation
+
+    # seed 1 ('a') is bombarded by three 'b' seeds; it must stay 'a'
+    edges = spark.createDataFrame(
+        [(2, 1), (3, 1), (4, 1)], "src long, dst long"
+    )
+    seeds = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "b"), (4, "b")], "node long, label string"
+    )
+    out = {r.node: r.label for r in label_propagation(edges, seeds, iters=3).collect()}
+    assert out[1] == "a"
+
+
+def test_label_propagation_second_round_extends_frontier(spark):
+    from database2ogr_spark.operators.graph import label_propagation
+
+    # chain 1 -> 2 -> 3: node 3 is only reachable via node 2's round-1 label
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    seeds = spark.createDataFrame([(1, "x")], "node long, label string")
+    one = {r.node for r in label_propagation(edges, seeds, iters=1).collect()}
+    two = {r.node: r.label for r in label_propagation(edges, seeds, iters=2).collect()}
+    assert one == {1, 2}          # frontier after one round
+    assert two[3] == "x"          # second round reaches node 3
