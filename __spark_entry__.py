@@ -1185,6 +1185,57 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_enrich_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment, batch twin (streaming.enrich_with_dimension
+    — the stateless third cell of the streaming join matrix; the streaming
+    path is verified in tests/test_streaming.py against this exact call).
+    The dimension is a deterministic severity mapping over event_type."""
+    from database2ogr_spark.streaming.events import enrich_with_dimension
+
+    ev = read_events(spark, os.path.join(sf_dir, "events.parquet"))
+    dim = spark.createDataFrame(
+        [
+            ("click", "engagement"),
+            ("view", "impression"),
+            ("purchase", "conversion"),
+            ("signup", "conversion"),
+            ("error", "fault"),
+        ],
+        "event_type string, category string",
+    )
+    return enrich_with_dimension(ev, dim).select(
+        "event_id", "event_type", "category"
+    )
+
+
+def q_set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The EXCEPT / INTERSECT surface (SURVEY §2.6 completes union):
+    customers active in 1997-H1 partitioned into retained (INTERSECT with
+    H2), churned (EXCEPT H2), and new (H2 EXCEPT H1). Both compile to
+    left-anti / left-semi aggregates — distinct set semantics, one shuffle
+    per operand pair, and the three classes are disjoint by construction
+    (pinned in pytest)."""
+    o = _t(spark, sf_dir, "orders")
+    h1 = o.filter(
+        (F.col("o_orderdate") >= F.to_timestamp(F.lit("1997-01-01")))
+        & (F.col("o_orderdate") < F.to_timestamp(F.lit("1997-07-01")))
+    ).select("o_custkey")
+    h2 = o.filter(
+        (F.col("o_orderdate") >= F.to_timestamp(F.lit("1997-07-01")))
+        & (F.col("o_orderdate") < F.to_timestamp(F.lit("1998-01-01")))
+    ).select("o_custkey")
+    retained = h1.intersect(h2).select(
+        F.col("o_custkey").alias("custkey"), F.lit("retained").alias("cohort")
+    )
+    churned = h1.subtract(h2).select(
+        F.col("o_custkey").alias("custkey"), F.lit("churned").alias("cohort")
+    )
+    new = h2.subtract(h1).select(
+        F.col("o_custkey").alias("custkey"), F.lit("new").alias("cohort")
+    )
+    return retained.unionByName(churned).unionByName(new)
+
+
 def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hourly grid + LOCF per user (timeseries.gap_fill_locf) — the
     resample/gap-fill surface; at sf0.01 ~90% of grid rows are imputed, so
@@ -2246,13 +2297,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Added LATE in round 4 (after the prefix was already full of this
         # round's 30 new entries + the 20 round-2 re-earners, none of which
         # can yield their slot without breaking a verification promise):
-        # the twenty late-round-4 additions below (five partsupp-family
+        # the twenty-two late-round-4 additions below (five partsupp-family
         # TPC-H completions, unpivot, rolling window frames, text
         # normalization, winsorization, the contamination-fraction pair,
         # token-budget truncation, the CSV quarantine source, the
         # persistent-IVF query path, the mergeable-sketch rollup, the ORC
         # round-trip, integer PageRank, dataset diff, LOCF gap-fill,
-        # label propagation) sit at slots 51-70 and are
+        # label propagation, set operations, stream-static enrichment)
+        # sit at slots 51-72 and are
         # GRADED IN ROUND 5, where they LEAD the prefix (priority (a), ahead
         # of the twenty constituent-graded entries listed further down).
         # Until then they are verified by scripts/check_oracle.py at sf0.01
@@ -2278,6 +2330,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dataset_diff": q_dataset_diff,
         "gap_fill": q_gap_fill,
         "label_propagation": q_label_propagation,
+        "set_operations": q_set_operations,
+        "events_enrich_dim": q_events_enrich_dim,
         # Displaced by the newly-graded entries above (priority (a) — the
         # dedup/ANN oracle chain, the two property-graded sketch entries,
         # and the round-4 clustering family): dedup_exact_survivors
@@ -3782,6 +3836,33 @@ def oracle_sql() -> dict[str, str]:
         "orc_roundtrip": (
             "SELECT doc_id, lang, source, n_chars FROM documents"
         ),
+        "events_enrich_dim": """
+            SELECT event_id, event_type,
+              CASE event_type
+                WHEN 'click' THEN 'engagement'
+                WHEN 'view' THEN 'impression'
+                WHEN 'purchase' THEN 'conversion'
+                WHEN 'signup' THEN 'conversion'
+                WHEN 'error' THEN 'fault'
+              END AS category
+            FROM events
+        """,
+        "set_operations": """
+            WITH h1 AS (SELECT o_custkey FROM orders
+                        WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+                          AND o_orderdate < TIMESTAMP '1997-07-01'),
+            h2 AS (SELECT o_custkey FROM orders
+                   WHERE o_orderdate >= TIMESTAMP '1997-07-01'
+                     AND o_orderdate < TIMESTAMP '1998-01-01')
+            SELECT o_custkey AS custkey, 'retained' AS cohort
+            FROM (SELECT o_custkey FROM h1 INTERSECT SELECT o_custkey FROM h2)
+            UNION ALL
+            SELECT o_custkey, 'churned'
+            FROM (SELECT o_custkey FROM h1 EXCEPT SELECT o_custkey FROM h2)
+            UNION ALL
+            SELECT o_custkey, 'new'
+            FROM (SELECT o_custkey FROM h2 EXCEPT SELECT o_custkey FROM h1)
+        """,
         "label_propagation": """
             WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
             edges AS (

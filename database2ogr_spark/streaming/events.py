@@ -234,3 +234,28 @@ def sessionize(
             "n_events",
         )
     )
+
+
+def enrich_with_dimension(
+    events: DataFrame,
+    dim: DataFrame,
+    *,
+    on: str = "event_type",
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static enrichment: join a (possibly streaming) event frame
+    against a bounded dimension table — the third cell of the streaming
+    join matrix (stream⋈stream: ``attribution_join``; stream⋈state:
+    ``user_running_totals``; stream⋈static: here).
+
+    Stream-static joins are STATELESS in Structured Streaming: each
+    micro-batch hash-joins against the static side with no watermark and no
+    state store, and the static side is re-read per batch (so an updated
+    blocklist/dim parquet is picked up on the next trigger — the
+    slowly-changing-dimension refresh pattern, for free). The same
+    function serves batch frames unchanged — batch/stream unification,
+    verified in tests by running the identical call on both and comparing
+    results. ``F.broadcast`` is deliberately NOT forced: small dims
+    broadcast via AQE in batch and via the stream planner's size estimate
+    in streaming; a huge static side falls back to shuffle."""
+    return events.join(dim, on=on, how=how)

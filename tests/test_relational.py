@@ -189,3 +189,25 @@ def test_unpivot_roundtrips_the_wide_aggregate(spark, entrymod):
         if r.measure == "n_lines"
     }
     assert back == wide
+
+
+def test_set_operations_cohorts_are_disjoint_and_complete(spark, entrymod):
+    from pyspark.sql import functions as F
+
+    out = entrymod.queries()["set_operations"](spark, SF).collect()
+    by = {}
+    for r in out:
+        by.setdefault(r.cohort, set()).add(r.custkey)
+    # disjoint by construction
+    assert not (by.get("retained", set()) & by.get("churned", set()))
+    assert not (by.get("retained", set()) & by.get("new", set()))
+    # retained ∪ churned == all H1-active customers
+    o = spark.read.parquet(f"{SF}/orders.parquet")
+    h1 = {
+        r.o_custkey
+        for r in o.filter(
+            (F.col("o_orderdate") >= F.to_timestamp(F.lit("1997-01-01")))
+            & (F.col("o_orderdate") < F.to_timestamp(F.lit("1997-07-01")))
+        ).select("o_custkey").distinct().collect()
+    }
+    assert by.get("retained", set()) | by.get("churned", set()) == h1

@@ -297,3 +297,41 @@ def test_quality_cascade_runs_unchanged_on_a_stream(spark, tmp_path):
     }
     assert got == want
     assert want[2][0] is True and want[1][0] is False
+
+
+def test_enrich_with_dimension_batch_stream_identical(spark, tmp_path):
+    """Stream-static join: the SAME enrich call on a batch frame and a
+    file-source stream must produce identical enriched rows (stateless
+    per-micro-batch hash join, no watermark needed)."""
+    from database2ogr_spark.streaming.events import (
+        enrich_with_dimension,
+        read_events_stream,
+    )
+
+    src = str(tmp_path / "enrich_src")
+    _events(spark).write.parquet(src)
+    dim = spark.createDataFrame(
+        [("click", "engagement"), ("view", "impression")],
+        "event_type string, category string",
+    )
+    batch = {
+        (r.event_id, r.category)
+        for r in enrich_with_dimension(_events(spark), dim).collect()
+    }
+    stream = read_events_stream(spark, src)
+    q = (
+        enrich_with_dimension(stream, dim)
+        .writeStream.format("memory")
+        .queryName("enriched")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        streamed = {
+            (r.event_id, r.category)
+            for r in spark.sql("select * from enriched").collect()
+        }
+    finally:
+        q.stop()
+    assert streamed == batch and batch
