@@ -26,6 +26,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from database2ogr_spark.functions import geometry as G
 from database2ogr_spark.functions import text as X
@@ -1208,6 +1209,46 @@ def q_events_enrich_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generic DataFrame.pivot surface (warnify is the bespoke pivot; this
+    is the built-in): per-user event counts pivoted into one column per
+    event type. Values are EXPLICITLY enumerated — at scale an implicit
+    pivot runs a distinct-scan planning job and can explode the schema;
+    pinning the value list keeps planning O(1) and the schema stable."""
+    ev = read_events(spark, os.path.join(sf_dir, "events.parquet"))
+    types = ["click", "view", "purchase", "signup", "error"]
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, types)
+    )
+
+
+def q_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The remaining ranking-window surface in one query: rank, dense_rank,
+    percent_rank, cume_dist over order totals per market segment (row_number
+    is graded via window_top_orders_per_segment). All five share one
+    (partition, order) → a single Window node; ANSI semantics match DuckDB
+    exactly (percent_rank/cume_dist rounded to 6 dp for float formatting)."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 450_000)
+    c = _t(spark, sf_dir, "customer")
+    j = o.join(c, o.o_custkey == c.c_custkey).select(
+        "c_mktsegment", "o_orderkey", "o_totalprice"
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return j.select(
+        "c_mktsegment",
+        "o_orderkey",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.round(F.percent_rank().over(w), 6).alias("prnk"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+    )
+
+
 def q_set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The EXCEPT / INTERSECT surface (SURVEY §2.6 completes union):
     customers active in 1997-H1 partitioned into retained (INTERSECT with
@@ -2297,14 +2338,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Added LATE in round 4 (after the prefix was already full of this
         # round's 30 new entries + the 20 round-2 re-earners, none of which
         # can yield their slot without breaking a verification promise):
-        # the twenty-two late-round-4 additions below (five partsupp-family
+        # the twenty-four late-round-4 additions below (five partsupp-family
         # TPC-H completions, unpivot, rolling window frames, text
         # normalization, winsorization, the contamination-fraction pair,
         # token-budget truncation, the CSV quarantine source, the
         # persistent-IVF query path, the mergeable-sketch rollup, the ORC
         # round-trip, integer PageRank, dataset diff, LOCF gap-fill,
-        # label propagation, set operations, stream-static enrichment)
-        # sit at slots 51-72 and are
+        # label propagation, set operations, stream-static enrichment,
+        # generic pivot, ranking windows) sit at slots 51-74 and are
         # GRADED IN ROUND 5, where they LEAD the prefix (priority (a), ahead
         # of the twenty constituent-graded entries listed further down).
         # Until then they are verified by scripts/check_oracle.py at sf0.01
@@ -2332,6 +2373,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_propagation": q_label_propagation,
         "set_operations": q_set_operations,
         "events_enrich_dim": q_events_enrich_dim,
+        "pivot_event_counts": q_pivot_event_counts,
+        "rank_functions": q_rank_functions,
         # Displaced by the newly-graded entries above (priority (a) — the
         # dedup/ANN oracle chain, the two property-graded sketch entries,
         # and the round-4 clustering family): dedup_exact_survivors
@@ -3846,6 +3889,32 @@ def oracle_sql() -> dict[str, str]:
                 WHEN 'error' THEN 'fault'
               END AS category
             FROM events
+        """,
+        "pivot_event_counts": """
+            SELECT user_id,
+              sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                AS click,
+              sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view,
+              sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                AS purchase,
+              sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+                AS signup,
+              sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error
+            FROM events GROUP BY 1
+        """,
+        "rank_functions": """
+            WITH j AS (
+              SELECT c.c_mktsegment, o.o_orderkey, o.o_totalprice
+              FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+              WHERE o.o_totalprice > 450000)
+            SELECT c_mktsegment, o_orderkey,
+              rank() OVER w AS rnk,
+              dense_rank() OVER w AS drnk,
+              round(percent_rank() OVER w, 6) AS prnk,
+              round(cume_dist() OVER w, 6) AS cdist
+            FROM j
+            WINDOW w AS (PARTITION BY c_mktsegment
+                         ORDER BY o_totalprice DESC, o_orderkey ASC)
         """,
         "set_operations": """
             WITH h1 AS (SELECT o_custkey FROM orders

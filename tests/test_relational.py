@@ -211,3 +211,23 @@ def test_set_operations_cohorts_are_disjoint_and_complete(spark, entrymod):
         ).select("o_custkey").distinct().collect()
     }
     assert by.get("retained", set()) | by.get("churned", set()) == h1
+
+
+def test_rank_functions_single_window_node(spark, entrymod):
+    plan = _plan(entrymod.queries()["rank_functions"](spark, SF))
+    # all four ranking functions share (partition, order): one Window node,
+    # one Exchange, one Sort
+    assert plan.count("Window") == 1
+    assert plan.count("Exchange") <= 2  # join shuffle + window shuffle
+
+
+def test_pivot_explicit_values_no_distinct_planning_scan(spark, entrymod):
+    from pyspark.sql import functions as F
+
+    out = entrymod.queries()["pivot_event_counts"](spark, SF)
+    assert set(out.columns) == {"user_id", "click", "view", "purchase", "signup", "error"}
+    # row-wise sum of pivoted counts == total events per user
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    totals = {r.user_id: r.n for r in ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()}
+    for r in out.collect():
+        assert r.click + r.view + r.purchase + r.signup + r.error == totals[r.user_id]
