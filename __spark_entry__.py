@@ -1209,6 +1209,23 @@ def q_events_enrich_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom GROUPED_AGG pandas UDF (functions/aggregates.weighted_median)
+    — quantity-weighted lower median of extended price per return flag;
+    semantics pinned so the DuckDB running-weight window twin reproduces it
+    exactly. The price passes through untouched (no float arithmetic)."""
+    from database2ogr_spark.functions.aggregates import weighted_median
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_extendedprice").alias("v"),
+        F.round(F.col("l_quantity") * 100).cast("bigint").alias("w"),
+    )
+    return li.groupBy("l_returnflag").agg(
+        weighted_median()("v", "w").alias("wmedian_price")
+    )
+
+
 def q_pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Generic DataFrame.pivot surface (warnify is the bespoke pivot; this
     is the built-in): per-user event counts pivoted into one column per
@@ -2338,14 +2355,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Added LATE in round 4 (after the prefix was already full of this
         # round's 30 new entries + the 20 round-2 re-earners, none of which
         # can yield their slot without breaking a verification promise):
-        # the twenty-four late-round-4 additions below (five partsupp-family
+        # the twenty-five late-round-4 additions below (five partsupp-family
         # TPC-H completions, unpivot, rolling window frames, text
         # normalization, winsorization, the contamination-fraction pair,
         # token-budget truncation, the CSV quarantine source, the
         # persistent-IVF query path, the mergeable-sketch rollup, the ORC
         # round-trip, integer PageRank, dataset diff, LOCF gap-fill,
         # label propagation, set operations, stream-static enrichment,
-        # generic pivot, ranking windows) sit at slots 51-74 and are
+        # generic pivot, ranking windows, weighted median) sit at slots
+        # 51-75 and are
         # GRADED IN ROUND 5, where they LEAD the prefix (priority (a), ahead
         # of the twenty constituent-graded entries listed further down).
         # Until then they are verified by scripts/check_oracle.py at sf0.01
@@ -2375,6 +2393,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_enrich_dim": q_events_enrich_dim,
         "pivot_event_counts": q_pivot_event_counts,
         "rank_functions": q_rank_functions,
+        "weighted_median": q_weighted_median,
         # Displaced by the newly-graded entries above (priority (a) — the
         # dedup/ANN oracle chain, the two property-graded sketch entries,
         # and the round-4 clustering family): dedup_exact_survivors
@@ -3889,6 +3908,20 @@ def oracle_sql() -> dict[str, str]:
                 WHEN 'error' THEN 'fault'
               END AS category
             FROM events
+        """,
+        "weighted_median": """
+            WITH t AS (
+              SELECT l_returnflag, l_extendedprice AS v,
+                CAST(round(l_quantity * 100) AS BIGINT) AS w
+              FROM lineitem),
+            o AS (
+              SELECT l_returnflag, v,
+                sum(w) OVER (PARTITION BY l_returnflag ORDER BY v
+                             ROWS UNBOUNDED PRECEDING) AS cw,
+                sum(w) OVER (PARTITION BY l_returnflag) AS tot
+              FROM t)
+            SELECT l_returnflag, min(v) AS wmedian_price
+            FROM o WHERE cw >= tot / 2.0 GROUP BY 1
         """,
         "pivot_event_counts": """
             SELECT user_id,

@@ -153,3 +153,39 @@ def test_rolling_fingerprint_deterministic_and_order_sensitive(spark):
     assert r.v == r.same != r.diff
     # polynomial base-31 over ascii: 'abc' -> ((97*31)+98)*31+99
     assert r.v == ((97 * 31 + 98) * 31 + 99) % 1_000_000_007
+
+
+# ---------------------------------------------------------------------------
+# weighted_median (GROUPED_AGG pandas UDF)
+
+
+def test_weighted_median_hand_computed(spark):
+    from database2ogr_spark.functions.aggregates import weighted_median
+
+    df = spark.createDataFrame(
+        [("a", 1.0, 1), ("a", 10.0, 1), ("a", 100.0, 2), ("b", 5.0, 7)],
+        "g string, v double, w long",
+    )
+    out = {
+        r.g: r.wm
+        for r in df.groupBy("g").agg(weighted_median()("v", "w").alias("wm")).collect()
+    }
+    # group a: cum weights [1,2,4], half=2 -> first value reaching 2 is 10.0
+    assert out == {"a": 10.0, "b": 5.0}
+
+
+def test_weighted_median_reduces_to_lower_median_with_unit_weights(spark):
+    import numpy as np
+
+    from database2ogr_spark.functions.aggregates import weighted_median
+    from pyspark.sql import functions as F
+
+    vals = [3.0, 1.0, 4.0, 1.5, 9.0, 2.6]
+    df = spark.createDataFrame(
+        [("g", v, 1) for v in vals], "g string, v double, w long"
+    )
+    out = df.groupBy("g").agg(weighted_median()("v", "w").alias("wm")).collect()[0].wm
+    s = sorted(vals)
+    cw = np.arange(1, len(s) + 1)
+    expect = s[int(np.searchsorted(cw, len(s) / 2.0, side="left"))]
+    assert out == expect
