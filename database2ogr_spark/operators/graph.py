@@ -430,19 +430,19 @@ def label_propagation(
             .groupBy(F.col("dst"), F.col("label"))
             .agg(F.count(F.lit(1)).alias("n"))
         )
-        # best_n derives FROM votes — rename its join columns so the
-        # self-join resolves unambiguously
-        best_n = votes.groupBy("dst").agg(F.max("n").alias("n_max")).select(
-            F.col("dst").alias("b_dst"), "n_max"
-        )
+        # majority-with-min-tiebreak in ONE aggregation: min over
+        # struct(-n, label) is (highest count, then smallest label).
+        # The textbook max-count-then-join-back form references `votes`
+        # twice, and each reference re-evaluates the ENTIRE upstream
+        # iteration chain — measured 6.6 s → 2.9 s at sf0.1 (2 rounds)
+        # from this rewrite alone.
         resolved = (
-            votes.join(
-                best_n,
-                (F.col("dst") == F.col("b_dst")) & (F.col("n") == F.col("n_max")),
+            votes.groupBy(F.col("dst").alias("node"))
+            .agg(
+                F.min(F.struct((-F.col("n")).alias("neg_n"), F.col("label")))
+                .alias("t")
             )
-            .select(F.col("dst").alias("node"), "label")
-            .groupBy("node")
-            .agg(F.min("label").alias("label"))
+            .select("node", F.col("t.label").alias("label"))
         )
         labels = sd.unionByName(
             resolved.join(sd.select("node"), "node", "left_anti")
