@@ -1209,6 +1209,31 @@ def q_events_enrich_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_validate_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality gate (operators/validate.validate_constraints): every
+    declared rule over orders in one report — N single-column rules cost
+    ONE scan (a stack of conditional counts), uniqueness and the customer
+    FK probe reduce to key columns before their shuffles. The clean table
+    yields all-zero violations EXCEPT the deliberately-tight price range,
+    which proves the counting path is live."""
+    from database2ogr_spark.operators.validate import validate_constraints
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    return validate_constraints(
+        o,
+        not_null=("o_orderkey", "o_custkey", "o_orderdate"),
+        unique=("o_orderkey",),
+        in_range={"o_totalprice": (0.0, 400_000.0)},
+        accepted_values={
+            "o_orderpriority": (
+                "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"
+            )
+        },
+        foreign_keys={"o_custkey": c},
+    )
+
+
 def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom GROUPED_AGG pandas UDF (functions/aggregates.weighted_median)
     — quantity-weighted lower median of extended price per return flag;
@@ -2355,15 +2380,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Added LATE in round 4 (after the prefix was already full of this
         # round's 30 new entries + the 20 round-2 re-earners, none of which
         # can yield their slot without breaking a verification promise):
-        # the twenty-five late-round-4 additions below (five partsupp-family
+        # the twenty-six late-round-4 additions below (five partsupp-family
         # TPC-H completions, unpivot, rolling window frames, text
         # normalization, winsorization, the contamination-fraction pair,
         # token-budget truncation, the CSV quarantine source, the
         # persistent-IVF query path, the mergeable-sketch rollup, the ORC
         # round-trip, integer PageRank, dataset diff, LOCF gap-fill,
         # label propagation, set operations, stream-static enrichment,
-        # generic pivot, ranking windows, weighted median) sit at slots
-        # 51-75 and are
+        # generic pivot, ranking windows, weighted median, the constraint
+        # validator) sit at slots 51-76 and are
         # GRADED IN ROUND 5, where they LEAD the prefix (priority (a), ahead
         # of the twenty constituent-graded entries listed further down).
         # Until then they are verified by scripts/check_oracle.py at sf0.01
@@ -2394,6 +2419,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot_event_counts": q_pivot_event_counts,
         "rank_functions": q_rank_functions,
         "weighted_median": q_weighted_median,
+        "validate_constraints": q_validate_constraints,
         # Displaced by the newly-graded entries above (priority (a) — the
         # dedup/ANN oracle chain, the two property-graded sketch entries,
         # and the round-4 clustering family): dedup_exact_survivors
@@ -3908,6 +3934,37 @@ def oracle_sql() -> dict[str, str]:
                 WHEN 'error' THEN 'fault'
               END AS category
             FROM events
+        """,
+        "validate_constraints": """
+            SELECT 'not_null:o_orderkey' AS rule,
+              count(*) FILTER (WHERE o_orderkey IS NULL) AS violations
+            FROM orders
+            UNION ALL
+            SELECT 'not_null:o_custkey',
+              count(*) FILTER (WHERE o_custkey IS NULL) FROM orders
+            UNION ALL
+            SELECT 'not_null:o_orderdate',
+              count(*) FILTER (WHERE o_orderdate IS NULL) FROM orders
+            UNION ALL
+            SELECT 'in_range:o_totalprice',
+              count(*) FILTER (WHERE o_totalprice IS NOT NULL
+                AND (o_totalprice < 0 OR o_totalprice > 400000))
+            FROM orders
+            UNION ALL
+            SELECT 'accepted_values:o_orderpriority',
+              count(*) FILTER (WHERE o_orderpriority IS NOT NULL
+                AND o_orderpriority NOT IN ('1-URGENT', '2-HIGH', '3-MEDIUM',
+                  '4-NOT SPECIFIED', '5-LOW'))
+            FROM orders
+            UNION ALL
+            SELECT 'unique:o_orderkey',
+              coalesce(sum(n - 1), 0) FROM (
+                SELECT count(*) AS n FROM orders
+                WHERE o_orderkey IS NOT NULL GROUP BY o_orderkey)
+            UNION ALL
+            SELECT 'foreign_key:o_custkey', count(*) FROM orders
+            WHERE o_custkey IS NOT NULL
+              AND o_custkey NOT IN (SELECT c_custkey FROM customer)
         """,
         "weighted_median": """
             WITH t AS (

@@ -1,0 +1,112 @@
+"""Declarative data-quality constraints — the validation gate a pipeline
+runs before promoting a snapshot to training (the Deequ/expectations
+pattern, expressed as one Catalyst plan).
+
+Each rule compiles to a conditional COUNT inside aggregates over single
+scans — N column rules on one table cost ONE pass regardless of N, never a
+pass per rule. Uniqueness and referential integrity need their own shuffle
+by nature (a distinct-count and an anti-join probe); both reduce to the
+key columns before shuffling.
+
+Output is one row per rule: (rule, violations). A gate is then
+``violations == 0`` per rule — kept as counts, not booleans, because at
+100 TB you want the magnitude (3 bad rows vs 3 billion) before deciding to
+block a run.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _count_rule(name: str, bad: F.Column) -> F.Column:
+    return F.sum(F.when(bad, 1).otherwise(0)).cast("bigint").alias(name)
+
+
+def validate_constraints(
+    df: DataFrame,
+    *,
+    not_null: tuple[str, ...] = (),
+    unique: tuple[str, ...] = (),
+    in_range: dict[str, tuple[float, float]] | None = None,
+    accepted_values: dict[str, tuple[str, ...]] | None = None,
+    foreign_keys: dict[str, DataFrame] | None = None,
+) -> DataFrame:
+    """Return (rule, violations) for every declared constraint.
+
+    - ``not_null``: columns that must not contain NULL.
+    - ``unique``: columns whose values must be distinct (violations = rows
+      beyond the first per duplicated value).
+    - ``in_range``: col -> (lo, hi) inclusive numeric bounds (NULL passes —
+      combine with not_null to forbid).
+    - ``accepted_values``: col -> allowed literals (NULL passes).
+    - ``foreign_keys``: col -> one-column DataFrame of valid keys;
+      violations = rows whose non-null key has no match (left-anti probe on
+      the reduced key column).
+    """
+    in_range = in_range or {}
+    accepted_values = accepted_values or {}
+    foreign_keys = foreign_keys or {}
+
+    row_rules = []
+    for c in not_null:
+        row_rules.append(_count_rule(f"not_null:{c}", F.col(c).isNull()))
+    for c, (lo, hi) in in_range.items():
+        row_rules.append(
+            _count_rule(
+                f"in_range:{c}",
+                F.col(c).isNotNull() & ~F.col(c).between(lo, hi),
+            )
+        )
+    for c, vals in accepted_values.items():
+        row_rules.append(
+            _count_rule(
+                f"accepted_values:{c}",
+                F.col(c).isNotNull() & ~F.col(c).isin(list(vals)),
+            )
+        )
+
+    spark = df.sparkSession
+    parts = []
+    if row_rules:
+        wide = df.agg(*row_rules)
+        stack = ", ".join(
+            f"'{c}', `{c}`" for c in wide.columns
+        )
+        parts.append(
+            wide.select(
+                F.expr(
+                    f"stack({len(wide.columns)}, {stack}) AS (rule, violations)"
+                )
+            )
+        )
+    for c in unique:
+        dup = (
+            df.select(c)
+            .filter(F.col(c).isNotNull())
+            .groupBy(c)
+            .agg(F.count(F.lit(1)).alias("n"))
+            .agg(
+                F.coalesce(F.sum(F.col("n") - 1), F.lit(0))
+                .cast("bigint")
+                .alias("violations")
+            )
+            .select(F.lit(f"unique:{c}").alias("rule"), "violations")
+        )
+        parts.append(dup)
+    for c, keys in foreign_keys.items():
+        orphan = (
+            df.select(c)
+            .filter(F.col(c).isNotNull())
+            .join(keys.toDF("__k"), F.col(c) == F.col("__k"), "left_anti")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("violations"))
+            .select(F.lit(f"foreign_key:{c}").alias("rule"), "violations")
+        )
+        parts.append(orphan)
+    if not parts:
+        return spark.createDataFrame([], "rule string, violations bigint")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -1,0 +1,71 @@
+"""Data-quality constraints (operators/validate.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def _report(df, **kw):
+    from database2ogr_spark.operators.validate import validate_constraints
+
+    return {
+        r.rule: r.violations for r in validate_constraints(df, **kw).collect()
+    }
+
+
+def test_each_rule_counts_its_violations(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a", 10.0, 5),
+            (1, "a", -3.0, 6),      # dup id, below range
+            (None, "zz", 10.0, 7),  # null id, bad value
+            (3, "b", 500.0, None),  # above range, null fk
+            (4, "a", 50.0, 99),     # orphan fk
+        ],
+        "id long, cat string, x double, fk long",
+    )
+    keys = spark.createDataFrame([(5,), (6,), (7,)], "k long").select("k")
+    rep = _report(
+        df,
+        not_null=("id",),
+        unique=("id",),
+        in_range={"x": (0.0, 100.0)},
+        accepted_values={"cat": ("a", "b")},
+        foreign_keys={"fk": keys},
+    )
+    assert rep == {
+        "not_null:id": 1,
+        "unique:id": 1,           # second row with id=1
+        "in_range:x": 2,          # -3 and 500
+        "accepted_values:cat": 1, # zz
+        "foreign_key:fk": 1,      # 99 (NULL fk passes FK, fails nothing)
+    }
+
+
+def test_clean_table_is_all_zero_and_single_scan_for_row_rules(spark):
+    df = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    rep = _report(
+        df,
+        not_null=("o_orderkey", "o_custkey"),
+        in_range={"o_totalprice": (0.0, 10_000_000.0)},
+    )
+    assert set(rep.values()) == {0}
+    # all three row rules fold into ONE aggregate over ONE scan
+    from database2ogr_spark.operators.validate import validate_constraints
+
+    plan = (
+        validate_constraints(
+            df,
+            not_null=("o_orderkey", "o_custkey"),
+            in_range={"o_totalprice": (0.0, 10_000_000.0)},
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert sum(1 for l in plan.splitlines() if "Scan" in l and "orders" in l) == 1
+
+
+def test_empty_rules_yield_empty_report(spark):
+    df = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    assert _report(df) == {}
