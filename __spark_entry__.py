@@ -1209,6 +1209,42 @@ def q_events_enrich_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution read: an old export (doc_id, lang) and a new export
+    with an added column (doc_id, lang, source) live in one dataset
+    directory; ``mergeSchema`` reconciles them — old rows surface the new
+    column as NULL. At scale this is how a corpus accretes columns without
+    rewriting history. Footer-only schema merge; per-file pruning intact."""
+    out = os.path.join(tempfile.gettempdir(), "d2o_schema_evo")
+    docs = _t(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 2 == 0).select("doc_id", "lang")
+    new = docs.filter(F.col("doc_id") % 2 == 1).select("doc_id", "lang", "source")
+    old.coalesce(2).write.mode("overwrite").parquet(f"{out}/batch=0")
+    new.coalesce(2).write.mode("overwrite").parquet(f"{out}/batch=1")
+    return (
+        spark.read.option("mergeSchema", "true")
+        .parquet(out)
+        .select("doc_id", "lang", "source")
+    )
+
+
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS beyond cube/rollup (lang_source_cube /
+    hypertable_rollup grade those): exactly the (lang), (source), and
+    grand-total grains — no (lang, source) cross grain — in one shuffle,
+    with ``grouping_id`` disambiguating real NULLs from subtotal rows."""
+    d = _t(spark, sf_dir, "documents")
+    return spark.sql(
+        """
+        SELECT lang, source, grouping_id(lang, source) AS gid,
+               count(*) AS n_docs, sum(n_chars) AS total_chars
+        FROM {d}
+        GROUP BY GROUPING SETS ((lang), (source), ())
+        """,
+        d=d,
+    )
+
+
 def q_validate_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-quality gate (operators/validate.validate_constraints): every
     declared rule over orders in one report — N single-column rules cost
@@ -2380,7 +2416,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Added LATE in round 4 (after the prefix was already full of this
         # round's 30 new entries + the 20 round-2 re-earners, none of which
         # can yield their slot without breaking a verification promise):
-        # the twenty-six late-round-4 additions below (five partsupp-family
+        # the twenty-eight late-round-4 additions below (five partsupp-family
         # TPC-H completions, unpivot, rolling window frames, text
         # normalization, winsorization, the contamination-fraction pair,
         # token-budget truncation, the CSV quarantine source, the
@@ -2388,7 +2424,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-trip, integer PageRank, dataset diff, LOCF gap-fill,
         # label propagation, set operations, stream-static enrichment,
         # generic pivot, ranking windows, weighted median, the constraint
-        # validator) sit at slots 51-76 and are
+        # validator, schema-evolution read, explicit grouping sets) sit at
+        # slots 51-78 and are
         # GRADED IN ROUND 5, where they LEAD the prefix (priority (a), ahead
         # of the twenty constituent-graded entries listed further down).
         # Until then they are verified by scripts/check_oracle.py at sf0.01
@@ -2420,6 +2457,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rank_functions": q_rank_functions,
         "weighted_median": q_weighted_median,
         "validate_constraints": q_validate_constraints,
+        "schema_evolution": q_schema_evolution,
+        "grouping_sets": q_grouping_sets,
         # Displaced by the newly-graded entries above (priority (a) — the
         # dedup/ANN oracle chain, the two property-graded sketch entries,
         # and the round-4 clustering family): dedup_exact_survivors
@@ -3934,6 +3973,18 @@ def oracle_sql() -> dict[str, str]:
                 WHEN 'error' THEN 'fault'
               END AS category
             FROM events
+        """,
+        "schema_evolution": """
+            SELECT doc_id, lang, NULL AS source FROM documents
+            WHERE doc_id % 2 = 0
+            UNION ALL
+            SELECT doc_id, lang, source FROM documents WHERE doc_id % 2 = 1
+        """,
+        "grouping_sets": """
+            SELECT lang, source, grouping(lang, source) AS gid,
+              count(*) AS n_docs, sum(n_chars)::BIGINT AS total_chars
+            FROM documents
+            GROUP BY GROUPING SETS ((lang), (source), ())
         """,
         "validate_constraints": """
             SELECT 'not_null:o_orderkey' AS rule,

@@ -228,3 +228,30 @@ def test_hll_sketch_merge_equals_direct_at_high_cardinality(spark):
     ).collect()[0]
     assert merged.est_merged == direct.est_direct
     assert abs(merged.est_merged - n) / n <= 0.03
+
+
+def test_schema_evolution_old_rows_surface_null_column(spark):
+    import __spark_entry__ as entrymod
+
+    out = entrymod.queries()["schema_evolution"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    evens = [r for r in out if r.doc_id % 2 == 0]
+    odds = [r for r in out if r.doc_id % 2 == 1]
+    assert evens and all(r.source is None for r in evens)
+    assert odds and all(r.source is not None for r in odds)
+
+
+def test_grouping_sets_exact_grains_no_cross(spark):
+    import __spark_entry__ as entrymod
+
+    rows = entrymod.queries()["grouping_sets"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    # three grains only: (lang), (source), grand total — never (lang, source)
+    assert all((r.lang is None) or (r.source is None) for r in rows)
+    grand = [r for r in rows if r.lang is None and r.source is None]
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    assert len(grand) == 1 and grand[0].n_docs == docs.count()
+    # grouping_id distinguishes subtotal NULLs from data NULLs
+    assert grand[0].gid == 3
