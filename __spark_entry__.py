@@ -2358,7 +2358,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     simhash_pairs, near_dup_groups, decontaminate_bloom — and the
     multimodal trio, now graded on the stub tier) and the
     perf/robustness-changed entries; then every entry whose last green row
-    is round 2."""
+    is round 2. Twenty-eight more operators landed late in round 4 at
+    slots 51-78 (see the comment at slot 50) — locally hash-matched and
+    queued to lead round 5."""
     return {
         # --- NEW-to-the-gate / CHANGED this round ------------------------
         "kmeans_embeddings": q_kmeans_embeddings,
