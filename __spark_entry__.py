@@ -1209,6 +1209,22 @@ def q_events_enrich_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_split_corpus_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val split: keyed on the near-dup GROUP id instead
+    of the doc id, so near-duplicate documents can never straddle the
+    split boundary (the eval-contamination hole an id-keyed split leaves
+    open — tests/test_sampling.py demonstrates the plain split leaking on
+    this very corpus). Composition of two graded operators: near_dup_groups
+    (minhash default) → split_corpus(id_col=group_id); the oracle wraps the
+    near_dup_groups twin and applies the identical hash-bucket CASE."""
+    from database2ogr_spark.operators.sampling import split_corpus
+
+    docs = _t(spark, sf_dir, "documents")
+    groups = near_dup_groups(docs, k_shingle=3, threshold=0.2)
+    out = split_corpus(groups, {"train": 95, "val": 5}, id_col="group_id")
+    return out.select("doc_id", "group_id", "split")
+
+
 def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Schema-evolution read: an old export (doc_id, lang) and a new export
     with an added column (doc_id, lang, source) live in one dataset
@@ -2418,7 +2434,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Added LATE in round 4 (after the prefix was already full of this
         # round's 30 new entries + the 20 round-2 re-earners, none of which
         # can yield their slot without breaking a verification promise):
-        # the twenty-eight late-round-4 additions below (five partsupp-family
+        # the twenty-nine late-round-4 additions below (five partsupp-family
         # TPC-H completions, unpivot, rolling window frames, text
         # normalization, winsorization, the contamination-fraction pair,
         # token-budget truncation, the CSV quarantine source, the
@@ -2426,8 +2442,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-trip, integer PageRank, dataset diff, LOCF gap-fill,
         # label propagation, set operations, stream-static enrichment,
         # generic pivot, ranking windows, weighted median, the constraint
-        # validator, schema-evolution read, explicit grouping sets) sit at
-        # slots 51-78 and are
+        # validator, schema-evolution read, explicit grouping sets, the
+        # leakage-safe grouped split) sit at slots 51-79 and are
         # GRADED IN ROUND 5, where they LEAD the prefix (priority (a), ahead
         # of the twenty constituent-graded entries listed further down).
         # Until then they are verified by scripts/check_oracle.py at sf0.01
@@ -2461,6 +2477,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "validate_constraints": q_validate_constraints,
         "schema_evolution": q_schema_evolution,
         "grouping_sets": q_grouping_sets,
+        "split_corpus_grouped": q_split_corpus_grouped,
         # Displaced by the newly-graded entries above (priority (a) — the
         # dedup/ANN oracle chain, the two property-graded sketch entries,
         # and the round-4 clustering family): dedup_exact_survivors
@@ -4685,6 +4702,14 @@ def oracle_sql() -> dict[str, str]:
     # assignment kernel, so the SAME twin grades it — cross-implementation
     # hash equivalence, like the CC star/propagation pair above
     out["ivf_index_topk"] = out["ivf_topk"]
+    # leakage-safe split = the graded near-dup closure + the split hash CASE
+    # applied to group_id — pure composition of two green twins
+    out["split_corpus_grouped"] = (
+        "WITH base AS (" + out["near_dup_groups"] + ") "
+        "SELECT doc_id, group_id, CASE WHEN "
+        + _h64_sql("CAST(group_id AS VARCHAR)", 7)
+        + " % 100 < 95 THEN 'train' ELSE 'val' END AS split FROM base"
+    )
     # the span CUT nests the graded span DETECTION verbatim, then replays
     # the covered-token anti-join and the ordered reassembly
     out["strip_duplicate_spans"] = f"""

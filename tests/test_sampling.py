@@ -234,3 +234,38 @@ def test_score_buckets_equal_frequency_and_order(spark):
     # group b: 7 rows -> sizes 2,2,2,1; best score is doc 106
     assert b[106] == 1 and b[100] == 4
     assert sorted(b.values()) == [1, 1, 2, 2, 3, 3, 4]
+
+
+def test_grouped_split_never_splits_a_near_dup_group(spark):
+    """Leakage-safe split: every near-dup group lands wholly in one split —
+    and the plain id-keyed split demonstrably LEAKS on the same corpus
+    (at least one group straddles train/val), which is the reason this
+    operator exists."""
+    import __spark_entry__ as entrymod
+    from pyspark.sql import functions as F
+
+    out = entrymod.queries()["split_corpus_grouped"](
+        spark, "/root/testdata/sf0.001"
+    )
+    per_group = out.groupBy("group_id").agg(
+        F.countDistinct("split").alias("n_splits"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    assert per_group.filter(F.col("n_splits") > 1).count() == 0
+    multi = per_group.filter(F.col("n_docs") > 1).count()
+    assert multi > 0  # corpus actually HAS near-dup groups to protect
+
+    # the plain id-keyed split leaks on the same corpus: some group gets
+    # both train and val members
+    from database2ogr_spark.operators.sampling import split_corpus
+
+    plain = split_corpus(
+        out.select("doc_id", "group_id"), {"train": 95, "val": 5}
+    )
+    leaked = (
+        plain.groupBy("group_id")
+        .agg(F.countDistinct("split").alias("n_splits"))
+        .filter(F.col("n_splits") > 1)
+        .count()
+    )
+    assert leaked > 0
