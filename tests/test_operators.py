@@ -255,3 +255,48 @@ def test_grouping_sets_exact_grains_no_cross(spark):
     assert len(grand) == 1 and grand[0].n_docs == docs.count()
     # grouping_id distinguishes subtotal NULLs from data NULLs
     assert grand[0].gid == 3
+
+
+def test_heavy_hitters_sketch_survives_capacity_pressure(spark):
+    """Beyond the exactness regime (distinct >> tracked capacity), the
+    sketch must still surface the true heavy hitters at the top."""
+    from pyspark.sql import functions as F
+
+    heavy = spark.range(3).selectExpr("concat('hot_', id) AS x", "50000 AS w")
+    heavy = heavy.select(F.explode(F.expr("array_repeat(x, w)")).alias("x"))
+    tail = spark.range(200_000).selectExpr("concat('cold_', id) AS x")
+    df = heavy.unionByName(tail)
+    rows = (
+        df.agg(F.expr("approx_top_k(x, 3, 100)").alias("t"))
+        .select(F.explode("t").alias("e"))
+        .select("e.item", "e.count")
+        .collect()
+    )
+    items = {r.item for r in rows}
+    assert items == {"hot_0", "hot_1", "hot_2"}
+    for r in rows:
+        assert r['count'] >= 50_000  # overestimate-only in this direction
+
+
+def test_corrupt_file_default_read_fails_fast(spark):
+    """The resilience flag is an explicit opt-in: without it the corrupted
+    dataset must raise, not silently drop data."""
+    import glob
+    import os
+
+    import pytest
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = "/tmp/d2o_corrupt_posture"
+    docs.coalesce(1).write.mode("overwrite").parquet(out)
+    for p in glob.glob(f"{out}/part-*.parquet"):
+        with open(p, "r+b") as fh:
+            fh.truncate(max(1, os.path.getsize(p) // 3))
+    with pytest.raises(Exception):
+        spark.read.option("ignoreCorruptFiles", "false").parquet(out).count()
+    import __spark_entry__ as entrymod
+
+    ok = entrymod.queries()["corrupt_file_resilience"](
+        spark, "/root/testdata/sf0.001"
+    )
+    assert all(r.doc_id % 2 == 0 for r in ok.collect())
