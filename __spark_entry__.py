@@ -1209,6 +1209,18 @@ def q_events_enrich_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed global enumeration (sampling.training_order): dense
+    0-based positions in hash-shuffled order WITHOUT the single-task
+    row_number funnel (arithmetic range buckets → per-bucket windows →
+    256-row offset broadcast). The oracle is the naive global-sort
+    row_number — DuckDB can afford it; Spark must not."""
+    from database2ogr_spark.operators.sampling import training_order
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return training_order(d).select("doc_id", "lang", "position")
+
+
 def q_corrupt_file_resilience(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Operational resilience: a dataset where one batch's parquet file is
     truncated mid-byte (a real failure mode of interrupted uploads at
@@ -2483,7 +2495,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Added LATE in round 4 (after the prefix was already full of this
         # round's 30 new entries + the 20 round-2 re-earners, none of which
         # can yield their slot without breaking a verification promise):
-        # the thirty-one late-round-4 additions below (five partsupp-family
+        # the thirty-two late-round-4 additions below (five partsupp-family
         # TPC-H completions, unpivot, rolling window frames, text
         # normalization, winsorization, the contamination-fraction pair,
         # token-budget truncation, the CSV quarantine source, the
@@ -2493,7 +2505,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # generic pivot, ranking windows, weighted median, the constraint
         # validator, schema-evolution read, explicit grouping sets, the
         # leakage-safe grouped split, the frequent-items sketch, the
-        # corrupt-file resilience read) sit at slots 51-81 and are
+        # corrupt-file resilience read, distributed global enumeration)
+        # sit at slots 51-82 and are
         # GRADED IN ROUND 5, where they LEAD the prefix (priority (a), ahead
         # of the twenty constituent-graded entries listed further down).
         # Until then they are verified by scripts/check_oracle.py at sf0.01
@@ -2530,6 +2543,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_corpus_grouped": q_split_corpus_grouped,
         "heavy_hitters_sketch": q_heavy_hitters_sketch,
         "corrupt_file_resilience": q_corrupt_file_resilience,
+        "training_order": q_training_order,
         # Displaced by the newly-graded entries above (priority (a) — the
         # dedup/ANN oracle chain, the two property-graded sketch entries,
         # and the round-4 clustering family): dedup_exact_survivors
@@ -4050,6 +4064,13 @@ def oracle_sql() -> dict[str, str]:
             WHERE doc_id % 2 = 0
             UNION ALL
             SELECT doc_id, lang, source FROM documents WHERE doc_id % 2 = 1
+        """,
+        "training_order": f"""
+            SELECT doc_id, lang,
+              row_number() OVER (ORDER BY
+                {_h64_sql("CAST(doc_id AS VARCHAR)", 7)} ASC, doc_id ASC)
+                - 1 AS position
+            FROM documents
         """,
         "corrupt_file_resilience": """
             SELECT doc_id, lang, source FROM documents WHERE doc_id % 2 = 0

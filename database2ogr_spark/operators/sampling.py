@@ -289,3 +289,55 @@ def score_buckets(
         F.col(score_col).desc_nulls_last(), F.col(id_col).asc()
     )
     return df.withColumn("bucket", F.ntile(n_buckets).over(w))
+
+
+def training_order(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    seed: int = 7,
+    n_buckets: int = 256,
+) -> DataFrame:
+    """Deterministic global training order: every row gets a unique dense
+    ``position`` (0..n-1) in hash-shuffled order — the reproducible corpus
+    shuffle a training run needs (same data + seed → same order, on any
+    cluster size).
+
+    The naive form — ``row_number() OVER (ORDER BY hash)`` — funnels the
+    whole corpus through ONE task; ``monotonically_increasing_id`` is
+    partition-layout-dependent (not stable) and ``zipWithIndex`` drops to
+    RDDs. This is the scale shape, all DataFrame ops:
+
+    1. order key ``h = stable_hash64(id, seed)``;
+    2. ARITHMETIC range bucket ``(h >> 56) + 128`` — monotone in ``h`` and
+       a pure function of the row (unlike ``repartitionByRange``, whose
+       sampled boundaries are not deterministic across runs);
+    3. per-bucket dense rank (windows parallelize across buckets);
+    4. bucket offsets from a #buckets-row count aggregate, broadcast back;
+       ``position = offset + rank - 1``.
+
+    Hash buckets are uniform for any real corpus; a pathological id set
+    collapsing into few buckets degrades parallelism, not correctness.
+    Output: input columns + ``position`` (bigint, dense, 0-based).
+    """
+    h = stable_hash64(F.col(id_col).cast("string"), seed=seed)
+    b = F.shiftright(h, 56) + F.lit(128)
+    staged = df.withColumn("_h", h).withColumn("_b", b.cast("int"))
+    w = Window.partitionBy("_b").orderBy(F.col("_h").asc(), F.col(id_col).asc())
+    ranked = staged.withColumn("_rank", F.row_number().over(w))
+    sizes = (
+        staged.groupBy("_b").agg(F.count(F.lit(1)).alias("_n"))
+    )
+    w_off = Window.orderBy("_b").rowsBetween(
+        Window.unboundedPreceding, -1
+    )  # #buckets rows — the single-partition window is 256 rows, not the corpus
+    offsets = sizes.withColumn(
+        "_offset", F.coalesce(F.sum("_n").over(w_off), F.lit(0))
+    ).select("_b", "_offset")
+    return (
+        ranked.join(F.broadcast(offsets), "_b")
+        .withColumn(
+            "position", (F.col("_offset") + F.col("_rank") - 1).cast("bigint")
+        )
+        .drop("_h", "_b", "_rank", "_offset")
+    )

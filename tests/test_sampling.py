@@ -269,3 +269,44 @@ def test_grouped_split_never_splits_a_near_dup_group(spark):
         .count()
     )
     assert leaked > 0
+
+
+def test_training_order_dense_unique_and_layout_invariant(spark):
+    from database2ogr_spark.operators.sampling import training_order
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id"
+    )
+    a = {r.doc_id: r.position for r in training_order(d).collect()}
+    n = len(a)
+    assert sorted(a.values()) == list(range(n))  # dense, unique, 0-based
+    b = {
+        r.doc_id: r.position
+        for r in training_order(d.repartition(13)).collect()
+    }
+    assert a == b  # partition-layout invariant (unlike mono_increasing_id)
+    c = {
+        r.doc_id: r.position
+        for r in training_order(d, seed=99).collect()
+    }
+    assert a != c  # the seed actually reshuffles
+
+
+def test_training_order_no_global_sort_funnel(spark):
+    """The corpus-sized window must be partitioned (by bucket); only the
+    256-row offsets window may be global."""
+    from database2ogr_spark.operators.sampling import training_order
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = (
+        training_order(d)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    import re
+
+    windows = re.findall(r"Window \[.*?windowspecdefinition\(([^)]*)\)", plan)
+    assert windows
+    # the row_number over the full data must carry a partition spec (_b)
+    assert any("_b" in w for w in windows)
