@@ -1209,6 +1209,23 @@ def q_events_enrich_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space decontamination (similarity.decontaminate_semantic):
+    corpus vectors within cosine 0.45 of any benchmark vector (ids ≡0 mod
+    20) are dropped — catches paraphrased eval leakage the n-gram rules
+    miss. Broadcast nested-loop semi probe; corpus never shuffles. The
+    0.45 operating point is data-appropriate for this synthetic corpus
+    (random vectors: cross-split max 0.49, p99.9 0.38 — real embeddings
+    use ~0.9+); the realistic-threshold drop semantics are pinned with
+    planted vectors in tests/test_similarity.py."""
+    from database2ogr_spark.operators.similarity import decontaminate_semantic
+
+    emb = _t(spark, sf_dir, "embeddings")
+    bench = emb.filter(F.col("vec_id") % 20 == 0)
+    corpus = emb.filter(F.col("vec_id") % 20 != 0)
+    return decontaminate_semantic(corpus, bench, threshold=0.45).select("vec_id")
+
+
 def q_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed global enumeration (sampling.training_order): dense
     0-based positions in hash-shuffled order WITHOUT the single-task
@@ -2495,7 +2512,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Added LATE in round 4 (after the prefix was already full of this
         # round's 30 new entries + the 20 round-2 re-earners, none of which
         # can yield their slot without breaking a verification promise):
-        # the thirty-two late-round-4 additions below (five partsupp-family
+        # the thirty-three late-round-4 additions below (five partsupp-family
         # TPC-H completions, unpivot, rolling window frames, text
         # normalization, winsorization, the contamination-fraction pair,
         # token-budget truncation, the CSV quarantine source, the
@@ -2505,8 +2522,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # generic pivot, ranking windows, weighted median, the constraint
         # validator, schema-evolution read, explicit grouping sets, the
         # leakage-safe grouped split, the frequent-items sketch, the
-        # corrupt-file resilience read, distributed global enumeration)
-        # sit at slots 51-82 and are
+        # corrupt-file resilience read, distributed global enumeration,
+        # semantic decontamination) sit at slots 51-83 and are
         # GRADED IN ROUND 5, where they LEAD the prefix (priority (a), ahead
         # of the twenty constituent-graded entries listed further down).
         # Until then they are verified by scripts/check_oracle.py at sf0.01
@@ -2544,6 +2561,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_hitters_sketch": q_heavy_hitters_sketch,
         "corrupt_file_resilience": q_corrupt_file_resilience,
         "training_order": q_training_order,
+        "decontaminate_semantic": q_decontaminate_semantic,
         # Displaced by the newly-graded entries above (priority (a) — the
         # dedup/ANN oracle chain, the two property-graded sketch entries,
         # and the round-4 clustering family): dedup_exact_survivors
@@ -4064,6 +4082,20 @@ def oracle_sql() -> dict[str, str]:
             WHERE doc_id % 2 = 0
             UNION ALL
             SELECT doc_id, lang, source FROM documents WHERE doc_id % 2 = 1
+        """,
+        "decontaminate_semantic": """
+            WITH e AS (SELECT vec_id,
+                         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                       FROM embeddings),
+            b AS (SELECT v AS bv FROM e WHERE vec_id % 20 = 0),
+            c AS (SELECT vec_id, v FROM e WHERE vec_id % 20 <> 0),
+            bad AS (
+              SELECT DISTINCT c.vec_id FROM c CROSS JOIN b
+              WHERE round(list_dot_product(v, bv) /
+                      (sqrt(list_dot_product(v, v)) *
+                       sqrt(list_dot_product(bv, bv))), 6) >= 0.45)
+            SELECT vec_id FROM c
+            WHERE vec_id NOT IN (SELECT vec_id FROM bad)
         """,
         "training_order": f"""
             SELECT doc_id, lang,

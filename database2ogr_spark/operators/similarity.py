@@ -728,3 +728,42 @@ def ivf_index_topk(
         F.col("cosine_sim").desc(), F.col("vec_id").asc()
     )
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def decontaminate_semantic(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Semantic benchmark decontamination: drop corpus rows whose embedding
+    is cosine-similar (≥ ``threshold``) to ANY benchmark embedding — the
+    embedding-space complement of the n-gram rules (paraphrased eval
+    leakage that shares no 13-gram still lands near the benchmark vector).
+
+    Plan: the benchmark (eval suites — tiny vs the corpus) broadcasts; the
+    contamination test is a broadcast nested-loop semi probe with the
+    cosine as the join condition, so the corpus is never shuffled and each
+    partition streams against the in-memory benchmark matrix. Cost is
+    |corpus|·|benchmark| dot products — fine while the benchmark is
+    thousands of rows; for large benchmarks switch the probe to the
+    LSH-bucketed pair path (``embedding_near_dup_pairs``) and keep the same
+    anti-join tail. Comparison on ``round(cos, 6)`` keeps the boundary
+    engine-portable.
+    """
+    bench = F.broadcast(
+        benchmark.select(F.col(vec_col).alias("_bv"))
+    )
+    contaminated = (
+        corpus.alias("c")
+        .join(
+            bench,
+            F.round(cosine(F.col(vec_col), F.col("_bv")), 6)
+            >= F.lit(threshold),
+            "leftsemi",
+        )
+        .select(id_col)
+    )
+    return corpus.join(contaminated, id_col, "left_anti")

@@ -278,3 +278,45 @@ def test_ivf_index_rebuild_is_stable(spark, tmp_path):
         for r in spark.read.parquet(f"{b_dir}/lists").select("vec_id", "list_id").collect()
     }
     assert a == b
+
+
+def test_decontaminate_semantic_drops_paraphrase_neighbors(spark):
+    """Planted vectors at a realistic 0.95 threshold: a near-copy of a
+    benchmark vector drops, an orthogonal one survives, and the benchmark
+    itself is not part of the output."""
+    from database2ogr_spark.operators.similarity import decontaminate_semantic
+
+    bench = spark.createDataFrame(
+        [(100, [1.0, 0.0, 0.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, [0.99, 0.05, 0.0, 0.0]),   # near-copy -> dropped
+            (2, [0.0, 1.0, 0.0, 0.0]),     # orthogonal -> survives
+            (3, [-1.0, 0.0, 0.0, 0.0]),    # anti-parallel -> survives
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    kept = {
+        r.vec_id
+        for r in decontaminate_semantic(corpus, bench, threshold=0.95).collect()
+    }
+    assert kept == {2, 3}
+
+
+def test_decontaminate_semantic_never_shuffles_corpus(spark):
+    """The probe must be a broadcast nested loop: no Exchange on the corpus
+    side before the semi join."""
+    from database2ogr_spark.operators.similarity import decontaminate_semantic
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    bench = emb.filter(F.col("vec_id") % 20 == 0)
+    corpus = emb.filter(F.col("vec_id") % 20 != 0)
+    plan = (
+        decontaminate_semantic(corpus, bench, threshold=0.45)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoopJoin" in plan
