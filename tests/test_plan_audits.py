@@ -141,3 +141,52 @@ def test_dedup_incremental_lsh_no_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "LeftAnti" in plan, plan
     spark.catalog.clearCache()
+
+
+def test_runtime_bloom_filter_injects_on_selective_join(spark):
+    """AQE runtime filtering: a selective dim filter on a shuffle join must
+    inject a bloom filter onto the fact side (the fact's shuffle input
+    drops rows BEFORE the exchange — at 100 TB this is the difference
+    between shuffling 6B lineitems and the ~0.1% that can match). Size
+    thresholds are overridden so the audit works at local scale; on a real
+    cluster the defaults (10 GB creation side) gate it."""
+    from pyspark.sql import functions as F
+
+    conf = spark.conf
+    overrides = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10GB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        # broadcast would bypass the bloom path entirely at this scale
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {}
+    for k, v in overrides.items():
+        try:
+            saved[k] = conf.get(k)
+        except Exception:
+            saved[k] = None
+        conf.set(k, v)
+    try:
+        li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+        o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet").filter(
+            F.col("o_totalprice") > 450_000
+        )
+        plan = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            ._jdf.queryExecution()
+            .optimizedPlan()
+            .toString()
+            .lower()
+        )
+        assert "might_contain" in plan  # bloom probe on the fact side
+        assert "bloom_filter_agg" in plan  # built from the filtered dim
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                try:
+                    conf.unset(k)
+                except Exception:
+                    pass
+            else:
+                conf.set(k, v)
