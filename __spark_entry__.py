@@ -1209,6 +1209,21 @@ def q_events_enrich_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_boolean_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean retrieval over a materialized inverted index
+    (operators/search.py): build the (token, df, postings) index once,
+    answer an AND query ('spark' AND 'window') purely from the index —
+    the corpus is never rescanned at query time."""
+    from database2ogr_spark.operators.search import (
+        build_inverted_index,
+        search_all_terms,
+    )
+
+    idx = os.path.join(tempfile.gettempdir(), "d2o_inverted_index")
+    build_inverted_index(_t(spark, sf_dir, "documents"), idx)
+    return search_all_terms(spark, idx, ["spark", "window"])
+
+
 def q_decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-space decontamination (similarity.decontaminate_semantic):
     corpus vectors within cosine 0.45 of any benchmark vector (ids ≡0 mod
@@ -2512,7 +2527,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Added LATE in round 4 (after the prefix was already full of this
         # round's 30 new entries + the 20 round-2 re-earners, none of which
         # can yield their slot without breaking a verification promise):
-        # the thirty-three late-round-4 additions below (five partsupp-family
+        # the thirty-four late-round-4 additions below (five partsupp-family
         # TPC-H completions, unpivot, rolling window frames, text
         # normalization, winsorization, the contamination-fraction pair,
         # token-budget truncation, the CSV quarantine source, the
@@ -2523,7 +2538,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # validator, schema-evolution read, explicit grouping sets, the
         # leakage-safe grouped split, the frequent-items sketch, the
         # corrupt-file resilience read, distributed global enumeration,
-        # semantic decontamination) sit at slots 51-83 and are
+        # semantic decontamination, boolean search) sit at slots 51-84
+        # and are
         # GRADED IN ROUND 5, where they LEAD the prefix (priority (a), ahead
         # of the twenty constituent-graded entries listed further down).
         # Until then they are verified by scripts/check_oracle.py at sf0.01
@@ -2562,6 +2578,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corrupt_file_resilience": q_corrupt_file_resilience,
         "training_order": q_training_order,
         "decontaminate_semantic": q_decontaminate_semantic,
+        "boolean_search": q_boolean_search,
         # Displaced by the newly-graded entries above (priority (a) — the
         # dedup/ANN oracle chain, the two property-graded sketch entries,
         # and the round-4 clustering family): dedup_exact_survivors
@@ -4082,6 +4099,11 @@ def oracle_sql() -> dict[str, str]:
             WHERE doc_id % 2 = 0
             UNION ALL
             SELECT doc_id, lang, source FROM documents WHERE doc_id % 2 = 1
+        """,
+        "boolean_search": """
+            SELECT doc_id FROM documents
+            WHERE ' ' || text || ' ' LIKE '% spark %'
+              AND ' ' || text || ' ' LIKE '% window %'
         """,
         "decontaminate_semantic": """
             WITH e AS (SELECT vec_id,

@@ -1,0 +1,43 @@
+"""Boolean retrieval over the inverted index (operators/search.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_and_semantics_and_index_only_query(spark, tmp_path):
+    from database2ogr_spark.operators.search import (
+        build_inverted_index,
+        search_all_terms,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark window agg"),
+            (2, "spark only here"),
+            (3, "window without the other term"),
+            (4, "spark window twice spark window"),
+        ],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "idx")
+    build_inverted_index(docs, idx)
+    hits = {r.doc_id for r in search_all_terms(spark, idx, ["spark", "window"]).collect()}
+    assert hits == {1, 4}
+    # single term
+    assert {r.doc_id for r in search_all_terms(spark, idx, ["spark"]).collect()} == {1, 2, 4}
+    # unknown term -> empty (AND with nothing matching)
+    assert search_all_terms(spark, idx, ["spark", "nosuchtoken"]).count() == 0
+
+
+def test_postings_are_sorted_and_df_consistent(spark, tmp_path):
+    from database2ogr_spark.operators.search import build_inverted_index
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    idx = str(tmp_path / "idx2")
+    build_inverted_index(docs, idx)
+    rows = spark.read.parquet(idx).collect()
+    assert rows
+    for r in rows:
+        assert list(r.postings) == sorted(set(r.postings))  # sorted, distinct
+        assert r.df == len(r.postings)
