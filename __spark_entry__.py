@@ -1209,6 +1209,20 @@ def q_events_enrich_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_survivors_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware near-dup retention (dedup.near_dup_survivors_by_
+    priority): src0/src1 outrank everything else, so whenever a near-dup
+    group spans sources the curated copy survives instead of the min-id
+    one. Same LSH→CC group chain as near_dup_groups; the oracle composes
+    that twin with the padded (priority, id) arg_min."""
+    return DD.near_dup_survivors_by_priority(
+        _t(spark, sf_dir, "documents"),
+        {"src0": 0, "src1": 1},
+        k_shingle=3,
+        threshold=0.2,
+    ).select("doc_id", "source")
+
+
 def q_boolean_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Boolean retrieval over a materialized inverted index
     (operators/search.py): build the (token, df, postings) index once,
@@ -2527,7 +2541,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Added LATE in round 4 (after the prefix was already full of this
         # round's 30 new entries + the 20 round-2 re-earners, none of which
         # can yield their slot without breaking a verification promise):
-        # the thirty-four late-round-4 additions below (five partsupp-family
+        # the thirty-five late-round-4 additions below (five partsupp-family
         # TPC-H completions, unpivot, rolling window frames, text
         # normalization, winsorization, the contamination-fraction pair,
         # token-budget truncation, the CSV quarantine source, the
@@ -2538,8 +2552,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # validator, schema-evolution read, explicit grouping sets, the
         # leakage-safe grouped split, the frequent-items sketch, the
         # corrupt-file resilience read, distributed global enumeration,
-        # semantic decontamination, boolean search) sit at slots 51-84
-        # and are
+        # semantic decontamination, boolean search, priority-aware dedup
+        # retention) sit at slots 51-85 and are
         # GRADED IN ROUND 5, where they LEAD the prefix (priority (a), ahead
         # of the twenty constituent-graded entries listed further down).
         # Until then they are verified by scripts/check_oracle.py at sf0.01
@@ -2579,6 +2593,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "training_order": q_training_order,
         "decontaminate_semantic": q_decontaminate_semantic,
         "boolean_search": q_boolean_search,
+        "dedup_survivors_priority": q_dedup_survivors_priority,
         # Displaced by the newly-graded entries above (priority (a) — the
         # dedup/ANN oracle chain, the two property-graded sketch entries,
         # and the round-4 clustering family): dedup_exact_survivors
@@ -4839,6 +4854,20 @@ def oracle_sql() -> dict[str, str]:
     out["ivf_index_topk"] = out["ivf_topk"]
     # leakage-safe split = the graded near-dup closure + the split hash CASE
     # applied to group_id — pure composition of two green twins
+    # priority-aware retention = the same group closure + a padded
+    # (priority, id) arg_min and a semi filter
+    out["dedup_survivors_priority"] = (
+        "WITH base AS (" + out["near_dup_groups"] + "), "
+        "j AS (SELECT b.doc_id, b.group_id, "
+        "  lpad(CAST(CASE d.source WHEN 'src0' THEN 0 WHEN 'src1' THEN 1 "
+        "       ELSE 999 END AS VARCHAR), 4, '0') || "
+        "  lpad(CAST(b.doc_id AS VARCHAR), 12, '0') AS k "
+        "FROM base b JOIN documents d USING (doc_id)), "
+        "w AS (SELECT group_id, arg_min(doc_id, k) AS winner FROM j "
+        "      GROUP BY 1) "
+        "SELECT d.doc_id, d.source FROM documents d "
+        "WHERE d.doc_id IN (SELECT winner FROM w)"
+    )
     out["split_corpus_grouped"] = (
         "WITH base AS (" + out["near_dup_groups"] + ") "
         "SELECT doc_id, group_id, CASE WHEN "

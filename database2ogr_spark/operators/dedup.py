@@ -1066,3 +1066,60 @@ def decontaminate_fraction(
         .select(id_col)
     )
     return corpus.join(flagged, on=id_col, how="left_anti")
+
+
+def near_dup_survivors_by_priority(
+    docs: DataFrame,
+    priorities: dict[str, int],
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    default_priority: int = 999,
+    k_shingle: int = 3,
+    threshold: float = 0.5,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Quality-aware dedup retention: one survivor per near-dup group,
+    chosen by SOURCE PRIORITY first (lower rank wins — e.g. curated > web),
+    then min id. Min-id-only survivor selection (``dedup_exact_survivors``)
+    throws away the curated copy whenever a crawl duplicate happens to
+    carry a smaller id; at mixture-building time the source label is the
+    quality signal, so retention must respect it.
+
+    Plan: near-dup groups from the graded LSH→CC chain, then ONE
+    ``min_by`` aggregation per group over a zero-padded (priority, id)
+    string key — portable composite-argmin (DuckDB ``arg_min`` rejects
+    struct keys; both engines compare the same VARCHAR), and a semi-join
+    back. No new shuffle shapes beyond the group chain itself.
+
+    Returns the surviving rows (original schema).
+    """
+    from database2ogr_spark.operators.graph import near_dup_groups
+
+    groups = near_dup_groups(
+        docs, id_col, text_col, k_shingle=k_shingle,
+        threshold=threshold, max_df=max_df,
+    )
+    pri = F.coalesce(
+        *[
+            F.when(F.col(source_col) == s, F.lit(p))
+            for s, p in sorted(priorities.items())
+        ],
+        F.lit(default_priority),
+    ) if priorities else F.lit(default_priority)
+    key = F.concat(
+        F.lpad(pri.cast("string"), 4, "0"),
+        F.lpad(F.col(id_col).cast("string"), 12, "0"),
+    )
+    tagged = docs.select(
+        F.col(id_col).alias("_id"), key.alias("_k")
+    ).join(groups, F.col("_id") == F.col(id_col)).select(
+        "group_id", "_id", "_k"
+    )
+    winners = tagged.groupBy("group_id").agg(
+        F.min_by("_id", "_k").alias("_winner")
+    )
+    return docs.join(
+        winners.select(F.col("_winner").alias(id_col)), id_col, "leftsemi"
+    )

@@ -423,3 +423,32 @@ def test_decontaminate_fraction_spares_incidental_overlap(spark):
         ).collect()
     }
     assert kept == {11}
+
+
+def test_priority_survivors_prefer_curated_source(spark):
+    """A near-dup pair spanning (web, curated) keeps the CURATED doc even
+    when the web copy has the smaller id; singleton groups always survive."""
+    from database2ogr_spark.operators.dedup import near_dup_survivors_by_priority
+
+    text = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = spark.createDataFrame(
+        [
+            (1, text, "web"),                    # near-dup of 2, lower id
+            (2, text, "curated"),                # higher priority -> wins
+            (3, "совершенно unrelated text here", "web"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    kept = {
+        r.doc_id
+        for r in near_dup_survivors_by_priority(
+            docs, {"curated": 0, "web": 5}, threshold=0.5
+        ).collect()
+    }
+    assert kept == {2, 3}
+    # without priorities the min id wins — the behavior this op replaces
+    kept_plain = {
+        r.doc_id
+        for r in near_dup_survivors_by_priority(docs, {}, threshold=0.5).collect()
+    }
+    assert kept_plain == {1, 3}
