@@ -1209,6 +1209,20 @@ def q_events_enrich_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pack_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Loader-ready packing manifest (sampling.pack_manifest): the
+    pack_sequences bins plus each doc's [start, end) offsets inside its
+    packed sequence — the inputs of a block-diagonal attention mask. Same
+    window, zero new shuffles."""
+    return SMP.pack_manifest(
+        _t(spark, sf_dir, "documents"),
+        budget=10_000,
+        group_col="lang",
+        id_col="doc_id",
+        token_col="n_chars",
+    )
+
+
 def q_dedup_survivors_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-aware near-dup retention (dedup.near_dup_survivors_by_
     priority): src0/src1 outrank everything else, so whenever a near-dup
@@ -2541,7 +2555,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Added LATE in round 4 (after the prefix was already full of this
         # round's 30 new entries + the 20 round-2 re-earners, none of which
         # can yield their slot without breaking a verification promise):
-        # the thirty-five late-round-4 additions below (five partsupp-family
+        # the thirty-six late-round-4 additions below (five partsupp-family
         # TPC-H completions, unpivot, rolling window frames, text
         # normalization, winsorization, the contamination-fraction pair,
         # token-budget truncation, the CSV quarantine source, the
@@ -2553,7 +2567,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # leakage-safe grouped split, the frequent-items sketch, the
         # corrupt-file resilience read, distributed global enumeration,
         # semantic decontamination, boolean search, priority-aware dedup
-        # retention) sit at slots 51-85 and are
+        # retention, the packing manifest) sit at slots 51-86 and are
         # GRADED IN ROUND 5, where they LEAD the prefix (priority (a), ahead
         # of the twenty constituent-graded entries listed further down).
         # Until then they are verified by scripts/check_oracle.py at sf0.01
@@ -2594,6 +2608,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_semantic": q_decontaminate_semantic,
         "boolean_search": q_boolean_search,
         "dedup_survivors_priority": q_dedup_survivors_priority,
+        "pack_manifest": q_pack_manifest,
         # Displaced by the newly-graded entries above (priority (a) — the
         # dedup/ANN oracle chain, the two property-graded sketch entries,
         # and the round-4 clustering family): dedup_exact_survivors
@@ -4114,6 +4129,20 @@ def oracle_sql() -> dict[str, str]:
             WHERE doc_id % 2 = 0
             UNION ALL
             SELECT doc_id, lang, source FROM documents WHERE doc_id % 2 = 1
+        """,
+        "pack_manifest": """
+            WITH p AS (
+              SELECT lang, doc_id, n_chars,
+                CAST(floor((sum(n_chars) OVER (PARTITION BY lang
+                    ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_chars)
+                  / 10000) AS BIGINT) AS bin_id
+              FROM documents)
+            SELECT lang, bin_id, doc_id,
+              (sum(n_chars) OVER w - n_chars)::BIGINT AS start,
+              (sum(n_chars) OVER w)::BIGINT AS "end"
+            FROM p
+            WINDOW w AS (PARTITION BY lang, bin_id ORDER BY doc_id
+                         ROWS UNBOUNDED PRECEDING)
         """,
         "boolean_search": """
             SELECT doc_id FROM documents

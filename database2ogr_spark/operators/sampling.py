@@ -341,3 +341,40 @@ def training_order(
         )
         .drop("_h", "_b", "_rank", "_offset")
     )
+
+
+def pack_manifest(
+    df: DataFrame,
+    *,
+    budget: int,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    token_col: str = "n_tokens",
+) -> DataFrame:
+    """Loader-ready packing manifest: :func:`pack_sequences`' bin
+    assignment plus each document's [start, end) TOKEN OFFSETS inside its
+    packed sequence — exactly what a training loader needs to build the
+    block-diagonal attention mask that stops cross-document attention
+    inside a packed context window.
+
+    Offsets come from the same per-group window as the packing itself
+    (running token total within (group, bin), minus the doc's own count),
+    so the manifest adds ZERO new shuffles — one more projection over the
+    already-sorted window. Output: (group, bin_id, doc_id, start, end).
+    """
+    packed = pack_sequences(
+        df, budget=budget, group_col=group_col, id_col=id_col, token_col=token_col
+    )
+    w = (
+        Window.partitionBy(group_col, "bin_id")
+        .orderBy(F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    end = F.sum(token_col).over(w)
+    return packed.select(
+        F.col(group_col),
+        "bin_id",
+        id_col,
+        (end - F.col(token_col)).cast("bigint").alias("start"),
+        end.cast("bigint").alias("end"),
+    )

@@ -310,3 +310,25 @@ def test_training_order_no_global_sort_funnel(spark):
     assert windows
     # the row_number over the full data must carry a partition spec (_b)
     assert any("_b" in w for w in windows)
+
+
+def test_pack_manifest_offsets_tile_each_bin(spark):
+    """Within every bin, doc spans are contiguous, non-overlapping, start at
+    0, and sum to the bin's token total — the block-diagonal mask contract."""
+    from database2ogr_spark.operators.sampling import pack_manifest
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    rows = pack_manifest(
+        d, budget=10_000, group_col="lang", id_col="doc_id", token_col="n_chars"
+    ).collect()
+    bins = {}
+    for r in rows:
+        bins.setdefault((r.lang, r.bin_id), []).append(r)
+    assert any(len(v) > 1 for v in bins.values())  # multi-doc bins exist
+    for spans in bins.values():
+        spans.sort(key=lambda r: r.start)
+        assert spans[0].start == 0
+        for a, b in zip(spans, spans[1:]):
+            assert a.end == b.start  # contiguous, no gap/overlap
+        for r in spans:
+            assert r.end - r.start > 0
