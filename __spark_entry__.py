@@ -1209,6 +1209,18 @@ def q_events_enrich_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-fit report (tfidf.vocab_coverage): per-source OOV rate
+    against the top-20 build_vocab vocabulary (cut small on purpose so the
+    OOV path carries real mass on this corpus). Broadcast anti-join; two
+    counts off one exploded stream."""
+    from database2ogr_spark.operators.tfidf import build_vocab, vocab_coverage
+
+    d = _t(spark, sf_dir, "documents")
+    vocab = build_vocab(d, min_count=5, max_size=20)
+    return vocab_coverage(d, vocab)
+
+
 def q_pack_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Loader-ready packing manifest (sampling.pack_manifest): the
     pack_sequences bins plus each doc's [start, end) offsets inside its
@@ -2555,7 +2567,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Added LATE in round 4 (after the prefix was already full of this
         # round's 30 new entries + the 20 round-2 re-earners, none of which
         # can yield their slot without breaking a verification promise):
-        # the thirty-six late-round-4 additions below (five partsupp-family
+        # the thirty-seven late-round-4 additions below (five partsupp-family
         # TPC-H completions, unpivot, rolling window frames, text
         # normalization, winsorization, the contamination-fraction pair,
         # token-budget truncation, the CSV quarantine source, the
@@ -2567,7 +2579,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # leakage-safe grouped split, the frequent-items sketch, the
         # corrupt-file resilience read, distributed global enumeration,
         # semantic decontamination, boolean search, priority-aware dedup
-        # retention, the packing manifest) sit at slots 51-86 and are
+        # retention, the packing manifest, vocab coverage) sit at slots
+        # 51-87 and are
         # GRADED IN ROUND 5, where they LEAD the prefix (priority (a), ahead
         # of the twenty constituent-graded entries listed further down).
         # Until then they are verified by scripts/check_oracle.py at sf0.01
@@ -2609,6 +2622,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boolean_search": q_boolean_search,
         "dedup_survivors_priority": q_dedup_survivors_priority,
         "pack_manifest": q_pack_manifest,
+        "vocab_coverage": q_vocab_coverage,
         # Displaced by the newly-graded entries above (priority (a) — the
         # dedup/ANN oracle chain, the two property-graded sketch entries,
         # and the round-4 clustering family): dedup_exact_survivors
@@ -4129,6 +4143,23 @@ def oracle_sql() -> dict[str, str]:
             WHERE doc_id % 2 = 0
             UNION ALL
             SELECT doc_id, lang, source FROM documents WHERE doc_id % 2 = 1
+        """,
+        "vocab_coverage": f"""
+            WITH t AS (
+              SELECT source, unnest({_WORDS_SQL}) AS token FROM documents),
+            c AS (SELECT token, count(*) AS cnt FROM t GROUP BY 1
+                  HAVING count(*) >= 5),
+            vocab AS (SELECT token FROM (
+                SELECT token, row_number() OVER
+                  (ORDER BY cnt DESC, token) AS rk FROM c) WHERE rk <= 20),
+            tot AS (SELECT source, count(*) AS n_tokens FROM t GROUP BY 1),
+            oov AS (SELECT source, count(*) AS n_oov FROM t
+                    WHERE token NOT IN (SELECT token FROM vocab) GROUP BY 1)
+            SELECT tot.source, tot.n_tokens,
+              coalesce(oov.n_oov, 0) AS n_oov,
+              round(coalesce(oov.n_oov, 0) / CAST(tot.n_tokens AS DOUBLE), 6)
+                AS oov_rate
+            FROM tot LEFT JOIN oov USING (source)
         """,
         "pack_manifest": """
             WITH p AS (

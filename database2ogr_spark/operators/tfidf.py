@@ -195,3 +195,45 @@ def bigram_logprob_score(
         )
         .select(F.col("id").alias(id_col), "n_bigrams", "logprob")
     )
+
+
+def vocab_coverage(
+    df: DataFrame,
+    vocab: DataFrame,
+    *,
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Tokenizer-fit report: per ``group_col``, the fraction of corpus
+    tokens OUTSIDE a vocabulary (OOV rate) — the metric that decides
+    whether a tokenizer/vocab needs retraining before a data mixture
+    ships, and which sources drive the misfit.
+
+    Plan: one token explode (shared ``words`` tokenization), a BROADCAST
+    anti-join against the vocab (vocabulary-sized by build_vocab's own
+    bound — always the small side), and two per-group counts that Catalyst
+    computes from the same exploded stream. Rates rounded to 6 dp.
+    Output: (group, n_tokens, n_oov, oov_rate).
+    """
+    toks = spread(df).select(
+        F.col(group_col).alias("grp"), F.explode(words(text_col)).alias("token")
+    )
+    tot = toks.groupBy("grp").agg(F.count(F.lit(1)).alias("n_tokens"))
+    oov = (
+        toks.join(F.broadcast(vocab.select("token")), "token", "left_anti")
+        .groupBy("grp")
+        .agg(F.count(F.lit(1)).alias("n_oov"))
+    )
+    return (
+        tot.join(oov, "grp", "left")
+        .select(
+            F.col("grp").alias(group_col),
+            "n_tokens",
+            F.coalesce(F.col("n_oov"), F.lit(0)).cast("bigint").alias("n_oov"),
+            F.round(
+                F.coalesce(F.col("n_oov"), F.lit(0))
+                / F.col("n_tokens").cast("double"),
+                6,
+            ).alias("oov_rate"),
+        )
+    )

@@ -189,3 +189,26 @@ def test_weighted_median_reduces_to_lower_median_with_unit_weights(spark):
     cw = np.arange(1, len(s) + 1)
     expect = s[int(np.searchsorted(cw, len(s) / 2.0, side="left"))]
     assert out == expect
+
+
+def test_vocab_coverage_hand_computed(spark):
+    from database2ogr_spark.operators.tfidf import vocab_coverage
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a a b zzz", "s1"),      # 4 tokens, zzz OOV -> 1/4
+            (2, "a b b b", "s2"),        # 0 OOV
+            (3, "qq ww", "s3"),          # all OOV
+        ],
+        "doc_id long, text string, source string",
+    )
+    vocab = spark.createDataFrame([("a",), ("b",)], "token string")
+    rep = {
+        r.source: (r.n_tokens, r.n_oov, r.oov_rate)
+        for r in vocab_coverage(docs, vocab).collect()
+    }
+    assert rep == {
+        "s1": (4, 1, 0.25),
+        "s2": (4, 0, 0.0),
+        "s3": (2, 2, 1.0),
+    }
