@@ -499,6 +499,14 @@ def winsorize(
     accept the documented estimate semantics of the *_approx entries.
     Clamped output is rounded to 6 dp so engine float formatting can't leak
     into comparisons.
+
+    NULL handling: NULL values stay NULL (explicit guard — least/greatest
+    SKIP nulls in both engines, which would otherwise clamp a NULL to the
+    lower bound).  Rows whose GROUP value is NULL pass through unclamped
+    (rounded only): groupBy puts all NULL-group values in one bounds row,
+    but an equi-join can never match it back (NULL ≠ NULL), so the round-4
+    advisor found an inner join silently DROPPED those rows — the join is
+    now a left join and missing bounds mean "no clamp".
     """
     out = out_col or f"{value_col}_w"
     bounds = df.groupBy(group_col).agg(
@@ -506,7 +514,7 @@ def winsorize(
         F.percentile(value_col, hi).alias("_w_hi"),
     )
     return (
-        df.join(F.broadcast(bounds), group_col)
+        df.join(F.broadcast(bounds), group_col, "left")
         .withColumn(
             out,
             # explicit NULL guard: Spark's least/greatest SKIP nulls (as do

@@ -20,13 +20,20 @@ All hashing is the md5-based ``stable_hash64`` so the DuckDB oracle can
 reproduce results exactly; swap ``fast_hash64`` in for raw throughput.
 
 Persist lifecycle: the pair operators persist small intermediates
-(signature/gram tables) that both sides of their self-joins read; the
-returned DataFrames stay lazy, so the operators cannot unpersist for you
-(the cache must outlive the caller's action). Long-lived sessions issuing
-many dedup queries should call ``spark.catalog.clearCache()`` between
-invocations (as bench.py does) or unpersist via
-``spark.catalog.clearCache()``/``DataFrame.unpersist`` once results are
-materialized; block-manager memory otherwise accumulates across queries.
+(signature/gram tables) that both sides of their self-joins read. By
+default (``release_cache=True``) each operator finalizes its result with
+an eager ``localCheckpoint`` — the pair table (small by construction:
+thresholded matches, 3 scalars/row) materializes inside the call, lineage
+is truncated, and every operator-owned intermediate is unpersisted before
+returning, so the session carries NO net cached tables afterwards.  The
+checkpoint blocks themselves (result-sized, not corpus-sized) are
+reference-managed: the ContextCleaner drops them once the returned
+DataFrame is unreachable and a JVM GC runs (Spark triggers one
+periodically via ``spark.cleaner.periodicGC.interval``) — no manual
+``clearCache`` contract.  Callers composing one mega-plan across
+operators, or wanting fully lazy results, pass ``release_cache=False``
+and take over the old contract: call ``spark.catalog.clearCache()`` /
+``DataFrame.unpersist`` once results are materialized, as bench.py does.
 """
 
 from __future__ import annotations
@@ -44,6 +51,24 @@ from database2ogr_spark.functions.hashing import (
 )
 from database2ogr_spark.functions.textstats import content_fingerprint
 from database2ogr_spark.operators.partitioning import spread
+
+
+def _finalize(
+    result: DataFrame, *owned: DataFrame, release: bool = True
+) -> DataFrame:
+    """Module persist-lifecycle exit point (see module docstring): when
+    ``release`` is set, materialize ``result`` with an eager
+    ``localCheckpoint`` (truncates lineage off the persisted
+    intermediates; blocks are ContextCleaner-managed, dropped once the
+    returned DataFrame is unreachable) and unpersist every operator-owned
+    intermediate.  When not, return ``result`` lazily and leave ``owned``
+    cached — the caller owns cleanup."""
+    if not release:
+        return result
+    out = result.localCheckpoint(eager=True)
+    for df in owned:
+        df.unpersist()
+    return out
 
 
 def dedup_exact(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -230,6 +255,7 @@ def dedup_incremental_lsh(
     bands: int = 4,
     threshold: float = 0.5,
     use_arrow: bool = True,
+    release_cache: bool = True,
 ) -> DataFrame:
     """Ingestion-time NEAR-duplicate dedup against an LSH signature store —
     the fuzzy twin of :func:`dedup_incremental` (which catches only exact
@@ -293,9 +319,14 @@ def dedup_incremental_lsh(
         .select(F.col("b.id").alias(id_col))
         .distinct()
     )
-    return new_docs.join(
-        hit_store.union(hit_batch).distinct(), on=id_col, how="left_anti"
+    # finalize the DEAD-ID set, not the admitted rows: the result carries
+    # the batch's full document bodies (checkpointing those would copy the
+    # corpus into block storage), while the id set is one scalar per
+    # casualty — the anti-join below stays lazy over the caller's input
+    dead = _finalize(
+        hit_store.union(hit_batch).distinct(), batch, release=release_cache
     )
+    return new_docs.join(dead, on=id_col, how="left_anti")
 
 
 def minhash_lsh_pairs(
@@ -308,6 +339,7 @@ def minhash_lsh_pairs(
     bands: int = 4,
     threshold: float = 0.5,
     use_arrow: bool = True,
+    release_cache: bool = True,
 ) -> DataFrame:
     """Near-dup candidate pairs via MinHash LSH, scored by signature overlap.
 
@@ -318,7 +350,8 @@ def minhash_lsh_pairs(
 
     The signature table (~``8·num_hashes`` bytes/doc — tiny relative to the
     corpus) is persisted MEMORY_AND_DISK so the banding self-join reads it
-    once instead of recomputing shingling+hashing for both sides.
+    once instead of recomputing shingling+hashing for both sides; released
+    per the module persist-lifecycle contract (``release_cache``).
     """
     assert num_hashes % bands == 0
 
@@ -342,7 +375,7 @@ def minhash_lsh_pairs(
             lambda m: m,
         )
     ).cast("double") / F.lit(float(num_hashes))
-    return (
+    pairs = (
         left.join(
             right,
             (F.col("l.band") == F.col("r.band"))
@@ -357,6 +390,7 @@ def minhash_lsh_pairs(
         .filter(F.col("est_jaccard") >= threshold)
         .dropDuplicates(["id_a", "id_b"])
     )
+    return _finalize(pairs, sigs, release=release_cache)
 
 
 def decontaminate(
@@ -611,6 +645,7 @@ def simhash_pairs(
     *,
     max_hamming: int = 3,
     use_arrow: bool = True,
+    release_cache: bool = True,
 ) -> DataFrame:
     """SimHash near-dup pairs with hamming ≤ max_hamming — complete for any
     threshold.
@@ -622,8 +657,8 @@ def simhash_pairs(
     4-way split is only complete for hamming ≤ 3 and silently loses pairs
     above that); the cost trade is explicit: higher thresholds → narrower
     chunks → more bucket collisions → more candidates to verify.
-    Signatures are persisted (8 B/doc; caller may unpersist) so the
-    self-join reads them once.
+    Signatures are persisted (8 B/doc) so the self-join reads them once;
+    released per the module persist-lifecycle contract (``release_cache``).
     """
     sig_bits = 60
     n_chunks = min(max_hamming + 1, sig_bits)
@@ -658,7 +693,7 @@ def simhash_pairs(
     # that fail the distance test die map-side inside the join stage (narrow
     # chunks at high thresholds collide a lot — at sf0.1/max_hamming=10
     # that's ~3M candidates reduced to the true pairs before any shuffle)
-    return (
+    pairs = (
         chunks.alias("l")
         .join(
             chunks.alias("r"),
@@ -674,6 +709,7 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .dropDuplicates(["id_a", "id_b"])
     )
+    return _finalize(pairs, sigs, release=release_cache)
 
 
 def ngram_jaccard_pairs(
@@ -686,6 +722,7 @@ def ngram_jaccard_pairs(
     use_arrow: bool = True,
     max_df: int | None = None,
     hot_broadcast_limit: int = 5_000_000,
+    release_cache: bool = True,
 ) -> DataFrame:
     """Exact n-gram Jaccard over candidate pairs that share ≥1 shingle.
 
@@ -742,7 +779,7 @@ def ngram_jaccard_pairs(
                 F.min(F.col("r.n")).alias("n_b"),
             )
         )
-        return (
+        pairs = (
             shared.withColumn(
                 "jaccard",
                 F.round(
@@ -754,6 +791,7 @@ def ngram_jaccard_pairs(
             .filter(F.col("jaccard") >= threshold)
             .select("id_a", "id_b", "jaccard")
         )
+        return _finalize(pairs, sh, release=release_cache)
     elif use_arrow:
         import numpy as np
 
@@ -788,6 +826,7 @@ def ngram_jaccard_pairs(
         # which guard runs BEFORE anything reaches the driver — a blocklist
         # beyond the broadcast ceiling must never be collect()ed at all
         n_hot = hot.count()
+        owned = [raw]
         if n_hot == 0:
             sh = raw
         elif n_hot <= hot_broadcast_limit:  # ~40 MB ceiling at default
@@ -804,6 +843,7 @@ def ngram_jaccard_pairs(
                 .persist(StorageLevel.MEMORY_AND_DISK)
             )
             raw.unpersist()
+            owned = [sh]
         else:
             # distributed fallback: the offender list stays a DataFrame and
             # the guard is an anti-join (AQE-chosen strategy); post-filter
@@ -811,6 +851,7 @@ def ngram_jaccard_pairs(
             filt = raw.drop("n").join(hot, "shingle", "left_anti")
             sizes = filt.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
             sh = filt.join(sizes, "id").persist(StorageLevel.MEMORY_AND_DISK)
+            owned = [raw, sh]
         shared = (
             sh.alias("l")
             .join(
@@ -825,7 +866,7 @@ def ngram_jaccard_pairs(
                 F.min(F.col("r.n")).alias("n_b"),
             )
         )
-        return (
+        pairs = (
             shared.withColumn(
                 "jaccard",
                 F.round(
@@ -837,6 +878,7 @@ def ngram_jaccard_pairs(
             .filter(F.col("jaccard") >= threshold)
             .select("id_a", "id_b", "jaccard")
         )
+        return _finalize(pairs, *owned, release=release_cache)
     else:
         staged = spread(df).select(
             F.col(id_col).alias("id"), word_hash_structs(text_col).alias("wh")
@@ -883,7 +925,7 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
-    return jac
+    return _finalize(jac, sh, release=release_cache)
 
 
 def duplicate_spans(
@@ -895,6 +937,7 @@ def duplicate_spans(
     min_docs: int = 2,
     merge_gap: int | None = None,
     use_arrow: bool = True,
+    release_cache: bool = True,
 ) -> DataFrame:
     """Substring-level exact duplicate detection — the span-granular member
     of the dedup family (public Lee et al. 2022, "Deduplicating Training
@@ -945,8 +988,8 @@ def duplicate_spans(
                 shingle_ids_of(shingle_structs_of(F.col("wh"), k_shingle))
             ).alias("pos", "gram"),
         )
-    # read by the df-count agg AND the join side — persist (same lifecycle
-    # contract as the pair operators: caller clearCache between queries)
+    # read by the df-count agg AND the join side — persist (released per
+    # the module lifecycle contract via ``release_cache``)
     pos_table = pos_table.persist(StorageLevel.MEMORY_AND_DISK)
     if "first" in pos_table.columns:
         per_doc_grams = pos_table.filter(F.col("first")).select("gram", "id")
@@ -967,7 +1010,7 @@ def duplicate_spans(
         "island",
         F.sum("new_island").over(w.rowsBetween(Window.unboundedPreceding, 0)),
     )
-    return (
+    spans = (
         islands.groupBy("id", "island")
         .agg(
             F.min("pos").alias("span_start"),
@@ -976,6 +1019,7 @@ def duplicate_spans(
         )
         .select(F.col("id").alias(id_col), "span_start", "span_end", "n_windows")
     )
+    return _finalize(spans, pos_table, release=release_cache)
 
 
 def contamination_fraction(
@@ -1093,8 +1137,22 @@ def near_dup_survivors_by_priority(
     struct keys; both engines compare the same VARCHAR), and a semi-join
     back. No new shuffle shapes beyond the group chain itself.
 
+    Key domain (round-4 advisor catch — ``lpad`` silently TRUNCATES
+    overlong input, corrupting the sort): priorities must be ints in
+    [0, 999999] (validated here, driver-side — they're plain Python
+    values) and ids must be NONNEGATIVE integers; the id pad is 20 chars,
+    wide enough for any nonnegative int64 (19 digits), so only negative
+    ids — whose '-' would also break lexicographic order — are outside
+    the domain.
+
     Returns the surviving rows (original schema).
     """
+    for s, p in {**priorities, "<default>": default_priority}.items():
+        if not (0 <= int(p) <= 999_999):
+            raise ValueError(
+                f"priority for {s!r} is {p}; must be an int in [0, 999999] "
+                "(the composite sort key zero-pads priorities to 6 chars)"
+            )
     from database2ogr_spark.operators.graph import near_dup_groups
 
     groups = near_dup_groups(
@@ -1109,8 +1167,8 @@ def near_dup_survivors_by_priority(
         F.lit(default_priority),
     ) if priorities else F.lit(default_priority)
     key = F.concat(
-        F.lpad(pri.cast("string"), 4, "0"),
-        F.lpad(F.col(id_col).cast("string"), 12, "0"),
+        F.lpad(pri.cast("string"), 6, "0"),
+        F.lpad(F.col(id_col).cast("string"), 20, "0"),
     )
     tagged = docs.select(
         F.col(id_col).alias("_id"), key.alias("_k")

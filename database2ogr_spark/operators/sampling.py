@@ -309,9 +309,14 @@ def training_order(
     RDDs. This is the scale shape, all DataFrame ops:
 
     1. order key ``h = stable_hash64(id, seed)``;
-    2. ARITHMETIC range bucket ``(h >> 56) + 128`` — monotone in ``h`` and
-       a pure function of the row (unlike ``repartitionByRange``, whose
-       sampled boundaries are not deterministic across runs);
+    2. ARITHMETIC range bucket ``h >> 52`` — monotone in ``h`` and a pure
+       function of the row (unlike ``repartitionByRange``, whose sampled
+       boundaries are not deterministic across runs); ``stable_hash64`` is
+       a 60-bit nonnegative hash, so the top-8-bit slice is bits 52..59 →
+       ``n_buckets`` (power of two; default 256) uniformly populated
+       buckets from the top bits — shift ``60 - log2(n_buckets)`` (a
+       56-shift would populate only 16 of 256 — the round-4 advisor
+       catch);
     3. per-bucket dense rank (windows parallelize across buckets);
     4. bucket offsets from a #buckets-row count aggregate, broadcast back;
        ``position = offset + rank - 1``.
@@ -320,8 +325,11 @@ def training_order(
     collapsing into few buckets degrades parallelism, not correctness.
     Output: input columns + ``position`` (bigint, dense, 0-based).
     """
+    if n_buckets < 1 or n_buckets & (n_buckets - 1):
+        raise ValueError("n_buckets must be a power of two")
+    shift = max(60 - (n_buckets.bit_length() - 1), 0)
     h = stable_hash64(F.col(id_col).cast("string"), seed=seed)
-    b = F.shiftright(h, 56) + F.lit(128)
+    b = F.shiftright(h, shift)
     staged = df.withColumn("_h", h).withColumn("_b", b.cast("int"))
     w = Window.partitionBy("_b").orderBy(F.col("_h").asc(), F.col(id_col).asc())
     ranked = staged.withColumn("_rank", F.row_number().over(w))

@@ -164,7 +164,11 @@ def gap_fill_locf(
 
     Plan: per-(key, bucket) latest value via ``max_by`` over a zero-padded
     (epoch-micros, tiebreak) string key (deterministic under timestamp
-    ties, portable — both engines compare the same VARCHAR); per-key spans
+    ties, portable — both engines compare the same VARCHAR; the epoch is
+    offset by +10^18 µs before padding so pre-1970 NEGATIVE epochs still
+    sort lexicographically — the round-4 advisor catch — making the key
+    domain any timestamp ≥ year -29719 and any NONNEGATIVE tiebreak id
+    < 10^20, i.e. all of int64≥0); per-key spans
     (|keys| rows); the grid is ``sequence()`` + ``explode`` — fan-out =
     span/unit per key, generated distributed, never on the driver; LOCF is
     ``last(ignorenulls)`` over a running frame. Everything shuffles on the
@@ -174,8 +178,15 @@ def gap_fill_locf(
     event count, same sizing rule as range_join's bucket.
     """
     sort_key = F.concat(
-        F.lpad(F.unix_micros(F.col(ts_col).cast("timestamp")).cast("string"), 20, "0"),
-        F.lpad(F.col(tiebreak_col).cast("string"), 12, "0"),
+        F.lpad(
+            (
+                F.unix_micros(F.col(ts_col).cast("timestamp"))
+                + F.lit(1_000_000_000_000_000_000)
+            ).cast("string"),
+            20,
+            "0",
+        ),
+        F.lpad(F.col(tiebreak_col).cast("string"), 20, "0"),
     )
     per_bucket = (
         events.select(

@@ -11,6 +11,7 @@ import math
 import sys
 
 import duckdb
+from pyspark.sql.types import ArrayType, MapType, StructType
 
 sys.path.insert(0, "/root/repo")
 
@@ -20,6 +21,16 @@ from database2ogr_spark.session import get_spark
 TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
 ).split()
+
+
+def complex_typed_cols(schema) -> list[str]:
+    """Column names whose type the driver canonicalizer cannot sort
+    (list/dict cells are unhashable under pandas sort_values)."""
+    return [
+        f.name
+        for f in schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, StructType))
+    ]
 
 
 def norm_cell(v):
@@ -63,6 +74,21 @@ def main() -> int:
             srows = sdf.collect()
         except Exception as e:
             print(f"FAIL {name}: spark error: {e}")
+            failures += 1
+            continue
+        # The driver's canonicalizer pandas-sorts cell values; list/dict
+        # cells are unhashable and err the whole entry (this shipped twice
+        # — rounds 2 and 4 — because the str()-sort below tolerates them).
+        # Reject complex-typed outputs HERE so the looser local harness can
+        # never pass what the driver gate will reject.
+        complex_cols = complex_typed_cols(sdf.schema)
+        if complex_cols:
+            print(
+                f"FAIL {name}: complex-typed output columns {complex_cols} "
+                "(ArrayType/MapType/StructType) — the driver canonicalizer "
+                "cannot sort list cells; emit long form (posexplode) or a "
+                "string encoding instead"
+            )
             failures += 1
             continue
         if name not in oracles:

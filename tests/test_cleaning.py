@@ -337,3 +337,19 @@ def test_normalize_and_winsorize_null_handling(spark):
     out = {r.event_id: r.value_w for r in winsorize(ev).collect()}
     # null value clamps to null; percentile ignores nulls in both engines
     assert out[1] is None and out[2] == 5.0
+
+
+def test_winsorize_null_group_rows_pass_through(spark):
+    """Round-4 advisor catch: an inner bounds join silently DROPPED rows
+    whose group value is NULL (equi-join can't match NULL).  They must
+    survive, unclamped."""
+    from database2ogr_spark.operators.cleaning import winsorize
+
+    ev = spark.createDataFrame(
+        [(1, None, 100.0), (2, "a", 1.0), (3, "a", 2.0), (4, "a", 3.0)],
+        "event_id long, event_type string, value double",
+    )
+    rows = {r.event_id: r for r in winsorize(ev).collect()}
+    assert set(rows) == {1, 2, 3, 4}  # nothing dropped
+    assert rows[1].value_w == 100.0  # NULL-group row is NOT clamped
+    assert rows[4].value_w < 3.0  # grouped rows still clamp at p95

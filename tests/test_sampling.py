@@ -292,6 +292,40 @@ def test_training_order_dense_unique_and_layout_invariant(spark):
     assert a != c  # the seed actually reshuffles
 
 
+def test_training_order_populates_all_buckets(spark):
+    """The round-4 advisor catch: a 56-shift over the 60-bit hash fills
+    only 16 of the claimed 256 buckets.  With the 52-shift, ~600 docs must
+    spread far beyond 16 buckets (the per-bucket window parallelism the
+    operator exists to provide), and a smaller power-of-two n_buckets must
+    fill essentially all of them."""
+    from pyspark.sql import functions as F
+
+    from database2ogr_spark.functions.hashing import stable_hash64
+    from database2ogr_spark.operators.sampling import training_order
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id"
+    )
+    n_filled = (
+        d.select(
+            F.shiftright(
+                stable_hash64(F.col("doc_id").cast("string"), seed=7), 52
+            ).alias("b")
+        )
+        .distinct()
+        .count()
+    )
+    assert n_filled > 100  # 600 balls into 256 bins fills >100 whp
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        training_order(d, n_buckets=100)  # not a power of two
+    # n_buckets is honored: 4 buckets → positions still dense + unique
+    a = {r.doc_id: r.position for r in training_order(d, n_buckets=4).collect()}
+    assert sorted(a.values()) == list(range(len(a)))
+
+
 def test_training_order_no_global_sort_funnel(spark):
     """The corpus-sized window must be partitioned (by bucket); only the
     256-row offsets window may be global."""

@@ -221,3 +221,23 @@ def test_gap_fill_locf_latest_in_bucket_wins_with_tiebreak(spark):
     ev2 = ev.filter("event_id < 2")
     out2 = gap_fill_locf(ev2, unit="hour").collect()
     assert out2[0].value_filled == 2.0
+
+
+def test_gap_fill_locf_pre_1970_timestamps_order_correctly(spark):
+    """Round-4 advisor catch: negative epoch micros stringify with a '-'
+    whose lexicographic order is REVERSED among negatives.  The +10^18
+    offset keeps the padded key monotone, so the later pre-1970
+    observation must win its bucket."""
+    import datetime as dt
+
+    from database2ogr_spark.operators.timeseries import gap_fill_locf
+
+    ev = spark.createDataFrame(
+        [
+            (0, dt.datetime(1969, 6, 1, 9, 10), 1, 1.0),
+            (1, dt.datetime(1969, 6, 1, 9, 50), 1, 2.0),  # later → wins
+        ],
+        "event_id long, ts timestamp_ntz, user_id long, value double",
+    )
+    out = gap_fill_locf(ev, unit="hour").collect()
+    assert len(out) == 1 and out[0].value_filled == 2.0
