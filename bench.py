@@ -79,6 +79,10 @@ HEADLINE = [
     "rolling_features",
     "normalize_text",
     "truncate_to_budget",
+    # round-5 families
+    "ann_recall_lsh",
+    "gap_fill",
+    "training_order",
 ]
 
 #: the queries that were in BENCH_r01 (the operative baseline — BASELINE.md:

@@ -1,0 +1,195 @@
+"""In-engine weak-label quality classifier (distributed logistic
+regression) — the trainable companion to the rule-based
+``functions/textstats.quality_score``.
+
+Large-corpus pipelines (public: GPT-3 / CCNet / Gopher data work) filter
+web text with a lightweight classifier trained on weak labels ("looks like
+the curated corpus" vs "looks like crawl"); this module trains that
+classifier INSIDE the engine over the same deterministic text features the
+rest of the repo grades, so the whole quality cascade — featurize → train →
+score → threshold — runs as Spark plans with no external ML system.
+
+Scale shape (the k-means pattern, ``operators/clustering.py``): each
+gradient-descent iteration aggregates ONE row of ``n_features`` partial
+sums — corpus-size-independent driver state, a broadcast-sized weight
+vector back out, no shuffle that grows with the corpus.  Determinism is
+the PageRank trick (``operators/graph.py``): per-row gradient
+contributions are quantized to scaled BIGINTs *before* the sum, so the
+aggregation is exact integer arithmetic — bit-identical across
+partitionings, retries, and engines — and weights advance by
+integer-valued updates the DuckDB oracle replays with unrolled CTEs.
+
+Training runs a FIXED number of full-batch GD steps (default 3) — the
+oracle-replayable training kernel; a production fit would iterate to
+convergence with the same per-step plan.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from database2ogr_spark.functions.textstats import (
+    mean_word_length,
+    punct_ratio,
+    stopword_ratio,
+    whitespace_token_count,
+)
+
+#: per-row gradient quantization: g = round(residual * x * GRAD_SCALE)
+GRAD_SCALE = 1_000_000
+#: stored weight resolution: w_real = w_scaled / WEIGHT_SCALE
+WEIGHT_SCALE = 1_000_000_000
+#: cross-engine rounding contract for features and probabilities
+FEATURE_DECIMALS = 6
+PROB_DECIMALS = 9
+
+#: feature names in plan order (x0 is the bias term)
+FEATURES = ("bias", "log_tokens", "mean_wlen", "stopword_frac", "punct_frac")
+
+
+def _round_half_away(v: float) -> float:
+    """Round-half-away-from-zero to an integer — Python's ``round`` is
+    banker's, but Spark ``round`` and DuckDB ``round`` are both
+    half-away; weight updates must use the engines' rule."""
+    return math.copysign(math.floor(abs(v) + 0.5), v)
+
+
+def doc_features(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    extra: tuple[str, ...] = (),
+) -> DataFrame:
+    """The deterministic per-doc feature row (id, x0..x4), every component
+    rounded to FEATURE_DECIMALS so both engines hold identical doubles:
+    bias 1, ln(1+whitespace tokens), mean word length, English stopword
+    fraction, punctuation fraction — all built from the same textstats
+    primitives the green text_quality/lang_id entries replay in SQL.
+    ``extra`` names input columns carried through (e.g. a label)."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        *[F.col(c) for c in extra],
+        F.lit(1.0).alias("x0"),
+        F.round(F.log(F.lit(1.0) + whitespace_token_count(text_col)), FEATURE_DECIMALS).alias("x1"),
+        F.round(mean_word_length(text_col), FEATURE_DECIMALS).alias("x2"),
+        F.round(stopword_ratio(text_col), FEATURE_DECIMALS).alias("x3"),
+        F.round(punct_ratio(text_col), FEATURE_DECIMALS).alias("x4"),
+    )
+
+
+def _prob(weights_scaled: list[int]) -> Column:
+    """round(sigmoid(w·x), PROB_DECIMALS) with the weight literals baked
+    into the plan in fixed order (left-to-right sum, so the float
+    evaluation order matches the oracle's SQL exactly)."""
+    z = F.lit(0.0)
+    for j, w in enumerate(weights_scaled):
+        z = z + F.lit(w / WEIGHT_SCALE) * F.col(f"x{j}")
+    return F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), PROB_DECIMALS)
+
+
+def train_quality_classifier(
+    df: DataFrame,
+    label: Column,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_iter: int = 3,
+    lr: float = 0.1,
+) -> list[int]:
+    """Fit the 5-weight logistic model by ``n_iter`` full-batch GD steps;
+    returns the WEIGHT_SCALE-scaled integer weights (the exact model
+    state both engines agree on).
+
+    Per iteration: one aggregation of 5 BIGINT partial gradient sums + a
+    count (map-side combined; bytes shuffled are independent of corpus
+    size), then the driver advances 5 integers — the only driver state.
+    ``lr`` must keep ``lr * WEIGHT_SCALE / GRAD_SCALE`` integral (default
+    0.1 → factor 100) so the update stays exactly replayable.
+    """
+    factor = lr * WEIGHT_SCALE / GRAD_SCALE
+    if abs(factor - round(factor)) > 1e-9:
+        raise ValueError(
+            f"lr={lr} must make lr*{WEIGHT_SCALE}/{GRAD_SCALE} an integer"
+        )
+    feats = doc_features(
+        df.withColumn("y", label.cast("int").cast("double")),
+        id_col,
+        text_col,
+        extra=("y",),
+    )
+    # featurization is read once per iteration + once for scoring; the
+    # feature row is 6 doubles/doc — persist is cheap and saves re-running
+    # the text kernels each step
+    feats = feats.persist()
+    n_feat = len(FEATURES)
+    w = [0] * n_feat
+    try:
+        for _ in range(n_iter):
+            p = _prob(w)
+            r = p - F.col("y")
+            agg = feats.agg(
+                F.count(F.lit(1)).alias("n"),
+                *[
+                    F.sum(
+                        F.round(r * F.col(f"x{j}") * F.lit(float(GRAD_SCALE)))
+                        .cast("long")
+                    ).alias(f"g{j}")
+                    for j in range(n_feat)
+                ],
+            ).collect()[0]
+            n = agg["n"]
+            if n == 0:
+                break
+            w = [
+                int(w[j] - _round_half_away(agg[f"g{j}"] * factor / n))
+                for j in range(n_feat)
+            ]
+    finally:
+        feats.unpersist()
+    return w
+
+
+def score_quality_classifier(
+    df: DataFrame,
+    weights_scaled: list[int],
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Score every doc with a trained model: (id_col, prob, predicted).
+    One narrow scan — the weights are plan literals, nothing is joined."""
+    feats = doc_features(df, id_col, text_col)
+    p = _prob(weights_scaled)
+    return feats.select(
+        F.col("id").alias(id_col),
+        p.alias("prob"),
+        (p >= F.lit(threshold)).alias("predicted"),
+    )
+
+
+def quality_classifier_scores(
+    df: DataFrame,
+    label: Column,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_iter: int = 3,
+    lr: float = 0.1,
+) -> DataFrame:
+    """Train on the weak label, then score the same corpus — the composed
+    filter-building step: (id_col, label, prob, predicted)."""
+    w = train_quality_classifier(
+        df, label, id_col=id_col, text_col=text_col, n_iter=n_iter, lr=lr
+    )
+    scored = score_quality_classifier(
+        df, w, id_col=id_col, text_col=text_col
+    )
+    labeled = df.select(F.col(id_col), label.cast("int").alias("label"))
+    return labeled.join(scored, id_col).select(
+        id_col, "label", "prob", "predicted"
+    )

@@ -1,0 +1,86 @@
+"""In-engine weak-label quality classifier: exact-integer training
+determinism, learning direction on separable data, and scoring shape."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from database2ogr_spark.operators.classifier import (
+    WEIGHT_SCALE,
+    doc_features,
+    quality_classifier_scores,
+    score_quality_classifier,
+    train_quality_classifier,
+)
+
+
+def _docs(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+
+def test_training_is_partition_invariant(spark):
+    """The scaled-BIGINT gradient quantization makes the per-iteration sum
+    exact integer arithmetic — weights must be BIT-identical regardless of
+    how the corpus is partitioned (the property float sums cannot give)."""
+    d = _docs(spark)
+    label = F.col("lang") == "en"
+    w_a = train_quality_classifier(d, label)
+    w_b = train_quality_classifier(d.repartition(13), label)
+    w_c = train_quality_classifier(d.coalesce(1), label)
+    assert w_a == w_b == w_c
+    assert any(w != 0 for w in w_a)  # training actually moved the weights
+
+
+def test_classifier_learns_separable_weak_label(spark):
+    """lang == 'en' is predictable from the stopword-fraction feature, so
+    three GD steps must already separate the classes: mean predicted
+    probability for English docs strictly above the non-English mean."""
+    out = quality_classifier_scores(_docs(spark), F.col("lang") == "en")
+    rows = out.collect()
+    en = [r.prob for r in rows if r.label == 1]
+    other = [r.prob for r in rows if r.label == 0]
+    assert en and other
+    assert sum(en) / len(en) > sum(other) / len(other)
+    # every row scored, probabilities valid
+    assert len(rows) == _docs(spark).count()
+    assert all(0.0 <= r.prob <= 1.0 for r in rows)
+
+
+def test_features_deterministic_and_bounded(spark):
+    f = doc_features(_docs(spark)).collect()
+    for r in f:
+        assert r.x0 == 1.0
+        assert r.x1 >= 0.0  # ln(1+tokens)
+        assert r.x2 >= 0.0  # mean word length
+        assert 0.0 <= r.x3 <= 1.0  # stopword fraction
+        assert 0.0 <= r.x4 <= 1.0  # punct fraction
+
+
+def test_scoring_with_zero_weights_is_half(spark):
+    out = score_quality_classifier(_docs(spark).limit(5), [0, 0, 0, 0, 0])
+    for r in out.collect():
+        assert r.prob == 0.5 and r.predicted  # p >= 0.5 threshold
+
+
+def test_lr_must_keep_update_integral(spark):
+    import pytest
+
+    d = _docs(spark).limit(3)
+    with pytest.raises(ValueError):
+        train_quality_classifier(d, F.lit(True), lr=1 / 3000)
+    # a valid lr that scales to an integer factor passes
+    w = train_quality_classifier(d, F.lit(True), n_iter=1, lr=0.001)
+    assert len(w) == 5
+
+
+def test_training_leaves_no_cached_tables(spark):
+    spark.catalog.clearCache()
+    before = spark.sparkContext._jsc.getPersistentRDDs().size()
+    train_quality_classifier(_docs(spark), F.col("lang") == "en")
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() == before
+
+
+def test_weights_have_expected_scale(spark):
+    w = train_quality_classifier(_docs(spark), F.col("lang") == "en")
+    # real-unit weights stay in a sane band for lr=0.1 over 3 steps
+    assert all(abs(x) / WEIGHT_SCALE < 10 for x in w)
