@@ -1939,26 +1939,25 @@ def q_ann_recall_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         multi_probe=3,
         query_id_col="query_id",
     )
-    hits = ann.join(
-        exact.select("query_id", "vec_id"), ["query_id", "vec_id"], "leftsemi"
+    # single pass over each branch: left-join ANN hits onto the exact set,
+    # then ONE aggregation yields both counts (the semi-join + separate
+    # count formulation re-computed the brute-force branch twice — 2×
+    # the whole entry's cost at sf0.1)
+    j = exact.select("query_id", "vec_id").join(
+        ann.select("query_id", "vec_id").withColumn("_hit", F.lit(1)),
+        ["query_id", "vec_id"],
+        "left",
     )
-    ex_n = exact.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_exact"))
-    hit_n = hits.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hits"))
+    agg = j.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_exact"),
+        F.coalesce(F.sum("_hit"), F.lit(0)).alias("n_hits"),
+    )
     recall = F.round(
-        F.coalesce(F.col("n_hits"), F.lit(0))
-        / F.least(F.lit(10), F.col("n_exact")),
-        6,
+        F.col("n_hits") / F.least(F.lit(10), F.col("n_exact")), 6
     )
-    return (
-        ex_n.join(hit_n, "query_id", "left")
-        .select(
-            "query_id",
-            "n_exact",
-            F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
-            recall.alias("recall"),
-        )
-        .withColumn("meets_floor", F.col("recall") >= 0.3)
-    )
+    return agg.select(
+        "query_id", "n_exact", "n_hits", recall.alias("recall")
+    ).withColumn("meets_floor", F.col("recall") >= 0.3)
 
 
 def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1976,6 +1975,37 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return quality_classifier_scores(docs, F.col("lang") == "en")
+
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement
+    (sampling.weighted_sample, public Efraimidis-Spirakis A-ES): top-20
+    docs per source with probability ∝ n_chars, selection key
+    ln(u)/w from the stable id hash (no rand()), rounded 9 with id
+    tie-break so the oracle replays the exact pick."""
+    from database2ogr_spark.operators.sampling import weighted_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    out = weighted_sample(
+        docs, "n_chars", 20, group_col="source", key_col="wkey"
+    )
+    return out.select("doc_id", "source", "n_chars", "wkey")
+
+
+def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton/Z-order clustering key (operators/zorder.zorder_key) over
+    (n_chars, doc_id), 16 bits per dimension — the multi-column layout
+    technique (public Delta Lake OPTIMIZE ZORDER shape): min/max linear
+    quantization (one 4-double aggregate, broadcast) + pure integer bit
+    interleaving, so the oracle replays the key exactly.  The layout step
+    itself (repartitionByRange+sort) is pinned by pytest locality tests,
+    not the row oracle (sampled range boundaries are not deterministic)."""
+    from database2ogr_spark.operators.zorder import zorder_key
+
+    docs = _t(spark, sf_dir, "documents")
+    return zorder_key(docs, ["n_chars", "doc_id"], bits=16).select(
+        "doc_id", "zkey"
+    )
 
 
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2656,20 +2686,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # in-engine weak-label quality classifier ------------------------
         "ann_recall_lsh": q_ann_recall_lsh,
         "quality_classifier": q_quality_classifier,
+        "zorder_key": q_zorder_key,
+        "weighted_sample": q_weighted_sample,
         # --- (c) oldest re-earners (last green r1/r2), oldest-first ------
         "a1_distinct": q_a1_distinct,
         "s2_full_scan": q_s2_full_scan,
         "u1_union": q_u1_union,
         "p3_envelope": q_p3_envelope,
         "j2_dim_lookup": q_j2_dim_lookup,
-        "x1_slugify": q_x1_slugify,
-        "x2_reverse_stem": q_x2_reverse_stem,
         # ------------------------------------------------------- slot 50 ^
         # Everything below is QUEUED IN ROUND-6 PRIORITY ORDER — the next
-        # rotation is a pure cut at slot 50. First the THIRTEEN r1/r2-
-        # vintage re-earners that did NOT fit this round (x4_coords_key —
-        # displaced from the draft prefix by the new quality_classifier
-        # entry — then x11_unescape, f5_nonblank_tokens, lang_id,
+        # rotation is a pure cut at slot 50. First the FOURTEEN r1/r2-
+        # vintage re-earners that did NOT fit this round (x2_reverse_stem
+        # and x4_coords_key — displaced from the draft prefix by the new
+        # quality_classifier and zorder_key entries, priority (a) —
+        # then x11_unescape, f5_nonblank_tokens, lang_id,
         # minhash_signatures, near_dup_groups_exact, dedup_exact_survivors,
         # embedding_near_dup, embedding_normalize, events_props_extract,
         # events_windowed, fingerprint_rolling, frequent_tokens — each
@@ -2677,6 +2708,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the round-4 displaced list), then the round-3-green set (3
         # rounds old by round 6), then the round-4-green set (2 rounds old
         # by round 6).
+        "x2_reverse_stem": q_x2_reverse_stem,
         "x4_coords_key": q_x4_coords_key,
         "x11_unescape": q_x11_unescape,
         "f5_nonblank_tokens": q_f5_nonblank_tokens,
@@ -4716,6 +4748,51 @@ def oracle_sql() -> dict[str, str]:
         # in-engine logistic quality classifier: 3 unrolled GD iterations
         # with exact scaled-BIGINT gradient sums (see _logreg_sql)
         "quality_classifier": _logreg_sql(),
+        # A-ES weighted sample: key = round(ln((h+1)/2^60) / w, 9),
+        # top-20 per source with id tie-break
+        "weighted_sample": f"""
+            WITH s AS (
+              SELECT doc_id, source, n_chars,
+                round(ln(({_h64_sql("CAST(doc_id AS VARCHAR)", 13)} + 1)
+                         / 1152921504606846976.0)
+                      / CAST(n_chars AS DOUBLE), 9) AS wkey
+              FROM documents WHERE n_chars > 0)
+            SELECT doc_id, source, n_chars, wkey FROM (
+              SELECT s.*, row_number() OVER
+                (PARTITION BY source ORDER BY wkey DESC, doc_id ASC) AS rn
+              FROM s) t
+            WHERE rn <= 20
+        """,
+        # Morton key: min/max linear quantization to 16 bits per dim +
+        # unrolled integer bit interleave (bit b of dim i → b*2+i)
+        "zorder_key": (
+            lambda interleave: f"""
+            WITH b AS (
+              SELECT min(CAST(n_chars AS DOUBLE)) AS lo0,
+                     max(CAST(n_chars AS DOUBLE)) AS hi0,
+                     min(CAST(doc_id AS DOUBLE)) AS lo1,
+                     max(CAST(doc_id AS DOUBLE)) AS hi1
+              FROM documents),
+            q AS (
+              SELECT doc_id,
+                coalesce(least(greatest(CAST(floor(
+                  CASE WHEN hi0 - lo0 > 0
+                    THEN (CAST(n_chars AS DOUBLE) - lo0) / (hi0 - lo0)
+                    ELSE 0.0 END * 65535.0) AS BIGINT), 0), 65535), 0) AS q0,
+                coalesce(least(greatest(CAST(floor(
+                  CASE WHEN hi1 - lo1 > 0
+                    THEN (CAST(doc_id AS DOUBLE) - lo1) / (hi1 - lo1)
+                    ELSE 0.0 END * 65535.0) AS BIGINT), 0), 65535), 0) AS q1
+              FROM documents CROSS JOIN b)
+            SELECT doc_id, CAST(0 AS BIGINT){interleave} AS zkey FROM q
+        """
+        )(
+            "".join(
+                f" + (((q{i} >> {bit}) & 1) << {bit * 2 + i})"
+                for bit in range(16)
+                for i in range(2)
+            )
+        ),
         # recall@10 of the bits=3 multi_probe=3 sign-LSH ANN vs
         # brute-force ground truth on the rotated query set
         # (vec_id % 97 == 3): probe buckets are the query bucket + its

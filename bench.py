@@ -83,6 +83,9 @@ HEADLINE = [
     "ann_recall_lsh",
     "gap_fill",
     "training_order",
+    "quality_classifier",
+    "zorder_key",
+    "weighted_sample",
 ]
 
 #: the queries that were in BENCH_r01 (the operative baseline — BASELINE.md:

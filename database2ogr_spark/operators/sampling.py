@@ -386,3 +386,52 @@ def pack_manifest(
         (end - F.col(token_col)).cast("bigint").alias("start"),
         end.cast("bigint").alias("end"),
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    *,
+    group_col: str | None = None,
+    id_col: str = "doc_id",
+    seed: int = 13,
+    key_col: str | None = None,
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement — the
+    quality-weighted corpus subsample (pick k docs per group with
+    probability proportional to a score) via the public
+    Efraimidis-Spirakis A-ES scheme: each row gets key u^(1/w) for a
+    uniform u, and the k largest keys ARE a weight-proportional sample.
+
+    Determinism is the repo's sampling contract (``deterministic_sample``):
+    u is derived from ``stable_hash64(id, seed)`` — no ``rand()``, so the
+    sample is reproducible across runs, partitionings, and engines.  The
+    key is compared in log form ``ln(u)/w`` (monotone in u^(1/w)), rounded
+    to 9 decimals with id tie-break so the DuckDB oracle replays the exact
+    selection.
+
+    Scale: grouped top-k is one window per group (shuffle on the group
+    key); the global variant (``group_col=None``) is ``orderBy().limit(k)``
+    — Spark's distributed take-ordered, NOT a single-task global sort.
+    Rows with non-positive or NULL weight are excluded (their sampling
+    probability is 0).  ``key_col`` optionally exposes the rounded key.
+    """
+    u = (
+        stable_hash64(F.col(id_col).cast("string"), seed=seed) + F.lit(1)
+    ).cast("double") / F.lit(float(1 << 60))
+    lkey = F.round(F.log(u) / F.col(weight_col).cast("double"), 9)
+    out_key = key_col or "_wkey"
+    base = df.filter(F.col(weight_col) > 0).withColumn(out_key, lkey)
+    if group_col is not None:
+        w = Window.partitionBy(group_col).orderBy(
+            F.col(out_key).desc(), F.col(id_col).asc()
+        )
+        picked = (
+            base.withColumn("_wrn", F.row_number().over(w))
+            .filter(F.col("_wrn") <= k)
+            .drop("_wrn")
+        )
+    else:
+        picked = base.orderBy(F.col(out_key).desc(), F.col(id_col).asc()).limit(k)
+    return picked if key_col else picked.drop(out_key)

@@ -366,3 +366,55 @@ def test_pack_manifest_offsets_tile_each_bin(spark):
             assert a.end == b.start  # contiguous, no gap/overlap
         for r in spans:
             assert r.end - r.start > 0
+
+
+def test_weighted_sample_deterministic_and_weight_proportional(spark):
+    from database2ogr_spark.operators.sampling import weighted_sample
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = {r.doc_id for r in weighted_sample(docs, "n_chars", 20, group_col="source").collect()}
+    b = {
+        r.doc_id
+        for r in weighted_sample(
+            docs.repartition(13), "n_chars", 20, group_col="source"
+        ).collect()
+    }
+    assert a == b  # hash-keyed, layout-invariant
+    # per-group cap respected
+    from pyspark.sql import functions as F
+
+    out = weighted_sample(docs, "n_chars", 5, group_col="source")
+    sizes = out.groupBy("source").count().collect()
+    assert all(r["count"] <= 5 for r in sizes)
+    # weight-proportionality: on a 2-point corpus with a 99:1 weight skew,
+    # a k=1 sample across many seeds should pick the heavy doc most times
+    rows = [(i, 99.0 if i % 2 == 0 else 1.0) for i in range(2)]
+    df2 = spark.createDataFrame(rows, "doc_id long, w double")
+    heavy = 0
+    for seed in range(40):
+        picked = weighted_sample(df2, "w", 1, seed=seed).collect()[0].doc_id
+        heavy += picked == 0
+    assert heavy >= 30  # ~99% expected; 30/40 is a loose floor
+
+
+def test_weighted_sample_excludes_nonpositive_weights(spark):
+    from database2ogr_spark.operators.sampling import weighted_sample
+
+    df = spark.createDataFrame(
+        [(1, 0.0), (2, -1.0), (3, None), (4, 2.0)],
+        "doc_id long, w double",
+    )
+    got = {r.doc_id for r in weighted_sample(df, "w", 10).collect()}
+    assert got == {4}
+
+
+def test_weighted_sample_global_uses_take_ordered(spark):
+    """The global (ungrouped) variant must be a distributed TakeOrdered
+    (limit-pushdown), not a single-partition global sort window."""
+    from database2ogr_spark.operators.sampling import weighted_sample
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = weighted_sample(docs, "n_chars", 7)
+    assert out.count() == 7
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
