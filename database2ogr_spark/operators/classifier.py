@@ -182,14 +182,21 @@ def quality_classifier_scores(
     lr: float = 0.1,
 ) -> DataFrame:
     """Train on the weak label, then score the same corpus — the composed
-    filter-building step: (id_col, label, prob, predicted)."""
+    filter-building step: (id_col, label, prob, predicted).  Scoring is a
+    single featurize scan with the label carried through (no join back)."""
     w = train_quality_classifier(
         df, label, id_col=id_col, text_col=text_col, n_iter=n_iter, lr=lr
     )
-    scored = score_quality_classifier(
-        df, w, id_col=id_col, text_col=text_col
+    base = doc_features(
+        df.withColumn("label", label.cast("int")),
+        id_col,
+        text_col,
+        extra=("label",),
     )
-    labeled = df.select(F.col(id_col), label.cast("int").alias("label"))
-    return labeled.join(scored, id_col).select(
-        id_col, "label", "prob", "predicted"
+    p = _prob(w)
+    return base.select(
+        F.col("id").alias(id_col),
+        "label",
+        p.alias("prob"),
+        (p >= F.lit(0.5)).alias("predicted"),
     )

@@ -135,12 +135,54 @@ def test_duplicate_spans_shuffle_budget(spark):
 
 def test_dedup_incremental_lsh_no_cartesian(spark):
     # both probes must be (band, bucket) equi-joins — never a nested-loop
-    # or cartesian pair scan — and the admit step a left anti join
-    plan = _plan(spark, "dedup_incremental_lsh")
+    # or cartesian pair scan — and the admit step a left anti join.
+    # Built with release_cache=False: the default eager finalize executes
+    # the probe joins behind a localCheckpoint, which would hide them from
+    # this plan audit.
+    from pyspark.sql import functions as F
+
+    from database2ogr_spark.operators.dedup import (
+        dedup_incremental_lsh,
+        minhash_band_table,
+    )
+
+    docs = entrymod._t(spark, SF, "documents")
+    store = minhash_band_table(docs.filter(F.col("doc_id") % 4 == 0))
+    out = dedup_incremental_lsh(docs, store, threshold=0.5, release_cache=False)
+    plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "LeftAnti" in plan, plan
     spark.catalog.clearCache()
+
+
+def test_zorder_key_no_data_shuffle(spark):
+    """The Morton key must cost one tiny bounds aggregate (broadcast back
+    as a 1-row nested-loop join — the only acceptable BNLJ in the repo)
+    plus a narrow interleave: NO hash/range exchange of the data."""
+    plan = _plan(spark, "zorder_key")
+    n = plan.count("Exchange hashpartitioning") + plan.count(
+        "Exchange rangepartitioning"
+    )
+    assert n == 0, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan
+
+
+def test_quality_classifier_scoring_is_single_scan(spark):
+    """Scoring carries the label through the featurize scan — no join, no
+    exchange; the weights are plan literals."""
+    from pyspark.sql import functions as F
+
+    from database2ogr_spark.operators.classifier import (
+        doc_features,
+        quality_classifier_scores,
+    )
+
+    docs = entrymod._t(spark, SF, "documents")
+    out = quality_classifier_scores(docs, F.col("lang") == "en", n_iter=1)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
 
 
 def test_runtime_bloom_filter_injects_on_selective_join(spark):
