@@ -1977,6 +1977,52 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_classifier_scores(docs, F.col("lang") == "en")
 
 
+def q_countmin_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch property row (operators/sketches.py): build the
+    (row, col, cnt) cell table over token occurrences, point-query every
+    distinct token, and grade the sketch's two contracts per token —
+    ``one_sided`` (est ≥ exact, always) and ``merge_exact`` (two
+    half-corpus sketches cell-summed answer identically to the one-pass
+    sketch — integer associativity, the mergeability that lets shard/day
+    sketches roll up without rescanning raw data).  Cell positions are
+    stable_hash64 with per-row seeds, so the oracle replays every cell,
+    every min, and both booleans exactly."""
+    from database2ogr_spark.operators.sketches import (
+        countmin_build,
+        countmin_merge,
+        countmin_query,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
+    ).filter(F.col("token") != "")
+    direct = countmin_build(toks, "token")
+    merged = countmin_merge(
+        countmin_build(toks.filter(F.col("doc_id") % 2 == 0), "token"),
+        countmin_build(toks.filter(F.col("doc_id") % 2 == 1), "token"),
+    )
+    items = toks.select("token").distinct()
+    est_d = countmin_query(direct, items, "token").withColumnRenamed(
+        "est", "n_est"
+    )
+    est_m = countmin_query(merged, items, "token").withColumnRenamed(
+        "est", "est_m"
+    )
+    exact = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n_exact"))
+    return (
+        exact.join(est_d, "token")
+        .join(est_m, "token")
+        .select(
+            "token",
+            "n_exact",
+            "n_est",
+            (F.col("n_est") >= F.col("n_exact")).alias("one_sided"),
+            (F.col("est_m") == F.col("n_est")).alias("merge_exact"),
+        )
+    )
+
+
 def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic weighted sampling without replacement
     (sampling.weighted_sample, public Efraimidis-Spirakis A-ES): top-20
@@ -2688,18 +2734,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_classifier": q_quality_classifier,
         "zorder_key": q_zorder_key,
         "weighted_sample": q_weighted_sample,
+        "countmin_tokens": q_countmin_tokens,
         # --- (c) oldest re-earners (last green r1/r2), oldest-first ------
         "a1_distinct": q_a1_distinct,
         "s2_full_scan": q_s2_full_scan,
         "u1_union": q_u1_union,
         "p3_envelope": q_p3_envelope,
-        "j2_dim_lookup": q_j2_dim_lookup,
         # ------------------------------------------------------- slot 50 ^
         # Everything below is QUEUED IN ROUND-6 PRIORITY ORDER — the next
-        # rotation is a pure cut at slot 50. First the FOURTEEN r1/r2-
-        # vintage re-earners that did NOT fit this round (x2_reverse_stem
-        # and x4_coords_key — displaced from the draft prefix by the new
-        # quality_classifier and zorder_key entries, priority (a) —
+        # rotation is a pure cut at slot 50. First the SIXTEEN r1/r2-
+        # vintage re-earners that did NOT fit this round (j2_dim_lookup,
+        # x1_slugify, x2_reverse_stem, x4_coords_key — displaced from the
+        # draft prefix by the new quality_classifier, zorder_key,
+        # weighted_sample, and countmin_tokens entries, priority (a) —
         # then x11_unescape, f5_nonblank_tokens, lang_id,
         # minhash_signatures, near_dup_groups_exact, dedup_exact_survivors,
         # embedding_near_dup, embedding_normalize, events_props_extract,
@@ -2708,6 +2755,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the round-4 displaced list), then the round-3-green set (3
         # rounds old by round 6), then the round-4-green set (2 rounds old
         # by round 6).
+        "j2_dim_lookup": q_j2_dim_lookup,
+        "x1_slugify": q_x1_slugify,
         "x2_reverse_stem": q_x2_reverse_stem,
         "x4_coords_key": q_x4_coords_key,
         "x11_unescape": q_x11_unescape,
@@ -4748,6 +4797,39 @@ def oracle_sql() -> dict[str, str]:
         # in-engine logistic quality classifier: 3 unrolled GD iterations
         # with exact scaled-BIGINT gradient sums (see _logreg_sql)
         "quality_classifier": _logreg_sql(),
+        # count-min cells replayed per depth row (seed 41+d, width 1024);
+        # merge_exact is literal TRUE — cell-wise BIGINT sums are
+        # associative, so the merged sketch is identical by construction
+        "countmin_tokens": (
+            lambda h: f"""
+            WITH t AS (
+              SELECT token FROM (
+                SELECT unnest(string_split(text, ' ')) AS token
+                FROM documents) s
+              WHERE token <> ''),
+            cells AS (
+              {" UNION ALL ".join(
+                  f"SELECT {d} AS row, {h(d)} % 1024 AS col, "
+                  f"count(*)::BIGINT AS cnt FROM t GROUP BY 2"
+                  for d in range(3)
+              )}),
+            exact AS (SELECT token, count(*)::BIGINT AS n_exact
+                      FROM t GROUP BY 1),
+            probes AS (
+              {" UNION ALL ".join(
+                  f"SELECT token, {d} AS row, {h(d)} % 1024 AS col FROM exact"
+                  for d in range(3)
+              )}),
+            est AS (
+              SELECT p.token, min(coalesce(c.cnt, 0)) AS n_est
+              FROM probes p LEFT JOIN cells c USING (row, col)
+              GROUP BY 1)
+            SELECT e.token, e.n_exact, est.n_est,
+              est.n_est >= e.n_exact AS one_sided,
+              TRUE AS merge_exact
+            FROM exact e JOIN est USING (token)
+        """
+        )(lambda d: _h64_sql("token", 41 + d)),
         # A-ES weighted sample: key = round(ln((h+1)/2^60) / w, 9),
         # top-20 per source with id tie-break
         "weighted_sample": f"""

@@ -86,6 +86,7 @@ HEADLINE = [
     "quality_classifier",
     "zorder_key",
     "weighted_sample",
+    "countmin_tokens",
 ]
 
 #: the queries that were in BENCH_r01 (the operative baseline — BASELINE.md:
