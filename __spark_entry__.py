@@ -1977,6 +1977,21 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_classifier_scores(docs, F.col("lang") == "en")
 
 
+def q_late_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ColBERT-style MaxSim top-k (similarity.late_interaction_topk):
+    embeddings reshaped to 4×16-dim token vectors, score = Σ_qtok max_dtok
+    cos, quantized to scaled BIGINTs before max/sum so the aggregation is
+    exact integer arithmetic.  Query set vec_id % 89 == 7 (disjoint from
+    the cosine_topk and ann_recall sets)."""
+    from database2ogr_spark.operators.similarity import late_interaction_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") % 89 == 7).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return late_interaction_topk(emb, queries_df, k=5)
+
+
 def q_countmin_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min sketch property row (operators/sketches.py): build the
     (row, col, cnt) cell table over token occurrences, point-query every
@@ -2735,18 +2750,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_key": q_zorder_key,
         "weighted_sample": q_weighted_sample,
         "countmin_tokens": q_countmin_tokens,
+        "late_interaction": q_late_interaction,
         # --- (c) oldest re-earners (last green r1/r2), oldest-first ------
         "a1_distinct": q_a1_distinct,
         "s2_full_scan": q_s2_full_scan,
         "u1_union": q_u1_union,
-        "p3_envelope": q_p3_envelope,
         # ------------------------------------------------------- slot 50 ^
         # Everything below is QUEUED IN ROUND-6 PRIORITY ORDER — the next
-        # rotation is a pure cut at slot 50. First the SIXTEEN r1/r2-
-        # vintage re-earners that did NOT fit this round (j2_dim_lookup,
-        # x1_slugify, x2_reverse_stem, x4_coords_key — displaced from the
-        # draft prefix by the new quality_classifier, zorder_key,
-        # weighted_sample, and countmin_tokens entries, priority (a) —
+        # rotation is a pure cut at slot 50. First the SEVENTEEN r1/r2-
+        # vintage re-earners that did NOT fit this round (p3_envelope,
+        # j2_dim_lookup, x1_slugify, x2_reverse_stem, x4_coords_key —
+        # displaced from the draft prefix by the new quality_classifier,
+        # zorder_key, weighted_sample, countmin_tokens, and
+        # late_interaction entries, priority (a) —
         # then x11_unescape, f5_nonblank_tokens, lang_id,
         # minhash_signatures, near_dup_groups_exact, dedup_exact_survivors,
         # embedding_near_dup, embedding_normalize, events_props_extract,
@@ -2755,6 +2771,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the round-4 displaced list), then the round-3-green set (3
         # rounds old by round 6), then the round-4-green set (2 rounds old
         # by round 6).
+        "p3_envelope": q_p3_envelope,
         "j2_dim_lookup": q_j2_dim_lookup,
         "x1_slugify": q_x1_slugify,
         "x2_reverse_stem": q_x2_reverse_stem,
@@ -4797,6 +4814,36 @@ def oracle_sql() -> dict[str, str]:
         # in-engine logistic quality classifier: 3 unrolled GD iterations
         # with exact scaled-BIGINT gradient sums (see _logreg_sql)
         "quality_classifier": _logreg_sql(),
+        # MaxSim: 4×16-dim token slices, cosines scaled to BIGINT before
+        # max/sum (exact integer scoring), per-query top-5
+        "late_interaction": """
+            WITH c AS (SELECT vec_id,
+                         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                       FROM embeddings),
+            ii AS (SELECT unnest(range(0, 4)) AS i),
+            ct AS (SELECT vec_id, i AS ctok,
+                     v[(16*i + 1):(16*i + 16)] AS cv
+                   FROM c CROSS JOIN ii),
+            qt AS (SELECT vec_id AS query_id, i AS qtok,
+                     v[(16*i + 1):(16*i + 16)] AS qv
+                   FROM c CROSS JOIN ii
+                   WHERE vec_id % 89 = 7),
+            m AS (
+              SELECT qt.query_id, ct.vec_id, qt.qtok,
+                max(CAST(round(list_dot_product(ct.cv, qt.qv) /
+                      (sqrt(list_dot_product(ct.cv, ct.cv)) *
+                       sqrt(list_dot_product(qt.qv, qt.qv)))
+                      * 1000000.0) AS BIGINT)) AS ms
+              FROM ct CROSS JOIN qt
+              WHERE ct.vec_id <> qt.query_id
+              GROUP BY 1, 2, 3),
+            s AS (SELECT query_id, vec_id, sum(ms) AS score_x1e6
+                  FROM m GROUP BY 1, 2),
+            r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY score_x1e6 DESC, vec_id)::INT AS rank
+                  FROM s)
+            SELECT query_id, vec_id, score_x1e6, rank FROM r WHERE rank <= 5
+        """,
         # count-min cells replayed per depth row (seed 41+d, width 1024);
         # merge_exact is literal TRUE — cell-wise BIGINT sums are
         # associative, so the merged sketch is identical by construction

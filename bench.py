@@ -87,6 +87,7 @@ HEADLINE = [
     "zorder_key",
     "weighted_sample",
     "countmin_tokens",
+    "late_interaction",
 ]
 
 #: the queries that were in BENCH_r01 (the operative baseline — BASELINE.md:

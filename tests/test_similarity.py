@@ -320,3 +320,54 @@ def test_decontaminate_semantic_never_shuffles_corpus(spark):
         .toString()
     )
     assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_late_interaction_exact_integer_scoring_invariant(spark):
+    from pyspark.sql import functions as F
+
+    from database2ogr_spark.operators.similarity import late_interaction_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") % 89 == 7).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    a = sorted(
+        (r.query_id, r.vec_id, r.score_x1e6, r.rank)
+        for r in late_interaction_topk(emb, q, k=5).collect()
+    )
+    b = sorted(
+        (r.query_id, r.vec_id, r.score_x1e6, r.rank)
+        for r in late_interaction_topk(emb.repartition(13), q, k=5).collect()
+    )
+    assert a == b  # scaled-BIGINT max/sum: partition-order-proof
+    assert a and all(1 <= t[3] <= 5 for t in a)
+
+
+def test_late_interaction_finds_duplicate_vector(spark):
+    # a verbatim copy of the query vector maximizes every per-token max
+    # (each token matches itself at cos 1), so it must rank first
+    from pyspark.sql import functions as F
+
+    from database2ogr_spark.operators.similarity import late_interaction_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    dup = emb.filter("vec_id = 7").withColumn("vec_id", F.lit(99_999).cast("long"))
+    corpus = emb.unionByName(dup)
+    q = emb.filter("vec_id = 7").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    top = late_interaction_topk(corpus, q, k=3).filter("rank = 1").collect()[0]
+    assert top.vec_id == 99_999
+    assert top.score_x1e6 == 4_000_000  # 4 tokens x cos 1.0 x 1e6
+
+
+def test_late_interaction_rejects_indivisible_dims(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from database2ogr_spark.operators.similarity import late_interaction_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.limit(1).select(F.col("vec_id").alias("query_id"), "embedding")
+    with pytest.raises(ValueError):
+        late_interaction_topk(emb, q, n_tokens=7)
