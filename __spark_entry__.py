@@ -1977,6 +1977,16 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_classifier_scores(docs, F.col("lang") == "en")
 
 
+def q_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjacent-token collocations by PMI (operators/collocations.py):
+    exact unigram/bigram counts, fixed-order IEEE probability ratio
+    rounded 6, min_count 5, top-100 with (a, b) tie-break — the oracle
+    replays the exact top-N set."""
+    from database2ogr_spark.operators.collocations import pmi_bigrams
+
+    return pmi_bigrams(_t(spark, sf_dir, "documents"), min_count=5, top_n=100)
+
+
 def q_late_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ColBERT-style MaxSim top-k (similarity.late_interaction_topk):
     embeddings reshaped to 4×16-dim token vectors, score = Σ_qtok max_dtok
@@ -2677,12 +2687,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     rows); the two round-4 gate-err entries, re-shaped to scalar long form
     (project_embeddings, multimodal_decode — the driver canonicalizer
     cannot sort array cells); the two never-graded all-scalar multimodal
-    entries (multimodal_resize, multimodal_frame_sample); the NEW ANN
-    recall property row (ann_recall_lsh); and the eight oldest round-1/2
-    re-earners (a1_distinct .. x4_coords_key). winsorize_values,
-    training_order, dedup_survivors_priority, and gap_fill additionally
-    carry this round's advisor fixes (left-join NULL groups, 256-bucket
-    shift, widened sort-key pads) — all inside the prefix."""
+    entries (multimodal_resize, multimodal_frame_sample); the SEVEN new
+    round-5 entries (ann_recall_lsh, quality_classifier, zorder_key,
+    weighted_sample, countmin_tokens, late_interaction, pmi_bigrams); and
+    the two oldest round-1/2 re-earners (a1_distinct, s2_full_scan) in
+    the slots that remain. winsorize_values, training_order,
+    dedup_survivors_priority, and gap_fill additionally carry this round's
+    advisor fixes (left-join NULL groups, 256-bucket shift, widened
+    sort-key pads) — all inside the prefix."""
     return {
         # --- (b) first-ever driver rows: the 37 late-round-4 additions ---
         # (five partsupp-family TPC-H completions, unpivot, rolling window
@@ -2751,18 +2763,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": q_weighted_sample,
         "countmin_tokens": q_countmin_tokens,
         "late_interaction": q_late_interaction,
+        "pmi_bigrams": q_pmi_bigrams,
         # --- (c) oldest re-earners (last green r1/r2), oldest-first ------
         "a1_distinct": q_a1_distinct,
         "s2_full_scan": q_s2_full_scan,
-        "u1_union": q_u1_union,
         # ------------------------------------------------------- slot 50 ^
         # Everything below is QUEUED IN ROUND-6 PRIORITY ORDER — the next
-        # rotation is a pure cut at slot 50. First the SEVENTEEN r1/r2-
-        # vintage re-earners that did NOT fit this round (p3_envelope,
-        # j2_dim_lookup, x1_slugify, x2_reverse_stem, x4_coords_key —
-        # displaced from the draft prefix by the new quality_classifier,
-        # zorder_key, weighted_sample, countmin_tokens, and
-        # late_interaction entries, priority (a) —
+        # rotation is a pure cut at slot 50. First the EIGHTEEN r1/r2-
+        # vintage re-earners that did NOT fit this round (u1_union,
+        # p3_envelope, j2_dim_lookup, x1_slugify, x2_reverse_stem,
+        # x4_coords_key — displaced from the draft prefix by the new
+        # quality_classifier, zorder_key, weighted_sample, countmin_tokens,
+        # late_interaction, and pmi_bigrams entries, priority (a) —
         # then x11_unescape, f5_nonblank_tokens, lang_id,
         # minhash_signatures, near_dup_groups_exact, dedup_exact_survivors,
         # embedding_near_dup, embedding_normalize, events_props_extract,
@@ -2771,6 +2783,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the round-4 displaced list), then the round-3-green set (3
         # rounds old by round 6), then the round-4-green set (2 rounds old
         # by round 6).
+        "u1_union": q_u1_union,
         "p3_envelope": q_p3_envelope,
         "j2_dim_lookup": q_j2_dim_lookup,
         "x1_slugify": q_x1_slugify,
@@ -4814,6 +4827,39 @@ def oracle_sql() -> dict[str, str]:
         # in-engine logistic quality classifier: 3 unrolled GD iterations
         # with exact scaled-BIGINT gradient sums (see _logreg_sql)
         "quality_classifier": _logreg_sql(),
+        # PMI collocations: exact counts, fixed-order probability ratio
+        # rounded 6, min_count 5, top-100 under a total ordering
+        "pmi_bigrams": f"""
+            WITH wt AS (SELECT doc_id, {_WORDS_SQL} AS ws FROM documents),
+            uni AS (SELECT unnest(ws) AS w FROM wt),
+            ucnt AS (SELECT w, count(*)::BIGINT AS c FROM uni GROUP BY 1),
+            nt AS (SELECT count(*)::BIGINT AS n_tok FROM uni),
+            bp AS (
+              SELECT ws[CAST(i AS INT)] AS token_a,
+                     ws[CAST(i + 1 AS INT)] AS token_b
+              FROM wt CROSS JOIN
+                (SELECT unnest(range(1, (SELECT max(len(ws)) FROM wt) + 1))
+                   AS i) ii
+              WHERE i <= len(ws) - 1),
+            bcnt AS (SELECT token_a, token_b, count(*)::BIGINT AS n_pair
+                     FROM bp GROUP BY 1, 2),
+            nb AS (SELECT count(*)::BIGINT AS n_big FROM bp),
+            j AS (
+              SELECT b.token_a, b.token_b, b.n_pair, ua.c AS c_a,
+                     ub.c AS c_b, nt.n_tok, nb.n_big
+              FROM bcnt b
+              JOIN ucnt ua ON b.token_a = ua.w
+              JOIN ucnt ub ON b.token_b = ub.w
+              CROSS JOIN nt CROSS JOIN nb
+              WHERE b.n_pair >= 5)
+            SELECT token_a, token_b, n_pair,
+              round(ln((CAST(n_pair AS DOUBLE) / CAST(n_big AS DOUBLE)) /
+                ((CAST(c_a AS DOUBLE) / CAST(n_tok AS DOUBLE)) *
+                 (CAST(c_b AS DOUBLE) / CAST(n_tok AS DOUBLE)))), 6) AS pmi
+            FROM j
+            ORDER BY pmi DESC, token_a, token_b
+            LIMIT 100
+        """,
         # MaxSim: 4×16-dim token slices, cosines scaled to BIGINT before
         # max/sum (exact integer scoring), per-query top-5
         "late_interaction": """

@@ -88,6 +88,7 @@ HEADLINE = [
     "weighted_sample",
     "countmin_tokens",
     "late_interaction",
+    "pmi_bigrams",
 ]
 
 #: the queries that were in BENCH_r01 (the operative baseline — BASELINE.md:

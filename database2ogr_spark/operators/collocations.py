@@ -1,0 +1,93 @@
+"""Collocation extraction — pointwise mutual information over adjacent
+token pairs (the classic Church & Hanks 1990 association measure).
+
+The corpus-analytics companion to tfidf/build_vocab: PMI surfaces
+multi-word units ("new york", "machine learning") whose co-occurrence
+beats chance, feeding tokenizer merge candidates, stop-phrase lists, and
+boilerplate detection in a training-data pipeline.
+
+Scale shape: one explode+agg for unigram counts, one adjacent-pair
+explode+agg for bigram counts (both map-side combinable, shuffling at most
+vocabulary/bigram-vocabulary rows), two equi-joins of unigram counts onto
+the bigram table keyed on the token (shuffle keys are tokens —
+high-cardinality, well distributed), totals broadcast as a 1-row cross
+join, and a distributed TakeOrdered for the top-N.  Nothing scales with
+document size except the two linear explodes.
+
+Determinism: counts are exact integers; PMI is a fixed left-to-right
+expression over correctly-rounded IEEE divisions, rounded to 6 — the same
+cross-engine contract as the rest of the repo — with (token_a, token_b)
+tie-breaks, so the DuckDB oracle replays the exact top-N set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from database2ogr_spark.functions.hashing import words
+
+
+def pmi_bigrams(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    min_count: int = 5,
+    top_n: int = 100,
+) -> DataFrame:
+    """Top-``top_n`` adjacent-token bigrams by PMI with bigram count ≥
+    ``min_count`` (the standard guard — PMI of hapax pairs is pure noise).
+
+    PMI = ln( p(a,b) / (p(a)·p(b)) ) with p() estimated from corpus
+    counts: (c_ab/M) / ((c_a/N)·(c_b/N)) for N total tokens, M total
+    bigrams.  Output: (token_a, token_b, n_pair, pmi) — pmi rounded 6.
+    """
+    ws = words(F.col(text_col))
+    n1 = F.greatest(F.size(ws) - 1, F.lit(0))
+    toks = df.select(F.explode(ws).alias("w"))
+    pairs = df.select(
+        F.explode(
+            F.zip_with(
+                F.slice(ws, 1, n1),
+                F.slice(ws, 2, n1),
+                lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+            )
+        ).alias("p")
+    ).select(F.col("p.a").alias("token_a"), F.col("p.b").alias("token_b"))
+    uni = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    big = pairs.groupBy("token_a", "token_b").agg(
+        F.count(F.lit(1)).alias("n_pair")
+    )
+    totals = toks.agg(F.count(F.lit(1)).alias("n_tok")).crossJoin(
+        pairs.agg(F.count(F.lit(1)).alias("n_big"))
+    )
+    d = "double"
+    joined = (
+        big.filter(F.col("n_pair") >= min_count)
+        .join(
+            uni.select(F.col("w").alias("token_a"), F.col("c").alias("c_a")),
+            "token_a",
+        )
+        .join(
+            uni.select(F.col("w").alias("token_b"), F.col("c").alias("c_b")),
+            "token_b",
+        )
+        .crossJoin(F.broadcast(totals))
+    )
+    pmi = F.round(
+        F.log(
+            (F.col("n_pair").cast(d) / F.col("n_big").cast(d))
+            / (
+                (F.col("c_a").cast(d) / F.col("n_tok").cast(d))
+                * (F.col("c_b").cast(d) / F.col("n_tok").cast(d))
+            )
+        ),
+        6,
+    )
+    return (
+        joined.select("token_a", "token_b", "n_pair", pmi.alias("pmi"))
+        .orderBy(
+            F.col("pmi").desc(), F.col("token_a").asc(), F.col("token_b").asc()
+        )
+        .limit(top_n)
+    )

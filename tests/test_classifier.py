@@ -84,3 +84,35 @@ def test_weights_have_expected_scale(spark):
     w = train_quality_classifier(_docs(spark), F.col("lang") == "en")
     # real-unit weights stay in a sane band for lr=0.1 over 3 steps
     assert all(abs(x) / WEIGHT_SCALE < 10 for x in w)
+
+
+def test_pmi_bigrams_hand_computed(spark):
+    """Tiny corpus with one dominant collocation: 'spark shuffle' occurs
+    in every doc, 'the the' never adjacently — PMI ranks the true
+    collocation on top and exact counts match hand arithmetic."""
+    import math
+
+    from database2ogr_spark.operators.collocations import pmi_bigrams
+
+    rows = [(i, "the spark shuffle moves the data rows") for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = pmi_bigrams(df, min_count=5, top_n=10).collect()
+    got = {(r.token_a, r.token_b): (r.n_pair, r.pmi) for r in out}
+    # 7 tokens/doc -> N=42; 6 bigrams/doc -> M=36; every pair count = 6
+    n_pair, pmi = got[("spark", "shuffle")]
+    assert n_pair == 6
+    expected = round(math.log((6 / 36) / ((6 / 42) * (6 / 42))), 6)
+    assert abs(pmi - expected) < 1e-9
+    # 'the'-anchored pairs get LOWER pmi (c_the = 12, twice as common)
+    assert got[("the", "spark")][1] < pmi
+
+
+def test_pmi_bigrams_respects_min_count_and_top_n(spark):
+    from database2ogr_spark.operators.collocations import pmi_bigrams
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = pmi_bigrams(docs, min_count=5, top_n=7).collect()
+    assert 0 < len(out) <= 7
+    assert all(r.n_pair >= 5 for r in out)
+    pmis = [r.pmi for r in out]
+    assert pmis == sorted(pmis, reverse=True)
