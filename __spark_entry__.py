@@ -1597,6 +1597,30 @@ def q_pretrain_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "source", "lang", "epoch", "split")
 
 
+def q_pretrain_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drop-accounting twin of the flagship pipeline
+    (plans/pretrain.pretrain_ledger): same scenario, same three filtering
+    stages, but EVERY input document gets a row naming the first stage
+    that dropped it ('quality'/'dedup'/'decontaminate') or 'kept' — the
+    curation observability a 100 TB run is judged by.  The stage sets
+    partition the input exactly; the oracle reuses the pipeline's shared
+    filtering CTEs so the two entries cannot drift."""
+    from database2ogr_spark.plans.pretrain import pretrain_ledger
+
+    docs = _t(spark, sf_dir, "documents")
+    transformed = docs.select(
+        "doc_id",
+        "source",
+        "lang",
+        F.when(F.col("doc_id") % 9 == 5, F.lit(_SHARED_PARA))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    corpus = transformed.filter(F.col("doc_id") % 20 != 0)
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+    return pretrain_ledger(corpus, bench).select("doc_id", "stage", "kept")
+
+
 def q_strip_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The action half of substring dedup
     (cleaning.strip_duplicate_spans): duplicated k=3 window regions cut
@@ -2687,11 +2711,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     rows); the two round-4 gate-err entries, re-shaped to scalar long form
     (project_embeddings, multimodal_decode — the driver canonicalizer
     cannot sort array cells); the two never-graded all-scalar multimodal
-    entries (multimodal_resize, multimodal_frame_sample); the SEVEN new
+    entries (multimodal_resize, multimodal_frame_sample); the EIGHT new
     round-5 entries (ann_recall_lsh, quality_classifier, zorder_key,
-    weighted_sample, countmin_tokens, late_interaction, pmi_bigrams); and
-    the two oldest round-1/2 re-earners (a1_distinct, s2_full_scan) in
-    the slots that remain. winsorize_values, training_order,
+    weighted_sample, countmin_tokens, late_interaction, pmi_bigrams,
+    pretrain_ledger); and the single oldest round-1/2 re-earner
+    (a1_distinct) in the slot that remains. winsorize_values,
+    training_order,
     dedup_survivors_priority, and gap_fill additionally carry this round's
     advisor fixes (left-join NULL groups, 256-bucket shift, widened
     sort-key pads) — all inside the prefix."""
@@ -2764,17 +2789,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "countmin_tokens": q_countmin_tokens,
         "late_interaction": q_late_interaction,
         "pmi_bigrams": q_pmi_bigrams,
-        # --- (c) oldest re-earners (last green r1/r2), oldest-first ------
+        "pretrain_ledger": q_pretrain_ledger,
+        # --- (c) oldest re-earner (last green r1/r2) ---------------------
         "a1_distinct": q_a1_distinct,
-        "s2_full_scan": q_s2_full_scan,
         # ------------------------------------------------------- slot 50 ^
         # Everything below is QUEUED IN ROUND-6 PRIORITY ORDER — the next
-        # rotation is a pure cut at slot 50. First the EIGHTEEN r1/r2-
-        # vintage re-earners that did NOT fit this round (u1_union,
-        # p3_envelope, j2_dim_lookup, x1_slugify, x2_reverse_stem,
-        # x4_coords_key — displaced from the draft prefix by the new
-        # quality_classifier, zorder_key, weighted_sample, countmin_tokens,
-        # late_interaction, and pmi_bigrams entries, priority (a) —
+        # rotation is a pure cut at slot 50. First the NINETEEN r1/r2-
+        # vintage re-earners that did NOT fit this round (s2_full_scan,
+        # u1_union, p3_envelope, j2_dim_lookup, x1_slugify,
+        # x2_reverse_stem, x4_coords_key — displaced from the draft prefix
+        # by the new quality_classifier, zorder_key, weighted_sample,
+        # countmin_tokens, late_interaction, pmi_bigrams, and
+        # pretrain_ledger entries, priority (a) —
         # then x11_unescape, f5_nonblank_tokens, lang_id,
         # minhash_signatures, near_dup_groups_exact, dedup_exact_survivors,
         # embedding_near_dup, embedding_normalize, events_props_extract,
@@ -2783,6 +2809,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the round-4 displaced list), then the round-3-green set (3
         # rounds old by round 6), then the round-4-green set (2 rounds old
         # by round 6).
+        "s2_full_scan": q_s2_full_scan,
         "u1_union": q_u1_union,
         "p3_envelope": q_p3_envelope,
         "j2_dim_lookup": q_j2_dim_lookup,
@@ -3013,6 +3040,56 @@ cent{i} AS (
     return "WITH " + ",".join(parts)
 
 
+def _pretrain_filter_ctes() -> str:
+    """The three filtering stages of the pretrain scenario as CTEs
+    (corpus0 → qual → kept → surv → ded → bench/bg/cg/bad → clean) —
+    shared verbatim by the pretrain_pipeline and pretrain_ledger oracles
+    so the two entries can never drift apart."""
+    return f"""corpus0 AS (
+              SELECT doc_id, source, lang,
+                CASE WHEN doc_id % 9 = 5 THEN '{_SHARED_PARA}'
+                     ELSE text END AS text
+              FROM documents WHERE doc_id % 20 <> 0),
+            qual AS (
+              SELECT doc_id FROM (
+                SELECT doc_id,
+                  length(text)::INT AS n_chars,
+                  len({_WORDS_SQL})::INT AS ws_tokens,
+                  (length(text) -
+                   length(regexp_replace(text, '[^\\w\\s]', '', 'g')))::INT
+                    AS n_punct,
+                  list_reduce(list_prepend(CAST(0 AS BIGINT),
+                    list_transform({_WORDS_SQL},
+                      w -> CAST(length(w) AS BIGINT))),
+                    (a, b) -> a + b) AS sum_wlen,
+                  len(list_distinct({_WORDS_SQL}))::INT AS distinct_toks
+                FROM corpus0) b
+              WHERE coalesce(ws_tokens >= 20 AND ws_tokens <= 100000, false)
+                AND coalesce(CASE WHEN ws_tokens > 0
+                      THEN sum_wlen / CAST(ws_tokens AS DOUBLE)
+                      ELSE 0.0 END BETWEEN 2.0 AND 12.0, false)
+                AND coalesce(CASE WHEN n_chars > 0
+                      THEN n_punct / CAST(n_chars AS DOUBLE)
+                      ELSE 0.0 END < 0.1, false)
+                AND coalesce(CASE WHEN ws_tokens > 0
+                      THEN distinct_toks / CAST(ws_tokens AS DOUBLE)
+                      ELSE 0.0 END >= 0.2, false)),
+            kept AS (SELECT c.* FROM corpus0 c JOIN qual USING (doc_id)),
+            surv AS (SELECT min(doc_id) AS doc_id FROM kept
+                     GROUP BY md5({_NORM_SQL})),
+            ded AS (SELECT k.* FROM kept k JOIN surv USING (doc_id)),
+            bench AS (SELECT doc_id, text FROM documents
+                      WHERE doc_id % 20 = 0),
+            bg AS (SELECT DISTINCT unnest(s) AS gram
+                   FROM ({_shingles_sql(13, "bench")})),
+            cg AS (SELECT doc_id, unnest(s) AS gram
+                   FROM ({_shingles_sql(13, "ded")})),
+            bad AS (SELECT DISTINCT doc_id FROM cg
+                    WHERE gram IN (SELECT gram FROM bg)),
+            clean AS (SELECT * FROM ded
+                      WHERE doc_id NOT IN (SELECT doc_id FROM bad))"""
+
+
 def _logreg_sql(n_iter: int = 3, lr_factor: int = 100) -> str:
     """DuckDB twin of operators/classifier.quality_classifier_scores,
     unrolled: feature CTE (components rounded to FEATURE_DECIMALS), then
@@ -3173,50 +3250,24 @@ def oracle_sql() -> dict[str, str]:
         # decontamination vs the doc_id%20==0 benchmark, alpha=0.7
         # temperature rates with hash-threshold copies (seed 17), split
         # buckets on seed 7 (train [0,95), val [95,100))
+        # per-input-doc drop accounting over the SAME filtering CTEs
+        "pretrain_ledger": f"""
+            WITH {_pretrain_filter_ctes()}
+            SELECT c0.doc_id,
+              CASE
+                WHEN c0.doc_id NOT IN (SELECT doc_id FROM qual)
+                  THEN 'quality'
+                WHEN c0.doc_id NOT IN (SELECT doc_id FROM ded)
+                  THEN 'dedup'
+                WHEN c0.doc_id IN (SELECT doc_id FROM bad)
+                  THEN 'decontaminate'
+                ELSE 'kept'
+              END AS stage,
+              c0.doc_id IN (SELECT doc_id FROM clean) AS kept
+            FROM corpus0 c0
+        """,
         "pretrain_pipeline": f"""
-            WITH corpus0 AS (
-              SELECT doc_id, source, lang,
-                CASE WHEN doc_id % 9 = 5 THEN '{_SHARED_PARA}'
-                     ELSE text END AS text
-              FROM documents WHERE doc_id % 20 <> 0),
-            qual AS (
-              SELECT doc_id FROM (
-                SELECT doc_id,
-                  length(text)::INT AS n_chars,
-                  len({_WORDS_SQL})::INT AS ws_tokens,
-                  (length(text) -
-                   length(regexp_replace(text, '[^\\w\\s]', '', 'g')))::INT
-                    AS n_punct,
-                  list_reduce(list_prepend(CAST(0 AS BIGINT),
-                    list_transform({_WORDS_SQL},
-                      w -> CAST(length(w) AS BIGINT))),
-                    (a, b) -> a + b) AS sum_wlen,
-                  len(list_distinct({_WORDS_SQL}))::INT AS distinct_toks
-                FROM corpus0) b
-              WHERE coalesce(ws_tokens >= 20 AND ws_tokens <= 100000, false)
-                AND coalesce(CASE WHEN ws_tokens > 0
-                      THEN sum_wlen / CAST(ws_tokens AS DOUBLE)
-                      ELSE 0.0 END BETWEEN 2.0 AND 12.0, false)
-                AND coalesce(CASE WHEN n_chars > 0
-                      THEN n_punct / CAST(n_chars AS DOUBLE)
-                      ELSE 0.0 END < 0.1, false)
-                AND coalesce(CASE WHEN ws_tokens > 0
-                      THEN distinct_toks / CAST(ws_tokens AS DOUBLE)
-                      ELSE 0.0 END >= 0.2, false)),
-            kept AS (SELECT c.* FROM corpus0 c JOIN qual USING (doc_id)),
-            surv AS (SELECT min(doc_id) AS doc_id FROM kept
-                     GROUP BY md5({_NORM_SQL})),
-            ded AS (SELECT k.* FROM kept k JOIN surv USING (doc_id)),
-            bench AS (SELECT doc_id, text FROM documents
-                      WHERE doc_id % 20 = 0),
-            bg AS (SELECT DISTINCT unnest(s) AS gram
-                   FROM ({_shingles_sql(13, "bench")})),
-            cg AS (SELECT doc_id, unnest(s) AS gram
-                   FROM ({_shingles_sql(13, "ded")})),
-            bad AS (SELECT DISTINCT doc_id FROM cg
-                    WHERE gram IN (SELECT gram FROM bg)),
-            clean AS (SELECT * FROM ded
-                      WHERE doc_id NOT IN (SELECT doc_id FROM bad)),
+            WITH {_pretrain_filter_ctes()},
             counts AS (SELECT source, count(*) AS n FROM clean
                        GROUP BY source),
             tot AS (SELECT sum(n) AS nn, sum(power(n, 0.7)) AS z

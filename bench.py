@@ -89,6 +89,7 @@ HEADLINE = [
     "countmin_tokens",
     "late_interaction",
     "pmi_bigrams",
+    "pretrain_ledger",
 ]
 
 #: the queries that were in BENCH_r01 (the operative baseline — BASELINE.md:

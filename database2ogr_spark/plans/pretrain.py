@@ -69,3 +69,52 @@ def pretrain_corpus(
     )
     mixed = temperature_resample(clean, alpha=alpha, id_col=id_col)
     return split_corpus(mixed, splits, id_col=id_col)
+
+
+def pretrain_ledger(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Pipeline observability: one row per INPUT document recording the
+    FIRST filtering stage that dropped it — ``stage`` ∈ ('quality',
+    'dedup', 'decontaminate', 'kept') plus a ``kept`` boolean.
+
+    Large-corpus curation is judged by its drop accounting (what fraction
+    died where, per source/language) at least as much as by the surviving
+    corpus; this runs the same three filtering stages as
+    :func:`pretrain_corpus` (identical operators, identical order) and
+    labels every casualty instead of discarding it silently.  Each stage's
+    drop set is the anti-join of consecutive stage outputs, so the ledger
+    partitions the input exactly: Σ stage counts = |input|.
+
+    Same persist boundaries and cache-lifecycle contract as
+    :func:`pretrain_corpus` (each stage output feeds two branches: the
+    next stage and its own anti-join).
+    """
+    flags = quality_filter_flags(docs, id_col=id_col, text_col=text_col)
+    kept = docs.join(
+        flags.filter(F.col("keep")).select(id_col), on=id_col, how="left_semi"
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    deduped = dedup_exact_survivors(kept, id_col, text_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    clean = decontaminate(deduped, benchmark, id_col, text_col, k=13)
+    q_drop = docs.select(id_col).join(kept.select(id_col), id_col, "left_anti")
+    d_drop = kept.select(id_col).join(
+        deduped.select(id_col), id_col, "left_anti"
+    )
+    c_drop = deduped.select(id_col).join(
+        clean.select(id_col), id_col, "left_anti"
+    )
+    ledger = (
+        q_drop.withColumn("stage", F.lit("quality"))
+        .unionByName(d_drop.withColumn("stage", F.lit("dedup")))
+        .unionByName(c_drop.withColumn("stage", F.lit("decontaminate")))
+        .unionByName(
+            clean.select(id_col).withColumn("stage", F.lit("kept"))
+        )
+    )
+    return ledger.withColumn("kept", F.col("stage") == "kept")

@@ -170,3 +170,48 @@ def test_run_pretrain_cli_smoke(spark, tmp_path):
         "train",
         "val",
     }
+
+
+def test_pretrain_ledger_partitions_input_exactly(spark):
+    """Every input doc appears exactly once; stage counts reconcile with
+    the pipeline's own survivor set (clean == ledger 'kept' rows)."""
+    from pyspark.sql import functions as F
+
+    from database2ogr_spark.plans.pretrain import pretrain_corpus, pretrain_ledger
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    # must PASS the quality stage (>=20 tokens, distinct ratio >=0.2) so
+    # the duplicates reach — and die at — the dedup stage
+    shared = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda "
+        "mu nu xi omicron pi rho sigma tau upsilon phi chi psi omega token"
+    )
+    corpus = docs.filter("doc_id % 20 <> 0").select(
+        "doc_id",
+        "source",
+        "lang",
+        F.when(F.col("doc_id") % 9 == 5, F.lit(shared))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    bench = docs.filter("doc_id % 20 = 0")
+    ledger = pretrain_ledger(corpus, bench).collect()
+    assert len(ledger) == corpus.count()  # exact partition of the input
+    assert len({r.doc_id for r in ledger}) == len(ledger)
+    stages = {r.doc_id: r.stage for r in ledger}
+    assert set(stages.values()) <= {"quality", "dedup", "decontaminate", "kept"}
+    # dedup demonstrably fires on the shared-paragraph group
+    dup_ids = [i for i in stages if i % 9 == 5 and stages[i] == "dedup"]
+    assert dup_ids
+    # 'kept' set == the docs the real pipeline emits (epoch 0 instances)
+    kept_ledger = {r.doc_id for r in ledger if r.kept}
+    pipeline_docs = {
+        r.doc_id
+        for r in pretrain_corpus(corpus, bench, alpha=0.7)
+        .select("doc_id")
+        .distinct()
+        .collect()
+    }
+    # resampling can drop (rate < 1) but never add docs: pipeline ⊆ kept
+    assert pipeline_docs <= kept_ledger
+    spark.catalog.clearCache()
