@@ -1948,33 +1948,62 @@ def q_ann_recall_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     8 buckets probed).  Floor 0.3 = the worst per-query recall observed
     across sf0.001/0.01/0.1 (min 0.3 at sf0.1, 0.5 at the gate's sf0.01;
     mean ~0.63) — single-probe recall bottoms at 0.0, so the boolean
-    demonstrably grades the multiprobe improvement, not vacuous truth."""
+    demonstrably grades the multiprobe improvement, not vacuous truth.
+
+    Formulation: ground truth and the ANN answer replay the SAME math the
+    lsh_topk/cosine_topk operators run (those implementations hold their
+    own green rows), but in ONE scored pair scan with two windows — the
+    ann ranking orders bucket-matches first, so matched rows rank
+    contiguously and both top-10 sets fall out of a single shuffle (the
+    operator-composed version scanned and scored the corpus twice,
+    ~2× this entry's cost at sf0.1)."""
     emb = _t(spark, sf_dir, "embeddings")
-    queries_df = emb.filter(F.col("vec_id") % 97 == 3).select(
-        F.col("vec_id").alias("query_id"), "embedding"
+    c = emb.select(
+        "vec_id",
+        F.col("embedding").alias("cv"),
+        SIM._signs_bucket(F.col("embedding"), bits=3, dim=64).alias("cb"),
     )
-    exact = SIM.cosine_topk(emb, queries_df, k=10, query_id_col="query_id")
-    ann = SIM.lsh_topk(
-        emb,
-        queries_df,
-        k=10,
-        bits=3,
-        dim=64,
-        multi_probe=3,
-        query_id_col="query_id",
+    q = emb.filter(F.col("vec_id") % 97 == 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        SIM._signs_bucket(F.col("embedding"), bits=3, dim=64).alias("qb"),
     )
-    # single pass over each branch: left-join ANN hits onto the exact set,
-    # then ONE aggregation yields both counts (the semi-join + separate
-    # count formulation re-computed the brute-force branch twice — 2×
-    # the whole entry's cost at sf0.1)
-    j = exact.select("query_id", "vec_id").join(
-        ann.select("query_id", "vec_id").withColumn("_hit", F.lit(1)),
-        ["query_id", "vec_id"],
-        "left",
+    pairs = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(SIM.cosine(F.col("qv"), F.col("cv")), 6).alias("sim"),
+            # multiprobe membership: query bucket or any 1-bit neighbor
+            (
+                (F.col("cb") == F.col("qb"))
+                | (F.col("cb") == F.col("qb").bitwiseXOR(F.lit(1)))
+                | (F.col("cb") == F.col("qb").bitwiseXOR(F.lit(2)))
+                | (F.col("cb") == F.col("qb").bitwiseXOR(F.lit(4)))
+            ).alias("probed"),
+        )
     )
-    agg = j.groupBy("query_id").agg(
-        F.count(F.lit(1)).alias("n_exact"),
-        F.coalesce(F.sum("_hit"), F.lit(0)).alias("n_hits"),
+    w_exact = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("vec_id").asc()
+    )
+    w_ann = Window.partitionBy("query_id").orderBy(
+        F.col("probed").desc(), F.col("sim").desc(), F.col("vec_id").asc()
+    )
+    ranked = pairs.withColumn("re", F.row_number().over(w_exact)).withColumn(
+        "ra", F.row_number().over(w_ann)
+    )
+    agg = ranked.groupBy("query_id").agg(
+        F.sum(F.when(F.col("re") <= 10, 1).otherwise(0))
+        .cast("long")
+        .alias("n_exact"),
+        F.sum(
+            F.when(
+                (F.col("re") <= 10) & F.col("probed") & (F.col("ra") <= 10), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_hits"),
     )
     recall = F.round(
         F.col("n_hits") / F.least(F.lit(10), F.col("n_exact")), 6
@@ -1999,6 +2028,18 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return quality_classifier_scores(docs, F.col("lang") == "en")
+
+
+def q_stupid_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigram stupid-backoff LM score (tfidf.stupid_backoff_score,
+    public Brants 2007) with a REAL train/score split — model fit on
+    doc_id%3!=0, all docs scored, so held-out documents genuinely walk
+    the α=0.4 backoff chain (trigram → bigram → unigram → OOV floor).
+    Completes the unigram→bigram LM-filter ladder."""
+    from database2ogr_spark.operators.tfidf import stupid_backoff_score
+
+    docs = _t(spark, sf_dir, "documents")
+    return stupid_backoff_score(docs, F.col("doc_id") % 3 != 0)
 
 
 def q_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2711,12 +2752,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     rows); the two round-4 gate-err entries, re-shaped to scalar long form
     (project_embeddings, multimodal_decode — the driver canonicalizer
     cannot sort array cells); the two never-graded all-scalar multimodal
-    entries (multimodal_resize, multimodal_frame_sample); the EIGHT new
-    round-5 entries (ann_recall_lsh, quality_classifier, zorder_key,
+    entries (multimodal_resize, multimodal_frame_sample); and the NINE
+    new round-5 entries (ann_recall_lsh, quality_classifier, zorder_key,
     weighted_sample, countmin_tokens, late_interaction, pmi_bigrams,
-    pretrain_ledger); and the single oldest round-1/2 re-earner
-    (a1_distinct) in the slot that remains. winsorize_values,
-    training_order,
+    pretrain_ledger, stupid_backoff) — exactly 50. The twenty r1/r2
+    re-earners lead the round-6 queue instead (new work legitimately
+    outranks re-grading; every displaced entry's machinery is a graded
+    constituent of a prefix entry). winsorize_values, training_order,
     dedup_survivors_priority, and gap_fill additionally carry this round's
     advisor fixes (left-join NULL groups, 256-bucket shift, widened
     sort-key pads) — all inside the prefix."""
@@ -2790,17 +2832,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "late_interaction": q_late_interaction,
         "pmi_bigrams": q_pmi_bigrams,
         "pretrain_ledger": q_pretrain_ledger,
-        # --- (c) oldest re-earner (last green r1/r2) ---------------------
-        "a1_distinct": q_a1_distinct,
+        "stupid_backoff": q_stupid_backoff,
         # ------------------------------------------------------- slot 50 ^
         # Everything below is QUEUED IN ROUND-6 PRIORITY ORDER — the next
-        # rotation is a pure cut at slot 50. First the NINETEEN r1/r2-
-        # vintage re-earners that did NOT fit this round (s2_full_scan,
-        # u1_union, p3_envelope, j2_dim_lookup, x1_slugify,
+        # rotation is a pure cut at slot 50. First ALL TWENTY r1/r2-
+        # vintage re-earners, none of which fit this round (a1_distinct,
+        # s2_full_scan, u1_union, p3_envelope, j2_dim_lookup, x1_slugify,
         # x2_reverse_stem, x4_coords_key — displaced from the draft prefix
-        # by the new quality_classifier, zorder_key, weighted_sample,
-        # countmin_tokens, late_interaction, pmi_bigrams, and
-        # pretrain_ledger entries, priority (a) —
+        # by the nine new round-5 entries, priority (a) —
         # then x11_unescape, f5_nonblank_tokens, lang_id,
         # minhash_signatures, near_dup_groups_exact, dedup_exact_survivors,
         # embedding_near_dup, embedding_normalize, events_props_extract,
@@ -2809,6 +2848,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the round-4 displaced list), then the round-3-green set (3
         # rounds old by round 6), then the round-4-green set (2 rounds old
         # by round 6).
+        "a1_distinct": q_a1_distinct,
         "s2_full_scan": q_s2_full_scan,
         "u1_union": q_u1_union,
         "p3_envelope": q_p3_envelope,
@@ -4878,6 +4918,54 @@ def oracle_sql() -> dict[str, str]:
         # in-engine logistic quality classifier: 3 unrolled GD iterations
         # with exact scaled-BIGINT gradient sums (see _logreg_sql)
         "quality_classifier": _logreg_sql(),
+        # trigram stupid backoff: counts from the doc_id%3!=0 train split,
+        # score chain replayed with the same fixed-order CASE arithmetic
+        "stupid_backoff": f"""
+            WITH wt AS (SELECT doc_id, {_WORDS_SQL} AS ws FROM documents),
+            tr AS (SELECT * FROM wt WHERE doc_id % 3 <> 0),
+            idx AS (SELECT unnest(range(1,
+                      (SELECT max(len(ws)) FROM wt) + 1)) AS i),
+            uni AS (SELECT ws[CAST(i AS INT)] AS w3,
+                      count(*)::BIGINT AS c1
+                    FROM tr CROSS JOIN idx WHERE i <= len(ws) GROUP BY 1),
+            big AS (SELECT ws[CAST(i AS INT)] AS w2,
+                      ws[CAST(i + 1 AS INT)] AS w3, count(*)::BIGINT AS c23
+                    FROM tr CROSS JOIN idx WHERE i <= len(ws) - 1
+                    GROUP BY 1, 2),
+            bctx AS (SELECT w2, sum(c23) AS c2 FROM big GROUP BY 1),
+            tri AS (SELECT ws[CAST(i AS INT)] AS w1,
+                      ws[CAST(i + 1 AS INT)] AS w2,
+                      ws[CAST(i + 2 AS INT)] AS w3, count(*)::BIGINT AS c3
+                    FROM tr CROSS JOIN idx WHERE i <= len(ws) - 2
+                    GROUP BY 1, 2, 3),
+            tctx AS (SELECT w1, w2, sum(c3) AS c12 FROM tri GROUP BY 1, 2),
+            nt AS (SELECT sum(c1)::BIGINT AS n_tok FROM uni),
+            ev AS (SELECT doc_id, ws[CAST(i AS INT)] AS w1,
+                     ws[CAST(i + 1 AS INT)] AS w2,
+                     ws[CAST(i + 2 AS INT)] AS w3
+                   FROM wt CROSS JOIN idx WHERE i <= len(ws) - 2),
+            j AS (
+              SELECT ev.doc_id, tri.c3, tctx.c12, big.c23, bctx.c2,
+                     uni.c1, nt.n_tok
+              FROM ev
+              LEFT JOIN tri USING (w1, w2, w3)
+              LEFT JOIN tctx USING (w1, w2)
+              LEFT JOIN big USING (w2, w3)
+              LEFT JOIN bctx USING (w2)
+              LEFT JOIN uni USING (w3)
+              CROSS JOIN nt)
+            SELECT doc_id, count(*)::BIGINT AS n_trigrams,
+              round(avg(ln(
+                CASE WHEN c3 IS NOT NULL
+                  THEN CAST(c3 AS DOUBLE) / CAST(c12 AS DOUBLE)
+                ELSE 0.4 * (CASE WHEN c23 IS NOT NULL
+                  THEN CAST(c23 AS DOUBLE) / CAST(c2 AS DOUBLE)
+                ELSE 0.4 * (CASE WHEN c1 IS NOT NULL
+                  THEN CAST(c1 AS DOUBLE) / CAST(n_tok AS DOUBLE)
+                  ELSE 1.0 / CAST(n_tok AS DOUBLE) END) END) END)), 6)
+                AS logprob
+            FROM j GROUP BY 1
+        """,
         # PMI collocations: exact counts, fixed-order probability ratio
         # rounded 6, min_count 5, top-100 under a total ordering
         "pmi_bigrams": f"""

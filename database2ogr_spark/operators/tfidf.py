@@ -11,7 +11,7 @@ residual.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -236,4 +236,97 @@ def vocab_coverage(
                 6,
             ).alias("oov_rate"),
         )
+    )
+
+
+def stupid_backoff_score(
+    df: DataFrame,
+    train_filter: Column,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 0.4,
+) -> DataFrame:
+    """Per-document mean log-score under a TRIGRAM stupid-backoff model
+    (public Brants et al. 2007, "Large Language Models in Machine
+    Translation") — the completion of the unigram → bigram LM-filter
+    ladder, and the first member with a real train/score split:
+    the model fits on ``train_filter`` rows only, so held-out documents
+    genuinely exercise the backoff chain (a self-trained trigram model
+    never backs off — every scored trigram is in its own model).
+
+        S(w₃|w₁w₂) = c(w₁w₂w₃)/c(w₁w₂)            if the trigram was seen
+                   = α · S(w₃|w₂)                 otherwise
+        S(w₃|w₂)   = c(w₂w₃)/c(w₂)               if the bigram was seen
+                   = α · c(w₃)/N                  otherwise
+        c(w₃)=0    → score floor α²·(1/N)         (OOV word)
+
+    Scores are unnormalized ("stupid") by design — cheap, mergeable
+    counts, no discount bookkeeping, the standard web-scale choice.
+    Output: (id_col, n_trigrams, logprob) for docs with ≥1 trigram;
+    logprob = round(mean ln S, 6).
+
+    Scale: three count tables (partial-agg'd on token keys), one
+    trigram-event explode over the scored corpus, and a chain of
+    equi-joins on token keys (AQE broadcasts whichever count tables fit);
+    the scored corpus is read once.
+    """
+    w = words(text_col)
+
+    def grams(frame: DataFrame, n: int, cols: list[str]) -> DataFrame:
+        n_out = F.greatest(F.size(w) - (n - 1), F.lit(0))
+        return frame.select(
+            F.col(id_col).alias("id"),
+            F.explode(
+                F.arrays_zip(
+                    *[
+                        F.slice(w, i + 1, n_out).alias(cols[i])
+                        for i in range(n)
+                    ]
+                )
+            ).alias("g"),
+        ).select("id", *[F.col(f"g.{c}").alias(c) for c in cols])
+
+    train = spread(df.filter(train_filter))
+    uni = grams(train, 1, ["w3"]).groupBy("w3").agg(
+        F.count(F.lit(1)).alias("c1")
+    )
+    big = grams(train, 2, ["w2", "w3"]).groupBy("w2", "w3").agg(
+        F.count(F.lit(1)).alias("c23")
+    )
+    big_ctx = big.groupBy("w2").agg(F.sum("c23").alias("c2"))
+    tri = grams(train, 3, ["w1", "w2", "w3"]).groupBy("w1", "w2", "w3").agg(
+        F.count(F.lit(1)).alias("c3")
+    )
+    tri_ctx = tri.groupBy("w1", "w2").agg(F.sum("c3").alias("c12"))
+    totals = uni.agg(F.sum("c1").alias("n_tok"))
+
+    events = grams(spread(df), 3, ["w1", "w2", "w3"])
+    d = "double"
+    joined = (
+        events.join(tri, ["w1", "w2", "w3"], "left")
+        .join(tri_ctx, ["w1", "w2"], "left")
+        .join(big, ["w2", "w3"], "left")
+        .join(big_ctx, ["w2"], "left")
+        .join(uni, ["w3"], "left")
+        .crossJoin(F.broadcast(totals))
+    )
+    a = F.lit(float(alpha))
+    uni_s = F.when(
+        F.col("c1").isNotNull(),
+        F.col("c1").cast(d) / F.col("n_tok").cast(d),
+    ).otherwise(F.lit(1.0) / F.col("n_tok").cast(d))
+    bi_s = F.when(
+        F.col("c23").isNotNull(), F.col("c23").cast(d) / F.col("c2").cast(d)
+    ).otherwise(a * uni_s)
+    s = F.when(
+        F.col("c3").isNotNull(), F.col("c3").cast(d) / F.col("c12").cast(d)
+    ).otherwise(a * bi_s)
+    return (
+        joined.groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_trigrams"),
+            F.round(F.avg(F.log(s)), 6).alias("logprob"),
+        )
+        .select(F.col("id").alias(id_col), "n_trigrams", "logprob")
     )

@@ -116,3 +116,45 @@ def test_pmi_bigrams_respects_min_count_and_top_n(spark):
     assert all(r.n_pair >= 5 for r in out)
     pmis = [r.pmi for r in out]
     assert pmis == sorted(pmis, reverse=True)
+
+
+def test_stupid_backoff_chain_hand_computed(spark):
+    """Train on doc 1 only; doc 2 exercises every rung of the backoff:
+    seen trigram, backed-off bigram, backed-off unigram, OOV floor."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from database2ogr_spark.operators.tfidf import stupid_backoff_score
+
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c zzz")],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: (r.n_trigrams, r.logprob)
+        for r in stupid_backoff_score(df, F.col("doc_id") == 1).collect()
+    }
+    # train corpus "a b c d": N=4; trigrams abc, bcd; bigrams ab, bc, cd
+    # doc1 events: abc -> c(abc)/c(ab.)=1/1; bcd -> 1/1 => mean ln = 0
+    assert out[1] == (2, 0.0)
+    # doc2 events: abc -> 1.0 ; "b c zzz" -> trigram unseen, bigram
+    # (c,zzz) unseen, unigram zzz unseen -> 0.4 * 0.4 * (1/4)
+    exp = round((math.log(1.0) + math.log(0.4 * (0.4 * (1 / 4)))) / 2, 6)
+    assert abs(out[2][1] - exp) < 1e-9
+
+
+def test_stupid_backoff_held_out_scores_lower(spark):
+    """Held-out docs must average lower scores than in-train docs (their
+    events back off); scores are deterministic under repartitioning."""
+    from pyspark.sql import functions as F
+
+    from database2ogr_spark.operators.tfidf import stupid_backoff_score
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    cond = F.col("doc_id") % 3 != 0
+    out = stupid_backoff_score(docs, cond).collect()
+    in_train = [r.logprob for r in out if r.doc_id % 3 != 0]
+    held = [r.logprob for r in out if r.doc_id % 3 == 0]
+    assert in_train and held
+    assert sum(in_train) / len(in_train) > sum(held) / len(held)
