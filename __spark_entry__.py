@@ -2030,6 +2030,20 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_classifier_scores(docs, F.col("lang") == "en")
 
 
+def q_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum schedule (sampling.curriculum_order): per-source quality
+    tiers visited best-first, hash-shuffled within each tier, enumerated
+    dense with the funnel-free (bucket, subbucket) offset technique.  The
+    oracle is the naive global-sort twin DuckDB can afford and Spark must
+    not run."""
+    from database2ogr_spark.operators.sampling import curriculum_order
+
+    docs = _t(spark, sf_dir, "documents")
+    return curriculum_order(docs).select(
+        "doc_id", "source", "n_chars", "bucket", "position"
+    )
+
+
 def q_stupid_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trigram stupid-backoff LM score (tfidf.stupid_backoff_score,
     public Brants 2007) with a REAL train/score split — model fit on
@@ -2834,6 +2848,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pretrain_ledger": q_pretrain_ledger,
         "stupid_backoff": q_stupid_backoff,
         # ------------------------------------------------------- slot 50 ^
+        # curriculum_order (new round 5, landed after the prefix filled
+        # with promised entries that cannot yield) leads the round-6
+        # queue, ahead of the twenty re-earners:
+        "curriculum_order": q_curriculum_order,
         # Everything below is QUEUED IN ROUND-6 PRIORITY ORDER — the next
         # rotation is a pure cut at slot 50. First ALL TWENTY r1/r2-
         # vintage re-earners, none of which fit this round (a1_distinct,
@@ -4918,6 +4936,20 @@ def oracle_sql() -> dict[str, str]:
         # in-engine logistic quality classifier: 3 unrolled GD iterations
         # with exact scaled-BIGINT gradient sums (see _logreg_sql)
         "quality_classifier": _logreg_sql(),
+        # curriculum: per-source ntile tiers then global (bucket, hash,
+        # id) enumeration — the naive global-sort twin
+        "curriculum_order": f"""
+            WITH t AS (
+              SELECT doc_id, source, n_chars,
+                CAST(ntile(10) OVER (PARTITION BY source
+                       ORDER BY n_chars DESC, doc_id) AS INT) AS bucket
+              FROM documents)
+            SELECT doc_id, source, n_chars, bucket,
+              row_number() OVER (ORDER BY bucket ASC,
+                {_h64_sql("CAST(doc_id AS VARCHAR)", 7)} ASC, doc_id ASC)
+                - 1 AS position
+            FROM t
+        """,
         # trigram stupid backoff: counts from the doc_id%3!=0 train split,
         # score chain replayed with the same fixed-order CASE arithmetic
         "stupid_backoff": f"""

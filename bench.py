@@ -90,6 +90,7 @@ HEADLINE = [
     "late_interaction",
     "pmi_bigrams",
     "pretrain_ledger",
+    "stupid_backoff",
 ]
 
 #: the queries that were in BENCH_r01 (the operative baseline — BASELINE.md:

@@ -435,3 +435,53 @@ def weighted_sample(
     else:
         picked = base.orderBy(F.col(out_key).desc(), F.col(id_col).asc()).limit(k)
     return picked if key_col else picked.drop(out_key)
+
+
+def curriculum_order(
+    df: DataFrame,
+    *,
+    score_col: str = "n_chars",
+    group_col: str = "source",
+    n_buckets: int = 10,
+    id_col: str = "doc_id",
+    seed: int = 7,
+) -> DataFrame:
+    """Curriculum training schedule: global dense ``position`` that visits
+    quality tiers in order (per-``group_col`` ntile buckets of
+    ``score_col``, best first — the CCNet-style tiering of
+    :func:`score_buckets`, so every source contributes to every tier) while
+    hash-shuffling WITHIN each tier (no accidental ordering by score or
+    id inside a tier).
+
+    The composition of two graded operators, with :func:`training_order`'s
+    funnel-free enumeration generalized to a (bucket, hash-subbucket)
+    partitioning: per-partition dense ranks + a (n_buckets·256)-row offset
+    broadcast — no single-task global sort anywhere.  Output: input
+    columns + ``bucket`` + ``position`` (bigint, dense, 0-based,
+    tier-major).
+    """
+    tiers = score_buckets(
+        df, n_buckets=n_buckets, score_col=score_col, group_col=group_col
+    )
+    h = stable_hash64(F.col(id_col).cast("string"), seed=seed)
+    staged = tiers.withColumn("_h", h).withColumn(
+        "_sb", F.shiftright(h, 52).cast("int")
+    )
+    w = Window.partitionBy("bucket", "_sb").orderBy(
+        F.col("_h").asc(), F.col(id_col).asc()
+    )
+    ranked = staged.withColumn("_rank", F.row_number().over(w))
+    sizes = staged.groupBy("bucket", "_sb").agg(F.count(F.lit(1)).alias("_n"))
+    w_off = Window.orderBy("bucket", "_sb").rowsBetween(
+        Window.unboundedPreceding, -1
+    )  # n_buckets*256 rows — not the corpus
+    offsets = sizes.withColumn(
+        "_offset", F.coalesce(F.sum("_n").over(w_off), F.lit(0))
+    ).select("bucket", "_sb", "_offset")
+    return (
+        ranked.join(F.broadcast(offsets), ["bucket", "_sb"])
+        .withColumn(
+            "position", (F.col("_offset") + F.col("_rank") - 1).cast("bigint")
+        )
+        .drop("_h", "_sb", "_rank", "_offset")
+    )

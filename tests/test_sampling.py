@@ -418,3 +418,32 @@ def test_weighted_sample_global_uses_take_ordered(spark):
     assert out.count() == 7
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_curriculum_order_tier_major_and_shuffled(spark):
+    from pyspark.sql import functions as F
+
+    from database2ogr_spark.operators.sampling import curriculum_order
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = curriculum_order(docs).collect()
+    n = len(out)
+    assert sorted(r.position for r in out) == list(range(n))  # dense
+    # tier-major: every bucket-b position precedes every bucket-(b+1) one
+    by_bucket = {}
+    for r in out:
+        by_bucket.setdefault(r.bucket, []).append(r.position)
+    buckets = sorted(by_bucket)
+    for a, b in zip(buckets, buckets[1:]):
+        assert max(by_bucket[a]) < min(by_bucket[b])
+    # within a tier the order is hash-shuffled, not score- or id-sorted
+    first = sorted(by_bucket[buckets[0]])
+    ids_in_order = {r.position: r.doc_id for r in out if r.bucket == buckets[0]}
+    seq = [ids_in_order[p] for p in first]
+    assert seq != sorted(seq)
+    # layout invariance
+    again = {
+        r.doc_id: r.position
+        for r in curriculum_order(docs.repartition(13)).collect()
+    }
+    assert again == {r.doc_id: r.position for r in out}
