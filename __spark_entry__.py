@@ -2030,6 +2030,39 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_classifier_scores(docs, F.col("lang") == "en")
 
 
+def q_normalize_homoglyphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusable folding (cleaning.normalize_homoglyphs): docs with
+    doc_id%11==4 are disguised by swapping Latin lowercase for Cyrillic
+    lookalikes (the SEO-spam / dedup-dodging trick); the operator must
+    fold them back so the normalized disguised text equals the normalized
+    original (``recovered``), with the per-doc confusable count emitted.
+    The oracle replays both translate chains character-for-character."""
+    from database2ogr_spark.operators.cleaning import (
+        _HOMOGLYPH_FROM,
+        normalize_homoglyphs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    disguise = F.when(
+        F.col("doc_id") % 11 == 4,
+        F.translate(F.col("text"), "aeopcxy", "аеорсху"),
+    ).otherwise(F.col("text"))
+    base = docs.select(
+        "doc_id", F.col("text").alias("orig"), disguise.alias("text")
+    )
+    n1 = normalize_homoglyphs(base, "text", out_col="tn")
+    both = normalize_homoglyphs(n1, "orig", out_col="on")
+    return both.select(
+        "doc_id",
+        (F.col("doc_id") % 11 == 4).alias("was_disguised"),
+        (
+            F.length("text")
+            - F.length(F.translate(F.col("text"), _HOMOGLYPH_FROM, ""))
+        ).cast("int").alias("n_confusables"),
+        (F.col("tn") == F.col("on")).alias("recovered"),
+    )
+
+
 def q_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Curriculum schedule (sampling.curriculum_order): per-source quality
     tiers visited best-first, hash-shuffled within each tier, enumerated
@@ -2848,10 +2881,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pretrain_ledger": q_pretrain_ledger,
         "stupid_backoff": q_stupid_backoff,
         # ------------------------------------------------------- slot 50 ^
-        # curriculum_order (new round 5, landed after the prefix filled
-        # with promised entries that cannot yield) leads the round-6
-        # queue, ahead of the twenty re-earners:
+        # curriculum_order and normalize_homoglyphs (new round 5, landed
+        # after the prefix filled with promised entries that cannot yield)
+        # lead the round-6 queue, ahead of the twenty re-earners:
         "curriculum_order": q_curriculum_order,
+        "normalize_homoglyphs": q_normalize_homoglyphs,
         # Everything below is QUEUED IN ROUND-6 PRIORITY ORDER — the next
         # rotation is a pure cut at slot 50. First ALL TWENTY r1/r2-
         # vintage re-earners, none of which fit this round (a1_distinct,
@@ -4936,6 +4970,35 @@ def oracle_sql() -> dict[str, str]:
         # in-engine logistic quality classifier: 3 unrolled GD iterations
         # with exact scaled-BIGINT gradient sums (see _logreg_sql)
         "quality_classifier": _logreg_sql(),
+        # confusable folding: both translate chains + the invisible strip
+        # replayed with the exact pinned character maps
+        "normalize_homoglyphs": (
+            lambda frm, to, inv: f"""
+            WITH base AS (
+              SELECT doc_id, text AS orig,
+                CASE WHEN doc_id % 11 = 4
+                  THEN translate(text, 'aeopcxy', 'аеорсху')
+                  ELSE text END AS text
+              FROM documents),
+            n AS (
+              SELECT doc_id, text,
+                regexp_replace(translate(text, '{frm}', '{to}'),
+                               '{inv}', '', 'g') AS tn,
+                regexp_replace(translate(orig, '{frm}', '{to}'),
+                               '{inv}', '', 'g') AS onn
+              FROM base)
+            SELECT doc_id, doc_id % 11 = 4 AS was_disguised,
+              CAST(length(text) -
+                   length(translate(text, '{frm}', '')) AS INT)
+                AS n_confusables,
+              tn = onn AS recovered
+            FROM n
+        """
+        )(
+            CL._HOMOGLYPH_FROM.replace("'", "''"),
+            CL._HOMOGLYPH_TO.replace("'", "''"),
+            CL._INVISIBLE_RE,
+        ),
         # curriculum: per-source ntile tiers then global (bucket, hash,
         # id) enumeration — the naive global-sort twin
         "curriculum_order": f"""

@@ -91,6 +91,8 @@ HEADLINE = [
     "pmi_bigrams",
     "pretrain_ledger",
     "stupid_backoff",
+    "curriculum_order",
+    "normalize_homoglyphs",
 ]
 
 #: the queries that were in BENCH_r01 (the operative baseline — BASELINE.md:

@@ -534,3 +534,47 @@ def winsorize(
         )
         .drop("_w_lo", "_w_hi")
     )
+
+
+#: pinned confusable map (1:1 char translate — public Unicode confusables
+#: subset): Cyrillic + Greek lookalikes, smart punctuation, NBSP → ASCII
+_HOMOGLYPH_FROM = (
+    "\u0430\u0435\u043e\u0440\u0441\u0445\u0443"  # cyr a e o p c x y
+    "\u0410\u0412\u0415\u041a\u041c\u041d\u041e\u0420\u0421\u0422\u0425"
+    "\u03bf\u0391\u0392\u0395\u0396\u0397\u0399\u039a\u039c\u039d"
+    "\u039f\u03a1\u03a4\u03a5\u03a7"
+    "\u2018\u2019\u201c\u201d\u2013\u2014\u00a0"
+)
+_HOMOGLYPH_TO = (
+    "aeopcxy"
+    "ABEKMHOPCTX"
+    "oABEZHIKMN"
+    "OPTYX"
+    "''\"\"-- "
+)
+assert len(_HOMOGLYPH_FROM) == len(_HOMOGLYPH_TO)
+#: zero-width / invisible characters stripped outright
+_INVISIBLE_RE = "[\u200b\u200c\u200d\ufeff\u00ad]"
+
+
+def normalize_homoglyphs(
+    df: DataFrame, text_col: str = "text", out_col: str | None = None
+) -> DataFrame:
+    """Map Unicode confusables to their ASCII lookalikes and strip
+    zero-width characters — the spoof-resistance step BEFORE
+    fingerprinting/dedup: a crawler's copy of a document with Cyrillic
+    'а' substituted for Latin 'a' (SEO spam, paywall evasion, adversarial
+    dedup dodging) hashes differently from the original under every dedup
+    operator in this repo unless the confusables are folded first.
+
+    The map is a PINNED 1:1 ``translate`` (both engines share
+    Postgres-style translate semantics) plus one regexp strip of invisible
+    characters — narrow, whole-stage codegen, oracle-replayable.  This is
+    deliberately a small curated subset of the public Unicode confusables
+    table: high-frequency Cyrillic/Greek lookalikes, smart quotes, dashes,
+    NBSP, zero-widths — extend the two constants to widen coverage.
+    """
+    out = out_col or text_col
+    c = F.translate(F.col(text_col), _HOMOGLYPH_FROM, _HOMOGLYPH_TO)
+    c = F.regexp_replace(c, _INVISIBLE_RE, "")
+    return df.withColumn(out, c)

@@ -353,3 +353,45 @@ def test_winsorize_null_group_rows_pass_through(spark):
     assert set(rows) == {1, 2, 3, 4}  # nothing dropped
     assert rows[1].value_w == 100.0  # NULL-group row is NOT clamped
     assert rows[4].value_w < 3.0  # grouped rows still clamp at p95
+
+
+def test_normalize_homoglyphs_folds_confusables(spark):
+    from pyspark.sql import functions as F
+
+    from database2ogr_spark.operators.cleaning import normalize_homoglyphs
+
+    df = spark.createDataFrame(
+        [
+            (1, "spаrk jоins"),          # cyrillic а, о
+            (2, "“quoted” – dаsh​"),  # quotes, dash, zwsp
+            (3, "plain ascii text"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r.t
+        for r in normalize_homoglyphs(df, "text", out_col="t").collect()
+    }
+    assert out[1] == "spark joins"
+    assert out[2] == '"quoted" - dash'
+    assert out[3] == "plain ascii text"
+
+
+def test_normalize_homoglyphs_restores_dedup(spark):
+    """The point of the operator: a homoglyph-disguised copy must hash
+    back into its original's dedup group after folding."""
+    from pyspark.sql import functions as F
+
+    from database2ogr_spark.operators.cleaning import normalize_homoglyphs
+    from database2ogr_spark.operators.dedup import dedup_exact
+
+    text = "the quick brown fox jumps over the lazy dog"
+    disguised = text.replace("a", "а").replace("o", "о")
+    df = spark.createDataFrame(
+        [(1, text), (2, disguised)], "doc_id long, text string"
+    )
+    # without folding: two distinct fingerprints
+    assert dedup_exact(df).count() == 2
+    folded = normalize_homoglyphs(df, "text")
+    groups = dedup_exact(folded).collect()
+    assert len(groups) == 1 and groups[0].dup_count == 2
