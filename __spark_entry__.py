@@ -2089,6 +2089,35 @@ def q_stupid_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stupid_backoff_score(docs, F.col("doc_id") % 3 != 0)
 
 
+def q_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE merge learning (operators/bpe.learn_bpe, the
+    Sennrich-2016 tokenizer-training step): ONE corpus scan builds the
+    word-frequency table; six merge iterations then run entirely on the
+    distinct vocabulary (pair-count shuffle + 1-row argmax collect each).
+    Tie-break (count desc, pair asc) and overlapping pair counts are
+    pinned against a pure-Python reference in tests/test_bpe.py; the
+    oracle unrolls the six iterations as CTEs with the same
+    leftmost-non-overlapping ``replace`` application."""
+    from database2ogr_spark.operators.bpe import learn_bpe
+
+    return learn_bpe(
+        _t(spark, sf_dir, "documents"), num_merges=6, min_word_freq=2
+    )
+
+
+def q_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus segmentation under the learned merges (operators/bpe.
+    segment_corpus): merges from q_bpe_learn's configuration are applied
+    to the DISTINCT vocabulary (vocab-bounded string work, no corpus-sized
+    symbol churn), joined back by word; out-of-charset words count one OOV
+    token. Emits per-doc (n_words, n_tokens, chars_per_token)."""
+    from database2ogr_spark.operators.bpe import learn_bpe, segment_corpus
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = learn_bpe(docs, num_merges=6, min_word_freq=2)
+    return segment_corpus(docs, merges)
+
+
 def q_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Adjacent-token collocations by PMI (operators/collocations.py):
     exact unigram/bigram counts, fixed-order IEEE probability ratio
@@ -2881,11 +2910,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pretrain_ledger": q_pretrain_ledger,
         "stupid_backoff": q_stupid_backoff,
         # ------------------------------------------------------- slot 50 ^
-        # curriculum_order and normalize_homoglyphs (new round 5, landed
-        # after the prefix filled with promised entries that cannot yield)
-        # lead the round-6 queue, ahead of the twenty re-earners:
+        # curriculum_order, normalize_homoglyphs, bpe_learn, and
+        # bpe_segment (new round 5, landed after the prefix filled with
+        # promised entries that cannot yield) lead the round-6 queue,
+        # ahead of the twenty re-earners:
         "curriculum_order": q_curriculum_order,
         "normalize_homoglyphs": q_normalize_homoglyphs,
+        "bpe_learn": q_bpe_learn,
+        "bpe_segment": q_bpe_segment,
         # Everything below is QUEUED IN ROUND-6 PRIORITY ORDER — the next
         # rotation is a pure cut at slot 50. First ALL TWENTY r1/r2-
         # vintage re-earners, none of which fit this round (a1_distinct,
@@ -3137,7 +3169,7 @@ def _pretrain_filter_ctes() -> str:
     (corpus0 → qual → kept → surv → ded → bench/bg/cg/bad → clean) —
     shared verbatim by the pretrain_pipeline and pretrain_ledger oracles
     so the two entries can never drift apart."""
-    return f"""corpus0 AS (
+    return f"""corpus0 AS MATERIALIZED (
               SELECT doc_id, source, lang,
                 CASE WHEN doc_id % 9 = 5 THEN '{_SHARED_PARA}'
                      ELSE text END AS text
@@ -3180,6 +3212,106 @@ def _pretrain_filter_ctes() -> str:
                     WHERE gram IN (SELECT gram FROM bg)),
             clean AS (SELECT * FROM ded
                       WHERE doc_id NOT IN (SELECT doc_id FROM bad))"""
+
+
+def _bpe_chain_sql(num_merges: int, min_freq: int) -> str:
+    """Shared CTE chain for the BPE oracles: word frequencies (ASCII gate,
+    min_freq cut) → char-symbol strings s0 → per-iteration pair counts
+    p{k}, argmax b{k} (count desc, pair asc — the operator's tie-break),
+    and the leftmost-non-overlapping merge application s{k+1}. ``replace``
+    is non-overlapping left-to-right in BOTH engines, which is exactly
+    classic BPE application order (pinned in tests/test_bpe.py)."""
+    parts = [
+        f"""
+            t AS (SELECT unnest({_WORDS_SQL}) AS word FROM documents),
+            wf AS (
+              SELECT word, count(*)::BIGINT AS freq FROM t
+              WHERE regexp_matches(word, '^[ -~]+$')
+              GROUP BY word HAVING count(*) >= {min_freq}),
+            s0 AS (
+              SELECT ' ' || (SELECT string_agg(substring(word,
+                         CAST(i AS INT), 1), ' ' ORDER BY i)
+                       FROM unnest(range(1, len(word) + 1)) AS u(i))
+                   || ' ' AS sym, freq
+              FROM wf)"""
+    ]
+    for k in range(num_merges):
+        parts.append(
+            f"""
+            l{k} AS MATERIALIZED (SELECT sym, freq,
+                list_filter(string_split(trim(sym), ' '), x -> x <> '')
+                  AS toks FROM s{k}),
+            p{k} AS (SELECT toks[CAST(i AS INT)] || ' '
+                       || toks[CAST(i + 1 AS INT)] AS pair,
+                       sum(freq)::BIGINT AS cnt
+                     FROM l{k} CROSS JOIN (SELECT unnest(range(1,
+                       (SELECT coalesce(max(len(toks)), 1) FROM l{k})))
+                       AS i) ii
+                     WHERE i < len(toks) GROUP BY 1),
+            b{k} AS MATERIALIZED (SELECT pair, cnt FROM p{k}
+                     ORDER BY cnt DESC, pair ASC LIMIT 1),
+            s{k + 1} AS MATERIALIZED (SELECT replace(sym,
+                  ' ' || (SELECT pair FROM b{k}) || ' ',
+                  ' ' || replace((SELECT pair FROM b{k}), ' ', '') || ' ')
+                AS sym, freq FROM s{k})"""
+        )
+    return ",".join(parts)
+
+
+def _bpe_learn_sql(num_merges: int = 6, min_freq: int = 2) -> str:
+    ranks = "\n            UNION ALL ".join(
+        f"""SELECT CAST({k} AS INT) AS merge_rank,
+              split_part(pair, ' ', 1) AS lhs,
+              split_part(pair, ' ', 2) AS rhs,
+              replace(pair, ' ', '') AS merged,
+              cnt AS pair_freq FROM b{k}"""
+        for k in range(num_merges)
+    )
+    return f"""
+        WITH {_bpe_chain_sql(num_merges, min_freq)}
+        {ranks}
+    """
+
+
+def _bpe_segment_sql(num_merges: int = 6, min_freq: int = 2) -> str:
+    """Segmentation twin: a SECOND symbol chain v0..vN over ALL
+    charset-passing distinct words (segmentation is not min_freq-gated —
+    rare words still get the learned merges), replaying b0..b{N-1} from
+    the learning chain; non-ASCII words fall back to one OOV token via
+    the left join's coalesce."""
+    vparts = [
+        f"""
+            dw AS (SELECT doc_id, unnest({_WORDS_SQL}) AS word
+                   FROM documents),
+            v0 AS MATERIALIZED (
+              SELECT word, ' ' || (SELECT string_agg(substring(word,
+                         CAST(i AS INT), 1), ' ' ORDER BY i)
+                       FROM unnest(range(1, len(word) + 1)) AS u(i))
+                   || ' ' AS sym
+              FROM (SELECT DISTINCT word FROM dw
+                    WHERE regexp_matches(word, '^[ -~]+$')) q)"""
+    ]
+    for k in range(num_merges):
+        vparts.append(
+            f"""
+            v{k + 1} AS MATERIALIZED (SELECT word, replace(sym,
+                  ' ' || (SELECT pair FROM b{k}) || ' ',
+                  ' ' || replace((SELECT pair FROM b{k}), ' ', '') || ' ')
+                AS sym FROM v{k})"""
+        )
+    return f"""
+        WITH {_bpe_chain_sql(num_merges, min_freq)},{",".join(vparts)},
+        seg AS (SELECT word,
+                  len(list_filter(string_split(trim(sym), ' '),
+                      x -> x <> ''))::BIGINT AS n_sub
+                FROM v{num_merges})
+        SELECT doc_id, count(*)::BIGINT AS n_words,
+          sum(coalesce(n_sub, 1))::BIGINT AS n_tokens,
+          round(sum(len(word))::DOUBLE / sum(coalesce(n_sub, 1)), 6)
+            AS chars_per_token
+        FROM dw LEFT JOIN seg USING (word)
+        GROUP BY doc_id
+    """
 
 
 def _logreg_sql(n_iter: int = 3, lr_factor: int = 100) -> str:
@@ -5061,6 +5193,10 @@ def oracle_sql() -> dict[str, str]:
                 AS logprob
             FROM j GROUP BY 1
         """,
+        # BPE: six merge iterations unrolled as CTEs — same tie-break,
+        # same leftmost-non-overlapping replace application
+        "bpe_learn": _bpe_learn_sql(num_merges=6, min_freq=2),
+        "bpe_segment": _bpe_segment_sql(num_merges=6, min_freq=2),
         # PMI collocations: exact counts, fixed-order probability ratio
         # rounded 6, min_count 5, top-100 under a total ordering
         "pmi_bigrams": f"""

@@ -93,6 +93,8 @@ HEADLINE = [
     "stupid_backoff",
     "curriculum_order",
     "normalize_homoglyphs",
+    "bpe_learn",
+    "bpe_segment",
 ]
 
 #: the queries that were in BENCH_r01 (the operative baseline — BASELINE.md:

@@ -1,0 +1,225 @@
+"""Distributed byte-pair-encoding: merge-rule learning and corpus
+segmentation (the tokenizer-training step of an LLM data pipeline).
+
+Beyond-reference surface — the reference engine has no tokenizer trainer;
+this implements the classic BPE procedure (Sennrich et al. 2016, public
+algorithm) Spark-first:
+
+- The corpus is scanned ONCE to build the word-frequency table. Every
+  subsequent step — pair counting, argmax, merge application — operates on
+  the DISTINCT vocabulary only, so the merge loop's cost is bounded by
+  vocabulary size (millions of rows at 100 TB), not corpus size. This is
+  the property that makes BPE training feasible at scale: a 1000×-larger
+  corpus grows the word-count scan linearly but barely moves the loop.
+- Each of the ``num_merges`` iterations shuffles one pair-count table
+  (≤ Σ symbol-lengths over the vocabulary, shrinking as merges land) and
+  collects exactly ONE row (the argmax pair) — the same k-row driver
+  pattern as k-means centroids (clustering.py), explicitly bounded.
+- Words are represented as space-delimited symbol strings with sentinel
+  spaces (`` h e l l o ``), so a merge is a single codegen'd
+  ``replace(sym, ' A B ', ' AB ')`` — leftmost non-overlapping, which is
+  exactly the classic BPE application order; no Python in the loop.
+
+Pair counts follow the reference algorithm's ``get_stats``: overlapping
+occurrences each count (``a a a`` contributes (a,a) twice) even though
+application merges leftmost-first — semantics pinned by tests against a
+pure-Python reference implementation and replayed by the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from database2ogr_spark.functions.hashing import words
+
+#: default charset gate: symbols must be printable ASCII so the char-level
+#: init is unambiguous across engines and encodings (real deployments train
+#: byte-level; this tier is codepoint-level over the safe subset, and
+#: out-of-charset words fall back to one OOV token in segment_corpus).
+ASCII_WORDS = r"^[\x20-\x7e]+$"
+
+MERGES_SCHEMA = StructType(
+    [
+        StructField("merge_rank", IntegerType(), False),
+        StructField("lhs", StringType(), False),
+        StructField("rhs", StringType(), False),
+        StructField("merged", StringType(), False),
+        StructField("pair_freq", LongType(), False),
+    ]
+)
+
+
+def _char_symbols(word: Column) -> Column:
+    """`` h e l l o `` — sentinel-space-delimited character symbols."""
+    chars = F.filter(F.split(word, ""), lambda x: x != "")
+    return F.concat(F.lit(" "), F.concat_ws(" ", chars), F.lit(" "))
+
+
+def _adjacent_pairs(sym: Column) -> Column:
+    """All adjacent symbol pairs of a symbol string, as ``'A B'`` strings
+    (overlapping occurrences each emitted, per the classic algorithm)."""
+    toks = F.filter(F.split(F.trim(sym), " "), lambda x: x != "")
+    # sequence(0, -1) DESCENDS in Spark, so single-symbol words need the
+    # explicit empty-array guard
+    return F.when(F.size(toks) < 2, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - F.lit(2)),
+            lambda i: F.concat(
+                F.element_at(toks, i + F.lit(1)),
+                F.lit(" "),
+                F.element_at(toks, i + F.lit(2)),
+            ),
+        )
+    )
+
+
+def word_frequencies(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    min_word_freq: int = 1,
+    word_pattern: str = ASCII_WORDS,
+) -> DataFrame:
+    """(word, freq) over the corpus — the ONE corpus-sized scan/shuffle of
+    BPE training; everything downstream is vocabulary-bounded."""
+    wf = (
+        df.select(F.explode(words(text_col)).alias("word"))
+        .filter(F.col("word").rlike(word_pattern))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    if min_word_freq > 1:
+        wf = wf.filter(F.col("freq") >= min_word_freq)
+    return wf
+
+
+def learn_bpe(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    num_merges: int = 8,
+    min_word_freq: int = 1,
+    word_pattern: str = ASCII_WORDS,
+    checkpoint_every: int = 8,
+) -> DataFrame:
+    """Learn ``num_merges`` BPE merge rules from the corpus.
+
+    Returns (merge_rank, lhs, rhs, merged, pair_freq) — pair_freq is the
+    pair's corpus frequency AT merge time. Ties break lexicographically on
+    the pair string (deterministic across partitionings — the argmax is an
+    ``ORDER BY cnt DESC, pair ASC LIMIT 1``, a TakeOrderedAndProject, never
+    a full sort). Stops early if no pair remains.
+
+    The merge chain is narrow (stacked ``replace`` columns over the
+    persisted vocabulary); every ``checkpoint_every`` merges the current
+    symbol table is re-persisted so argmax jobs replay a bounded-depth
+    chain instead of O(num_merges²) string work.
+    """
+    from pyspark import StorageLevel
+
+    spark = df.sparkSession
+    cur = word_frequencies(
+        df, text_col, min_word_freq=min_word_freq, word_pattern=word_pattern
+    ).select(_char_symbols(F.col("word")).alias("sym"), "freq")
+    cur = cur.persist(StorageLevel.MEMORY_AND_DISK)
+    owned = [cur]
+
+    merges: list[tuple[int, str, str, str, int]] = []
+    try:
+        for rank in range(num_merges):
+            best = (
+                cur.select(F.explode(_adjacent_pairs(F.col("sym"))).alias("pair"), "freq")
+                .groupBy("pair")
+                .agg(F.sum("freq").alias("cnt"))
+                .orderBy(F.col("cnt").desc(), F.col("pair").asc())
+                .limit(1)
+                .collect()
+            )
+            if not best:
+                break
+            pair, cnt = best[0]["pair"], int(best[0]["cnt"])
+            lhs, rhs = pair.split(" ", 1)
+            merges.append((rank, lhs, rhs, lhs + rhs, cnt))
+            cur = cur.withColumn(
+                "sym",
+                F.replace(
+                    F.col("sym"),
+                    F.lit(f" {pair} "),
+                    F.lit(f" {lhs}{rhs} "),
+                ),
+            )
+            if (rank + 1) % checkpoint_every == 0 and rank + 1 < num_merges:
+                cur = cur.persist(StorageLevel.MEMORY_AND_DISK)
+                owned.append(cur)
+    finally:
+        for d in owned:
+            d.unpersist()
+    return spark.createDataFrame(merges, MERGES_SCHEMA)
+
+
+def apply_merges(sym: Column, merges: list[tuple[str, str]]) -> Column:
+    """Stack the learned merges (in rank order) onto a symbol-string column
+    — pure codegen'd replaces, no Python, no shuffle."""
+    for lhs, rhs in merges:
+        sym = F.replace(sym, F.lit(f" {lhs} {rhs} "), F.lit(f" {lhs}{rhs} "))
+    return sym
+
+
+def segment_corpus(
+    df: DataFrame,
+    merges: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    word_pattern: str = ASCII_WORDS,
+) -> DataFrame:
+    """Per-document BPE token statistics under a learned merge table.
+
+    Segmentation runs on the DISTINCT vocabulary (the scale path: symbol
+    work is vocab-bounded, not corpus-bounded) and joins back onto the
+    exploded corpus by word — an equi-join AQE broadcasts whenever the
+    vocabulary is small enough. Out-of-charset words fall back to ONE OOV
+    token each (``coalesce(n_sub, 1)`` via the left join).
+
+    Output: (doc_id, n_words, n_tokens, chars_per_token) — all scalar.
+    """
+    rules = [
+        (r["lhs"], r["rhs"])
+        for r in merges.orderBy("merge_rank").collect()  # bounded: num_merges rows
+    ]
+    tokens = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(words(text_col)).alias("word")
+    )
+    vocab = (
+        tokens.select("word")
+        .distinct()
+        .filter(F.col("word").rlike(word_pattern))
+        .select(
+            "word",
+            F.size(
+                F.filter(
+                    F.split(F.trim(apply_merges(_char_symbols(F.col("word")), rules)), " "),
+                    lambda x: x != "",
+                )
+            ).alias("n_sub"),
+        )
+    )
+    return (
+        tokens.join(vocab, "word", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum(F.coalesce(F.col("n_sub"), F.lit(1))).alias("n_tokens"),
+            F.round(
+                F.sum(F.length("word")) / F.sum(F.coalesce(F.col("n_sub"), F.lit(1))), 6
+            ).alias("chars_per_token"),
+        )
+    )
