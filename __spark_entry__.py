@@ -2118,6 +2118,18 @@ def q_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return segment_corpus(docs, merges)
 
 
+def q_novelty_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated-n-gram fraction (repetition.novelty_stats,
+    the FineWeb-style across-corpus quality signal complementing the
+    within-doc repetition_stats): per doc, the share of its 3-word windows
+    occurring in ≥1 other document, plus the document-frequency of its
+    hottest window. Linear posting-list counting — no pair join; the
+    oracle replays the same window positions and df counts."""
+    from database2ogr_spark.operators.repetition import novelty_stats
+
+    return novelty_stats(_t(spark, sf_dir, "documents"), k_shingle=3)
+
+
 def q_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Adjacent-token collocations by PMI (operators/collocations.py):
     exact unigram/bigram counts, fixed-order IEEE probability ratio
@@ -2910,14 +2922,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pretrain_ledger": q_pretrain_ledger,
         "stupid_backoff": q_stupid_backoff,
         # ------------------------------------------------------- slot 50 ^
-        # curriculum_order, normalize_homoglyphs, bpe_learn, and
-        # bpe_segment (new round 5, landed after the prefix filled with
-        # promised entries that cannot yield) lead the round-6 queue,
-        # ahead of the twenty re-earners:
+        # curriculum_order, normalize_homoglyphs, bpe_learn,
+        # bpe_segment, and novelty_stats (new round 5, landed after the
+        # prefix filled with promised entries that cannot yield) lead the
+        # round-6 queue, ahead of the twenty re-earners:
         "curriculum_order": q_curriculum_order,
         "normalize_homoglyphs": q_normalize_homoglyphs,
         "bpe_learn": q_bpe_learn,
         "bpe_segment": q_bpe_segment,
+        "novelty_stats": q_novelty_stats,
         # Everything below is QUEUED IN ROUND-6 PRIORITY ORDER — the next
         # rotation is a pure cut at slot 50. First ALL TWENTY r1/r2-
         # vintage re-earners, none of which fit this round (a1_distinct,
@@ -5197,6 +5210,28 @@ def oracle_sql() -> dict[str, str]:
         # same leftmost-non-overlapping replace application
         "bpe_learn": _bpe_learn_sql(num_merges=6, min_freq=2),
         "bpe_segment": _bpe_segment_sql(num_merges=6, min_freq=2),
+        # cross-doc duplicated-window fraction: same rolling-shingle ids
+        # as duplicate_spans, df counted over distinct (gram, doc)
+        "novelty_stats": f"""
+            WITH sh AS ({_SHINGLES_SQL}),
+            pt AS (
+              SELECT doc_id, s[i] AS g
+              FROM sh CROSS JOIN (
+                SELECT unnest(range(1,
+                  (SELECT max(len(s)) FROM ({_SHINGLES_SQL}) q) + 1)) AS i) ii
+              WHERE i <= len(s)),
+            gdf AS (
+              SELECT g, count(*)::BIGINT AS gdf
+              FROM (SELECT DISTINCT g, doc_id FROM pt) t GROUP BY g)
+            SELECT doc_id, count(*)::BIGINT AS n_windows,
+              sum(CASE WHEN gdf >= 2 THEN 1 ELSE 0 END)::BIGINT
+                AS n_dup_windows,
+              round(sum(CASE WHEN gdf >= 2 THEN 1 ELSE 0 END)::DOUBLE
+                    / count(*), 6) AS dup_window_frac,
+              max(gdf)::BIGINT AS max_gram_docs
+            FROM pt JOIN gdf USING (g)
+            GROUP BY doc_id
+        """,
         # PMI collocations: exact counts, fixed-order probability ratio
         # rounded 6, min_count 5, top-100 under a total ordering
         "pmi_bigrams": f"""

@@ -95,6 +95,7 @@ HEADLINE = [
     "normalize_homoglyphs",
     "bpe_learn",
     "bpe_segment",
+    "novelty_stats",
 ]
 
 #: the queries that were in BENCH_r01 (the operative baseline — BASELINE.md:

@@ -149,3 +149,70 @@ def repetition_stats(
             .alias("top_ngram_frac"),
         )
     )
+
+
+def novelty_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    k_shingle: int = 13,
+    release_cache: bool = True,
+) -> DataFrame:
+    """Cross-document duplicated-n-gram fraction — the ACROSS-corpus
+    complement of :func:`repetition_stats` (which is within-doc): for each
+    document, the share of its k-word windows whose gram also occurs in at
+    least one OTHER document (FineWeb/RefinedWeb-style "duplicated n-gram
+    fraction" quality signal; high values flag boilerplate, mirror content,
+    and memorization-risk passages that survive doc-level dedup).
+
+    Output: (id_col, n_windows, n_dup_windows, dup_window_frac,
+    max_gram_docs) — ``max_gram_docs`` is the document-frequency of the
+    doc's most-copied window (how viral its hottest phrase is).
+
+    Scale shape — same linear posting-list discipline as
+    ``dedup.duplicate_spans``: gram ids are the md5 rolling hashes of the
+    family (no n-gram strings cross the wire), posting lists are COUNTED
+    (never self-joined), and the windows⋈gram-df equi-join is linear in
+    total windows no matter how hot a phrase is. Two shuffles (distinct
+    (gram, doc) df-count; the join back) plus the per-doc agg, which
+    reuses the join's output partitioning.
+    """
+    from pyspark import StorageLevel
+
+    from database2ogr_spark.functions.gramkernel import gram_position_table
+    from database2ogr_spark.operators.dedup import _finalize
+    from database2ogr_spark.operators.partitioning import spread
+
+    pos_table = gram_position_table(spread(df), id_col, text_col, k_shingle)
+    # read by the df-count agg AND the join side (lifecycle per dedup.py)
+    pos_table = pos_table.persist(StorageLevel.MEMORY_AND_DISK)
+    gram_df = (
+        pos_table.filter(F.col("first"))
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("gdf"))
+    )
+    out = (
+        pos_table.join(gram_df, "gram")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.sum(F.when(F.col("gdf") >= 2, 1).otherwise(0)).alias(
+                "n_dup_windows"
+            ),
+            F.round(
+                F.sum(F.when(F.col("gdf") >= 2, 1).otherwise(0)).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("dup_window_frac"),
+            F.max("gdf").alias("max_gram_docs"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            "n_windows",
+            "n_dup_windows",
+            "dup_window_frac",
+            "max_gram_docs",
+        )
+    )
+    return _finalize(out, pos_table, release=release_cache)

@@ -534,3 +534,49 @@ def test_dedup_operators_release_intermediate_caches(spark):
     lazy.count()
     assert n_persistent() - before >= 1
     spark.catalog.clearCache()
+
+
+def test_novelty_stats_exact_fractions(spark):
+    from database2ogr_spark.operators.repetition import novelty_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e"),      # windows: abc bcd cde
+            (2, "a b c x y"),      # windows: abc bcx cxy — shares abc with 1
+            (3, "a b c d q"),      # windows: abc bcd cdq — shares abc, bcd
+            (4, "zz qq"),          # short doc → one whole-text window
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r.doc_id: r for r in novelty_stats(docs, k_shingle=3).collect()}
+    assert (rows[1].n_windows, rows[1].n_dup_windows) == (3, 2)
+    assert rows[1].dup_window_frac == round(2 / 3, 6)
+    assert rows[1].max_gram_docs == 3          # 'a b c' is in docs 1,2,3
+    assert (rows[2].n_windows, rows[2].n_dup_windows) == (3, 1)
+    assert (rows[3].n_windows, rows[3].n_dup_windows) == (3, 2)
+    assert (rows[4].n_dup_windows, rows[4].max_gram_docs) == (0, 1)
+
+
+def test_novelty_stats_within_doc_repeat_is_not_cross_doc(spark):
+    from database2ogr_spark.operators.repetition import novelty_stats
+
+    # 'a b c' repeats WITHIN doc 1 only → df counts distinct docs, so the
+    # windows stay novel (that's repetition_stats' job, not this one's)
+    docs = spark.createDataFrame(
+        [(1, "a b c z a b c"), (2, "q w e r t")], ["doc_id", "text"]
+    )
+    rows = {r.doc_id: r for r in novelty_stats(docs, k_shingle=3).collect()}
+    assert rows[1].n_dup_windows == 0 and rows[1].max_gram_docs == 1
+
+
+def test_novelty_stats_releases_cache(spark):
+    """Same contract as the dedup family: after the action, at most the
+    operator's own checkpointed result is persistent — the corpus-sized
+    position table must be unpersisted."""
+    from database2ogr_spark.operators.repetition import novelty_stats
+
+    docs = spark.createDataFrame([(1, "a b c d"), (2, "a b c e")], ["doc_id", "text"])
+    before = spark.sparkContext._jsc.getPersistentRDDs().size()
+    out = novelty_stats(docs, k_shingle=3)
+    out.count()
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() - before <= 1
