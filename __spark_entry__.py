@@ -2130,6 +2130,26 @@ def q_novelty_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return novelty_stats(_t(spark, sf_dir, "documents"), k_shingle=3)
 
 
+def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional phrase retrieval (search.phrase_search): the documents
+    corpus is materialized as a token-sorted positional inverted index
+    (token, doc, positions, tf) in a temp dir, then the consecutive-token
+    phrase 'slow hash batch' is answered ENTIRELY from the index via the
+    classic offset-subtract positional intersection — cost bounded by the
+    query terms' posting sizes. The oracle replays tokenization positions
+    and the offset arithmetic straight off the corpus."""
+    import tempfile
+
+    from database2ogr_spark.operators.search import (
+        build_positional_index,
+        phrase_search,
+    )
+
+    out = os.path.join(tempfile.gettempdir(), "d2o_positional_idx")
+    build_positional_index(_t(spark, sf_dir, "documents"), out)
+    return phrase_search(spark, out, ["slow", "hash", "batch"])
+
+
 def q_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Adjacent-token collocations by PMI (operators/collocations.py):
     exact unigram/bigram counts, fixed-order IEEE probability ratio
@@ -2923,14 +2943,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stupid_backoff": q_stupid_backoff,
         # ------------------------------------------------------- slot 50 ^
         # curriculum_order, normalize_homoglyphs, bpe_learn,
-        # bpe_segment, and novelty_stats (new round 5, landed after the
-        # prefix filled with promised entries that cannot yield) lead the
-        # round-6 queue, ahead of the twenty re-earners:
+        # bpe_segment, novelty_stats, and phrase_search (new round 5,
+        # landed after the prefix filled with promised entries that
+        # cannot yield) lead the round-6 queue, ahead of the twenty
+        # re-earners:
         "curriculum_order": q_curriculum_order,
         "normalize_homoglyphs": q_normalize_homoglyphs,
         "bpe_learn": q_bpe_learn,
         "bpe_segment": q_bpe_segment,
         "novelty_stats": q_novelty_stats,
+        "phrase_search": q_phrase_search,
         # Everything below is QUEUED IN ROUND-6 PRIORITY ORDER — the next
         # rotation is a pure cut at slot 50. First ALL TWENTY r1/r2-
         # vintage re-earners, none of which fit this round (a1_distinct,
@@ -5210,6 +5232,29 @@ def oracle_sql() -> dict[str, str]:
         # same leftmost-non-overlapping replace application
         "bpe_learn": _bpe_learn_sql(num_merges=6, min_freq=2),
         "bpe_segment": _bpe_segment_sql(num_merges=6, min_freq=2),
+        # positional phrase retrieval: tokenization positions + the
+        # offset-subtract intersection replayed straight off the corpus
+        "phrase_search": """
+            WITH tk AS (
+              SELECT doc_id, list_filter(string_split(
+                regexp_replace(text, '\\s+', ' ', 'g'), ' '),
+                x -> x <> '') AS w
+              FROM documents),
+            pos AS (
+              SELECT doc_id, i - 1 AS pos, w[CAST(i AS INT)] AS token
+              FROM tk CROSS JOIN (SELECT unnest(range(1,
+                (SELECT max(len(w)) FROM tk) + 1)) AS i) ii
+              WHERE i <= len(w)),
+            off AS (SELECT * FROM (VALUES ('slow', 0), ('hash', 1),
+                ('batch', 2)) AS t(token, soff)),
+            st AS (SELECT doc_id, pos - soff AS start
+                   FROM pos JOIN off USING (token)),
+            m AS (SELECT doc_id, start FROM st
+                  GROUP BY doc_id, start HAVING count(*) = 3)
+            SELECT doc_id, count(*)::BIGINT AS n_matches,
+                   CAST(min(start) AS INT) AS first_pos
+            FROM m GROUP BY doc_id
+        """,
         # cross-doc duplicated-window fraction: same rolling-shingle ids
         # as duplicate_spans, df counted over distinct (gram, doc)
         "novelty_stats": f"""

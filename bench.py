@@ -96,6 +96,7 @@ HEADLINE = [
     "bpe_learn",
     "bpe_segment",
     "novelty_stats",
+    "phrase_search",
 ]
 
 #: the queries that were in BENCH_r01 (the operative baseline — BASELINE.md:

@@ -41,3 +41,53 @@ def test_postings_are_sorted_and_df_consistent(spark, tmp_path):
     for r in rows:
         assert list(r.postings) == sorted(set(r.postings))  # sorted, distinct
         assert r.df == len(r.postings)
+
+
+def test_phrase_search_consecutive_and_overlapping(spark, tmp_path):
+    from database2ogr_spark.operators.search import (
+        build_positional_index,
+        phrase_search,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b a"),        # 'a b a' at 0 and 2 (overlapping)
+            (2, "b a b"),            # no 'a b a'
+            (3, "a x b a"),          # terms present but never consecutive
+        ],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "pidx")
+    build_positional_index(docs, idx)
+    rows = {
+        r.doc_id: (r.n_matches, r.first_pos)
+        for r in phrase_search(spark, idx, ["a", "b", "a"]).collect()
+    }
+    assert rows == {1: (2, 0)}
+    # two-term phrase
+    rows2 = {
+        r.doc_id: (r.n_matches, r.first_pos)
+        for r in phrase_search(spark, idx, ["b", "a"]).collect()
+    }
+    assert rows2 == {1: (2, 1), 2: (1, 0), 3: (1, 2)}
+    # single-term phrase degenerates to tf counting
+    rows1 = {
+        r.doc_id: r.n_matches
+        for r in phrase_search(spark, idx, ["a"]).collect()
+    }
+    assert rows1 == {1: 3, 2: 1, 3: 2}
+    # unknown term -> empty
+    assert phrase_search(spark, idx, ["a", "nosuch"]).count() == 0
+
+
+def test_positional_index_positions_sorted(spark, tmp_path):
+    from database2ogr_spark.operators.search import build_positional_index
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    idx = str(tmp_path / "pidx2")
+    build_positional_index(docs, idx)
+    rows = spark.read.parquet(idx).limit(200).collect()
+    assert rows
+    for r in rows:
+        assert list(r.positions) == sorted(r.positions)
+        assert r.tf == len(r.positions)
