@@ -2150,6 +2150,21 @@ def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phrase_search(spark, out, ["slow", "hash", "batch"])
 
 
+def q_length_bucketed_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Padding-efficient batch construction (sampling.
+    length_bucketed_batches): fixed-width length buckets, deterministic
+    hash shuffle within bucket, consecutive cuts of 16 into batches, and
+    the per-batch padding-efficiency report. Funnel-free per-bucket
+    enumeration (the training_order technique one level down); the oracle
+    exploits the subbucket slice's monotonicity to replay with a plain
+    (hash, id) sort."""
+    from database2ogr_spark.operators.sampling import length_bucketed_batches
+
+    return length_bucketed_batches(
+        _t(spark, sf_dir, "documents"), batch_size=16, bucket_width=16
+    )
+
+
 def q_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Adjacent-token collocations by PMI (operators/collocations.py):
     exact unigram/bigram counts, fixed-order IEEE probability ratio
@@ -2943,16 +2958,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stupid_backoff": q_stupid_backoff,
         # ------------------------------------------------------- slot 50 ^
         # curriculum_order, normalize_homoglyphs, bpe_learn,
-        # bpe_segment, novelty_stats, and phrase_search (new round 5,
-        # landed after the prefix filled with promised entries that
-        # cannot yield) lead the round-6 queue, ahead of the twenty
-        # re-earners:
+        # bpe_segment, novelty_stats, phrase_search, and
+        # length_bucketed_batches (new round 5, landed after the prefix
+        # filled with promised entries that cannot yield) lead the
+        # round-6 queue, ahead of the twenty re-earners:
         "curriculum_order": q_curriculum_order,
         "normalize_homoglyphs": q_normalize_homoglyphs,
         "bpe_learn": q_bpe_learn,
         "bpe_segment": q_bpe_segment,
         "novelty_stats": q_novelty_stats,
         "phrase_search": q_phrase_search,
+        "length_bucketed_batches": q_length_bucketed_batches,
         # Everything below is QUEUED IN ROUND-6 PRIORITY ORDER — the next
         # rotation is a pure cut at slot 50. First ALL TWENTY r1/r2-
         # vintage re-earners, none of which fit this round (a1_distinct,
@@ -5232,6 +5248,27 @@ def oracle_sql() -> dict[str, str]:
         # same leftmost-non-overlapping replace application
         "bpe_learn": _bpe_learn_sql(num_merges=6, min_freq=2),
         "bpe_segment": _bpe_segment_sql(num_merges=6, min_freq=2),
+        # length-bucketed batching: subbucket slice is monotone in the
+        # hash, so the naive per-bucket (hash, id) sort is the same order
+        "length_bucketed_batches": f"""
+            WITH d AS (
+              SELECT doc_id, len({_WORDS_SQL}) AS n_tokens FROM documents),
+            p AS (
+              SELECT doc_id, n_tokens,
+                CAST(floor(n_tokens / 16) AS INT) AS lb,
+                row_number() OVER (PARTITION BY floor(n_tokens / 16)
+                  ORDER BY {_h64_sql("CAST(doc_id AS VARCHAR)", 11)},
+                           doc_id) - 1 AS pos
+              FROM d)
+            SELECT lb AS length_bucket,
+              CAST(floor(pos / 16) AS BIGINT) AS batch_index,
+              count(*)::BIGINT AS n_docs,
+              CAST(max(n_tokens) AS INT) AS batch_max_tokens,
+              sum(n_tokens)::BIGINT AS total_tokens,
+              round(1.0 - sum(n_tokens)::DOUBLE
+                    / (max(n_tokens) * count(*)), 6) AS pad_frac
+            FROM p GROUP BY lb, floor(pos / 16)
+        """,
         # positional phrase retrieval: tokenization positions + the
         # offset-subtract intersection replayed straight off the corpus
         "phrase_search": """

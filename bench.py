@@ -97,6 +97,7 @@ HEADLINE = [
     "bpe_segment",
     "novelty_stats",
     "phrase_search",
+    "length_bucketed_batches",
 ]
 
 #: the queries that were in BENCH_r01 (the operative baseline — BASELINE.md:

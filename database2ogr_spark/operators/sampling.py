@@ -485,3 +485,85 @@ def curriculum_order(
         )
         .drop("_h", "_sb", "_rank", "_offset")
     )
+
+
+def length_bucketed_batches(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    batch_size: int = 16,
+    bucket_width: int = 32,
+    seed: int = 11,
+    n_subbuckets: int = 256,
+) -> DataFrame:
+    """Padding-efficient batch construction: group documents into
+    fixed-width LENGTH buckets (``floor(n_tokens / bucket_width)``),
+    hash-shuffle deterministically within each bucket, and cut consecutive
+    runs of ``batch_size`` into batches — the standard loader trick that
+    makes batch members near-equal length so per-batch padding
+    (``batch_max − each``) stays small. Emits the per-batch efficiency
+    report a pipeline owner tunes ``bucket_width`` against:
+    (length_bucket, batch_index, n_docs, batch_max_tokens, total_tokens,
+    pad_frac).
+
+    Scale shape — per-bucket dense positions use the same funnel-free
+    technique as :func:`training_order`, one level down: the window
+    partitions on (length_bucket, hash-subbucket) so no bucket funnels
+    through one task; subbucket offsets come from a
+    #length_buckets×#subbuckets-row aggregate (windowed per length bucket
+    — tiny), broadcast back. The subbucket slice of ``stable_hash64`` is
+    its top bits, so ordering by (subbucket, hash) ≡ ordering by hash —
+    the oracle can replay with a plain sort. ``ntile`` length buckets
+    would need a global sort; fixed arithmetic widths don't.
+    """
+    if n_subbuckets < 1 or n_subbuckets & (n_subbuckets - 1):
+        raise ValueError("n_subbuckets must be a power of two")
+    from database2ogr_spark.functions.hashing import words
+
+    shift = max(60 - (n_subbuckets.bit_length() - 1), 0)
+    h = stable_hash64(F.col(id_col).cast("string"), seed=seed)
+    staged = (
+        df.select(
+            F.col(id_col),
+            F.size(words(text_col)).alias("n_tokens"),
+        )
+        .withColumn("_lb", F.floor(F.col("n_tokens") / bucket_width).cast("int"))
+        .withColumn("_h", h)
+        .withColumn("_sb", F.shiftright(F.col("_h"), shift).cast("int"))
+    )
+    w = Window.partitionBy("_lb", "_sb").orderBy(
+        F.col("_h").asc(), F.col(id_col).asc()
+    )
+    ranked = staged.withColumn("_rank", F.row_number().over(w))
+    sizes = staged.groupBy("_lb", "_sb").agg(F.count(F.lit(1)).alias("_n"))
+    w_off = Window.partitionBy("_lb").orderBy("_sb").rowsBetween(
+        Window.unboundedPreceding, -1
+    )  # ≤ #length_buckets × n_subbuckets rows — never the corpus
+    offsets = sizes.withColumn(
+        "_offset", F.coalesce(F.sum("_n").over(w_off), F.lit(0))
+    ).select("_lb", "_sb", "_offset")
+    positioned = ranked.join(F.broadcast(offsets), ["_lb", "_sb"]).withColumn(
+        "_batch", F.floor((F.col("_offset") + F.col("_rank") - 1) / batch_size)
+    )
+    return (
+        positioned.groupBy("_lb", "_batch")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.max("n_tokens").alias("batch_max_tokens"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+        .select(
+            F.col("_lb").alias("length_bucket"),
+            F.col("_batch").cast("bigint").alias("batch_index"),
+            "n_docs",
+            "batch_max_tokens",
+            "total_tokens",
+            F.round(
+                F.lit(1.0)
+                - F.col("total_tokens").cast("double")
+                / (F.col("batch_max_tokens") * F.col("n_docs")),
+                6,
+            ).alias("pad_frac"),
+        )
+    )

@@ -447,3 +447,47 @@ def test_curriculum_order_tier_major_and_shuffled(spark):
         for r in curriculum_order(docs.repartition(13)).collect()
     }
     assert again == {r.doc_id: r.position for r in out}
+
+
+def test_length_bucketed_batches_structure(spark):
+    from database2ogr_spark.operators.sampling import length_bucketed_batches
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    rep = length_bucketed_batches(docs, batch_size=8, bucket_width=16).collect()
+    assert sum(r.n_docs for r in rep) == docs.count()
+    # every batch except possibly the last per bucket is full
+    by_bucket = {}
+    for r in rep:
+        by_bucket.setdefault(r.length_bucket, []).append(r)
+    for rs in by_bucket.values():
+        rs.sort(key=lambda r: r.batch_index)
+        assert all(r.n_docs == 8 for r in rs[:-1])
+        assert [r.batch_index for r in rs] == list(range(len(rs)))
+    for r in rep:
+        # pad_frac is exactly 1 - total/(max*n)
+        assert r.pad_frac == round(1 - r.total_tokens / (r.batch_max_tokens * r.n_docs), 6)
+
+
+def test_length_bucketing_beats_unbucketed_padding(spark):
+    from database2ogr_spark.operators.sampling import length_bucketed_batches
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+    def waste(width):
+        rep = length_bucketed_batches(docs, batch_size=8, bucket_width=width).collect()
+        pad = sum(r.batch_max_tokens * r.n_docs - r.total_tokens for r in rep)
+        tot = sum(r.batch_max_tokens * r.n_docs for r in rep)
+        return pad / tot
+
+    # narrow buckets → less padding than one giant bucket (hash-random batches)
+    assert waste(8) < waste(1 << 30)
+
+
+def test_length_bucketed_batches_layout_invariant(spark):
+    from database2ogr_spark.operators.sampling import length_bucketed_batches
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = sorted(map(tuple, length_bucketed_batches(docs, batch_size=8).collect()))
+    b = sorted(map(tuple, length_bucketed_batches(
+        docs.repartition(7), batch_size=8).collect()))
+    assert a == b
