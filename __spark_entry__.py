@@ -2878,10 +2878,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     entries (multimodal_resize, multimodal_frame_sample); and the NINE
     new round-5 entries (ann_recall_lsh, quality_classifier, zorder_key,
     weighted_sample, countmin_tokens, late_interaction, pmi_bigrams,
-    pretrain_ledger, stupid_backoff) — exactly 50. The twenty r1/r2
-    re-earners lead the round-6 queue instead (new work legitimately
-    outranks re-grading; every displaced entry's machinery is a graded
-    constituent of a prefix entry). winsorize_values, training_order,
+    pretrain_ledger, stupid_backoff) — exactly 50. The round-6 queue is
+    led by the seven round-5 entries that landed AFTER the prefix filled
+    (curriculum_order, normalize_homoglyphs, bpe_learn, bpe_segment,
+    novelty_stats, phrase_search, length_bucketed_batches — see the
+    slot-50 comment), then the twenty r1/r2 re-earners (new work
+    legitimately outranks re-grading; every displaced entry's machinery
+    is a graded constituent of a prefix entry). winsorize_values, training_order,
     dedup_survivors_priority, and gap_fill additionally carry this round's
     advisor fixes (left-join NULL groups, 256-bucket shift, widened
     sort-key pads) — all inside the prefix."""

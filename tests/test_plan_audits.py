@@ -232,3 +232,58 @@ def test_runtime_bloom_filter_injects_on_selective_join(spark):
                     pass
             else:
                 conf.set(k, v)
+
+
+def test_novelty_stats_shuffle_budget_and_no_pair_join(spark):
+    """SCALE.md §novelty: df-count agg + per-doc agg are the only
+    shuffles (the windows⋈gram-df equi-join reuses partitionings); posting
+    lists must be counted, never self-joined."""
+    from database2ogr_spark.operators.repetition import novelty_stats
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = (
+        novelty_stats(docs, k_shingle=3, release_cache=False)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    n = plan.count("Exchange hashpartitioning")
+    assert n <= 2, plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_phrase_search_pushes_token_filter_and_broadcasts_offsets(spark, tmp_path):
+    """SCALE.md §phrase: the query terms' IN-filter must reach the index
+    scan (file-level pruning at scale), the (token, offset) literal rides
+    a broadcast join, and the only shuffles are the (doc, start) count and
+    the per-doc agg."""
+    from database2ogr_spark.operators.search import (
+        build_positional_index,
+        phrase_search,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    idx = str(tmp_path / "pa_idx")
+    build_positional_index(docs, idx)
+    plan = (
+        phrase_search(spark, idx, ["slow", "hash", "batch"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "In(token, [batch,hash,slow]" in plan, plan
+    assert plan.count("BroadcastHashJoin") == 1, plan
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_length_bucketed_batches_offsets_ride_broadcast(spark):
+    """SCALE.md §length bucketing: the per-(bucket, subbucket) offset
+    table joins back via broadcast; the corpus-sized shuffles are the
+    (bucket, subbucket) window + sizes agg + final batch agg — no
+    single-partition corpus funnel anywhere."""
+    plan = _plan(spark, "length_bucketed_batches")
+    assert plan.count("BroadcastHashJoin") == 1, plan
+    assert plan.count("Exchange hashpartitioning") <= 4, plan
+    assert "Exchange SinglePartition" not in plan  # no corpus funnel
+    assert "CartesianProduct" not in plan
