@@ -2150,6 +2150,20 @@ def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phrase_search(spark, out, ["slow", "hash", "batch"])
 
 
+def q_bpe_subword_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shippable tokenizer artifact (bpe.subword_vocab): corpus
+    frequency of every subword unit under the 6 learned merges, ids
+    ranked (count desc, subword asc) like build_vocab. Still
+    vocabulary-bounded — the corpus is only ever read for word
+    frequencies; the oracle extends the unrolled merge chain with a
+    freq-weighted unit explode."""
+    from database2ogr_spark.operators.bpe import learn_bpe, subword_vocab
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = learn_bpe(docs, num_merges=6, min_word_freq=2)
+    return subword_vocab(docs, merges, min_word_freq=2)
+
+
 def q_length_bucketed_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Padding-efficient batch construction (sampling.
     length_bucketed_batches): fixed-width length buckets, deterministic
@@ -2879,8 +2893,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     new round-5 entries (ann_recall_lsh, quality_classifier, zorder_key,
     weighted_sample, countmin_tokens, late_interaction, pmi_bigrams,
     pretrain_ledger, stupid_backoff) — exactly 50. The round-6 queue is
-    led by the seven round-5 entries that landed AFTER the prefix filled
-    (curriculum_order, normalize_homoglyphs, bpe_learn, bpe_segment,
+    led by the round-5 entries that landed AFTER the prefix filled
+    (curriculum_order, normalize_homoglyphs, the three-entry BPE family,
     novelty_stats, phrase_search, length_bucketed_batches — see the
     slot-50 comment), then the twenty r1/r2 re-earners (new work
     legitimately outranks re-grading; every displaced entry's machinery
@@ -2961,10 +2975,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stupid_backoff": q_stupid_backoff,
         # ------------------------------------------------------- slot 50 ^
         # curriculum_order, normalize_homoglyphs, bpe_learn,
-        # bpe_segment, novelty_stats, phrase_search, and
-        # length_bucketed_batches (new round 5, landed after the prefix
-        # filled with promised entries that cannot yield) lead the
-        # round-6 queue, ahead of the twenty re-earners:
+        # bpe_segment, novelty_stats, phrase_search,
+        # length_bucketed_batches, and bpe_subword_vocab (new round 5,
+        # landed after the prefix filled with promised entries that
+        # cannot yield) lead the round-6 queue, ahead of the twenty
+        # re-earners:
         "curriculum_order": q_curriculum_order,
         "normalize_homoglyphs": q_normalize_homoglyphs,
         "bpe_learn": q_bpe_learn,
@@ -2972,6 +2987,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "novelty_stats": q_novelty_stats,
         "phrase_search": q_phrase_search,
         "length_bucketed_batches": q_length_bucketed_batches,
+        "bpe_subword_vocab": q_bpe_subword_vocab,
         # Everything below is QUEUED IN ROUND-6 PRIORITY ORDER — the next
         # rotation is a pure cut at slot 50. First ALL TWENTY r1/r2-
         # vintage re-earners, none of which fit this round (a1_distinct,
@@ -5251,6 +5267,25 @@ def oracle_sql() -> dict[str, str]:
         # same leftmost-non-overlapping replace application
         "bpe_learn": _bpe_learn_sql(num_merges=6, min_freq=2),
         "bpe_segment": _bpe_segment_sql(num_merges=6, min_freq=2),
+        # subword unit frequencies: the same chain, units exploded
+        # weighted by word frequency, build_vocab-style ranked ids
+        "bpe_subword_vocab": f"""
+            WITH {_bpe_chain_sql(6, 2)},
+            fin AS (SELECT freq,
+                list_filter(string_split(trim(sym), ' '), x -> x <> '')
+                  AS toks FROM s6),
+            u AS (SELECT toks[CAST(i AS INT)] AS subword,
+                    sum(freq)::BIGINT AS count
+                  FROM fin CROSS JOIN (SELECT unnest(range(1,
+                    (SELECT coalesce(max(len(toks)), 1) + 1 FROM fin)))
+                    AS i) ii
+                  WHERE i <= len(toks) GROUP BY 1)
+            SELECT subword,
+              CAST(row_number() OVER (ORDER BY count DESC, subword) - 1
+                AS INT) AS subword_id,
+              count
+            FROM u
+        """,
         # length-bucketed batching: subbucket slice is monotone in the
         # hash, so the naive per-bucket (hash, id) sort is the same order
         "length_bucketed_batches": f"""

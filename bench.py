@@ -98,6 +98,7 @@ HEADLINE = [
     "novelty_stats",
     "phrase_search",
     "length_bucketed_batches",
+    "bpe_subword_vocab",
 ]
 
 #: the queries that were in BENCH_r01 (the operative baseline — BASELINE.md:

@@ -223,3 +223,55 @@ def segment_corpus(
             ).alias("chars_per_token"),
         )
     )
+
+
+def subword_vocab(
+    df: DataFrame,
+    merges: DataFrame,
+    text_col: str = "text",
+    *,
+    min_word_freq: int = 1,
+    word_pattern: str = ASCII_WORDS,
+) -> DataFrame:
+    """The shippable tokenizer artifact: corpus frequency of every subword
+    unit under the learned merges, with deterministic ids.
+
+    Like :func:`learn_bpe`'s loop, this never rescans the corpus beyond
+    the word-frequency table: merges are applied to the distinct
+    vocabulary, symbols explode weighted by word frequency, and one
+    symbol-keyed partial-agg'd shuffle produces the unit counts. Ids are
+    ranked (count desc, subword asc) — the same deterministic ordering as
+    ``tfidf.build_vocab``.
+
+    Output: (subword, subword_id, count).
+    """
+    rules = [
+        (r["lhs"], r["rhs"])
+        for r in merges.orderBy("merge_rank").collect()  # bounded: num_merges rows
+    ]
+    wf = word_frequencies(
+        df, text_col, min_word_freq=min_word_freq, word_pattern=word_pattern
+    )
+    units = wf.select(
+        "freq",
+        F.explode(
+            F.filter(
+                F.split(
+                    F.trim(apply_merges(_char_symbols(F.col("word")), rules)), " "
+                ),
+                lambda x: x != "",
+            )
+        ).alias("subword"),
+    )
+    from pyspark.sql.window import Window
+
+    counted = units.groupBy("subword").agg(F.sum("freq").alias("count"))
+    w = Window.orderBy(F.col("count").desc(), F.col("subword").asc())
+    # the ranking window is vocabulary-sized (subword units ≪ words), the
+    # one place a single-partition sort is the honest cost — same call the
+    # word-level build_vocab makes (tfidf.py)
+    return counted.select(
+        "subword",
+        (F.row_number().over(w) - 1).cast("int").alias("subword_id"),
+        "count",
+    )

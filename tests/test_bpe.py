@@ -128,3 +128,38 @@ def test_learn_leaves_nothing_persisted(spark):
     learn_bpe(_docs(spark, ["aa bb aa bb aa"]), num_merges=2).collect()
     jsc = spark.sparkContext._jsc.sc()
     assert jsc.getPersistentRDDs().size() == 0
+
+
+def test_subword_vocab_counts_match_reference(spark):
+    from database2ogr_spark.operators.bpe import learn_bpe, subword_vocab
+
+    texts = ["low low lower newest", "newest newest widest low"]
+    df = _docs(spark, texts)
+    merges = learn_bpe(df, num_merges=3)
+    got = {
+        r.subword: (r.subword_id, r["count"])  # .count is the Row method
+        for r in subword_vocab(df, merges).collect()
+    }
+    # reference: segment each word with the same rules, count units
+    wf = Counter(w for t in texts for w in t.split())
+    rules = [(r.lhs, r.rhs) for r in merges.orderBy("merge_rank").collect()]
+    units = Counter()
+    for word, f in wf.items():
+        syms = list(word)
+        for a, b in rules:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and (syms[i], syms[i + 1]) == (a, b):
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        for s in syms:
+            units[s] += f
+    ranked = sorted(units.items(), key=lambda kv: (-kv[1], kv[0]))
+    expect = {s: (i, c) for i, (s, c) in enumerate(ranked)}
+    assert got == expect
+    # ids are dense 0..n-1
+    assert sorted(i for i, _ in got.values()) == list(range(len(got)))
