@@ -287,3 +287,42 @@ def test_length_bucketed_batches_offsets_ride_broadcast(spark):
     assert plan.count("Exchange hashpartitioning") <= 4, plan
     assert "Exchange SinglePartition" not in plan  # no corpus funnel
     assert "CartesianProduct" not in plan
+
+
+def test_bpe_segment_joins_vocab_broadcast(spark):
+    """operators/bpe.segment_corpus: symbol work runs on the DISTINCT
+    vocabulary and joins back by word — the vocab side must ride a
+    broadcast at this scale (AQE), with only the distinct-vocab agg and
+    the per-doc agg shuffling; never a sort-merge join of corpus tokens
+    against corpus tokens, never a cartesian."""
+    from database2ogr_spark.operators.bpe import learn_bpe, segment_corpus
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    merges = learn_bpe(docs, num_merges=3, min_word_freq=2)
+    plan = (
+        segment_corpus(docs, merges)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("BroadcastHashJoin") == 1, plan
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+    assert "CartesianProduct" not in plan and "SortMergeJoin" not in plan
+
+
+def test_bpe_subword_vocab_single_partition_only_for_ranking(spark):
+    """operators/bpe.subword_vocab: the one single-partition exchange is
+    the vocabulary-sized ranking window (same honest cost as
+    tfidf.build_vocab) — corpus-sized data must not pass through it."""
+    from database2ogr_spark.operators.bpe import learn_bpe, subword_vocab
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    merges = learn_bpe(docs, num_merges=3, min_word_freq=2)
+    plan = (
+        subword_vocab(docs, merges, min_word_freq=2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange SinglePartition") == 1, plan
+    assert plan.count("Exchange hashpartitioning") <= 2, plan

@@ -335,3 +335,75 @@ def test_enrich_with_dimension_batch_stream_identical(spark, tmp_path):
     finally:
         q.stop()
     assert streamed == batch and batch
+
+
+def test_streaming_ingestion_with_incremental_lsh_dedup(spark, tmp_path):
+    """End-to-end ingestion pipeline: a file stream of document batches
+    runs through foreachBatch, where each micro-batch is screened against
+    the persistent LSH signature store (near-dups AND exact replays
+    dropped without touching historical bodies), admitted rows land via
+    the exactly-once sink, and the store advances by the admitted
+    signatures — the composition a 100 TB corpus ingests through."""
+    import json
+
+    from database2ogr_spark.operators.dedup import (
+        dedup_incremental_lsh,
+        minhash_band_table,
+    )
+    from database2ogr_spark.streaming.sink import IdempotentParquetSink
+
+    src = tmp_path / "docs_src"
+    store_dir = str(tmp_path / "lsh_store")
+    out_dir = str(tmp_path / "admitted")
+    schema = "doc_id long, text string"
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    b1 = [(1, base), (2, "completely different content about spark plans here")]
+    b2 = [
+        (3, base),                                   # near/exact dup of 1 → drop
+        (4, base + " tail"),                         # near dup of 1 → drop
+        (5, "novel text that matches nothing else at all in the corpus"),
+    ]
+    spark.createDataFrame(b1, schema).write.parquet(str(src / "f1"))
+
+    # seed an empty store with the right schema
+    minhash_band_table(
+        spark.createDataFrame([], schema)
+    ).write.mode("overwrite").parquet(store_dir)
+
+    sink = IdempotentParquetSink(out_dir)
+
+    def ingest(batch_df, batch_id):
+        store = batch_df.sparkSession.read.parquet(store_dir)
+        admitted = dedup_incremental_lsh(batch_df, store, threshold=0.5)
+        sink(admitted, batch_id)
+        minhash_band_table(admitted).write.mode("append").parquet(store_dir)
+
+    def run_stream():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/*")
+        )
+        q = stream.writeStream.foreachBatch(ingest).option(
+            "checkpointLocation", str(tmp_path / "ckpt")
+        ).start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run_stream()
+    spark.createDataFrame(b2, schema).write.parquet(str(src / "f2"))
+    run_stream()
+
+    got = sorted(
+        r.doc_id for r in spark.read.parquet(out_dir).select("doc_id").collect()
+    )
+    assert got == [1, 2, 5]  # 3 and 4 screened out by the store
+    # store advanced exactly with the admitted docs' bands
+    store_docs = {
+        r.id
+        for r in spark.read.parquet(store_dir).select("id").distinct().collect()
+    }
+    assert store_docs == {1, 2, 5}
