@@ -2150,6 +2150,36 @@ def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phrase_search(spark, out, ["slow", "hash", "batch"])
 
 
+def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling report (validate.profile_columns — the discovery
+    half of the data-quality surface): per-column row/null/distinct counts
+    + min/max strings over the documents table, ONE aggregation pass.
+    Graded with exact_distinct=True so the DuckDB twin reproduces counts
+    bit-for-bit; the default approx tier is the 100 TB path (HLL, plain
+    partial-agg plan)."""
+    from database2ogr_spark.operators.validate import profile_columns
+
+    return profile_columns(
+        _t(spark, sf_dir, "documents"),
+        ["doc_id", "text", "lang", "source", "n_chars"],
+        exact_distinct=True,
+    )
+
+
+def q_blocklist_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style blocklist screening (cleaning.blocklist_screen): whole-
+    token hits against a broadcast term table, per-doc counts, blocked =
+    n_hits > 2 (exercising the threshold, not just any-hit). The oracle
+    replays tokenization, the term join, and the left-join coalesce."""
+    from database2ogr_spark.operators.cleaning import blocklist_screen
+
+    return blocklist_screen(
+        _t(spark, sf_dir, "documents"),
+        ["slow", "hash", "customer"],
+        max_hits=2,
+    )
+
+
 def q_bpe_subword_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The shippable tokenizer artifact (bpe.subword_vocab): corpus
     frequency of every subword unit under the 6 learned merges, ids
@@ -2974,12 +3004,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pretrain_ledger": q_pretrain_ledger,
         "stupid_backoff": q_stupid_backoff,
         # ------------------------------------------------------- slot 50 ^
-        # curriculum_order, normalize_homoglyphs, bpe_learn,
-        # bpe_segment, novelty_stats, phrase_search,
-        # length_bucketed_batches, and bpe_subword_vocab (new round 5,
-        # landed after the prefix filled with promised entries that
-        # cannot yield) lead the round-6 queue, ahead of the twenty
-        # re-earners:
+        # curriculum_order, normalize_homoglyphs, the BPE family
+        # (learn/segment/subword vocab), novelty_stats, phrase_search,
+        # length_bucketed_batches, blocklist_screen, and profile_columns
+        # (new round 5, landed after the prefix filled with promised
+        # entries that cannot yield) lead the round-6 queue, ahead of the
+        # twenty re-earners:
         "curriculum_order": q_curriculum_order,
         "normalize_homoglyphs": q_normalize_homoglyphs,
         "bpe_learn": q_bpe_learn,
@@ -2988,6 +3018,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_search": q_phrase_search,
         "length_bucketed_batches": q_length_bucketed_batches,
         "bpe_subword_vocab": q_bpe_subword_vocab,
+        "blocklist_screen": q_blocklist_screen,
+        "profile_columns": q_profile_columns,
         # Everything below is QUEUED IN ROUND-6 PRIORITY ORDER — the next
         # rotation is a pure cut at slot 50. First ALL TWENTY r1/r2-
         # vintage re-earners, none of which fit this round (a1_distinct,
@@ -5285,6 +5317,33 @@ def oracle_sql() -> dict[str, str]:
                 AS INT) AS subword_id,
               count
             FROM u
+        """,
+        # per-column profile: one SELECT per column, unioned
+        "profile_columns": " UNION ALL ".join(
+            f"""
+            SELECT '{c}' AS "column", count(*)::BIGINT AS n_rows,
+              sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END)::BIGINT
+                AS n_nulls,
+              count(DISTINCT {c})::BIGINT AS n_distinct,
+              CAST(min({c}) AS VARCHAR) AS min_value,
+              CAST(max({c}) AS VARCHAR) AS max_value
+            FROM documents"""
+            for c in ("doc_id", "text", "lang", "source", "n_chars")
+        ),
+        # C4 blocklist rule: token join + left-join coalesce replayed
+        "blocklist_screen": f"""
+            WITH bl AS (SELECT unnest(['slow', 'hash', 'customer'])
+                          AS term),
+            tk AS (SELECT doc_id, unnest({_WORDS_SQL}) AS term
+                   FROM documents),
+            h AS (SELECT doc_id, count(*)::BIGINT AS n_hits,
+                    count(DISTINCT term)::BIGINT AS n_distinct_terms
+                  FROM tk JOIN bl USING (term) GROUP BY doc_id)
+            SELECT d.doc_id,
+              coalesce(n_hits, 0)::BIGINT AS n_hits,
+              coalesce(n_distinct_terms, 0)::BIGINT AS n_distinct_terms,
+              coalesce(n_hits, 0) > 2 AS blocked
+            FROM documents d LEFT JOIN h USING (doc_id)
         """,
         # length-bucketed batching: subbucket slice is monotone in the
         # hash, so the naive per-bucket (hash, id) sort is the same order

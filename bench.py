@@ -99,6 +99,8 @@ HEADLINE = [
     "phrase_search",
     "length_bucketed_batches",
     "bpe_subword_vocab",
+    "blocklist_screen",
+    "profile_columns",
 ]
 
 #: the queries that were in BENCH_r01 (the operative baseline — BASELINE.md:

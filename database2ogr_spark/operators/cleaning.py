@@ -578,3 +578,62 @@ def normalize_homoglyphs(
     c = F.translate(F.col(text_col), _HOMOGLYPH_FROM, _HOMOGLYPH_TO)
     c = F.regexp_replace(c, _INVISIBLE_RE, "")
     return df.withColumn(out, c)
+
+
+def blocklist_screen(
+    df: DataFrame,
+    terms: list[str] | DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    max_hits: int = 0,
+) -> DataFrame:
+    """C4-style blocklist screening (public Raffel et al. 2020 §2.2 — the
+    "bad words" document drop): count whole-token blocklist hits per
+    document (case-insensitive, over the family's normalized whitespace
+    tokenization) and flag documents exceeding ``max_hits`` (default 0 =
+    any hit blocks, the C4 rule).
+
+    ``terms`` is a Python list OR a single-column DataFrame (``term``) —
+    real blocklists are datasets, not literals. Either way the term table
+    rides a BROADCAST against the exploded token stream (word-exact
+    membership — substring blocklists belong to redact()'s regex tier);
+    one partial-agg'd shuffle on the doc id produces per-doc hit counts,
+    and non-matching docs survive via the left join's coalesce. At 100 TB
+    the explode is the corpus-linear cost every text operator pays; the
+    blocklist side stays broadcast no matter the corpus size.
+
+    Output: (id_col, n_hits, n_distinct_terms, blocked) — the caller
+    filters on ``blocked`` (the ACTION half stays composable, same split
+    as duplicate_spans/strip_duplicate_spans).
+    """
+    from database2ogr_spark.functions.hashing import words
+
+    spark = df.sparkSession
+    if isinstance(terms, DataFrame):
+        tdf = terms.select(F.lower(F.col("term")).alias("term")).distinct()
+    else:
+        tdf = spark.createDataFrame(
+            [(t.lower(),) for t in set(terms)], ["term"]
+        )
+    toks = df.select(
+        F.col(id_col).alias("__id"), F.explode(words(text_col)).alias("term")
+    )
+    hits = (
+        toks.join(F.broadcast(tdf), "term")
+        .groupBy("__id")
+        .agg(
+            F.count(F.lit(1)).alias("n_hits"),
+            F.countDistinct("term").alias("n_distinct_terms"),
+        )
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(hits, F.col(id_col) == F.col("__id"), "left")
+        .select(
+            id_col,
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            F.coalesce("n_distinct_terms", F.lit(0)).alias("n_distinct_terms"),
+            (F.coalesce("n_hits", F.lit(0)) > max_hits).alias("blocked"),
+        )
+    )

@@ -110,3 +110,56 @@ def validate_constraints(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def profile_columns(
+    df: DataFrame,
+    cols: list[str] | None = None,
+    *,
+    exact_distinct: bool = False,
+) -> DataFrame:
+    """Per-column profiling report — the discovery half of the data-quality
+    surface (:func:`validate_constraints` is the gating half): for every
+    column, row/null/distinct counts plus min/max rendered as strings.
+
+    ONE corpus pass: all per-column aggregates ride a single aggregation.
+    ``exact_distinct=False`` (default — the 100 TB path) uses HLL
+    ``approx_count_distinct``, which keeps the plan a plain partial-agg;
+    ``exact_distinct=True`` computes exact distincts (Spark plans an
+    expand — rows × #columns — worth it only when the report must be
+    reproducible bit-for-bit, e.g. under the DuckDB oracle).
+
+    Output long form: (column, n_rows, n_nulls, n_distinct, min_value,
+    max_value) — one row per profiled column, deterministic order by name.
+    """
+    cols = list(cols) if cols is not None else [f.name for f in df.schema.fields]
+    distinct_of = (
+        (lambda c: F.countDistinct(F.col(c)))
+        if exact_distinct
+        else (lambda c: F.approx_count_distinct(F.col(c)))
+    )
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"{c}__nulls"),
+            distinct_of(c).cast("bigint").alias(f"{c}__distinct"),
+            F.min(F.col(c)).cast("string").alias(f"{c}__min"),
+            F.max(F.col(c)).cast("string").alias(f"{c}__max"),
+        ]
+    row = df.agg(*aggs)
+    per_col = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col("__n").alias("n_rows"),
+                F.col(f"{c}__nulls").alias("n_nulls"),
+                F.col(f"{c}__distinct").alias("n_distinct"),
+                F.col(f"{c}__min").alias("min_value"),
+                F.col(f"{c}__max").alias("max_value"),
+            )
+            for c in sorted(cols)
+        ]
+    )
+    return row.select(F.explode(per_col).alias("p")).select("p.*")

@@ -395,3 +395,36 @@ def test_normalize_homoglyphs_restores_dedup(spark):
     folded = normalize_homoglyphs(df, "text")
     groups = dedup_exact(folded).collect()
     assert len(groups) == 1 and groups[0].dup_count == 2
+
+
+def test_blocklist_screen_counts_and_threshold(spark):
+    from database2ogr_spark.operators.cleaning import blocklist_screen
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the BAD word here bad and Evil"),  # 3 hits, 2 terms
+            (2, "clean text only"),
+            (3, "badness is not the word bad"),     # substring ≠ token: 1 hit
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {
+        r.doc_id: (r.n_hits, r.n_distinct_terms, r.blocked)
+        for r in blocklist_screen(docs, ["bad", "evil"]).collect()
+    }
+    assert rows == {1: (3, 2, True), 2: (0, 0, False), 3: (1, 1, True)}
+    # threshold mode: only docs with MORE than 2 hits block
+    rows2 = {
+        r.doc_id: r.blocked
+        for r in blocklist_screen(docs, ["bad", "evil"], max_hits=2).collect()
+    }
+    assert rows2 == {1: True, 2: False, 3: False}
+
+
+def test_blocklist_screen_accepts_dataframe_terms(spark):
+    from database2ogr_spark.operators.cleaning import blocklist_screen
+
+    docs = spark.createDataFrame([(1, "alpha beta"), (2, "gamma")], ["doc_id", "text"])
+    terms = spark.createDataFrame([("ALPHA",), ("alpha",)], ["term"])
+    rows = {r.doc_id: r.n_hits for r in blocklist_screen(docs, terms).collect()}
+    assert rows == {1: 1, 2: 0}  # terms lowercased + deduped

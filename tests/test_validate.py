@@ -69,3 +69,41 @@ def test_clean_table_is_all_zero_and_single_scan_for_row_rules(spark):
 def test_empty_rules_yield_empty_report(spark):
     df = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
     assert _report(df) == {}
+
+
+def test_profile_columns_exact(spark):
+    from database2ogr_spark.operators.validate import profile_columns
+
+    df = spark.createDataFrame(
+        [(1, "a", 2.5), (2, None, 1.0), (3, "b", None), (4, "a", 4.0)],
+        ["id", "s", "x"],
+    )
+    rows = {
+        r.column: (r.n_rows, r.n_nulls, r.n_distinct, r.min_value, r.max_value)
+        for r in profile_columns(df, exact_distinct=True).collect()
+    }
+    assert rows["id"] == (4, 0, 4, "1", "4")
+    assert rows["s"] == (4, 1, 2, "a", "b")
+    assert rows["x"] == (4, 1, 3, "1.0", "4.0")
+    # output ordered by column name
+    got = [r.column for r in profile_columns(df, exact_distinct=True).collect()]
+    assert got == sorted(got)
+
+
+def test_profile_columns_approx_tier_plan_has_no_expand(spark):
+    """The default approx tier must stay a plain partial-agg single pass —
+    no expand node (exact multi-distinct pays rows × #columns)."""
+    from database2ogr_spark.operators.validate import profile_columns
+
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = (
+        profile_columns(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Expand" not in plan, plan
+    exact_plan = (
+        profile_columns(df, exact_distinct=True)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Expand" in exact_plan  # the documented cost of exactness
