@@ -163,3 +163,27 @@ def test_subword_vocab_counts_match_reference(spark):
     assert got == expect
     # ids are dense 0..n-1
     assert sorted(i for i, _ in got.values()) == list(range(len(got)))
+
+
+def test_bpe_matches_reference_on_random_corpora(spark):
+    """Property: on arbitrary small ASCII corpora, the distributed learner
+    reproduces the pure-Python classic algorithm merge-for-merge
+    (counting, tie-break, and application order all agree)."""
+    from hypothesis import given, settings, strategies as st
+
+    word = st.text(alphabet="abcdef", min_size=1, max_size=6)
+    texts_strategy = st.lists(
+        st.lists(word, min_size=1, max_size=8).map(" ".join),
+        min_size=1,
+        max_size=4,
+    )
+
+    @settings(max_examples=8, deadline=None, derandomize=True)
+    @given(texts=texts_strategy)
+    def check(texts):
+        wf = Counter(w for t in texts for w in t.split())
+        ref, _ = _ref_bpe(dict(wf), 4)
+        got = _learned(_docs(spark, texts), num_merges=4)
+        assert got == ref
+
+    check()
