@@ -2150,6 +2150,24 @@ def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phrase_search(spark, out, ["slow", "hash", "batch"])
 
 
+def q_calibration_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram of the in-engine quality classifier
+    (classifier.calibration_report over quality_classifier_scores with
+    the graded lang=='en' weak label): fixed-width probability bins vs
+    observed positive rate — arithmetic binning, one ≤10-key shuffle, no
+    ntile sort. The oracle wraps the unrolled logreg twin with the same
+    binning."""
+    from database2ogr_spark.operators.classifier import (
+        calibration_report,
+        quality_classifier_scores,
+    )
+
+    scored = quality_classifier_scores(
+        _t(spark, sf_dir, "documents"), F.col("lang") == "en"
+    )
+    return calibration_report(scored, n_bins=100)
+
+
 def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Column profiling report (validate.profile_columns — the discovery
     half of the data-quality surface): per-column row/null/distinct counts
@@ -3006,10 +3024,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ------------------------------------------------------- slot 50 ^
         # curriculum_order, normalize_homoglyphs, the BPE family
         # (learn/segment/subword vocab), novelty_stats, phrase_search,
-        # length_bucketed_batches, blocklist_screen, and profile_columns
-        # (new round 5, landed after the prefix filled with promised
-        # entries that cannot yield) lead the round-6 queue, ahead of the
-        # twenty re-earners:
+        # length_bucketed_batches, blocklist_screen, profile_columns,
+        # and calibration_report (new round 5, landed after the prefix
+        # filled with promised entries that cannot yield) lead the
+        # round-6 queue, ahead of the twenty re-earners:
         "curriculum_order": q_curriculum_order,
         "normalize_homoglyphs": q_normalize_homoglyphs,
         "bpe_learn": q_bpe_learn,
@@ -3020,6 +3038,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_subword_vocab": q_bpe_subword_vocab,
         "blocklist_screen": q_blocklist_screen,
         "profile_columns": q_profile_columns,
+        "calibration_report": q_calibration_report,
         # Everything below is QUEUED IN ROUND-6 PRIORITY ORDER — the next
         # rotation is a pure cut at slot 50. First ALL TWENTY r1/r2-
         # vintage re-earners, none of which fit this round (a1_distinct,
@@ -5317,6 +5336,17 @@ def oracle_sql() -> dict[str, str]:
                 AS INT) AS subword_id,
               count
             FROM u
+        """,
+        # reliability bins over the unrolled logreg twin
+        "calibration_report": f"""
+            WITH sc AS ({_logreg_sql()})
+            SELECT bin, round(bin / 100.0, 6) AS bin_lo,
+              count(*)::BIGINT AS n, sum(label)::BIGINT AS n_pos,
+              round(sum(label)::DOUBLE / count(*), 6) AS pos_rate,
+              round(avg(prob), 6) AS mean_prob
+            FROM (SELECT least(CAST(floor(prob * 100) AS INT), 99) AS bin,
+                    label, prob FROM sc) t
+            GROUP BY bin
         """,
         # per-column profile: one SELECT per column, unioned
         "profile_columns": " UNION ALL ".join(

@@ -101,6 +101,7 @@ HEADLINE = [
     "bpe_subword_vocab",
     "blocklist_screen",
     "profile_columns",
+    "calibration_report",
 ]
 
 #: the queries that were in BENCH_r01 (the operative baseline — BASELINE.md:

@@ -200,3 +200,49 @@ def quality_classifier_scores(
         p.alias("prob"),
         (p >= F.lit(0.5)).alias("predicted"),
     )
+
+
+def calibration_report(
+    scored: DataFrame,
+    *,
+    label_col: str = "label",
+    prob_col: str = "prob",
+    n_bins: int = 10,
+) -> DataFrame:
+    """Reliability diagram for a probabilistic filter: fixed-width
+    probability bins vs observed positive rate — how you decide whether a
+    quality classifier's 0.9 really means 90% before gating a corpus on it.
+
+    Bins are ARITHMETIC (``floor(prob · n_bins)``, top edge clamped into
+    the last bin) — an ``ntile`` binning would globally sort the corpus;
+    fixed widths make the whole report ONE partial-agg'd aggregation on a
+    ≤``n_bins``-key shuffle. Gap bins are absent rows (the report is
+    #bins rows max, driver-safe).
+
+    Output: (bin, bin_lo, n, n_pos, pos_rate, mean_prob), rates rounded 6.
+    """
+    b = F.least(
+        F.floor(F.col(prob_col) * n_bins).cast("int"), F.lit(n_bins - 1)
+    )
+    return (
+        scored.select(
+            b.alias("bin"),
+            F.col(label_col).cast("int").alias("y"),
+            F.col(prob_col).alias("p"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("y").alias("n_pos"),
+            F.round(F.sum("y") / F.count(F.lit(1)), 6).alias("pos_rate"),
+            F.round(F.avg("p"), 6).alias("mean_prob"),
+        )
+        .select(
+            "bin",
+            F.round(F.col("bin") / n_bins, 6).alias("bin_lo"),
+            "n",
+            "n_pos",
+            "pos_rate",
+            "mean_prob",
+        )
+    )

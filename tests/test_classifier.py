@@ -158,3 +158,43 @@ def test_stupid_backoff_held_out_scores_lower(spark):
     held = [r.logprob for r in out if r.doc_id % 3 == 0]
     assert in_train and held
     assert sum(in_train) / len(in_train) > sum(held) / len(held)
+
+
+def test_calibration_report_exact_bins(spark):
+    from database2ogr_spark.operators.classifier import calibration_report
+
+    scored = spark.createDataFrame(
+        [
+            (1, 1, 0.05), (2, 0, 0.08),          # bin 0
+            (3, 1, 0.55), (4, 1, 0.59),          # bin 5
+            (5, 0, 1.0),                          # prob=1.0 clamps into bin 9
+        ],
+        ["doc_id", "label", "prob"],
+    )
+    rows = {
+        r.bin: (r.bin_lo, r.n, r.n_pos, r.pos_rate, r.mean_prob)
+        for r in calibration_report(scored).collect()
+    }
+    assert set(rows) == {0, 5, 9}
+    assert rows[0] == (0.0, 2, 1, 0.5, round((0.05 + 0.08) / 2, 6))
+    assert rows[5] == (0.5, 2, 2, 1.0, round((0.55 + 0.59) / 2, 6))
+    assert rows[9] == (0.9, 1, 0, 0.0, 1.0)
+
+
+def test_calibration_report_plan_is_one_small_shuffle(spark):
+    """Arithmetic bins — no ntile/global sort; the only exchange is the
+    ≤n_bins-key aggregation."""
+    from pyspark.sql import functions as F
+
+    from database2ogr_spark.operators.classifier import calibration_report
+
+    scored = spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 2).cast("int").alias("label"),
+        (F.col("id") / 100.0).alias("prob"),
+    )
+    plan = (
+        calibration_report(scored)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange hashpartitioning") <= 1, plan
+    assert "Exchange rangepartitioning" not in plan and "Window" not in plan
