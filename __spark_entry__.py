@@ -2150,6 +2150,34 @@ def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phrase_search(spark, out, ["slow", "hash", "batch"])
 
 
+def q_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC merge (diff.apply_changes — the MERGE half of the snapshot
+    surface, dataset_diff being the audit half): a synthetic batch
+    deletes doc_id%11==3 and upserts doc_id%7==2 with uppercased text;
+    the result snapshot must keep untouched rows, apply the updates, and
+    drop the deletes. One anti-join + union, no full outer join; rows
+    hashed (md5 text) for the grade."""
+    from database2ogr_spark.operators.diff import apply_changes
+
+    docs = _t(spark, sf_dir, "documents")
+    ch = docs.filter(
+        (F.col("doc_id") % 7 == 2) | (F.col("doc_id") % 11 == 3)
+    ).select(
+        "doc_id",
+        F.upper("text").alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+        F.when(F.col("doc_id") % 11 == 3, "delete")
+        .otherwise("upsert")
+        .alias("op"),
+    )
+    snap = apply_changes(docs, ch)
+    return snap.select(
+        "doc_id", "source", F.md5("text").alias("text_md5"), "n_chars"
+    )
+
+
 def q_calibration_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reliability diagram of the in-engine quality classifier
     (classifier.calibration_report over quality_classifier_scores with
@@ -3025,9 +3053,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # curriculum_order, normalize_homoglyphs, the BPE family
         # (learn/segment/subword vocab), novelty_stats, phrase_search,
         # length_bucketed_batches, blocklist_screen, profile_columns,
-        # and calibration_report (new round 5, landed after the prefix
-        # filled with promised entries that cannot yield) lead the
-        # round-6 queue, ahead of the twenty re-earners:
+        # calibration_report, and apply_changes (new round 5, landed
+        # after the prefix filled with promised entries that cannot
+        # yield) lead the round-6 queue, ahead of the twenty re-earners:
         "curriculum_order": q_curriculum_order,
         "normalize_homoglyphs": q_normalize_homoglyphs,
         "bpe_learn": q_bpe_learn,
@@ -3039,6 +3067,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "blocklist_screen": q_blocklist_screen,
         "profile_columns": q_profile_columns,
         "calibration_report": q_calibration_report,
+        "apply_changes": q_apply_changes,
         # Everything below is QUEUED IN ROUND-6 PRIORITY ORDER — the next
         # rotation is a pure cut at slot 50. First ALL TWENTY r1/r2-
         # vintage re-earners, none of which fit this round (a1_distinct,
@@ -5336,6 +5365,25 @@ def oracle_sql() -> dict[str, str]:
                 AS INT) AS subword_id,
               count
             FROM u
+        """,
+        # CDC merge: anti-join + union replayed
+        "apply_changes": """
+            WITH ch AS (
+              SELECT doc_id, upper(text) AS text, lang, source, n_chars,
+                CASE WHEN doc_id % 11 = 3 THEN 'delete'
+                     ELSE 'upsert' END AS op
+              FROM documents
+              WHERE doc_id % 7 = 2 OR doc_id % 11 = 3),
+            kept AS (
+              SELECT doc_id, text, lang, source, n_chars FROM documents
+              WHERE doc_id NOT IN (SELECT doc_id FROM ch)),
+            snap AS (
+              SELECT * FROM kept
+              UNION ALL
+              SELECT doc_id, text, lang, source, n_chars FROM ch
+              WHERE op = 'upsert')
+            SELECT doc_id, source, md5(text) AS text_md5, n_chars
+            FROM snap
         """,
         # reliability bins over the unrolled logreg twin
         "calibration_report": f"""

@@ -102,6 +102,7 @@ HEADLINE = [
     "blocklist_screen",
     "profile_columns",
     "calibration_report",
+    "apply_changes",
 ]
 
 #: the queries that were in BENCH_r01 (the operative baseline — BASELINE.md:

@@ -63,3 +63,35 @@ def dataset_diff(
             .alias("status"),
         )
     )
+
+
+def apply_changes(
+    base: DataFrame,
+    changes: DataFrame,
+    id_col: str = "doc_id",
+    *,
+    op_col: str = "op",
+) -> DataFrame:
+    """Apply a CDC batch to a snapshot — the MERGE half of the
+    reconciliation surface (:func:`dataset_diff` tells you what moved;
+    this produces the next snapshot): ``changes`` carries the base schema
+    plus ``op_col`` ∈ {'upsert', 'delete'}; the result is
+
+    - base rows whose key is untouched by the batch, plus
+    - the batch's upsert rows (inserts AND updates — last-write-wins by
+      key within the batch is the CALLER's contract: feed one row per
+      key, e.g. via ``dedup`` or a max-timestamp reduction upstream).
+
+    Scale shape: ONE left-anti equi-join of base against the batch's key
+    projection (a CDC batch is ≪ the snapshot, so AQE broadcasts the key
+    side — the base never shuffles) + a union. No full outer join, no
+    window. Unknown ops raise rather than silently drop.
+    """
+    ops = [r[0] for r in changes.select(op_col).distinct().collect()]  # ≤ #op kinds
+    unknown = set(ops) - {"upsert", "delete"}
+    if unknown:
+        raise ValueError(f"unknown {op_col!r} values: {sorted(unknown)}")
+    touched = changes.select(F.col(id_col)).distinct()
+    kept = base.join(touched, id_col, "left_anti")
+    upserts = changes.filter(F.col(op_col) == "upsert").drop(op_col)
+    return kept.unionByName(upserts)

@@ -61,3 +61,42 @@ def test_dataset_diff_only_narrow_columns_shuffle(spark):
         if "Exchange" in line:
             assert "text#" not in line, line
     assert "FullOuter" in plan.replace(" ", "")
+
+
+def test_apply_changes_upsert_delete_insert(spark):
+    from database2ogr_spark.operators.diff import apply_changes
+
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], ["doc_id", "text"]
+    )
+    ch = spark.createDataFrame(
+        [(2, "B", "upsert"), (3, None, "delete"), (4, "d", "upsert")],
+        ["doc_id", "text", "op"],
+    )
+    got = {r.doc_id: r.text for r in apply_changes(base, ch).collect()}
+    assert got == {1: "a", 2: "B", 4: "d"}
+
+
+def test_apply_changes_rejects_unknown_ops(spark):
+    import pytest as _pytest
+
+    from database2ogr_spark.operators.diff import apply_changes
+
+    base = spark.createDataFrame([(1, "a")], ["doc_id", "text"])
+    ch = spark.createDataFrame([(1, "x", "replace")], ["doc_id", "text", "op"])
+    with _pytest.raises(ValueError, match="unknown 'op' values"):
+        apply_changes(base, ch)
+
+
+def test_apply_changes_is_idempotent_for_replayed_batch(spark):
+    """Replaying the same CDC batch onto its own output is a no-op — the
+    exactly-once property an ingestion retry relies on."""
+    from database2ogr_spark.operators.diff import apply_changes
+
+    base = spark.createDataFrame([(1, "a"), (2, "b")], ["doc_id", "text"])
+    ch = spark.createDataFrame(
+        [(1, "A", "upsert"), (2, None, "delete")], ["doc_id", "text", "op"]
+    )
+    once = apply_changes(base, ch)
+    twice = apply_changes(once, ch)
+    assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
