@@ -1186,6 +1186,62 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-part triangle participation + local clustering coefficient over
+    the co-purchase graph (graph.triangle_count, degree-ordered orientation
+    per Suri-Vassilvitskii WWW'11 — every vertex's oriented out-degree is
+    O(√m), so no hub blow-up). The DuckDB twin replays the identical
+    orientation with row-value comparisons and hash-matches."""
+    from database2ogr_spark.operators.graph import triangle_count
+
+    li = (
+        _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    )
+    edges = (
+        li.alias("a")
+        .join(
+            li.alias("b"),
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
+        .distinct()
+    )
+    return triangle_count(edges).select(
+        F.col("node").alias("part_id"), "degree", "n_triangles", "clustering_c"
+    )
+
+
+def q_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy per-source token-budget selection (sampling.select_to_budget):
+    docs ranked by a target-length score, kept while the running token
+    total stays ≤ 1000 — the "fill N tokens from the best documents" mix
+    step. The twin replays the identical cumulative window."""
+    from database2ogr_spark.operators.sampling import select_to_budget
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.expr("n_chars div 4 + 1").alias("n_tokens"),
+        (-F.abs(F.col("n_chars") - 500)).alias("score"),
+    )
+    return select_to_budget(
+        docs, budget=1000, cost_col="n_tokens", score_col="score"
+    ).select("doc_id", "source", "n_tokens", "cum_cost")
+
+
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-source length outliers (cleaning.mad_outliers): exact
+    median/MAD with the 1.4826 consistency constant, |z| > 3 flags.
+    Deterministic (exact medians, round 6); twin mirrors the arithmetic."""
+    from database2ogr_spark.operators.cleaning import mad_outliers
+
+    docs = _t(spark, sf_dir, "documents")
+    return mad_outliers(docs, value_col="n_chars").select(
+        "doc_id", "source", "n_chars", "med", "mad", "robust_z", "is_outlier"
+    )
+
+
 def q_events_enrich_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static enrichment, batch twin (streaming.enrich_with_dimension
     — the stateless third cell of the streaming join matrix; the streaming
@@ -3068,6 +3124,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_columns": q_profile_columns,
         "calibration_report": q_calibration_report,
         "apply_changes": q_apply_changes,
+        "triangle_count": q_triangle_count,
+        "budget_select": q_budget_select,
+        "mad_outliers": q_mad_outliers,
         # Everything below is QUEUED IN ROUND-6 PRIORITY ORDER — the next
         # rotation is a pure cut at slot 50. First ALL TWENTY r1/r2-
         # vintage re-earners, none of which fit this round (a1_distinct,
@@ -5083,6 +5142,76 @@ def oracle_sql() -> dict[str, str]:
                      CAST(150000000 + coalesce(c.s, 0) AS BIGINT) AS rank_c9
                    FROM nodes n LEFT JOIN c3 c ON n.node = c.dst)
             SELECT node AS part_id, rank_c9 FROM r3
+        """,
+        # same orientation arithmetic as graph.triangle_count: edges point
+        # from the lower (degree, id) endpoint to the higher (row-value
+        # comparisons), wedges close on the oriented (t1, t2) edge
+        "triangle_count": """
+            WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+            e AS (
+              SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+              FROM li a JOIN li b
+                ON a.l_orderkey = b.l_orderkey
+               AND a.l_partkey < b.l_partkey),
+            deg AS (SELECT node, count(*) AS degree FROM
+                      (SELECT u AS node FROM e
+                       UNION ALL SELECT v FROM e)
+                    GROUP BY node),
+            o AS (SELECT
+                    CASE WHEN (du.degree, e.u) < (dv.degree, e.v)
+                         THEN e.u ELSE e.v END AS s,
+                    CASE WHEN (du.degree, e.u) < (dv.degree, e.v)
+                         THEN e.v ELSE e.u END AS t,
+                    CASE WHEN (du.degree, e.u) < (dv.degree, e.v)
+                         THEN dv.degree ELSE du.degree END AS dt
+                  FROM e
+                  JOIN deg du ON du.node = e.u
+                  JOIN deg dv ON dv.node = e.v),
+            tri AS (SELECT w1.s AS s, w1.t AS t1, w2.t AS t2
+                    FROM o w1
+                    JOIN o w2 ON w1.s = w2.s
+                     AND (w1.dt, w1.t) < (w2.dt, w2.t)
+                    JOIN o c ON c.s = w1.t AND c.t = w2.t),
+            pv AS (SELECT node, count(*) AS n_triangles FROM
+                     (SELECT s AS node FROM tri
+                      UNION ALL SELECT t1 FROM tri
+                      UNION ALL SELECT t2 FROM tri)
+                   GROUP BY node)
+            SELECT d.node AS part_id, d.degree,
+                   CAST(coalesce(pv.n_triangles, 0) AS BIGINT) AS n_triangles,
+                   CASE WHEN d.degree >= 2
+                        THEN round(2.0 * coalesce(pv.n_triangles, 0)
+                               / (d.degree * (d.degree - 1.0)), 6)
+                        ELSE 0.0 END AS clustering_c
+            FROM deg d LEFT JOIN pv USING (node)
+        """,
+        "budget_select": """
+            WITH t AS (SELECT doc_id, source, n_chars // 4 + 1 AS n_tokens,
+                              -abs(n_chars - 500) AS score FROM documents),
+            c AS (SELECT doc_id, source, n_tokens,
+                         sum(n_tokens) OVER (PARTITION BY source
+                           ORDER BY score DESC, doc_id
+                           ROWS UNBOUNDED PRECEDING) AS cum_cost
+                  FROM t)
+            SELECT doc_id, source, n_tokens, cum_cost
+            FROM c WHERE cum_cost <= 1000
+        """,
+        "mad_outliers": """
+            WITH med AS (SELECT source, median(n_chars) AS med
+                         FROM documents GROUP BY source),
+            j AS (SELECT d.doc_id, d.source, d.n_chars, m.med
+                  FROM documents d LEFT JOIN med m USING (source)),
+            mad AS (SELECT source, median(abs(n_chars - med)) AS mad
+                    FROM j WHERE n_chars IS NOT NULL GROUP BY source)
+            SELECT j.doc_id, j.source, j.n_chars, j.med, mad.mad,
+              CASE WHEN mad.mad > 0
+                   THEN round((j.n_chars - j.med) / (1.4826 * mad.mad), 6)
+                   END AS robust_z,
+              CASE WHEN mad.mad > 0
+                   THEN abs(round((j.n_chars - j.med) / (1.4826 * mad.mad), 6))
+                          > 3.0
+                   ELSE j.n_chars <> j.med END AS is_outlier
+            FROM j LEFT JOIN mad USING (source)
         """,
         "csv_roundtrip": (
             "SELECT doc_id, lang, source, n_chars FROM documents"

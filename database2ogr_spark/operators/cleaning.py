@@ -637,3 +637,63 @@ def blocklist_screen(
             (F.coalesce("n_hits", F.lit(0)) > max_hits).alias("blocked"),
         )
     )
+
+
+def mad_outliers(
+    df: DataFrame,
+    *,
+    value_col: str,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    k: float = 3.0,
+) -> DataFrame:
+    """Robust per-group outlier flagging via median absolute deviation —
+    the robust sibling of :func:`winsorize`: mean/stddev-based z-scores are
+    dragged by the very outliers they are meant to find, while the
+    median/MAD breakdown point is 50%.
+
+    Output: (id, group, value, med, mad, robust_z, is_outlier) where
+    ``robust_z = (x - med) / (1.4826 * mad)`` (the normal-consistency
+    constant), rounded to 6, and ``is_outlier = |robust_z| > k``. A
+    degenerate group (``mad = 0``: over half the values identical) yields
+    NULL ``robust_z`` and flags exactly the rows that differ from the
+    median at all — the only consistent reading of "deviation in MAD
+    units" when the unit is zero.
+
+    Scale: two grouped EXACT medians (one for ``med``, one for ``mad``
+    over the residuals) — two shuffles on ``group_col`` — and the
+    per-group stats come back via broadcast joins (group cardinality ~
+    sources, never corpus-sized). Exact ``median`` buffers each group's
+    values inside the aggregate, which is fine for the per-source
+    cardinalities this targets; for millions of groups of millions of rows
+    swap both aggregates to ``approx_percentile(…, 0.5, accuracy)`` — the
+    operator shape (and this function's callers) stay identical. NULL
+    group rows pass through unflagged (left joins), NULL values yield NULL
+    stats for their row only.
+    """
+    med = df.groupBy(group_col).agg(F.median(F.col(value_col)).alias("med"))
+    with_med = df.join(F.broadcast(med), group_col, "left")
+    mad = (
+        with_med.filter(F.col(value_col).isNotNull())
+        .groupBy(group_col)
+        .agg(F.median(F.abs(F.col(value_col) - F.col("med"))).alias("mad"))
+    )
+    z = F.round(
+        (F.col(value_col) - F.col("med")) / (F.lit(1.4826) * F.col("mad")), 6
+    )
+    return (
+        with_med.join(F.broadcast(mad), group_col, "left")
+        .select(
+            id_col,
+            group_col,
+            value_col,
+            "med",
+            "mad",
+            F.when(F.col("mad") > 0, z).alias("robust_z"),
+            F.when(
+                F.col("mad") > 0, F.abs(z) > F.lit(float(k))
+            )
+            .otherwise(F.col(value_col) != F.col("med"))
+            .alias("is_outlier"),
+        )
+    )

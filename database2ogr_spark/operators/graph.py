@@ -450,3 +450,104 @@ def label_propagation(
     return labels.join(
         sd.select("node").withColumn("is_seed", F.lit(True)), "node", "left"
     ).select("node", "label", F.coalesce("is_seed", F.lit(False)).alias("is_seed"))
+
+
+def triangle_count(
+    edges: DataFrame,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Exact per-vertex triangle counting + local clustering coefficient.
+
+    Input may be directed/duplicated/self-looped; it is canonicalized to the
+    simple undirected graph first. Output: (node, degree, n_triangles,
+    clustering_c) for every vertex of the canonical graph — clustering_c is
+    2T/(d(d-1)) rounded to 6 (0.0 for degree<2 vertices).
+
+    Scale design — the "curse of the last reducer" [Suri & Vassilvitskii,
+    WWW'11]: a naive wedge join fans out quadratically on hub vertices.
+    Orienting every edge from its lower-(degree, id) endpoint to the higher
+    one caps every vertex's OUT-degree at O(√m), so the wedge join's
+    per-key fan-out is bounded no matter how large the hubs are, and each
+    triangle is emitted exactly once (from its lowest-order apex). The plan
+    is three shuffles — degree agg, wedge self-join on the apex, closing-edge
+    join on the (v,w) pair — with no iteration and no driver state; the
+    (deg, id) total order rides the oriented edge table so the wedge stage
+    needs no extra join to compare endpoints.
+    """
+    und = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("u"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("v"),
+        )
+        .filter(F.col("u") < F.col("v"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .union(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    # orient by the (degree, id) total order; carry the tail's order key so
+    # the wedge join can order its two tails without another join
+    keyed = (
+        und.join(deg.withColumnRenamed("node", "u").withColumnRenamed("degree", "du"), "u")
+        .join(deg.withColumnRenamed("node", "v").withColumnRenamed("degree", "dv"), "v")
+    )
+    lo_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = keyed.select(
+        F.when(lo_first, F.col("u")).otherwise(F.col("v")).alias("s"),
+        F.when(lo_first, F.col("v")).otherwise(F.col("u")).alias("t"),
+        F.when(lo_first, F.col("dv")).otherwise(F.col("du")).alias("dt"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # wedges from apex s: tails ordered by the same (deg, id) key, so the
+    # closing edge — if present — is oriented exactly (t1 -> t2)
+    w1 = oriented.select(
+        F.col("s"), F.col("t").alias("t1"), F.col("dt").alias("dt1")
+    )
+    w2 = oriented.select(
+        F.col("s"), F.col("t").alias("t2"), F.col("dt").alias("dt2")
+    )
+    wedges = w1.join(w2, "s").filter(
+        (F.col("dt1") < F.col("dt2"))
+        | ((F.col("dt1") == F.col("dt2")) & (F.col("t1") < F.col("t2")))
+    )
+    closing = oriented.select(
+        F.col("s").alias("t1"), F.col("t").alias("t2")
+    )
+    tris = wedges.join(closing, ["t1", "t2"]).select("s", "t1", "t2")
+    per_vertex = (
+        tris.select(F.col("s").alias("node"))
+        .union(tris.select(F.col("t1").alias("node")))
+        .union(tris.select(F.col("t2").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    out = (
+        deg.join(per_vertex, "node", "left")
+        .select(
+            "node",
+            "degree",
+            F.coalesce("n_triangles", F.lit(0)).cast("bigint").alias("n_triangles"),
+            F.when(
+                F.col("degree") >= 2,
+                F.round(
+                    2.0
+                    * F.coalesce("n_triangles", F.lit(0))
+                    / (F.col("degree") * (F.col("degree") - 1)),
+                    6,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("clustering_c"),
+        )
+    )
+    # same persist-lifecycle exit as operators/dedup._finalize: materialize
+    # (lineage truncated off the persisted oriented table) then release
+    final = out.localCheckpoint(eager=True)
+    oriented.unpersist()
+    return final

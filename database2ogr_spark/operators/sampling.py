@@ -567,3 +567,42 @@ def length_bucketed_batches(
             ).alias("pad_frac"),
         )
     )
+
+
+def select_to_budget(
+    df: DataFrame,
+    *,
+    budget: int,
+    cost_col: str,
+    score_col: str,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Greedy budgeted selection: walk each group best-first (score desc,
+    id asc) and keep rows while the running cost total stays within
+    ``budget`` — the "fill N tokens of training data from the best
+    documents" step of a pretraining mix. A row is kept iff the cumulative
+    cost INCLUDING it is ≤ budget (first-fit prefix, not best-fit knapsack
+    — the greedy prefix is the industry-standard semantics and the only
+    deterministic one worth distributing).
+
+    Output: input columns + ``cum_cost`` (the running total including the
+    row). One shuffle — the per-group cumulative sum is a single window
+    partitioned by ``group_col``; there is no driver-side loop and no
+    second pass. At 100 TB the caveat is the same as every per-group
+    window: a single group is sorted within its partition, so a mega-group
+    bounds the parallelism — shard hot groups upstream (salting cannot work
+    here: a running total is order-carrying), or use per-source budgets
+    precisely so each group stays executor-sized.
+    """
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(F.col(score_col).desc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        df.withColumn("cum_cost", F.sum(F.col(cost_col)).over(w))
+        .filter(F.col("cum_cost") <= budget)
+    )

@@ -428,3 +428,29 @@ def test_blocklist_screen_accepts_dataframe_terms(spark):
     terms = spark.createDataFrame([("ALPHA",), ("alpha",)], ["term"])
     rows = {r.doc_id: r.n_hits for r in blocklist_screen(docs, terms).collect()}
     assert rows == {1: 1, 2: 0}  # terms lowercased + deduped
+
+
+def test_mad_outliers_flags_extreme_and_degenerate(spark):
+    from database2ogr_spark.operators.cleaning import mad_outliers
+
+    df = spark.createDataFrame(
+        [
+            (1, "a", 1.0), (2, "a", 2.0), (3, "a", 3.0), (4, "a", 4.0),
+            (5, "a", 100.0),
+            # degenerate group: mad = 0, only the off-median row flags
+            (6, "b", 5.0), (7, "b", 5.0), (8, "b", 5.0), (9, "b", 7.0),
+            # NULL group passes through unflagged
+            (10, None, 50.0),
+        ],
+        "doc_id long, source string, val double",
+    )
+    out = {r.doc_id: r for r in mad_outliers(df, value_col="val").collect()}
+    assert len(out) == 10
+    assert out[3].med == 3.0 and out[3].mad == 1.0
+    assert out[5].is_outlier and not out[1].is_outlier
+    assert abs(out[5].robust_z - round(97 / 1.4826, 6)) < 1e-9
+    # degenerate group: NULL z, only the deviating row flagged
+    assert out[9].robust_z is None and out[9].is_outlier
+    assert out[6].is_outlier is False
+    # NULL group: stats NULL, not flagged
+    assert out[10].med is None and out[10].is_outlier is None

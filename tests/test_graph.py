@@ -307,3 +307,59 @@ def test_label_propagation_second_round_extends_frontier(spark):
     two = {r.node: r.label for r in label_propagation(edges, seeds, iters=2).collect()}
     assert one == {1, 2}          # frontier after one round
     assert two[3] == "x"          # second round reaches node 3
+
+
+def test_triangle_count_known_graph(spark):
+    from database2ogr_spark.operators.graph import triangle_count
+
+    # K4 on {1,2,3,4} (4 triangles, each vertex in 3) plus a pendant 5-1
+    # and a disconnected edge 6-7 (no triangles, coeff 0)
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (5, 1), (6, 7)],
+        "src long, dst long",
+    )
+    out = {r.node: r for r in triangle_count(edges).collect()}
+    assert {n: r.n_triangles for n, r in out.items()} == {
+        1: 3, 2: 3, 3: 3, 4: 3, 5: 0, 6: 0, 7: 0,
+    }
+    assert out[2].degree == 3 and out[1].degree == 4
+    assert out[2].clustering_c == 1.0       # all of 2's neighbor pairs close
+    assert out[1].clustering_c == 0.5       # 3 of C(4,2)=6 pairs close
+    assert out[5].clustering_c == 0.0       # degree-1 vertex
+
+
+def test_triangle_count_matches_bruteforce_and_canonicalizes(spark):
+    import itertools
+    import random
+
+    from database2ogr_spark.operators.graph import triangle_count
+
+    rng = random.Random(7)
+    und = {
+        (min(a, b), max(a, b))
+        for a, b in (
+            (rng.randrange(20), rng.randrange(20)) for _ in range(60)
+        )
+        if a != b
+    }
+    # feed the operator a messy directed multigraph view of the same graph:
+    # both directions, duplicates, and self-loops must all be canonicalized
+    messy = (
+        [(a, b) for a, b in und]
+        + [(b, a) for a, b in und]
+        + [(a, b) for a, b in list(und)[:10]]
+        + [(3, 3), (5, 5)]
+    )
+    edges = spark.createDataFrame(messy, "src long, dst long")
+    out = {r.node: r.n_triangles for r in triangle_count(edges).collect()}
+    adj = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    expect = {v: 0 for v in adj}
+    for x, y, z in itertools.combinations(sorted(adj), 3):
+        if y in adj[x] and z in adj[x] and z in adj[y]:
+            expect[x] += 1
+            expect[y] += 1
+            expect[z] += 1
+    assert out == expect

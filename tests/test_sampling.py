@@ -491,3 +491,51 @@ def test_length_bucketed_batches_layout_invariant(spark):
     b = sorted(map(tuple, length_bucketed_batches(
         docs.repartition(7), batch_size=8).collect()))
     assert a == b
+
+
+def test_select_to_budget_greedy_prefix(spark):
+    from database2ogr_spark.operators.sampling import select_to_budget
+
+    df = spark.createDataFrame(
+        [
+            # group a: scores 9,8,7,6 with costs 40,30,40,5
+            (1, "a", 9.0, 40),
+            (2, "a", 8.0, 30),
+            (3, "a", 7.0, 40),
+            (4, "a", 6.0, 5),
+            # group b: single row over budget
+            (5, "b", 5.0, 200),
+        ],
+        "doc_id long, source string, score double, n_tokens long",
+    )
+    out = select_to_budget(
+        df, budget=100, cost_col="n_tokens", score_col="score"
+    ).collect()
+    kept = {r.doc_id: r.cum_cost for r in out}
+    # greedy prefix: 40, 70, 110 > 100 stops the prefix — row 3 AND the
+    # cheap row 4 behind it are both out (prefix, not knapsack)
+    assert kept == {1: 40, 2: 70}
+
+
+def test_select_to_budget_deterministic_tiebreak(spark):
+    from database2ogr_spark.operators.sampling import select_to_budget
+
+    df = spark.createDataFrame(
+        [(i, "s", 1.0, 10) for i in range(10)],
+        "doc_id long, source string, score double, n_tokens long",
+    )
+    out = select_to_budget(
+        df, budget=35, cost_col="n_tokens", score_col="score"
+    ).collect()
+    # all scores tie -> id asc decides; 3 rows of cost 10 fit in 35
+    assert sorted(r.doc_id for r in out) == [0, 1, 2]
+
+
+def test_select_to_budget_rejects_bad_budget(spark):
+    import pytest as _pytest
+
+    from database2ogr_spark.operators.sampling import select_to_budget
+
+    df = spark.createDataFrame([(1, "a", 1.0, 1)], "doc_id long, source string, score double, n_tokens long")
+    with _pytest.raises(ValueError):
+        select_to_budget(df, budget=0, cost_col="n_tokens", score_col="score")
