@@ -1242,6 +1242,30 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive hard-negative mining (similarity.hard_negatives): top-5
+    most-similar DIFFERENT-label vectors per query — broadcast query set,
+    label filter inside the scan stage. Twin mirrors the cosine_topk
+    arithmetic plus the label predicate."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qset = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding", "label"
+    )
+    return SIM.hard_negatives(emb, qset, k=5, query_id_col="query_id")
+
+
+def q_whiten_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension standardization (similarity.whiten_embeddings):
+    2·dim unrolled moments in ONE aggregation (no explode, no dim
+    shuffle), broadcast back, elementwise projection. Graded in scalar
+    long form (vec_id, dim, w) per the complex-type gate rule."""
+    emb = _t(spark, sf_dir, "embeddings")
+    wide = SIM.whiten_embeddings(emb, dim=64)
+    return wide.select(
+        "vec_id", F.posexplode("whitened").alias("dim", "w")
+    ).select("vec_id", "dim", F.round("w", 6).alias("w"))
+
+
 def q_events_enrich_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static enrichment, batch twin (streaming.enrich_with_dimension
     — the stateless third cell of the streaming join matrix; the streaming
@@ -3127,6 +3151,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_count": q_triangle_count,
         "budget_select": q_budget_select,
         "mad_outliers": q_mad_outliers,
+        "hard_negatives": q_hard_negatives,
+        "whiten_embeddings": q_whiten_embeddings,
         # Everything below is QUEUED IN ROUND-6 PRIORITY ORDER — the next
         # rotation is a pure cut at slot 50. First ALL TWENTY r1/r2-
         # vintage re-earners, none of which fit this round (a1_distinct,
@@ -6032,6 +6058,36 @@ def oracle_sql() -> dict[str, str]:
                     (PARTITION BY query_id ORDER BY cosine_sim DESC, vec_id)::INT AS rank
                   FROM s)
             SELECT query_id, vec_id, cosine_sim, rank FROM r WHERE rank <= 5
+        """,
+        "hard_negatives": """
+            WITH c AS (SELECT vec_id, label,
+                         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                       FROM embeddings),
+            q AS (SELECT vec_id AS query_id, label AS query_label, v AS qv
+                  FROM c WHERE vec_id < 8),
+            s AS (
+              SELECT query_id, query_label, c.vec_id, c.label AS neg_label,
+                round(list_dot_product(qv, v) /
+                      (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))),
+                      6) AS cosine_sim
+              FROM q CROSS JOIN c WHERE c.label <> query_label),
+            r AS (SELECT *, row_number() OVER
+                    (PARTITION BY query_id ORDER BY cosine_sim DESC, vec_id)::INT AS rank
+                  FROM s)
+            SELECT query_id, query_label, vec_id, neg_label, cosine_sim, rank
+            FROM r WHERE rank <= 5
+        """,
+        "whiten_embeddings": """
+            WITH c AS (SELECT vec_id,
+                         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                       FROM embeddings),
+            l AS (SELECT vec_id, i, v[i + 1] AS x
+                  FROM c CROSS JOIN (SELECT unnest(range(0, 64)) AS i) t),
+            s AS (SELECT i, avg(x) AS mu, stddev_pop(x) AS sd
+                  FROM l GROUP BY i)
+            SELECT l.vec_id, CAST(l.i AS INT) AS dim,
+                   round((l.x - s.mu) / greatest(s.sd, 1e-12), 6) AS w
+            FROM l JOIN s USING (i)
         """,
         "embedding_near_dup": """
             WITH c AS (SELECT vec_id,

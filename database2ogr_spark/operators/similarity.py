@@ -901,3 +901,107 @@ def late_interaction_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "vec_id", "score_x1e6", "rank")
     )
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Hard-negative mining: for each query, the ``k`` most similar corpus
+    vectors with a DIFFERENT label — the contrastive-training counterpart
+    of :func:`cosine_topk` (similar-but-wrong examples are the ones a
+    retrieval or classification model learns most from).
+
+    Output: (query_id, query_label, vec_id, neg_label, cosine_sim, rank);
+    ties break sim desc then id asc, like every top-k in this module.
+    Same scale shape as ``cosine_topk``: the (small) query set is
+    broadcast, the corpus scan is embarrassingly parallel, and only the
+    per-query top-k survivors reach the ranking shuffle. The label filter
+    runs inside the scan stage — negatives are never materialized for
+    same-label pairs.
+    """
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.col(vec_col).alias("q_vec"),
+            F.col(label_col).alias("query_label"),
+        )
+    )
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("c_vec"),
+        F.col(label_col).alias("neg_label"),
+    )
+    scored = (
+        c.crossJoin(q)
+        .filter(F.col("neg_label") != F.col("query_label"))
+        .select(
+            "query_id",
+            "query_label",
+            "vec_id",
+            "neg_label",
+            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("vec_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
+def whiten_embeddings(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    eps: float = 1e-12,
+) -> DataFrame:
+    """Per-dimension standardization (diagonal whitening):
+    ``w[i] = (x[i] - μᵢ) / max(σᵢ, eps)`` with population σ — the cheap
+    precondition before cosine/k-means when dimensions have wildly
+    different scales.
+
+    Scale design: NO explode. The per-dimension moments are ONE global
+    aggregation of ``2·dim`` unrolled columns (``avg(x[i])``,
+    ``stddev_pop(x[i])``) — partial aggregation does almost all the work
+    map-side, a single 1-row stats result is broadcast back via
+    crossJoin, and the standardization is an elementwise projection inside
+    whole-stage codegen. Compare the explode form: a corpus×dim row
+    explosion plus a shuffle on dim plus a join back. σᵢ = 0 (constant
+    dimension) maps to wᵢ = 0 via the eps guard.
+
+    Output: (id, ``whitened`` array<double>). Callers that feed a scalar
+    gate should ``posexplode`` the array (see the registry entry).
+    """
+    d = dim or _infer_dim(df, vec_col)
+    if d is None:
+        return _empty(df, f"{id_col} bigint, whitened array<double>")
+    stats = df.select(
+        *[F.avg(F.col(vec_col)[i].cast("double")).alias(f"_mu{i}") for i in range(d)],
+        *[
+            F.stddev_pop(F.col(vec_col)[i].cast("double")).alias(f"_sd{i}")
+            for i in range(d)
+        ],
+    )
+    out = df.crossJoin(F.broadcast(stats)).select(
+        F.col(id_col),
+        F.array(
+            *[
+                (
+                    (F.col(vec_col)[i].cast("double") - F.col(f"_mu{i}"))
+                    / F.greatest(F.col(f"_sd{i}"), F.lit(float(eps)))
+                )
+                for i in range(d)
+            ]
+        ).alias("whitened"),
+    )
+    return out

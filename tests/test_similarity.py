@@ -371,3 +371,40 @@ def test_late_interaction_rejects_indivisible_dims(spark):
     q = emb.limit(1).select(F.col("vec_id").alias("query_id"), "embedding")
     with pytest.raises(ValueError):
         late_interaction_topk(emb, q, n_tokens=7)
+
+
+def test_hard_negatives_excludes_same_label(spark):
+    from database2ogr_spark.operators.similarity import hard_negatives
+
+    rows = [
+        (1, [1.0, 0.0], 0),
+        (2, [0.99, 0.14], 0),   # nearest overall but SAME label -> excluded
+        (3, [0.9, 0.43], 1),    # nearest different-label
+        (4, [0.0, 1.0], 1),
+        (5, [-1.0, 0.0], 2),
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    q = emb.filter("vec_id = 1").selectExpr(
+        "vec_id as query_id", "embedding", "label"
+    )
+    out = hard_negatives(emb, q, k=2, query_id_col="query_id").collect()
+    assert [r.vec_id for r in sorted(out, key=lambda r: r.rank)] == [3, 4]
+    assert all(r.neg_label != r.query_label for r in out)
+
+
+def test_whiten_embeddings_standardizes_each_dim(spark):
+    from database2ogr_spark.operators.similarity import whiten_embeddings
+
+    rows = [(i, [float(i), 10.0 * i + 3.0, 7.0]) for i in range(8)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = whiten_embeddings(df, dim=3).collect()
+    by_dim = {d: [r.whitened[d] for r in out] for d in range(3)}
+    for d in (0, 1):
+        n = len(by_dim[d])
+        mu = sum(by_dim[d]) / n
+        var = sum((x - mu) ** 2 for x in by_dim[d]) / n
+        assert abs(mu) < 1e-9 and abs(var - 1.0) < 1e-9
+    # constant dimension -> all zeros via the eps guard, not inf/NaN
+    assert all(x == 0.0 for x in by_dim[2])
