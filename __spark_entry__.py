@@ -1266,6 +1266,29 @@ def q_whiten_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("vec_id", "dim", F.round("w", 6).alias("w"))
 
 
+def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document character Shannon entropy (repetition.char_entropy) —
+    gibberish/compressibility quality signal; one exchange (the per-id
+    reduce shares the (id, ch) shuffle's prefix). Twin replays the exact
+    -Σ p·ln p over the same filtered char multiset."""
+    from database2ogr_spark.operators.repetition import char_entropy
+
+    return char_entropy(_t(spark, sf_dir, "documents"))
+
+
+def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source score calibration (cleaning.quantile_normalize):
+    within-source percent-rank mapped onto the exact pooled quantile
+    function with type-7 interpolation — built from the distinct-value
+    histogram, so nothing corpus-sized is globally sorted. Twin replays
+    the identical rational arithmetic."""
+    from database2ogr_spark.operators.cleaning import quantile_normalize
+
+    return quantile_normalize(
+        _t(spark, sf_dir, "documents"), value_col="n_chars"
+    )
+
+
 def q_events_enrich_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static enrichment, batch twin (streaming.enrich_with_dimension
     — the stateless third cell of the streaming join matrix; the streaming
@@ -3153,6 +3176,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mad_outliers": q_mad_outliers,
         "hard_negatives": q_hard_negatives,
         "whiten_embeddings": q_whiten_embeddings,
+        "char_entropy": q_char_entropy,
+        "quantile_normalize": q_quantile_normalize,
         # Everything below is QUEUED IN ROUND-6 PRIORITY ORDER — the next
         # rotation is a pure cut at slot 50. First ALL TWENTY r1/r2-
         # vintage re-earners, none of which fit this round (a1_distinct,
@@ -5210,6 +5235,47 @@ def oracle_sql() -> dict[str, str]:
                                / (d.degree * (d.degree - 1.0)), 6)
                         ELSE 0.0 END AS clustering_c
             FROM deg d LEFT JOIN pv USING (node)
+        """,
+        "char_entropy": """
+            WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS ch
+                        FROM documents),
+            f AS (SELECT doc_id, ch, count(*) AS c
+                  FROM ch WHERE ch <> '' GROUP BY doc_id, ch),
+            t AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n FROM f GROUP BY doc_id),
+            e AS (SELECT f.doc_id, max(t.n) AS n_chars_counted,
+                         round(-sum((c::DOUBLE / n) * ln(c::DOUBLE / n)), 6)
+                           AS char_entropy
+                  FROM f JOIN t USING (doc_id) GROUP BY f.doc_id)
+            SELECT d.doc_id,
+                   CAST(coalesce(e.n_chars_counted, 0) AS BIGINT)
+                     AS n_chars_counted,
+                   coalesce(e.char_entropy, 0.0) AS char_entropy
+            FROM documents d LEFT JOIN e USING (doc_id)
+        """,
+        "quantile_normalize": """
+            WITH d AS (SELECT doc_id, source, n_chars FROM documents
+                       WHERE n_chars IS NOT NULL),
+            r AS (SELECT doc_id, source, n_chars,
+                    percent_rank() OVER (PARTITION BY source ORDER BY n_chars)
+                      AS pr
+                  FROM d),
+            h AS (SELECT n_chars AS v, count(*) AS cnt FROM d GROUP BY 1),
+            c AS (SELECT v,
+                    sum(cnt) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) - cnt
+                      AS start,
+                    sum(cnt) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum
+                  FROM h),
+            n AS (SELECT count(*) AS nt FROM d),
+            y AS (SELECT r.doc_id, r.source, r.n_chars, r.pr,
+                    CAST(floor(r.pr * (n.nt - 1)) AS BIGINT) AS klo,
+                    CAST(ceil(r.pr * (n.nt - 1)) AS BIGINT) AS khi,
+                    r.pr * (n.nt - 1) - floor(r.pr * (n.nt - 1)) AS frac
+                  FROM r CROSS JOIN n)
+            SELECT y.doc_id, y.source, y.n_chars, round(y.pr, 9) AS pr,
+                   round(lo.v + y.frac * (hi.v - lo.v), 6) AS normalized
+            FROM y
+            JOIN c lo ON y.klo >= lo.start AND y.klo < lo.cum
+            JOIN c hi ON y.khi >= hi.start AND y.khi < hi.cum
         """,
         "budget_select": """
             WITH t AS (SELECT doc_id, source, n_chars // 4 + 1 AS n_tokens,

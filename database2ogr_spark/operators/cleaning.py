@@ -33,6 +33,7 @@ import re
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from database2ogr_spark.functions import textstats as TS
 from database2ogr_spark.functions.hashing import stable_hash64
@@ -697,3 +698,85 @@ def mad_outliers(
             .alias("is_outlier"),
         )
     )
+
+
+def quantile_normalize(
+    df: DataFrame,
+    *,
+    value_col: str,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    decimals: int = 6,
+) -> DataFrame:
+    """Cross-group score calibration: replace each row's value with the
+    GLOBAL distribution's exact quantile at the row's within-group
+    percent-rank — after this, every group's scores follow the same
+    (pooled) distribution, so a single threshold means the same thing for
+    every source. The classic fix for "source A's quality model scores run
+    hot" before mixing corpora.
+
+    normalized(x) = Q_global(percent_rank_within_group(x)), with linear
+    interpolation between the two bracketing order statistics (the
+    standard type-7 quantile). Single-row groups get percent_rank 0 (both
+    engines define it so).
+
+    Scale design — NO global sort: the within-group ranks are per-group
+    windows (distributed by group), and the global quantile function is
+    built from the DISTINCT-VALUE histogram: distinct values with counts,
+    cumulatively summed in value order. That table is distinct-value-sized
+    (scores are bounded-precision in practice), its window runs over that
+    small table only, and it is broadcast into two range joins that pick
+    the bracketing order statistics. Nothing corpus-sized is ever sorted
+    or shuffled to one task — compare the textbook global row_number
+    formulation, which funnels the corpus through a single partition.
+    """
+    n_total = df.filter(F.col(value_col).isNotNull()).count()
+    if n_total == 0:
+        return df.select(
+            F.col(id_col), F.col(group_col), F.col(value_col),
+            F.lit(None).cast("double").alias("pr"),
+            F.lit(None).cast("double").alias("normalized"),
+        ).limit(0)
+    # within-group percent rank (deterministic: value, then id tie-break
+    # does not matter for percent_rank — equal values share a rank)
+    wg = Window.partitionBy(group_col).orderBy(F.col(value_col).asc())
+    ranked = df.filter(F.col(value_col).isNotNull()).withColumn(
+        "pr", F.percent_rank().over(wg)
+    )
+    # global order statistics from the distinct-value histogram: value v
+    # occupies 0-based positions [start, start + cnt)
+    hist = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(F.col(value_col).alias("v"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    wv = Window.orderBy(F.col("v").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = hist.withColumn("cum", F.sum("cnt").over(wv)).select(
+        "v", (F.col("cum") - F.col("cnt")).alias("start"), F.col("cum")
+    )
+    pos = F.col("pr") * F.lit(float(n_total - 1))
+    k_lo = F.floor(pos).cast("bigint")
+    k_hi = F.ceil(pos).cast("bigint")
+    ranked = ranked.withColumn("_klo", k_lo).withColumn("_khi", k_hi).withColumn(
+        "_frac", pos - F.floor(pos)
+    )
+    lo = F.broadcast(cum.select(F.col("v").alias("_vlo"), "start", "cum"))
+    hi = F.broadcast(cum.select(F.col("v").alias("_vhi"),
+                                F.col("start").alias("s2"), F.col("cum").alias("c2")))
+    out = (
+        ranked.join(lo, (F.col("_klo") >= F.col("start")) & (F.col("_klo") < F.col("cum")))
+        .join(hi, (F.col("_khi") >= F.col("s2")) & (F.col("_khi") < F.col("c2")))
+        .select(
+            F.col(id_col),
+            F.col(group_col),
+            F.col(value_col),
+            F.round("pr", 9).alias("pr"),
+            F.round(
+                F.col("_vlo") + F.col("_frac") * (F.col("_vhi") - F.col("_vlo")),
+                decimals,
+            ).alias("normalized"),
+        )
+    )
+    return out

@@ -216,3 +216,62 @@ def novelty_stats(
         )
     )
     return _finalize(out, pos_table, release=release_cache)
+
+
+def char_entropy(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    decimals: int = 6,
+) -> DataFrame:
+    """Per-document Shannon entropy of the character distribution,
+    ``H = -Σ p(c)·ln p(c)`` — a classic gibberish/compressibility signal:
+    keyboard-mash and single-char runs score near 0, natural prose lands
+    ~3-4.2 nats, random bytes approach ln(alphabet).
+
+    Output: (id, n_chars_counted, char_entropy) — empty/NULL text yields
+    entropy 0.0 with 0 chars (a row is never dropped by a quality signal;
+    downstream filters decide).
+
+    Scale: the explode is per-CHARACTER, so the shuffled key stream is
+    corpus-character-sized — but it reduces immediately on (id, char) with
+    map-side partial aggregation, and the second per-id reduce shares the
+    same exchange prefix (one shuffle total, same plan shape as
+    ``repetition_stats``). For a pure no-shuffle path at extreme scale the
+    per-doc counting can move into an Arrow kernel (one ``mapInPandas``
+    pass, counts in-kernel — the ``functions/gramkernel`` pattern); the
+    declarative form here keeps the arithmetic oracle-replayable.
+    """
+    chars = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.col(text_col), "")).alias("ch"),
+    ).filter(F.col("ch") != "")
+    counts = chars.groupBy("id", "ch").agg(F.count(F.lit(1)).alias("c"))
+    # two-step: totals first, then p·ln p against the joined total — an
+    # aggregate can't reference its own group total, so compute it via a
+    # second groupBy sharing the same exchange prefix
+    totals = counts.groupBy("id").agg(F.sum("c").alias("n"))
+    ent = (
+        counts.join(totals, "id")
+        .groupBy("id")
+        .agg(
+            F.max("n").alias("n_chars_counted"),
+            F.round(
+                -F.sum(
+                    (F.col("c") / F.col("n"))
+                    * F.log(F.col("c") / F.col("n"))
+                ),
+                decimals,
+            ).alias("char_entropy"),
+        )
+    )
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(ent, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("n_chars_counted", F.lit(0)).alias("n_chars_counted"),
+            F.coalesce("char_entropy", F.lit(0.0)).alias("char_entropy"),
+        )
+    )

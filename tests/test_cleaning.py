@@ -454,3 +454,36 @@ def test_mad_outliers_flags_extreme_and_degenerate(spark):
     assert out[6].is_outlier is False
     # NULL group: stats NULL, not flagged
     assert out[10].med is None and out[10].is_outlier is None
+
+
+def test_quantile_normalize_known_distribution(spark):
+    from database2ogr_spark.operators.cleaning import quantile_normalize
+
+    # group a runs hot (10x), group b cold; after normalization both map
+    # onto the pooled distribution by rank
+    df = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", 20.0), (3, "a", 30.0),
+         (4, "b", 1.0), (5, "b", 2.0), (6, "b", 3.0)],
+        "doc_id long, source string, score double",
+    )
+    out = {r.doc_id: r for r in quantile_normalize(df, value_col="score").collect()}
+    # pooled sorted: [1,2,3,10,20,30]; pr in each 3-row group: 0, .5, 1
+    # pos = pr*5 -> 0, 2.5, 5 -> Q = 1.0, (3+10)/2=6.5, 30.0 for BOTH groups
+    for lo_id, mid_id, hi_id in ((1, 2, 3), (4, 5, 6)):
+        assert out[lo_id].normalized == 1.0
+        assert out[mid_id].normalized == 6.5
+        assert out[hi_id].normalized == 30.0
+
+
+def test_quantile_normalize_single_row_group_and_ties(spark):
+    from database2ogr_spark.operators.cleaning import quantile_normalize
+
+    df = spark.createDataFrame(
+        [(1, "a", 5.0), (2, "a", 5.0), (3, "b", 100.0)],
+        "doc_id long, source string, score double",
+    )
+    out = {r.doc_id: r for r in quantile_normalize(df, value_col="score").collect()}
+    # ties share percent_rank 0 -> both map to the pooled minimum
+    assert out[1].normalized == out[2].normalized == 5.0
+    # single-row group: pr defined as 0 -> pooled minimum
+    assert out[3].pr == 0.0 and out[3].normalized == 5.0

@@ -300,3 +300,22 @@ def test_corrupt_file_default_read_fails_fast(spark):
         spark, "/root/testdata/sf0.001"
     )
     assert all(r.doc_id % 2 == 0 for r in ok.collect())
+
+
+def test_char_entropy_known_values(spark):
+    import math
+
+    from database2ogr_spark.operators.repetition import char_entropy
+
+    df = spark.createDataFrame(
+        [(1, "aaaa"), (2, "abab"), (3, "abcd"), (4, ""), (5, None)],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in char_entropy(df).collect()}
+    assert len(out) == 5
+    assert out[1].char_entropy == 0.0            # single symbol
+    assert abs(out[2].char_entropy - round(math.log(2), 6)) < 1e-9
+    assert abs(out[3].char_entropy - round(math.log(4), 6)) < 1e-9
+    # empty/NULL text: kept, zero chars, zero entropy
+    assert out[4].n_chars_counted == 0 and out[4].char_entropy == 0.0
+    assert out[5].n_chars_counted == 0 and out[5].char_entropy == 0.0
