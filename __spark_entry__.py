@@ -1289,6 +1289,32 @@ def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typo-tolerant entity lookup (linkage.fuzzy_join): 50 probe part
+    names fuzzy-matched (≤2 edits) against the part table under
+    first-token blocking + the lossless length-band prune; verification is
+    Spark's banded threshold levenshtein. Twin replays block + band +
+    exact distance."""
+    from database2ogr_spark.operators.linkage import fuzzy_join
+
+    part = _t(spark, sf_dir, "part")
+    probes = part.filter(F.col("p_partkey") < 50).select(
+        F.col("p_partkey").alias("probe_id"), F.col("p_name").alias("probe_name")
+    )
+    cands = part.select(
+        F.col("p_partkey").alias("match_id"), F.col("p_name").alias("match_name")
+    )
+    return fuzzy_join(
+        probes,
+        cands,
+        left_id="probe_id",
+        right_id="match_id",
+        left_text="probe_name",
+        right_text="match_name",
+        max_distance=2,
+    )
+
+
 def q_events_enrich_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static enrichment, batch twin (streaming.enrich_with_dimension
     — the stateless third cell of the streaming join matrix; the streaming
@@ -3178,6 +3204,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "whiten_embeddings": q_whiten_embeddings,
         "char_entropy": q_char_entropy,
         "quantile_normalize": q_quantile_normalize,
+        "fuzzy_match": q_fuzzy_match,
         # Everything below is QUEUED IN ROUND-6 PRIORITY ORDER — the next
         # rotation is a pure cut at slot 50. First ALL TWENTY r1/r2-
         # vintage re-earners, none of which fit this round (a1_distinct,
@@ -5235,6 +5262,20 @@ def oracle_sql() -> dict[str, str]:
                                / (d.degree * (d.degree - 1.0)), 6)
                         ELSE 0.0 END AS clustering_c
             FROM deg d LEFT JOIN pv USING (node)
+        """,
+        "fuzzy_match": """
+            WITH p AS (SELECT p_partkey, p_name,
+                              string_split(trim(p_name), ' ')[1] AS blk,
+                              len(p_name) AS ln
+                       FROM part),
+            q AS (SELECT * FROM p WHERE p_partkey < 50)
+            SELECT q.p_partkey AS probe_id, p.p_partkey AS match_id,
+                   q.p_name AS probe_name, p.p_name AS match_name,
+                   CAST(levenshtein(q.p_name, p.p_name) AS INT) AS distance
+            FROM q JOIN p ON q.blk = p.blk
+             AND q.p_partkey <> p.p_partkey
+             AND abs(q.ln - p.ln) <= 2
+            WHERE levenshtein(q.p_name, p.p_name) <= 2
         """,
         "char_entropy": """
             WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS ch
