@@ -2602,6 +2602,35 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact byte-level media dedup (binaryops.dedup_media_exact): one
+    survivor per md5(payload); JVM-side hash, payload never shuffles.
+    Twin groups on md5(text) (DuckDB md5 over the same utf-8 bytes)."""
+    from database2ogr_spark.multimodal.binaryops import dedup_media_exact
+
+    media = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.encode("text", "utf-8").alias("payload"),
+    )
+    return dedup_media_exact(media)
+
+
+def q_multimodal_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash bucket grouping (binaryops.phash_media), stub tier
+    (bit i ⇔ md5 byte i ≥ 128 — see q_multimodal_decode for why the
+    graded tier is pinned): (media_id, phash, group_size, is_survivor).
+    The twin replays the bit packing from md5 hex."""
+    from database2ogr_spark.multimodal.binaryops import phash_media
+
+    media = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.encode("text", "utf-8").alias("payload"),
+    )
+    return phash_media(media, tier="stub")
+
+
 def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from database2ogr_spark.multimodal.binaryops import resize_images
 
@@ -3205,6 +3234,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "char_entropy": q_char_entropy,
         "quantile_normalize": q_quantile_normalize,
         "fuzzy_match": q_fuzzy_match,
+        "multimodal_exact_dedup": q_multimodal_exact_dedup,
+        "multimodal_phash": q_multimodal_phash,
         # Everything below is QUEUED IN ROUND-6 PRIORITY ORDER — the next
         # rotation is a pure cut at slot 50. First ALL TWENTY r1/r2-
         # vintage re-earners, none of which fit this round (a1_distinct,
@@ -3673,6 +3704,14 @@ scored AS (
     )
 
 
+#: stub-tier aHash bit packing replayed from md5 hex (see q_multimodal_phash)
+_PHASH_TERMS = " + ".join(
+    f"(CASE WHEN ('0x' || substr(md5(text), {2 * i + 1}, 2))::INT >= 128 "
+    f"THEN {1 << i} ELSE 0 END)"
+    for i in range(8)
+)
+
+
 def oracle_sql() -> dict[str, str]:
     langs = list(TS.STOPWORDS)
     hits = {lg: _hits_sql(lg) for lg in langs}
@@ -3813,6 +3852,26 @@ def oracle_sql() -> dict[str, str]:
               ('0x' || substr(md5(text), CAST(2*i-1 AS INT), 2))::INT
                 / 256.0 AS value
             FROM documents CROSS JOIN (SELECT unnest(range(1, 9)) AS i) ii
+        """,
+        "multimodal_exact_dedup": """
+            SELECT md5(text) AS content_hash,
+                   min(doc_id) AS survivor_id,
+                   count(*) AS dup_count,
+                   CAST(min(octet_length(encode(text))) AS INT) AS n_bytes
+            FROM documents GROUP BY md5(text)
+        """,
+        # stub aHash: bit i of the phash ⇔ md5 byte i ≥ 128 (the 0.5
+        # threshold on byte/256), packed little-endian over 8 stub dims
+        "multimodal_phash": f"""
+            WITH h AS (SELECT doc_id AS media_id,
+                         CAST({_PHASH_TERMS} AS INT) AS phash
+                       FROM documents),
+            g AS (SELECT phash, count(*) AS group_size,
+                         min(media_id) AS s
+                  FROM h GROUP BY phash)
+            SELECT h.media_id, h.phash, g.group_size,
+                   h.media_id = g.s AS is_survivor
+            FROM h JOIN g USING (phash)
         """,
         # stub thumbnail contract: target dims, width*height*3/64 bytes
         "multimodal_resize": """

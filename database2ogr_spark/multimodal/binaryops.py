@@ -242,3 +242,60 @@ def frame_sample(df: DataFrame, every_ms: int = 1000) -> DataFrame:
             )
 
     return frames.mapInPandas(decode_frames, out_schema)
+
+
+def dedup_media_exact(df: DataFrame, *, id_col: str = "media_id") -> DataFrame:
+    """Exact byte-level media dedup: one surviving id per content hash —
+    the multimodal sibling of ``operators/dedup.dedup_exact`` (same
+    summary-not-rows contract: the shuffle payload is a hash + two
+    bigints per group regardless of media size; callers keep survivors
+    via a semi-join).
+
+    Output: (content_hash, survivor_id, dup_count, n_bytes). The hash is
+    md5 of the raw payload — computed JVM-side (``F.md5``), the payload
+    itself never shuffles.
+    """
+    meta = with_media_metadata(df)
+    return meta.groupBy("content_hash").agg(
+        F.min(F.col(id_col)).alias("survivor_id"),
+        F.count(F.lit(1)).alias("dup_count"),
+        F.min("n_bytes").alias("n_bytes"),
+    )
+
+
+def phash_media(df: DataFrame, *, id_col: str = "media_id", tier: str = "auto") -> DataFrame:
+    """Perceptual-hash near-dup grouping: threshold each decoded feature
+    component at 0.5 into a sign bit, pack the FEATURE_DIM bits into one
+    integer (aHash over the decoder's feature strip), and group media by
+    that hash — resized/re-encoded variants of one image land in one
+    bucket under a real decoder, while the deterministic stub tier makes
+    the whole chain oracle-replayable (bit i set ⇔ md5 byte i ≥ 128).
+
+    Output: (media_id, phash, group_size, is_survivor); survivor = min id
+    per bucket. Scale: the decode is one Arrow pass (``mapInPandas``);
+    the grouping shuffles (id, phash) pairs only. For hamming-tolerant
+    matching (phash distance ≤ t rather than equality) compose the packed
+    hash with the pigeonhole band join of ``operators/dedup.simhash_pairs``
+    — the bucket machinery is identical.
+    """
+    feats = decode_features(df, tier=tier)
+    bits = None
+    for i in range(FEATURE_DIM):
+        b = F.when(F.col("feature")[i] >= 0.5, F.lit(1 << i)).otherwise(F.lit(0))
+        bits = b if bits is None else bits + b
+    hashed = feats.select(
+        F.col("media_id"), bits.cast("int").alias("phash")
+    )
+    groups = hashed.groupBy("phash").agg(
+        F.count(F.lit(1)).alias("group_size"),
+        F.min("media_id").alias("_survivor"),
+    )
+    return (
+        hashed.join(groups, "phash")
+        .select(
+            "media_id",
+            "phash",
+            "group_size",
+            (F.col("media_id") == F.col("_survivor")).alias("is_survivor"),
+        )
+    )

@@ -108,3 +108,35 @@ def test_resize_images_contract(spark):
     # deterministic: same input -> same bytes
     again = {r.media_id: r for r in resize_images(media, width=32, height=32).collect()}
     assert bytes(again[1].payload) == bytes(out[1].payload)
+
+
+def test_dedup_media_exact_groups_identical_payloads(spark):
+    from database2ogr_spark.multimodal.binaryops import dedup_media_exact
+
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(b"aaa")), (2, "image", bytearray(b"aaa")),
+         (3, "image", bytearray(b"bbb"))],
+        "media_id long, kind string, payload binary",
+    )
+    out = {r.survivor_id: r for r in dedup_media_exact(media).collect()}
+    assert set(out) == {1, 3}
+    assert out[1].dup_count == 2 and out[3].dup_count == 1
+    assert out[1].n_bytes == 3
+
+
+def test_phash_media_buckets_exact_dups_and_marks_survivor(spark):
+    from database2ogr_spark.multimodal.binaryops import phash_media
+
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(b"xyz")), (2, "image", bytearray(b"xyz")),
+         (9, "image", bytearray(b"qrs"))],
+        "media_id long, kind string, payload binary",
+    )
+    rows = {r.media_id: r for r in phash_media(media, tier="stub").collect()}
+    # identical payloads share a phash; survivor is the min id of the bucket
+    assert rows[1].phash == rows[2].phash
+    assert rows[1].is_survivor and not rows[2].is_survivor
+    assert rows[1].group_size == rows[2].group_size >= 2
+    assert rows[9].is_survivor
+    # 8 stub dims -> phash fits in [0, 255]
+    assert all(0 <= r.phash <= 255 for r in rows.values())
