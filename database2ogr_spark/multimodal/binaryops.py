@@ -278,6 +278,8 @@ def phash_media(df: DataFrame, *, id_col: str = "media_id", tier: str = "auto") 
     hash with the pigeonhole band join of ``operators/dedup.simhash_pairs``
     — the bucket machinery is identical.
     """
+    from pyspark.sql.window import Window
+
     feats = decode_features(df, tier=tier)
     bits = None
     for i in range(FEATURE_DIM):
@@ -286,16 +288,13 @@ def phash_media(df: DataFrame, *, id_col: str = "media_id", tier: str = "auto") 
     hashed = feats.select(
         F.col("media_id"), bits.cast("int").alias("phash")
     )
-    groups = hashed.groupBy("phash").agg(
-        F.count(F.lit(1)).alias("group_size"),
-        F.min("media_id").alias("_survivor"),
-    )
-    return (
-        hashed.join(groups, "phash")
-        .select(
-            "media_id",
-            "phash",
-            "group_size",
-            (F.col("media_id") == F.col("_survivor")).alias("is_survivor"),
-        )
+    # group stats via an unordered window over phash: ONE decode pass and
+    # ONE shuffle — the groupBy+join-back form re-ran the Arrow decode on
+    # both join sides (plan-audited in tests/test_plan_audits.py)
+    w = Window.partitionBy("phash")
+    return hashed.select(
+        "media_id",
+        "phash",
+        F.count(F.lit(1)).over(w).alias("group_size"),
+        (F.col("media_id") == F.min("media_id").over(w)).alias("is_survivor"),
     )

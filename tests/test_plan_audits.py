@@ -326,3 +326,55 @@ def test_bpe_subword_vocab_single_partition_only_for_ranking(spark):
     )
     assert plan.count("Exchange SinglePartition") == 1, plan
     assert plan.count("Exchange hashpartitioning") <= 2, plan
+
+
+def test_whiten_embeddings_no_explode_single_agg(spark):
+    # the documented design: 2*dim unrolled moments in ONE aggregation and
+    # a broadcast 1-row stats join — an explode (corpus x dim rows) or a
+    # per-dim shuffle would be the 100 TB regression
+    plan = _plan(spark, "whiten_embeddings")
+    # the only Generate node allowed is the ENTRY's posexplode of the
+    # result (scalarization for the gate), which runs after the join
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+    n = plan.count("Exchange hashpartitioning")
+    assert n == 0, f"whitening must not hash-shuffle, got {n}:\n{plan}"
+
+
+def test_hard_negatives_broadcasts_query_side(spark):
+    plan = _plan(spark, "hard_negatives")
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan, plan
+    # only the final per-query top-k ranking may shuffle
+    n = plan.count("Exchange hashpartitioning")
+    assert n <= 1, f"expected <=1 shuffle (rank window), got {n}:\n{plan}"
+
+
+def test_quantile_normalize_histogram_rides_broadcast(spark):
+    plan = _plan(spark, "quantile_normalize")
+    # the bracketing order-statistic lookups must be broadcast range joins
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_fuzzy_match_no_cartesian(spark):
+    plan = _plan(spark, "fuzzy_match")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_triangle_count_no_cartesian_bounded_shuffles(spark):
+    plan = _plan(spark, "triangle_count")
+    assert "CartesianProduct" not in plan, plan
+    # canonical distinct + degree + orientation joins + wedge/closing joins
+    # + per-vertex count: the budget is documented in the operator
+    # docstring; localCheckpoint truncates what the entry sees, so audit
+    # the pre-checkpoint budget loosely via absence of nested-loop joins
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_phash_media_decodes_once_single_shuffle(spark):
+    # the Arrow decode is the expensive stage: the group stats must come
+    # from ONE window over phash (one decode pass, one shuffle) — the
+    # groupBy+join-back form re-ran MapInPandas on both join sides
+    plan = _plan(spark, "multimodal_phash")
+    assert plan.count("MapInPandas") == 1, plan
+    assert plan.count("Exchange hashpartitioning") <= 1, plan
