@@ -1315,6 +1315,50 @@ def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fk_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-schema referential-integrity audit (validate.fk_orphans):
+    anti-join orphan counts + NULL-FK separation for the four TPC-H FK
+    relations, unioned into one report. Twin replays each relation with
+    NOT IN over the parent keys."""
+    from database2ogr_spark.operators.validate import fk_orphans
+
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    sup = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    parts = [
+        fk_orphans(li, orders, child_key="l_orderkey", parent_key="o_orderkey",
+                   relation="lineitem.l_orderkey->orders.o_orderkey"),
+        fk_orphans(orders, cust, child_key="o_custkey", parent_key="c_custkey",
+                   relation="orders.o_custkey->customer.c_custkey"),
+        fk_orphans(cust, nat, child_key="c_nationkey", parent_key="n_nationkey",
+                   relation="customer.c_nationkey->nation.n_nationkey"),
+        fk_orphans(sup, nat, child_key="s_nationkey", parent_key="n_nationkey",
+                   relation="supplier.s_nationkey->nation.n_nationkey"),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def q_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PSI distribution-drift report (diff.drift_report): even-doc_id docs
+    as the base frame vs odd as current, n_chars over 10 equal-width
+    base-range bins with eps-smoothed PSI terms. Twin replays the exact
+    binning + smoothing arithmetic."""
+    from database2ogr_spark.operators.diff import drift_report
+
+    docs = _t(spark, sf_dir, "documents")
+    return drift_report(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+        value_col="n_chars",
+        n_bins=10,
+    )
+
+
 def q_events_enrich_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static enrichment, batch twin (streaming.enrich_with_dimension
     — the stateless third cell of the streaming join matrix; the streaming
@@ -3236,6 +3280,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_match": q_fuzzy_match,
         "multimodal_exact_dedup": q_multimodal_exact_dedup,
         "multimodal_phash": q_multimodal_phash,
+        "fk_integrity": q_fk_integrity,
+        "drift_report": q_drift_report,
         # Everything below is QUEUED IN ROUND-6 PRIORITY ORDER — the next
         # rotation is a pure cut at slot 50. First ALL TWENTY r1/r2-
         # vintage re-earners, none of which fit this round (a1_distinct,
@@ -3702,6 +3748,22 @@ scored AS (
         "WITH " + ",".join(parts)
         + "\nSELECT doc_id, label, prob, prob >= 0.5 AS predicted FROM scored"
     )
+
+
+def _fk_sql(child: str, ckey: str, parent: str, pkey: str) -> str:
+    """One fk_orphans relation replayed in DuckDB (see q_fk_integrity)."""
+    return f"""
+        SELECT relation, n_child, n_null_fk, n_orphans,
+               round(n_orphans::DOUBLE / n_child, 6) AS orphan_frac
+        FROM (SELECT '{child}.{ckey}->{parent}.{pkey}' AS relation,
+              (SELECT count(*) FROM {child}) AS n_child,
+              (SELECT count(*) FROM {child} WHERE {ckey} IS NULL) AS n_null_fk,
+              (SELECT count(*) FROM {child} c
+                WHERE c.{ckey} IS NOT NULL
+                  AND c.{ckey} NOT IN
+                      (SELECT {pkey} FROM {parent} WHERE {pkey} IS NOT NULL))
+                AS n_orphans) t
+    """
 
 
 #: stub-tier aHash bit packing replayed from md5 hex (see q_multimodal_phash)
@@ -5321,6 +5383,44 @@ def oracle_sql() -> dict[str, str]:
                                / (d.degree * (d.degree - 1.0)), 6)
                         ELSE 0.0 END AS clustering_c
             FROM deg d LEFT JOIN pv USING (node)
+        """,
+        "fk_integrity": " UNION ALL ".join(
+            (
+                _fk_sql("lineitem", "l_orderkey", "orders", "o_orderkey"),
+                _fk_sql("orders", "o_custkey", "customer", "c_custkey"),
+                _fk_sql("customer", "c_nationkey", "nation", "n_nationkey"),
+                _fk_sql("supplier", "s_nationkey", "nation", "n_nationkey"),
+            )
+        ),
+        "drift_report": """
+            WITH b0 AS (SELECT n_chars::DOUBLE AS x FROM documents
+                        WHERE doc_id % 2 = 0 AND n_chars IS NOT NULL),
+            c0 AS (SELECT n_chars::DOUBLE AS x FROM documents
+                   WHERE doc_id % 2 = 1 AND n_chars IS NOT NULL),
+            bounds AS (SELECT min(x) AS mn, max(x) AS mx FROM b0),
+            bb AS (SELECT CAST(least(greatest(floor((x - mn) /
+                     (CASE WHEN mx > mn THEN (mx - mn) / 10.0 ELSE 1.0 END)),
+                     0), 9) AS INT) AS bin, count(*) AS n
+                   FROM b0 CROSS JOIN bounds GROUP BY 1),
+            cb AS (SELECT CAST(least(greatest(floor((x - mn) /
+                     (CASE WHEN mx > mn THEN (mx - mn) / 10.0 ELSE 1.0 END)),
+                     0), 9) AS INT) AS bin, count(*) AS n
+                   FROM c0 CROSS JOIN bounds GROUP BY 1),
+            spine AS (SELECT CAST(unnest(range(0, 10)) AS INT) AS bin),
+            j AS (SELECT s.bin, coalesce(bb.n, 0) AS base_n,
+                         coalesce(cb.n, 0) AS cur_n
+                  FROM spine s LEFT JOIN bb USING (bin)
+                  LEFT JOIN cb USING (bin)),
+            t AS (SELECT sum(base_n) AS bt, sum(cur_n) AS ct FROM j)
+            SELECT bin, base_n, cur_n,
+              round(greatest(base_n::DOUBLE / bt, 1e-6), 6) AS base_frac,
+              round(greatest(cur_n::DOUBLE / ct, 1e-6), 6) AS cur_frac,
+              round((greatest(cur_n::DOUBLE / ct, 1e-6)
+                     - greatest(base_n::DOUBLE / bt, 1e-6))
+                    * ln(greatest(cur_n::DOUBLE / ct, 1e-6)
+                         / greatest(base_n::DOUBLE / bt, 1e-6)), 6)
+                AS psi_term
+            FROM j CROSS JOIN t
         """,
         "fuzzy_match": """
             WITH p AS (SELECT p_partkey, p_name,

@@ -103,6 +103,16 @@ HEADLINE = [
     "profile_columns",
     "calibration_report",
     "apply_changes",
+    "triangle_count",
+    "budget_select",
+    "mad_outliers",
+    "hard_negatives",
+    "whiten_embeddings",
+    "char_entropy",
+    "quantile_normalize",
+    "fuzzy_match",
+    "multimodal_exact_dedup",
+    "multimodal_phash",
 ]
 
 #: the queries that were in BENCH_r01 (the operative baseline — BASELINE.md:

@@ -95,3 +95,82 @@ def apply_changes(
     kept = base.join(touched, id_col, "left_anti")
     upserts = changes.filter(F.col(op_col) == "upsert").drop(op_col)
     return kept.unionByName(upserts)
+
+
+def drift_report(
+    base: DataFrame,
+    current: DataFrame,
+    *,
+    value_col: str,
+    n_bins: int = 10,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Distribution-drift report between two snapshots of one numeric
+    column: per-bin counts/fractions plus the Population Stability Index
+    term ``(p_cur − p_base)·ln(p_cur / p_base)`` — Σ of the column is the
+    classic PSI (<0.1 stable, 0.1-0.25 drifting, >0.25 shifted).
+
+    Bin edges are EQUAL-WIDTH over the BASE min/max (drift must be read
+    against the base frame); current values outside the base range clamp
+    into the edge bins — exactly where out-of-range drift should show up.
+    A constant base column (max = min) degenerates to width 1, putting all
+    base mass in bin 0. Zero-count bins are ``eps``-smoothed so the log is
+    total. All fractions and PSI terms are rounded to 6 after the exact
+    arithmetic.
+
+    Scale: one 2-value aggregate over base (broadcast), one ≤``n_bins``-key
+    partial-agg'd groupBy per side, and a ``range(n_bins)`` spine so empty
+    bins appear (silently dropping them understates PSI). Nothing
+    corpus-sized shuffles; the report is n_bins rows.
+    """
+    if n_bins < 2:
+        raise ValueError(f"n_bins must be >= 2, got {n_bins}")
+    bounds = base.agg(
+        F.min(F.col(value_col).cast("double")).alias("mn"),
+        F.max(F.col(value_col).cast("double")).alias("mx"),
+    )
+
+    def _binned(df: DataFrame) -> DataFrame:
+        width = F.when(F.col("mx") > F.col("mn"),
+                       (F.col("mx") - F.col("mn")) / F.lit(float(n_bins))
+                       ).otherwise(F.lit(1.0))
+        raw = F.floor((F.col(value_col).cast("double") - F.col("mn")) / width)
+        clamped = F.least(
+            F.greatest(raw, F.lit(0)), F.lit(n_bins - 1)
+        ).cast("int")
+        return (
+            df.filter(F.col(value_col).isNotNull())
+            .crossJoin(F.broadcast(bounds))
+            .select(clamped.alias("bin"))
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    spine = base.sparkSession.range(n_bins).select(F.col("id").cast("int").alias("bin"))
+    b = _binned(base).withColumnRenamed("n", "base_n")
+    c = _binned(current).withColumnRenamed("n", "cur_n")
+    joined = (
+        spine.join(b, "bin", "left")
+        .join(c, "bin", "left")
+        .select(
+            "bin",
+            F.coalesce("base_n", F.lit(0)).alias("base_n"),
+            F.coalesce("cur_n", F.lit(0)).alias("cur_n"),
+        )
+    )
+    tot = joined.agg(
+        F.sum("base_n").alias("bt"), F.sum("cur_n").alias("ct")
+    )
+    pb = F.greatest(F.col("base_n") / F.col("bt"), F.lit(float(eps)))
+    pc = F.greatest(F.col("cur_n") / F.col("ct"), F.lit(float(eps)))
+    return (
+        joined.crossJoin(F.broadcast(tot))
+        .select(
+            "bin",
+            "base_n",
+            "cur_n",
+            F.round(pb, 6).alias("base_frac"),
+            F.round(pc, 6).alias("cur_frac"),
+            F.round((pc - pb) * F.log(pc / pb), 6).alias("psi_term"),
+        )
+    )

@@ -163,3 +163,47 @@ def profile_columns(
         ]
     )
     return row.select(F.explode(per_col).alias("p")).select("p.*")
+
+
+def fk_orphans(
+    child: DataFrame,
+    parent: DataFrame,
+    *,
+    child_key: str,
+    parent_key: str,
+    relation: str | None = None,
+) -> DataFrame:
+    """Referential-integrity audit for one FK relation: how many child
+    rows point at no parent. NULL FKs are reported separately (a NULL FK
+    is "unknown", not "dangling" — conflating them hides both problems).
+
+    Output: ONE row (relation, n_child, n_null_fk, n_orphans,
+    orphan_frac) — union several calls for a whole-schema report.
+
+    Scale: the orphan count is a LEFT ANTI join on the key — Spark plans
+    broadcast or shuffled hash anti per AQE size estimates, and with AQE
+    the parent's DISTINCT key projection is what builds, never parent
+    rows. No row data crosses the wire beyond the keys.
+    """
+    rel = relation or f"{child_key}->{parent_key}"
+    non_null = child.filter(F.col(child_key).isNotNull())
+    orphans = non_null.join(
+        parent.select(F.col(parent_key).alias(child_key)).distinct(),
+        child_key,
+        "left_anti",
+    )
+    totals = child.agg(
+        F.count(F.lit(1)).alias("n_child"),
+        F.sum(F.col(child_key).isNull().cast("bigint")).alias("n_null_fk"),
+    )
+    n_orph = orphans.agg(F.count(F.lit(1)).alias("n_orphans"))
+    return (
+        totals.crossJoin(n_orph)
+        .select(
+            F.lit(rel).alias("relation"),
+            "n_child",
+            "n_null_fk",
+            "n_orphans",
+            F.round(F.col("n_orphans") / F.col("n_child"), 6).alias("orphan_frac"),
+        )
+    )

@@ -100,3 +100,34 @@ def test_apply_changes_is_idempotent_for_replayed_batch(spark):
     once = apply_changes(base, ch)
     twice = apply_changes(once, ch)
     assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
+
+
+def test_drift_report_psi_known_shift(spark):
+    import math
+
+    from database2ogr_spark.operators.diff import drift_report
+
+    base = spark.createDataFrame([(float(v),) for v in range(100)], "x double")
+    # shifted +50 and clipped: mass piles into the upper bins
+    cur = spark.createDataFrame([(float(v) + 50.0,) for v in range(100)], "x double")
+    out = {r.bin: r for r in drift_report(base, cur, value_col="x", n_bins=4).collect()}
+    assert set(out) == {0, 1, 2, 3}
+    # base: 25 per bin. current: values 50..149 over base range [0,99]
+    # width 24.75: bins floor((x-0)/24.75) clamped -> bin2: 50..74 (25),
+    # bin3: >=74.25 clamped from above too -> 75 values
+    assert [out[b].base_n for b in range(4)] == [25, 25, 25, 25]
+    assert out[0].cur_n == 0 and out[3].cur_n == 75
+    # PSI terms: empty bins eps-smoothed, exact arithmetic replayed
+    pb, pc = 0.25, 1e-6
+    assert abs(out[0].psi_term - round((pc - pb) * math.log(pc / pb), 6)) < 1e-9
+    total_psi = sum(r.psi_term for r in out.values())
+    assert total_psi > 0.25  # a half-range shift is a "shifted" verdict
+
+
+def test_drift_report_identical_distributions_zero_psi(spark):
+    from database2ogr_spark.operators.diff import drift_report
+
+    base = spark.createDataFrame([(float(v),) for v in range(50)], "x double")
+    out = drift_report(base, base, value_col="x", n_bins=5).collect()
+    assert all(r.psi_term == 0.0 for r in out)
+    assert sum(r.base_n for r in out) == 50

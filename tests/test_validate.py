@@ -107,3 +107,20 @@ def test_profile_columns_approx_tier_plan_has_no_expand(spark):
         .toString()
     )
     assert "Expand" in exact_plan  # the documented cost of exactness
+
+
+def test_fk_orphans_counts_and_null_separation(spark):
+    from database2ogr_spark.operators.validate import fk_orphans
+
+    child = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 99), (4, None)], "id long, fk long"
+    )
+    parent = spark.createDataFrame([(10,), (20,)], "pk long")
+    out = fk_orphans(
+        child, parent, child_key="fk", parent_key="pk", relation="c->p"
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.relation == "c->p"
+    assert r.n_child == 4 and r.n_null_fk == 1 and r.n_orphans == 1
+    assert r.orphan_frac == 0.25
