@@ -1359,6 +1359,44 @@ def q_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostic (partitioning.skew_report): 10 hottest
+    user_id values with row share — distributed top-k
+    (TakeOrderedAndProject, plan-pinned), never a global-sort window."""
+    from database2ogr_spark.operators.partitioning import skew_report
+
+    return skew_report(_t(spark, sf_dir, "events"), "user_id", k=10)
+
+
+def q_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall property row for the dedup chain: exact guarded-Jaccard
+    pairs (truth) vs banded MinHash-LSH candidates at the same pinned
+    hyperparameters — grades the recall the scale path actually achieves,
+    like ann_recall_lsh does for ANN. Twin composes the two verified pair
+    twins."""
+    docs = _t(spark, sf_dir, "documents")
+    truth = DD.ngram_jaccard_pairs(
+        docs, k_shingle=3, threshold=0.2, max_df=100
+    ).select("id_a", "id_b")
+    cand = DD.minhash_lsh_pairs(
+        docs, num_hashes=16, bands=4, threshold=0.2
+    ).select("id_a", "id_b")
+    hit = truth.join(cand, ["id_a", "id_b"])
+    return (
+        truth.agg(F.count(F.lit(1)).alias("n_truth"))
+        .crossJoin(cand.agg(F.count(F.lit(1)).alias("n_candidates")))
+        .crossJoin(hit.agg(F.count(F.lit(1)).alias("n_hit")))
+        .select(
+            "n_truth",
+            "n_candidates",
+            "n_hit",
+            F.round(
+                F.col("n_hit") / F.greatest(F.col("n_truth"), F.lit(1)), 6
+            ).alias("recall"),
+        )
+    )
+
+
 def q_events_enrich_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static enrichment, batch twin (streaming.enrich_with_dimension
     — the stateless third cell of the streaming join matrix; the streaming
@@ -3282,6 +3320,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_phash": q_multimodal_phash,
         "fk_integrity": q_fk_integrity,
         "drift_report": q_drift_report,
+        "skew_report": q_skew_report,
+        "dedup_recall": q_dedup_recall,
         # Everything below is QUEUED IN ROUND-6 PRIORITY ORDER — the next
         # rotation is a pure cut at slot 50. First ALL TWENTY r1/r2-
         # vintage re-earners, none of which fit this round (a1_distinct,
@@ -6519,5 +6559,33 @@ def oracle_sql() -> dict[str, str]:
         FROM (SELECT DISTINCT doc_id FROM documents) d
         LEFT JOIN agg a USING (doc_id)
         LEFT JOIN drops dr USING (doc_id)
+    """
+    # recall property row for the DEDUP chain (the ANN twin is
+    # ann_recall_lsh): composes the two already-verified twins — exact
+    # guarded Jaccard pairs as truth, banded MinHash-LSH pairs as the
+    # candidate set — so the graded number is the recall the scale path
+    # actually achieves at the pinned hyperparameters
+    out["dedup_recall"] = f"""
+        WITH truth AS (SELECT id_a, id_b FROM ({out["ngram_jaccard_pairs"]}) tt),
+        cand AS (SELECT id_a, id_b FROM ({out["minhash_lsh_pairs"]}) cc),
+        hit AS (SELECT t.id_a, t.id_b FROM truth t
+                JOIN cand c ON t.id_a = c.id_a AND t.id_b = c.id_b)
+        SELECT (SELECT count(*) FROM truth) AS n_truth,
+               (SELECT count(*) FROM cand) AS n_candidates,
+               (SELECT count(*) FROM hit) AS n_hit,
+               round((SELECT count(*) FROM hit)::DOUBLE
+                     / greatest((SELECT count(*) FROM truth), 1), 6) AS recall
+    """
+    out["skew_report"] = """
+        WITH c AS (SELECT coalesce(CAST(user_id AS VARCHAR), '<null>')
+                     AS key_value, count(*) AS n
+                   FROM events GROUP BY 1),
+        t AS (SELECT count(*) AS tt FROM events),
+        top AS (SELECT key_value, n FROM c
+                ORDER BY n DESC, key_value LIMIT 10)
+        SELECT key_value, n, round(n::DOUBLE / t.tt, 6) AS frac,
+               CAST(row_number() OVER (ORDER BY n DESC, key_value) AS INT)
+                 AS rank
+        FROM top CROSS JOIN t
     """
     return out

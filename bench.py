@@ -113,6 +113,10 @@ HEADLINE = [
     "fuzzy_match",
     "multimodal_exact_dedup",
     "multimodal_phash",
+    "fk_integrity",
+    "drift_report",
+    "skew_report",
+    "dedup_recall",
 ]
 
 #: the queries that were in BENCH_r01 (the operative baseline — BASELINE.md:

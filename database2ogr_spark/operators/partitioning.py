@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
@@ -128,3 +129,39 @@ def bucketed_join(spark, left_table: str, right_table: str, on: str | list[str])
     Exchange operators."""
     keys = [on] if isinstance(on, str) else list(on)
     return spark.table(left_table).join(spark.table(right_table), on=keys)
+
+
+def skew_report(df: DataFrame, key_col: str, *, k: int = 10) -> DataFrame:
+    """Join/agg-key skew diagnostic: the k hottest key values with their
+    row share — the measurement behind every salting/AQE-skew decision in
+    this repo (SCALE.md documents WHEN to salt; this answers WHETHER).
+
+    Output: (key_value string, n, frac, rank) — rank 1 is the hottest,
+    ties break on the key string. NULL keys report as the literal
+    '<null>' bucket (NULL join keys are the classic accidental hot key).
+
+    Scale: one partial-agg'd groupBy on the key, then distributed top-k
+    via orderBy+limit (Spark plans TakeOrderedAndProject — per-partition
+    heaps merged on the driver, k rows; NOT a global-sort window). The
+    total for ``frac`` is a 1-row broadcast. Report is k rows.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    counts = (
+        df.select(
+            F.coalesce(F.col(key_col).cast("string"), F.lit("<null>")).alias(
+                "key_value"
+            )
+        )
+        .groupBy("key_value")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    total = df.agg(F.count(F.lit(1)).alias("_t"))
+    top = counts.orderBy(F.col("n").desc(), F.col("key_value").asc()).limit(k)
+    w = Window.orderBy(F.col("n").desc(), F.col("key_value").asc())
+    return (
+        top.crossJoin(F.broadcast(total))
+        .withColumn("frac", F.round(F.col("n") / F.col("_t"), 6))
+        .withColumn("rank", F.row_number().over(w))
+        .select("key_value", "n", "frac", "rank")
+    )

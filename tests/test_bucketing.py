@@ -89,3 +89,23 @@ def test_suggest_buckets_power_of_two():
     assert suggest_buckets(100 << 20) == 1
     assert suggest_buckets(10 << 30) == 128  # 10 GiB / 128 MiB = 80 → 128
     assert suggest_buckets(0) == 1
+
+
+def test_skew_report_top_keys_and_null_bucket(spark):
+    from database2ogr_spark.operators.partitioning import skew_report
+
+    rows = [(1, "a")] * 6 + [(2, "b")] * 3 + [(3, None)] * 1
+    df = spark.createDataFrame(
+        [(i, k) for i, (_, k) in enumerate(rows)], "id long, k string"
+    )
+    out = skew_report(df, "k", k=2).collect()
+    assert [(r.key_value, r.n, r.rank) for r in out] == [("a", 6, 1), ("b", 3, 2)]
+    assert out[0].frac == 0.6
+
+
+def test_skew_report_uses_take_ordered_not_global_sort_window(spark):
+    from database2ogr_spark.operators.partitioning import skew_report
+
+    df = spark.createDataFrame([(i, i % 7) for i in range(100)], "id long, k int")
+    plan = skew_report(df, "k", k=3)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan
