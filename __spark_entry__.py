@@ -1188,10 +1188,13 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-part triangle participation + local clustering coefficient over
-    the co-purchase graph (graph.triangle_count, degree-ordered orientation
-    per Suri-Vassilvitskii WWW'11 — every vertex's oriented out-degree is
-    O(√m), so no hub blow-up). The DuckDB twin replays the identical
-    orientation with row-value comparisons and hash-matches."""
+    the SUPPORT-FILTERED co-purchase graph (pairs co-purchased in ≥2
+    orders — one-order co-occurrence is noise, and a small part catalog
+    makes the unfiltered graph near-complete: 1.2M edges → 3.6k at sf0.1,
+    measured). graph.triangle_count uses degree-ordered orientation per
+    Suri-Vassilvitskii WWW'11 — every vertex's oriented out-degree is
+    O(√m), no hub blow-up. The DuckDB twin replays the identical support
+    filter + orientation with row-value comparisons and hash-matches."""
     from database2ogr_spark.operators.graph import triangle_count
 
     li = (
@@ -1204,8 +1207,12 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
             & (F.col("a.l_partkey") < F.col("b.l_partkey")),
         )
-        .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
-        .distinct()
+        .groupBy(
+            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= 2)
+        .select("src", "dst")
     )
     return triangle_count(edges).select(
         F.col("node").alias("part_id"), "degree", "n_triangles", "clustering_c"
@@ -5388,10 +5395,14 @@ def oracle_sql() -> dict[str, str]:
         "triangle_count": """
             WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
             e AS (
-              SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
-              FROM li a JOIN li b
-                ON a.l_orderkey = b.l_orderkey
-               AND a.l_partkey < b.l_partkey),
+              SELECT u, v FROM (
+                SELECT a.l_partkey AS u, b.l_partkey AS v,
+                       count(*) AS support
+                FROM li a JOIN li b
+                  ON a.l_orderkey = b.l_orderkey
+                 AND a.l_partkey < b.l_partkey
+                GROUP BY 1, 2) s
+              WHERE support >= 2),
             deg AS (SELECT node, count(*) AS degree FROM
                       (SELECT u AS node FROM e
                        UNION ALL SELECT v FROM e)
