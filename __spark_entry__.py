@@ -987,6 +987,48 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select("doc_id", "lang", TS.lang_id_from_hits(hits).alias("lang_guess"))
 
 
+def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-eval surface for the heuristic lang-id: confusion matrix
+    of metadata lang vs predicted lang with per-true-language recall
+    shares — the aggregate report a 100 TB run reads instead of per-doc
+    predictions. One partial-agg'd shuffle on the (true, pred) pair, a
+    per-true total via a second agg sharing the prefix; report is
+    #langs² rows max. Twin wraps the verified lang_id twin."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    s = TS.with_text_stats(d, "text", langs=tuple(TS.STOPWORDS))
+    hits = {lang: F.col(f"__hits_{lang}") for lang in TS.STOPWORDS}
+    pred = s.select(
+        F.col("lang").alias("lang_true"),
+        TS.lang_id_from_hits(hits).alias("lang_pred"),
+    )
+    cm = pred.groupBy("lang_true", "lang_pred").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = cm.groupBy("lang_true").agg(F.sum("n").alias("_t"))
+    return cm.join(tot, "lang_true").select(
+        "lang_true",
+        "lang_pred",
+        "n",
+        F.round(F.col("n") / F.col("_t"), 6).alias("frac_of_true"),
+    )
+
+
+def q_classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC-AUC for the weak-label quality classifier
+    (classifier.auc_report over quality_classifier_scores): Mann-Whitney
+    with tie credit from the distinct-score histogram — no corpus-sized
+    global sort. Twin wraps the same unrolled integer-logreg twin as
+    quality_classifier and calibration_report."""
+    from database2ogr_spark.operators.classifier import (
+        auc_report,
+        quality_classifier_scores,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = quality_classifier_scores(docs, F.col("lang") == "en")
+    return auc_report(scored)
+
+
 def q_fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _t(spark, sf_dir, "documents").select(
         "doc_id", TS.rolling_fingerprint("text").alias("fp")
@@ -3329,6 +3371,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drift_report": q_drift_report,
         "skew_report": q_skew_report,
         "dedup_recall": q_dedup_recall,
+        "lang_confusion": q_lang_confusion,
+        "classifier_auc": q_classifier_auc,
         # Everything below is QUEUED IN ROUND-6 PRIORITY ORDER — the next
         # rotation is a pure cut at slot 50. First ALL TWENTY r1/r2-
         # vintage re-earners, none of which fit this round (a1_distinct,
@@ -5629,6 +5673,17 @@ def oracle_sql() -> dict[str, str]:
             b AS (SELECT *, {best} AS best FROM h)
             SELECT doc_id, lang, {lang_case} AS lang_guess FROM b
         """,
+        "lang_confusion": f"""
+            WITH h AS (SELECT doc_id, lang, {hits_select} FROM documents),
+            b AS (SELECT *, {best} AS best FROM h),
+            p AS (SELECT lang AS lang_true, {lang_case} AS lang_pred FROM b),
+            cm AS (SELECT lang_true, lang_pred, count(*) AS n
+                   FROM p GROUP BY 1, 2),
+            t AS (SELECT lang_true, sum(n) AS tt FROM cm GROUP BY 1)
+            SELECT cm.lang_true, cm.lang_pred, cm.n,
+                   round(cm.n::DOUBLE / t.tt, 6) AS frac_of_true
+            FROM cm JOIN t USING (lang_true)
+        """,
         "fingerprint_rolling": f"""
             SELECT doc_id,
               list_reduce(list_prepend(CAST(0 AS BIGINT),
@@ -5867,6 +5922,23 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT least(CAST(floor(prob * 100) AS INT), 99) AS bin,
                     label, prob FROM sc) t
             GROUP BY bin
+        """,
+        # exact Mann-Whitney AUC from the distinct-score histogram, same
+        # unrolled logreg twin as quality_classifier/calibration_report
+        "classifier_auc": f"""
+            WITH sc AS ({_logreg_sql()}),
+            h AS (SELECT prob AS s, sum(label)::BIGINT AS p_s,
+                         (count(*) - sum(label))::BIGINT AS n_s
+                  FROM sc GROUP BY prob),
+            c AS (SELECT *, sum(n_s) OVER (ORDER BY s
+                    ROWS UNBOUNDED PRECEDING) - n_s AS cum_n FROM h),
+            u AS (SELECT sum(p_s) AS n_pos, sum(n_s) AS n_neg,
+                         sum(p_s * cum_n + 0.5 * p_s * n_s) AS uu FROM c)
+            SELECT CAST(n_pos AS BIGINT) AS n_pos,
+                   CAST(n_neg AS BIGINT) AS n_neg,
+                   CASE WHEN n_pos > 0 AND n_neg > 0
+                        THEN round(uu / (n_pos * n_neg), 6) END AS auc
+            FROM u
         """,
         # per-column profile: one SELECT per column, unioned
         "profile_columns": " UNION ALL ".join(

@@ -198,3 +198,35 @@ def test_calibration_report_plan_is_one_small_shuffle(spark):
     )
     assert plan.count("Exchange hashpartitioning") <= 1, plan
     assert "Exchange rangepartitioning" not in plan and "Window" not in plan
+
+
+def test_auc_report_hand_computed_with_ties(spark):
+    from database2ogr_spark.operators.classifier import auc_report
+
+    # scores: pos {0.9, 0.7, 0.5}, neg {0.5, 0.3}
+    # pairs: (0.9 vs .5,.3)=2, (0.7 vs .5,.3)=2, (0.5 vs .3)=1, (0.5 vs .5)=0.5
+    # U = 5.5, P*N = 6 -> AUC = 0.916667
+    df = spark.createDataFrame(
+        [(0.9, 1), (0.7, 1), (0.5, 1), (0.5, 0), (0.3, 0)],
+        "prob double, label int",
+    )
+    r = auc_report(df).collect()[0]
+    assert (r.n_pos, r.n_neg) == (3, 2)
+    assert r.auc == round(5.5 / 6, 6)
+
+
+def test_auc_report_degenerate_single_class(spark):
+    from database2ogr_spark.operators.classifier import auc_report
+
+    df = spark.createDataFrame([(0.9, 1), (0.4, 1)], "prob double, label int")
+    r = auc_report(df).collect()[0]
+    assert r.n_neg == 0 and r.auc is None
+
+
+def test_auc_report_perfect_separation(spark):
+    from database2ogr_spark.operators.classifier import auc_report
+
+    df = spark.createDataFrame(
+        [(0.9, 1), (0.8, 1), (0.2, 0), (0.1, 0)], "prob double, label int"
+    )
+    assert auc_report(df).collect()[0].auc == 1.0
