@@ -1029,6 +1029,14 @@ def q_classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return auc_report(scored)
 
 
+def q_label_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-label embedding diversity (similarity.label_diversity): mean
+    pairwise dot per label via the sum-vector identity — one grouped
+    aggregation, NOTHING quadratic. Twin replays per-dim sums and the
+    identity in DuckDB list arithmetic."""
+    return SIM.label_diversity(_t(spark, sf_dir, "embeddings"), dim=64)
+
+
 def q_fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _t(spark, sf_dir, "documents").select(
         "doc_id", TS.rolling_fingerprint("text").alias("fp")
@@ -3373,6 +3381,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_recall": q_dedup_recall,
         "lang_confusion": q_lang_confusion,
         "classifier_auc": q_classifier_auc,
+        "label_diversity": q_label_diversity,
         # Everything below is QUEUED IN ROUND-6 PRIORITY ORDER — the next
         # rotation is a pure cut at slot 50. First ALL TWENTY r1/r2-
         # vintage re-earners, none of which fit this round (a1_distinct,
@@ -6447,6 +6456,24 @@ def oracle_sql() -> dict[str, str]:
                     (PARTITION BY query_id ORDER BY cosine_sim DESC, vec_id)::INT AS rank
                   FROM s)
             SELECT query_id, vec_id, cosine_sim, rank FROM r WHERE rank <= 5
+        """,
+        "label_diversity": """
+            WITH c AS (SELECT vec_id, label,
+                         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                       FROM embeddings),
+            l AS (SELECT label, i, v[i + 1] AS x
+                  FROM c CROSS JOIN (SELECT unnest(range(0, 64)) AS i) t),
+            dims AS (SELECT label, i, sum(x) AS s FROM l GROUP BY label, i),
+            sq AS (SELECT label, sum(s * s) AS sum_sq FROM dims GROUP BY label),
+            base AS (SELECT label, count(*) AS n,
+                            sum(list_dot_product(v, v)) AS ssq
+                     FROM c GROUP BY label)
+            SELECT b.label, b.n,
+                   round(b.ssq / b.n, 6) AS mean_self_dot,
+                   CASE WHEN b.n > 1
+                        THEN round((q.sum_sq - b.ssq) / (b.n * (b.n - 1)), 6)
+                        END AS mean_pairwise_dot
+            FROM base b JOIN sq q USING (label)
         """,
         "hard_negatives": """
             WITH c AS (SELECT vec_id, label,

@@ -117,6 +117,9 @@ HEADLINE = [
     "drift_report",
     "skew_report",
     "dedup_recall",
+    "lang_confusion",
+    "classifier_auc",
+    "label_diversity",
 ]
 
 #: the queries that were in BENCH_r01 (the operative baseline — BASELINE.md:

@@ -1005,3 +1005,60 @@ def whiten_embeddings(
         ).alias("whitened"),
     )
     return out
+
+
+def label_diversity(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    dim: int | None = None,
+) -> DataFrame:
+    """Intra-label embedding diversity WITHOUT a pair join: the mean
+    pairwise dot product inside each label via the sum-vector identity
+
+        Σ_{i≠j} ⟨vᵢ,vⱼ⟩ = ⟨Σv, Σv⟩ − Σ⟨vᵢ,vᵢ⟩
+
+    so a label's O(n²) pair structure reduces to per-dim sums + a
+    sum-of-self-dots — ONE grouped aggregation (dim+2 partial-agg'd
+    columns), nothing quadratic anywhere. High mean pairwise similarity
+    flags a collapsed/redundant label (candidate for dedup or downsampling);
+    the same identity powers cluster-cohesion checks at any corpus size.
+
+    Output: (label, n, mean_self_dot, mean_pairwise_dot) — pairwise is
+    NULL for singleton labels (no pairs exist).
+    """
+    d = dim or _infer_dim(df, vec_col)
+    if d is None:
+        return _empty(
+            df,
+            f"{label_col} int, n bigint, mean_self_dot double, "
+            "mean_pairwise_dot double",
+        )
+    v = F.col(vec_col)
+    self_dot = None
+    for i in range(d):
+        x = v[i].cast("double")
+        self_dot = x * x if self_dot is None else self_dot + x * x
+    agg = df.groupBy(label_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(self_dot).alias("_ssq"),
+        *[F.sum(v[i].cast("double")).alias(f"_s{i}") for i in range(d)],
+    )
+    sum_sq = None
+    for i in range(d):
+        s = F.col(f"_s{i}")
+        sum_sq = s * s if sum_sq is None else sum_sq + s * s
+    return agg.select(
+        label_col,
+        "n",
+        F.round(F.col("_ssq") / F.col("n"), 6).alias("mean_self_dot"),
+        F.when(
+            F.col("n") > 1,
+            F.round(
+                (sum_sq - F.col("_ssq")) / (F.col("n") * (F.col("n") - 1)),
+                6,
+            ),
+        ).alias("mean_pairwise_dot"),
+    )

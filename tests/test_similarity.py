@@ -408,3 +408,27 @@ def test_whiten_embeddings_standardizes_each_dim(spark):
         assert abs(mu) < 1e-9 and abs(var - 1.0) < 1e-9
     # constant dimension -> all zeros via the eps guard, not inf/NaN
     assert all(x == 0.0 for x in by_dim[2])
+
+
+def test_label_diversity_matches_bruteforce(spark):
+    import itertools
+
+    rows = [
+        (1, [1.0, 0.0], 0), (2, [0.5, 0.5], 0), (3, [0.0, 1.0], 0),
+        (4, [2.0, 1.0], 1), (5, [2.0, 1.0], 1),
+        (6, [3.0, -1.0], 2),  # singleton
+    ]
+    from database2ogr_spark.operators.similarity import label_diversity
+
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    out = {r.label: r for r in label_diversity(df, dim=2).collect()}
+    for lbl in (0, 1):
+        vecs = [v for _, v, l in rows if l == lbl]
+        pair = [
+            sum(a * b for a, b in zip(x, y))
+            for x, y in itertools.permutations(vecs, 2)
+        ]
+        expect = sum(pair) / (len(vecs) * (len(vecs) - 1))
+        assert abs(out[lbl].mean_pairwise_dot - round(expect, 6)) < 1e-9
+    assert out[2].n == 1 and out[2].mean_pairwise_dot is None
+    assert out[2].mean_self_dot == 10.0
