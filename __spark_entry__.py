@@ -3274,7 +3274,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     is a graded constituent of a prefix entry). winsorize_values, training_order,
     dedup_survivors_priority, and gap_fill additionally carry this round's
     advisor fixes (left-join NULL groups, 256-bucket shift, widened
-    sort-key pads) — all inside the prefix."""
+    sort-key pads) — all inside the prefix.
+
+    Round-5 additions that landed after the prefix froze (all locally
+    hash-matched via scripts/check_oracle.py, queued at the round-6 head
+    behind the earlier round-5 group): triangle_count, budget_select,
+    mad_outliers, hard_negatives, whiten_embeddings, char_entropy,
+    quantile_normalize, fuzzy_match, multimodal_exact_dedup,
+    multimodal_phash, fk_integrity, drift_report, skew_report,
+    dedup_recall, lang_confusion, classifier_auc, label_diversity."""
     return {
         # --- (b) first-ever driver rows: the 37 late-round-4 additions ---
         # (five partsupp-family TPC-H completions, unpivot, rolling window
