@@ -1037,6 +1037,66 @@ def q_label_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.label_diversity(_t(spark, sf_dir, "embeddings"), dim=64)
 
 
+def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel view→click→purchase (funnel.funnel_conversion):
+    chain of user-keyed joins, each stage's reach table shrinking
+    monotonically; strict ``>`` tie rule shared with the twin. Output is
+    3 rows of step counts + conversion rates."""
+    from database2ogr_spark.operators.funnel import funnel_conversion
+
+    ev = read_events(spark, os.path.join(sf_dir, "events.parquet"))
+    return funnel_conversion(ev, ["view", "click", "purchase"])
+
+
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention (funnel.retention_cohorts): integer
+    epoch-day arithmetic only (no calendar functions in the plan), one
+    distinct + one user-keyed window + one (cohort, offset) agg."""
+    from database2ogr_spark.operators.funnel import retention_cohorts
+
+    ev = read_events(spark, os.path.join(sf_dir, "events.parquet"))
+    return retention_cohorts(ev, bucket_days=7)
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-15 for 'spark window shuffle' (search.bm25_topk)
+    over the materialized positional index — ranked retrieval completing
+    the boolean/phrase family. Scores rounded 6 dp; (score DESC, doc_id)
+    cut is deterministic. Twin replays tf/dl/idf off the corpus."""
+    from database2ogr_spark.operators.search import (
+        bm25_topk,
+        build_positional_index,
+    )
+
+    out = os.path.join(tempfile.gettempdir(), "d2o_bm25_idx")
+    build_positional_index(_t(spark, sf_dir, "documents"), out)
+    return bm25_topk(spark, out, ["spark", "window", "shuffle"], k=15)
+
+
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source corpus overlap (overlap.source_overlap_matrix): exact
+    pairwise word-3-gram Jaccard between the corpus's sources — the audit
+    that decides whether cross-source dedup is worth running. Per-gram
+    source-sets stay bounded by #sources; no gram self-join."""
+    from database2ogr_spark.operators.overlap import source_overlap_matrix
+
+    return source_overlap_matrix(_t(spark, sf_dir, "documents"), n=3)
+
+
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity screen (validate.k_anonymity_report) on the
+    (lang, source, 100-char length bucket) quasi-identifier combination,
+    k=5 — the release-gate complement to redact_pii."""
+    from database2ogr_spark.operators.validate import k_anonymity_report
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "lang",
+        "source",
+        F.floor(F.col("n_chars") / 100).alias("len_bucket"),
+    )
+    return k_anonymity_report(docs, ["lang", "source", "len_bucket"], k=5)
+
+
 def q_fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _t(spark, sf_dir, "documents").select(
         "doc_id", TS.rolling_fingerprint("text").alias("fp")
@@ -3390,6 +3450,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_confusion": q_lang_confusion,
         "classifier_auc": q_classifier_auc,
         "label_diversity": q_label_diversity,
+        "funnel_steps": q_funnel_steps,
+        "retention_cohorts": q_retention_cohorts,
+        "bm25_topk": q_bm25_topk,
+        "source_overlap": q_source_overlap,
+        "k_anonymity": q_k_anonymity,
         # Everything below is QUEUED IN ROUND-6 PRIORITY ORDER — the next
         # rotation is a pure cut at slot 50. First ALL TWENTY r1/r2-
         # vintage re-earners, none of which fit this round (a1_distinct,
@@ -6482,6 +6547,103 @@ def oracle_sql() -> dict[str, str]:
                         THEN round((q.sum_sq - b.ssq) / (b.n * (b.n - 1)), 6)
                         END AS mean_pairwise_dot
             FROM base b JOIN sq q USING (label)
+        """,
+        "funnel_steps": """
+            WITH s1 AS (SELECT user_id, min(ts) AS rt FROM events
+                        WHERE event_type = 'view' GROUP BY user_id),
+            s2 AS (SELECT e.user_id, min(e.ts) AS rt
+                   FROM events e JOIN s1 ON e.user_id = s1.user_id
+                                        AND e.ts > s1.rt
+                   WHERE e.event_type = 'click' GROUP BY e.user_id),
+            s3 AS (SELECT e.user_id, min(e.ts) AS rt
+                   FROM events e JOIN s2 ON e.user_id = s2.user_id
+                                        AND e.ts > s2.rt
+                   WHERE e.event_type = 'purchase' GROUP BY e.user_id),
+            c AS (
+              SELECT 1 AS step, 'view' AS event_type,
+                     count(*)::BIGINT AS users FROM s1
+              UNION ALL SELECT 2, 'click', count(*)::BIGINT FROM s2
+              UNION ALL SELECT 3, 'purchase', count(*)::BIGINT FROM s3)
+            SELECT step, event_type, users,
+              round(users / first_value(users) OVER (ORDER BY step), 6)
+                AS conv_from_first,
+              round(users / coalesce(lag(users) OVER (ORDER BY step), users),
+                    6) AS conv_from_prev
+            FROM c
+        """,
+        "retention_cohorts": """
+            WITH ud AS (SELECT DISTINCT user_id AS u,
+                          CAST(floor(epoch(ts) / 86400) AS BIGINT) AS d
+                        FROM events),
+            a AS (SELECT u, d, min(d) OVER (PARTITION BY u) AS d0 FROM ud),
+            b AS (SELECT CAST(floor(d0 / 7) AS BIGINT) AS cohort_bucket,
+                         CAST(floor((d - d0) / 7) AS BIGINT) AS "offset", u
+                  FROM a),
+            g AS (SELECT cohort_bucket, "offset",
+                         count(DISTINCT u)::BIGINT AS active_users
+                  FROM b GROUP BY cohort_bucket, "offset")
+            SELECT cohort_bucket, "offset", active_users,
+              round(active_users /
+                (max(CASE WHEN "offset" = 0 THEN active_users END)
+                   OVER (PARTITION BY cohort_bucket)), 6) AS retention
+            FROM g
+        """,
+        "bm25_topk": """
+            WITH tk AS (SELECT doc_id, list_filter(string_split(
+                          regexp_replace(text, '\\s+', ' ', 'g'), ' '),
+                          x -> x <> '') AS w
+                        FROM documents),
+            tok AS (SELECT doc_id, unnest(w) AS token FROM tk),
+            tf AS (SELECT doc_id, token, count(*)::BIGINT AS tf
+                   FROM tok GROUP BY doc_id, token),
+            dl AS (SELECT doc_id, sum(tf)::BIGINT AS dl
+                   FROM tf GROUP BY doc_id),
+            st AS (SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl
+                   FROM dl),
+            dfq AS (SELECT token, count(*)::BIGINT AS dfreq FROM tf
+                    WHERE token IN ('spark', 'window', 'shuffle')
+                    GROUP BY token),
+            sc AS (SELECT tf.doc_id,
+                     sum(ln(1 + (n_docs - dfreq + 0.5) / (dfreq + 0.5))
+                         * (tf * 2.2)
+                         / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))) AS s
+                   FROM tf JOIN dfq USING (token) JOIN dl USING (doc_id)
+                        CROSS JOIN st
+                   GROUP BY tf.doc_id)
+            SELECT doc_id, round(s, 6) AS score FROM sc
+            ORDER BY score DESC, doc_id LIMIT 15
+        """,
+        "source_overlap": """
+            WITH tk AS (SELECT source, list_filter(string_split(
+                          regexp_replace(text, '\\s+', ' ', 'g'), ' '),
+                          x -> x <> '') AS w
+                        FROM documents),
+            g AS (SELECT DISTINCT source,
+                    w[CAST(i AS INT)] || ' ' || w[CAST(i + 1 AS INT)] || ' '
+                      || w[CAST(i + 2 AS INT)] AS gram
+                  FROM tk CROSS JOIN (SELECT unnest(range(1,
+                    (SELECT max(len(w)) FROM tk) + 1)) AS i) ii
+                  WHERE i + 2 <= len(w)),
+            ps AS (SELECT source, count(*)::BIGINT AS n_grams
+                   FROM g GROUP BY source),
+            pr AS (SELECT a.source AS source_a, b.source AS source_b,
+                          count(*)::BIGINT AS n_common
+                   FROM g a JOIN g b ON a.gram = b.gram
+                                    AND a.source < b.source
+                   GROUP BY a.source, b.source)
+            SELECT source_a, source_b,
+                   pa.n_grams AS grams_a, pb.n_grams AS grams_b, n_common,
+              round(n_common /
+                    (pa.n_grams + pb.n_grams - n_common), 6) AS jaccard
+            FROM pr JOIN ps pa ON pa.source = pr.source_a
+                    JOIN ps pb ON pb.source = pr.source_b
+        """,
+        "k_anonymity": """
+            SELECT lang, source,
+                   CAST(floor(n_chars / 100) AS BIGINT) AS len_bucket,
+                   count(*)::BIGINT AS n,
+                   CAST(count(*) < 5 AS INT) AS at_risk
+            FROM documents GROUP BY lang, source, len_bucket
         """,
         "hard_negatives": """
             WITH c AS (SELECT vec_id, label,

@@ -1,0 +1,148 @@
+"""Product-analytics batch operators over the events stream: ordered
+funnel conversion and cohort retention. Completes the events family
+(sessionize / attribution / enrichment are in streaming/events.py) with
+the two classic whole-history rollups that are batch-shaped even when the
+source is a stream (they need the full horizon, not a window).
+
+Reference parity note: the reference engine has no events analytics —
+this is part of the beyond-reference training-data/ops surface
+(SURVEY.md "beyond" scope), same tier as sessionize.
+
+Scale design:
+- ``funnel_conversion`` is a chain of len(steps)-1 equi-joins, ALL keyed
+  on user_id: after the first shuffle every subsequent join re-uses the
+  same hash partitioning (AQE coalesces), and each stage's left side is
+  the per-user min-timestamp table for one event type — it SHRINKS
+  monotonically down the funnel, so join N+1 is never bigger than join
+  N. No windows over the raw event log, no collect.
+- ``retention_cohorts`` touches the raw log once: distinct (user, day)
+  → per-user first day via one user-keyed window → one (cohort, offset)
+  aggregation. Day arithmetic is integer epoch-days (granularity-bucketed
+  with plain integer division), so no calendar/timezone functions appear
+  in the plan — bit-identical across engines and partitionings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def funnel_conversion(
+    events: DataFrame,
+    steps: list[str],
+    *,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Strictly-ordered funnel over ``steps``: a user reaches step i+1
+    only with an event of that type STRICTLY AFTER their step-i reach
+    time (earliest-completion semantics: reach time for step i+1 is the
+    min such timestamp). Returns one row per step:
+
+    ``(step int 1-based, event_type, users bigint,
+    conv_from_first double, conv_from_prev double)`` — rates rounded to
+    6 dp, conv_from_* = 1.0 on the first step.
+
+    Equal timestamps do NOT advance the funnel (strict ``>``): a
+    view+click logged on the same microsecond counts as view only —
+    documented tie rule shared with the oracle.
+    """
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    ev = events.select(
+        F.col(user_col).alias("u"),
+        F.col(type_col).alias("t"),
+        F.col(ts_col).alias("ts"),
+    )
+    stage = (
+        ev.filter(F.col("t") == steps[0])
+        .groupBy("u")
+        .agg(F.min("ts").alias("rt"))
+    )
+    per_step = [
+        stage.select(
+            F.lit(1).alias("step"), F.lit(steps[0]).alias("event_type"), "u"
+        )
+    ]
+    for i, s in enumerate(steps[1:], start=2):
+        stage = (
+            ev.filter(F.col("t") == s)
+            .join(stage.select("u", F.col("rt").alias("prt")), "u")
+            .filter(F.col("ts") > F.col("prt"))
+            .groupBy("u")
+            .agg(F.min("ts").alias("rt"))
+        )
+        per_step.append(
+            stage.select(
+                F.lit(i).alias("step"), F.lit(s).alias("event_type"), "u"
+            )
+        )
+    counts = per_step[0]
+    for f in per_step[1:]:
+        counts = counts.unionByName(f)
+    agg = counts.groupBy("step", "event_type").agg(
+        F.count(F.lit(1)).alias("users")
+    )
+    w = Window.orderBy("step")
+    return agg.select(
+        "step",
+        "event_type",
+        "users",
+        F.round(
+            F.col("users") / F.first("users").over(w), 6
+        ).alias("conv_from_first"),
+        F.round(
+            F.col("users")
+            / F.coalesce(F.lag("users").over(w), F.col("users")),
+            6,
+        ).alias("conv_from_prev"),
+    )
+
+
+def retention_cohorts(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    bucket_days: int = 7,
+) -> DataFrame:
+    """Cohort retention matrix: cohort = the user's first active
+    epoch-``bucket_days`` bucket (``floor(first_day / bucket_days)`` on
+    integer epoch-days), offset = buckets since the user's own first
+    ACTIVE DAY (day-anchored, so a user signing up late in a bucket is
+    not penalized a near-empty first period). Returns
+
+    ``(cohort_bucket bigint, offset bigint, active_users bigint,
+    retention double)`` — retention = active / the cohort's offset-0
+    count, rounded 6 dp (offset 0 is 1.0 by construction).
+    """
+    day = F.floor(F.unix_timestamp(F.col(ts_col)) / F.lit(86400))
+    ud = (
+        events.select(F.col(user_col).alias("u"), day.alias("d"))
+        .distinct()
+    )
+    w = Window.partitionBy("u")
+    act = ud.select(
+        "u",
+        "d",
+        F.min("d").over(w).alias("d0"),
+    ).select(
+        F.floor(F.col("d0") / bucket_days).alias("cohort_bucket"),
+        F.floor((F.col("d") - F.col("d0")) / bucket_days).alias("offset"),
+        "u",
+    )
+    agg = act.groupBy("cohort_bucket", "offset").agg(
+        F.countDistinct("u").alias("active_users")
+    )
+    wc = Window.partitionBy("cohort_bucket")
+    base = F.max(
+        F.when(F.col("offset") == 0, F.col("active_users"))
+    ).over(wc)
+    return agg.select(
+        "cohort_bucket",
+        "offset",
+        "active_users",
+        F.round(F.col("active_users") / base, 6).alias("retention"),
+    )

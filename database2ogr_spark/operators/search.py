@@ -95,6 +95,75 @@ def build_positional_index(
     return out_dir
 
 
+def bm25_topk(
+    spark: SparkSession,
+    index_dir: str,
+    terms: list[str],
+    *,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Ranked retrieval: Okapi BM25 top-``k`` over the positional index
+    (which already stores per-(token, doc) ``tf``) — the third member of
+    the retrieval family after boolean AND and phrase search.
+
+    idf uses the standard +1-inside-the-log form (never negative):
+    ``ln(1 + (N - df + 0.5) / (df + 0.5))``; the length normalization is
+    ``tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))``.
+
+    Plan: document lengths, N, and avgdl come from ONE pass over the
+    index (a by-doc sum — at 100 TB you materialize the doc-length table
+    at index-build time and this pass disappears; the query-side cost is
+    then just the query terms' postings). Corpus stats (N, avgdl) ride a
+    1-row crossJoin — no driver collect. Scores are rounded to 6 dp and
+    the top-k order is (score DESC, doc_id ASC), so the cut is
+    deterministic across engines and partitionings.
+
+    Returns ``(doc_id, score)``, at most ``k`` rows.
+    """
+    idx = spark.read.parquet(index_dir)
+    dl = idx.groupBy("doc").agg(F.sum("tf").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+    matches = idx.filter(F.col("token").isin(list(set(terms)))).select(
+        "token", "doc", "tf"
+    )
+    dfreq = matches.groupBy("token").agg(
+        F.countDistinct("doc").alias("dfreq")
+    )
+    scored = (
+        matches.join(F.broadcast(dfreq), "token")
+        .join(dl, "doc")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc",
+            (
+                F.log(
+                    F.lit(1.0)
+                    + (F.col("n_docs") - F.col("dfreq") + F.lit(0.5))
+                    / (F.col("dfreq") + F.lit(0.5))
+                )
+                * (F.col("tf") * (k1 + 1.0))
+                / (
+                    F.col("tf")
+                    + k1
+                    * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+                )
+            ).alias("_s"),
+        )
+        .groupBy("doc")
+        .agg(F.round(F.sum("_s"), 6).alias("score"))
+    )
+    return (
+        scored.orderBy(F.col("score").desc(), F.col("doc").asc())
+        .limit(k)
+        .select(F.col("doc").alias("doc_id"), "score")
+    )
+
+
 def phrase_search(
     spark: SparkSession, index_dir: str, phrase: list[str]
 ) -> DataFrame:

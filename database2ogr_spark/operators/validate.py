@@ -165,6 +165,40 @@ def profile_columns(
     return row.select(F.explode(per_col).alias("p")).select("p.*")
 
 
+def k_anonymity_report(
+    df: DataFrame,
+    quasi_cols: list[str],
+    *,
+    k: int = 5,
+) -> DataFrame:
+    """Privacy screening: k-anonymity over a quasi-identifier combination
+    — the release-gate complement to PII redaction (functions/text.py
+    redact_pii scrubs direct identifiers; this flags rows whose
+    quasi-identifier combination is so rare it re-identifies).
+
+    One row per distinct quasi-identifier combination:
+    ``(*quasi_cols, n bigint, at_risk int)`` with ``at_risk = 1`` when
+    the group has fewer than ``k`` members (NULLs group together, as an
+    attacker would treat them). Downstream either drops at-risk rows
+    (semi-join back on the quasi columns) or generalizes a column and
+    re-runs — the report is the fixed point check of that loop.
+
+    Scale: one groupBy on the quasi columns — the same shuffle any
+    release-time aggregate pays; output is #combinations, not #rows.
+    """
+    if not quasi_cols:
+        raise ValueError("quasi_cols must be non-empty")
+    return (
+        df.groupBy(*quasi_cols)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            *quasi_cols,
+            "n",
+            (F.col("n") < k).cast("int").alias("at_risk"),
+        )
+    )
+
+
 def fk_orphans(
     child: DataFrame,
     parent: DataFrame,

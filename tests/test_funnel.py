@@ -1,0 +1,93 @@
+"""Funnel conversion + cohort retention (operators/funnel.py)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+
+def _ts(day: int, minute: int = 0) -> dt.datetime:
+    return dt.datetime(2024, 1, 1 + day, 12, 0) + dt.timedelta(minutes=minute)
+
+
+def test_funnel_strict_order_and_rates(spark):
+    from database2ogr_spark.operators.funnel import funnel_conversion
+
+    rows = [
+        # u1 completes the whole funnel in order
+        (1, "view", _ts(0, 0)),
+        (1, "click", _ts(0, 5)),
+        (1, "purchase", _ts(0, 9)),
+        # u2 views then clicks, never purchases
+        (2, "view", _ts(0, 0)),
+        (2, "click", _ts(0, 1)),
+        # u3 clicks BEFORE viewing -> click must not count
+        (3, "click", _ts(0, 0)),
+        (3, "view", _ts(0, 2)),
+        # u4 purchase before click -> only view+click reached
+        (4, "view", _ts(0, 0)),
+        (4, "purchase", _ts(0, 1)),
+        (4, "click", _ts(0, 2)),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts timestamp"
+    )
+    out = {
+        r.step: r
+        for r in funnel_conversion(
+            ev, ["view", "click", "purchase"]
+        ).collect()
+    }
+    assert out[1].users == 4 and out[1].event_type == "view"
+    assert out[2].users == 3  # u1, u2, u4 (u3's click precedes its view)
+    assert out[3].users == 1  # only u1
+    assert out[1].conv_from_first == 1.0 and out[1].conv_from_prev == 1.0
+    assert out[2].conv_from_first == 0.75 and out[2].conv_from_prev == 0.75
+    assert out[3].conv_from_first == 0.25
+    assert abs(out[3].conv_from_prev - round(1 / 3, 6)) < 1e-9
+
+
+def test_funnel_equal_timestamp_does_not_advance(spark):
+    from database2ogr_spark.operators.funnel import funnel_conversion
+
+    ev = spark.createDataFrame(
+        [(1, "view", _ts(0)), (1, "click", _ts(0))],
+        "user_id long, event_type string, ts timestamp",
+    )
+    out = {
+        r.step: r.users
+        for r in funnel_conversion(ev, ["view", "click"]).collect()
+    }
+    assert out[1] == 1
+    assert out.get(2) is None  # strict >: same-instant click doesn't count
+
+
+def test_retention_cohorts_hand_computed(spark):
+    from database2ogr_spark.operators.funnel import retention_cohorts
+
+    rows = [
+        # u1 first active day 0, returns day 8 (offset bucket 1)
+        (1, _ts(0)),
+        (1, _ts(8)),
+        # u2 first active day 0 only
+        (2, _ts(0)),
+        # u3 first active day 9 (different weekly cohort), returns day 10
+        # (same offset-0 bucket: day-anchored offsets)
+        (3, _ts(9)),
+        (3, _ts(10)),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = {
+        (r.cohort_bucket, r.offset): r
+        for r in retention_cohorts(ev, bucket_days=7).collect()
+    }
+    # epoch day of 2024-01-01 -> cohort buckets are absolute epoch-weeks;
+    # compare relatively: two distinct cohorts, correct sizes and rates
+    cohorts = sorted({c for c, _ in out})
+    assert len(cohorts) == 2
+    c0, c1 = cohorts
+    assert out[(c0, 0)].active_users == 2
+    assert out[(c0, 1)].active_users == 1
+    assert out[(c0, 1)].retention == 0.5
+    assert out[(c1, 0)].active_users == 1
+    assert out[(c1, 0)].retention == 1.0
+    assert (c1, 1) not in out  # day-10 return is inside u3's offset-0 week

@@ -91,3 +91,51 @@ def test_positional_index_positions_sorted(spark, tmp_path):
     for r in rows:
         assert list(r.positions) == sorted(r.positions)
         assert r.tf == len(r.positions)
+
+
+def test_bm25_hand_computed(spark, tmp_path):
+    import math
+
+    from database2ogr_spark.operators.search import (
+        bm25_topk,
+        build_positional_index,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark spark window"),   # both terms, spark tf=2
+            (2, "spark noise noise noise noise"),  # one term, long doc
+            (3, "window"),               # one term, shortest doc
+            (4, "noise only here"),      # no query terms
+        ],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "bmidx")
+    build_positional_index(docs, idx)
+    out = {
+        r.doc_id: r.score
+        for r in bm25_topk(spark, idx, ["spark", "window"], k=10).collect()
+    }
+    assert set(out) == {1, 2, 3}
+
+    # replay the formula in python
+    dls = {1: 3, 2: 5, 3: 1, 4: 3}
+    n, avgdl, k1, b = 4, 3.0, 1.2, 0.75
+
+    def idf(df):
+        return math.log(1 + (n - df + 0.5) / (df + 0.5))
+
+    def part(tf, dl):
+        return tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+
+    exp1 = idf(2) * part(2, dls[1]) + idf(2) * part(1, dls[1])
+    exp2 = idf(2) * part(1, dls[2])
+    exp3 = idf(2) * part(1, dls[3])
+    assert abs(out[1] - round(exp1, 6)) < 1e-6
+    assert abs(out[2] - round(exp2, 6)) < 1e-6
+    assert abs(out[3] - round(exp3, 6)) < 1e-6
+    # both-terms doc outranks single-term docs; short doc beats long doc
+    assert out[1] > out[3] > out[2]
+    # k cut is respected and deterministic
+    top1 = bm25_topk(spark, idx, ["spark", "window"], k=1).collect()
+    assert [r.doc_id for r in top1] == [1]

@@ -124,3 +124,24 @@ def test_fk_orphans_counts_and_null_separation(spark):
     assert r.relation == "c->p"
     assert r.n_child == 4 and r.n_null_fk == 1 and r.n_orphans == 1
     assert r.orphan_frac == 0.25
+
+
+def test_k_anonymity_report(spark):
+    from database2ogr_spark.operators.validate import k_anonymity_report
+
+    df = spark.createDataFrame(
+        [("en", "web")] * 5 + [("en", "book")] * 2 + [(None, "web")] * 1,
+        "lang string, source string",
+    )
+    out = {
+        (r.lang, r.source): (r.n, r.at_risk)
+        for r in k_anonymity_report(df, ["lang", "source"], k=5).collect()
+    }
+    assert out[("en", "web")] == (5, 0)       # exactly k -> safe
+    assert out[("en", "book")] == (2, 1)      # below k -> at risk
+    assert out[(None, "web")] == (1, 1)       # NULLs group together
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        k_anonymity_report(df, [], k=5)
