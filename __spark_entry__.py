@@ -3342,7 +3342,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     mad_outliers, hard_negatives, whiten_embeddings, char_entropy,
     quantile_normalize, fuzzy_match, multimodal_exact_dedup,
     multimodal_phash, fk_integrity, drift_report, skew_report,
-    dedup_recall, lang_confusion, classifier_auc, label_diversity."""
+    dedup_recall, lang_confusion, classifier_auc, label_diversity,
+    funnel_steps, retention_cohorts, bm25_topk, source_overlap,
+    k_anonymity."""
     return {
         # --- (b) first-ever driver rows: the 37 late-round-4 additions ---
         # (five partsupp-family TPC-H completions, unpivot, rolling window

@@ -120,6 +120,11 @@ HEADLINE = [
     "lang_confusion",
     "classifier_auc",
     "label_diversity",
+    "funnel_steps",
+    "retention_cohorts",
+    "bm25_topk",
+    "source_overlap",
+    "k_anonymity",
 ]
 
 #: the queries that were in BENCH_r01 (the operative baseline — BASELINE.md:
