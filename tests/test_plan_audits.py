@@ -378,3 +378,50 @@ def test_phash_media_decodes_once_single_shuffle(spark):
     plan = _plan(spark, "multimodal_phash")
     assert plan.count("MapInPandas") == 1, plan
     assert plan.count("Exchange hashpartitioning") <= 1, plan
+
+
+def test_funnel_joins_stay_on_user_no_cartesian(spark):
+    plan = _plan(spark, "funnel_steps")
+    assert "CartesianProduct" not in plan, plan
+    # every join in the chain is the user-keyed equi-join (sort-merge or
+    # hash after AQE) — no nested-loop fallback
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_retention_two_shuffle_keys_only(spark):
+    plan = _plan(spark, "retention_cohorts")
+    keys = set(
+        re.findall(r"Exchange hashpartitioning\(([a-zA-Z0-9_]+)#", plan)
+    )
+    # only the user key and the cohort/offset agg key ever shuffle
+    assert keys <= {"u", "cohort_bucket"}, (keys, plan)
+
+
+def test_bm25_topk_takeordered_and_broadcast_stats(spark):
+    plan = _plan(spark, "bm25_topk")
+    # top-k must be TakeOrderedAndProject, never a global Sort+Limit scan
+    assert "TakeOrderedAndProject" in plan, plan
+    # the 1-row corpus-stats crossJoin rides a broadcast
+    assert "BroadcastNestedLoopJoin BuildRight, Cross" in plan or (
+        "BroadcastNestedLoopJoin" in plan
+    ), plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_source_overlap_no_gram_self_join(spark):
+    plan = _plan(spark, "source_overlap")
+    # the pair fanout happens in codegen over the per-gram source set —
+    # the plan must contain NO join of the gram table with itself
+    # (hot-shingle safe: cost per gram is C(#sources,2), not C(df,2))
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    # per-source counts ride broadcasts into the final assembly
+    assert plan.count("BroadcastHashJoin") == 2, plan
+
+
+def test_k_anonymity_single_shuffle(spark):
+    plan = _plan(spark, "k_anonymity")
+    n = plan.count("Exchange hashpartitioning") + plan.count(
+        "Exchange rangepartitioning"
+    )
+    assert n == 1, plan
