@@ -1097,6 +1097,55 @@ def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return k_anonymity_report(docs, ["lang", "source", "len_bucket"], k=5)
 
 
+def q_windowed_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skip-gram collocations (collocations.windowed_pmi, window=3):
+    pair expansion in codegen (slice+zip_with per offset) — linear in
+    tokens × window, never a positions self-join. Top-50, min_count 5."""
+    from database2ogr_spark.operators.collocations import windowed_pmi
+
+    return windowed_pmi(
+        _t(spark, sf_dir, "documents"), window=3, min_count=5, top_n=50
+    )
+
+
+def q_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lang↔source dependence audit (validate.mutual_information): one
+    corpus pass builds the joint table; entropies/MI/NMI derive from it
+    (#combinations rows). The leakage detector for metadata columns."""
+    from database2ogr_spark.operators.validate import mutual_information
+
+    return mutual_information(_t(spark, sf_dir, "documents"), "lang", "source")
+
+
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law OLS fit (tfidf.zipf_fit) on the top-500 term
+    frequencies — corpus-health audit; regression runs on the bounded
+    top-N table via built-in regr_* aggregates (identical in DuckDB)."""
+    from database2ogr_spark.operators.tfidf import zipf_fit
+
+    return zipf_fit(_t(spark, sf_dir, "documents"), top_n=500)
+
+
+def q_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse TF-IDF cosine similarity join (tfidf.tfidf_cosine_pairs):
+    rare-term-subspace cosine ≥ 0.25 via the term-keyed inverted-index
+    join with the C(max_df,2) fanout guard — the weighted-sparse third
+    member of the similarity-join family (Jaccard sets / dense
+    embeddings / sparse TF-IDF). Terms are the standard 62-bit 3-gram
+    shingle ids (Arrow gram kernel): the synthetic corpus has a 31-word
+    vocabulary, so every UNIGRAM's df exceeds any useful max_df already
+    at sf0.1 (the rare-term subspace would be empty — measured); the
+    shingle space keeps df bounded at every tested scale."""
+    from database2ogr_spark.operators.tfidf import tfidf_cosine_pairs
+
+    return tfidf_cosine_pairs(
+        _t(spark, sf_dir, "documents"),
+        threshold=0.25,
+        max_df=100,
+        terms="shingles",
+    )
+
+
 def q_fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _t(spark, sf_dir, "documents").select(
         "doc_id", TS.rolling_fingerprint("text").alias("fp")
@@ -3344,7 +3393,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     multimodal_phash, fk_integrity, drift_report, skew_report,
     dedup_recall, lang_confusion, classifier_auc, label_diversity,
     funnel_steps, retention_cohorts, bm25_topk, source_overlap,
-    k_anonymity."""
+    k_anonymity, windowed_pmi, mutual_information, zipf_fit,
+    tfidf_cosine_pairs."""
     return {
         # --- (b) first-ever driver rows: the 37 late-round-4 additions ---
         # (five partsupp-family TPC-H completions, unpivot, rolling window
@@ -3457,6 +3507,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25_topk,
         "source_overlap": q_source_overlap,
         "k_anonymity": q_k_anonymity,
+        "windowed_pmi": q_windowed_pmi,
+        "mutual_information": q_mutual_information,
+        "zipf_fit": q_zipf_fit,
+        "tfidf_cosine_pairs": q_tfidf_cosine_pairs,
         # Everything below is QUEUED IN ROUND-6 PRIORITY ORDER — the next
         # rotation is a pure cut at slot 50. First ALL TWENTY r1/r2-
         # vintage re-earners, none of which fit this round (a1_distinct,
@@ -6150,6 +6204,106 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY pmi DESC, token_a, token_b
             LIMIT 100
         """,
+        # skip-gram PMI: same counts contract as pmi_bigrams with the
+        # offset range 1..3 unrolled; min_count 5, top-50 total ordering
+        "windowed_pmi": f"""
+            WITH wt AS (SELECT doc_id, {_WORDS_SQL} AS ws FROM documents),
+            uni AS (SELECT unnest(ws) AS w FROM wt),
+            ucnt AS (SELECT w, count(*)::BIGINT AS c FROM uni GROUP BY 1),
+            nt AS (SELECT count(*)::BIGINT AS n_tok FROM uni),
+            bp AS (
+              SELECT ws[CAST(i AS INT)] AS token_a,
+                     ws[CAST(i + d AS INT)] AS token_b
+              FROM wt CROSS JOIN
+                (SELECT unnest(range(1, (SELECT max(len(ws)) FROM wt) + 1))
+                   AS i) ii
+              CROSS JOIN (SELECT unnest(range(1, 4)) AS d) dd
+              WHERE i + d <= len(ws)),
+            bcnt AS (SELECT token_a, token_b, count(*)::BIGINT AS n_pair
+                     FROM bp GROUP BY 1, 2),
+            nb AS (SELECT count(*)::BIGINT AS n_big FROM bp),
+            j AS (
+              SELECT b.token_a, b.token_b, b.n_pair, ua.c AS c_a,
+                     ub.c AS c_b, nt.n_tok, nb.n_big
+              FROM bcnt b
+              JOIN ucnt ua ON b.token_a = ua.w
+              JOIN ucnt ub ON b.token_b = ub.w
+              CROSS JOIN nt CROSS JOIN nb
+              WHERE b.n_pair >= 5)
+            SELECT token_a, token_b, n_pair,
+              round(ln((CAST(n_pair AS DOUBLE) / CAST(n_big AS DOUBLE)) /
+                ((CAST(c_a AS DOUBLE) / CAST(n_tok AS DOUBLE)) *
+                 (CAST(c_b AS DOUBLE) / CAST(n_tok AS DOUBLE)))), 6) AS pmi
+            FROM j
+            ORDER BY pmi DESC, token_a, token_b
+            LIMIT 50
+        """,
+        "mutual_information": """
+            WITH j AS (SELECT lang AS x, source AS y, count(*)::BIGINT AS n
+                       FROM documents GROUP BY lang, source),
+            t AS (SELECT CAST(sum(n) AS DOUBLE) AS tot FROM j),
+            hxy AS (SELECT -sum((n / tot) * ln(n / tot)) AS h
+                    FROM j CROSS JOIN t),
+            hx AS (SELECT -sum((n / tot) * ln(n / tot)) AS h
+                   FROM (SELECT x, sum(n) AS n FROM j GROUP BY x) mx
+                        CROSS JOIN t),
+            hy AS (SELECT -sum((n / tot) * ln(n / tot)) AS h
+                   FROM (SELECT y, sum(n) AS n FROM j GROUP BY y) my
+                        CROSS JOIN t)
+            SELECT 'lang' AS col_x, 'source' AS col_y,
+              round(hx.h, 6) AS h_x, round(hy.h, 6) AS h_y,
+              round(hxy.h, 6) AS h_xy,
+              round(hx.h + hy.h - hxy.h, 6) AS mi,
+              CASE WHEN least(hx.h, hy.h) > 0
+                   THEN round((hx.h + hy.h - hxy.h) / least(hx.h, hy.h), 6)
+                   END AS nmi
+            FROM hx CROSS JOIN hy CROSS JOIN hxy
+        """,
+        # terms = the standard 62-bit rolling 3-gram shingle ids (same
+        # replay as duplicate_spans/source_overlap, incl. the short-doc
+        # fallback shingle) — see q_tfidf_cosine_pairs for why unigrams
+        # degenerate on this corpus
+        "tfidf_cosine_pairs": f"""
+            WITH sh AS ({_SHINGLES_SQL}),
+            tf AS (SELECT doc_id AS id, gram AS w, count(*)::BIGINT AS tf
+                   FROM (SELECT doc_id, unnest(s) AS gram FROM sh) gx
+                   GROUP BY 1, 2),
+            nd AS (SELECT count(DISTINCT doc_id)::BIGINT AS n_docs
+                   FROM documents),
+            dfq AS (SELECT w, count(*)::BIGINT AS dfreq FROM tf
+                    GROUP BY w HAVING count(*) <= 100),
+            wtd AS (SELECT id, tf.w,
+                      CAST(tf AS DOUBLE) *
+                        ln(CAST(n_docs AS DOUBLE) / CAST(dfreq AS DOUBLE))
+                        AS wgt
+                    FROM tf JOIN dfq ON tf.w = dfq.w CROSS JOIN nd),
+            nrm AS (SELECT id, sqrt(sum(wgt * wgt)) AS nrm
+                    FROM wtd GROUP BY id),
+            dots AS (SELECT a.id AS id_a, b.id AS id_b,
+                       sum(a.wgt * b.wgt) AS dot
+                     FROM wtd a JOIN wtd b ON a.w = b.w AND a.id < b.id
+                     GROUP BY a.id, b.id)
+            SELECT id_a, id_b,
+                   round(dot / (na.nrm * nb.nrm), 6) AS cosine
+            FROM dots JOIN nrm na ON na.id = id_a
+                      JOIN nrm nb ON nb.id = id_b
+            WHERE round(dot / (na.nrm * nb.nrm), 6) >= 0.25
+        """,
+        "zipf_fit": f"""
+            WITH wt AS (SELECT doc_id, {_WORDS_SQL} AS ws FROM documents),
+            uni AS (SELECT unnest(ws) AS w FROM wt),
+            f AS (SELECT w, count(*)::BIGINT AS c FROM uni GROUP BY 1
+                  ORDER BY c DESC, w LIMIT 500),
+            r AS (SELECT ln(CAST(c AS DOUBLE)) AS y,
+                    ln(CAST(row_number() OVER (ORDER BY c DESC, w)
+                        AS DOUBLE)) AS x
+                  FROM f)
+            SELECT count(*)::BIGINT AS n_terms,
+              round(regr_slope(y, x), 6) AS slope,
+              round(regr_intercept(y, x), 6) AS intercept,
+              round(regr_r2(y, x), 6) AS r2
+            FROM r
+        """,
         # MaxSim: 4×16-dim token slices, cosines scaled to BIGINT before
         # max/sum (exact integer scoring), per-query top-5
         "late_interaction": """
@@ -6615,17 +6769,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, round(s, 6) AS score FROM sc
             ORDER BY score DESC, doc_id LIMIT 15
         """,
-        "source_overlap": """
-            WITH tk AS (SELECT source, list_filter(string_split(
-                          regexp_replace(text, '\\s+', ' ', 'g'), ' '),
-                          x -> x <> '') AS w
-                        FROM documents),
-            g AS (SELECT DISTINCT source,
-                    w[CAST(i AS INT)] || ' ' || w[CAST(i + 1 AS INT)] || ' '
-                      || w[CAST(i + 2 AS INT)] AS gram
-                  FROM tk CROSS JOIN (SELECT unnest(range(1,
-                    (SELECT max(len(w)) FROM tk) + 1)) AS i) ii
-                  WHERE i + 2 <= len(w)),
+        # same 62-bit rolling-shingle ids as duplicate_spans/novelty —
+        # cross-engine identity incl. the short-doc fallback shingle
+        "source_overlap": f"""
+            WITH sh AS ({_SHINGLES_SQL}),
+            g AS (SELECT DISTINCT d.source AS source, gx.gram
+                  FROM (SELECT doc_id, unnest(s) AS gram FROM sh) gx
+                  JOIN documents d USING (doc_id)),
             ps AS (SELECT source, count(*)::BIGINT AS n_grams
                    FROM g GROUP BY source),
             pr AS (SELECT a.source AS source_a, b.source AS source_b,

@@ -125,6 +125,10 @@ HEADLINE = [
     "bm25_topk",
     "source_overlap",
     "k_anonymity",
+    "windowed_pmi",
+    "mutual_information",
+    "zipf_fit",
+    "tfidf_cosine_pairs",
 ]
 
 #: the queries that were in BENCH_r01 (the operative baseline — BASELINE.md:

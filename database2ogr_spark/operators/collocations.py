@@ -91,3 +91,91 @@ def pmi_bigrams(
         )
         .limit(top_n)
     )
+
+
+def windowed_pmi(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    window: int = 4,
+    min_count: int = 5,
+    top_n: int = 100,
+) -> DataFrame:
+    """Skip-gram collocations: PMI over ORDERED token pairs co-occurring
+    within ``window`` positions (offset 1..window) — the word2vec-style
+    context statistic; :func:`pmi_bigrams` is the ``window=1`` special
+    case with its own denominator.
+
+    Pair expansion happens IN CODEGEN: for each offset d, zip the token
+    array with itself shifted by d (slice+zip_with), flattened across
+    offsets — linear in tokens × window, never the per-document
+    quadratic a positions self-join would pay on long documents. Counts
+    then follow the pmi_bigrams shape (two token-keyed joins, 1-row
+    totals broadcast, distributed TakeOrdered).
+
+    Output: (token_a, token_b, n_pair, pmi) — PMI under the pair
+    distribution ln((c_ab/M) / ((c_a/N)(c_b/N))), rounded 6 dp,
+    (pmi DESC, token_a, token_b) top-``top_n``.
+    """
+    ws = words(F.col(text_col))
+    offs = F.sequence(F.lit(1), F.lit(window))
+    pairs = df.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    offs,
+                    lambda d: F.zip_with(
+                        F.slice(
+                            ws, 1, F.greatest(F.size(ws) - d, F.lit(0))
+                        ),
+                        F.slice(
+                            ws,
+                            d + 1,
+                            F.greatest(F.size(ws) - d, F.lit(0)),
+                        ),
+                        lambda a, b: F.struct(
+                            a.alias("a"), b.alias("b")
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select(F.col("p.a").alias("token_a"), F.col("p.b").alias("token_b"))
+    toks = df.select(F.explode(ws).alias("w"))
+    uni = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    big = pairs.groupBy("token_a", "token_b").agg(
+        F.count(F.lit(1)).alias("n_pair")
+    )
+    totals = toks.agg(F.count(F.lit(1)).alias("n_tok")).crossJoin(
+        pairs.agg(F.count(F.lit(1)).alias("n_big"))
+    )
+    d_ = "double"
+    joined = (
+        big.filter(F.col("n_pair") >= min_count)
+        .join(
+            uni.select(F.col("w").alias("token_a"), F.col("c").alias("c_a")),
+            "token_a",
+        )
+        .join(
+            uni.select(F.col("w").alias("token_b"), F.col("c").alias("c_b")),
+            "token_b",
+        )
+        .crossJoin(F.broadcast(totals))
+    )
+    pmi = F.round(
+        F.log(
+            (F.col("n_pair").cast(d_) / F.col("n_big").cast(d_))
+            / (
+                (F.col("c_a").cast(d_) / F.col("n_tok").cast(d_))
+                * (F.col("c_b").cast(d_) / F.col("n_tok").cast(d_))
+            )
+        ),
+        6,
+    )
+    return (
+        joined.select("token_a", "token_b", "n_pair", pmi.alias("pmi"))
+        .orderBy(
+            F.col("pmi").desc(), F.col("token_a").asc(), F.col("token_b").asc()
+        )
+        .limit(top_n)
+    )

@@ -5,21 +5,33 @@ deduplicated against each other at all (a near-zero matrix means the
 expensive cross-source near-dup pass can be skipped; a high cell means
 one source is largely a re-crawl of the other).
 
-Scale design: the corpus is touched once to produce the distinct
-(source, shingle) table; everything after operates on shingles, never
-text. Per-shingle source-sets are collected with ``collect_set`` —
-bounded by the NUMBER OF SOURCES (single digits), not corpus size — and
-pair expansion happens inside codegen on that tiny array, so there is no
-shingle-table self-join (which would shuffle the gram table twice and
-explode on hot shingles). Output is #source-pairs rows. The sketch path
-for 1000s of sources is MinHash-union (operators/dedup.py signatures);
-this operator is the exact audit for the common few-sources case.
+Shingle space: the repo's standard 62-bit rolling-hash word-``n``-gram
+ids (functions/gramkernel.py — the same ids duplicate_spans, novelty and
+the MinHash family grade against), including the short-document
+whole-text fallback shingle. Jaccard is computed over DISTINCT shingle
+ids per source; hash collisions are theoretically possible and identical
+in the DuckDB twin.
+
+Scale design: the corpus crosses the Arrow boundary once (the
+distinct-gram kernel — only each document's distinct ids leave the
+kernel, as 8-byte ints, never text), then ONE corpus-wide shuffle: a
+groupBy(gram) collecting the per-shingle source-SET (bounded by the
+NUMBER OF SOURCES, single digits, not corpus size). Marginal per-source
+gram counts and the pair intersections are both derived from that cached
+table, and pair expansion happens inside codegen on the tiny set array —
+no shingle-table self-join (which would shuffle the gram table twice and
+explode on hot shingles), no second corpus pass. Output is #source-pairs
+rows. The sketch path for 1000s of sources is MinHash-union
+(operators/dedup.py signatures); this operator is the exact audit for
+the common few-sources case.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from database2ogr_spark.functions.gramkernel import distinct_gram_table
 
 
 def source_overlap_matrix(
@@ -29,36 +41,32 @@ def source_overlap_matrix(
     text_col: str = "text",
     n: int = 3,
 ) -> DataFrame:
-    """Exact pairwise word-``n``-gram Jaccard between sources.
+    """Exact pairwise word-``n``-gram-id Jaccard between sources.
 
     Returns one row per unordered source pair (a < b lexically):
     ``(source_a, source_b, grams_a, grams_b, n_common, jaccard)`` with
-    jaccard rounded to 6 dp. Documents shorter than ``n`` tokens
-    contribute no shingles.
+    jaccard rounded to 6 dp. Pairs sharing no shingles emit no row.
     """
-    toks = F.filter(F.split(F.col(text_col), "\\s+"), lambda x: x != "")
-    # sequence(1, size-(n-1)) DESCENDS when size < n — gate on length so
-    # short documents contribute an empty gram list, not a bad slice
-    grams = F.when(
-        F.size(toks) >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    sg = (
-        docs.select(F.col(source_col).alias("source"), grams.alias("gs"))
-        .filter(F.size("gs") > 0)
-        .select("source", F.explode("gs").alias("gram"))
-        .distinct()
+    sg = distinct_gram_table(docs, source_col, text_col, n).select(
+        F.col("id").alias("source"), "gram"
     )
-    per_source = sg.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_grams")
+    # ONE corpus-wide shuffle: groupBy gram with collect_set makes the
+    # cross-document distinct implicit (set semantics), and the
+    # per-source marginals are DERIVED from the collected sets (explode
+    # over #grams rows), never a second corpus pass. The persist is
+    # operator-owned (dedup.py convention — callers/bench clearCache):
+    # three branches (pairs + the two marginal joins) read this table.
+    sets = (
+        sg.groupBy("gram")
+        .agg(F.array_sort(F.collect_set("source")).alias("ss"))
+        .persist()
+    )
+    per_source = (
+        sets.select(F.explode("ss").alias("source"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_grams"))
     )
     # per-gram source set (bounded by #sources) -> in-codegen pair fanout
-    sets = sg.groupBy("gram").agg(
-        F.array_sort(F.collect_set("source")).alias("ss")
-    )
     pairs = (
         sets.filter(F.size("ss") >= 2)
         .select(

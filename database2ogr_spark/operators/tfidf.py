@@ -330,3 +330,171 @@ def stupid_backoff_score(
         )
         .select(F.col("id").alias(id_col), "n_trigrams", "logprob")
     )
+
+
+def zipf_fit(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    top_n: int = 1000,
+) -> DataFrame:
+    """Zipf's-law fit over the term frequency distribution: OLS of
+    ``ln(freq) ~ ln(rank)`` on the top-``top_n`` terms — the classic
+    corpus-health audit (natural text fits slope ≈ −1; boilerplate-heavy
+    or template-generated corpora bend the curve; a sudden slope change
+    between snapshots flags a scrape regression).
+
+    Plan: one explode+agg for term counts (map-side combinable), a
+    distributed TakeOrdered for the top-``top_n`` cut with the
+    (freq DESC, token ASC) deterministic tie-break, then ranks + the
+    regression over that BOUNDED table (the single-partition window runs
+    on ≤ top_n rows, never the vocabulary). Output is ONE row:
+    ``(n_terms, slope, intercept, r2)`` rounded 6 dp, via the built-in
+    regr_* aggregates on (y=ln freq, x=ln rank).
+    """
+    ws = words(F.col(text_col))
+    freq = (
+        df.select(F.explode(ws).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), F.col("w").asc())
+        .limit(top_n)
+    )
+    ranked = freq.select(
+        "c",
+        F.row_number()
+        .over(Window.orderBy(F.col("c").desc(), F.col("w").asc()))
+        .alias("r"),
+    ).select(
+        F.log(F.col("c").cast("double")).alias("y"),
+        F.log(F.col("r").cast("double")).alias("x"),
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.round(F.regr_slope("y", "x"), 6).alias("slope"),
+        F.round(F.regr_intercept("y", "x"), 6).alias("intercept"),
+        F.round(F.regr_r2("y", "x"), 6).alias("r2"),
+    )
+
+
+def tfidf_cosine_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.3,
+    max_df: int = 100,
+    terms: str = "words",
+) -> DataFrame:
+    """Sparse TF-IDF cosine similarity join: document pairs whose cosine
+    over the ``df <= max_df`` TERM SUBSPACE reaches ``threshold`` — the
+    weighted-sparse sibling of the n-gram Jaccard join (set overlap) and
+    the embedding cosine join (dense vectors).
+
+    ``terms`` picks the term space: ``"words"`` (unigram tokens — the
+    textbook TF-IDF) or ``"shingles"`` (the repo's standard 62-bit
+    rolling-hash word-3-gram ids via the Arrow gram kernel — the same id
+    space as duplicate_spans / MinHash). Shingles are the SCALE-ROBUST
+    choice when the unigram vocabulary is small relative to the corpus
+    (every word's df then exceeds any useful max_df and the rare-term
+    subspace collapses to empty — measured on the synthetic corpus at
+    sf0.1, whose whole vocabulary is 31 words); the shingle space grows
+    combinatorially, keeping per-term df (and so the C(df,2) join
+    fanout) bounded long after unigrams saturate.
+
+    Semantics: terms with document frequency above ``max_df`` leave the
+    computation ENTIRELY (weights, norms, and pair products) — a
+    well-defined "rare-term subspace" cosine, not a truncated
+    approximation of the full cosine. This is also the scale guard: the
+    per-term pair fanout of the inverted-index self-join is C(df,2), so
+    the guard bounds it at C(max_df,2) exactly as in
+    dedup.ngram_jaccard_pairs — and unlike there, dropping high-df terms
+    barely moves the statistic, because idf = ln(N/df) already sends
+    their weights toward zero.
+
+    Plan: one explode+agg for (doc, term, tf); df/idf via a term agg;
+    norms via a doc agg; candidate products via the term-keyed
+    equi-join (never all-pairs); one (id_a, id_b) agg. The weighted
+    (id, term, wt) table is PERSISTED because four plan branches read
+    it (pair sides a/b + both norm joins) and Spark does not share
+    identical subtrees — without the persist the whole tf pipeline runs
+    four times (audited; same operator-owned-persist convention as
+    operators/dedup.py — bench/callers clearCache after the action).
+    Cosine is rounded 6 dp BEFORE the threshold compare, so the cut is
+    engine-stable.
+
+    Output: (id_a, id_b, cosine), id_a < id_b.
+    """
+    if terms == "shingles":
+        from database2ogr_spark.functions.gramkernel import (
+            gram_position_table,
+        )
+
+        term_stream = gram_position_table(df, id_col, text_col, 3).select(
+            "id", F.col("gram").alias("w")
+        )
+    elif terms == "words":
+        ws = words(F.col(text_col))
+        term_stream = df.select(
+            F.col(id_col).alias("id"), F.explode(ws).alias("w")
+        )
+    else:  # pragma: no cover - defensive
+        raise ValueError(f"terms must be 'words' or 'shingles', got {terms!r}")
+    tf = term_stream.groupBy("id", "w").agg(F.count(F.lit(1)).alias("tf"))
+    n_docs = df.select(F.col(id_col)).distinct().agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    dfreq = (
+        tf.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("dfreq"))
+        .filter(F.col("dfreq") <= max_df)
+    )
+    weighted = (
+        tf.join(dfreq, "w")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "id",
+            "w",
+            (
+                F.col("tf").cast("double")
+                * F.log(
+                    F.col("n_docs").cast("double")
+                    / F.col("dfreq").cast("double")
+                )
+            ).alias("wt"),
+        )
+        .persist()
+    )
+    norms = weighted.groupBy("id").agg(
+        F.sqrt(F.sum(F.col("wt") * F.col("wt"))).alias("nrm")
+    )
+    a = weighted.select(
+        F.col("w"), F.col("id").alias("id_a"), F.col("wt").alias("wa")
+    )
+    b = weighted.select(
+        F.col("w"), F.col("id").alias("id_b"), F.col("wt").alias("wb")
+    )
+    dots = (
+        a.join(b, "w")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
+    )
+    return (
+        dots.join(
+            norms.select(F.col("id").alias("id_a"), F.col("nrm").alias("na")),
+            "id_a",
+        )
+        .join(
+            norms.select(F.col("id").alias("id_b"), F.col("nrm").alias("nb")),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6).alias(
+                "cosine"
+            ),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -165,6 +165,78 @@ def profile_columns(
     return row.select(F.explode(per_col).alias("p")).select("p.*")
 
 
+def mutual_information(
+    df: DataFrame,
+    col_x: str,
+    col_y: str,
+) -> DataFrame:
+    """Dependence audit between two categorical columns: entropies and
+    mutual information in nats — the leakage detector (is ``source`` a
+    proxy for ``lang``? is a metadata column secretly the label?) that
+    complements the distribution-level drift_report.
+
+    ONE corpus pass builds the joint (x, y, n) table; marginals, totals,
+    and all three entropies are computed FROM that table (its size is
+    #combinations, not #rows), so the big data is touched exactly once.
+    NULLs count as a category, consistent with k_anonymity_report.
+
+    Output: one row ``(col_x, col_y, h_x, h_y, h_xy, mi, nmi)`` — plug-in
+    estimates rounded 6 dp; ``nmi = mi / min(h_x, h_y)`` (NULL when a
+    column is constant, i.e. min entropy 0).
+    """
+    joint = (
+        df.select(
+            F.col(col_x).alias("x"), F.col(col_y).alias("y")
+        )
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    d = "double"
+
+    def _ent(counts: DataFrame) -> F.Column:
+        # -sum(p ln p) over the given count table (expects column n, tot)
+        p = F.col("n").cast(d) / F.col("tot")
+        return -F.sum(p * F.log(p))
+
+    tot = joint.agg(F.sum("n").alias("tot"))
+    j = joint.crossJoin(F.broadcast(tot))
+    h_xy = j.agg(_ent(j).alias("h_xy"))
+    mx = (
+        joint.groupBy("x")
+        .agg(F.sum("n").alias("n"))
+        .crossJoin(F.broadcast(tot))
+    )
+    h_x = mx.agg(_ent(mx).alias("h_x"))
+    my = (
+        joint.groupBy("y")
+        .agg(F.sum("n").alias("n"))
+        .crossJoin(F.broadcast(tot))
+    )
+    h_y = my.agg(_ent(my).alias("h_y"))
+    return (
+        h_x.crossJoin(h_y)
+        .crossJoin(h_xy)
+        .select(
+            F.lit(col_x).alias("col_x"),
+            F.lit(col_y).alias("col_y"),
+            F.round("h_x", 6).alias("h_x"),
+            F.round("h_y", 6).alias("h_y"),
+            F.round("h_xy", 6).alias("h_xy"),
+            F.round(
+                F.col("h_x") + F.col("h_y") - F.col("h_xy"), 6
+            ).alias("mi"),
+            F.when(
+                F.least("h_x", "h_y") > 0,
+                F.round(
+                    (F.col("h_x") + F.col("h_y") - F.col("h_xy"))
+                    / F.least("h_x", "h_y"),
+                    6,
+                ),
+            ).alias("nmi"),
+        )
+    )
+
+
 def k_anonymity_report(
     df: DataFrame,
     quasi_cols: list[str],

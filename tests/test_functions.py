@@ -212,3 +212,128 @@ def test_vocab_coverage_hand_computed(spark):
         "s2": (4, 0, 0.0),
         "s3": (2, 2, 1.0),
     }
+
+
+def test_windowed_pmi_window1_matches_bigrams(spark):
+    from database2ogr_spark.operators.collocations import (
+        pmi_bigrams,
+        windowed_pmi,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = {
+        (r.token_a, r.token_b): (r.n_pair, r.pmi)
+        for r in pmi_bigrams(docs, min_count=5, top_n=40).collect()
+    }
+    b = {
+        (r.token_a, r.token_b): (r.n_pair, r.pmi)
+        for r in windowed_pmi(docs, window=1, min_count=5, top_n=40).collect()
+    }
+    assert a == b  # window=1 degenerates to the adjacent-bigram operator
+
+
+def test_windowed_pmi_counts_hand_computed(spark):
+    from database2ogr_spark.operators.collocations import windowed_pmi
+
+    docs = spark.createDataFrame(
+        [(1, "a b c a b")], "doc_id long, text string"
+    )
+    out = {
+        (r.token_a, r.token_b): r.n_pair
+        for r in windowed_pmi(
+            docs, window=2, min_count=1, top_n=100
+        ).collect()
+    }
+    # offsets 1..2 over [a b c a b]:
+    # d=1: (a,b) (b,c) (c,a) (a,b); d=2: (a,c) (b,a) (c,b)
+    assert out[("a", "b")] == 2
+    assert out[("b", "c")] == 1
+    assert out[("c", "a")] == 1
+    assert out[("a", "c")] == 1
+    assert out[("b", "a")] == 1
+    assert out[("c", "b")] == 1
+
+
+def test_zipf_fit_exact_power_law(spark):
+    from database2ogr_spark.operators.tfidf import zipf_fit
+
+    # counts follow freq = 24 / rank exactly over consecutive ranks
+    # 1..4 (slope -1): 24, 12, 8, 6
+    rows = []
+    for r in (1, 2, 3, 4):
+        rows += [(f"t{r:02d}",)] * (24 // r)
+    docs = spark.createDataFrame(
+        [(1, " ".join(w for (w,) in rows))], "doc_id long, text string"
+    )
+    out = zipf_fit(docs, top_n=10).collect()[0]
+    assert out.n_terms == 4
+    # ln f = ln 24 - 1 * ln r  -> perfect fit (6-dp rounding tolerance)
+    assert abs(out.slope + 1.0) <= 2e-6
+    assert abs(out.r2 - 1.0) <= 2e-6
+
+
+def test_tfidf_cosine_pairs_hand_computed(spark):
+    import math
+
+    from database2ogr_spark.operators.tfidf import tfidf_cosine_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple banana cherry"),
+            (2, "apple banana date"),
+            (3, "unrelated words entirely"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        (r.id_a, r.id_b): r.cosine
+        for r in tfidf_cosine_pairs(
+            docs, threshold=0.0, max_df=10
+        ).collect()
+    }
+    # only (1,2) share terms; all terms have df<=2, idf in {ln3, ln3/2}
+    assert set(out) == {(1, 2)}
+    w_shared = math.log(3 / 2)  # apple, banana: df=2
+    w_rare = math.log(3)        # cherry / date: df=1
+    dot = 2 * w_shared * w_shared
+    nrm = math.sqrt(2 * w_shared**2 + w_rare**2)
+    assert abs(out[(1, 2)] - round(dot / (nrm * nrm), 6)) < 1e-6
+
+
+def test_tfidf_cosine_pairs_shingle_terms(spark):
+    from database2ogr_spark.operators.tfidf import tfidf_cosine_pairs
+
+    # docs 1 and 2 share the 3-gram "b c d" (plus "a b c"); doc 3 shares
+    # no 3-gram window with either -> exactly one pair in shingle space
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e"),
+            (2, "a b c d x"),
+            (3, "p q r s t"),
+        ],
+        "doc_id long, text string",
+    )
+    out = tfidf_cosine_pairs(
+        docs, threshold=0.0, max_df=10, terms="shingles"
+    ).collect()
+    assert {(r.id_a, r.id_b) for r in out} == {(1, 2)}
+    assert 0.0 < out[0].cosine < 1.0  # shared subset, not identical
+
+
+def test_tfidf_cosine_pairs_max_df_guard_drops_hot_terms(spark):
+    from database2ogr_spark.operators.tfidf import tfidf_cosine_pairs
+
+    # 'the' appears in all 4 docs; with max_df=3 it leaves the subspace
+    # entirely, so docs sharing ONLY 'the' produce no pair
+    docs = spark.createDataFrame(
+        [
+            (1, "the alpha"),
+            (2, "the beta"),
+            (3, "the gamma"),
+            (4, "the delta"),
+        ],
+        "doc_id long, text string",
+    )
+    assert (
+        tfidf_cosine_pairs(docs, threshold=0.0, max_df=3).count() == 0
+    )

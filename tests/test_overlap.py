@@ -13,7 +13,8 @@ def test_source_overlap_hand_computed(spark):
             # B grams: {a b c} (shared) + {x y z}
             (2, "B", "a b c"),
             (3, "B", "x y z"),
-            # C grams: none (too short) -> no pairs involving C
+            # C: short doc -> one whole-text fallback shingle (kernel
+            # contract), shared with nobody -> no pairs involving C
             (4, "C", "too short"),
         ],
         "doc_id long, source string, text string",

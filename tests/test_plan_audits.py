@@ -425,3 +425,14 @@ def test_k_anonymity_single_shuffle(spark):
         "Exchange rangepartitioning"
     )
     assert n == 1, plan
+
+
+def test_tfidf_cosine_pairs_no_cartesian_and_weighted_cached(spark):
+    plan = _plan(spark, "tfidf_cosine_pairs")
+    assert "CartesianProduct" not in plan, plan
+    # four plan branches (pair sides a/b + two norm joins) read the
+    # weighted table; the persist must make all four InMemoryTableScans
+    # so the tf pipeline runs ONCE, not four times (audited regression:
+    # without the persist the corpus is scanned 4x)
+    assert plan.count("InMemoryTableScan") == 4, plan
+    spark.catalog.clearCache()

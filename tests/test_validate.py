@@ -145,3 +145,35 @@ def test_k_anonymity_report(spark):
 
     with pytest.raises(ValueError):
         k_anonymity_report(df, [], k=5)
+
+
+def test_mutual_information_hand_computed(spark):
+    import math
+
+    from database2ogr_spark.operators.validate import mutual_information
+
+    # perfectly dependent columns: MI == H(X) == H(Y), NMI == 1
+    df = spark.createDataFrame(
+        [("a", "p")] * 2 + [("b", "q")] * 2,
+        "x string, y string",
+    )
+    r = mutual_information(df, "x", "y").collect()[0]
+    h = math.log(2)
+    assert abs(r.h_x - round(h, 6)) < 1e-9
+    assert abs(r.mi - round(h, 6)) < 1e-9
+    assert r.nmi == 1.0
+
+    # independent columns: MI == 0
+    df2 = spark.createDataFrame(
+        [("a", "p"), ("a", "q"), ("b", "p"), ("b", "q")],
+        "x string, y string",
+    )
+    r2 = mutual_information(df2, "x", "y").collect()[0]
+    assert r2.mi == 0.0 and r2.nmi == 0.0
+
+    # constant column: zero entropy -> NULL nmi
+    df3 = spark.createDataFrame(
+        [("a", "p"), ("a", "q")], "x string, y string"
+    )
+    r3 = mutual_information(df3, "x", "y").collect()[0]
+    assert r3.h_x == 0.0 and r3.mi == 0.0 and r3.nmi is None
