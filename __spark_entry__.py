@@ -1146,6 +1146,23 @@ def q_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (sampling.dsir_select chain): hashed
+    unigram+bigram importance log-weights against the lang='en' target
+    slice, then Gumbel-top-100 resampling with the hash-derived uniform —
+    model size is n_buckets (1024), independent of corpus size; the
+    'random' draw is md5-deterministic so DuckDB replays the whole chain
+    including the selection."""
+    from database2ogr_spark.operators.sampling import dsir_sample
+
+    return dsir_sample(
+        _t(spark, sf_dir, "documents"),
+        F.col("lang") == "en",
+        k=100,
+        n_buckets=1024,
+    )
+
+
 def q_fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _t(spark, sf_dir, "documents").select(
         "doc_id", TS.rolling_fingerprint("text").alias("fp")
@@ -3511,6 +3528,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mutual_information": q_mutual_information,
         "zipf_fit": q_zipf_fit,
         "tfidf_cosine_pairs": q_tfidf_cosine_pairs,
+        "dsir_select": q_dsir_select,
         # Everything below is QUEUED IN ROUND-6 PRIORITY ORDER — the next
         # rotation is a pure cut at slot 50. First ALL TWENTY r1/r2-
         # vintage re-earners, none of which fit this round (a1_distinct,
@@ -6288,6 +6306,48 @@ def oracle_sql() -> dict[str, str]:
             FROM dots JOIN nrm na ON na.id = id_a
                       JOIN nrm nb ON nb.id = id_b
             WHERE round(dot / (na.nrm * nb.nrm), 6) >= 0.25
+        """,
+        # DSIR: hashed unigram+bigram bucket models (md5 % 1024), add-1
+        # smoothing, per-doc log-ratio sum, then Gumbel-top-100 with the
+        # seed-7 hash-derived uniform — the full selection chain replayed
+        "dsir_select": f"""
+            WITH wt AS (SELECT doc_id, lang, {_WORDS_SQL} AS ws
+                        FROM documents),
+            g AS (
+              SELECT doc_id, lang, unnest(ws) AS g FROM wt
+              UNION ALL
+              SELECT doc_id, lang,
+                     ws[CAST(i AS INT)] || ' ' || ws[CAST(i + 1 AS INT)] AS g
+              FROM wt CROSS JOIN
+                (SELECT unnest(range(1, (SELECT max(len(ws)) FROM wt) + 1))
+                   AS i) ii
+              WHERE i + 1 <= len(ws)),
+            b AS (SELECT doc_id, lang, {_h64_sql("g", 0)} % 1024 AS bucket
+                  FROM g),
+            cnt AS (SELECT bucket, count(*)::BIGINT AS c_r,
+                      sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT
+                        AS c_t
+                    FROM b GROUP BY bucket),
+            tot AS (SELECT sum(c_r)::BIGINT AS n_r, sum(c_t)::BIGINT AS n_t
+                    FROM cnt),
+            lr AS (SELECT bucket,
+                     ln((c_t + 1.0) / (n_t + 1024.0))
+                       - ln((c_r + 1.0) / (n_r + 1024.0)) AS lr
+                   FROM cnt CROSS JOIN tot),
+            sc AS (SELECT doc_id, count(*)::BIGINT AS n_feats,
+                     round(sum(lr), 6) AS log_weight
+                   FROM b JOIN lr USING (bucket) GROUP BY doc_id),
+            fw AS (SELECT d.doc_id,
+                     coalesce(sc.n_feats, 0)::BIGINT AS n_feats,
+                     coalesce(sc.log_weight, 0.0) AS log_weight
+                   FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id),
+            gum AS (SELECT doc_id, n_feats, log_weight,
+                      round(log_weight / 1.0 + -ln(-ln(
+                        ({_h64_sql("CAST(doc_id AS VARCHAR)", 7)} + 0.5)
+                          / 1152921504606846976.0)), 6) AS score
+                    FROM fw)
+            SELECT doc_id, n_feats, log_weight, score FROM gum
+            ORDER BY score DESC, doc_id LIMIT 100
         """,
         "zipf_fit": f"""
             WITH wt AS (SELECT doc_id, {_WORDS_SQL} AS ws FROM documents),

@@ -129,6 +129,7 @@ HEADLINE = [
     "mutual_information",
     "zipf_fit",
     "tfidf_cosine_pairs",
+    "dsir_select",
 ]
 
 #: the queries that were in BENCH_r01 (the operative baseline — BASELINE.md:

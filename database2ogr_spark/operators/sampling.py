@@ -606,3 +606,146 @@ def select_to_budget(
         df.withColumn("cum_cost", F.sum(F.col(cost_col)).over(w))
         .filter(F.col("cum_cost") <= budget)
     )
+
+
+def dsir_weights(
+    df: DataFrame,
+    target_filter,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 8192,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Per-document DSIR importance log-weight (public Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling"): score
+    every document by how much more likely its hashed-n-gram features are
+    under the TARGET distribution (the rows matching ``target_filter``,
+    e.g. a trusted high-quality subset) than under the RAW corpus — the
+    cheap, model-free data-selection signal that picks "looks like the
+    target domain" documents out of a web crawl.
+
+    Features are unigrams + space-joined bigrams of the normalized token
+    stream, hashed into ``n_buckets`` buckets with the engine's
+    cross-engine-stable md5 hash (``stable_hash64 % n_buckets``). Both
+    bag-of-buckets models use add-``alpha`` smoothing over the bucket
+    space; a document's weight is
+
+        log w(x) = Σ_grams [ ln p_target(bucket) − ln p_raw(bucket) ]
+
+    Documents with no tokens get ``(0, 0.0)`` (no evidence either way)
+    rather than vanishing. Output: ``(id_col, n_feats, log_weight)`` with
+    the weight rounded to 6 dp.
+
+    Scale: the corpus is read twice — once to build the two bucket-count
+    models (a single partial-agg'd shuffle on the bucket key producing
+    BOTH counts: raw count + target count via a conditional sum), once to
+    score (the ≤ ``n_buckets``-row log-ratio table broadcasts; the per-doc
+    sum is one agg on the id key). Model size is ``n_buckets`` —
+    INDEPENDENT of corpus size, the property that makes DSIR run at
+    100 TB: no vocabulary ever materializes, hot grams are flattened by
+    map-side combine, and the second pass is embarrassingly parallel. We
+    deliberately do not cache the gram stream between the two passes — a
+    corpus-sized cache costs more than the re-scan it saves.
+    """
+    from database2ogr_spark.functions.hashing import words
+    from database2ogr_spark.operators.partitioning import spread
+
+    if n_buckets <= 1:
+        raise ValueError(f"n_buckets must be > 1, got {n_buckets}")
+    ws = words(text_col)
+    n = F.size(ws)
+    m = F.greatest(n - 1, F.lit(0))
+    bigrams = F.zip_with(
+        F.slice(ws, 1, m), F.slice(ws, 2, m),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    grams = F.concat(ws, bigrams)
+    toks = spread(df).select(
+        F.col(id_col).alias("id"),
+        F.when(target_filter, F.lit(1)).otherwise(F.lit(0)).alias("__tgt"),
+        F.explode(grams).alias("g"),
+    ).select(
+        "id", "__tgt", (stable_hash64(F.col("g")) % n_buckets).alias("bucket")
+    )
+    counts = toks.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("c_r"), F.sum("__tgt").alias("c_t")
+    )
+    totals = counts.agg(
+        F.sum("c_r").alias("n_r"), F.sum("c_t").alias("n_t")
+    )
+    a = F.lit(float(alpha))
+    b_tot = F.lit(float(alpha * n_buckets))
+    ratio = counts.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        (
+            F.log((F.col("c_t") + a) / (F.col("n_t") + b_tot))
+            - F.log((F.col("c_r") + a) / (F.col("n_r") + b_tot))
+        ).alias("__lr"),
+    )
+    scored = (
+        toks.join(F.broadcast(ratio), "bucket")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_feats"),
+            F.round(F.sum("__lr"), 6).alias("log_weight"),
+        )
+    )
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(scored, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce(F.col("n_feats"), F.lit(0)).cast("bigint").alias("n_feats"),
+            F.coalesce(F.col("log_weight"), F.lit(0.0)).alias("log_weight"),
+        )
+    )
+
+
+def dsir_sample(
+    df: DataFrame,
+    target_filter,
+    *,
+    k: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 8192,
+    alpha: float = 1.0,
+    temperature: float = 1.0,
+    seed: int = 7,
+) -> DataFrame:
+    """Gumbel-top-k importance RESAMPLING over :func:`dsir_weights` — the
+    selection half of DSIR: draw ``k`` documents without replacement with
+    probability ∝ exp(log_weight / temperature), via the Gumbel-max trick
+    with a HASH-DERIVED uniform (``u = (stable_hash64(id, seed)+0.5)/2^60``,
+    ``g = −ln(−ln u)``) so the "random" draw is deterministic, replayable
+    on any cluster layout, and cross-engine verifiable. ``temperature → 0``
+    degenerates to deterministic top-k by weight; large temperatures
+    approach uniform sampling.
+
+    Output: ``(id_col, n_feats, log_weight, score)`` for the k selected
+    rows, score = round(log_weight/T + gumbel, 6), ordered by
+    (score desc, id asc) with the deterministic tie-break.
+
+    Scale: everything is :func:`dsir_weights` plus one in-row gumbel
+    expression and a distributed TakeOrdered cut — no global sort.
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    if temperature <= 0:
+        raise ValueError(f"temperature must be positive, got {temperature}")
+    wts = dsir_weights(
+        df, target_filter, id_col=id_col, text_col=text_col,
+        n_buckets=n_buckets, alpha=alpha,
+    )
+    h = stable_hash64(F.col(id_col).cast("string"), seed=seed)
+    u = (h.cast("double") + F.lit(0.5)) / F.lit(float(1 << 60))
+    gumbel = -F.log(-F.log(u))
+    return (
+        wts.withColumn(
+            "score",
+            F.round(F.col("log_weight") / F.lit(float(temperature)) + gumbel, 6),
+        )
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

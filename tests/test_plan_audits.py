@@ -436,3 +436,15 @@ def test_tfidf_cosine_pairs_no_cartesian_and_weighted_cached(spark):
     # without the persist the corpus is scanned 4x)
     assert plan.count("InMemoryTableScan") == 4, plan
     spark.catalog.clearCache()
+
+
+def test_dsir_select_broadcast_model_takeordered_cut(spark):
+    plan = _plan(spark, "dsir_select")
+    assert "CartesianProduct" not in plan, plan
+    # the bucket-model log-ratio table (<= n_buckets rows) must reach the
+    # scoring pass as a broadcast, never a shuffle join on the gram stream
+    assert "BroadcastHashJoin" in plan, plan
+    # the k-cut is a distributed TakeOrdered, not a global Sort+Limit
+    assert "TakeOrderedAndProject" in plan, plan
+    # model build + scoring re-read the corpus; nothing corpus-sized caches
+    assert "InMemoryTableScan" not in plan, plan

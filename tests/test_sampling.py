@@ -539,3 +539,90 @@ def test_select_to_budget_rejects_bad_budget(spark):
     df = spark.createDataFrame([(1, "a", 1.0, 1)], "doc_id long, source string, score double, n_tokens long")
     with _pytest.raises(ValueError):
         select_to_budget(df, budget=0, cost_col="n_tokens", score_col="score")
+
+
+def _dsir_reference(rows, n_buckets, alpha=1.0):
+    """Pure-Python DSIR log-weights (hashed unigram+bigram buckets)."""
+    import hashlib
+    import math
+    import re
+
+    def h64(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    def grams(text):
+        ws = [w for w in re.sub(r"\s+", " ", text.lower()).strip().split(" ") if w]
+        return ws + [f"{a} {b}" for a, b in zip(ws, ws[1:])]
+
+    c_r, c_t = {}, {}
+    for _id, text, tgt in rows:
+        for g in grams(text):
+            b = h64(g) % n_buckets
+            c_r[b] = c_r.get(b, 0) + 1
+            if tgt:
+                c_t[b] = c_t.get(b, 0) + 1
+    n_r, n_t = sum(c_r.values()), sum(c_t.values())
+    out = {}
+    for _id, text, tgt in rows:
+        lw, nf = 0.0, 0
+        for g in grams(text):
+            b = h64(g) % n_buckets
+            lw += math.log((c_t.get(b, 0) + alpha) / (n_t + alpha * n_buckets))
+            lw -= math.log((c_r.get(b, 0) + alpha) / (n_r + alpha * n_buckets))
+            nf += 1
+        out[_id] = (nf, round(lw, 6))
+    return out
+
+
+def test_dsir_weights_match_reference(spark):
+    from pyspark.sql import functions as F
+
+    from database2ogr_spark.operators.sampling import dsir_weights
+
+    rows = [
+        (1, "the quick brown fox", 1),
+        (2, "the quick brown dog", 1),
+        (3, "lorem ipsum dolor sit amet", 0),
+        (4, "the quick brown fox jumps", 0),
+        (5, "zzz yyy xxx", 0),
+        (6, "", 0),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, tgt int")
+    out = {
+        r.doc_id: (r.n_feats, r.log_weight)
+        for r in dsir_weights(df, F.col("tgt") == 1, n_buckets=64).collect()
+    }
+    ref = _dsir_reference(rows, 64)
+    assert set(out) == {1, 2, 3, 4, 5, 6}
+    for i in (1, 2, 3, 4, 5):
+        assert out[i][0] == ref[i][0]
+        assert abs(out[i][1] - ref[i][1]) < 1e-5, (i, out[i], ref[i])
+    assert out[6] == (0, 0.0)  # empty doc: no evidence, kept
+    # target-like docs must outrank the off-target ones
+    assert min(out[1][1], out[2][1]) > max(out[3][1], out[5][1])
+
+
+def test_dsir_sample_gumbel_topk(spark):
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from database2ogr_spark.operators.sampling import dsir_sample
+
+    rows = [(i, "good text here" if i % 2 else "junk noise blob", i % 2) for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, tgt int")
+    out = dsir_sample(df, F.col("tgt") == 1, k=5, n_buckets=64).collect()
+    assert len(out) == 5
+    # deterministic across replays
+    out2 = dsir_sample(df, F.col("tgt") == 1, k=5, n_buckets=64).collect()
+    assert [r.doc_id for r in out] == [r.doc_id for r in out2]
+    # scores are sorted desc with id tie-break
+    scores = [(r.score, r.doc_id) for r in out]
+    assert scores == sorted(scores, key=lambda t: (-t[0], t[1]))
+    # near-zero temperature degenerates to top-k by weight: all selected
+    # rows are target-like (odd ids have strictly higher weight)
+    cold = dsir_sample(df, F.col("tgt") == 1, k=5, n_buckets=64, temperature=1e-6).collect()
+    assert all(r.doc_id % 2 == 1 for r in cold)
+    with _pytest.raises(ValueError):
+        dsir_sample(df, F.col("tgt") == 1, k=0)
+    with _pytest.raises(ValueError):
+        dsir_sample(df, F.col("tgt") == 1, k=5, temperature=0)
