@@ -1163,6 +1163,17 @@ def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary-growth curve (tfidf.vocab_growth, K=16):
+    cumulative docs/tokens/vocab along the doc_id order, checkpoint
+    assignment in exact integer arithmetic and every output column an
+    exact integer — the zero-float-drift oracle. heaps_fit (the OLS
+    ln V ~ ln N exponent) is pytest-pinned on an exact power-law corpus."""
+    from database2ogr_spark.operators.tfidf import vocab_growth
+
+    return vocab_growth(_t(spark, sf_dir, "documents"), n_checkpoints=16)
+
+
 def q_fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _t(spark, sf_dir, "documents").select(
         "doc_id", TS.rolling_fingerprint("text").alias("fp")
@@ -3529,6 +3540,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zipf_fit": q_zipf_fit,
         "tfidf_cosine_pairs": q_tfidf_cosine_pairs,
         "dsir_select": q_dsir_select,
+        "vocab_growth": q_vocab_growth,
         # Everything below is QUEUED IN ROUND-6 PRIORITY ORDER — the next
         # rotation is a pure cut at slot 50. First ALL TWENTY r1/r2-
         # vintage re-earners, none of which fit this round (a1_distinct,
@@ -6348,6 +6360,40 @@ def oracle_sql() -> dict[str, str]:
                     FROM fw)
             SELECT doc_id, n_feats, log_weight, score FROM gum
             ORDER BY score DESC, doc_id LIMIT 100
+        """,
+        # Heaps'-law growth curve: integer bucket arithmetic
+        # (ceil via (a+b-1)//b), cumulative window over the 16-row spine
+        "vocab_growth": f"""
+            WITH b AS (SELECT min(doc_id)::BIGINT AS lo,
+                              max(doc_id)::BIGINT AS hi FROM documents),
+            wt AS (SELECT doc_id, {_WORDS_SQL} AS ws FROM documents),
+            pd AS (SELECT doc_id,
+                     CASE WHEN hi > lo THEN greatest(1,
+                       ((doc_id - lo) * 16 + (hi - lo) - 1) // (hi - lo))
+                       ELSE 1 END AS bucket,
+                     len(ws)::BIGINT AS nt
+                   FROM wt CROSS JOIN b),
+            ds AS (SELECT bucket, count(*)::BIGINT AS n_docs,
+                     sum(nt)::BIGINT AS n_tokens
+                   FROM pd GROUP BY bucket),
+            ft AS (SELECT w, min(doc_id)::BIGINT AS first_id
+                   FROM (SELECT doc_id, unnest(ws) AS w FROM wt)
+                   GROUP BY w),
+            fb AS (SELECT CASE WHEN hi > lo THEN greatest(1,
+                       ((first_id - lo) * 16 + (hi - lo) - 1) // (hi - lo))
+                       ELSE 1 END AS bucket
+                   FROM ft CROSS JOIN b),
+            nv AS (SELECT bucket, count(*)::BIGINT AS n_new
+                   FROM fb GROUP BY bucket),
+            sp AS (SELECT unnest(range(1, 17)) AS bucket)
+            SELECT CAST(sp.bucket AS INT) AS checkpoint,
+              sum(coalesce(ds.n_docs, 0)) OVER w::BIGINT AS cum_docs,
+              sum(coalesce(ds.n_tokens, 0)) OVER w::BIGINT AS cum_tokens,
+              sum(coalesce(nv.n_new, 0)) OVER w::BIGINT AS cum_vocab
+            FROM sp LEFT JOIN ds ON sp.bucket = ds.bucket
+                    LEFT JOIN nv ON sp.bucket = nv.bucket
+            WINDOW w AS (ORDER BY sp.bucket
+                         ROWS UNBOUNDED PRECEDING)
         """,
         "zipf_fit": f"""
             WITH wt AS (SELECT doc_id, {_WORDS_SQL} AS ws FROM documents),

@@ -130,6 +130,7 @@ HEADLINE = [
     "zipf_fit",
     "tfidf_cosine_pairs",
     "dsir_select",
+    "vocab_growth",
 ]
 
 #: the queries that were in BENCH_r01 (the operative baseline — BASELINE.md:

@@ -498,3 +498,136 @@ def tfidf_cosine_pairs(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def vocab_growth(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_checkpoints: int = 16,
+) -> DataFrame:
+    """Heaps'-law vocabulary-growth curve: cumulative distinct vocabulary
+    vs cumulative token count at ``n_checkpoints`` points along the
+    deterministic ``id_col``-ascending corpus order — the companion audit
+    to :func:`zipf_fit` (natural text grows V(n) ≈ K·n^β with β ≈ 0.4–0.6;
+    a flattening curve means the scrape is re-crawling itself, a
+    super-linear one means encoding garbage is minting fake types).
+
+    Checkpoint assignment is PURE INTEGER arithmetic on the id range
+    (``k(id) = max(1, ceil((id−lo)·K/(hi−lo)))`` via integer DIV), so the
+    curve is exactly reproducible in any engine — and every output column
+    is an exact integer count (no float drift anywhere). Output:
+    ``(checkpoint, cum_docs, cum_tokens, cum_vocab)``, one row per
+    checkpoint, where a term counts toward ``cum_vocab`` at the FIRST
+    checkpoint whose prefix contains a document using it.
+
+    Scale: token counts per doc are in-row (``size(words)``, no explode);
+    the vocabulary needs one explode + a per-term ``min(id)`` (single
+    partial-agg'd shuffle on the term key — the build_vocab core); both
+    reduce to K-row bucket tables joined on a ``spark.range`` spine, and
+    the cumulative windows run over K rows. Nothing corpus-sized sorts,
+    caches, or funnels through one task.
+    """
+    from database2ogr_spark.functions.hashing import words
+    from database2ogr_spark.operators.partitioning import spread
+
+    if n_checkpoints < 2:
+        raise ValueError(f"n_checkpoints must be >= 2, got {n_checkpoints}")
+    K = int(n_checkpoints)
+    spark = df.sparkSession
+    bounds = df.agg(
+        F.min(F.col(id_col)).cast("bigint").alias("lo"),
+        F.max(F.col(id_col)).cast("bigint").alias("hi"),
+    )
+
+    # bucket k(id) = max(1, ceil((id-lo)*K/(hi-lo))) in exact integer
+    # arithmetic (ceil(a/b) = (a+b-1) DIV b); single-id corpora (hi == lo)
+    # collapse to bucket 1
+    num = (F.col(id_col).cast("bigint") - F.col("lo")) * F.lit(K) + (
+        F.col("hi") - F.col("lo") - F.lit(1)
+    )
+    per_doc = spread(df).crossJoin(F.broadcast(bounds)).select(
+        F.col(id_col).alias("id"),
+        num.alias("__num"),
+        F.size(words(text_col)).alias("__nt"),
+        "lo", "hi",
+    ).select(
+        "id",
+        F.when(
+            F.col("hi") > F.col("lo"),
+            F.greatest(F.lit(1), F.expr("CAST(__num DIV (hi - lo) AS INT)")),
+        ).otherwise(F.lit(1)).alias("bucket"),
+        F.greatest(F.col("__nt"), F.lit(0)).alias("__nt"),
+    )
+    doc_stats = per_doc.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("__nt").alias("n_tokens")
+    )
+    first_term = (
+        spread(df)
+        .select(F.col(id_col).alias("id"), F.explode(words(text_col)).alias("w"))
+        .groupBy("w")
+        .agg(F.min("id").alias("first_id"))
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            (
+                (F.col("first_id").cast("bigint") - F.col("lo")) * F.lit(K)
+                + (F.col("hi") - F.col("lo") - F.lit(1))
+            ).alias("__num"),
+            "lo", "hi",
+        )
+        .select(
+            F.when(
+                F.col("hi") > F.col("lo"),
+                F.greatest(F.lit(1), F.expr("CAST(__num DIV (hi - lo) AS INT)")),
+            ).otherwise(F.lit(1)).alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_new_terms"))
+    )
+    spine = spark.range(1, K + 1).select(F.col("id").cast("int").alias("bucket"))
+    merged = (
+        spine.join(doc_stats, "bucket", "left")
+        .join(first_term, "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce(F.col("n_docs"), F.lit(0)).alias("n_docs"),
+            F.coalesce(F.col("n_tokens"), F.lit(0)).alias("n_tokens"),
+            F.coalesce(F.col("n_new_terms"), F.lit(0)).alias("n_new_terms"),
+        )
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return merged.select(
+        F.col("bucket").alias("checkpoint"),
+        F.sum("n_docs").over(w).cast("bigint").alias("cum_docs"),
+        F.sum("n_tokens").over(w).cast("bigint").alias("cum_tokens"),
+        F.sum("n_new_terms").over(w).cast("bigint").alias("cum_vocab"),
+    )
+
+
+def heaps_fit(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_checkpoints: int = 16,
+) -> DataFrame:
+    """Heaps'-law OLS fit ``ln V ~ ln N`` over the :func:`vocab_growth`
+    curve (checkpoints with ≥1 token): one row
+    ``(n_points, beta, intercept, r2)`` rounded 6 dp — β is the Heaps
+    exponent, exp(intercept) the K constant. Same bounded-regression shape
+    as :func:`zipf_fit`: the regression input is K rows, never the corpus.
+    """
+    curve = vocab_growth(
+        df, id_col=id_col, text_col=text_col, n_checkpoints=n_checkpoints
+    ).filter(F.col("cum_tokens") > 0)
+    pts = curve.select(
+        F.log(F.col("cum_vocab").cast("double")).alias("y"),
+        F.log(F.col("cum_tokens").cast("double")).alias("x"),
+    )
+    return pts.agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.round(F.regr_slope("y", "x"), 6).alias("beta"),
+        F.round(F.regr_intercept("y", "x"), 6).alias("intercept"),
+        F.round(F.regr_r2("y", "x"), 6).alias("r2"),
+    )

@@ -337,3 +337,59 @@ def test_tfidf_cosine_pairs_max_df_guard_drops_hot_terms(spark):
     assert (
         tfidf_cosine_pairs(docs, threshold=0.0, max_df=3).count() == 0
     )
+
+
+def test_vocab_growth_curve_exact(spark):
+    from database2ogr_spark.operators.tfidf import vocab_growth
+
+    # ids 0..3, K=4, lo=0 hi=3: bucket = max(1, ceil(id*4/3))
+    #   id0->1, id1->ceil(4/3)=2, id2->ceil(8/3)=3, id3->4
+    rows = [
+        (0, "a b"),          # tokens 2, new terms {a,b}
+        (1, "b c c"),        # tokens 3, new terms {c}
+        (2, ""),             # tokens 0, nothing new
+        (3, "a d"),          # tokens 2, new terms {d}
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.checkpoint: r for r in vocab_growth(df, n_checkpoints=4).collect()}
+    assert sorted(out) == [1, 2, 3, 4]
+    assert (out[1].cum_docs, out[1].cum_tokens, out[1].cum_vocab) == (1, 2, 2)
+    assert (out[2].cum_docs, out[2].cum_tokens, out[2].cum_vocab) == (2, 5, 3)
+    assert (out[3].cum_docs, out[3].cum_tokens, out[3].cum_vocab) == (3, 5, 3)
+    assert (out[4].cum_docs, out[4].cum_tokens, out[4].cum_vocab) == (4, 7, 4)
+
+
+def test_vocab_growth_single_doc_and_validation(spark):
+    import pytest as _pytest
+
+    from database2ogr_spark.operators.tfidf import vocab_growth
+
+    df = spark.createDataFrame([(5, "x y z")], "doc_id long, text string")
+    out = {r.checkpoint: r for r in vocab_growth(df, n_checkpoints=3).collect()}
+    # hi == lo: everything lands in bucket 1, later checkpoints carry over
+    assert (out[1].cum_docs, out[1].cum_tokens, out[1].cum_vocab) == (1, 3, 3)
+    assert (out[3].cum_docs, out[3].cum_tokens, out[3].cum_vocab) == (1, 3, 3)
+    with _pytest.raises(ValueError):
+        vocab_growth(df, n_checkpoints=1)
+
+
+def test_heaps_fit_recovers_exponent(spark):
+    import math
+
+    from database2ogr_spark.operators.tfidf import heaps_fit
+
+    # synthetic corpus with an exact power law V(n) = n^0.5: doc i adds
+    # tokens so that cumulative tokens = (i+1)^2 and introduces exactly one
+    # new term (vocab = i+1) -> ln V = 0.5 ln N exactly at every checkpoint
+    rows = []
+    for i in range(64):
+        n_new = (i + 1) ** 2 - i**2  # tokens this doc
+        toks = [f"t{i}"] * n_new  # one NEW type, repeated
+        rows.append((i, " ".join(toks)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    r = heaps_fit(df, n_checkpoints=8).collect()[0]
+    assert r.n_points == 8
+    assert abs(r.beta - 0.5) < 1e-6, r
+    assert abs(r.intercept) < 1e-6, r
+    assert abs(r.r2 - 1.0) < 1e-6, r
+    assert math.isfinite(r.beta)
