@@ -1174,6 +1174,23 @@ def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vocab_growth(_t(spark, sf_dir, "documents"), n_checkpoints=16)
 
 
+def q_kappa_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa (validate.cohens_kappa) between metadata lang and the
+    heuristic lang-id prediction — the chance-corrected companion to
+    lang_confusion: raw agreement rewards majority-class collapse, kappa
+    does not. One (true, pred) joint-count shuffle; everything else runs
+    on the bounded joint table."""
+    from database2ogr_spark.operators.validate import cohens_kappa
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    s = TS.with_text_stats(d, "text", langs=tuple(TS.STOPWORDS))
+    hits = {lang: F.col(f"__hits_{lang}") for lang in TS.STOPWORDS}
+    pred = s.select(
+        F.col("lang"), TS.lang_id_from_hits(hits).alias("lang_pred")
+    )
+    return cohens_kappa(pred, "lang", "lang_pred")
+
+
 def q_fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _t(spark, sf_dir, "documents").select(
         "doc_id", TS.rolling_fingerprint("text").alias("fp")
@@ -3541,6 +3558,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_cosine_pairs": q_tfidf_cosine_pairs,
         "dsir_select": q_dsir_select,
         "vocab_growth": q_vocab_growth,
+        "kappa_langid": q_kappa_langid,
         # Everything below is QUEUED IN ROUND-6 PRIORITY ORDER — the next
         # rotation is a pure cut at slot 50. First ALL TWENTY r1/r2-
         # vintage re-earners, none of which fit this round (a1_distinct,
@@ -5851,6 +5869,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT cm.lang_true, cm.lang_pred, cm.n,
                    round(cm.n::DOUBLE / t.tt, 6) AS frac_of_true
             FROM cm JOIN t USING (lang_true)
+        """,
+        # Cohen's kappa over the same lang-id prediction as lang_confusion;
+        # NULL labels coalesce to the sentinel so every join is equality
+        "kappa_langid": f"""
+            WITH h AS (SELECT doc_id, lang, {hits_select} FROM documents),
+            bb AS (SELECT *, {best} AS best FROM h),
+            p AS (SELECT coalesce(lang, '∅') AS x,
+                         coalesce({lang_case}, '∅') AS y FROM bb),
+            j AS (SELECT x, y, count(*)::BIGINT AS n FROM p GROUP BY 1, 2),
+            t AS (SELECT sum(n)::BIGINT AS nn FROM j),
+            ag AS (SELECT coalesce(sum(n), 0)::BIGINT AS agree
+                   FROM j WHERE x = y),
+            ma AS (SELECT x, sum(n)::BIGINT AS na FROM j GROUP BY x),
+            mb AS (SELECT y, sum(n)::BIGINT AS nb FROM j GROUP BY y),
+            ch AS (SELECT coalesce(sum(na::DOUBLE * nb::DOUBLE /
+                     (nn::DOUBLE * nn::DOUBLE)), 0.0) AS chance
+                   FROM ma JOIN mb ON ma.x = mb.y CROSS JOIN t)
+            SELECT 'lang' AS col_a, 'lang_pred' AS col_b, nn AS n_rows,
+              round(agree::DOUBLE / nn, 6) AS po,
+              round(chance, 6) AS pe,
+              CASE WHEN chance < 1.0
+                   THEN round((agree::DOUBLE / nn - chance) / (1.0 - chance), 6)
+                   END AS kappa
+            FROM ag CROSS JOIN t CROSS JOIN ch
         """,
         "fingerprint_rolling": f"""
             SELECT doc_id,

@@ -131,6 +131,7 @@ HEADLINE = [
     "tfidf_cosine_pairs",
     "dsir_select",
     "vocab_growth",
+    "kappa_langid",
 ]
 
 #: the queries that were in BENCH_r01 (the operative baseline — BASELINE.md:

@@ -313,3 +313,77 @@ def fk_orphans(
             F.round(F.col("n_orphans") / F.col("n_child"), 6).alias("orphan_frac"),
         )
     )
+
+
+def cohens_kappa(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+) -> DataFrame:
+    """Cohen's kappa between two categorical columns — chance-corrected
+    agreement, the standard audit when two LABEL SOURCES rate the same
+    rows (two annotators, a classifier vs gold metadata, two model
+    versions): raw accuracy rewards majority-class collapse; kappa does
+    not.
+
+        κ = (p_o − p_e) / (1 − p_e)
+        p_o = Σ_k joint(k, k) / N          (observed agreement)
+        p_e = Σ_k p_a(k) · p_b(k)          (chance agreement)
+
+    NULL labels are a real category (coalesced to the sentinel ``'∅'``
+    first, so the diagonal and the marginal join are plain equality in
+    every engine). κ is NULL when p_e = 1 (both raters constant — the
+    statistic is undefined). Output is ONE row:
+    ``(col_a, col_b, n_rows, po, pe, kappa)`` rounded 6 dp.
+
+    Scale: one corpus pass builds the (a, b) joint-count table (one
+    partial-agg'd shuffle, ≤ #categories² rows); p_o, the marginals, and
+    p_e all derive from that bounded table — the same
+    audit-operator shape as mutual_information.
+    """
+    a = F.coalesce(F.col(col_a).cast("string"), F.lit("∅"))
+    b = F.coalesce(F.col(col_b).cast("string"), F.lit("∅"))
+    joint = (
+        df.select(a.alias("x"), b.alias("y"))
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = joint.agg(F.sum("n").alias("nn"))
+    po = joint.filter(F.col("x") == F.col("y")).agg(
+        F.coalesce(F.sum("n"), F.lit(0)).alias("agree")
+    )
+    ma = joint.groupBy("x").agg(F.sum("n").alias("na"))
+    mb = joint.groupBy("y").agg(F.sum("n").alias("nb"))
+    pe = (
+        ma.join(mb, ma["x"] == mb["y"])
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.col("na").cast("double")
+                    * F.col("nb").cast("double")
+                    / (F.col("nn").cast("double") * F.col("nn").cast("double"))
+                ),
+                F.lit(0.0),
+            ).alias("pe")
+        )
+    )
+    return (
+        po.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(pe))
+        .select(
+            F.lit(col_a).alias("col_a"),
+            F.lit(col_b).alias("col_b"),
+            F.col("nn").cast("bigint").alias("n_rows"),
+            F.round(F.col("agree").cast("double") / F.col("nn"), 6).alias("po"),
+            F.round(F.col("pe"), 6).alias("pe"),
+            F.when(
+                F.col("pe") < 1.0,
+                F.round(
+                    (F.col("agree") / F.col("nn") - F.col("pe"))
+                    / (F.lit(1.0) - F.col("pe")),
+                    6,
+                ),
+            ).alias("kappa"),
+        )
+    )

@@ -177,3 +177,33 @@ def test_mutual_information_hand_computed(spark):
     )
     r3 = mutual_information(df3, "x", "y").collect()[0]
     assert r3.h_x == 0.0 and r3.mi == 0.0 and r3.nmi is None
+
+
+def test_cohens_kappa_hand_computed(spark):
+    from database2ogr_spark.operators.validate import cohens_kappa
+
+    # classic 2x2: a=(y,y,y,n,n,n,y,n,y,y), b=(y,n,y,n,n,y,y,n,y,n)
+    pairs = [("y","y"),("y","n"),("y","y"),("n","n"),("n","n"),
+             ("n","y"),("y","y"),("n","n"),("y","y"),("y","n")]
+    df = spark.createDataFrame(pairs, "a string, b string")
+    r = cohens_kappa(df, "a", "b").collect()[0]
+    # po = 7/10; pa(y)=.6 pb(y)=.5, pa(n)=.4 pb(n)=.5 -> pe=.5
+    assert r.n_rows == 10 and abs(r.po - 0.7) < 1e-9
+    assert abs(r.pe - 0.5) < 1e-9
+    assert abs(r.kappa - 0.4) < 1e-9
+    assert (r.col_a, r.col_b) == ("a", "b")
+
+
+def test_cohens_kappa_nulls_and_degenerate(spark):
+    from database2ogr_spark.operators.validate import cohens_kappa
+
+    # NULL is a category: (NULL, NULL) agrees
+    df = spark.createDataFrame(
+        [("x", "x"), (None, None), ("x", None)], "a string, b string"
+    )
+    r = cohens_kappa(df, "a", "b").collect()[0]
+    assert abs(r.po - 2 / 3) < 1e-6
+    # both raters constant -> pe = 1 -> kappa undefined (NULL)
+    dfc = spark.createDataFrame([("k", "k"), ("k", "k")], "a string, b string")
+    rc = cohens_kappa(dfc, "a", "b").collect()[0]
+    assert rc.po == 1.0 and rc.pe == 1.0 and rc.kappa is None
