@@ -1191,6 +1191,19 @@ def q_kappa_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cohens_kappa(pred, "lang", "lang_pred")
 
 
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language tokenizer fertility/parity audit (bpe.tokenizer_
+    fertility) under the same 6-merge BPE config as bpe_segment — the
+    multilingual-fairness report (tokens/word, chars/token, parity vs the
+    best-served language, OOV share). Merges apply to the DISTINCT vocab;
+    one word-keyed join back; one lang agg."""
+    from database2ogr_spark.operators.bpe import learn_bpe, tokenizer_fertility
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = learn_bpe(docs, num_merges=6, min_word_freq=2)
+    return tokenizer_fertility(docs, merges)
+
+
 def q_fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _t(spark, sf_dir, "documents").select(
         "doc_id", TS.rolling_fingerprint("text").alias("fp")
@@ -3559,6 +3572,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_select": q_dsir_select,
         "vocab_growth": q_vocab_growth,
         "kappa_langid": q_kappa_langid,
+        "tokenizer_fertility": q_tokenizer_fertility,
         # Everything below is QUEUED IN ROUND-6 PRIORITY ORDER — the next
         # rotation is a pure cut at slot 50. First ALL TWENTY r1/r2-
         # vintage re-earners, none of which fit this round (a1_distinct,
@@ -3952,6 +3966,35 @@ def _bpe_segment_sql(num_merges: int = 6, min_freq: int = 2) -> str:
             AS chars_per_token
         FROM dw LEFT JOIN seg USING (word)
         GROUP BY doc_id
+    """
+
+
+def _bpe_fertility_sql(num_merges: int = 6, min_freq: int = 2) -> str:
+    """Fertility twin: the SAME learning chain + vocab segmentation chain
+    as _bpe_segment_sql, but the token stream carries lang and the final
+    agg groups by it, adding the oov count and the parity ratio against
+    the best-served group."""
+    seg = _bpe_segment_sql(num_merges, min_freq)
+    # reuse everything up to the seg CTE, swap the dw source + final agg
+    head, _sep, _tail = seg.rpartition("SELECT doc_id,")
+    head = head.replace(
+        "dw AS (SELECT doc_id, unnest(",
+        "dw AS (SELECT lang, unnest(",
+    )
+    return f"""{head.rstrip()},
+        pg AS (SELECT lang, count(*)::BIGINT AS n_words,
+                 sum(CASE WHEN n_sub IS NULL THEN 1 ELSE 0 END)::BIGINT
+                   AS n_oov,
+                 sum(coalesce(n_sub, 1))::BIGINT AS n_tokens,
+                 sum(len(word))::BIGINT AS n_chars
+               FROM dw LEFT JOIN seg USING (word)
+               GROUP BY lang),
+        bst AS (SELECT min(n_tokens::DOUBLE / n_words) AS best FROM pg)
+        SELECT lang, n_words, n_oov, n_tokens,
+          round(n_tokens::DOUBLE / n_words, 6) AS fertility,
+          round(n_chars::DOUBLE / n_tokens, 6) AS chars_per_token,
+          round((n_tokens::DOUBLE / n_words) / best, 6) AS parity
+        FROM pg CROSS JOIN bst
     """
 
 
@@ -6084,6 +6127,7 @@ def oracle_sql() -> dict[str, str]:
         # same leftmost-non-overlapping replace application
         "bpe_learn": _bpe_learn_sql(num_merges=6, min_freq=2),
         "bpe_segment": _bpe_segment_sql(num_merges=6, min_freq=2),
+        "tokenizer_fertility": _bpe_fertility_sql(num_merges=6, min_freq=2),
         # subword unit frequencies: the same chain, units exploded
         # weighted by word frequency, build_vocab-style ranked ids
         "bpe_subword_vocab": f"""

@@ -132,6 +132,7 @@ HEADLINE = [
     "dsir_select",
     "vocab_growth",
     "kappa_langid",
+    "tokenizer_fertility",
 ]
 
 #: the queries that were in BENCH_r01 (the operative baseline — BASELINE.md:

@@ -173,6 +173,35 @@ def apply_merges(sym: Column, merges: list[tuple[str, str]]) -> Column:
     return sym
 
 
+def _segmented_vocab(
+    tokens: DataFrame, merges: DataFrame, word_pattern: str
+) -> DataFrame:
+    """(word, n_sub) over the DISTINCT charset-passing vocabulary of a
+    ``word`` column — the shared vocab-bounded segmentation core of
+    :func:`segment_corpus` and :func:`tokenizer_fertility`. The merge
+    table collect is bounded (num_merges rows)."""
+    rules = [
+        (r["lhs"], r["rhs"]) for r in merges.orderBy("merge_rank").collect()
+    ]
+    return (
+        tokens.select("word")
+        .distinct()
+        .filter(F.col("word").rlike(word_pattern))
+        .select(
+            "word",
+            F.size(
+                F.filter(
+                    F.split(
+                        F.trim(apply_merges(_char_symbols(F.col("word")), rules)),
+                        " ",
+                    ),
+                    lambda x: x != "",
+                )
+            ).alias("n_sub"),
+        )
+    )
+
+
 def segment_corpus(
     df: DataFrame,
     merges: DataFrame,
@@ -191,27 +220,10 @@ def segment_corpus(
 
     Output: (doc_id, n_words, n_tokens, chars_per_token) — all scalar.
     """
-    rules = [
-        (r["lhs"], r["rhs"])
-        for r in merges.orderBy("merge_rank").collect()  # bounded: num_merges rows
-    ]
     tokens = df.select(
         F.col(id_col).alias("doc_id"), F.explode(words(text_col)).alias("word")
     )
-    vocab = (
-        tokens.select("word")
-        .distinct()
-        .filter(F.col("word").rlike(word_pattern))
-        .select(
-            "word",
-            F.size(
-                F.filter(
-                    F.split(F.trim(apply_merges(_char_symbols(F.col("word")), rules)), " "),
-                    lambda x: x != "",
-                )
-            ).alias("n_sub"),
-        )
-    )
+    vocab = _segmented_vocab(tokens, merges, word_pattern)
     return (
         tokens.join(vocab, "word", "left")
         .groupBy("doc_id")
@@ -274,4 +286,72 @@ def subword_vocab(
         "subword",
         (F.row_number().over(w) - 1).cast("int").alias("subword_id"),
         "count",
+    )
+
+
+def tokenizer_fertility(
+    df: DataFrame,
+    merges: DataFrame,
+    *,
+    group_col: str = "lang",
+    text_col: str = "text",
+    word_pattern: str = ASCII_WORDS,
+) -> DataFrame:
+    """Per-group tokenizer fertility audit — the multilingual-fairness
+    report every shared-vocabulary tokenizer owes its users: fertility
+    (BPE tokens per word) and compression (chars per token) per
+    ``group_col`` (typically language), plus ``parity`` = the group's
+    fertility relative to the best-served group. A language at parity 2×
+    pays twice the sequence length (and twice the inference cost) for the
+    same text — the signal that the merge table under-serves it.
+
+    Out-of-charset words count as ONE token each (the same OOV fallback
+    as :func:`segment_corpus`), which deliberately UNDERSTATES fertility
+    for non-covered scripts — pair with the oov share when reading the
+    report (``n_oov`` is included per group for exactly that).
+
+    Output: (group_col, n_words, n_oov, n_tokens, fertility,
+    chars_per_token, parity), ratios rounded 6 dp.
+
+    Scale: same shape as :func:`segment_corpus` — merges apply to the
+    DISTINCT vocabulary (symbol work is vocab-bounded), one word-keyed
+    equi-join back onto the exploded corpus (AQE broadcasts small
+    vocabs), one group agg; the parity divisor is a 1-row broadcast.
+    """
+    tokens = df.select(
+        F.col(group_col).alias("grp"), F.explode(words(text_col)).alias("word")
+    )
+    vocab = _segmented_vocab(tokens, merges, word_pattern)
+    per_group = (
+        tokens.join(vocab, "word", "left")
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum(F.when(F.col("n_sub").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_oov"),
+            F.sum(F.coalesce(F.col("n_sub"), F.lit(1)))
+            .cast("bigint")
+            .alias("n_tokens"),
+            F.sum(F.length("word")).cast("bigint").alias("n_chars"),
+        )
+    )
+    best = per_group.agg(
+        F.min(F.col("n_tokens").cast("double") / F.col("n_words")).alias("__best")
+    )
+    return per_group.crossJoin(F.broadcast(best)).select(
+        F.col("grp").alias(group_col),
+        "n_words",
+        "n_oov",
+        "n_tokens",
+        F.round(F.col("n_tokens").cast("double") / F.col("n_words"), 6).alias(
+            "fertility"
+        ),
+        F.round(F.col("n_chars").cast("double") / F.col("n_tokens"), 6).alias(
+            "chars_per_token"
+        ),
+        F.round(
+            (F.col("n_tokens").cast("double") / F.col("n_words")) / F.col("__best"),
+            6,
+        ).alias("parity"),
     )

@@ -187,3 +187,48 @@ def test_bpe_matches_reference_on_random_corpora(spark):
         assert got == ref
 
     check()
+
+
+def test_tokenizer_fertility_hand_computed(spark):
+    from database2ogr_spark.operators.bpe import (
+        MERGES_SCHEMA,
+        tokenizer_fertility,
+    )
+
+    # no merges -> every ASCII word segments to its characters; the
+    # non-ASCII word is OOV and counts as ONE token
+    df = spark.createDataFrame(
+        [
+            ("en", "ab ab cd"),     # words 3, tokens 2+2+2=6, chars 6
+            ("zh", "日本 ab"),       # words 2, oov 1, tokens 1+2=3, chars 4
+        ],
+        "lang string, text string",
+    )
+    merges = spark.createDataFrame([], MERGES_SCHEMA)
+    out = {r.lang: r for r in tokenizer_fertility(df, merges).collect()}
+    en, zh = out["en"], out["zh"]
+    assert (en.n_words, en.n_oov, en.n_tokens) == (3, 0, 6)
+    assert abs(en.fertility - 2.0) < 1e-9
+    assert abs(en.chars_per_token - 1.0) < 1e-9
+    assert (zh.n_words, zh.n_oov, zh.n_tokens) == (2, 1, 3)
+    assert abs(zh.fertility - 1.5) < 1e-9
+    # parity: best fertility is zh's 1.5 -> zh parity 1.0, en 2/1.5
+    assert abs(zh.parity - 1.0) < 1e-9
+    assert abs(en.parity - 2.0 / 1.5) < 1e-6
+
+
+def test_tokenizer_fertility_merges_lower_fertility(spark):
+    from database2ogr_spark.operators.bpe import learn_bpe, tokenizer_fertility
+
+    df = spark.createDataFrame(
+        [("en", "hello hello hello"), ("de", "welt welt")],
+        "lang string, text string",
+    )
+    no_merge = tokenizer_fertility(
+        df, learn_bpe(df, num_merges=0)
+    ).where("lang = 'en'").collect()[0]
+    merged = tokenizer_fertility(
+        df, learn_bpe(df, num_merges=4)
+    ).where("lang = 'en'").collect()[0]
+    assert merged.fertility < no_merge.fertility
+    assert merged.n_words == no_merge.n_words == 3
