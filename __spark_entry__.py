@@ -1204,6 +1204,23 @@ def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tokenizer_fertility(docs, merges)
 
 
+def q_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RLHF/DPO preference-pair construction (preference.preference_pairs):
+    per source, the top-n_chars doc (champion via partial-aggregable
+    max(struct), no per-group sort) against each sibling trailing by
+    ≥ 100 chars, capped to the 10 hardest negatives. Margin filter and
+    cap are the two public DPO data-prep knobs."""
+    from database2ogr_spark.operators.preference import preference_pairs
+
+    return preference_pairs(
+        _t(spark, sf_dir, "documents"),
+        group_col="source",
+        score_col="n_chars",
+        min_margin=100.0,
+        max_pairs_per_group=10,
+    )
+
+
 def q_fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _t(spark, sf_dir, "documents").select(
         "doc_id", TS.rolling_fingerprint("text").alias("fp")
@@ -3573,6 +3590,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_growth": q_vocab_growth,
         "kappa_langid": q_kappa_langid,
         "tokenizer_fertility": q_tokenizer_fertility,
+        "preference_pairs": q_preference_pairs,
         # Everything below is QUEUED IN ROUND-6 PRIORITY ORDER — the next
         # rotation is a pure cut at slot 50. First ALL TWENTY r1/r2-
         # vintage re-earners, none of which fit this round (a1_distinct,
@@ -5936,6 +5954,31 @@ def oracle_sql() -> dict[str, str]:
                    THEN round((agree::DOUBLE / nn - chance) / (1.0 - chance), 6)
                    END AS kappa
             FROM ag CROSS JOIN t CROSS JOIN ch
+        """,
+        # champion tie-break = max(struct(score, id)) -> (score DESC,
+        # id DESC); cap window = hardest negatives (score DESC, id ASC)
+        "preference_pairs": """
+            WITH pool AS (SELECT source AS grp, doc_id AS rejected_id,
+                            n_chars::DOUBLE AS rejected_score
+                          FROM documents),
+            ch AS (SELECT grp, rejected_id AS chosen_id,
+                     rejected_score AS chosen_score
+                   FROM (SELECT *, row_number() OVER (PARTITION BY grp
+                           ORDER BY rejected_score DESC, rejected_id DESC)
+                           AS rn
+                         FROM pool WHERE rejected_score IS NOT NULL) q
+                   WHERE rn = 1),
+            p AS (SELECT ch.grp, chosen_id, rejected_id, chosen_score,
+                    rejected_score
+                  FROM ch JOIN pool USING (grp)
+                  WHERE rejected_id <> chosen_id
+                    AND chosen_score - rejected_score >= 100.0),
+            c AS (SELECT *, row_number() OVER (PARTITION BY grp
+                    ORDER BY rejected_score DESC, rejected_id ASC) AS rn
+                  FROM p)
+            SELECT grp AS source, chosen_id, rejected_id, chosen_score,
+              rejected_score, chosen_score - rejected_score AS margin
+            FROM c WHERE rn <= 10
         """,
         "fingerprint_rolling": f"""
             SELECT doc_id,

@@ -133,6 +133,7 @@ HEADLINE = [
     "vocab_growth",
     "kappa_langid",
     "tokenizer_fertility",
+    "preference_pairs",
 ]
 
 #: the queries that were in BENCH_r01 (the operative baseline — BASELINE.md:
