@@ -1221,6 +1221,25 @@ def q_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mine_bitext(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-based bitext mining (similarity.mine_bitext, Artetxe &
+    Schwenk ratio margin): the label<5 half of the embedding table
+    aligned against the label>=5 half by mutual-NN + margin >= 1.0 over
+    k=4 neighbourhood averages — the cross-lingual pair-mining shape.
+    Exact tier (one scored cross table, persisted for its three
+    readers); the scale path swaps the cross join for IVF/LSH candidate
+    blocks, margin logic unchanged."""
+    from database2ogr_spark.operators.similarity import mine_bitext
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return mine_bitext(
+        emb.filter(F.col("label") < 5),
+        emb.filter(F.col("label") >= 5),
+        k=4,
+        threshold=1.0,
+    )
+
+
 def q_fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _t(spark, sf_dir, "documents").select(
         "doc_id", TS.rolling_fingerprint("text").alias("fp")
@@ -3591,6 +3610,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kappa_langid": q_kappa_langid,
         "tokenizer_fertility": q_tokenizer_fertility,
         "preference_pairs": q_preference_pairs,
+        "mine_bitext": q_mine_bitext,
         # Everything below is QUEUED IN ROUND-6 PRIORITY ORDER — the next
         # rotation is a pure cut at slot 50. First ALL TWENTY r1/r2-
         # vintage re-earners, none of which fit this round (a1_distinct,
@@ -5954,6 +5974,37 @@ def oracle_sql() -> dict[str, str]:
                    THEN round((agree::DOUBLE / nn - chance) / (1.0 - chance), 6)
                    END AS kappa
             FROM ag CROSS JOIN t CROSS JOIN ch
+        """,
+        # mutual-NN + ratio margin over the two label halves; cosine
+        # rounded before ranking, margin rounded before the threshold
+        "mine_bitext": """
+            WITH e AS (SELECT vec_id, label,
+                         list_transform(embedding, x -> CAST(x AS DOUBLE))
+                           AS v
+                       FROM embeddings),
+            s AS (SELECT vec_id AS src_id, v AS sv FROM e WHERE label < 5),
+            t AS (SELECT vec_id AS tgt_id, v AS tv FROM e WHERE label >= 5),
+            sc AS (SELECT src_id, tgt_id,
+                     round(list_dot_product(sv, tv) /
+                       (sqrt(list_dot_product(sv, sv)) *
+                        sqrt(list_dot_product(tv, tv))), 6) AS cosine_sim
+                   FROM s CROSS JOIN t),
+            r AS (SELECT *,
+                    row_number() OVER (PARTITION BY src_id
+                      ORDER BY cosine_sim DESC, tgt_id) AS rs,
+                    row_number() OVER (PARTITION BY tgt_id
+                      ORDER BY cosine_sim DESC, src_id) AS rt
+                  FROM sc),
+            a_s AS (SELECT src_id, avg(cosine_sim) AS asrc FROM r
+                    WHERE rs <= 4 GROUP BY src_id),
+            a_t AS (SELECT tgt_id, avg(cosine_sim) AS atgt FROM r
+                    WHERE rt <= 4 GROUP BY tgt_id),
+            m AS (SELECT src_id, tgt_id, cosine_sim FROM r
+                  WHERE rs = 1 AND rt = 1)
+            SELECT m.src_id, m.tgt_id, m.cosine_sim,
+              round(m.cosine_sim / ((asrc + atgt) / 2.0), 6) AS margin
+            FROM m JOIN a_s USING (src_id) JOIN a_t USING (tgt_id)
+            WHERE round(m.cosine_sim / ((asrc + atgt) / 2.0), 6) >= 1.0
         """,
         # champion tie-break = max(struct(score, id)) -> (score DESC,
         # id DESC); cap window = hardest negatives (score DESC, id ASC)

@@ -134,6 +134,7 @@ HEADLINE = [
     "kappa_langid",
     "tokenizer_fertility",
     "preference_pairs",
+    "mine_bitext",
 ]
 
 #: the queries that were in BENCH_r01 (the operative baseline — BASELINE.md:

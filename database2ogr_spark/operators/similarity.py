@@ -1062,3 +1062,95 @@ def label_diversity(
             ),
         ).alias("mean_pairwise_dot"),
     )
+
+
+def mine_bitext(
+    src: DataFrame,
+    tgt: DataFrame,
+    *,
+    k: int = 4,
+    threshold: float = 1.0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Margin-based bitext mining (public Artetxe & Schwenk 2019, the
+    LASER/CCMatrix method): align two embedding sets (sentences in two
+    languages, or any two corpora sharing an encoder) by MUTUAL nearest
+    neighbour with the margin criterion
+
+        margin(x, y) = cos(x, y) / ((avgₖ(x) + avgₖ(y)) / 2)
+
+    where avgₖ(x) is the mean cosine of x to its k nearest neighbours on
+    the OTHER side — the ratio-to-neighbourhood correction that kills the
+    hub vectors raw cosine would falsely align. A pair is mined iff y is
+    x's top-1, x is y's top-1, and margin ≥ ``threshold``.
+
+    Output: (src_id, tgt_id, cosine_sim, margin), both ratios rounded
+    6 dp (cosine before ranking, margin before thresholding — engine-
+    stable cuts); ties break toward the smaller id.
+
+    Scale: this is the EXACT tier — one |src|×|tgt| scored table
+    (persisted: three branches read it — the two per-side top-k windows
+    and the mutual-best filter — and recomputing a cross-join cosine
+    three times is the one unforgivable cost here; callers clearCache
+    after the action, the operators/dedup.py convention). The two
+    windows shuffle the scored table by src then by tgt — inherent to
+    exact margin mining. The 100 TB path replaces the cross join with
+    blocked candidates (ivf_topk / lsh_topk per side) and computes the
+    same margins over candidate pairs only; the mutual-NN + margin logic
+    here is unchanged by that substitution.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    dim = _infer_dim(src, vec_col)
+    s = src.select(
+        F.col(id_col).alias("src_id"), F.col(vec_col).alias("s_vec")
+    )
+    t = tgt.select(
+        F.col(id_col).alias("tgt_id"), F.col(vec_col).alias("t_vec")
+    )
+    cos = (
+        cosine_unrolled(F.col("s_vec"), F.col("t_vec"), dim)
+        if dim
+        else cosine(F.col("s_vec"), F.col("t_vec"))
+    )
+    scored = (
+        s.crossJoin(F.broadcast(t))
+        .select("src_id", "tgt_id", F.round(cos, 6).alias("cosine_sim"))
+        .persist()
+    )
+    w_s = Window.partitionBy("src_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("tgt_id").asc()
+    )
+    w_t = Window.partitionBy("tgt_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("src_id").asc()
+    )
+    ranked = scored.withColumn("__rs", F.row_number().over(w_s)).withColumn(
+        "__rt", F.row_number().over(w_t)
+    )
+    avg_s = (
+        ranked.filter(F.col("__rs") <= k)
+        .groupBy("src_id")
+        .agg(F.avg("cosine_sim").alias("__as"))
+    )
+    avg_t = (
+        ranked.filter(F.col("__rt") <= k)
+        .groupBy("tgt_id")
+        .agg(F.avg("cosine_sim").alias("__at"))
+    )
+    mutual = ranked.filter((F.col("__rs") == 1) & (F.col("__rt") == 1))
+    return (
+        mutual.join(avg_s, "src_id")
+        .join(avg_t, "tgt_id")
+        .select(
+            "src_id",
+            "tgt_id",
+            "cosine_sim",
+            F.round(
+                F.col("cosine_sim")
+                / ((F.col("__as") + F.col("__at")) / F.lit(2.0)),
+                6,
+            ).alias("margin"),
+        )
+        .filter(F.col("margin") >= F.lit(float(threshold)))
+    )

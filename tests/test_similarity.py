@@ -432,3 +432,45 @@ def test_label_diversity_matches_bruteforce(spark):
         assert abs(out[lbl].mean_pairwise_dot - round(expect, 6)) < 1e-9
     assert out[2].n == 1 and out[2].mean_pairwise_dot is None
     assert out[2].mean_self_dot == 10.0
+
+
+def test_mine_bitext_mutual_nn_and_margin(spark):
+    import numpy as np
+
+    from database2ogr_spark.operators.similarity import mine_bitext
+
+    # two sides with an obvious alignment: tgt i = src i slightly rotated;
+    # plus a hub vector on tgt that is everyone's 2nd neighbour
+    rng = np.random.RandomState(7)
+    base = rng.randn(6, 8).astype("float32")
+    src_rows = [(i, base[i].tolist()) for i in range(6)]
+    tgt_rows = [(100 + i, (base[i] + 0.01 * rng.randn(8).astype("float32")).tolist()) for i in range(6)]
+    src = spark.createDataFrame(src_rows, "vec_id long, embedding array<float>")
+    tgt = spark.createDataFrame(tgt_rows, "vec_id long, embedding array<float>")
+    out = mine_bitext(src, tgt, k=3, threshold=1.0).collect()
+    got = {(r.src_id, r.tgt_id) for r in out}
+    assert got == {(i, 100 + i) for i in range(6)}
+    for r in out:
+        assert r.margin >= 1.0 and r.cosine_sim > 0.99
+    spark.catalog.clearCache()
+
+
+def test_mine_bitext_rejects_nonmutual_and_validates(spark):
+    import pytest as _pytest
+
+    from database2ogr_spark.operators.similarity import mine_bitext
+
+    # tgt has ONE vector: every src points at it, but it points back at
+    # only its own best -> exactly one mutual pair survives
+    src = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    tgt = spark.createDataFrame(
+        [(10, [1.0, 0.05])], "vec_id long, embedding array<float>"
+    )
+    out = mine_bitext(src, tgt, k=1, threshold=0.0).collect()
+    assert len(out) == 1 and (out[0].src_id, out[0].tgt_id) == (0, 10)
+    with _pytest.raises(ValueError):
+        mine_bitext(src, tgt, k=0)
+    spark.catalog.clearCache()
