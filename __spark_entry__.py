@@ -1097,6 +1097,54 @@ def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return k_anonymity_report(docs, ["lang", "source", "len_bucket"], k=5)
 
 
+def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity screen (validate.l_diversity_report) on the
+    (lang, 200-char length bucket) quasi-identifier with source as the
+    sensitive attribute, l=3 — the homogeneity-attack companion to
+    k_anonymity: one exact count-distinct agg, #combinations output."""
+    from database2ogr_spark.operators.validate import l_diversity_report
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "lang",
+        F.floor(F.col("n_chars") / 200).alias("len_bucket"),
+        "source",
+    )
+    return l_diversity_report(docs, ["lang", "len_bucket"], "source", l=3)
+
+
+def q_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source lexical-diversity report (textstats.lexical_diversity):
+    TTR, hapax rate, distinct-bigram ratio — the distinct-n/self-BLEU
+    family health metrics read next to zipf_fit/vocab_growth. Two gram
+    streams, everything downstream #groups-sized."""
+    from database2ogr_spark.functions.textstats import lexical_diversity
+
+    return lexical_diversity(_t(spark, sf_dir, "documents"), group_col="source")
+
+
+def q_corpus_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Jensen–Shannon divergence between source unigram
+    distributions over 2048 hashed buckets (overlap.corpus_divergence) —
+    the distributional companion to source_overlap (literal sharing) and
+    drift_report (numeric PSI). Models are bucket-bounded; the pair join
+    is #sources² × B, never corpus-sized."""
+    from database2ogr_spark.operators.overlap import corpus_divergence
+
+    return corpus_divergence(
+        _t(spark, sf_dir, "documents"), group_col="source", n_buckets=2048
+    )
+
+
+def q_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event sequences
+    (funnel.transition_matrix): lead() over the user partition, one
+    (cur, next) partial-agg'd count, probabilities on the #types² matrix
+    — the data behind funnel design."""
+    from database2ogr_spark.operators.funnel import transition_matrix
+
+    return transition_matrix(_t(spark, sf_dir, "events"))
+
+
 def q_windowed_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skip-gram collocations (collocations.windowed_pmi, window=3):
     pair expansion in codegen (slice+zip_with per offset) — linear in
@@ -3488,7 +3536,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     dedup_recall, lang_confusion, classifier_auc, label_diversity,
     funnel_steps, retention_cohorts, bm25_topk, source_overlap,
     k_anonymity, windowed_pmi, mutual_information, zipf_fit,
-    tfidf_cosine_pairs."""
+    tfidf_cosine_pairs, dsir_select, vocab_growth, kappa_langid,
+    tokenizer_fertility, preference_pairs, mine_bitext."""
     return {
         # --- (b) first-ever driver rows: the 37 late-round-4 additions ---
         # (five partsupp-family TPC-H completions, unpivot, rolling window
@@ -3611,6 +3660,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tokenizer_fertility": q_tokenizer_fertility,
         "preference_pairs": q_preference_pairs,
         "mine_bitext": q_mine_bitext,
+        "l_diversity": q_l_diversity,
+        "lexical_diversity": q_lexical_diversity,
+        "corpus_divergence": q_corpus_divergence,
+        "transition_matrix": q_transition_matrix,
         # Everything below is QUEUED IN ROUND-6 PRIORITY ORDER — the next
         # rotation is a pure cut at slot 50. First ALL TWENTY r1/r2-
         # vintage re-earners, none of which fit this round (a1_distinct,
@@ -5974,6 +6027,81 @@ def oracle_sql() -> dict[str, str]:
                    THEN round((agree::DOUBLE / nn - chance) / (1.0 - chance), 6)
                    END AS kappa
             FROM ag CROSS JOIN t CROSS JOIN ch
+        """,
+        "transition_matrix": """
+            WITH s AS (SELECT event_type AS cur_type,
+                         lead(event_type) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id) AS next_type
+                       FROM events),
+            c AS (SELECT cur_type, next_type, count(*)::BIGINT AS n
+                  FROM s WHERE next_type IS NOT NULL GROUP BY 1, 2),
+            t AS (SELECT cur_type, sum(n)::BIGINT AS tt
+                  FROM c GROUP BY cur_type)
+            SELECT c.cur_type, c.next_type, c.n,
+              round(c.n::DOUBLE / t.tt, 6) AS prob
+            FROM c JOIN t USING (cur_type)
+        """,
+        # pairwise JSD over add-1-smoothed hashed unigram buckets; the
+        # sum runs over the full bucket spine so it replays exactly
+        "corpus_divergence": f"""
+            WITH tok AS (SELECT source AS grp,
+                           {_h64_sql("w", 0)} % 2048 AS bucket
+                         FROM (SELECT source, unnest({_WORDS_SQL}) AS w
+                               FROM documents) q),
+            cnt AS (SELECT grp, bucket, count(*)::BIGINT AS c
+                    FROM tok GROUP BY 1, 2),
+            tot AS (SELECT grp, sum(c)::BIGINT AS n FROM cnt GROUP BY grp),
+            sp AS (SELECT grp, n, b.bucket
+                   FROM tot CROSS JOIN
+                     (SELECT unnest(range(0, 2048)) AS bucket) b),
+            pr AS (SELECT sp.grp, sp.bucket,
+                     (coalesce(c, 0) + 1.0) / (n + 2048.0) AS p
+                   FROM sp LEFT JOIN cnt
+                     ON sp.grp = cnt.grp AND sp.bucket = cnt.bucket)
+            SELECT a.grp AS group_a, b.grp AS group_b,
+              round(sum(0.5 * (a.p * ln(a.p / ((a.p + b.p) / 2))
+                             + b.p * ln(b.p / ((a.p + b.p) / 2)))), 6)
+                AS jsd
+            FROM pr a JOIN pr b
+              ON a.bucket = b.bucket AND a.grp < b.grp
+            GROUP BY 1, 2
+        """,
+        "lexical_diversity": f"""
+            WITH wt AS (SELECT source, {_WORDS_SQL} AS ws FROM documents),
+            tok AS (SELECT source, unnest(ws) AS w FROM wt),
+            wc AS (SELECT source, w, count(*)::BIGINT AS c
+                   FROM tok GROUP BY 1, 2),
+            uni AS (SELECT source, sum(c)::BIGINT AS n_tokens,
+                      count(*)::BIGINT AS n_types,
+                      sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)::BIGINT
+                        AS n_hapax
+                    FROM wc GROUP BY source),
+            bg AS (SELECT source,
+                     ws[CAST(i AS INT)] || ' ' || ws[CAST(i + 1 AS INT)]
+                       AS b
+                   FROM wt CROSS JOIN
+                     (SELECT unnest(range(1,
+                        (SELECT max(len(ws)) FROM wt) + 1)) AS i) ii
+                   WHERE i + 1 <= len(ws)),
+            bs AS (SELECT source, count(*)::BIGINT AS nb,
+                     count(DISTINCT b)::BIGINT AS ndb
+                   FROM bg GROUP BY source)
+            SELECT uni.source, n_tokens, n_types,
+              round(n_types::DOUBLE / n_tokens, 6) AS ttr,
+              round(n_hapax::DOUBLE / n_types, 6) AS hapax_rate,
+              round(ndb::DOUBLE / nb, 6) AS distinct_bigram_ratio
+            FROM uni LEFT JOIN bs USING (source)
+        """,
+        "l_diversity": """
+            SELECT lang, len_bucket, n, n_sensitive,
+              CASE WHEN n_sensitive < 3 THEN 1 ELSE 0 END AS at_risk
+            FROM (
+              SELECT lang, CAST(floor(n_chars / 200.0) AS BIGINT)
+                       AS len_bucket,
+                     count(*)::BIGINT AS n,
+                     count(DISTINCT coalesce(source, '∅'))::BIGINT
+                       AS n_sensitive
+              FROM documents GROUP BY 1, 2) g
         """,
         # mutual-NN + ratio margin over the two label halves; cosine
         # rounded before ranking, margin rounded before the threshold

@@ -135,6 +135,10 @@ HEADLINE = [
     "tokenizer_fertility",
     "preference_pairs",
     "mine_bitext",
+    "l_diversity",
+    "lexical_diversity",
+    "corpus_divergence",
+    "transition_matrix",
 ]
 
 #: the queries that were in BENCH_r01 (the operative baseline — BASELINE.md:

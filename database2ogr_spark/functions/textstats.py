@@ -209,3 +209,68 @@ def rolling_fingerprint(col: Column | str, modulus: int = 1_000_000_007) -> Colu
 def content_fingerprint(col: Column | str) -> Column:
     """md5 of the normalized text — the exact-dup grouping key."""
     return F.md5(normalize_text(col))
+
+
+def lexical_diversity(
+    df,
+    *,
+    group_col: str = "source",
+    text_col: str = "text",
+):
+    """Per-group lexical-diversity report — the text-side health metrics
+    a mixture owner reads next to zipf_fit/vocab_growth: type-token ratio
+    (distinct words / words), hapax rate (share of the group's vocabulary
+    occurring exactly once), and distinct-bigram ratio (the distinct-n
+    diversity metric of the self-BLEU family — templated/generated text
+    collapses it long before TTR moves).
+
+    Output: (group_col, n_tokens, n_types, ttr, hapax_rate,
+    distinct_bigram_ratio), ratios rounded 6 dp. Groups whose docs have
+    <2 words have NULL distinct_bigram_ratio (no bigrams to measure).
+
+    Scale: one token explode feeding a (group, word) partial-agg'd count
+    (type/hapax stats derive from that bounded table), plus one bigram
+    explode feeding a (group, bigram) distinct-vs-total count pair of
+    aggs sharing the exchange prefix. Everything downstream of the two
+    gram streams is #groups-sized.
+    """
+    from pyspark.sql import functions as F
+
+    from database2ogr_spark.functions.hashing import words
+
+    ws = words(text_col)
+    tok = df.select(F.col(group_col).alias("grp"), F.explode(ws).alias("w"))
+    wc = tok.groupBy("grp", "w").agg(F.count(F.lit(1)).alias("c"))
+    uni = wc.groupBy("grp").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).alias("n_hapax"),
+    )
+    n = F.size(ws)
+    m = F.greatest(n - 1, F.lit(0))
+    bigrams = F.zip_with(
+        F.slice(ws, 1, m), F.slice(ws, 2, m),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    bg = df.select(
+        F.col(group_col).alias("grp"), F.explode(bigrams).alias("b")
+    )
+    bstats = bg.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.countDistinct("b").alias("n_distinct_bigrams"),
+    )
+    return (
+        uni.join(bstats, "grp", "left")
+        .select(
+            F.col("grp").alias(group_col),
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            F.col("n_types").cast("bigint").alias("n_types"),
+            F.round(F.col("n_types") / F.col("n_tokens").cast("double"), 6).alias("ttr"),
+            F.round(F.col("n_hapax") / F.col("n_types").cast("double"), 6).alias(
+                "hapax_rate"
+            ),
+            F.round(
+                F.col("n_distinct_bigrams") / F.col("n_bigrams").cast("double"), 6
+            ).alias("distinct_bigram_ratio"),
+        )
+    )

@@ -146,3 +146,48 @@ def retention_cohorts(
         "active_users",
         F.round(F.col("active_users") / base, 6).alias("retention"),
     )
+
+
+def transition_matrix(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    order_tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """First-order Markov transition matrix over per-user event sequences
+    — the "what do users do next" audit behind funnel design (a funnel is
+    a hypothesis; the transition matrix is the data): for every ordered
+    pair of event types, the count of consecutive occurrences and the
+    row-normalized probability P(next | current).
+
+    Ordering within a user is (ts, tiebreak) — the tiebreak column makes
+    the sequence (and therefore the matrix) deterministic when events
+    share a timestamp. Output: (cur_type, next_type, n, prob), prob
+    rounded 6 dp; rows sum to 1 per cur_type by construction (each user's
+    LAST event emits no transition).
+
+    Scale: one window per user (a lead() over the user partition — the
+    sessionize shuffle, on the user key) and one (cur, next) partial-
+    agg'd count; the probability join runs on the #types² matrix, not
+    the event stream. Hot users bound a partition's sort, same caveat
+    (and same upstream sharding remedy) as events_sessionize.
+    """
+    w = Window.partitionBy(user_col).orderBy(
+        F.col(ts_col).asc(), F.col(order_tiebreak_col).asc()
+    )
+    seq = events.select(
+        F.col(type_col).alias("cur_type"),
+        F.lead(type_col).over(w).alias("next_type"),
+    ).filter(F.col("next_type").isNotNull())
+    counts = seq.groupBy("cur_type", "next_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    rowtot = counts.groupBy("cur_type").agg(F.sum("n").alias("__t"))
+    return counts.join(rowtot, "cur_type").select(
+        "cur_type",
+        "next_type",
+        "n",
+        F.round(F.col("n").cast("double") / F.col("__t"), 6).alias("prob"),
+    )

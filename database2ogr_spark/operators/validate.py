@@ -387,3 +387,50 @@ def cohens_kappa(
             ).alias("kappa"),
         )
     )
+
+
+def l_diversity_report(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    *,
+    l: int = 2,
+) -> DataFrame:
+    """Privacy screening, step two: distinct l-diversity over a sensitive
+    attribute — the k-anonymity upgrade that catches the HOMOGENEITY
+    attack (a quasi-identifier group can be k-large yet leak perfectly if
+    all k rows share the sensitive value; Machanavajjhala et al. 2007).
+
+    One row per distinct quasi-identifier combination:
+    ``(*quasi_cols, n, n_sensitive, at_risk)`` — group size, distinct
+    sensitive values within the group (NULL is a value: an attacker
+    learns "missing" too), and ``at_risk = 1`` when the group carries
+    fewer than ``l`` distinct sensitive values. Read alongside
+    :func:`k_anonymity_report`: a release gate wants BOTH group size ≥ k
+    and diversity ≥ l.
+
+    Scale: ONE exact count-distinct aggregation on the quasi columns —
+    Spark plans it as the two-phase partial distinct (expand on the
+    (quasi, sensitive) key, then merge), so the shuffle carries at most
+    one row per distinct (quasi, sensitive) pair; output is
+    #combinations, not #rows.
+    """
+    if not quasi_cols:
+        raise ValueError("quasi_cols must be non-empty")
+    if l < 1:
+        raise ValueError(f"l must be >= 1, got {l}")
+    sens = F.coalesce(F.col(sensitive_col).cast("string"), F.lit("∅"))
+    return (
+        df.select(*quasi_cols, sens.alias("__s"))
+        .groupBy(*quasi_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("__s").alias("n_sensitive"),
+        )
+        .select(
+            *quasi_cols,
+            "n",
+            "n_sensitive",
+            (F.col("n_sensitive") < l).cast("int").alias("at_risk"),
+        )
+    )

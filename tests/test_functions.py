@@ -393,3 +393,35 @@ def test_heaps_fit_recovers_exponent(spark):
     assert abs(r.intercept) < 1e-6, r
     assert abs(r.r2 - 1.0) < 1e-6, r
     assert math.isfinite(r.beta)
+
+
+def test_lexical_diversity_hand_computed(spark):
+    from database2ogr_spark.functions.textstats import lexical_diversity
+
+    df = spark.createDataFrame(
+        [
+            ("a", "x y x"),     # tokens 3, types {x,y}, hapax {y}
+            ("a", "z"),         # +1 token, +1 type, z hapax; no bigram
+            ("b", "w w w w"),   # tokens 4, 1 type, 0 hapax
+        ],
+        "source string, text string",
+    )
+    out = {r.source: r for r in lexical_diversity(df).collect()}
+    a, b = out["a"], out["b"]
+    assert (a.n_tokens, a.n_types) == (4, 3)
+    assert abs(a.ttr - 3 / 4) < 1e-9
+    assert abs(a.hapax_rate - 2 / 3) < 1e-6
+    # bigrams of 'a': (x y), (y x) -> 2 distinct / 2 total
+    assert abs(a.distinct_bigram_ratio - 1.0) < 1e-9
+    # group b: 'w w' x3 -> 1 distinct / 3 total
+    assert (b.n_tokens, b.n_types) == (4, 1)
+    assert b.hapax_rate == 0.0
+    assert abs(b.distinct_bigram_ratio - 1 / 3) < 1e-6
+
+
+def test_lexical_diversity_no_bigrams_is_null(spark):
+    from database2ogr_spark.functions.textstats import lexical_diversity
+
+    df = spark.createDataFrame([("s", "solo")], "source string, text string")
+    r = lexical_diversity(df).collect()[0]
+    assert r.n_tokens == 1 and r.distinct_bigram_ratio is None

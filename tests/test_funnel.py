@@ -91,3 +91,36 @@ def test_retention_cohorts_hand_computed(spark):
     assert out[(c1, 0)].active_users == 1
     assert out[(c1, 0)].retention == 1.0
     assert (c1, 1) not in out  # day-10 return is inside u3's offset-0 week
+
+
+def test_transition_matrix_hand_computed(spark):
+    from database2ogr_spark.operators.funnel import transition_matrix
+
+    # user 1: a -> b -> a ; user 2: a -> b  (same ts pair broken by id)
+    rows = [
+        (1, 1, "2024-01-01 00:00:00", "a"),
+        (2, 1, "2024-01-01 00:01:00", "b"),
+        (3, 1, "2024-01-01 00:02:00", "a"),
+        (4, 2, "2024-01-01 00:00:00", "a"),
+        (5, 2, "2024-01-01 00:00:00", "b"),  # ties with id 4 -> a first
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts string, event_type string"
+    ).selectExpr("event_id", "user_id", "CAST(ts AS TIMESTAMP) AS ts", "event_type")
+    out = {(r.cur_type, r.next_type): r for r in transition_matrix(df).collect()}
+    # transitions: u1 a->b, b->a; u2 a->b  => a->b n=2 prob 1.0, b->a n=1 prob 1.0
+    assert out[("a", "b")].n == 2 and out[("a", "b")].prob == 1.0
+    assert out[("b", "a")].n == 1 and out[("b", "a")].prob == 1.0
+    assert set(out) == {("a", "b"), ("b", "a")}
+
+
+def test_transition_matrix_rows_sum_to_one(spark):
+    from pyspark.sql import functions as F
+
+    from database2ogr_spark.operators.funnel import transition_matrix
+
+    df = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    m = transition_matrix(df)
+    sums = m.groupBy("cur_type").agg(F.sum("prob").alias("s")).collect()
+    for r in sums:
+        assert abs(r.s - 1.0) < 1e-4, r

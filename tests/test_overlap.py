@@ -42,3 +42,27 @@ def test_source_overlap_duplicate_grams_counted_once(spark):
     )
     r = source_overlap_matrix(docs, n=3).collect()[0]
     assert (r.grams_a, r.grams_b, r.n_common, r.jaccard) == (1, 1, 1, 1.0)
+
+
+def test_corpus_divergence_identity_and_disjoint(spark):
+    import math
+
+    import pytest as _pytest
+
+    from database2ogr_spark.operators.overlap import corpus_divergence
+
+    df = spark.createDataFrame(
+        [
+            ("a", "cat dog cat bird"),
+            ("b", "cat dog cat bird"),      # identical distribution -> 0
+            ("c", "qqq zzz qqq www xyz"),   # disjoint vocabulary
+        ],
+        "source string, text string",
+    )
+    out = {(r.group_a, r.group_b): r.jsd for r in corpus_divergence(df, n_buckets=64).collect()}
+    assert out[("a", "b")] == 0.0
+    # disjoint vocab: far from 0, below the ln2 bound (smoothing keeps it off it)
+    assert 0.001 < out[("a", "c")] < math.log(2)
+    assert out[("a", "c")] == out[("b", "c")]  # a and b are the same corpus
+    with _pytest.raises(ValueError):
+        corpus_divergence(df, n_buckets=1)

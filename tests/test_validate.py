@@ -207,3 +207,23 @@ def test_cohens_kappa_nulls_and_degenerate(spark):
     dfc = spark.createDataFrame([("k", "k"), ("k", "k")], "a string, b string")
     rc = cohens_kappa(dfc, "a", "b").collect()[0]
     assert rc.po == 1.0 and rc.pe == 1.0 and rc.kappa is None
+
+
+def test_l_diversity_homogeneity_attack(spark):
+    import pytest as _pytest
+
+    from database2ogr_spark.operators.validate import l_diversity_report
+
+    # group A: 3 rows, all sensitive='x' -> k-anonymous at k=3 but
+    # l-homogeneous; group B: 2 rows, 2 values -> diverse; NULL counts
+    df = spark.createDataFrame(
+        [("A", "x"), ("A", "x"), ("A", "x"), ("B", "y"), ("B", None)],
+        "qi string, diag string",
+    )
+    out = {r.qi: r for r in l_diversity_report(df, ["qi"], "diag", l=2).collect()}
+    assert (out["A"].n, out["A"].n_sensitive, out["A"].at_risk) == (3, 1, 1)
+    assert (out["B"].n, out["B"].n_sensitive, out["B"].at_risk) == (2, 2, 0)
+    with _pytest.raises(ValueError):
+        l_diversity_report(df, [], "diag")
+    with _pytest.raises(ValueError):
+        l_diversity_report(df, ["qi"], "diag", l=0)
