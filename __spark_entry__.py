@@ -2477,23 +2477,32 @@ def q_ann_recall_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     operator-composed version scanned and scored the corpus twice,
     ~2× this entry's cost at sf0.1)."""
     emb = _t(spark, sf_dir, "embeddings")
+    # expr-string tiers: the Column-object versions of these unrolled
+    # expressions cost ~6.7 s of py4j DRIVER time to BUILD per invocation
+    # (vs ~1 s of execution) — the parsed-SQL twins are arithmetic-
+    # identical (hash-match pinned) and build in milliseconds. persist =
+    # projection barrier so the bucket evaluates per vector, not per pair.
     c = emb.select(
         "vec_id",
         F.col("embedding").alias("cv"),
-        SIM._signs_bucket(F.col("embedding"), bits=3, dim=64).alias("cb"),
-    )
+        SIM.signs_bucket_expr("embedding", bits=3, dim=64).alias("cb"),
+    ).persist()
     q = emb.filter(F.col("vec_id") % 97 == 3).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qv"),
-        SIM._signs_bucket(F.col("embedding"), bits=3, dim=64).alias("qb"),
-    )
+        SIM.signs_bucket_expr("embedding", bits=3, dim=64).alias("qb"),
+    ).persist()
     pairs = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
             "vec_id",
-            F.round(SIM.cosine(F.col("qv"), F.col("cv")), 6).alias("sim"),
+            # unrolled codegen cosine, expr-string tier — bit-identical
+            # to the fold tier (same left-to-right float order)
+            F.round(
+                SIM.cosine_unrolled_expr("qv", "cv", 64), 6
+            ).alias("sim"),
             # multiprobe membership: query bucket or any 1-bit neighbor
             (
                 (F.col("cb") == F.col("qb"))

@@ -205,6 +205,52 @@ def _signs_bucket(vec: Column, *, bits: int, dim: int) -> Column:
     return bucket
 
 
+def cosine_unrolled_expr(a_name: str, b_name: str, dim: int) -> Column:
+    """:func:`cosine_unrolled` built as ONE parsed SQL string — identical
+    arithmetic (same left-to-right float order, same element casts) but a
+    single py4j round trip instead of ~6·dim Column-object operations.
+    Building the 64-dim Column tree costs SECONDS of driver time per
+    invocation (measured: 6.7 s plan construction for the ann_recall
+    entry, vs ~1 s of actual execution); the parsed string costs
+    milliseconds. Takes column NAMES (``arr[i]`` is 0-based in SQL,
+    matching ``element_at(arr, i+1)``)."""
+    def el(n: str, i: int) -> str:
+        return f"CAST({n}[{i}] AS DOUBLE)"
+
+    dot = " + ".join(f"{el(a_name, j)} * {el(b_name, j)}" for j in range(dim))
+    na = " + ".join(f"{el(a_name, j)} * {el(a_name, j)}" for j in range(dim))
+    nb = " + ".join(f"{el(b_name, j)} * {el(b_name, j)}" for j in range(dim))
+    return F.expr(
+        f"(CAST(0.0 AS DOUBLE) + {dot}) / "
+        f"(SQRT(CAST(0.0 AS DOUBLE) + {na}) * "
+        f"SQRT(CAST(0.0 AS DOUBLE) + {nb}))"
+    )
+
+
+def signs_bucket_expr(vec_name: str, *, bits: int, dim: int) -> Column:
+    """:func:`_signs_bucket` as ONE parsed SQL string — same md5-derived
+    ±1 hyperplanes, same left-to-right summation and >= 0 vote, single
+    py4j call (see :func:`cosine_unrolled_expr` for why)."""
+    planes = []
+    for j in range(bits):
+        terms = " + ".join(
+            (
+                f"CAST({vec_name}[{i}] AS DOUBLE)"
+                if int_sign(j, i) > 0
+                else f"(- CAST({vec_name}[{i}] AS DOUBLE))"
+            )
+            for i in range(dim)
+        )
+        planes.append(
+            f"(CASE WHEN (CAST(0.0 AS DOUBLE) + {terms}) >= CAST(0.0 AS DOUBLE) "
+            f"THEN 1 ELSE 0 END)"
+        )
+    expr = "0"
+    for p in planes:
+        expr = f"(({expr}) * 2 + {p})"
+    return F.expr(expr)
+
+
 _SIGN_CACHE: dict[tuple[int, int], int] = {}
 
 
@@ -985,26 +1031,25 @@ def whiten_embeddings(
     d = dim or _infer_dim(df, vec_col)
     if d is None:
         return _empty(df, f"{id_col} bigint, whitened array<double>")
-    stats = df.select(
-        *[F.avg(F.col(vec_col)[i].cast("double")).alias(f"_mu{i}") for i in range(d)],
-        *[
-            F.stddev_pop(F.col(vec_col)[i].cast("double")).alias(f"_sd{i}")
-            for i in range(d)
-        ],
+
+    # expr-string tier: the Column-object version of these 2·dim unrolled
+    # aggregates + the d-element projection costs seconds of py4j DRIVER
+    # time to build (same class of cost as cosine_unrolled_expr documents);
+    # the parsed strings are arithmetic-identical and build in milliseconds.
+    def el(i: int) -> str:
+        return f"CAST({vec_col}[{i}] AS DOUBLE)"
+
+    stats = df.selectExpr(
+        *[f"avg({el(i)}) AS _mu{i}" for i in range(d)],
+        *[f"stddev_pop({el(i)}) AS _sd{i}" for i in range(d)],
     )
-    out = df.crossJoin(F.broadcast(stats)).select(
-        F.col(id_col),
-        F.array(
-            *[
-                (
-                    (F.col(vec_col)[i].cast("double") - F.col(f"_mu{i}"))
-                    / F.greatest(F.col(f"_sd{i}"), F.lit(float(eps)))
-                )
-                for i in range(d)
-            ]
-        ).alias("whitened"),
+    arr = ", ".join(
+        f"({el(i)} - _mu{i}) / greatest(_sd{i}, CAST({float(eps)} AS DOUBLE))"
+        for i in range(d)
     )
-    return out
+    return df.crossJoin(F.broadcast(stats)).select(
+        F.col(id_col), F.expr(f"array({arr})").alias("whitened")
+    )
 
 
 def label_diversity(
