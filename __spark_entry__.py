@@ -1112,6 +1112,45 @@ def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return l_diversity_report(docs, ["lang", "len_bucket"], "source", l=3)
 
 
+def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample KS test (diff.ks_test) on document length between
+    src0 and src1 — the exact, binning-free drift companion to the PSI
+    report; cumulative CDFs via the distinct-value histogram trick."""
+    from database2ogr_spark.operators.diff import ks_test
+
+    return ks_test(
+        _t(spark, sf_dir, "documents"), "n_chars", "source", "src0", "src1"
+    )
+
+
+def q_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram LM score (tfidf.kneser_ney_logprob_
+    score) — absolute discounting + continuation probability, the
+    principled top of the unigram → bigram → stupid-backoff ladder;
+    model tables all derive from the one bigram-count aggregation."""
+    from database2ogr_spark.operators.tfidf import kneser_ney_logprob_score
+
+    return kneser_ney_logprob_score(_t(spark, sf_dir, "documents"))
+
+
+def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS winnowing match (dedup.winnow_pairs, window=4, k=3): document
+    pairs sharing ≥2 winnowed fingerprints — the position-robust LOCAL
+    overlap detector (fires on one shared passage) completing the dedup
+    family next to the global-similarity members (MinHash/SimHash/
+    Jaccard). Fingerprints ≈ 2/(w+1) of the gram stream; inverted-index
+    join with the max_df fanout guard."""
+    from database2ogr_spark.operators.dedup import winnow_pairs
+
+    return winnow_pairs(
+        _t(spark, sf_dir, "documents"),
+        k_shingle=3,
+        window=4,
+        min_shared=2,
+        max_df=100,
+    )
+
+
 def q_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source lexical-diversity report (textstats.lexical_diversity):
     TTR, hapax rate, distinct-bigram ratio — the distinct-n/self-BLEU
@@ -3680,6 +3719,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "l_diversity": q_l_diversity,
         "lexical_diversity": q_lexical_diversity,
         "corpus_divergence": q_corpus_divergence,
+        "winnow_pairs": q_winnow_pairs,
+        "kneser_ney": q_kneser_ney,
+        "ks_test": q_ks_test,
         "transition_matrix": q_transition_matrix,
         # Everything below is QUEUED IN ROUND-6 PRIORITY ORDER — the next
         # rotation is a pure cut at slot 50. First ALL TWENTY r1/r2-
@@ -6044,6 +6086,105 @@ def oracle_sql() -> dict[str, str]:
                    THEN round((agree::DOUBLE / nn - chance) / (1.0 - chance), 6)
                    END AS kappa
             FROM ag CROSS JOIN t CROSS JOIN ch
+        """,
+        "ks_test": """
+            WITH sel AS (SELECT CAST(n_chars AS DOUBLE) AS v,
+                           source = 'src0' AS is_a
+                         FROM documents
+                         WHERE source IN ('src0', 'src1')
+                           AND n_chars IS NOT NULL),
+            hist AS (SELECT v,
+                       sum(CASE WHEN is_a THEN 1 ELSE 0 END)::BIGINT AS ca,
+                       sum(CASE WHEN is_a THEN 0 ELSE 1 END)::BIGINT AS cb
+                     FROM sel GROUP BY v),
+            tot AS (SELECT sum(ca)::BIGINT AS n_a, sum(cb)::BIGINT AS n_b
+                    FROM hist),
+            cum AS (SELECT
+                      sum(ca) OVER (ORDER BY v
+                        ROWS UNBOUNDED PRECEDING) AS fa,
+                      sum(cb) OVER (ORDER BY v
+                        ROWS UNBOUNDED PRECEDING) AS fb
+                    FROM hist),
+            d AS (SELECT n_a, n_b,
+                    max(abs(fa::DOUBLE / n_a - fb::DOUBLE / n_b)) AS dmax
+                  FROM cum CROSS JOIN tot GROUP BY n_a, n_b)
+            SELECT n_a, n_b, round(dmax, 6) AS d_stat,
+              round(1.358 * sqrt((n_a + n_b)::DOUBLE / (n_a * n_b)), 6)
+                AS d_crit_95,
+              round(dmax, 6) >
+                round(1.358 * sqrt((n_a + n_b)::DOUBLE / (n_a * n_b)), 6)
+                AS reject_95
+            FROM d
+        """,
+        # interpolated KN: discount from count-of-counts, continuation
+        # from distinct-left-context counts — all off one bigram table
+        "kneser_ney": f"""
+            WITH wt AS (SELECT doc_id, {_WORDS_SQL} AS ws FROM documents),
+            bp AS (SELECT doc_id, ws[CAST(i AS INT)] AS w1,
+                     ws[CAST(i + 1 AS INT)] AS w2
+                   FROM wt CROSS JOIN
+                     (SELECT unnest(range(1,
+                        (SELECT max(len(ws)) FROM wt) + 1)) AS i) ii
+                   WHERE i + 1 <= len(ws)),
+            c AS (SELECT w1, w2, count(*)::BIGINT AS c12
+                  FROM bp GROUP BY 1, 2),
+            lft AS (SELECT w1, sum(c12)::BIGINT AS c1dot,
+                      count(*)::BIGINT AS n1p_w1
+                    FROM c GROUP BY w1),
+            ct AS (SELECT w2, count(*)::BIGINT AS n1p_w2 FROM c GROUP BY w2),
+            cc AS (SELECT count(*)::BIGINT AS n_types,
+                     sum(CASE WHEN c12 = 1 THEN 1 ELSE 0 END)::BIGINT AS n1,
+                     sum(CASE WHEN c12 = 2 THEN 1 ELSE 0 END)::BIGINT AS n2
+                   FROM c),
+            p AS (SELECT doc_id,
+                    greatest(c12::DOUBLE -
+                      (CASE WHEN n1 + 2 * n2 > 0
+                            THEN n1::DOUBLE / (n1 + 2 * n2)
+                            ELSE 0.0 END), 0.0) / c1dot
+                    + ((CASE WHEN n1 + 2 * n2 > 0
+                             THEN n1::DOUBLE / (n1 + 2 * n2)
+                             ELSE 0.0 END) * n1p_w1 / c1dot)
+                      * (n1p_w2::DOUBLE / n_types) AS pr
+                  FROM bp JOIN c USING (w1, w2) JOIN lft USING (w1)
+                       JOIN ct USING (w2) CROSS JOIN cc)
+            SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+              round(avg(ln(pr)), 6) AS logprob
+            FROM p GROUP BY doc_id
+        """,
+        # winnowing: the (gram asc, pos desc) window argmin replayed via
+        # the same fixed-width string key; exact integer pair counts
+        "winnow_pairs": f"""
+            WITH sh AS ({_SHINGLES_SQL}),
+            g AS (SELECT doc_id, CAST(i - 1 AS INT) AS pos,
+                    s[CAST(i AS INT)] AS gram
+                  FROM sh CROSS JOIN
+                    (SELECT unnest(range(1,
+                       (SELECT max(len(s)) FROM sh) + 1)) AS i) ii
+                  WHERE i <= len(s)),
+            ky AS (SELECT doc_id, pos,
+                     lpad(CAST(gram AS VARCHAR), 19, '0') ||
+                     lpad(CAST(9999999999 - pos AS VARCHAR), 10, '0') AS key
+                   FROM g),
+            sel AS (SELECT doc_id,
+                      min(key) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mn,
+                      row_number() OVER (PARTITION BY doc_id
+                        ORDER BY pos) AS rn,
+                      count(*) OVER (PARTITION BY doc_id) AS n
+                    FROM ky),
+            fp AS (SELECT DISTINCT doc_id,
+                     CAST(substr(mn, 1, 19) AS BIGINT) AS fp
+                   FROM sel WHERE rn <= greatest(n - 3, 1)),
+            cold AS (SELECT fp FROM
+                       (SELECT fp, count(*) AS d FROM fp GROUP BY fp) q
+                     WHERE d <= 100),
+            kept AS (SELECT doc_id, fp.fp FROM fp JOIN cold USING (fp))
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+              count(*)::BIGINT AS n_shared
+            FROM kept a JOIN kept b
+              ON a.fp = b.fp AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+            HAVING count(*) >= 2
         """,
         "transition_matrix": """
             WITH s AS (SELECT event_type AS cur_type,

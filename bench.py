@@ -139,6 +139,9 @@ HEADLINE = [
     "lexical_diversity",
     "corpus_divergence",
     "transition_matrix",
+    "winnow_pairs",
+    "kneser_ney",
+    "ks_test",
 ]
 
 #: the queries that were in BENCH_r01 (the operative baseline — BASELINE.md:

@@ -43,6 +43,7 @@ from functools import reduce
 from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from database2ogr_spark.functions.hashing import (
     hamming64,
@@ -1180,4 +1181,122 @@ def near_dup_survivors_by_priority(
     )
     return docs.join(
         winners.select(F.col("_winner").alias(id_col)), id_col, "leftsemi"
+    )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k_shingle: int = 3,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (public Schleimer, Wilkerson &
+    Aiken SIGMOD 2003 — the MOSS algorithm): from each sliding window of
+    ``window`` consecutive k-gram hashes, select the MINIMUM hash
+    (rightmost position on ties — the classic rule), then dedup. The
+    guarantee that makes this the plagiarism-detection fingerprint: any
+    shared run of at least ``window + k_shingle - 1`` words between two
+    documents produces at least one SHARED selected fingerprint, while
+    storing only ~2/(window+1) of the grams — position-robust local
+    sampling that MinHash (global, set-level) cannot give.
+
+    Gram space: the repo's standard 62-bit rolling shingle ids (Arrow
+    gram kernel, short-doc fallback shingle included — a doc with fewer
+    grams than ``window`` contributes its single window's minimum).
+
+    Selection is expressed engine-portably: the (gram asc, pos desc)
+    argmin inside each window is a MIN over a fixed-width string key
+    ``lpad(gram,19) || lpad(MAXPOS − pos,10)`` — one sliding-frame window
+    function, identical in DuckDB. Output: (id, fp, fp_pos), distinct.
+
+    Scale: one Arrow pass for grams, then per-doc window functions on the
+    id partition (the duplicate_spans shuffle/key); nothing corpus-global.
+    """
+    from database2ogr_spark.functions.gramkernel import gram_position_table
+
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    MAXP = 9_999_999_999
+    g = gram_position_table(df, id_col, text_col, k_shingle)
+    key = F.concat(
+        F.lpad(F.col("gram").cast("string"), 19, "0"),
+        F.lpad((F.lit(MAXP) - F.col("pos")).cast("string"), 10, "0"),
+    )
+    wseq = Window.partitionBy("id").orderBy("pos")
+    wfrm = wseq.rowsBetween(Window.currentRow, window - 1)
+    sel = (
+        g.withColumn("__key", key)
+        .withColumn("__min", F.min("__key").over(wfrm))
+        .withColumn("__rn", F.row_number().over(wseq))
+        .withColumn(
+            "__n", F.count(F.lit(1)).over(Window.partitionBy("id"))
+        )
+    )
+    return (
+        sel.filter(
+            F.col("__rn")
+            <= F.greatest(F.col("__n") - F.lit(window - 1), F.lit(1))
+        )
+        .select(
+            "id",
+            F.substring("__min", 1, 19).cast("bigint").alias("fp"),
+            (F.lit(MAXP) - F.substring("__min", 20, 10).cast("bigint"))
+            .cast("int")
+            .alias("fp_pos"),
+        )
+        .distinct()
+    )
+
+
+def winnow_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k_shingle: int = 3,
+    window: int = 4,
+    min_shared: int = 2,
+    max_df: int = 100,
+) -> DataFrame:
+    """Document pairs sharing ≥ ``min_shared`` winnowed fingerprints —
+    the MOSS match step: local, position-robust overlap detection that
+    fires on a single shared passage (MinHash-LSH needs global set
+    similarity; this needs one surviving window). ``max_df`` drops
+    fingerprints hotter than it from the join (the C(df,2) fanout guard,
+    same rationale as ngram_jaccard_pairs — boilerplate fingerprints are
+    exactly the ones that don't indicate copying).
+
+    Output: (id_a, id_b, n_shared), id_a < id_b — exact integer counts.
+
+    Scale: fingerprints are ~2/(window+1) of the gram stream; the match
+    is the standard inverted-index equi-join on the fingerprint key with
+    the guard bounding per-key fanout; one (id_a, id_b) agg.
+    """
+    if min_shared < 1:
+        raise ValueError(f"min_shared must be >= 1, got {min_shared}")
+    fps = (
+        winnow_fingerprints(
+            df,
+            id_col=id_col,
+            text_col=text_col,
+            k_shingle=k_shingle,
+            window=window,
+        )
+        .select("id", "fp")
+        .distinct()
+    )
+    cold = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("__d")).filter(
+        F.col("__d") <= max_df
+    )
+    kept = fps.join(cold.select("fp"), "fp")
+    a = kept.select(F.col("fp"), F.col("id").alias("id_a"))
+    b = kept.select(F.col("fp"), F.col("id").alias("id_b"))
+    return (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
     )

@@ -174,3 +174,73 @@ def drift_report(
             F.round((pc - pb) * F.log(pc / pb), 6).alias("psi_term"),
         )
     )
+
+
+def ks_test(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a: str,
+    group_b: str,
+) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov test between two groups' numeric
+    distributions — the exact, binning-free companion to
+    :func:`drift_report`'s PSI (PSI needs a bin width and saturates;
+    the KS statistic D = sup |F_a(x) − F_b(x)| is parameter-free and
+    comes with a significance threshold). NULL values are excluded (a
+    CDF has no place for them); rows in other groups are ignored.
+
+    Output is ONE row: ``(n_a, n_b, d_stat, d_crit_95, reject_95)`` —
+    D, the asymptotic 95% critical value ``1.358·√((n_a+n_b)/(n_a·n_b))``
+    (public Smirnov approximation), and the comparison, all rounded 6 dp.
+
+    Scale: the same distinct-value histogram trick as quantile_normalize
+    and classifier_auc — one (value → conditional counts) partial-agg'd
+    shuffle, then the cumulative window runs over DISTINCT VALUES only
+    (bounded by value cardinality, not row count). No corpus global sort.
+    """
+    sel = df.filter(
+        F.col(group_col).isin(group_a, group_b)
+        & F.col(value_col).isNotNull()
+    ).select(
+        F.col(value_col).cast("double").alias("v"),
+        (F.col(group_col) == group_a).alias("is_a"),
+    )
+    hist = sel.groupBy("v").agg(
+        F.sum(F.when(F.col("is_a"), 1).otherwise(0)).alias("ca"),
+        F.sum(F.when(~F.col("is_a"), 1).otherwise(0)).alias("cb"),
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.select(
+        F.sum("ca").over(w).alias("fa"), F.sum("cb").over(w).alias("fb")
+    )
+    tot = hist.agg(
+        F.sum("ca").cast("bigint").alias("n_a"),
+        F.sum("cb").cast("bigint").alias("n_b"),
+    )
+    d = (
+        cum.crossJoin(F.broadcast(tot))
+        .select(
+            "n_a",
+            "n_b",
+            F.abs(
+                F.col("fa").cast("double") / F.col("n_a")
+                - F.col("fb").cast("double") / F.col("n_b")
+            ).alias("__d"),
+        )
+        .groupBy("n_a", "n_b")
+        .agg(F.max("__d").alias("__dmax"))
+    )
+    crit = F.lit(1.358) * F.sqrt(
+        (F.col("n_a") + F.col("n_b")).cast("double")
+        / (F.col("n_a") * F.col("n_b")).cast("double")
+    )
+    return d.select(
+        "n_a",
+        "n_b",
+        F.round(F.col("__dmax"), 6).alias("d_stat"),
+        F.round(crit, 6).alias("d_crit_95"),
+        (F.round(F.col("__dmax"), 6) > F.round(crit, 6)).alias("reject_95"),
+    )

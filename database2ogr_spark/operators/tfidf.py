@@ -631,3 +631,87 @@ def heaps_fit(
         F.round(F.regr_intercept("y", "x"), 6).alias("intercept"),
         F.round(F.regr_r2("y", "x"), 6).alias("r2"),
     )
+
+
+def kneser_ney_logprob_score(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document mean log-probability under an INTERPOLATED KNESER-NEY
+    bigram model (public Kneser & Ney 1995 / Chen & Goodman 1998) — the
+    principled member of the LM-quality ladder (unigram → bigram →
+    stupid-backoff → KN): absolute discounting plus the continuation-
+    probability lower model, the smoothing that makes "San Francisco"
+    score high while keeping "Francisco" rare as a continuation of
+    anything else.
+
+        P(w₂|w₁) = max(c(w₁w₂) − D, 0)/c(w₁·)
+                   + (D · N₁₊(w₁·)/c(w₁·)) · N₁₊(·w₂)/N₁₊(··)
+
+    with D = n₁/(n₁ + 2·n₂) estimated from the bigram count-of-counts
+    (n₁, n₂ = #bigram types seen once, twice). Self-trained on the scored
+    corpus, so every event has c(w₁·) > 0 and a positive continuation
+    term — no OOV floor needed (scoring held-out text would add one, as
+    in stupid_backoff_score's train/score split).
+
+    Output: (id_col, n_bigrams, logprob) for docs with ≥1 bigram,
+    logprob = round(mean ln P, 6).
+
+    Scale: the model is the bigram-count table plus three aggregations
+    DERIVED from it (left totals + distinct continuations per w₁,
+    distinct left-contexts per w₂, one global count-of-counts row) — all
+    partial-agg'd on token keys, nothing beyond bigram_logprob_score's
+    cost class; the scoring join chain is the same keyed equi-join shape.
+    """
+    w = words(text_col)
+    m = F.greatest(F.size(w) - 1, F.lit(0))
+    pairs = (
+        spread(df)
+        .select(
+            F.col(id_col).alias("id"),
+            F.explode(
+                F.arrays_zip(
+                    F.slice(w, 1, m).alias("w1"), F.slice(w, 2, m).alias("w2")
+                )
+            ).alias("bg"),
+        )
+        .select("id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    )
+    counts = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    left = counts.groupBy("w1").agg(
+        F.sum("c12").alias("c1dot"), F.count(F.lit(1)).alias("n1p_w1")
+    )
+    cont = counts.groupBy("w2").agg(F.count(F.lit(1)).alias("n1p_w2"))
+    cc = counts.agg(
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum(F.when(F.col("c12") == 1, 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("c12") == 2, 1).otherwise(0)).alias("n2"),
+    )
+    d = "double"
+    disc = F.when(
+        (F.col("n1") + 2 * F.col("n2")) > 0,
+        F.col("n1").cast(d) / (F.col("n1") + 2 * F.col("n2")).cast(d),
+    ).otherwise(F.lit(0.0))
+    scored = (
+        pairs.join(counts, ["w1", "w2"])
+        .join(left, ["w1"])
+        .join(cont, ["w2"])
+        .crossJoin(F.broadcast(cc))
+        .withColumn("__D", disc)
+        .withColumn(
+            "__p",
+            F.greatest(F.col("c12").cast(d) - F.col("__D"), F.lit(0.0))
+            / F.col("c1dot").cast(d)
+            + (F.col("__D") * F.col("n1p_w1").cast(d) / F.col("c1dot").cast(d))
+            * (F.col("n1p_w2").cast(d) / F.col("n_types").cast(d)),
+        )
+    )
+    return (
+        scored.groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg(F.log(F.col("__p"))), 6).alias("logprob"),
+        )
+        .select(F.col("id").alias(id_col), "n_bigrams", "logprob")
+    )

@@ -580,3 +580,70 @@ def test_novelty_stats_releases_cache(spark):
     out = novelty_stats(docs, k_shingle=3)
     out.count()
     assert spark.sparkContext._jsc.getPersistentRDDs().size() - before <= 1
+
+
+def test_winnow_fingerprints_classic_selection(spark):
+    from database2ogr_spark.operators.dedup import winnow_fingerprints
+
+    # 6 words -> 4 3-gram positions 0..3; window=2 -> windows {0,1},{1,2},
+    # {2,3}: each selects its min gram id (rightmost on tie). Cross-check
+    # against a direct python replay of the same rule on the same gram ids.
+    df = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "x x x x")], "doc_id long, text string"
+    )
+    from database2ogr_spark.functions.gramkernel import gram_position_table
+
+    grams = {
+        (r.id, r.pos): r.gram
+        for r in gram_position_table(df, "doc_id", "text", 3).collect()
+    }
+    w = 2
+
+    def replay(doc):
+        poss = sorted(p for (d, p) in grams if d == doc)
+        n = len(poss)
+        out = set()
+        for j in range(max(n - w + 1, 1)):
+            win = poss[j : j + w]
+            mn = min(grams[(doc, p)] for p in win)
+            pos = max(p for p in win if grams[(doc, p)] == mn)
+            out.add((mn, pos))
+        return out
+
+    got = {
+        d: {(r.fp, r.fp_pos) for r in rows}
+        for d, rows in __import__("itertools").groupby(
+            sorted(
+                winnow_fingerprints(df, window=w).collect(), key=lambda r: r.id
+            ),
+            key=lambda r: r.id,
+        )
+    }
+    assert got[1] == replay(1)
+    # doc 2: all grams identical -> rightmost tie inside each window;
+    # distinct set collapses
+    assert got[2] == replay(2)
+
+
+def test_winnow_pairs_shared_passage(spark):
+    import pytest as _pytest
+
+    from database2ogr_spark.operators.dedup import winnow_pairs
+
+    shared = "the quick brown fox jumps over the lazy dog again and again"
+    df = spark.createDataFrame(
+        [
+            (1, "intro words here " + shared),
+            (2, shared + " totally different ending material follows now"),
+            (3, "completely unrelated text about other topics entirely"),
+        ],
+        "doc_id long, text string",
+    )
+    out = winnow_pairs(df, window=3, min_shared=2).collect()
+    pairs = {(r.id_a, r.id_b) for r in out}
+    assert (1, 2) in pairs
+    assert all(3 not in p for p in pairs)
+    with _pytest.raises(ValueError):
+        winnow_pairs(df, min_shared=0)
+    with _pytest.raises(ValueError):
+        winnow_pairs(df, window=0)

@@ -131,3 +131,38 @@ def test_drift_report_identical_distributions_zero_psi(spark):
     out = drift_report(base, base, value_col="x", n_bins=5).collect()
     assert all(r.psi_term == 0.0 for r in out)
     assert sum(r.base_n for r in out) == 50
+
+
+def test_ks_test_hand_computed_and_identity(spark):
+    from database2ogr_spark.operators.diff import ks_test
+
+    # a = {1,2,3,4}, b = {3,4,5,6}: D peaks at x=2: F_a=0.5, F_b=0 -> 0.5
+    rows = [("a", float(v)) for v in (1, 2, 3, 4)] + [
+        ("b", float(v)) for v in (3, 4, 5, 6)
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = ks_test(df, "v", "g", "a", "b").collect()[0]
+    assert (r.n_a, r.n_b) == (4, 4)
+    assert abs(r.d_stat - 0.5) < 1e-9
+    # identical samples -> D = 0, no rejection
+    same = spark.createDataFrame(
+        [("a", float(v)) for v in (1, 2, 3)]
+        + [("b", float(v)) for v in (1, 2, 3)],
+        "g string, v double",
+    )
+    r2 = ks_test(same, "v", "g", "a", "b").collect()[0]
+    assert r2.d_stat == 0.0 and r2.reject_95 is False
+
+
+def test_ks_test_detects_shift_and_ignores_nulls(spark):
+    from database2ogr_spark.operators.diff import ks_test
+
+    rows = (
+        [("a", float(i)) for i in range(100)]
+        + [("b", float(i) + 50) for i in range(100)]
+        + [("a", None), ("c", 1.0)]
+    )
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = ks_test(df, "v", "g", "a", "b").collect()[0]
+    assert (r.n_a, r.n_b) == (100, 100)  # NULL and group c excluded
+    assert abs(r.d_stat - 0.5) < 1e-9 and r.reject_95 is True

@@ -425,3 +425,56 @@ def test_lexical_diversity_no_bigrams_is_null(spark):
     df = spark.createDataFrame([("s", "solo")], "source string, text string")
     r = lexical_diversity(df).collect()[0]
     assert r.n_tokens == 1 and r.distinct_bigram_ratio is None
+
+
+def test_kneser_ney_matches_python_replay(spark):
+    import math
+
+    from database2ogr_spark.operators.tfidf import kneser_ney_logprob_score
+
+    rows = [
+        (1, "the cat sat on the mat"),
+        (2, "the cat ran"),
+        (3, "a dog sat"),
+    ]
+
+    def replay():
+        import re
+        from collections import Counter, defaultdict
+
+        bigrams = []
+        per_doc = {}
+        for i, t in rows:
+            ws = [w for w in re.sub(r"\s+", " ", t.lower()).strip().split() if w]
+            bg = list(zip(ws, ws[1:]))
+            per_doc[i] = bg
+            bigrams += bg
+        c = Counter(bigrams)
+        c1dot = defaultdict(int); n1p_w1 = defaultdict(int); n1p_w2 = defaultdict(int)
+        for (w1, w2), n in c.items():
+            c1dot[w1] += n; n1p_w1[w1] += 1; n1p_w2[w2] += 1
+        n_types = len(c)
+        n1 = sum(1 for v in c.values() if v == 1)
+        n2 = sum(1 for v in c.values() if v == 2)
+        D = n1 / (n1 + 2 * n2) if (n1 + 2 * n2) else 0.0
+        out = {}
+        for i, bg in per_doc.items():
+            lps = []
+            for w1, w2 in bg:
+                p = max(c[(w1, w2)] - D, 0.0) / c1dot[w1] + (
+                    D * n1p_w1[w1] / c1dot[w1]
+                ) * (n1p_w2[w2] / n_types)
+                lps.append(math.log(p))
+            out[i] = (len(bg), round(sum(lps) / len(lps), 6))
+        return out
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_bigrams, r.logprob)
+        for r in kneser_ney_logprob_score(df).collect()
+    }
+    ref = replay()
+    assert set(got) == set(ref)
+    for i in ref:
+        assert got[i][0] == ref[i][0]
+        assert abs(got[i][1] - ref[i][1]) < 1e-5, (i, got[i], ref[i])

@@ -448,3 +448,44 @@ def test_dsir_select_broadcast_model_takeordered_cut(spark):
     assert "TakeOrderedAndProject" in plan, plan
     # model build + scoring re-read the corpus; nothing corpus-sized caches
     assert "InMemoryTableScan" not in plan, plan
+
+
+def test_preference_pairs_champion_is_partial_agg_no_cartesian(spark):
+    plan = _plan(spark, "preference_pairs")
+    assert "CartesianProduct" not in plan, plan
+    # champion via max(struct) -> partial_max in a hash aggregate, never
+    # a window over the full pool
+    assert "partial_max" in plan, plan
+    # the only window is the post-filter cap
+    assert plan.count("Window") <= 2, plan
+
+
+def test_mine_bitext_blocked_kernel_no_cross_table(spark):
+    plan = _plan(spark, "mine_bitext")
+    # the |src|x|tgt| scored table must NOT materialize through windows:
+    # per-side stats come from the blocked Arrow kernel
+    assert "FlatMapGroupsInPandas" in plan or "ArrowEvalPython" in plan, plan
+    assert "Window" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_winnow_pairs_no_cartesian_guarded_join(spark):
+    plan = _plan(spark, "winnow_pairs")
+    assert "CartesianProduct" not in plan, plan
+    # match is an equi-join on the fingerprint key
+    assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan, plan
+
+
+def test_corpus_divergence_model_bounded(spark):
+    plan = _plan(spark, "corpus_divergence")
+    assert "CartesianProduct" not in plan, plan
+    # the (group, bucket) count agg is partial (map-side combined)
+    assert "partial_count" in plan, plan
+
+
+def test_ks_test_histogram_before_window(spark):
+    plan = _plan(spark, "ks_test")
+    # the cumulative window input is the distinct-value histogram agg,
+    # so a HashAggregate must appear below the Window
+    assert "Window" in plan and "HashAggregate" in plan, plan
+    assert "CartesianProduct" not in plan, plan
