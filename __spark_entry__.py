@@ -1112,6 +1112,16 @@ def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return l_diversity_report(docs, ["lang", "len_bucket"], "source", l=3)
 
 
+def q_intrinsic_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TwoNN intrinsic-dimension estimate (similarity.intrinsic_dimension)
+    over the embedding table — the representation-collapse audit; blocked
+    matmul kernel, squared distances rounded 9 dp as the cross-engine
+    contract, exact duplicates excluded per the published procedure."""
+    from database2ogr_spark.operators.similarity import intrinsic_dimension
+
+    return intrinsic_dimension(_t(spark, sf_dir, "embeddings"))
+
+
 def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-sample KS test (diff.ks_test) on document length between
     src0 and src1 — the exact, binning-free drift companion to the PSI
@@ -3722,6 +3732,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_pairs": q_winnow_pairs,
         "kneser_ney": q_kneser_ney,
         "ks_test": q_ks_test,
+        "intrinsic_dimension": q_intrinsic_dimension,
         "transition_matrix": q_transition_matrix,
         # Everything below is QUEUED IN ROUND-6 PRIORITY ORDER — the next
         # rotation is a pure cut at slot 50. First ALL TWENTY r1/r2-
@@ -6086,6 +6097,35 @@ def oracle_sql() -> dict[str, str]:
                    THEN round((agree::DOUBLE / nn - chance) / (1.0 - chance), 6)
                    END AS kappa
             FROM ag CROSS JOIN t CROSS JOIN ch
+        """,
+        # TwoNN: q = |a|^2+|b|^2-2ab rounded 9dp; q1/q2 as order stats;
+        # duplicates (q1 = 0) excluded from the MLE sum
+        "intrinsic_dimension": """
+            WITH e AS (SELECT vec_id,
+                         list_transform(embedding, x -> CAST(x AS DOUBLE))
+                           AS v
+                       FROM embeddings),
+            p AS (SELECT a.vec_id AS ia,
+                    round(list_dot_product(a.v, a.v)
+                          + list_dot_product(b.v, b.v)
+                          - 2 * list_dot_product(a.v, b.v), 9) AS q
+                  FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+            nn AS (SELECT ia, q, row_number() OVER
+                     (PARTITION BY ia ORDER BY q) AS rn FROM p),
+            tw AS (SELECT ia,
+                     max(CASE WHEN rn = 1 THEN q END) AS q1,
+                     max(CASE WHEN rn = 2 THEN q END) AS q2
+                   FROM nn WHERE rn <= 2 GROUP BY ia)
+            SELECT count(*)::BIGINT AS n_points,
+              sum(CASE WHEN q1 > 0 THEN 1 ELSE 0 END)::BIGINT AS n_used,
+              CASE WHEN sum(CASE WHEN q1 > 0 THEN 0.5 * ln(q2 / q1)
+                            ELSE 0 END) > 0
+                   THEN round(
+                     sum(CASE WHEN q1 > 0 THEN 1 ELSE 0 END)::DOUBLE /
+                     sum(CASE WHEN q1 > 0 THEN 0.5 * ln(q2 / q1)
+                         ELSE 0 END), 6)
+                   END AS id_twonn
+            FROM tw
         """,
         "ks_test": """
             WITH sel AS (SELECT CAST(n_chars AS DOUBLE) AS v,

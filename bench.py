@@ -142,6 +142,7 @@ HEADLINE = [
     "winnow_pairs",
     "kneser_ney",
     "ks_test",
+    "intrinsic_dimension",
 ]
 
 #: the queries that were in BENCH_r01 (the operative baseline — BASELINE.md:

@@ -474,3 +474,39 @@ def test_mine_bitext_rejects_nonmutual_and_validates(spark):
     with _pytest.raises(ValueError):
         mine_bitext(src, tgt, k=0)
     spark.catalog.clearCache()
+
+
+def test_intrinsic_dimension_recovers_manifold_dim(spark):
+    import numpy as np
+
+    from database2ogr_spark.operators.similarity import intrinsic_dimension
+
+    rng = np.random.RandomState(11)
+    # 2-D manifold embedded in 8-D ambient space
+    plane = np.zeros((300, 8)); plane[:, :2] = 10.0 * rng.rand(300, 2)
+    # 1-D manifold
+    line = np.zeros((300, 8)); line[:, 0] = 10.0 * rng.rand(300)
+    dfp = spark.createDataFrame(
+        [(i, r.tolist()) for i, r in enumerate(plane)],
+        "vec_id long, embedding array<double>",
+    )
+    dfl = spark.createDataFrame(
+        [(i, r.tolist()) for i, r in enumerate(line)],
+        "vec_id long, embedding array<double>",
+    )
+    rp = intrinsic_dimension(dfp).collect()[0]
+    rl = intrinsic_dimension(dfl).collect()[0]
+    assert rp.n_points == 300 and rp.n_used == 300
+    assert 1.3 < rp.id_twonn < 3.2, rp
+    assert 0.5 < rl.id_twonn < 1.8, rl
+    assert rl.id_twonn < rp.id_twonn
+
+
+def test_intrinsic_dimension_excludes_exact_duplicates(spark):
+    from database2ogr_spark.operators.similarity import intrinsic_dimension
+
+    rows = [(0, [0.0, 0.0]), (1, [0.0, 0.0]), (2, [1.0, 0.5]), (3, [2.0, 1.7]), (4, [3.0, 0.1])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    r = intrinsic_dimension(df).collect()[0]
+    assert r.n_points == 5
+    assert r.n_used == 3  # the two exact duplicates have q1 = 0
