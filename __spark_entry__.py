@@ -3603,7 +3603,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     funnel_steps, retention_cohorts, bm25_topk, source_overlap,
     k_anonymity, windowed_pmi, mutual_information, zipf_fit,
     tfidf_cosine_pairs, dsir_select, vocab_growth, kappa_langid,
-    tokenizer_fertility, preference_pairs, mine_bitext."""
+    tokenizer_fertility, preference_pairs, mine_bitext, l_diversity,
+    lexical_diversity, corpus_divergence, transition_matrix,
+    winnow_pairs, kneser_ney, ks_test, intrinsic_dimension."""
     return {
         # --- (b) first-ever driver rows: the 37 late-round-4 additions ---
         # (five partsupp-family TPC-H completions, unpivot, rolling window
@@ -3734,20 +3736,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ks_test": q_ks_test,
         "intrinsic_dimension": q_intrinsic_dimension,
         "transition_matrix": q_transition_matrix,
-        # Everything below is QUEUED IN ROUND-6 PRIORITY ORDER — the next
-        # rotation is a pure cut at slot 50. First ALL TWENTY r1/r2-
-        # vintage re-earners, none of which fit this round (a1_distinct,
-        # s2_full_scan, u1_union, p3_envelope, j2_dim_lookup, x1_slugify,
-        # x2_reverse_stem, x4_coords_key — displaced from the draft prefix
-        # by the nine new round-5 entries, priority (a) —
-        # then x11_unescape, f5_nonblank_tokens, lang_id,
-        # minhash_signatures, near_dup_groups_exact, dedup_exact_survivors,
-        # embedding_near_dup, embedding_normalize, events_props_extract,
-        # events_windowed, fingerprint_rolling, frequent_tokens — each
-        # one's machinery is a graded constituent of a prefix entry, per
-        # the round-4 displaced list), then the round-3-green set (3
-        # rounds old by round 6), then the round-4-green set (2 rounds old
-        # by round 6).
+        # Everything ABOVE this line and below slot 50 is the round-5
+        # never-driver-graded set (slots 51 onward, in the order added) —
+        # all locally hash-matched at sf0.01 AND sf0.1. ROUND-6 PRIORITY,
+        # and the order this dict physically encodes: the round-6 prefix
+        # is a pure cut at slot 50 after deleting slots 1-37's round-5
+        # first-ever rows from the front (they will then hold fresh green
+        # rows), which promotes (a) the remaining round-5 never-graded
+        # entries FIRST — first-ever driver rows for new operators beat
+        # re-earning machinery that round-4/5 composites already cover —
+        # then (b) the TWENTY r1/r2-vintage re-earners listed below
+        # (a1_distinct, s2_full_scan, u1_union, p3_envelope, j2_dim_lookup,
+        # x1_slugify, x2_reverse_stem, x4_coords_key, x11_unescape,
+        # f5_nonblank_tokens, lang_id, minhash_signatures,
+        # near_dup_groups_exact, dedup_exact_survivors, embedding_near_dup,
+        # embedding_normalize, events_props_extract, events_windowed,
+        # fingerprint_rolling, frequent_tokens — each one's machinery is a
+        # graded constituent of a prefix entry, which is why they can wait
+        # without hiding a wrong answer; the ≤2-round rotation promise is
+        # acknowledged BROKEN for them and that is the recorded tradeoff),
+        # then (c) the round-3-green set, then (d) the round-4-green set.
         "a1_distinct": q_a1_distinct,
         "s2_full_scan": q_s2_full_scan,
         "u1_union": q_u1_union,
