@@ -1112,6 +1112,18 @@ def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return l_diversity_report(docs, ["lang", "len_bucket"], "source", l=3)
 
 
+def q_skipgram_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SGNS training pairs (sampling.skipgram_negative_samples, window=1,
+    n_neg=2) over the doc_id%7 slice — positives plus exact-integer
+    inverse-CDF negatives from the unigram^0.75 noise distribution, the
+    whole draw md5-deterministic and bucket-joined (never a nested-loop
+    range scan)."""
+    from database2ogr_spark.operators.sampling import skipgram_negative_samples
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 7 == 0)
+    return skipgram_negative_samples(docs, window=1, n_neg=2)
+
+
 def q_intrinsic_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TwoNN intrinsic-dimension estimate (similarity.intrinsic_dimension)
     over the embedding table — the representation-collapse audit; blocked
@@ -3735,6 +3747,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kneser_ney": q_kneser_ney,
         "ks_test": q_ks_test,
         "intrinsic_dimension": q_intrinsic_dimension,
+        "skipgram_negatives": q_skipgram_negatives,
         "transition_matrix": q_transition_matrix,
         # Everything ABOVE this line and below slot 50 is the round-5
         # never-driver-graded set (slots 51 onward, in the order added) —
@@ -6105,6 +6118,60 @@ def oracle_sql() -> dict[str, str]:
                    THEN round((agree::DOUBLE / nn - chance) / (1.0 - chance), 6)
                    END AS kappa
             FROM ag CROSS JOIN t CROSS JOIN ch
+        """,
+        # SGNS: positives from the ±1 offset, negatives via exact integer
+        # inverse-CDF over unigram^0.75 weights, seed-11 md5 draws
+        "skipgram_negatives": f"""
+            WITH d AS (SELECT doc_id, {_WORDS_SQL} AS ws FROM documents
+                       WHERE doc_id % 7 = 0),
+            pos AS (
+              SELECT doc_id, CAST(i - 1 AS INT) AS pos, 1 AS ctx_offset,
+                     ws[CAST(i AS INT)] AS center,
+                     ws[CAST(i + 1 AS INT)] AS context
+              FROM d CROSS JOIN (SELECT unnest(range(1,
+                (SELECT max(len(ws)) FROM d) + 1)) AS i) ii
+              WHERE i + 1 <= len(ws)
+              UNION ALL
+              SELECT doc_id, CAST(i AS INT) AS pos, -1 AS ctx_offset,
+                     ws[CAST(i + 1 AS INT)] AS center,
+                     ws[CAST(i AS INT)] AS context
+              FROM d CROSS JOIN (SELECT unnest(range(1,
+                (SELECT max(len(ws)) FROM d) + 1)) AS i) ii
+              WHERE i + 1 <= len(ws)),
+            cnt AS (SELECT w, count(*)::BIGINT AS c
+                    FROM (SELECT unnest(ws) AS w FROM d) GROUP BY w),
+            wtd AS (SELECT w, greatest(1,
+                      CAST(round(pow(c::DOUBLE, 0.75) * 1000) AS BIGINT))
+                      AS wt
+                    FROM cnt),
+            cum AS (SELECT w, wt,
+                      coalesce(sum(wt) OVER (ORDER BY wt DESC, w
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING), 0) AS lo
+                    FROM wtd),
+            iv AS (SELECT w, lo, lo + wt AS hi FROM cum),
+            tt AS (SELECT max(hi)::BIGINT AS T FROM iv),
+            dr AS (SELECT doc_id, pos, ctx_offset, center, j AS neg_ix,
+                     {_h64_sql(
+                         "CAST(doc_id AS VARCHAR) || ':' || "
+                         "CAST(pos AS VARCHAR) || ':' || "
+                         "CAST(ctx_offset AS VARCHAR) || ':' || "
+                         "CAST(j AS VARCHAR)",
+                         11,
+                     )} % T AS u
+                   FROM pos CROSS JOIN
+                     (SELECT unnest(range(1, 3)) AS j) jj
+                   CROSS JOIN tt),
+            neg AS (SELECT doc_id, pos, ctx_offset, center,
+                      iv.w AS context, 0 AS label, CAST(neg_ix AS INT)
+                        AS neg_ix
+                    FROM dr JOIN iv ON dr.u >= iv.lo AND dr.u < iv.hi)
+            SELECT doc_id, pos, ctx_offset, center, context, 1 AS label,
+              0 AS neg_ix
+            FROM pos
+            UNION ALL
+            SELECT doc_id, pos, ctx_offset, center, context, label, neg_ix
+            FROM neg
         """,
         # TwoNN: q = |a|^2+|b|^2-2ab rounded 9dp; q1/q2 as order stats;
         # duplicates (q1 = 0) excluded from the MLE sum

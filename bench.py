@@ -143,6 +143,7 @@ HEADLINE = [
     "kneser_ney",
     "ks_test",
     "intrinsic_dimension",
+    "skipgram_negatives",
 ]
 
 #: the queries that were in BENCH_r01 (the operative baseline — BASELINE.md:

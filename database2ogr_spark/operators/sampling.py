@@ -749,3 +749,166 @@ def dsir_sample(
         .orderBy(F.col("score").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def skipgram_negative_samples(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 2,
+    n_neg: int = 2,
+    power: float = 0.75,
+    weight_scale: int = 1000,
+    seed: int = 11,
+) -> DataFrame:
+    """Skip-gram-with-negative-sampling training pairs (public Mikolov et
+    al. 2013, word2vec SGNS): for every (center, context) co-occurrence
+    within ±``window``, emit the positive pair plus ``n_neg`` negatives
+    drawn from the unigram^``power`` noise distribution — the classic
+    embedding-training data-prep step, deterministic end to end.
+
+    The noise draw is exact integer inverse-CDF sampling: vocab weights
+    are ``max(1, round(count^power · weight_scale))`` (integers), the
+    cumulative table assigns each word an interval [lo, hi) of the total
+    weight space T, and each (occurrence, j) draws ``u = h64(payload) mod
+    T`` with the md5-stable hash — replayable in any engine, no RNG
+    state. The interval lookup is a BUCKETIZED equi-join (intervals
+    explode over ~1024 fixed-width buckets of the weight space; each draw
+    computes its bucket) — never a nested-loop range scan, the same shape
+    as timeseries.range_join. Negatives may occasionally equal the true
+    context (the standard implementations tolerate this; resampling would
+    break the fixed-fanout determinism).
+
+    Output: ``(id_col, pos, ctx_offset, center, context, label, neg_ix)`` —
+    ``label`` 1 for the observed pair (neg_ix 0), 0 for negatives
+    (neg_ix 1..n_neg); ``ctx_offset`` is the signed context offset (named to dodge the
+    reserved word).
+
+    Scale: pair extraction is slice+zip_with per offset in codegen
+    (windowed_pmi's shape); the vocab/cumulative/bucket tables are
+    vocabulary-sized and broadcast; the draw join is an equi-join on the
+    bucket key. Output fanout is exactly (1 + n_neg) × positives.
+    """
+    from database2ogr_spark.functions.hashing import words
+
+    if window < 1 or n_neg < 1:
+        raise ValueError(f"window and n_neg must be >= 1, got {window}, {n_neg}")
+    spark = df.sparkSession
+    ws = words(text_col)
+    parts = []
+    for d in range(1, window + 1):
+        m = F.greatest(F.size(ws) - d, F.lit(0))
+        zipped = df.select(
+            F.col(id_col).alias("id"),
+            F.posexplode(
+                F.arrays_zip(
+                    F.slice(ws, 1, m).alias("wa"),
+                    F.slice(ws, 1 + d, m).alias("wb"),
+                )
+            ).alias("i", "z"),
+        ).select(
+            "id",
+            F.col("i").alias("pos"),
+            F.col("z.wa").alias("wa"),
+            F.col("z.wb").alias("wb"),
+        )
+        parts.append(
+            zipped.select(
+                "id", "pos", F.lit(d).alias("ctx_offset"),
+                F.col("wa").alias("center"), F.col("wb").alias("context"),
+            )
+        )
+        parts.append(
+            zipped.select(
+                "id",
+                (F.col("pos") + d).alias("pos"),
+                F.lit(-d).alias("ctx_offset"),
+                F.col("wb").alias("center"),
+                F.col("wa").alias("context"),
+            )
+        )
+    pos_pairs = parts[0]
+    for p in parts[1:]:
+        pos_pairs = pos_pairs.unionByName(p)
+
+    counts = df.select(F.explode(ws).alias("w")).groupBy("w").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    wtd = counts.select(
+        "w",
+        F.greatest(
+            F.lit(1),
+            F.round(F.pow(F.col("c").cast("double"), F.lit(float(power)))
+                    * F.lit(int(weight_scale))).cast("bigint"),
+        ).alias("wt"),
+    )
+    cw = Window.orderBy(F.col("wt").desc(), F.col("w").asc())
+    cum = wtd.select(
+        "w", "wt",
+        (F.coalesce(
+            F.sum("wt").over(cw.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        )).alias("lo"),
+    ).withColumn("hi", F.col("lo") + F.col("wt"))
+    tot = cum.agg(F.max("hi").alias("T"), F.count(F.lit(1)).alias("V"))
+
+    # bucketized interval lookup over the integer weight space
+    bucketed = (
+        cum.crossJoin(F.broadcast(tot))
+        .withColumn("__bw", F.greatest(F.floor(F.col("T") / 1024), F.lit(1)))
+        .withColumn(
+            "__bk",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col("lo") / F.col("__bw")),
+                    F.floor((F.col("hi") - 1) / F.col("__bw")),
+                )
+            ),
+        )
+        .select("w", "lo", "hi", "__bk")
+    )
+    draws = (
+        pos_pairs.crossJoin(F.broadcast(tot))
+        .select(
+            "id", "pos", "ctx_offset", "center", "context", "T",
+            F.explode(F.array(*[F.lit(j) for j in range(1, n_neg + 1)])).alias(
+                "neg_ix"
+            ),
+        )
+        .withColumn(
+            "__u",
+            stable_hash64(
+                F.concat_ws(
+                    ":",
+                    F.col("id").cast("string"),
+                    F.col("pos").cast("string"),
+                    F.col("ctx_offset").cast("string"),
+                    F.col("neg_ix").cast("string"),
+                ),
+                seed=seed,
+            )
+            % F.col("T"),
+        )
+        .withColumn(
+            "__bk", F.floor(F.col("__u") / F.greatest(F.floor(F.col("T") / 1024), F.lit(1)))
+        )
+    )
+    negs = (
+        draws.join(F.broadcast(bucketed), "__bk")
+        .filter((F.col("__u") >= F.col("lo")) & (F.col("__u") < F.col("hi")))
+        .select(
+            "id", "pos", "ctx_offset", "center",
+            F.col("w").alias("context"),
+            F.lit(0).alias("label"),
+            "neg_ix",
+        )
+    )
+    pos_out = pos_pairs.select(
+        "id", "pos", "ctx_offset", "center", "context",
+        F.lit(1).alias("label"), F.lit(0).alias("neg_ix"),
+    )
+    return pos_out.unionByName(negs).select(
+        F.col("id").alias(id_col), "pos", "ctx_offset", "center", "context",
+        "label", "neg_ix",
+    )

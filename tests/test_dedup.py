@@ -647,3 +647,29 @@ def test_winnow_pairs_shared_passage(spark):
         winnow_pairs(df, min_shared=0)
     with _pytest.raises(ValueError):
         winnow_pairs(df, window=0)
+
+
+def test_winnow_guarantee_property(spark):
+    """Schleimer et al.'s correctness guarantee: any shared token run of
+    length >= window + k - 1 produces at least one SHARED fingerprint.
+    Randomized docs embedding a common passage at random offsets."""
+    import random
+
+    from database2ogr_spark.operators.dedup import winnow_fingerprints
+
+    rng = random.Random(5)
+    vocab = [f"w{i}" for i in range(60)]
+    k, w = 3, 4
+    passage = [rng.choice(vocab) for _ in range(w + k - 1)]  # minimal run
+    rows = []
+    for doc in range(6):
+        pre = [rng.choice(vocab) for _ in range(rng.randrange(0, 12))]
+        post = [rng.choice(vocab) for _ in range(rng.randrange(0, 12))]
+        rows.append((doc, " ".join(pre + passage + post)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = {}
+    for r in winnow_fingerprints(df, k_shingle=k, window=w).collect():
+        fps.setdefault(r.id, set()).add(r.fp)
+    for a in range(6):
+        for b in range(a + 1, 6):
+            assert fps[a] & fps[b], (a, b)

@@ -626,3 +626,47 @@ def test_dsir_sample_gumbel_topk(spark):
         dsir_sample(df, F.col("tgt") == 1, k=0)
     with _pytest.raises(ValueError):
         dsir_sample(df, F.col("tgt") == 1, k=5, temperature=0)
+
+
+def test_skipgram_negative_samples_structure(spark):
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from database2ogr_spark.operators.sampling import skipgram_negative_samples
+
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "c c a")], "doc_id long, text string"
+    )
+    out = skipgram_negative_samples(df, window=2, n_neg=3).persist()
+    pos = out.filter("label = 1")
+    neg = out.filter("label = 0")
+    # doc1: 4 tokens -> offsets ±1: 3 pairs each dir; ±2: 2 pairs each dir = 10
+    # doc2: 3 tokens -> ±1: 2+2, ±2: 1+1 = 6 positives
+    assert pos.count() == 16
+    # exact fixed fanout
+    assert neg.count() == 16 * 3
+    # every negative context is a corpus word
+    vocab = {r.w for r in df.select(F.explode(
+        F.split(F.lower("text"), " ")).alias("w")).distinct().collect()}
+    assert {r.context for r in neg.collect()} <= vocab
+    # determinism
+    out2 = skipgram_negative_samples(df, window=2, n_neg=3)
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, out2.collect()))
+    out.unpersist()
+    with _pytest.raises(ValueError):
+        skipgram_negative_samples(df, window=0)
+    with _pytest.raises(ValueError):
+        skipgram_negative_samples(df, n_neg=0)
+
+
+def test_skipgram_negatives_follow_unigram_power(spark):
+    from database2ogr_spark.operators.sampling import skipgram_negative_samples
+
+    # one dominant word: negatives should hit it far more often than a rare one
+    text = " ".join(["common"] * 50 + ["rare"])
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    neg = skipgram_negative_samples(df, window=1, n_neg=4).filter("label = 0")
+    hits = {r["context"]: r["n"] for r in neg.groupBy("context").agg(
+        __import__("pyspark.sql.functions", fromlist=["count"]).count("*").alias("n")
+    ).collect()}
+    assert hits.get("common", 0) > 10 * hits.get("rare", 0)
