@@ -1112,6 +1112,16 @@ def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return l_diversity_report(docs, ["lang", "len_bucket"], "source", l=3)
 
 
+def q_dataset_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-plan dataset datasheet (validate.dataset_datasheet): corpus
+    size, vocabulary, exact-dup rate, language entropy, PII-doc rate,
+    exact lower-median length — the governance artifact composed from
+    verified building blocks, every branch partial-agg'd and bounded."""
+    from database2ogr_spark.operators.validate import dataset_datasheet
+
+    return dataset_datasheet(_t(spark, sf_dir, "documents"))
+
+
 def q_skipgram_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SGNS training pairs (sampling.skipgram_negative_samples, window=1,
     n_neg=2) over the doc_id%7 slice — positives plus exact-integer
@@ -3748,6 +3758,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ks_test": q_ks_test,
         "intrinsic_dimension": q_intrinsic_dimension,
         "skipgram_negatives": q_skipgram_negatives,
+        "dataset_datasheet": q_dataset_datasheet,
         "transition_matrix": q_transition_matrix,
         # Everything ABOVE this line and below slot 50 is the round-5
         # never-driver-graded set (slots 51 onward, in the order added) —
@@ -6118,6 +6129,47 @@ def oracle_sql() -> dict[str, str]:
                    THEN round((agree::DOUBLE / nn - chance) / (1.0 - chance), 6)
                    END AS kappa
             FROM ag CROSS JOIN t CROSS JOIN ch
+        """,
+        # datasheet: four bounded branches; median via the distinct-length
+        # histogram (lower median: smallest nc with cumFreq >= (n+1)/2)
+        "dataset_datasheet": f"""
+            WITH base AS (SELECT md5(text) AS fp,
+                     len({_WORDS_SQL})::BIGINT AS nt,
+                     length(text)::BIGINT AS nc,
+                     CASE WHEN regexp_replace(regexp_replace(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}',
+                       '[EMAIL]', 'g'), '[0-9]{{7,}}', '[NUM]', 'g')
+                       <> text THEN 1 ELSE 0 END AS pii
+                   FROM documents),
+            main AS (SELECT count(*)::BIGINT AS n_docs,
+                       sum(nt)::BIGINT AS n_tokens,
+                       sum(nc)::BIGINT AS n_chars,
+                       count(DISTINCT fp)::BIGINT AS nd,
+                       sum(pii)::BIGINT AS npii
+                     FROM base),
+            voc AS (SELECT count(DISTINCT w)::BIGINT AS vocab_size
+                    FROM (SELECT unnest({_WORDS_SQL}) AS w
+                          FROM documents)),
+            lc AS (SELECT lang, count(*)::BIGINT AS n FROM documents
+                   GROUP BY lang),
+            le AS (SELECT count(*)::BIGINT AS n_langs,
+                     round(-sum((n::DOUBLE / tt) * ln(n::DOUBLE / tt)), 6)
+                       AS lang_entropy
+                   FROM lc CROSS JOIN
+                     (SELECT sum(n)::DOUBLE AS tt FROM lc)),
+            hist AS (SELECT nc, count(*)::BIGINT AS hn FROM base
+                     GROUP BY nc),
+            cum AS (SELECT nc, sum(hn) OVER (ORDER BY nc
+                      ROWS UNBOUNDED PRECEDING) AS cf FROM hist),
+            med AS (SELECT min(nc)::BIGINT AS median_len
+                    FROM cum CROSS JOIN
+                      (SELECT sum(hn) AS nn FROM hist)
+                    WHERE cf >= (nn + 1) / 2.0)
+            SELECT n_docs, n_tokens, n_chars, vocab_size,
+              round(1.0 - nd::DOUBLE / n_docs, 6) AS dup_doc_rate,
+              n_langs, lang_entropy,
+              round(npii::DOUBLE / n_docs, 6) AS pii_doc_rate, median_len
+            FROM main CROSS JOIN voc CROSS JOIN le CROSS JOIN med
         """,
         # SGNS: positives from the ±1 offset, negatives via exact integer
         # inverse-CDF over unigram^0.75 weights, seed-11 md5 draws

@@ -144,6 +144,7 @@ HEADLINE = [
     "ks_test",
     "intrinsic_dimension",
     "skipgram_negatives",
+    "dataset_datasheet",
 ]
 
 #: the queries that were in BENCH_r01 (the operative baseline — BASELINE.md:

@@ -434,3 +434,105 @@ def l_diversity_report(
             (F.col("n_sensitive") < l).cast("int").alias("at_risk"),
         )
     )
+
+
+def dataset_datasheet(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """One-row dataset datasheet — the governance artifact (public "Data
+    Cards" / "Datasheets for Datasets", Gebru et al. 2021) a mixture
+    owner attaches to a release, produced as ONE Catalyst plan over
+    verified building blocks: corpus size (docs/tokens/chars), vocabulary
+    size, exact-duplicate rate (md5 text fingerprints), language count
+    and distribution entropy, PII-bearing document rate (the redact()
+    regexes as detectors), and the lower-median document length (exact,
+    via the distinct-length histogram — no global sort).
+
+    Output (all scalar, rounded 6 dp where fractional):
+    ``(n_docs, n_tokens, n_chars, vocab_size, dup_doc_rate, n_langs,
+    lang_entropy, pii_doc_rate, median_len)``.
+
+    Scale: four aggregation branches (corpus stats incl. the distinct-
+    fingerprint count; vocabulary distinct; language distribution;
+    length histogram), each partial-agg'd, each reducing to ≤ a
+    bounded-cardinality table before anything joins — the crossJoins
+    combine 1-row results. The corpus is scanned per branch; at 100 TB
+    you'd persist the narrow (fp, nt, nc, lang, pii) projection once and
+    run all branches off it (same contract as the other multi-branch
+    operators — callers clearCache).
+    """
+    from database2ogr_spark.functions.hashing import words
+    from database2ogr_spark.functions.text import redact
+
+    base = df.select(
+        F.md5(F.col(text_col)).alias("fp"),
+        F.size(words(text_col)).alias("nt"),
+        F.length(F.col(text_col)).alias("nc"),
+        F.col(lang_col).alias("lg"),
+        (redact(F.col(text_col)) != F.col(text_col)).cast("int").alias("pii"),
+    )
+    main = base.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("nt").cast("bigint").alias("n_tokens"),
+        F.sum("nc").cast("bigint").alias("n_chars"),
+        F.countDistinct("fp").cast("bigint").alias("n_distinct_texts"),
+        F.sum("pii").cast("bigint").alias("n_pii"),
+    )
+    vocab = (
+        df.select(F.explode(words(text_col)).alias("w"))
+        .agg(F.countDistinct("w").cast("bigint").alias("vocab_size"))
+    )
+    lang_counts = df.groupBy(F.col(lang_col).alias("lg")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    lang = lang_counts.crossJoin(
+        F.broadcast(lang_counts.agg(F.sum("n").alias("tt")))
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_langs"),
+        F.round(
+            -F.sum(
+                (F.col("n") / F.col("tt"))
+                * F.log(F.col("n") / F.col("tt"))
+            ),
+            6,
+        ).alias("lang_entropy"),
+    )
+    hist = base.groupBy("nc").agg(F.count(F.lit(1)).alias("hn"))
+    from pyspark.sql.window import Window
+
+    cum = hist.withColumn(
+        "cf",
+        F.sum("hn").over(
+            Window.orderBy("nc").rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    med = (
+        cum.crossJoin(F.broadcast(hist.agg(F.sum("hn").alias("nn"))))
+        .filter(F.col("cf") >= (F.col("nn") + 1).cast("bigint") / 2)
+        .agg(F.min("nc").cast("bigint").alias("median_len"))
+    )
+    return (
+        main.crossJoin(F.broadcast(vocab))
+        .crossJoin(F.broadcast(lang))
+        .crossJoin(F.broadcast(med))
+        .select(
+            "n_docs",
+            "n_tokens",
+            "n_chars",
+            "vocab_size",
+            F.round(
+                F.lit(1.0) - F.col("n_distinct_texts") / F.col("n_docs").cast("double"),
+                6,
+            ).alias("dup_doc_rate"),
+            "n_langs",
+            "lang_entropy",
+            F.round(F.col("n_pii") / F.col("n_docs").cast("double"), 6).alias(
+                "pii_doc_rate"
+            ),
+            "median_len",
+        )
+    )

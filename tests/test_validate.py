@@ -227,3 +227,29 @@ def test_l_diversity_homogeneity_attack(spark):
         l_diversity_report(df, [], "diag")
     with _pytest.raises(ValueError):
         l_diversity_report(df, ["qi"], "diag", l=0)
+
+
+def test_dataset_datasheet_hand_computed(spark):
+    import math
+
+    from database2ogr_spark.operators.validate import dataset_datasheet
+
+    df = spark.createDataFrame(
+        [
+            (1, "hello world", "en"),
+            (2, "hello world", "en"),            # exact duplicate
+            (3, "contact me a.b@x.org now", "en"),  # PII
+            (4, "bonjour", "fr"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    r = dataset_datasheet(df).collect()[0]
+    assert r.n_docs == 4 and r.n_tokens == 2 + 2 + 4 + 1
+    assert r.vocab_size == 7  # hello world contact me a.b@x.org now bonjour
+    assert abs(r.dup_doc_rate - 0.25) < 1e-9  # 3 distinct texts of 4
+    assert r.n_langs == 2
+    ent = -(0.75 * math.log(0.75) + 0.25 * math.log(0.25))
+    assert abs(r.lang_entropy - ent) < 1e-5
+    assert abs(r.pii_doc_rate - 0.25) < 1e-9
+    # lengths: 11, 11, 24, 7 sorted -> 7,11,11,24; lower median (2nd) = 11
+    assert r.median_len == 11
