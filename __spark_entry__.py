@@ -1112,6 +1112,19 @@ def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return l_diversity_report(docs, ["lang", "len_bucket"], "source", l=3)
 
 
+def q_temporal_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-blocked temporal split (sampling.temporal_split, cutoff
+    2024-01-15): train before cutoff, test only for cold-start users,
+    known users' post-cutoff events discarded — the leakage-safe eval
+    protocol; one per-user min-ts agg joined back on the user key."""
+    from database2ogr_spark.operators.sampling import temporal_split
+
+    out = temporal_split(
+        _t(spark, sf_dir, "events"), cutoff="2024-01-15 00:00:00"
+    )
+    return out.select("event_id", "user_id", "split")
+
+
 def q_dataset_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-plan dataset datasheet (validate.dataset_datasheet): corpus
     size, vocabulary, exact-dup rate, language entropy, PII-doc rate,
@@ -3759,6 +3772,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "intrinsic_dimension": q_intrinsic_dimension,
         "skipgram_negatives": q_skipgram_negatives,
         "dataset_datasheet": q_dataset_datasheet,
+        "temporal_split": q_temporal_split,
         "transition_matrix": q_transition_matrix,
         # Everything ABOVE this line and below slot 50 is the round-5
         # never-driver-graded set (slots 51 onward, in the order added) —
@@ -6129,6 +6143,17 @@ def oracle_sql() -> dict[str, str]:
                    THEN round((agree::DOUBLE / nn - chance) / (1.0 - chance), 6)
                    END AS kappa
             FROM ag CROSS JOIN t CROSS JOIN ch
+        """,
+        "temporal_split": """
+            WITH f AS (SELECT user_id, min(ts) AS first_ts FROM events
+                       GROUP BY user_id)
+            SELECT event_id, e.user_id,
+              CASE WHEN e.ts < TIMESTAMP '2024-01-15 00:00:00'
+                     THEN 'train'
+                   WHEN f.first_ts >= TIMESTAMP '2024-01-15 00:00:00'
+                     THEN 'test'
+                   ELSE 'discard' END AS split
+            FROM events e JOIN f USING (user_id)
         """,
         # datasheet: four bounded branches; median via the distinct-length
         # histogram (lower median: smallest nc with cumFreq >= (n+1)/2)

@@ -145,6 +145,7 @@ HEADLINE = [
     "intrinsic_dimension",
     "skipgram_negatives",
     "dataset_datasheet",
+    "temporal_split",
 ]
 
 #: the queries that were in BENCH_r01 (the operative baseline — BASELINE.md:

@@ -912,3 +912,41 @@ def skipgram_negative_samples(
         F.col("id").alias(id_col), "pos", "ctx_offset", "center", "context",
         "label", "neg_ix",
     )
+
+
+def temporal_split(
+    events: DataFrame,
+    *,
+    cutoff: str,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Leakage-safe temporal train/test split over an event stream — the
+    evaluation protocol for behavioral/recommendation models: everything
+    before ``cutoff`` trains; only events from users with NO pre-cutoff
+    history test (cold-start users); post-cutoff events of KNOWN users
+    are DISCARDED, because a model that saw a user's history answers
+    their future from memorization, not generalization (the user-blocked
+    protocol — time-based splitting alone leaks identity).
+
+    ``cutoff`` is an ISO timestamp string literal, so the split is a pure
+    function of the data. Output: all event columns + ``split`` ∈
+    {'train', 'test', 'discard'}.
+
+    Scale: one per-user min-timestamp aggregation (partial-agg'd on the
+    user key) joined back on the same key — AQE broadcasts it when the
+    user dimension is small; the labeling is in-row.
+    """
+    cut = F.lit(cutoff).cast("timestamp")
+    first = events.groupBy(F.col(user_col).alias("__u")).agg(
+        F.min(F.col(ts_col)).alias("__first")
+    )
+    joined = events.join(
+        first, events[user_col] == F.col("__u"), "left"
+    )
+    split = (
+        F.when(F.col(ts_col) < cut, F.lit("train"))
+        .when(F.col("__first") >= cut, F.lit("test"))
+        .otherwise(F.lit("discard"))
+    )
+    return joined.select(*events.columns, split.alias("split"))

@@ -670,3 +670,20 @@ def test_skipgram_negatives_follow_unigram_power(spark):
         __import__("pyspark.sql.functions", fromlist=["count"]).count("*").alias("n")
     ).collect()}
     assert hits.get("common", 0) > 10 * hits.get("rare", 0)
+
+
+def test_temporal_split_user_blocked(spark):
+    rows = [
+        (1, 10, "2024-01-01 00:00:00"),  # train
+        (2, 10, "2024-02-01 00:00:00"),  # known user after cutoff -> discard
+        (3, 20, "2024-02-02 00:00:00"),  # cold-start user -> test
+        (4, 20, "2024-02-03 00:00:00"),  # same cold-start user -> test
+        (5, 30, "2024-01-15 00:00:00"),  # train
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts string"
+    ).selectExpr("event_id", "user_id", "CAST(ts AS TIMESTAMP) AS ts")
+    from database2ogr_spark.operators.sampling import temporal_split
+
+    out = {r.event_id: r.split for r in temporal_split(df, cutoff="2024-02-01 00:00:00").collect()}
+    assert out == {1: "train", 2: "discard", 3: "test", 4: "test", 5: "train"}
