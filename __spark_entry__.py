@@ -1112,6 +1112,16 @@ def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return l_diversity_report(docs, ["lang", "len_bucket"], "source", l=3)
 
 
+def q_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 7-day trailing active users (timeseries.rolling_distinct_
+    users): deduped (day, user) pairs fan out ×7 to their window-end
+    days, one countDistinct per day — never a range join, never HLL
+    error; integer epoch-day arithmetic throughout."""
+    from database2ogr_spark.operators.timeseries import rolling_distinct_users
+
+    return rolling_distinct_users(_t(spark, sf_dir, "events"), window_days=7)
+
+
 def q_temporal_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """User-blocked temporal split (sampling.temporal_split, cutoff
     2024-01-15): train before cutoff, test only for cold-start users,
@@ -3773,6 +3783,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skipgram_negatives": q_skipgram_negatives,
         "dataset_datasheet": q_dataset_datasheet,
         "temporal_split": q_temporal_split,
+        "rolling_active_users": q_rolling_active_users,
         "transition_matrix": q_transition_matrix,
         # Everything ABOVE this line and below slot 50 is the round-5
         # never-driver-graded set (slots 51 onward, in the order added) —
@@ -6143,6 +6154,21 @@ def oracle_sql() -> dict[str, str]:
                    THEN round((agree::DOUBLE / nn - chance) / (1.0 - chance), 6)
                    END AS kappa
             FROM ag CROSS JOIN t CROSS JOIN ch
+        """,
+        # exact trailing-window distinct via the deduped-pair ×w fanout
+        "rolling_active_users": """
+            WITH du AS (SELECT DISTINCT
+                          CAST(floor(epoch(ts) / 86400) AS BIGINT) AS d,
+                          user_id AS u
+                        FROM events),
+            b AS (SELECT min(d) AS lo, max(d) AS hi FROM du),
+            f AS (SELECT unnest(range(d, d + 7)) AS e, u FROM du),
+            c AS (SELECT e, count(DISTINCT u)::BIGINT AS n
+                  FROM f GROUP BY e),
+            sp AS (SELECT unnest(range(lo, hi + 1)) AS e FROM b)
+            SELECT sp.e AS window_end_day,
+              coalesce(c.n, 0)::BIGINT AS n_users
+            FROM sp LEFT JOIN c ON sp.e = c.e
         """,
         "temporal_split": """
             WITH f AS (SELECT user_id, min(ts) AS first_ts FROM events

@@ -146,6 +146,7 @@ HEADLINE = [
     "skipgram_negatives",
     "dataset_datasheet",
     "temporal_split",
+    "rolling_active_users",
 ]
 
 #: the queries that were in BENCH_r01 (the operative baseline — BASELINE.md:

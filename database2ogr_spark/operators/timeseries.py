@@ -219,3 +219,47 @@ def gap_fill_locf(
         F.last("v", ignorenulls=True).over(w).alias("value_filled"),
         F.col("v").isNotNull().alias("observed"),
     )
+
+
+def rolling_distinct_users(
+    events: DataFrame,
+    *,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    window_days: int = 7,
+) -> DataFrame:
+    """Exact trailing-window active-user counts — the WAU/MAU dashboard
+    metric, exactly (no HLL error bar): for every day in the observed
+    range, the number of DISTINCT users active in the ``window_days``
+    window ending that day. Day arithmetic is integer epoch-days (the
+    retention_cohorts convention — no calendar functions in the plan).
+
+    Exactness trick: distinct (day, user) pairs FAN OUT to the
+    ``window_days`` window-end days they contribute to
+    (``explode(sequence(d, d+w-1))``) and one countDistinct per end-day
+    finishes it — a bounded ×w fanout of the ALREADY-DEDUPED daily pairs,
+    never a range join and never a quadratic window. Days inside the
+    range with no active window users still appear (count 0) via the
+    day spine. Output: (window_end_day bigint, n_users bigint).
+    """
+    if window_days < 1:
+        raise ValueError(f"window_days must be >= 1, got {window_days}")
+    day = F.floor(F.unix_timestamp(F.col(ts_col)) / F.lit(86400)).cast("long")
+    du = events.select(
+        day.alias("d"), F.col(user_col).alias("u")
+    ).distinct()
+    bounds = du.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    fanned = du.select(
+        F.explode(
+            F.sequence(F.col("d"), F.col("d") + F.lit(window_days - 1))
+        ).alias("e"),
+        "u",
+    )
+    counts = fanned.groupBy("e").agg(F.countDistinct("u").alias("n"))
+    spine = bounds.select(
+        F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("e")
+    )
+    return spine.join(counts, "e", "left").select(
+        F.col("e").alias("window_end_day"),
+        F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n_users"),
+    )

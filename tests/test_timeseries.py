@@ -241,3 +241,25 @@ def test_gap_fill_locf_pre_1970_timestamps_order_correctly(spark):
     )
     out = gap_fill_locf(ev, unit="hour").collect()
     assert len(out) == 1 and out[0].value_filled == 2.0
+
+
+def test_rolling_distinct_users_exact(spark):
+    import pytest as _pytest
+
+    from database2ogr_spark.operators.timeseries import rolling_distinct_users
+
+    # epoch-day 0 = 1970-01-01; build via integer days directly
+    rows = [
+        (1, 0 * 86400, 10), (2, 0 * 86400, 20),   # day 0: users {10,20}
+        (3, 1 * 86400, 10),                        # day 1: {10}
+        (4, 3 * 86400, 30),                        # day 3: {30}
+    ]
+    df = spark.createDataFrame(rows, "event_id long, sec long, user_id long") \
+        .selectExpr("event_id", "CAST(sec AS TIMESTAMP) AS ts", "user_id")
+    out = {r.window_end_day: r.n_users
+           for r in rolling_distinct_users(df, window_days=2).collect()}
+    # windows (2-day): d0:{10,20}=2; d1: days0-1 {10,20}=2; d2: day1 {10}=1;
+    # d3: {30}=1
+    assert out == {0: 2, 1: 2, 2: 1, 3: 1}
+    with _pytest.raises(ValueError):
+        rolling_distinct_users(df, window_days=0)
