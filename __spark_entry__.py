@@ -1112,6 +1112,38 @@ def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return l_diversity_report(docs, ["lang", "len_bucket"], "source", l=3)
 
 
+def q_frequent_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-priori frequent itemsets (basket.frequent_itemsets, min_support
+    3, up to triples) over the order→part baskets — each level one
+    txn-keyed self-join of the SURVIVING table + one partial-agg'd count;
+    support pruning between levels bounds the fanout. Scalar canonical
+    columns (size, i1, i2, i3, support) — no array outputs."""
+    from database2ogr_spark.operators.basket import frequent_itemsets
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("txn_id"), F.col("l_partkey").alias("item")
+    )
+    return frequent_itemsets(li, min_support=3)
+
+
+def q_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules (basket.association_rules, confidence ≥ 0.05 —
+    the sparse synthetic baskets top out at ~0.14, measured both SFs)
+    from the graded frequent-itemset table — confidence as exact support
+    ratios, no corpus re-scan."""
+    from database2ogr_spark.operators.basket import (
+        association_rules,
+        frequent_itemsets,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("txn_id"), F.col("l_partkey").alias("item")
+    )
+    return association_rules(
+        frequent_itemsets(li, min_support=3), min_confidence=0.05
+    )
+
+
 def q_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 7-day trailing active users (timeseries.rolling_distinct_
     users): deduped (day, user) pairs fan out ×7 to their window-end
@@ -3784,6 +3816,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dataset_datasheet": q_dataset_datasheet,
         "temporal_split": q_temporal_split,
         "rolling_active_users": q_rolling_active_users,
+        "frequent_itemsets": q_frequent_itemsets,
+        "basket_rules": q_basket_rules,
         "transition_matrix": q_transition_matrix,
         # Everything ABOVE this line and below slot 50 is the round-5
         # never-driver-graded set (slots 51 onward, in the order added) —
@@ -6154,6 +6188,51 @@ def oracle_sql() -> dict[str, str]:
                    THEN round((agree::DOUBLE / nn - chance) / (1.0 - chance), 6)
                    END AS kappa
             FROM ag CROSS JOIN t CROSS JOIN ch
+        """,
+        # A-priori replay: L1 >= ms, pairs over frequent items, triples
+        # extended from surviving pairs — same pruning order
+        "frequent_itemsets": """
+            WITH tx AS (SELECT DISTINCT l_orderkey AS t, l_partkey AS i
+                        FROM lineitem),
+            l1 AS (SELECT i, count(*)::BIGINT AS support FROM tx GROUP BY i),
+            f1 AS (SELECT * FROM l1 WHERE support >= 3),
+            tx1 AS (SELECT tx.t, tx.i FROM tx JOIN f1 USING (i)),
+            pr AS (SELECT a.t, a.i AS i1, b.i AS i2
+                   FROM tx1 a JOIN tx1 b ON a.t = b.t AND a.i < b.i),
+            l2 AS (SELECT i1, i2, count(*)::BIGINT AS support
+                   FROM pr GROUP BY 1, 2),
+            f2 AS (SELECT * FROM l2 WHERE support >= 3),
+            tx2 AS (SELECT pr.t, pr.i1, pr.i2
+                    FROM pr JOIN f2 USING (i1, i2)),
+            tr AS (SELECT tx2.t, tx2.i1, tx2.i2, c.i AS i3
+                   FROM tx2 JOIN tx1 c ON tx2.t = c.t AND c.i > tx2.i2),
+            l3 AS (SELECT i1, i2, i3, count(*)::BIGINT AS support
+                   FROM tr GROUP BY 1, 2, 3),
+            f3 AS (SELECT * FROM l3 WHERE support >= 3)
+            SELECT 1 AS size, i AS i1, CAST(NULL AS BIGINT) AS i2,
+              CAST(NULL AS BIGINT) AS i3, support FROM f1
+            UNION ALL
+            SELECT 2, i1, i2, CAST(NULL AS BIGINT), support FROM f2
+            UNION ALL
+            SELECT 3, i1, i2, i3, support FROM f3
+        """,
+        "basket_rules": """
+            WITH tx AS (SELECT DISTINCT l_orderkey AS t, l_partkey AS i
+                        FROM lineitem),
+            l1 AS (SELECT i, count(*)::BIGINT AS s1 FROM tx GROUP BY i),
+            f1 AS (SELECT * FROM l1 WHERE s1 >= 3),
+            tx1 AS (SELECT tx.t, tx.i FROM tx JOIN f1 USING (i)),
+            l2 AS (SELECT a.i AS i1, b.i AS i2, count(*)::BIGINT AS s12
+                   FROM tx1 a JOIN tx1 b ON a.t = b.t AND a.i < b.i
+                   GROUP BY 1, 2),
+            f2 AS (SELECT * FROM l2 WHERE s12 >= 3),
+            r AS (SELECT i1 AS antecedent, i2 AS consequent, s12 FROM f2
+                  UNION ALL
+                  SELECT i2, i1, s12 FROM f2)
+            SELECT antecedent, consequent, s12 AS support,
+              round(s12::DOUBLE / s1, 6) AS confidence
+            FROM r JOIN f1 ON r.antecedent = f1.i
+            WHERE round(s12::DOUBLE / s1, 6) >= 0.05
         """,
         # exact trailing-window distinct via the deduped-pair ×w fanout
         "rolling_active_users": """

@@ -147,6 +147,8 @@ HEADLINE = [
     "dataset_datasheet",
     "temporal_split",
     "rolling_active_users",
+    "frequent_itemsets",
+    "basket_rules",
 ]
 
 #: the queries that were in BENCH_r01 (the operative baseline — BASELINE.md:
