@@ -2858,6 +2858,23 @@ def q_calibration_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return calibration_report(scored, n_bins=100)
 
 
+def q_classifier_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected Calibration Error of the quality classifier
+    (classifier.expected_calibration_error over the same scored set and
+    100-bin arithmetic binning as calibration_report) — the scalar
+    release gate the diagram summarizes to; derives from the ≤100-row
+    report, corpus scanned once."""
+    from database2ogr_spark.operators.classifier import (
+        expected_calibration_error,
+        quality_classifier_scores,
+    )
+
+    scored = quality_classifier_scores(
+        _t(spark, sf_dir, "documents"), F.col("lang") == "en"
+    )
+    return expected_calibration_error(scored, n_bins=100)
+
+
 def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Column profiling report (validate.profile_columns — the discovery
     half of the data-quality surface): per-column row/null/distinct counts
@@ -3818,6 +3835,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_active_users": q_rolling_active_users,
         "frequent_itemsets": q_frequent_itemsets,
         "basket_rules": q_basket_rules,
+        "classifier_ece": q_classifier_ece,
         "transition_matrix": q_transition_matrix,
         # Everything ABOVE this line and below slot 50 is the round-5
         # never-driver-graded set (slots 51 onward, in the order added) —
@@ -6853,6 +6871,22 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT least(CAST(floor(prob * 100) AS INT), 99) AS bin,
                     label, prob FROM sc) t
             GROUP BY bin
+        """,
+        # ECE over the same bins as calibration_report (rounded per-bin
+        # rates, then the weighted abs-gap reduction)
+        "classifier_ece": f"""
+            WITH sc AS ({_logreg_sql()}),
+            rep AS (SELECT least(CAST(floor(prob * 100) AS INT), 99) AS bin,
+                      count(*)::BIGINT AS n,
+                      round(sum(label)::DOUBLE / count(*), 6) AS pos_rate,
+                      round(avg(prob), 6) AS mean_prob
+                    FROM sc GROUP BY 1),
+            tot AS (SELECT sum(n)::BIGINT AS nn FROM rep)
+            SELECT max(nn)::BIGINT AS n_rows,
+              count(*)::BIGINT AS n_bins_used,
+              round(sum((n::DOUBLE / nn) * abs(pos_rate - mean_prob)), 6)
+                AS ece
+            FROM rep CROSS JOIN tot
         """,
         # exact Mann-Whitney AUC from the distinct-score histogram, same
         # unrolled logreg twin as quality_classifier/calibration_report

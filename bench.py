@@ -149,6 +149,7 @@ HEADLINE = [
     "rolling_active_users",
     "frequent_itemsets",
     "basket_rules",
+    "classifier_ece",
 ]
 
 #: the queries that were in BENCH_r01 (the operative baseline — BASELINE.md:

@@ -299,3 +299,41 @@ def auc_report(
             F.round(F.col("_u") / (F.col("n_pos") * F.col("n_neg")), 6),
         ).alias("auc"),
     )
+
+
+def expected_calibration_error(
+    scored: DataFrame,
+    *,
+    label_col: str = "label",
+    prob_col: str = "prob",
+    n_bins: int = 10,
+) -> DataFrame:
+    """Expected Calibration Error — the scalar the reliability diagram
+    (:func:`calibration_report`) summarizes to: ``ECE = Σ_b (n_b/N) ·
+    |pos_rate_b − mean_prob_b|`` over the same arithmetic bins (public
+    Naeini et al. 2015 / Guo et al. 2017). The release-gate number: a
+    quality filter with ECE 0.02 can be thresholded by its scores; one
+    with ECE 0.2 cannot.
+
+    Output: ONE row (n_rows, n_bins_used, ece) rounded 6 dp. Derives
+    entirely from the ≤``n_bins``-row report — the corpus is scanned once
+    by the underlying report aggregation and never again.
+    """
+    rep = calibration_report(
+        scored, label_col=label_col, prob_col=prob_col, n_bins=n_bins
+    )
+    tot = rep.agg(F.sum("n").alias("nn"))
+    return (
+        rep.crossJoin(F.broadcast(tot))
+        .agg(
+            F.max("nn").cast("bigint").alias("n_rows"),
+            F.count(F.lit(1)).cast("bigint").alias("n_bins_used"),
+            F.round(
+                F.sum(
+                    (F.col("n") / F.col("nn"))
+                    * F.abs(F.col("pos_rate") - F.col("mean_prob"))
+                ),
+                6,
+            ).alias("ece"),
+        )
+    )

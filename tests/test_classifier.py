@@ -230,3 +230,34 @@ def test_auc_report_perfect_separation(spark):
         [(0.9, 1), (0.8, 1), (0.2, 0), (0.1, 0)], "prob double, label int"
     )
     assert auc_report(df).collect()[0].auc == 1.0
+
+
+def test_expected_calibration_error_hand_computed(spark):
+    from database2ogr_spark.operators.classifier import (
+        expected_calibration_error,
+    )
+
+    # bin 0.0-0.1: probs .05/.05 labels 1,0 -> pos_rate .5, mean_prob .05
+    # bin 0.9-1.0: probs .95 label 1 -> pos_rate 1.0, mean_prob .95
+    df = spark.createDataFrame(
+        [(1, 0.05), (0, 0.05), (1, 0.95)], "label int, prob double"
+    )
+    r = expected_calibration_error(df).collect()[0]
+    # ECE = (2/3)*|0.5-0.05| + (1/3)*|1.0-0.95| = 0.3 + 0.016667
+    assert r.n_rows == 3 and r.n_bins_used == 2
+    assert abs(r.ece - (2 / 3 * 0.45 + 1 / 3 * 0.05)) < 1e-5
+
+
+def test_ece_perfectly_calibrated_is_small(spark):
+    from database2ogr_spark.operators.classifier import (
+        expected_calibration_error,
+    )
+
+    rows = []
+    for b in range(10):
+        p = b / 10 + 0.05
+        n_pos = b  # of 10 rows in the bin, b positive -> pos_rate ~ p
+        rows += [(1, p)] * n_pos + [(0, p)] * (10 - n_pos)
+    df = spark.createDataFrame(rows, "label int, prob double")
+    r = expected_calibration_error(df).collect()[0]
+    assert r.ece < 0.06
