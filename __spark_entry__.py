@@ -1112,6 +1112,23 @@ def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return l_diversity_report(docs, ["lang", "len_bucket"], "source", l=3)
 
 
+def q_randomization_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Randomization significance test (diff.randomization_test, 200
+    md5-deterministic null draws) on document length src0 vs src1 — the
+    p-value companion to ks_test; per-draw sums are one ≤n_perm-key
+    partial-agg'd shuffle."""
+    from database2ogr_spark.operators.diff import randomization_test
+
+    return randomization_test(
+        _t(spark, sf_dir, "documents"),
+        "n_chars",
+        "source",
+        "src0",
+        "src1",
+        n_perm=200,
+    )
+
+
 def q_frequent_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A-priori frequent itemsets (basket.frequent_itemsets, min_support
     3, up to triples) over the order→part baskets — each level one
@@ -3836,6 +3853,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frequent_itemsets": q_frequent_itemsets,
         "basket_rules": q_basket_rules,
         "classifier_ece": q_classifier_ece,
+        "randomization_test": q_randomization_test,
         "transition_matrix": q_transition_matrix,
         # Everything ABOVE this line and below slot 50 is the round-5
         # never-driver-graded set (slots 51 onward, in the order added) —
@@ -6206,6 +6224,43 @@ def oracle_sql() -> dict[str, str]:
                    THEN round((agree::DOUBLE / nn - chance) / (1.0 - chance), 6)
                    END AS kappa
             FROM ag CROSS JOIN t CROSS JOIN ch
+        """,
+        # randomization test: seed-17 md5 reallocation draws, rounded
+        # comparisons, (1 + n_ge)/(n_perm + 1)
+        "randomization_test": f"""
+            WITH sel AS (SELECT CAST(doc_id AS VARCHAR) AS rid,
+                           CAST(n_chars AS DOUBLE) AS v,
+                           source = 'src0' AS is_a
+                         FROM documents
+                         WHERE source IN ('src0', 'src1')
+                           AND n_chars IS NOT NULL),
+            obs AS (SELECT
+                      sum(CASE WHEN is_a THEN 1 ELSE 0 END)::BIGINT AS n_a,
+                      sum(CASE WHEN is_a THEN 0 ELSE 1 END)::BIGINT AS n_b,
+                      avg(CASE WHEN is_a THEN v END)
+                        - avg(CASE WHEN NOT is_a THEN v END) AS od
+                    FROM sel),
+            dr AS (SELECT v, j,
+                     ({_h64_sql("rid || ':' || CAST(j AS VARCHAR)", 17)}
+                        % (n_a + n_b)) < n_a AS to_a
+                   FROM sel CROSS JOIN
+                     (SELECT unnest(range(1, 201)) AS j) jj
+                   CROSS JOIN obs),
+            pj AS (SELECT j,
+                     sum(CASE WHEN to_a THEN v END) AS sa,
+                     sum(CASE WHEN to_a THEN 1 ELSE 0 END) AS ca,
+                     sum(CASE WHEN NOT to_a THEN v END) AS sb,
+                     sum(CASE WHEN NOT to_a THEN 1 ELSE 0 END) AS cb
+                   FROM dr GROUP BY j
+                   HAVING sum(CASE WHEN to_a THEN 1 ELSE 0 END) > 0
+                      AND sum(CASE WHEN NOT to_a THEN 1 ELSE 0 END) > 0),
+            h AS (SELECT sum(CASE WHEN
+                      round(abs(sa / ca - sb / cb), 6)
+                        >= round(abs(od), 6) THEN 1 ELSE 0 END) AS n_ge
+                  FROM pj CROSS JOIN obs)
+            SELECT n_a, n_b, round(od, 6) AS obs_diff, 200 AS n_perm,
+              round((1 + n_ge) / 201.0, 6) AS p_value
+            FROM obs CROSS JOIN h
         """,
         # A-priori replay: L1 >= ms, pairs over frequent items, triples
         # extended from surviving pairs — same pruning order

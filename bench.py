@@ -150,6 +150,7 @@ HEADLINE = [
     "frequent_itemsets",
     "basket_rules",
     "classifier_ece",
+    "randomization_test",
 ]
 
 #: the queries that were in BENCH_r01 (the operative baseline — BASELINE.md:

@@ -244,3 +244,111 @@ def ks_test(
         F.round(crit, 6).alias("d_crit_95"),
         (F.round(F.col("__dmax"), 6) > F.round(crit, 6)).alias("reject_95"),
     )
+
+
+def randomization_test(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a: str,
+    group_b: str,
+    *,
+    id_col: str = "doc_id",
+    n_perm: int = 200,
+    seed: int = 17,
+) -> DataFrame:
+    """Randomization test for a difference in group means — the
+    significance companion to :func:`ks_test` (KS asks "same
+    distribution?"; this asks "is THIS mean gap explainable by label
+    noise?"). Null draws are RANDOM REALLOCATIONS of rows to the two
+    groups in the observed proportion (the unconditional randomization /
+    bootstrap-style null — group sizes vary binomially per draw, the
+    standard large-sample variant; exact size-preserving permutations
+    would need a per-draw global rank). Every draw is a pure function of
+    ``(id, draw index, seed)`` via the md5-stable hash — deterministic,
+    partition-independent, cross-engine replayable.
+
+        p = (1 + #{ |diff_j| ≥ |observed| }) / (n_perm + 1)
+
+    with both sides rounded to 6 dp before the comparison (the
+    engine-stable cut). NULL values and other groups are excluded.
+    Output: ONE row (n_a, n_b, obs_diff, n_perm, p_value).
+
+    Scale: the draw table is an in-row ×``n_perm`` explode of the
+    (id, value) stream; per-draw sums are ONE partial-agg'd shuffle on
+    the draw index (≤ n_perm keys); everything after runs on n_perm rows.
+    """
+    if n_perm < 1:
+        raise ValueError(f"n_perm must be >= 1, got {n_perm}")
+    from database2ogr_spark.functions.hashing import stable_hash64
+
+    sel = df.filter(
+        F.col(group_col).isin(group_a, group_b)
+        & F.col(value_col).isNotNull()
+    ).select(
+        F.col(id_col).cast("string").alias("rid"),
+        F.col(value_col).cast("double").alias("v"),
+        (F.col(group_col) == group_a).alias("is_a"),
+    )
+    obs = sel.agg(
+        F.sum(F.when(F.col("is_a"), 1).otherwise(0)).cast("bigint").alias("n_a"),
+        F.sum(F.when(~F.col("is_a"), 1).otherwise(0)).cast("bigint").alias("n_b"),
+        (
+            F.avg(F.when(F.col("is_a"), F.col("v")))
+            - F.avg(F.when(~F.col("is_a"), F.col("v")))
+        ).alias("obs_diff"),
+    )
+    draws = (
+        sel.crossJoin(F.broadcast(obs.select("n_a", "n_b")))
+        .select(
+            "rid",
+            "v",
+            "n_a",
+            "n_b",
+            F.explode(F.array(*[F.lit(j) for j in range(1, n_perm + 1)])).alias(
+                "j"
+            ),
+        )
+        .select(
+            "v",
+            "j",
+            (
+                stable_hash64(
+                    F.concat_ws(":", F.col("rid"), F.col("j").cast("string")),
+                    seed=seed,
+                )
+                % (F.col("n_a") + F.col("n_b"))
+                < F.col("n_a")
+            ).alias("to_a"),
+        )
+    )
+    per_j = draws.groupBy("j").agg(
+        F.sum(F.when(F.col("to_a"), F.col("v"))).alias("sa"),
+        F.sum(F.when(F.col("to_a"), 1).otherwise(0)).alias("ca"),
+        F.sum(F.when(~F.col("to_a"), F.col("v"))).alias("sb"),
+        F.sum(F.when(~F.col("to_a"), 1).otherwise(0)).alias("cb"),
+    ).filter((F.col("ca") > 0) & (F.col("cb") > 0))
+    hits = per_j.crossJoin(F.broadcast(obs)).agg(
+        F.sum(
+            F.when(
+                F.round(
+                    F.abs(F.col("sa") / F.col("ca") - F.col("sb") / F.col("cb")),
+                    6,
+                )
+                >= F.round(F.abs(F.col("obs_diff")), 6),
+                1,
+            ).otherwise(0)
+        ).alias("n_ge")
+    )
+    return (
+        obs.crossJoin(F.broadcast(hits))
+        .select(
+            "n_a",
+            "n_b",
+            F.round(F.col("obs_diff"), 6).alias("obs_diff"),
+            F.lit(n_perm).alias("n_perm"),
+            F.round(
+                (F.lit(1) + F.col("n_ge")) / F.lit(float(n_perm + 1)), 6
+            ).alias("p_value"),
+        )
+    )

@@ -166,3 +166,33 @@ def test_ks_test_detects_shift_and_ignores_nulls(spark):
     r = ks_test(df, "v", "g", "a", "b").collect()[0]
     assert (r.n_a, r.n_b) == (100, 100)  # NULL and group c excluded
     assert abs(r.d_stat - 0.5) < 1e-9 and r.reject_95 is True
+
+
+def test_randomization_test_detects_shift(spark):
+    import pytest as _pytest
+
+    from database2ogr_spark.operators.diff import randomization_test
+
+    rows = [(i, "a", 100.0 + (i % 7)) for i in range(60)] + [
+        (1000 + i, "b", 200.0 + (i % 7)) for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, g string, v double")
+    r = randomization_test(df, "v", "g", "a", "b", n_perm=100).collect()[0]
+    assert (r.n_a, r.n_b) == (60, 60)
+    assert abs(r.obs_diff + 100.0) < 1e-6
+    assert r.p_value <= 0.009902  # the floor (1+0)/(n_perm+1), rounded
+    with _pytest.raises(ValueError):
+        randomization_test(df, "v", "g", "a", "b", n_perm=0)
+
+
+def test_randomization_test_null_is_uniformish(spark):
+    from database2ogr_spark.operators.diff import randomization_test
+
+    # identical distributions -> p should be large (not significant)
+    rows = [(i, "a" if i % 2 else "b", float((i // 2) % 10)) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, g string, v double")
+    r = randomization_test(df, "v", "g", "a", "b", n_perm=100).collect()[0]
+    assert r.p_value > 0.1
+    # deterministic
+    r2 = randomization_test(df, "v", "g", "a", "b", n_perm=100).collect()[0]
+    assert r.p_value == r2.p_value
