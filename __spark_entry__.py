@@ -1112,6 +1112,48 @@ def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return l_diversity_report(docs, ["lang", "len_bucket"], "source", l=3)
 
 
+def q_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMS second-moment sketch (sketches.ams_f2, 32 counters / 4
+    groups): F2 estimate next to the exact value and relative error —
+    sketch QUALITY graded, not just arithmetic; counters are mergeable
+    sums, one md5 per token."""
+    from database2ogr_spark.operators.sketches import ams_f2
+
+    return ams_f2(_t(spark, sf_dir, "documents"))
+
+
+def _ams_f2_sql(n_counters: int = 32, n_groups: int = 4) -> str:
+    """DuckDB twin of sketches.ams_f2 (even n_groups: median = mean of
+    the middle two sorted group means)."""
+    m = n_counters // n_groups
+    csums = ", ".join(
+        f"sum(((h >> {j}) & 1) * 2 - 1)::BIGINT AS c{j}"
+        for j in range(n_counters)
+    )
+    groups = ", ".join(
+        "("
+        + " + ".join(f"c{g * m + i} * c{g * m + i}" for i in range(m))
+        + f")::DOUBLE / {m}"
+        for g in range(n_groups)
+    )
+    lo = n_groups // 2
+    med = f"(ms[{lo}] + ms[{lo + 1}]) / 2.0"
+    return f"""
+        WITH t AS (SELECT w, {_h64_sql("w", 3)} AS h
+                   FROM (SELECT unnest({_WORDS_SQL}) AS w
+                         FROM documents)),
+        c AS (SELECT count(*)::BIGINT AS n_tokens, {csums} FROM t),
+        ex AS (SELECT sum(f * f)::BIGINT AS f2_exact
+               FROM (SELECT w, count(*)::BIGINT AS f FROM t GROUP BY w)),
+        g AS (SELECT n_tokens, list_sort([{groups}]) AS ms FROM c)
+        SELECT n_tokens, f2_exact,
+          round({med}, 6) AS f2_estimate,
+          round(abs(round({med}, 6) - f2_exact) / f2_exact::DOUBLE, 6)
+            AS rel_error
+        FROM g CROSS JOIN ex
+    """
+
+
 def q_randomization_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Randomization significance test (diff.randomization_test, 200
     md5-deterministic null draws) on document length src0 vs src1 — the
@@ -3854,6 +3896,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "basket_rules": q_basket_rules,
         "classifier_ece": q_classifier_ece,
         "randomization_test": q_randomization_test,
+        "ams_f2": q_ams_f2,
         "transition_matrix": q_transition_matrix,
         # Everything ABOVE this line and below slot 50 is the round-5
         # never-driver-graded set (slots 51 onward, in the order added) —
@@ -6225,6 +6268,7 @@ def oracle_sql() -> dict[str, str]:
                    END AS kappa
             FROM ag CROSS JOIN t CROSS JOIN ch
         """,
+        "ams_f2": _ams_f2_sql(),
         # randomization test: seed-17 md5 reallocation draws, rounded
         # comparisons, (1 + n_ge)/(n_perm + 1)
         "randomization_test": f"""

@@ -151,6 +151,7 @@ HEADLINE = [
     "basket_rules",
     "classifier_ece",
     "randomization_test",
+    "ams_f2",
 ]
 
 #: the queries that were in BENCH_r01 (the operative baseline — BASELINE.md:

@@ -125,3 +125,90 @@ def countmin_query(
         item_col, F.coalesce(F.col("cnt"), F.lit(0).cast("long")).alias("_cell")
     )
     return joined.groupBy(item_col).agg(F.min("_cell").alias("est"))
+
+
+def ams_f2(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    n_counters: int = 32,
+    n_groups: int = 4,
+) -> DataFrame:
+    """AMS second-moment (F₂ = Σ f_i²) sketch over the token stream
+    (public Alon, Matias & Szegedy 1996) — the self-join-size / repeat-
+    rate estimator in ``n_counters`` integers of memory: counter j is
+    ``Σ_i s_j(i)·f_i`` with s_j(i) the ±1 sign from bit j of the token's
+    md5 hash (the deterministic stand-in for the 4-wise family, which is
+    what makes every counter — and therefore the estimate — exactly
+    replayable cross-engine), estimate = median over ``n_groups`` groups
+    of the mean of counter². Counters ADD across shards/days — the same
+    mergeable-by-construction story as the count-min cells.
+
+    The report carries the EXACT F₂ next to the estimate (one
+    token-keyed partial-agg'd count — the audit this sketch would replace
+    at 100 TB) plus the relative error, so sketch QUALITY is graded, not
+    just its arithmetic. Output: one row
+    ``(n_tokens, f2_exact, f2_estimate, rel_error)``.
+
+    Scale: the counter build is ONE aggregation of ``n_counters``
+    conditional sums over the exploded token stream — one md5 per token
+    (bits fan out to all counters), everything partial-agg'd map-side;
+    the estimate arithmetic runs on ``n_counters`` values.
+    """
+    from database2ogr_spark.functions.hashing import stable_hash64, words
+
+    if n_counters % n_groups != 0:
+        raise ValueError(
+            f"n_counters {n_counters} must divide into n_groups {n_groups}"
+        )
+    toks = df.select(F.explode(words(text_col)).alias("w")).select(
+        "w", stable_hash64(F.col("w"), seed=3).alias("h")
+    )
+    counters = toks.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        *[
+            F.sum(
+                F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) * 2 - 1
+            ).cast("bigint").alias(f"c{j}")
+            for j in range(n_counters)
+        ],
+    )
+    exact = (
+        df.select(F.explode(words(text_col)).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("f"))
+        .agg(F.sum(F.col("f") * F.col("f")).cast("bigint").alias("f2_exact"))
+    )
+    m = n_counters // n_groups
+    group_means = [
+        sum(
+            [F.col(f"c{g * m + i}") * F.col(f"c{g * m + i}") for i in range(m)],
+            F.lit(0).cast("bigint"),
+        ).cast("double") / F.lit(float(m))
+        for g in range(n_groups)
+    ]
+    means_arr = F.array_sort(F.array(*group_means))
+    lo = n_groups // 2
+    median = (
+        F.when(
+            F.lit(n_groups % 2 == 1),
+            F.element_at(means_arr, lo + 1),
+        ).otherwise(
+            (F.element_at(means_arr, lo) + F.element_at(means_arr, lo + 1))
+            / F.lit(2.0)
+        )
+    )
+    return (
+        counters.crossJoin(F.broadcast(exact))
+        .withColumn("f2_estimate", F.round(median, 6))
+        .select(
+            "n_tokens",
+            "f2_exact",
+            "f2_estimate",
+            F.round(
+                F.abs(F.col("f2_estimate") - F.col("f2_exact"))
+                / F.col("f2_exact").cast("double"),
+                6,
+            ).alias("rel_error"),
+        )
+    )
