@@ -1112,6 +1112,35 @@ def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return l_diversity_report(docs, ["lang", "len_bucket"], "source", l=3)
 
 
+def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via Reciprocal Rank Fusion (search.rrf_fuse,
+    k=60): the BM25 top-15 for 'spark window shuffle' fused with the
+    embedding-cosine top-15 for query vec 0 — rank-based, calibration-
+    free combining of a lexical and a dense retriever; fusion cost is
+    list-size work regardless of corpus size."""
+    from database2ogr_spark.operators.search import (
+        bm25_topk,
+        build_positional_index,
+        rrf_fuse,
+    )
+
+    out = os.path.join(tempfile.gettempdir(), "d2o_bm25_idx_rrf")
+    build_positional_index(_t(spark, sf_dir, "documents"), out)
+    bm = bm25_topk(spark, out, ["spark", "window", "shuffle"], k=15)
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    bm_ranked = bm.select(
+        "doc_id", F.row_number().over(w).cast("int").alias("rank")
+    )
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cos = SIM.cosine_topk(emb, q, k=15, query_id_col="query_id").select(
+        F.col("vec_id").alias("doc_id"), F.col("rank").cast("int").alias("rank")
+    )
+    return rrf_fuse([bm_ranked, cos], k_rrf=60)
+
+
 def q_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AMS second-moment sketch (sketches.ams_f2, 32 counters / 4
     groups): F2 estimate next to the exact value and relative error —
@@ -3897,6 +3926,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "classifier_ece": q_classifier_ece,
         "randomization_test": q_randomization_test,
         "ams_f2": q_ams_f2,
+        "hybrid_rrf": q_hybrid_rrf,
         "transition_matrix": q_transition_matrix,
         # Everything ABOVE this line and below slot 50 is the round-5
         # never-driver-graded set (slots 51 onward, in the order added) —
@@ -6269,6 +6299,55 @@ def oracle_sql() -> dict[str, str]:
             FROM ag CROSS JOIN t CROSS JOIN ch
         """,
         "ams_f2": _ams_f2_sql(),
+        # RRF: the bm25_topk twin chain ranked + the cosine_topk twin
+        # chain for query vec 0, fused by 1/(60+rank)
+        "hybrid_rrf": """
+            WITH tk AS (SELECT doc_id, list_filter(string_split(
+                          regexp_replace(text, '\\s+', ' ', 'g'), ' '),
+                          x -> x <> '') AS w
+                        FROM documents),
+            tok AS (SELECT doc_id, unnest(w) AS token FROM tk),
+            tf AS (SELECT doc_id, token, count(*)::BIGINT AS tf
+                   FROM tok GROUP BY doc_id, token),
+            dl AS (SELECT doc_id, sum(tf)::BIGINT AS dl
+                   FROM tf GROUP BY doc_id),
+            st AS (SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl
+                   FROM dl),
+            dfq AS (SELECT token, count(*)::BIGINT AS dfreq FROM tf
+                    WHERE token IN ('spark', 'window', 'shuffle')
+                    GROUP BY token),
+            sc AS (SELECT tf.doc_id,
+                     sum(ln(1 + (n_docs - dfreq + 0.5) / (dfreq + 0.5))
+                         * (tf * 2.2)
+                         / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))) AS s
+                   FROM tf JOIN dfq USING (token) JOIN dl USING (doc_id)
+                        CROSS JOIN st
+                   GROUP BY tf.doc_id),
+            bmr AS (SELECT doc_id, CAST(row_number() OVER
+                      (ORDER BY round(s, 6) DESC, doc_id) AS INT) AS rk
+                    FROM sc QUALIFY rk <= 15),
+            e AS (SELECT vec_id,
+                    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                  FROM embeddings),
+            qv AS (SELECT v AS q FROM e WHERE vec_id = 0),
+            cs AS (SELECT e.vec_id,
+                     round(list_dot_product(q, v) /
+                       (sqrt(list_dot_product(q, q)) *
+                        sqrt(list_dot_product(v, v))), 6) AS cosine_sim
+                   FROM e CROSS JOIN qv WHERE e.vec_id <> 0),
+            csr AS (SELECT vec_id AS doc_id, CAST(row_number() OVER
+                      (ORDER BY cosine_sim DESC, vec_id) AS INT) AS rk
+                    FROM cs QUALIFY rk <= 15),
+            u AS (SELECT doc_id, rk FROM bmr
+                  UNION ALL SELECT doc_id, rk FROM csr),
+            f AS (SELECT doc_id, count(*)::BIGINT AS n_lists,
+                    round(sum(1.0 / (60 + rk)), 6) AS rrf_score
+                  FROM u GROUP BY doc_id)
+            SELECT doc_id, n_lists, rrf_score,
+              CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id)
+                AS INT) AS fused_rank
+            FROM f
+        """,
         # randomization test: seed-17 md5 reallocation draws, rounded
         # comparisons, (1 + n_ge)/(n_perm + 1)
         "randomization_test": f"""

@@ -152,6 +152,7 @@ HEADLINE = [
     "classifier_ece",
     "randomization_test",
     "ams_f2",
+    "hybrid_rrf",
 ]
 
 #: the queries that were in BENCH_r01 (the operative baseline — BASELINE.md:

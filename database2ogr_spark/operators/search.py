@@ -201,3 +201,58 @@ def phrase_search(
         )
         .select(F.col("doc").alias("doc_id"), "n_matches", "first_pos")
     )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    *,
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    k_rrf: int = 60,
+    top_n: int | None = None,
+) -> DataFrame:
+    """Reciprocal Rank Fusion (public Cormack, Clarke & Buettcher 2009) —
+    the standard hybrid-retrieval combiner: given several top-k rankings
+    of the same id space (BM25, embedding cosine, phrase matches ranked),
+    fuse them by ``score(d) = Σ_lists 1/(k_rrf + rank_list(d))`` —
+    rank-based, so it needs NO score calibration between lists, and a
+    document absent from a list simply contributes nothing. k_rrf = 60 is
+    the published default that keeps any single list from dominating.
+
+    Output: (id_col, n_lists, rrf_score, fused_rank) with the
+    deterministic (score desc, id asc) ordering; ``top_n`` cuts if given.
+
+    Scale: inputs are top-k lists (already bounded); the fusion is one
+    union + one id-keyed agg over ≤ Σk rows, and the fused-rank window
+    runs over the same bounded table. Cost is list-size work regardless
+    of corpus size — the property that lets a fusion layer sit on top of
+    any mix of exact and ANN retrievers.
+    """
+    if not rankings:
+        raise ValueError("rankings must be non-empty")
+    if k_rrf < 1:
+        raise ValueError(f"k_rrf must be >= 1, got {k_rrf}")
+    parts = [
+        r.select(F.col(id_col).alias("id"), F.col(rank_col).alias("rk"))
+        for r in rankings
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    fused = u.groupBy("id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lists"),
+        F.round(
+            F.sum(F.lit(1.0) / (F.lit(k_rrf) + F.col("rk"))), 6
+        ).alias("rrf_score"),
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(F.col("rrf_score").desc(), F.col("id").asc())
+    out = fused.withColumn(
+        "fused_rank", F.row_number().over(w).cast("int")
+    ).select(
+        F.col("id").alias(id_col), "n_lists", "rrf_score", "fused_rank"
+    )
+    if top_n is not None:
+        out = out.filter(F.col("fused_rank") <= top_n)
+    return out

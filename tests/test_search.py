@@ -139,3 +139,26 @@ def test_bm25_hand_computed(spark, tmp_path):
     # k cut is respected and deterministic
     top1 = bm25_topk(spark, idx, ["spark", "window"], k=1).collect()
     assert [r.doc_id for r in top1] == [1]
+
+
+def test_rrf_fuse_hand_computed(spark):
+    import pytest as _pytest
+
+    from database2ogr_spark.operators.search import rrf_fuse
+
+    a = spark.createDataFrame([(1, 1), (2, 2), (3, 3)], "doc_id long, rank int")
+    b = spark.createDataFrame([(3, 1), (1, 2), (4, 3)], "doc_id long, rank int")
+    out = {r.doc_id: r for r in rrf_fuse([a, b], k_rrf=60).collect()}
+    # doc1: 1/61 + 1/62; doc3: 1/63 + 1/61; doc2: 1/62; doc4: 1/63
+    assert abs(out[1].rrf_score - round(1 / 61 + 1 / 62, 6)) < 1e-9
+    assert abs(out[3].rrf_score - round(1 / 63 + 1 / 61, 6)) < 1e-9
+    assert out[1].n_lists == 2 and out[2].n_lists == 1
+    # doc1 beats doc3 (1/62 > 1/63 on the second contribution)
+    assert out[1].fused_rank == 1 and out[3].fused_rank == 2
+    assert {out[2].fused_rank, out[4].fused_rank} == {3, 4}
+    top2 = rrf_fuse([a, b], top_n=2).collect()
+    assert len(top2) == 2
+    with _pytest.raises(ValueError):
+        rrf_fuse([])
+    with _pytest.raises(ValueError):
+        rrf_fuse([a], k_rrf=0)
