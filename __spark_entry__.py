@@ -1112,6 +1112,23 @@ def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return l_diversity_report(docs, ["lang", "len_bucket"], "source", l=3)
 
 
+def q_auc_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliced ROC-AUC (classifier.auc_by_group by lang) for the quality
+    classifier — the fairness audit the global AUC averages away; the
+    en slice is degenerate by construction (label == lang=='en') and
+    honestly reports NULL. Per-(group, score) histogram, group-partitioned
+    cumulative windows."""
+    from database2ogr_spark.operators.classifier import (
+        auc_by_group,
+        quality_classifier_scores,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = quality_classifier_scores(docs, F.col("lang") == "en")
+    joined = scored.join(docs.select("doc_id", "lang"), "doc_id")
+    return auc_by_group(joined, "lang")
+
+
 def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid retrieval via Reciprocal Rank Fusion (search.rrf_fuse,
     k=60): the BM25 top-15 for 'spark window shuffle' fused with the
@@ -3927,6 +3944,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "randomization_test": q_randomization_test,
         "ams_f2": q_ams_f2,
         "hybrid_rrf": q_hybrid_rrf,
+        "auc_by_lang": q_auc_by_lang,
         "transition_matrix": q_transition_matrix,
         # Everything ABOVE this line and below slot 50 is the round-5
         # never-driver-graded set (slots 51 onward, in the order added) —
@@ -7049,6 +7067,24 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT least(CAST(floor(prob * 100) AS INT), 99) AS bin,
                     label, prob FROM sc) t
             GROUP BY bin
+        """,
+        # sliced AUC: same logreg twin + per-lang histogram windows
+        "auc_by_lang": f"""
+            WITH sc AS ({_logreg_sql()}),
+            j AS (SELECT sc.doc_id, sc.label, sc.prob, d.lang
+                  FROM sc JOIN documents d USING (doc_id)),
+            h AS (SELECT lang, prob AS s, sum(label)::BIGINT AS p_s,
+                         (count(*) - sum(label))::BIGINT AS n_s
+                  FROM j GROUP BY lang, prob),
+            c AS (SELECT *, sum(n_s) OVER (PARTITION BY lang ORDER BY s
+                    ROWS UNBOUNDED PRECEDING) - n_s AS cum_n FROM h),
+            u AS (SELECT lang, sum(p_s) AS n_pos, sum(n_s) AS n_neg,
+                         sum(p_s * cum_n + 0.5 * p_s * n_s) AS uu
+                  FROM c GROUP BY lang)
+            SELECT lang, n_pos, n_neg,
+              CASE WHEN n_pos > 0 AND n_neg > 0
+                   THEN round(uu / (n_pos * n_neg), 6) END AS auc
+            FROM u
         """,
         # ECE over the same bins as calibration_report (rounded per-bin
         # rates, then the weighted abs-gap reduction)

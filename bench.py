@@ -153,6 +153,7 @@ HEADLINE = [
     "randomization_test",
     "ams_f2",
     "hybrid_rrf",
+    "auc_by_lang",
 ]
 
 #: the queries that were in BENCH_r01 (the operative baseline — BASELINE.md:

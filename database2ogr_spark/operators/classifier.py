@@ -337,3 +337,59 @@ def expected_calibration_error(
             ).alias("ece"),
         )
     )
+
+
+def auc_by_group(
+    scored: DataFrame,
+    group_col: str,
+    *,
+    prob_col: str = "prob",
+    label_col: str = "label",
+) -> DataFrame:
+    """Sliced ROC-AUC — :func:`auc_report` per ``group_col`` (language,
+    source, …): the fairness audit that catches a quality filter scoring
+    one slice of the corpus well and another at coin-flip, which the
+    global AUC averages away. Same exact Mann-Whitney arithmetic, same
+    distinct-score-histogram trick, with every window and aggregation
+    PARTITIONED by the group — one row per group, NULL auc for
+    single-class slices.
+
+    Scale: one shuffle reduces the corpus to per-(group, score) counts;
+    the cumulative window runs over each group's score histogram only.
+    Output: (group_col, n_pos, n_neg, auc).
+    """
+    h = (
+        scored.filter(F.col(prob_col).isNotNull())
+        .groupBy(F.col(group_col).alias("g"), F.col(prob_col).alias("s"))
+        .agg(
+            F.sum(F.col(label_col).cast("bigint")).alias("p_s"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .select("g", "s", "p_s", (F.col("n_rows") - F.col("p_s")).alias("n_s"))
+    )
+    w = (
+        Window.partitionBy("g")
+        .orderBy(F.col("s").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    u = (
+        h.withColumn("cum_n", F.sum("n_s").over(w) - F.col("n_s"))
+        .groupBy("g")
+        .agg(
+            F.sum("p_s").alias("n_pos"),
+            F.sum("n_s").alias("n_neg"),
+            F.sum(
+                F.col("p_s") * F.col("cum_n")
+                + F.lit(0.5) * F.col("p_s") * F.col("n_s")
+            ).alias("_u"),
+        )
+    )
+    return u.select(
+        F.col("g").alias(group_col),
+        "n_pos",
+        "n_neg",
+        F.when(
+            (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+            F.round(F.col("_u") / (F.col("n_pos") * F.col("n_neg")), 6),
+        ).alias("auc"),
+    )

@@ -261,3 +261,25 @@ def test_ece_perfectly_calibrated_is_small(spark):
     df = spark.createDataFrame(rows, "label int, prob double")
     r = expected_calibration_error(df).collect()[0]
     assert r.ece < 0.06
+
+
+def test_auc_by_group_matches_global_per_slice(spark):
+    from database2ogr_spark.operators.classifier import auc_by_group, auc_report
+
+    rows = (
+        # slice A: perfect separation -> auc 1.0
+        [("A", 1, 0.9), ("A", 1, 0.8), ("A", 0, 0.2), ("A", 0, 0.1)]
+        # slice B: anti-separation -> auc 0.0
+        + [("B", 0, 0.9), ("B", 1, 0.1)]
+        # slice C: single class -> NULL
+        + [("C", 1, 0.5), ("C", 1, 0.6)]
+    )
+    df = spark.createDataFrame(rows, "g string, label int, prob double")
+    out = {r.g: r for r in auc_by_group(df, "g").collect()}
+    assert out["A"].auc == 1.0 and (out["A"].n_pos, out["A"].n_neg) == (2, 2)
+    assert out["B"].auc == 0.0
+    assert out["C"].auc is None
+    # each slice equals the global report run on that slice alone
+    for g in ("A", "B"):
+        solo = auc_report(df.filter(df.g == g)).collect()[0]
+        assert solo.auc == out[g].auc
