@@ -3804,7 +3804,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     tfidf_cosine_pairs, dsir_select, vocab_growth, kappa_langid,
     tokenizer_fertility, preference_pairs, mine_bitext, l_diversity,
     lexical_diversity, corpus_divergence, transition_matrix,
-    winnow_pairs, kneser_ney, ks_test, intrinsic_dimension."""
+    winnow_pairs, kneser_ney, ks_test, intrinsic_dimension,
+    skipgram_negatives, dataset_datasheet, temporal_split,
+    rolling_active_users, frequent_itemsets, basket_rules,
+    classifier_ece, randomization_test, ams_f2, hybrid_rrf,
+    auc_by_lang."""
     return {
         # --- (b) first-ever driver rows: the 37 late-round-4 additions ---
         # (five partsupp-family TPC-H completions, unpivot, rolling window
