@@ -1112,6 +1112,22 @@ def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return l_diversity_report(docs, ["lang", "len_bucket"], "source", l=3)
 
 
+def q_best_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Youden's-J operating point (classifier.best_threshold) for the
+    quality classifier — threshold/TPR/FPR from suffix sums over the
+    distinct-score histogram; lower-threshold tie-break (keep more
+    data)."""
+    from database2ogr_spark.operators.classifier import (
+        best_threshold,
+        quality_classifier_scores,
+    )
+
+    scored = quality_classifier_scores(
+        _t(spark, sf_dir, "documents"), F.col("lang") == "en"
+    )
+    return best_threshold(scored)
+
+
 def q_auc_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliced ROC-AUC (classifier.auc_by_group by lang) for the quality
     classifier — the fairness audit the global AUC averages away; the
@@ -3949,6 +3965,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ams_f2": q_ams_f2,
         "hybrid_rrf": q_hybrid_rrf,
         "auc_by_lang": q_auc_by_lang,
+        "best_threshold": q_best_threshold,
         "transition_matrix": q_transition_matrix,
         # Everything ABOVE this line and below slot 50 is the round-5
         # never-driver-graded set (slots 51 onward, in the order added) —
@@ -7071,6 +7088,29 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT least(CAST(floor(prob * 100) AS INT), 99) AS bin,
                     label, prob FROM sc) t
             GROUP BY bin
+        """,
+        # Youden's J from suffix sums over the distinct-score histogram
+        "best_threshold": f"""
+            WITH sc AS ({_logreg_sql()}),
+            h AS (SELECT prob AS s, sum(label)::BIGINT AS p_s,
+                         (count(*) - sum(label))::BIGINT AS n_s
+                  FROM sc GROUP BY prob),
+            c AS (SELECT s,
+                    sum(p_s) OVER (ORDER BY s DESC
+                      ROWS UNBOUNDED PRECEDING) AS tp,
+                    sum(n_s) OVER (ORDER BY s DESC
+                      ROWS UNBOUNDED PRECEDING) AS fp
+                  FROM h),
+            t AS (SELECT sum(p_s)::BIGINT AS P, sum(n_s)::BIGINT AS N
+                  FROM h)
+            SELECT s AS threshold,
+              round(tp::DOUBLE / P, 6) AS tpr,
+              round(fp::DOUBLE / N, 6) AS fpr,
+              round(tp::DOUBLE / P - fp::DOUBLE / N, 6) AS j
+            FROM c CROSS JOIN t
+            WHERE P > 0 AND N > 0
+            ORDER BY round(tp::DOUBLE / P - fp::DOUBLE / N, 6) DESC, s ASC
+            LIMIT 1
         """,
         # sliced AUC: same logreg twin + per-lang histogram windows
         "auc_by_lang": f"""

@@ -154,6 +154,7 @@ HEADLINE = [
     "ams_f2",
     "hybrid_rrf",
     "auc_by_lang",
+    "best_threshold",
 ]
 
 #: the queries that were in BENCH_r01 (the operative baseline — BASELINE.md:

@@ -393,3 +393,66 @@ def auc_by_group(
             F.round(F.col("_u") / (F.col("n_pos") * F.col("n_neg")), 6),
         ).alias("auc"),
     )
+
+
+def best_threshold(
+    scored: DataFrame,
+    *,
+    prob_col: str = "prob",
+    label_col: str = "label",
+) -> DataFrame:
+    """Operating-point selection for a probabilistic filter: the
+    threshold maximizing Youden's J = TPR − FPR (public Youden 1950 —
+    the ROC point farthest above the diagonal), computed from the same
+    distinct-score histogram as :func:`auc_report`: for each candidate
+    threshold (= a distinct score), TPR and FPR come from suffix sums
+    over the histogram; the argmax is a TakeOrdered over histogram-sized
+    data. Ties break toward the LOWER threshold (keep more data — the
+    recall-friendly convention), then by J desc. Predict positive iff
+    ``prob >= threshold``.
+
+    Output: ONE row (threshold, tpr, fpr, j) rounded 6 dp; all-NULL when
+    either class is absent (no ROC exists).
+
+    Scale: one shuffle to per-score class counts; suffix sums via one
+    cumulative window over the DISTINCT-score histogram; a 1-row cut.
+    """
+    h = (
+        scored.filter(F.col(prob_col).isNotNull())
+        .groupBy(F.col(prob_col).alias("s"))
+        .agg(
+            F.sum(F.col(label_col).cast("bigint")).alias("p_s"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .select("s", "p_s", (F.col("n_rows") - F.col("p_s")).alias("n_s"))
+    )
+    w = Window.orderBy(F.col("s").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = h.select(
+        "s",
+        F.sum("p_s").over(w).alias("tp"),
+        F.sum("n_s").over(w).alias("fp"),
+    )
+    tot = h.agg(
+        F.sum("p_s").alias("P"), F.sum("n_s").alias("N")
+    )
+    j = (
+        cum.crossJoin(F.broadcast(tot))
+        .filter((F.col("P") > 0) & (F.col("N") > 0))
+        .select(
+            "s",
+            F.round(F.col("tp") / F.col("P").cast("double"), 6).alias("tpr"),
+            F.round(F.col("fp") / F.col("N").cast("double"), 6).alias("fpr"),
+            F.round(
+                F.col("tp") / F.col("P").cast("double")
+                - F.col("fp") / F.col("N").cast("double"),
+                6,
+            ).alias("j"),
+        )
+        .orderBy(F.col("j").desc(), F.col("s").asc())
+        .limit(1)
+    )
+    return j.select(
+        F.col("s").alias("threshold"), "tpr", "fpr", "j"
+    )

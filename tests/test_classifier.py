@@ -283,3 +283,26 @@ def test_auc_by_group_matches_global_per_slice(spark):
     for g in ("A", "B"):
         solo = auc_report(df.filter(df.g == g)).collect()[0]
         assert solo.auc == out[g].auc
+
+
+def test_best_threshold_youden_hand_computed(spark):
+    from database2ogr_spark.operators.classifier import best_threshold
+
+    # positives at .9/.8, negatives at .4/.1, one hard negative at .85
+    df = spark.createDataFrame(
+        [(1, 0.9), (1, 0.8), (0, 0.85), (0, 0.4), (0, 0.1)],
+        "label int, prob double",
+    )
+    r = best_threshold(df).collect()[0]
+    # thresholds: .9 -> J=.5-0; .85 -> .5-1/3; .8 -> 1-1/3=.667 (best);
+    # .4 -> 1-2/3; .1 -> 0
+    assert r.threshold == 0.8
+    assert abs(r.j - (1.0 - 1 / 3)) < 1e-5
+    assert r.tpr == 1.0 and abs(r.fpr - 1 / 3) < 1e-5
+
+
+def test_best_threshold_single_class_empty(spark):
+    from database2ogr_spark.operators.classifier import best_threshold
+
+    df = spark.createDataFrame([(1, 0.5), (1, 0.9)], "label int, prob double")
+    assert best_threshold(df).collect() == []
