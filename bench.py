@@ -155,6 +155,7 @@ HEADLINE = [
     "hybrid_rrf",
     "auc_by_lang",
     "best_threshold",
+    "term_dispersion",
 ]
 
 #: the queries that were in BENCH_r01 (the operative baseline — BASELINE.md:

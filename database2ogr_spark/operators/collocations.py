@@ -179,3 +179,73 @@ def windowed_pmi(
         )
         .limit(top_n)
     )
+
+
+def term_dispersion(
+    df: DataFrame,
+    *,
+    group_col: str = "source",
+    text_col: str = "text",
+    min_count: int = 10,
+    top_n: int = 100,
+) -> DataFrame:
+    """Corpus dispersion per term — Gries' DP ("deviation of
+    proportions", public Gries 2008): how evenly a term spreads over the
+    corpus parts (sources / shards / time slices). DP ≈ 0 = the term
+    follows the part sizes (function words); DP → 1 = the term is
+    CLUMPED into few parts (topical / boilerplate / single-source
+    artifacts — the terms a frequency list overrates).
+
+        DP(t) = ½ Σ_parts |v_i − s_i|,  v_i = term share in part i,
+                                         s_i = part's token share
+
+    Absent parts contribute |0 − s_i| = s_i, so the sum needs NO part
+    spine per term: over PRESENT parts only,
+    ``DP = ½ (Σ|v_i − s_i| + 1 − Σ s_i)`` — the algebraic fold that
+    keeps the computation on the (term, part) count table. Output: the
+    ``top_n`` most clumped terms with corpus count ≥ ``min_count`` as
+    ``(term, count, dp)``, (dp desc, term) deterministic.
+
+    Scale: one token explode → (part, term) partial-agg'd counts; part
+    sizes and term totals derive from it; per-term fold is one agg on
+    the term key; the cut is a distributed TakeOrdered.
+    """
+    from database2ogr_spark.functions.hashing import words
+
+    toks = df.select(
+        F.col(group_col).alias("g"), F.explode(words(text_col)).alias("w")
+    )
+    pc = toks.groupBy("g", "w").agg(F.count(F.lit(1)).alias("c"))
+    sizes = pc.groupBy("g").agg(F.sum("c").alias("gn"))
+    tot = sizes.agg(F.sum("gn").alias("nn"))
+    tc = pc.groupBy("w").agg(F.sum("c").alias("tc")).filter(
+        F.col("tc") >= min_count
+    )
+    joined = (
+        pc.join(tc, "w")
+        .join(sizes, "g")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w",
+            "tc",
+            (F.col("c") / F.col("tc").cast("double")).alias("v"),
+            (F.col("gn") / F.col("nn").cast("double")).alias("s"),
+        )
+    )
+    return (
+        joined.groupBy("w", "tc")
+        .agg(
+            F.round(
+                F.lit(0.5)
+                * (
+                    F.sum(F.abs(F.col("v") - F.col("s")))
+                    + F.lit(1.0)
+                    - F.sum("s")
+                ),
+                6,
+            ).alias("dp")
+        )
+        .select(F.col("w").alias("term"), F.col("tc").alias("count"), "dp")
+        .orderBy(F.col("dp").desc(), F.col("term").asc())
+        .limit(top_n)
+    )

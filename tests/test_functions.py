@@ -478,3 +478,25 @@ def test_kneser_ney_matches_python_replay(spark):
     for i in ref:
         assert got[i][0] == ref[i][0]
         assert abs(got[i][1] - ref[i][1]) < 1e-5, (i, got[i], ref[i])
+
+
+def test_term_dispersion_gries_dp(spark):
+    from database2ogr_spark.operators.collocations import term_dispersion
+
+    # two equal-size parts; 'even' appears equally, 'clump' only in part a
+    df = spark.createDataFrame(
+        [
+            ("a", "even even clump clump clump clump"),
+            ("b", "even even x x x x"),
+        ],
+        "source string, text string",
+    )
+    out = {r.term: r for r in term_dispersion(df, min_count=4, top_n=10).collect()}
+    # part shares s = 0.5/0.5. 'even': v=(.5,.5) -> DP 0. 'clump': present
+    # only in a: 0.5*(|1-.5| + 1-.5) = 0.5. 'x' same.
+    assert out["even"].dp == 0.0 and out["even"]["count"] == 4
+    assert out["clump"].dp == 0.5 and out["clump"]["count"] == 4
+    assert out["x"].dp == 0.5
+    # ordering: clumped terms first, term asc tie-break
+    terms = [r.term for r in term_dispersion(df, min_count=4, top_n=10).collect()]
+    assert terms == ["clump", "x", "even"]
