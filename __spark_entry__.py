@@ -1112,6 +1112,15 @@ def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return l_diversity_report(docs, ["lang", "len_bucket"], "source", l=3)
 
 
+def q_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source bigram conditional entropy (collocations.entropy_rate):
+    H(w₂|w₁), the unigram H(w₂), and their gap — the sequence-
+    predictability audit; one (g, w1, w2) count table feeds everything."""
+    from database2ogr_spark.operators.collocations import entropy_rate
+
+    return entropy_rate(_t(spark, sf_dir, "documents"))
+
+
 def q_term_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gries DP term dispersion over sources (collocations.term_
     dispersion, min_count 10, top 100) — the clumpedness audit that
@@ -3987,6 +3996,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "auc_by_lang": q_auc_by_lang,
         "best_threshold": q_best_threshold,
         "term_dispersion": q_term_dispersion,
+        "entropy_rate": q_entropy_rate,
         "transition_matrix": q_transition_matrix,
         # Everything ABOVE this line and below slot 50 is the round-5
         # never-driver-graded set (slots 51 onward, in the order added) —
@@ -7109,6 +7119,34 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT least(CAST(floor(prob * 100) AS INT), 99) AS bin,
                     label, prob FROM sc) t
             GROUP BY bin
+        """,
+        "entropy_rate": f"""
+            WITH wt AS (SELECT source AS g, {_WORDS_SQL} AS ws
+                        FROM documents),
+            bp AS (SELECT g, ws[CAST(i AS INT)] AS w1,
+                     ws[CAST(i + 1 AS INT)] AS w2
+                   FROM wt CROSS JOIN
+                     (SELECT unnest(range(1,
+                        (SELECT max(len(ws)) FROM wt) + 1)) AS i) ii
+                   WHERE i + 1 <= len(ws)),
+            c AS (SELECT g, w1, w2, count(*)::BIGINT AS n
+                  FROM bp GROUP BY 1, 2, 3),
+            lft AS (SELECT g, w1, sum(n)::BIGINT AS n1 FROM c
+                    GROUP BY g, w1),
+            rgt AS (SELECT g, w2, sum(n)::BIGINT AS n2 FROM c
+                    GROUP BY g, w2),
+            tot AS (SELECT g, sum(n)::BIGINT AS nn FROM c GROUP BY g),
+            hc AS (SELECT c.g, sum(c.n)::BIGINT AS n_bigrams,
+                     -sum((c.n::DOUBLE / nn) * ln(c.n::DOUBLE / n1)) AS h
+                   FROM c JOIN lft USING (g, w1) JOIN tot USING (g)
+                   GROUP BY c.g),
+            hu AS (SELECT rgt.g,
+                     -sum((n2::DOUBLE / nn) * ln(n2::DOUBLE / nn)) AS h
+                   FROM rgt JOIN tot USING (g) GROUP BY rgt.g)
+            SELECT hc.g AS source, n_bigrams,
+              round(hc.h, 6) AS h_cond, round(hu.h, 6) AS h_uni,
+              round(hu.h - hc.h, 6) AS info_gain
+            FROM hc JOIN hu ON hc.g = hu.g
         """,
         # Gries DP: present-parts fold, absent mass = 1 - sum(s_i)
         "term_dispersion": f"""

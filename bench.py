@@ -156,6 +156,7 @@ HEADLINE = [
     "auc_by_lang",
     "best_threshold",
     "term_dispersion",
+    "entropy_rate",
 ]
 
 #: the queries that were in BENCH_r01 (the operative baseline — BASELINE.md:

@@ -249,3 +249,79 @@ def term_dispersion(
         .orderBy(F.col("dp").desc(), F.col("term").asc())
         .limit(top_n)
     )
+
+
+def entropy_rate(
+    df: DataFrame,
+    *,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-group bigram conditional entropy H(w₂|w₁) — the sequence-level
+    predictability audit (an entropy RATE estimate under a first-order
+    model): templated/boilerplate-heavy groups sit low (the next word is
+    nearly determined), incoherent token soup sits near the unigram
+    entropy H(w₂). Both are reported, plus their gap (the information the
+    previous word carries — near zero for shuffled text).
+
+        H(w₂|w₁) = −Σ_{w1,w2} p(w₁,w₂) ln p(w₂|w₁)
+
+    Output: (group_col, n_bigrams, h_cond, h_uni, info_gain) rounded
+    6 dp; groups with no bigrams are absent.
+
+    Scale: one bigram zip_with explode → (group, w₁, w₂) partial-agg'd
+    counts; the left-marginal and the entropies all derive from that
+    table, aggregated per group — the mutual_information shape with a
+    group dimension.
+    """
+    from database2ogr_spark.functions.hashing import words
+
+    ws = words(text_col)
+    m = F.greatest(F.size(ws) - 1, F.lit(0))
+    bigrams = F.zip_with(
+        F.slice(ws, 1, m), F.slice(ws, 2, m),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    bp = df.select(
+        F.col(group_col).alias("g"), F.explode(bigrams).alias("b")
+    ).select("g", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    c = bp.groupBy("g", "w1", "w2").agg(F.count(F.lit(1)).alias("n"))
+    left = c.groupBy("g", "w1").agg(F.sum("n").alias("n1"))
+    right = c.groupBy("g", "w2").agg(F.sum("n").alias("n2"))
+    tot = c.groupBy("g").agg(F.sum("n").alias("nn"))
+    h_cond = (
+        c.join(left, ["g", "w1"])
+        .join(tot, "g")
+        .groupBy("g")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_bigrams"),
+            (
+                -F.sum(
+                    (F.col("n") / F.col("nn"))
+                    * F.log(F.col("n") / F.col("n1"))
+                )
+            ).alias("hc"),
+        )
+    )
+    h_uni = (
+        right.join(tot, "g")
+        .groupBy("g")
+        .agg(
+            (
+                -F.sum(
+                    (F.col("n2") / F.col("nn"))
+                    * F.log(F.col("n2") / F.col("nn"))
+                )
+            ).alias("hu")
+        )
+    )
+    return (
+        h_cond.join(h_uni, "g")
+        .select(
+            F.col("g").alias(group_col),
+            "n_bigrams",
+            F.round(F.col("hc"), 6).alias("h_cond"),
+            F.round(F.col("hu"), 6).alias("h_uni"),
+            F.round(F.col("hu") - F.col("hc"), 6).alias("info_gain"),
+        )
+    )

@@ -500,3 +500,27 @@ def test_term_dispersion_gries_dp(spark):
     # ordering: clumped terms first, term asc tie-break
     terms = [r.term for r in term_dispersion(df, min_count=4, top_n=10).collect()]
     assert terms == ["clump", "x", "even"]
+
+
+def test_entropy_rate_deterministic_vs_varied(spark):
+    import math
+
+    from database2ogr_spark.operators.collocations import entropy_rate
+
+    df = spark.createDataFrame(
+        [
+            # fully deterministic chain: every w1 has ONE continuation
+            ("det", "a b a b a b a b"),
+            # after 'x' the continuation is a fair coin between y and z
+            ("mix", "x y x z x y x z"),
+        ],
+        "source string, text string",
+    )
+    out = {r.source: r for r in entropy_rate(df).collect()}
+    assert out["det"].h_cond == 0.0  # next word fully determined
+    assert out["det"].info_gain == out["det"].h_uni
+    # mix: bigrams (x,y)x2 (y,x)x2 (x,z)x2 (z,x)x1 -> H(w2|w1) =
+    # p(x as w1)=4/7 with H=ln2; others deterministic
+    exp = (4 / 7) * math.log(2)
+    assert abs(out["mix"].h_cond - exp) < 1e-5
+    assert out["mix"].info_gain > 0
