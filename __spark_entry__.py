@@ -1112,6 +1112,16 @@ def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return l_diversity_report(docs, ["lang", "len_bucket"], "source", l=3)
 
 
+def q_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burrows' Delta stylometric distance between sources
+    (overlap.burrows_delta, 50 MFW) — the STYLE lens on the source
+    matrix next to literal overlap and JSD divergence; everything after
+    the MFW cut runs on #groups × 50 rows."""
+    from database2ogr_spark.operators.overlap import burrows_delta
+
+    return burrows_delta(_t(spark, sf_dir, "documents"), top_n_words=50)
+
+
 def q_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source bigram conditional entropy (collocations.entropy_rate):
     H(w₂|w₁), the unigram H(w₂), and their gap — the sequence-
@@ -3997,6 +4007,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "best_threshold": q_best_threshold,
         "term_dispersion": q_term_dispersion,
         "entropy_rate": q_entropy_rate,
+        "burrows_delta": q_burrows_delta,
         "transition_matrix": q_transition_matrix,
         # Everything ABOVE this line and below slot 50 is the round-5
         # never-driver-graded set (slots 51 onward, in the order added) —
@@ -7119,6 +7130,32 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT least(CAST(floor(prob * 100) AS INT), 99) AS bin,
                     label, prob FROM sc) t
             GROUP BY bin
+        """,
+        # Burrows' Delta: MFW cut, group x MFW spine, z-scores over
+        # groups (population sd; zero-variance words contribute 0)
+        "burrows_delta": f"""
+            WITH toks AS (SELECT source AS g, unnest({_WORDS_SQL}) AS w
+                          FROM documents),
+            gc AS (SELECT g, w, count(*)::BIGINT AS c
+                   FROM toks GROUP BY g, w),
+            sizes AS (SELECT g, sum(c)::BIGINT AS gn FROM gc GROUP BY g),
+            mfw AS (SELECT w FROM (SELECT w, sum(c) AS tc FROM gc
+                      GROUP BY w ORDER BY tc DESC, w LIMIT 50) q),
+            sp AS (SELECT sizes.g, sizes.gn, mfw.w
+                   FROM sizes CROSS JOIN mfw),
+            rel AS (SELECT sp.g, sp.w,
+                      coalesce(gc.c, 0)::DOUBLE / sp.gn AS f
+                    FROM sp LEFT JOIN gc
+                      ON sp.g = gc.g AND sp.w = gc.w),
+            st AS (SELECT w, avg(f) AS mu, stddev_pop(f) AS sd
+                   FROM rel GROUP BY w),
+            z AS (SELECT rel.g, rel.w,
+                    CASE WHEN sd > 0 THEN (f - mu) / sd ELSE 0.0 END AS z
+                  FROM rel JOIN st USING (w))
+            SELECT a.g AS group_a, b.g AS group_b,
+              round(avg(abs(a.z - b.z)), 6) AS delta
+            FROM z a JOIN z b ON a.w = b.w AND a.g < b.g
+            GROUP BY a.g, b.g
         """,
         "entropy_rate": f"""
             WITH wt AS (SELECT source AS g, {_WORDS_SQL} AS ws

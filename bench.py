@@ -157,6 +157,7 @@ HEADLINE = [
     "best_threshold",
     "term_dispersion",
     "entropy_rate",
+    "burrows_delta",
 ]
 
 #: the queries that were in BENCH_r01 (the operative baseline — BASELINE.md:

@@ -66,3 +66,23 @@ def test_corpus_divergence_identity_and_disjoint(spark):
     assert out[("a", "c")] == out[("b", "c")]  # a and b are the same corpus
     with _pytest.raises(ValueError):
         corpus_divergence(df, n_buckets=1)
+
+
+def test_burrows_delta_style_separation(spark):
+    import pytest as _pytest
+
+    from database2ogr_spark.operators.overlap import burrows_delta
+
+    # two groups sharing a style (same function-word mix), one divergent
+    sty1 = "the of and to the of and to it is"
+    sty2 = "wow amazing totally wow amazing totally yes yes no no"
+    df = spark.createDataFrame(
+        [("a", sty1 * 3), ("b", sty1 * 3 + " extra"), ("c", sty2 * 3)],
+        "source string, text string",
+    )
+    out = {(r.group_a, r.group_b): r.delta
+           for r in burrows_delta(df, top_n_words=8).collect()}
+    assert out[("a", "b")] < out[("a", "c")]
+    assert out[("a", "b")] < out[("b", "c")]
+    with _pytest.raises(ValueError):
+        burrows_delta(df, top_n_words=0)
