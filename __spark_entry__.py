@@ -1112,6 +1112,26 @@ def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return l_diversity_report(docs, ["lang", "len_bucket"], "source", l=3)
 
 
+def q_phrase_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """word2phrase end-to-end (collocations.detect_phrases →
+    apply_phrases): score bigrams (Mikolov formula, min_count 20,
+    threshold 1.1 — the synthetic corpus's near-uniform bigrams top out
+    at ~1.38, measured), then rewrite the corpus leftmost-greedy.
+    Graded on (doc_id, md5(text), n_merges) — the whole detect+rewrite
+    chain including the gaps-and-islands merge parity."""
+    from database2ogr_spark.operators.collocations import (
+        apply_phrases,
+        detect_phrases,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    ph = detect_phrases(docs, min_count=20, threshold=1.1, delta=5)
+    out = apply_phrases(docs, ph)
+    return out.select(
+        "doc_id", F.md5("text").alias("text_md5"), "n_merges"
+    )
+
+
 def q_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Burrows' Delta stylometric distance between sources
     (overlap.burrows_delta, 50 MFW) — the STYLE lens on the source
@@ -4008,6 +4028,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_dispersion": q_term_dispersion,
         "entropy_rate": q_entropy_rate,
         "burrows_delta": q_burrows_delta,
+        "phrase_merge": q_phrase_merge,
         "transition_matrix": q_transition_matrix,
         # Everything ABOVE this line and below slot 50 is the round-5
         # never-driver-graded set (slots 51 onward, in the order added) —
@@ -7130,6 +7151,60 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT least(CAST(floor(prob * 100) AS INT), 99) AS bin,
                     label, prob FROM sc) t
             GROUP BY bin
+        """,
+        # word2phrase: detect (Mikolov score) + the leftmost-greedy
+        # rewrite replayed — islands via pos - running candidate count,
+        # merge at odd in-island ranks, consume the following position
+        "phrase_merge": f"""
+            WITH wt AS (SELECT doc_id, {_WORDS_SQL} AS ws FROM documents),
+            tok AS (SELECT doc_id, CAST(i - 1 AS INT) AS pos,
+                      ws[CAST(i AS INT)] AS w
+                    FROM wt CROSS JOIN
+                      (SELECT unnest(range(1,
+                         (SELECT max(len(ws)) FROM wt) + 1)) AS i) ii
+                    WHERE i <= len(ws)),
+            bp AS (SELECT ws[CAST(i AS INT)] AS w1,
+                     ws[CAST(i + 1 AS INT)] AS w2
+                   FROM wt CROSS JOIN
+                     (SELECT unnest(range(1,
+                        (SELECT max(len(ws)) FROM wt) + 1)) AS i) ii
+                   WHERE i + 1 <= len(ws)),
+            c12 AS (SELECT w1, w2, count(*)::BIGINT AS n12
+                    FROM bp GROUP BY 1, 2 HAVING count(*) >= 20),
+            uni AS (SELECT w, count(*)::BIGINT AS c
+                    FROM (SELECT unnest(ws) AS w FROM wt) GROUP BY w),
+            tt AS (SELECT sum(c)::BIGINT AS N FROM uni),
+            ph AS (SELECT w1, w2 FROM c12
+                   JOIN uni u1 ON w1 = u1.w JOIN uni u2 ON w2 = u2.w
+                   CROSS JOIN tt
+                   WHERE round((n12 - 5)::DOUBLE * N / (u1.c * u2.c), 6)
+                         > 1.1),
+            nx AS (SELECT doc_id, pos, w,
+                     lead(w) OVER (PARTITION BY doc_id ORDER BY pos)
+                       AS w_next
+                   FROM tok),
+            cd AS (SELECT nx.doc_id, nx.pos, nx.w, nx.w_next,
+                     (ph.w1 IS NOT NULL) AS c
+                   FROM nx LEFT JOIN ph
+                     ON nx.w = ph.w1 AND nx.w_next = ph.w2),
+            rn AS (SELECT *, CASE WHEN c THEN pos - sum(CASE WHEN c
+                       THEN 1 ELSE 0 END) OVER (PARTITION BY doc_id
+                       ORDER BY pos ROWS UNBOUNDED PRECEDING) END AS grp
+                   FROM cd),
+            mk AS (SELECT *, c AND (row_number() OVER (PARTITION BY
+                       doc_id, grp ORDER BY pos) % 2 = 1) AS merge_here
+                   FROM rn),
+            cs AS (SELECT *, coalesce(lag(merge_here) OVER (PARTITION BY
+                       doc_id ORDER BY pos), FALSE) AS prev_merged
+                   FROM mk)
+            SELECT doc_id,
+              md5(string_agg(CASE WHEN merge_here
+                    THEN w || '_' || w_next ELSE w END, ' '
+                  ORDER BY pos)) AS text_md5,
+              sum(CASE WHEN merge_here THEN 1 ELSE 0 END)::BIGINT
+                AS n_merges
+            FROM cs WHERE NOT prev_merged
+            GROUP BY doc_id
         """,
         # Burrows' Delta: MFW cut, group x MFW spine, z-scores over
         # groups (population sd; zero-variance words contribute 0)

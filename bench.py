@@ -158,6 +158,7 @@ HEADLINE = [
     "term_dispersion",
     "entropy_rate",
     "burrows_delta",
+    "phrase_merge",
 ]
 
 #: the queries that were in BENCH_r01 (the operative baseline — BASELINE.md:

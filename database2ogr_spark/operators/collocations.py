@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from database2ogr_spark.functions.hashing import words
 
@@ -324,4 +325,151 @@ def entropy_rate(
             F.round(F.col("hu"), 6).alias("h_uni"),
             F.round(F.col("hu") - F.col("hc"), 6).alias("info_gain"),
         )
+    )
+
+
+def detect_phrases(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    min_count: int = 5,
+    threshold: float = 0.1,
+    delta: int = 5,
+) -> DataFrame:
+    """word2phrase bigram scoring (public Mikolov et al. 2013, the
+    word2vec phrase-detection preprocessor):
+
+        score(w₁,w₂) = (c₁₂ − δ) · N / (c₁ · c₂)
+
+    — bigrams that co-occur far above chance become single tokens before
+    embedding training ("new_york"). Returns the learned phrase table
+    ``(w1, w2, n12, score)`` with ``c₁₂ ≥ min_count`` and
+    ``score > threshold``, rounded 6 dp; apply it with
+    :func:`apply_phrases`.
+
+    Scale: the bigram and unigram counts are the usual partial-agg'd
+    shuffles; the score join is keyed on the words. The phrase table is
+    vocabulary-bounded.
+    """
+    from database2ogr_spark.functions.hashing import words
+
+    ws = words(text_col)
+    m = F.greatest(F.size(ws) - 1, F.lit(0))
+    bp = df.select(
+        F.explode(
+            F.zip_with(
+                F.slice(ws, 1, m), F.slice(ws, 2, m),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("b")
+    ).select(F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    c12 = bp.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n12")).filter(
+        F.col("n12") >= min_count
+    )
+    uni = df.select(F.explode(ws).alias("w")).groupBy("w").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    tot = uni.agg(F.sum("c").alias("N"))
+    return (
+        c12.join(uni.select(F.col("w").alias("w1"), F.col("c").alias("c1")), "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("c").alias("c2")), "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            "n12",
+            F.round(
+                (F.col("n12") - F.lit(delta)).cast("double")
+                * F.col("N")
+                / (F.col("c1") * F.col("c2")).cast("double"),
+                6,
+            ).alias("score"),
+        )
+        .filter(F.col("score") > threshold)
+    )
+
+
+def apply_phrases(
+    df: DataFrame,
+    phrases: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    joiner: str = "_",
+) -> DataFrame:
+    """Rewrite token streams merging detected phrases LEFTMOST-GREEDY,
+    non-overlapping (the classic word2phrase application order): at each
+    maximal run of consecutive merge candidates, every other candidate
+    starting from the run's first merges — pure gaps-and-islands
+    arithmetic, no sequential scan. ``a a a`` with phrase (a,a) becomes
+    ``a_a a``, exactly as the reference tool does.
+
+    Output: (id_col, text, n_merges) with the rewritten space-joined
+    token stream.
+
+    Scale: one posexplode + a lead() window on the id partition to form
+    bigram candidates, one keyed join against the (vocabulary-bounded)
+    phrase table, the islands window, and one ordered reassembly agg —
+    all shuffles on the id key except the phrase join.
+    """
+    from database2ogr_spark.functions.hashing import words
+
+    toks = df.select(
+        F.col(id_col).alias("id"), F.posexplode(words(text_col)).alias("pos", "w")
+    )
+    wseq = Window.partitionBy("id").orderBy("pos")
+    with_next = toks.withColumn("w_next", F.lead("w").over(wseq))
+    cand = with_next.join(
+        F.broadcast(phrases.select(
+            F.col("w1"), F.col("w2"), F.lit(True).alias("__m")
+        )),
+        (F.col("w") == F.col("w1")) & (F.col("w_next") == F.col("w2")),
+        "left",
+    ).select(
+        "id", "pos", "w", "w_next", F.coalesce(F.col("__m"), F.lit(False)).alias("c")
+    )
+    # islands of consecutive candidates: within each, merge at every
+    # other position starting from the island head (leftmost-greedy)
+    wc = Window.partitionBy("id").orderBy("pos")
+    runs = cand.withColumn(
+        "rn", F.row_number().over(wc)
+    ).withColumn(
+        "grp",
+        F.when(F.col("c"), F.col("pos") - F.sum(F.when(F.col("c"), 1).otherwise(0)).over(
+            wc.rowsBetween(Window.unboundedPreceding, 0)
+        )),
+    )
+    wg = Window.partitionBy("id", "grp").orderBy("pos")
+    marked = runs.withColumn(
+        "merge_here",
+        F.col("c") & ((F.row_number().over(wg) % 2) == 1),
+    )
+    # a position is CONSUMED if the previous position merged
+    consumed = marked.withColumn(
+        "prev_merged", F.coalesce(F.lag("merge_here").over(wc), F.lit(False))
+    )
+    out_tokens = consumed.filter(~F.col("prev_merged")).select(
+        "id",
+        "pos",
+        F.when(
+            F.col("merge_here"),
+            F.concat(F.col("w"), F.lit(joiner), F.col("w_next")),
+        ).otherwise(F.col("w")).alias("tok"),
+        F.col("merge_here").cast("int").alias("nm"),
+    )
+    return (
+        out_tokens.groupBy("id")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("pos"), F.col("tok")))
+                    ),
+                    lambda s: s["tok"],
+                ),
+            ).alias("text"),
+            F.sum("nm").cast("bigint").alias("n_merges"),
+        )
+        .select(F.col("id").alias(id_col), "text", "n_merges")
     )

@@ -524,3 +524,40 @@ def test_entropy_rate_deterministic_vs_varied(spark):
     exp = (4 / 7) * math.log(2)
     assert abs(out["mix"].h_cond - exp) < 1e-5
     assert out["mix"].info_gain > 0
+
+
+def test_apply_phrases_leftmost_greedy(spark):
+    from database2ogr_spark.operators.collocations import apply_phrases
+
+    phrases = spark.createDataFrame(
+        [("a", "a"), ("x", "y"), ("y", "z")], "w1 string, w2 string"
+    )
+    df = spark.createDataFrame(
+        [
+            (1, "a a a"),        # -> a_a a
+            (2, "a a a a"),      # -> a_a a_a
+            (3, "x y z"),        # leftmost wins -> x_y z
+            (4, "q x y q y z"),  # -> q x_y q y_z
+            (5, "plain words"),  # untouched
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: (r.text, r.n_merges) for r in apply_phrases(df, phrases).collect()}
+    assert out[1] == ("a_a a", 1)
+    assert out[2] == ("a_a a_a", 2)
+    assert out[3] == ("x_y z", 1)
+    assert out[4] == ("q x_y q y_z", 2)
+    assert out[5] == ("plain words", 0)
+
+
+def test_detect_phrases_scores(spark):
+    from database2ogr_spark.operators.collocations import detect_phrases
+
+    # 'new york' always together; 'the' pairs with everything
+    text = " ".join(["new york is big and the city the end the"] * 10)
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    ph = {(r.w1, r.w2): r.score for r in
+          detect_phrases(df, min_count=5, threshold=0.0, delta=1).collect()}
+    assert ("new", "york") in ph
+    # (new, york) scores far above (the, city): c1 c2 small and exclusive
+    assert ph[("new", "york")] > 2 * ph.get(("the", "city"), 0.0)
