@@ -1112,6 +1112,16 @@ def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return l_diversity_report(docs, ["lang", "len_bucket"], "source", l=3)
 
 
+def q_davies_bouldin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Davies–Bouldin cluster-quality index (clustering.davies_bouldin)
+    for the SAME k-means configuration kmeans_embeddings grades — the
+    'was k sane' report consumed before SemDeDup/IVF trust the clusters;
+    cosine distances rounded exactly as the assignment rounds them."""
+    from database2ogr_spark.operators.clustering import davies_bouldin
+
+    return davies_bouldin(_t(spark, sf_dir, "embeddings"), k=8, n_iter=3)
+
+
 def q_phrase_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """word2phrase end-to-end (collocations.detect_phrases →
     apply_phrases): score bigrams (Mikolov formula, min_count 20,
@@ -4029,6 +4039,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entropy_rate": q_entropy_rate,
         "burrows_delta": q_burrows_delta,
         "phrase_merge": q_phrase_merge,
+        "davies_bouldin": q_davies_bouldin,
         "transition_matrix": q_transition_matrix,
         # Everything ABOVE this line and below slot 50 is the round-5
         # never-driver-graded set (slots 51 onward, in the order added) —
@@ -7151,6 +7162,30 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT least(CAST(floor(prob * 100) AS INT), 99) AS bin,
                     label, prob FROM sc) t
             GROUP BY bin
+        """,
+        # Davies-Bouldin over the SAME unrolled k-means chain; scatter
+        # and pair distances use the assignment's rounded cosine
+        "davies_bouldin": f"""
+            {_kmeans_sql()},
+            sc AS (SELECT a.cid,
+                     round(avg(1 - round(list_dot_product(a.v, c.c) /
+                       (greatest(sqrt(list_dot_product(a.v, a.v)), 1e-12) *
+                        greatest(sqrt(list_dot_product(c.c, c.c)), 1e-12)),
+                       9)), 9) AS s
+                   FROM asgf a JOIN cent3 c USING (cid) GROUP BY a.cid),
+            dm AS (SELECT a.cid AS i, b.cid AS j,
+                     1 - round(list_dot_product(a.c, b.c) /
+                       (greatest(sqrt(list_dot_product(a.c, a.c)), 1e-12) *
+                        greatest(sqrt(list_dot_product(b.c, b.c)), 1e-12)),
+                       9) AS d
+                   FROM cent3 a JOIN cent3 b ON a.cid <> b.cid),
+            rt AS (SELECT i,
+                     max(round((si.s + sj.s) / greatest(d, 1e-12), 9)) AS r
+                   FROM dm JOIN sc si ON dm.i = si.cid
+                        JOIN sc sj ON dm.j = sj.cid
+                   GROUP BY i)
+            SELECT count(*)::BIGINT AS k_used, round(avg(r), 6) AS db_index
+            FROM rt
         """,
         # word2phrase: detect (Mikolov score) + the leftmost-greedy
         # rewrite replayed — islands via pos - running candidate count,

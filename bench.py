@@ -159,6 +159,7 @@ HEADLINE = [
     "entropy_rate",
     "burrows_delta",
     "phrase_merge",
+    "davies_bouldin",
 ]
 
 #: the queries that were in BENCH_r01 (the operative baseline — BASELINE.md:

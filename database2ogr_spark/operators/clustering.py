@@ -266,3 +266,108 @@ def semantic_dedup(
     # unpersisting here would force recomputation of the whole fit;
     # bench/tests clearCache between queries (documented lifecycle)
     return out
+
+
+def davies_bouldin(
+    corpus: DataFrame,
+    *,
+    k: int = 8,
+    n_iter: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 29,
+) -> DataFrame:
+    """Davies–Bouldin index for the k-means clustering (public Davies &
+    Bouldin 1979) — the internal cluster-quality report that says whether
+    ``k`` was a sane choice BEFORE anything downstream consumes the
+    clusters (SemDeDup, IVF lists): mean over clusters of the worst
+    ratio ``(s_i + s_j) / d(c_i, c_j)`` — lower is better-separated.
+    Distances are cosine distances (1 − cos), matching the assignment
+    metric; all cosines rounded to SIM_DECIMALS exactly as the
+    assignment rounds them, so the DuckDB twin replays bit-for-bit.
+
+    Output: ONE row (k_used, db_index) — k_used counts NON-EMPTY
+    clusters (empty clusters have no scatter and are excluded, as in the
+    original formulation).
+
+    Scale: the fit is :func:`kmeans_embeddings`'s (corpus-size-
+    independent updates); per-cluster scatter is one partial-agg'd
+    k-key aggregation over the assignment pass; centroid pair distances
+    are k² driver-side arithmetic on the (already driver-resident)
+    k×dim centroid matrix — the standard k-row pattern.
+    """
+    import numpy as np
+    import pandas as pd  # noqa: F401
+
+    spark = corpus.sparkSession
+    sel, cents, vec_type = _fit_centroids(
+        corpus, k=k, n_iter=n_iter, id_col=id_col, vec_col=vec_col, seed=seed
+    )
+    if cents is None:
+        sel.unpersist()
+        return spark.createDataFrame([], "k_used bigint, db_index double")
+    bc = spark.sparkContext.broadcast(cents)
+
+    def assign_sim(batches):
+        import pandas as pd
+
+        c = bc.value
+        cn = c / np.maximum(np.linalg.norm(c, axis=1, keepdims=True), 1e-12)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            m = np.array(pdf["v"].tolist(), dtype=np.float64)
+            mn = m / np.maximum(
+                np.linalg.norm(m, axis=1, keepdims=True), 1e-12
+            )
+            sims = np.round(mn @ cn.T, SIM_DECIMALS)
+            cid = sims.argmax(axis=1)
+            yield pd.DataFrame(
+                {
+                    "cluster_id": cid.astype("int32"),
+                    "sim": sims[np.arange(len(cid)), cid],
+                }
+            )
+
+    per = sel.mapInPandas(assign_sim, "cluster_id int, sim double")
+    scatter = per.groupBy("cluster_id").agg(
+        F.round(F.avg(F.lit(1.0) - F.col("sim")), SIM_DECIMALS).alias("s")
+    )
+    cn = cents / np.maximum(
+        np.linalg.norm(cents, axis=1, keepdims=True), 1e-12
+    )
+    dm = 1.0 - np.round(cn @ cn.T, SIM_DECIMALS)
+    pair_rows = [
+        (int(i), int(j), float(dm[i, j]))
+        for i in range(len(cents))
+        for j in range(len(cents))
+        if i != j
+    ]
+    pairs = spark.createDataFrame(pair_rows, "i int, j int, d double")
+    ratios = (
+        pairs.join(
+            scatter.select(F.col("cluster_id").alias("i"), F.col("s").alias("si")),
+            "i",
+        )
+        .join(
+            scatter.select(F.col("cluster_id").alias("j"), F.col("s").alias("sj")),
+            "j",
+        )
+        .groupBy("i")
+        .agg(
+            F.max(
+                F.round(
+                    (F.col("si") + F.col("sj"))
+                    / F.greatest(F.col("d"), F.lit(1e-12)),
+                    SIM_DECIMALS,
+                )
+            ).alias("r")
+        )
+    )
+    out = ratios.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k_used"),
+        F.round(F.avg("r"), 6).alias("db_index"),
+    )
+    # sel stays persisted until the caller materializes (same cache
+    # lifecycle as kmeans_embeddings; bench/tests clearCache)
+    return out

@@ -71,3 +71,29 @@ def test_kmeans_sizes_join_is_broadcast(spark):
     plan = KM.kmeans_embeddings(df, k=3, n_iter=1)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan, plan
     spark.catalog.clearCache()
+
+
+def test_davies_bouldin_separated_beats_mixed(spark):
+    import numpy as np
+
+    from database2ogr_spark.operators.clustering import davies_bouldin
+
+    rng = np.random.RandomState(4)
+    # two tight, well-separated direction blobs
+    a = rng.randn(60, 8) * 0.05 + np.array([5.0] + [0.0] * 7)
+    b = rng.randn(60, 8) * 0.05 + np.array([0.0] * 7 + [5.0])
+    tight = spark.createDataFrame(
+        [(i, r.tolist()) for i, r in enumerate(np.vstack([a, b]))],
+        "vec_id long, embedding array<double>",
+    )
+    # one diffuse cloud (no real structure)
+    cloud = spark.createDataFrame(
+        [(i, r.tolist()) for i, r in enumerate(rng.randn(120, 8))],
+        "vec_id long, embedding array<double>",
+    )
+    r_tight = davies_bouldin(tight, k=2, n_iter=4).collect()[0]
+    r_cloud = davies_bouldin(cloud, k=2, n_iter=4).collect()[0]
+    assert r_tight.k_used == 2
+    assert r_tight.db_index < r_cloud.db_index
+    assert r_tight.db_index < 0.2  # tight separated blobs -> tiny DB
+    spark.catalog.clearCache()
