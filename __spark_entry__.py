@@ -3893,7 +3893,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     skipgram_negatives, dataset_datasheet, temporal_split,
     rolling_active_users, frequent_itemsets, basket_rules,
     classifier_ece, randomization_test, ams_f2, hybrid_rrf,
-    auc_by_lang."""
+    auc_by_lang, best_threshold, term_dispersion, entropy_rate,
+    burrows_delta, phrase_merge, davies_bouldin."""
     return {
         # --- (b) first-ever driver rows: the 37 late-round-4 additions ---
         # (five partsupp-family TPC-H completions, unpivot, rolling window
