@@ -1112,6 +1112,28 @@ def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return l_diversity_report(docs, ["lang", "len_bucket"], "source", l=3)
 
 
+def q_fd_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency report (validate.fd_violations): doc_id →
+    source (holds exactly) and source → lang (violated — sources span
+    languages) with g₃-style repair counts; per pair one (A,B) agg plus
+    bounded per-A folds, branches unioned."""
+    from database2ogr_spark.operators.validate import fd_violations
+
+    return fd_violations(
+        _t(spark, sf_dir, "documents"),
+        [("doc_id", "source"), ("source", "lang")],
+    )
+
+
+def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit test (validate.benford_test) on document
+    lengths — string-based digit extraction (engine-exact), Nigrini MAD
+    conformity; 9-row report + shared mad column."""
+    from database2ogr_spark.operators.validate import benford_test
+
+    return benford_test(_t(spark, sf_dir, "documents"), "n_chars")
+
+
 def q_davies_bouldin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Davies–Bouldin cluster-quality index (clustering.davies_bouldin)
     for the SAME k-means configuration kmeans_embeddings grades — the
@@ -4041,6 +4063,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "burrows_delta": q_burrows_delta,
         "phrase_merge": q_phrase_merge,
         "davies_bouldin": q_davies_bouldin,
+        "fd_violations": q_fd_violations,
+        "benford": q_benford,
         "transition_matrix": q_transition_matrix,
         # Everything ABOVE this line and below slot 50 is the round-5
         # never-driver-graded set (slots 51 onward, in the order added) —
@@ -7163,6 +7187,59 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT least(CAST(floor(prob * 100) AS INT), 99) AS bin,
                     label, prob FROM sc) t
             GROUP BY bin
+        """,
+        "fd_violations": """
+            WITH t AS (SELECT count(*)::BIGINT AS tt FROM documents),
+            ab1 AS (SELECT coalesce(CAST(doc_id AS VARCHAR), '∅') AS a,
+                      coalesce(source, '∅') AS b, count(*)::BIGINT AS n
+                    FROM documents GROUP BY 1, 2),
+            pa1 AS (SELECT a, count(*)::BIGINT AS n_b,
+                      sum(n)::BIGINT AS n_rows, max(n)::BIGINT AS n_major
+                    FROM ab1 GROUP BY a),
+            r1 AS (SELECT 'doc_id' AS det, 'source' AS dep,
+                     count(*)::BIGINT AS n_det_values,
+                     sum(CASE WHEN n_b > 1 THEN 1 ELSE 0 END)::BIGINT
+                       AS n_violating,
+                     sum(n_rows - n_major)::BIGINT AS repair_rows
+                   FROM pa1),
+            ab2 AS (SELECT coalesce(source, '∅') AS a,
+                      coalesce(lang, '∅') AS b, count(*)::BIGINT AS n
+                    FROM documents GROUP BY 1, 2),
+            pa2 AS (SELECT a, count(*)::BIGINT AS n_b,
+                      sum(n)::BIGINT AS n_rows, max(n)::BIGINT AS n_major
+                    FROM ab2 GROUP BY a),
+            r2 AS (SELECT 'source' AS det, 'lang' AS dep,
+                     count(*)::BIGINT AS n_det_values,
+                     sum(CASE WHEN n_b > 1 THEN 1 ELSE 0 END)::BIGINT
+                       AS n_violating,
+                     sum(n_rows - n_major)::BIGINT AS repair_rows
+                   FROM pa2)
+            SELECT det, dep, n_det_values, n_violating, repair_rows,
+              round(repair_rows::DOUBLE / tt, 6) AS violation_rate
+            FROM (SELECT * FROM r1 UNION ALL SELECT * FROM r2) u
+            CROSS JOIN t
+        """,
+        "benford": """
+            WITH c AS (SELECT CAST(substr(CAST(CAST(n_chars AS BIGINT)
+                         AS VARCHAR), 1, 1) AS INT) AS digit,
+                       count(*)::BIGINT AS n
+                       FROM documents
+                       WHERE n_chars IS NOT NULL AND n_chars >= 1
+                       GROUP BY 1),
+            sp AS (SELECT unnest(range(1, 10)) AS digit),
+            t AS (SELECT sum(n)::BIGINT AS nn FROM c),
+            per AS (SELECT CAST(sp.digit AS INT) AS digit,
+                      coalesce(c.n, 0)::BIGINT AS n,
+                      round(coalesce(c.n, 0)::DOUBLE / nn, 6) AS obs_freq,
+                      round(ln(1.0 + 1.0 / sp.digit) / ln(10.0), 6)
+                        AS exp_freq
+                    FROM sp LEFT JOIN c ON sp.digit = c.digit
+                    CROSS JOIN t),
+            dv AS (SELECT *, round(abs(obs_freq - exp_freq), 6) AS dev
+                   FROM per),
+            m AS (SELECT round(avg(dev), 6) AS mad FROM dv)
+            SELECT digit, n, obs_freq, exp_freq, dev, mad
+            FROM dv CROSS JOIN m
         """,
         # Davies-Bouldin over the SAME unrolled k-means chain; scatter
         # and pair distances use the assignment's rounded cosine

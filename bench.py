@@ -160,6 +160,8 @@ HEADLINE = [
     "burrows_delta",
     "phrase_merge",
     "davies_bouldin",
+    "fd_violations",
+    "benford",
 ]
 
 #: the queries that were in BENCH_r01 (the operative baseline — BASELINE.md:

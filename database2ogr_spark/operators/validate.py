@@ -536,3 +536,130 @@ def dataset_datasheet(
             "median_len",
         )
     )
+
+
+def fd_violations(
+    df: DataFrame,
+    pairs: list[tuple[str, str]],
+) -> DataFrame:
+    """Functional-dependency discovery report — for each candidate
+    ``A → B`` pair, how badly the dependency is violated: the number of
+    A-values mapping to more than one distinct B-value, and the minimum
+    number of row CHANGES needed to repair (the g₃-style error: rows
+    outside each A-group's majority B) — the data-profiling companion to
+    mutual_information (MI says the columns are related; this says
+    whether one DETERMINES the other, which is what schema designers and
+    join-key pickers need).
+
+    NULLs are values (coalesced to a sentinel). Output: one row per
+    pair — ``(det, dep, n_det_values, n_violating, repair_rows,
+    violation_rate)``, rate = repair rows / total rows, rounded 6 dp.
+
+    Scale: per pair, one (A, B) partial-agg'd count, then per-A
+    aggregates over the bounded (A, B) table (max via the max(struct)
+    champion trick — no window over the pair table). Pairs are
+    independent plan branches unioned — N pairs cost N aggregations,
+    never a cartesian.
+    """
+    if not pairs:
+        raise ValueError("pairs must be non-empty")
+    outs = []
+    total = df.agg(F.count(F.lit(1)).alias("__t"))
+    for det, dep in pairs:
+        ab = (
+            df.select(
+                F.coalesce(F.col(det).cast("string"), F.lit("∅")).alias("a"),
+                F.coalesce(F.col(dep).cast("string"), F.lit("∅")).alias("b"),
+            )
+            .groupBy("a", "b")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        per_a = ab.groupBy("a").agg(
+            F.count(F.lit(1)).alias("n_b"),
+            F.sum("n").alias("n_rows"),
+            F.max(F.col("n")).alias("n_major"),
+        )
+        agg = per_a.agg(
+            F.lit(det).alias("det"),
+            F.lit(dep).alias("dep"),
+            F.count(F.lit(1)).cast("bigint").alias("n_det_values"),
+            F.sum(F.when(F.col("n_b") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_violating"),
+            F.sum(F.col("n_rows") - F.col("n_major"))
+            .cast("bigint")
+            .alias("repair_rows"),
+        )
+        outs.append(
+            agg.crossJoin(F.broadcast(total)).select(
+                "det", "dep", "n_det_values", "n_violating", "repair_rows",
+                F.round(
+                    F.col("repair_rows") / F.col("__t").cast("double"), 6
+                ).alias("violation_rate"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+def benford_test(
+    df: DataFrame,
+    value_col: str,
+) -> DataFrame:
+    """Benford's-law first-digit test (public Newcomb 1881 / Benford 1938
+    / Nigrini's MAD conformity statistic) over a positive integer-valued
+    column — the fabricated-data / truncation-artifact audit: naturally
+    occurring multi-order-of-magnitude counts follow
+    ``P(d) = log₁₀(1 + 1/d)``; uniform synthetics, capped fields, and
+    invented numbers don't.
+
+    Digit extraction is STRING-based on the bigint cast (first character)
+    — exact in every engine, no ``log10`` boundary hazards. Values < 1
+    or NULL are excluded. Output: 9 rows
+    ``(digit, n, obs_freq, exp_freq, dev)`` plus the shared ``mad``
+    column (mean absolute deviation over the 9 digits — Nigrini's
+    conformity number; < 0.006 is "close conformity", > 0.015 is
+    nonconformity for first digits).
+
+    Scale: one partial-agg'd count on a 9-value key; everything after is
+    9-row arithmetic.
+    """
+    d = F.substring(
+        F.col(value_col).cast("bigint").cast("string"), 1, 1
+    ).cast("int")
+    counts = (
+        df.filter(F.col(value_col).isNotNull() & (F.col(value_col) >= 1))
+        .select(d.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    spine = df.sparkSession.range(1, 10).select(
+        F.col("id").cast("int").alias("digit")
+    )
+    tot = counts.agg(F.sum("n").alias("nn"))
+    per = (
+        spine.join(counts, "digit", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n"),
+            F.round(
+                F.coalesce(F.col("n"), F.lit(0)) / F.col("nn").cast("double"),
+                6,
+            ).alias("obs_freq"),
+            F.round(
+                F.log(F.lit(1.0) + F.lit(1.0) / F.col("digit"))
+                / F.log(F.lit(10.0)),
+                6,
+            ).alias("exp_freq"),
+        )
+        .withColumn(
+            "dev", F.round(F.abs(F.col("obs_freq") - F.col("exp_freq")), 6)
+        )
+    )
+    mad = per.agg(F.round(F.avg("dev"), 6).alias("mad"))
+    return per.crossJoin(F.broadcast(mad)).select(
+        "digit", "n", "obs_freq", "exp_freq", "dev", "mad"
+    )

@@ -253,3 +253,48 @@ def test_dataset_datasheet_hand_computed(spark):
     assert abs(r.pii_doc_rate - 0.25) < 1e-9
     # lengths: 11, 11, 24, 7 sorted -> 7,11,11,24; lower median (2nd) = 11
     assert r.median_len == 11
+
+
+def test_fd_violations_exact_and_violated(spark):
+    import pytest as _pytest
+
+    from database2ogr_spark.operators.validate import fd_violations
+
+    df = spark.createDataFrame(
+        [
+            ("x", "1", "p"), ("x", "1", "q"),   # x->1 holds; x->{p,q} violated
+            ("y", "2", "p"), ("y", "2", "p"),
+            ("z", None, "r"),
+        ],
+        "a string, b string, c string",
+    )
+    out = {(r.det, r.dep): r for r in fd_violations(df, [("a", "b"), ("a", "c")]).collect()}
+    ab = out[("a", "b")]
+    assert (ab.n_det_values, ab.n_violating, ab.repair_rows) == (3, 0, 0)
+    assert ab.violation_rate == 0.0
+    ac = out[("a", "c")]
+    # 'x' maps to {p,q}: 1 violating value, repair = 2 rows - majority 1 = 1
+    assert (ac.n_violating, ac.repair_rows) == (1, 1)
+    assert abs(ac.violation_rate - 0.2) < 1e-9
+    with _pytest.raises(ValueError):
+        fd_violations(df, [])
+
+
+def test_benford_test_conforming_vs_uniform(spark):
+    from database2ogr_spark.operators.validate import benford_test
+
+    # Benford-ish sample: powers of 2 are the classic conforming sequence
+    pows = [(1 << i) for i in range(60)]
+    conf = spark.createDataFrame([(v,) for v in pows], "v long")
+    r_conf = benford_test(conf, "v").collect()
+    # uniform 100..999: every first digit equally likely -> nonconforming
+    unif = spark.createDataFrame([(v,) for v in range(100, 1000)], "v long")
+    r_unif = benford_test(unif, "v").collect()
+    mad_conf = r_conf[0].mad
+    mad_unif = r_unif[0].mad
+    assert mad_conf < 0.02  # powers of 2 conform closely
+    assert mad_unif > 0.04  # uniform is flagrantly non-Benford
+    assert len(r_conf) == 9 and {r.digit for r in r_conf} == set(range(1, 10))
+    # digit extraction exactness: obs of digit 1 for uniform = 111/900
+    got = {r.digit: r for r in r_unif}
+    assert abs(got[1].obs_freq - 100 / 900) < 1e-5
