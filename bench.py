@@ -162,6 +162,7 @@ HEADLINE = [
     "davies_bouldin",
     "fd_violations",
     "benford",
+    "changepoint",
 ]
 
 #: the queries that were in BENCH_r01 (the operative baseline — BASELINE.md:

@@ -263,3 +263,66 @@ def rolling_distinct_users(
         F.col("e").alias("window_end_day"),
         F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n_users"),
     )
+
+
+def changepoint_cusum(
+    events: DataFrame,
+    *,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """CUSUM change-point detection on daily event volume (public Page
+    1954 / the standard mean-shift CUSUM): over the observed day range,
+    ``S_d = Σ_{i≤d}(x_i − x̄)``; the estimated change point is the day
+    maximizing |S_d| and the normalized magnitude ``max|S|/(σ·√n)`` is
+    the strength (≳1.36 is the classic 95% Kolmogorov-style line for a
+    genuine level shift). Zero-activity days count as x=0 via the day
+    spine — a silent pipeline outage IS a change point. Ties break
+    toward the earliest day. Integer epoch-day arithmetic throughout.
+
+    Output: ONE row (n_days, changepoint_day, s_max_abs, normalized),
+    doubles rounded 6 dp; NULL normalized when σ = 0 (perfectly constant
+    volume — no change point exists).
+
+    Scale: one day-keyed partial-agg'd count, the spine join, and
+    windows/aggregates over #days rows — corpus-size-independent after
+    the first aggregation.
+    """
+    day = F.floor(F.unix_timestamp(F.col(ts_col)) / F.lit(86400)).cast("long")
+    counts = events.select(day.alias("d")).groupBy("d").agg(
+        F.count(F.lit(1)).alias("x")
+    )
+    bounds = counts.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    spine = bounds.select(
+        F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("d")
+    )
+    daily = spine.join(counts, "d", "left").select(
+        "d", F.coalesce(F.col("x"), F.lit(0)).cast("double").alias("x")
+    )
+    stats = daily.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("x").alias("mu"),
+        F.stddev_pop("x").alias("sd"),
+    )
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    cum = daily.crossJoin(F.broadcast(stats)).select(
+        "d",
+        "n",
+        "sd",
+        F.round(F.abs(F.sum(F.col("x") - F.col("mu")).over(w)), 6).alias(
+            "s_abs"
+        ),
+    )
+    best = cum.orderBy(F.col("s_abs").desc(), F.col("d").asc()).limit(1)
+    return best.select(
+        F.col("n").cast("bigint").alias("n_days"),
+        F.col("d").alias("changepoint_day"),
+        F.col("s_abs").alias("s_max_abs"),
+        F.when(
+            F.col("sd") > 0,
+            F.round(
+                F.col("s_abs")
+                / (F.col("sd") * F.sqrt(F.col("n").cast("double"))),
+                6,
+            ),
+        ).alias("normalized"),
+    )

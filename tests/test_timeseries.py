@@ -263,3 +263,28 @@ def test_rolling_distinct_users_exact(spark):
     assert out == {0: 2, 1: 2, 2: 1, 3: 1}
     with _pytest.raises(ValueError):
         rolling_distinct_users(df, window_days=0)
+
+
+def test_changepoint_cusum_finds_shift(spark):
+    # 10 days at 5 events/day then 10 days at 20/day: change at day 9->10
+    rows = []
+    eid = 0
+    for d in range(20):
+        n = 5 if d < 10 else 20
+        for _ in range(n):
+            rows.append((eid, d * 86400 + 100)); eid += 1
+    df = spark.createDataFrame(rows, "event_id long, sec long").selectExpr(
+        "event_id", "CAST(sec AS TIMESTAMP) AS ts"
+    )
+    from database2ogr_spark.operators.timeseries import changepoint_cusum
+
+    r = changepoint_cusum(df).collect()[0]
+    assert r.n_days == 20
+    assert r.changepoint_day == 9  # |S| peaks at the last low day
+    assert r.normalized > 1.36    # decisive shift
+    # constant volume -> sd 0 -> NULL normalized
+    flat = spark.createDataFrame(
+        [(i, (i % 5) * 86400 + 50) for i in range(25)], "event_id long, sec long"
+    ).selectExpr("event_id", "CAST(sec AS TIMESTAMP) AS ts")
+    rf = changepoint_cusum(flat).collect()[0]
+    assert rf.normalized is None
