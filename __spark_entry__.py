@@ -1112,6 +1112,18 @@ def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return l_diversity_report(docs, ["lang", "len_bucket"], "source", l=3)
 
 
+def q_mi_value_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric↔categorical dependence (validate.mutual_information over
+    the 50-unit-binned event value vs event_type) — the binned-numeric
+    tier of the MI leakage detector; same one-pass joint table."""
+    from database2ogr_spark.operators.validate import mutual_information
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "vbin", F.floor(F.col("value") / 50).cast("bigint")
+    )
+    return mutual_information(ev, "vbin", "event_type")
+
+
 def q_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUSUM change-point on daily event volume (timeseries.changepoint_
     cusum) — the pipeline-outage / level-shift detector; day spine
@@ -3926,7 +3938,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     rolling_active_users, frequent_itemsets, basket_rules,
     classifier_ece, randomization_test, ams_f2, hybrid_rrf,
     auc_by_lang, best_threshold, term_dispersion, entropy_rate,
-    burrows_delta, phrase_merge, davies_bouldin."""
+    burrows_delta, phrase_merge, davies_bouldin, fd_violations,
+    benford, changepoint, mi_value_type."""
     return {
         # --- (b) first-ever driver rows: the 37 late-round-4 additions ---
         # (five partsupp-family TPC-H completions, unpivot, rolling window
@@ -4076,6 +4089,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fd_violations": q_fd_violations,
         "benford": q_benford,
         "changepoint": q_changepoint,
+        "mi_value_type": q_mi_value_type,
         "transition_matrix": q_transition_matrix,
         # Everything ABOVE this line and below slot 50 is the round-5
         # never-driver-graded set (slots 51 onward, in the order added) —
@@ -7198,6 +7212,28 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT least(CAST(floor(prob * 100) AS INT), 99) AS bin,
                     label, prob FROM sc) t
             GROUP BY bin
+        """,
+        "mi_value_type": """
+            WITH j AS (SELECT CAST(floor(value / 50) AS BIGINT) AS x,
+                         event_type AS y, count(*)::BIGINT AS n
+                       FROM events GROUP BY 1, 2),
+            t AS (SELECT CAST(sum(n) AS DOUBLE) AS tot FROM j),
+            hxy AS (SELECT -sum((n / tot) * ln(n / tot)) AS h
+                    FROM j CROSS JOIN t),
+            hx AS (SELECT -sum((n / tot) * ln(n / tot)) AS h
+                   FROM (SELECT x, sum(n) AS n FROM j GROUP BY x) mx
+                        CROSS JOIN t),
+            hy AS (SELECT -sum((n / tot) * ln(n / tot)) AS h
+                   FROM (SELECT y, sum(n) AS n FROM j GROUP BY y) my
+                        CROSS JOIN t)
+            SELECT 'vbin' AS col_x, 'event_type' AS col_y,
+              round(hx.h, 6) AS h_x, round(hy.h, 6) AS h_y,
+              round(hxy.h, 6) AS h_xy,
+              round(hx.h + hy.h - hxy.h, 6) AS mi,
+              CASE WHEN least(hx.h, hy.h) > 0
+                   THEN round((hx.h + hy.h - hxy.h) / least(hx.h, hy.h), 6)
+                   END AS nmi
+            FROM hx CROSS JOIN hy CROSS JOIN hxy
         """,
         "changepoint": """
             WITH c AS (SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT)

@@ -163,6 +163,7 @@ HEADLINE = [
     "fd_violations",
     "benford",
     "changepoint",
+    "mi_value_type",
 ]
 
 #: the queries that were in BENCH_r01 (the operative baseline — BASELINE.md:
