@@ -1112,6 +1112,49 @@ def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return l_diversity_report(docs, ["lang", "len_bucket"], "source", l=3)
 
 
+def q_geometric_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label geometric median (similarity.geometric_median, 3
+    Weiszfeld iterations) — the robust centroid next to label_centroids'
+    mean; unrolled-iteration replay discipline as k-means."""
+    from database2ogr_spark.operators.similarity import geometric_median
+
+    return geometric_median(_t(spark, sf_dir, "embeddings"), n_iter=3)
+
+
+def _gmedian_sql(n_iter: int = 3, dim: int = 64) -> str:
+    """DuckDB twin of similarity.geometric_median: mean start, then per
+    iteration the dot-decomposed distance (rounded 9) and the weighted
+    per-dim update (rounded 6), ending in the long-form y{n} table."""
+    parts = [
+        f"""
+v AS (SELECT label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings),
+pos AS (SELECT unnest(range(1, {dim + 1})) AS p),
+y0m AS (SELECT label, p, round(sum(v[CAST(p AS INT)]) / count(*), 6) AS m
+        FROM v CROSS JOIN pos GROUP BY label, p),
+y0 AS (SELECT label, list(m ORDER BY p) AS y FROM y0m GROUP BY label)"""
+    ]
+    for k in range(1, n_iter + 1):
+        parts.append(f"""
+d{k} AS (SELECT v.label, v.v,
+           round(sqrt(greatest(list_dot_product(v.v, v.v)
+             - 2 * list_dot_product(v.v, y.y)
+             + list_dot_product(y.y, y.y), 0)), 9) AS d
+         FROM v JOIN y{k - 1} y USING (label)),
+y{k}m AS (SELECT label, p,
+            round(sum(v[CAST(p AS INT)] / greatest(d, 1e-9))
+                  / sum(1.0 / greatest(d, 1e-9)), 6) AS m
+          FROM d{k} CROSS JOIN pos GROUP BY label, p),
+y{k} AS (SELECT label, list(m ORDER BY p) AS y FROM y{k}m
+         GROUP BY label)""")
+    return (
+        "WITH " + ",".join(parts)
+        + f"""
+        SELECT label, CAST(p - 1 AS INT) AS dim, m AS gmedian
+        FROM y{n_iter}m"""
+    )
+
+
 def q_mi_value_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Numeric↔categorical dependence (validate.mutual_information over
     the 50-unit-binned event value vs event_type) — the binned-numeric
@@ -4090,6 +4133,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "benford": q_benford,
         "changepoint": q_changepoint,
         "mi_value_type": q_mi_value_type,
+        "geometric_median": q_geometric_median,
         "transition_matrix": q_transition_matrix,
         # Everything ABOVE this line and below slot 50 is the round-5
         # never-driver-graded set (slots 51 onward, in the order added) —
@@ -7213,6 +7257,7 @@ def oracle_sql() -> dict[str, str]:
                     label, prob FROM sc) t
             GROUP BY bin
         """,
+        "geometric_median": _gmedian_sql(),
         "mi_value_type": """
             WITH j AS (SELECT CAST(floor(value / 50) AS BIGINT) AS x,
                          event_type AS y, count(*)::BIGINT AS n

@@ -164,6 +164,7 @@ HEADLINE = [
     "benford",
     "changepoint",
     "mi_value_type",
+    "geometric_median",
 ]
 
 #: the queries that were in BENCH_r01 (the operative baseline — BASELINE.md:

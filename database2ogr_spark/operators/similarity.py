@@ -1334,3 +1334,59 @@ def intrinsic_dimension(
             ),
         ).alias("id_twonn"),
     )
+
+
+def geometric_median(
+    embeddings: DataFrame,
+    *,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    n_iter: int = 3,
+    round_to: int = 6,
+    eps: float = 1e-9,
+) -> DataFrame:
+    """Per-label GEOMETRIC median (Weiszfeld's algorithm, public 1937) —
+    the robust centroid: minimizes Σ‖x − y‖ instead of Σ‖x − y‖², so a
+    handful of outlier embeddings (mislabeled rows, corrupt vectors)
+    barely move it where the mean chases them. ``n_iter`` fixed
+    iterations from the mean; each step reweights by 1/max(d, eps).
+
+    Cross-engine contract: distances use the dot-product decomposition
+    ``d² = v·v − 2·v·y + y·y`` rounded to 9 dp, iterates round to
+    ``round_to`` — the same unrolled-iteration replay discipline as
+    k-means. Output in LONG form (label, dim, gmedian).
+
+    Scale: one shuffle on the label key (the label_centroids surface);
+    each group runs the fixed iteration count on the executor over its
+    own n×d block. Label sizes bound per-task memory, as for every
+    grouped-map kernel here.
+    """
+    import pandas as pd
+
+    label_type = dict(embeddings.dtypes)[label_col]
+
+    def gmed(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+        n = m.shape[0]
+        y = np.round(m.sum(axis=0) / n, round_to)
+        vv = np.einsum("ij,ij->i", m, m)
+        for _ in range(n_iter):
+            d2 = vv - 2.0 * (m @ y) + float(y @ y)
+            d = np.round(np.sqrt(np.maximum(d2, 0.0)), 9)
+            w = 1.0 / np.maximum(d, eps)
+            y = np.round((m * w[:, None]).sum(axis=0) / w.sum(), round_to)
+        return pd.DataFrame(
+            {
+                "label": pdf[label_col].iloc[0],
+                "dim": np.arange(m.shape[1], dtype=np.int32),
+                "gmedian": y,
+            }
+        )
+
+    return (
+        embeddings.select(label_col, vec_col)
+        .groupBy(label_col)
+        .applyInPandas(gmed, schema=f"label {label_type}, dim int, gmedian double")
+    )

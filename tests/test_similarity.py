@@ -510,3 +510,28 @@ def test_intrinsic_dimension_excludes_exact_duplicates(spark):
     r = intrinsic_dimension(df).collect()[0]
     assert r.n_points == 5
     assert r.n_used == 3  # the two exact duplicates have q1 = 0
+
+
+def test_geometric_median_robust_to_outlier(spark):
+    import numpy as np
+
+    from database2ogr_spark.operators.similarity import (
+        geometric_median,
+        label_centroids,
+    )
+
+    # 20 points near the origin + one huge outlier: the mean chases the
+    # outlier, the geometric median stays near the cluster
+    rng = np.random.RandomState(2)
+    pts = rng.randn(20, 4) * 0.1
+    rows = [(0, i, pts[i].tolist()) for i in range(20)] + [
+        (0, 99, [1000.0, 1000.0, 1000.0, 1000.0])
+    ]
+    df = spark.createDataFrame(rows, "label int, vec_id long, embedding array<double>")
+    gm = {r.dim: r.gmedian for r in geometric_median(df, n_iter=8).collect()}
+    mu = {r.dim: r["mean"] for r in label_centroids(df).collect()}
+    assert all(abs(gm[d]) < 1.0 for d in range(4)), gm
+    assert all(mu[d] > 40 for d in range(4))  # mean dragged far out
+    # deterministic
+    gm2 = {r.dim: r.gmedian for r in geometric_median(df, n_iter=8).collect()}
+    assert gm == gm2
