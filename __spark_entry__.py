@@ -1112,6 +1112,16 @@ def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return l_diversity_report(docs, ["lang", "len_bucket"], "source", l=3)
 
 
+def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap CI (diff.bootstrap_ci, 200 replicates) for mean
+    document length — the deterministic hash-weight bootstrap that works
+    without resampling state; per-replicate sums one ≤n_boot-key
+    shuffle."""
+    from database2ogr_spark.operators.diff import bootstrap_ci
+
+    return bootstrap_ci(_t(spark, sf_dir, "documents"), "n_chars", n_boot=200)
+
+
 def q_geometric_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label geometric median (similarity.geometric_median, 3
     Weiszfeld iterations) — the robust centroid next to label_centroids'
@@ -4134,6 +4144,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "changepoint": q_changepoint,
         "mi_value_type": q_mi_value_type,
         "geometric_median": q_geometric_median,
+        "bootstrap_ci": q_bootstrap_ci,
         "transition_matrix": q_transition_matrix,
         # Everything ABOVE this line and below slot 50 is the round-5
         # never-driver-graded set (slots 51 onward, in the order added) —
@@ -7258,6 +7269,36 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY bin
         """,
         "geometric_median": _gmedian_sql(),
+        # Poisson bootstrap: seed-23 hash uniforms through the shared
+        # Poisson(1) inverse-CDF thresholds; order-stat percentiles
+        "bootstrap_ci": f"""
+            WITH sel AS (SELECT CAST(doc_id AS VARCHAR) AS rid,
+                           CAST(n_chars AS DOUBLE) AS v
+                         FROM documents WHERE n_chars IS NOT NULL),
+            obs AS (SELECT count(*)::BIGINT AS n_rows, avg(v) AS mu
+                    FROM sel),
+            dr AS (SELECT v, j,
+                     ({_h64_sql("rid || ':' || CAST(j AS VARCHAR)", 23)}
+                        ::DOUBLE + 0.5) / 1152921504606846976.0 AS u
+                   FROM sel CROSS JOIN
+                     (SELECT unnest(range(1, 201)) AS j) jj),
+            wt AS (SELECT v, j,
+                     CASE WHEN u < 0.36787944117144233 THEN 0
+                          WHEN u < 0.7357588823428847 THEN 1
+                          WHEN u < 0.9196986029286058 THEN 2
+                          WHEN u < 0.9810118431238462 THEN 3
+                          WHEN u < 0.9963401531726563 THEN 4
+                          ELSE 5 END AS w
+                   FROM dr),
+            pj AS (SELECT j, round(sum(w * v) / sum(w), 6) AS bm
+                   FROM wt GROUP BY j HAVING sum(w) > 0),
+            rk AS (SELECT bm, row_number() OVER (ORDER BY bm) AS r
+                   FROM pj)
+            SELECT n_rows, 200 AS n_boot, round(mu, 6) AS mean,
+              (SELECT min(bm) FROM rk WHERE r >= 5) AS ci_lo,
+              (SELECT min(bm) FROM rk WHERE r >= 195) AS ci_hi
+            FROM obs
+        """,
         "mi_value_type": """
             WITH j AS (SELECT CAST(floor(value / 50) AS BIGINT) AS x,
                          event_type AS y, count(*)::BIGINT AS n

@@ -165,6 +165,7 @@ HEADLINE = [
     "changepoint",
     "mi_value_type",
     "geometric_median",
+    "bootstrap_ci",
 ]
 
 #: the queries that were in BENCH_r01 (the operative baseline — BASELINE.md:

@@ -352,3 +352,115 @@ def randomization_test(
             ).alias("p_value"),
         )
     )
+
+
+#: Poisson(1) inverse-CDF thresholds scaled to the 60-bit hash space:
+#: P(X <= k) for k = 0..4 (then capped at 5) — shared by the operator and
+#: its DuckDB twin so every weight replays exactly.
+_POIS1_CDF = [
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238462,
+    0.9963401531726563,
+]
+
+
+def bootstrap_ci(
+    df: DataFrame,
+    value_col: str,
+    *,
+    id_col: str = "doc_id",
+    n_boot: int = 200,
+    alpha: float = 0.05,
+    seed: int = 23,
+) -> DataFrame:
+    """Poisson-bootstrap confidence interval for a mean (public Chamandy
+    et al. / Google's "Estimating Uncertainty for Massive Data Streams"
+    — THE bootstrap that works at scale): instead of resampling rows
+    (which needs global coordination), each (row, replicate) draws an
+    independent Poisson(1) weight, which for large n is equivalent to
+    sampling with replacement — and here the draw is the md5-stable hash
+    pushed through the Poisson(1) inverse CDF (capped at 5), so every
+    replicate is deterministic, partition-independent, and replayable.
+
+    The CI is the exact order-statistic percentile of the ``n_boot``
+    replicate means (smallest value with rank ≥ ⌈q·n⌉ — the same integer
+    rule as the datasheet median). NULL values are excluded. Output: ONE
+    row (n_rows, n_boot, mean, ci_lo, ci_hi), rounded 6 dp.
+
+    Scale: the replicate table is an in-row ×``n_boot`` explode; per-
+    replicate weighted sums are ONE partial-agg'd shuffle on the
+    replicate index (≤ n_boot keys); the percentile runs over n_boot
+    rows. Work is n_boot × |rows| scan — no resampling state anywhere.
+    """
+    if n_boot < 2:
+        raise ValueError(f"n_boot must be >= 2, got {n_boot}")
+    if not 0 < alpha < 1:
+        raise ValueError(f"alpha must be in (0,1), got {alpha}")
+    from database2ogr_spark.functions.hashing import stable_hash64
+
+    sel = df.filter(F.col(value_col).isNotNull()).select(
+        F.col(id_col).cast("string").alias("rid"),
+        F.col(value_col).cast("double").alias("v"),
+    )
+    obs = sel.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.avg("v").alias("mu"),
+    )
+    u = (
+        stable_hash64(
+            F.concat_ws(":", F.col("rid"), F.col("j").cast("string")),
+            seed=seed,
+        ).cast("double")
+        + F.lit(0.5)
+    ) / F.lit(float(1 << 60))
+    w = (
+        F.when(F.col("__u") < _POIS1_CDF[0], 0)
+        .when(F.col("__u") < _POIS1_CDF[1], 1)
+        .when(F.col("__u") < _POIS1_CDF[2], 2)
+        .when(F.col("__u") < _POIS1_CDF[3], 3)
+        .when(F.col("__u") < _POIS1_CDF[4], 4)
+        .otherwise(5)
+    )
+    draws = (
+        sel.select(
+            "rid",
+            "v",
+            F.explode(F.array(*[F.lit(j) for j in range(1, n_boot + 1)])).alias(
+                "j"
+            ),
+        )
+        .withColumn("__u", u)
+        .select("v", "j", w.alias("w"))
+    )
+    per_j = (
+        draws.groupBy("j")
+        .agg(
+            F.sum(F.col("w") * F.col("v")).alias("sv"),
+            F.sum("w").alias("sw"),
+        )
+        .filter(F.col("sw") > 0)
+        .select(F.round(F.col("sv") / F.col("sw"), 6).alias("bm"))
+    )
+    from pyspark.sql.window import Window
+
+    lo_rank = int(-(-n_boot * (alpha / 2) // 1))  # ceil
+    hi_rank = int(-(-n_boot * (1 - alpha / 2) // 1))
+    ranked = per_j.withColumn(
+        "rk", F.row_number().over(Window.orderBy("bm"))
+    )
+    ci = ranked.agg(
+        F.min(F.when(F.col("rk") >= lo_rank, F.col("bm"))).alias("ci_lo"),
+        F.min(F.when(F.col("rk") >= hi_rank, F.col("bm"))).alias("ci_hi"),
+    )
+    return (
+        obs.crossJoin(F.broadcast(ci))
+        .select(
+            "n_rows",
+            F.lit(n_boot).alias("n_boot"),
+            F.round(F.col("mu"), 6).alias("mean"),
+            "ci_lo",
+            "ci_hi",
+        )
+    )

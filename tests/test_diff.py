@@ -196,3 +196,31 @@ def test_randomization_test_null_is_uniformish(spark):
     # deterministic
     r2 = randomization_test(df, "v", "g", "a", "b", n_perm=100).collect()[0]
     assert r.p_value == r2.p_value
+
+
+def test_bootstrap_ci_covers_and_shrinks(spark):
+    import pytest as _pytest
+
+    from database2ogr_spark.operators.diff import bootstrap_ci
+
+    rows = [(i, 100.0 + (i % 21) - 10) for i in range(420)]  # mean 100 (20 full cycles)
+    df = spark.createDataFrame(rows, "doc_id long, v double")
+    r = bootstrap_ci(df, "v", n_boot=100).collect()[0]
+    assert r.n_rows == 420
+    assert r.ci_lo < r.mean < r.ci_hi
+    assert abs(r.mean - 100.0) < 1e-6
+    # interval width is sane for sd~6, n=420: se ~0.3 -> CI ~ +/-0.6
+    assert 0.2 < (r.ci_hi - r.ci_lo) < 3.0
+    # deterministic
+    r2 = bootstrap_ci(df, "v", n_boot=100).collect()[0]
+    assert (r.ci_lo, r.ci_hi) == (r2.ci_lo, r2.ci_hi)
+    # larger sample -> narrower CI
+    big = spark.createDataFrame(
+        [(i, 100.0 + (i % 21) - 10) for i in range(4200)], "doc_id long, v double"
+    )
+    rb = bootstrap_ci(big, "v", n_boot=100).collect()[0]
+    assert (rb.ci_hi - rb.ci_lo) < (r.ci_hi - r.ci_lo)
+    with _pytest.raises(ValueError):
+        bootstrap_ci(df, "v", n_boot=1)
+    with _pytest.raises(ValueError):
+        bootstrap_ci(df, "v", alpha=0)
