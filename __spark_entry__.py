@@ -1048,6 +1048,19 @@ def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     return funnel_conversion(ev, ["view", "click", "purchase"])
 
 
+def q_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed funnel (funnel.funnel_conversion with max_gap 86400 s):
+    each step must land within a day of the previous reach — the journey
+    constraint every product suite ships; same join chain + one extra
+    in-join predicate."""
+    from database2ogr_spark.operators.funnel import funnel_conversion
+
+    ev = read_events(spark, os.path.join(sf_dir, "events.parquet"))
+    return funnel_conversion(
+        ev, ["view", "click", "purchase"], max_gap_seconds=86400
+    )
+
+
 def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly cohort retention (funnel.retention_cohorts): integer
     epoch-day arithmetic only (no calendar functions in the plan), one
@@ -3992,7 +4005,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     classifier_ece, randomization_test, ams_f2, hybrid_rrf,
     auc_by_lang, best_threshold, term_dispersion, entropy_rate,
     burrows_delta, phrase_merge, davies_bouldin, fd_violations,
-    benford, changepoint, mi_value_type."""
+    benford, changepoint, mi_value_type, geometric_median,
+    bootstrap_ci, funnel_windowed."""
     return {
         # --- (b) first-ever driver rows: the 37 late-round-4 additions ---
         # (five partsupp-family TPC-H completions, unpivot, rolling window
@@ -4145,6 +4159,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mi_value_type": q_mi_value_type,
         "geometric_median": q_geometric_median,
         "bootstrap_ci": q_bootstrap_ci,
+        "funnel_windowed": q_funnel_windowed,
         "transition_matrix": q_transition_matrix,
         # Everything ABOVE this line and below slot 50 is the round-5
         # never-driver-graded set (slots 51 onward, in the order added) —
@@ -8333,6 +8348,32 @@ def oracle_sql() -> dict[str, str]:
             s3 AS (SELECT e.user_id, min(e.ts) AS rt
                    FROM events e JOIN s2 ON e.user_id = s2.user_id
                                         AND e.ts > s2.rt
+                   WHERE e.event_type = 'purchase' GROUP BY e.user_id),
+            c AS (
+              SELECT 1 AS step, 'view' AS event_type,
+                     count(*)::BIGINT AS users FROM s1
+              UNION ALL SELECT 2, 'click', count(*)::BIGINT FROM s2
+              UNION ALL SELECT 3, 'purchase', count(*)::BIGINT FROM s3)
+            SELECT step, event_type, users,
+              round(users / first_value(users) OVER (ORDER BY step), 6)
+                AS conv_from_first,
+              round(users / coalesce(lag(users) OVER (ORDER BY step), users),
+                    6) AS conv_from_prev
+            FROM c
+        """,
+        # windowed funnel: same chain + epoch-gap bound inside each join
+        "funnel_windowed": """
+            WITH s1 AS (SELECT user_id, min(ts) AS rt FROM events
+                        WHERE event_type = 'view' GROUP BY user_id),
+            s2 AS (SELECT e.user_id, min(e.ts) AS rt
+                   FROM events e JOIN s1 ON e.user_id = s1.user_id
+                     AND e.ts > s1.rt
+                     AND epoch(e.ts) <= epoch(s1.rt) + 86400
+                   WHERE e.event_type = 'click' GROUP BY e.user_id),
+            s3 AS (SELECT e.user_id, min(e.ts) AS rt
+                   FROM events e JOIN s2 ON e.user_id = s2.user_id
+                     AND e.ts > s2.rt
+                     AND epoch(e.ts) <= epoch(s2.rt) + 86400
                    WHERE e.event_type = 'purchase' GROUP BY e.user_id),
             c AS (
               SELECT 1 AS step, 'view' AS event_type,

@@ -124,3 +124,23 @@ def test_transition_matrix_rows_sum_to_one(spark):
     sums = m.groupBy("cur_type").agg(F.sum("prob").alias("s")).collect()
     for r in sums:
         assert abs(r.s - 1.0) < 1e-4, r
+
+
+def test_funnel_max_gap_windowed(spark):
+    from database2ogr_spark.operators.funnel import funnel_conversion
+
+    rows = [
+        (1, 1, "2024-01-01 00:00:00", "view"),
+        (2, 1, "2024-01-01 00:00:30", "click"),    # within 60s -> counts
+        (3, 2, "2024-01-01 00:00:00", "view"),
+        (4, 2, "2024-01-01 01:00:00", "click"),    # 1h later -> out of window
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts string, event_type string"
+    ).selectExpr("event_id", "user_id", "CAST(ts AS TIMESTAMP) AS ts", "event_type")
+    unbounded = {r.step: r.users for r in funnel_conversion(df, ["view", "click"]).collect()}
+    windowed = {r.step: r.users for r in funnel_conversion(
+        df, ["view", "click"], max_gap_seconds=60
+    ).collect()}
+    assert unbounded == {1: 2, 2: 2}
+    assert windowed == {1: 2, 2: 1}
