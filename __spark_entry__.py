@@ -1200,6 +1200,28 @@ def q_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return changepoint_cusum(_t(spark, sf_dir, "events"))
 
 
+def q_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type OLS trend of daily volume (timeseries.trend_slope)
+    — growth/decay audit the CUSUM level shift doesn't answer; day spine
+    per group counts silent days as zeros, x centered per group, sums are
+    integer-valued doubles so both engines aggregate exactly."""
+    from database2ogr_spark.operators.timeseries import trend_slope
+
+    return trend_slope(_t(spark, sf_dir, "events"))
+
+
+def q_ewma_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-horizon EWMA baseline of daily event volume
+    (timeseries.ewma_daily, α=0.5 h=30): the recursive smoother re-shaped
+    as an embarrassingly-parallel horizon fan-out on the #days-row daily
+    table. α=0.5 makes every weight an exact power of two, so num/den are
+    EXACT in both engines — the comparison is bit-stable by construction,
+    not just rounded."""
+    from database2ogr_spark.operators.timeseries import ewma_daily
+
+    return ewma_daily(_t(spark, sf_dir, "events"), alpha=0.5, horizon=30)
+
+
 def q_fd_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Functional-dependency report (validate.fd_violations): doc_id →
     source (holds exactly) and source → lang (violated — sources span
@@ -4006,7 +4028,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     auc_by_lang, best_threshold, term_dispersion, entropy_rate,
     burrows_delta, phrase_merge, davies_bouldin, fd_violations,
     benford, changepoint, mi_value_type, geometric_median,
-    bootstrap_ci, funnel_windowed."""
+    bootstrap_ci, funnel_windowed, trend_slope, ewma_volume."""
     return {
         # --- (b) first-ever driver rows: the 37 late-round-4 additions ---
         # (five partsupp-family TPC-H completions, unpivot, rolling window
@@ -4160,6 +4182,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geometric_median": q_geometric_median,
         "bootstrap_ci": q_bootstrap_ci,
         "funnel_windowed": q_funnel_windowed,
+        "trend_slope": q_trend_slope,
+        "ewma_volume": q_ewma_volume,
         "transition_matrix": q_transition_matrix,
         # Everything ABOVE this line and below slot 50 is the round-5
         # never-driver-graded set (slots 51 onward, in the order added) —
@@ -7356,6 +7380,57 @@ def oracle_sql() -> dict[str, str]:
                    THEN round(s_abs / (sd * sqrt(n::DOUBLE)), 6) END
                 AS normalized
             FROM cum ORDER BY s_abs DESC, d ASC LIMIT 1
+        """,
+        # per-group OLS over the per-group day spine; x/y are
+        # integer-valued doubles so all five sums are exact in both
+        # engines, making slope/intercept/r2 bit-stable before rounding
+        "trend_slope": """
+            WITH c AS (SELECT event_type AS g,
+                         CAST(floor(epoch(ts) / 86400) AS BIGINT) AS d,
+                         count(*)::BIGINT AS y
+                       FROM events GROUP BY 1, 2),
+            b AS (SELECT g, min(d) AS lo, max(d) AS hi FROM c GROUP BY g),
+            sp AS (SELECT g, lo, unnest(range(lo, hi + 1)) AS d FROM b),
+            daily AS (SELECT sp.g, (sp.d - sp.lo)::DOUBLE AS x,
+                        coalesce(c.y, 0)::DOUBLE AS y
+                      FROM sp LEFT JOIN c ON sp.g = c.g AND sp.d = c.d),
+            s AS (SELECT g, count(*)::BIGINT AS n, sum(x) AS sx,
+                    sum(y) AS sy, sum(x * y) AS sxy, sum(x * x) AS sxx,
+                    sum(y * y) AS syy
+                  FROM daily GROUP BY g)
+            SELECT g AS event_type, n AS n_days,
+              round(CASE WHEN n * sxx - sx * sx > 0
+                    THEN (n * sxy - sx * sy) / (n * sxx - sx * sx) END,
+                6) AS slope,
+              round(sy / n - (CASE WHEN n * sxx - sx * sx > 0
+                    THEN (n * sxy - sx * sy) / (n * sxx - sx * sx) END)
+                * (sx / n), 6) AS intercept,
+              round(CASE WHEN n * sxx - sx * sx > 0
+                         AND n * syy - sy * sy > 0
+                    THEN (n * sxy - sx * sy) * (n * sxy - sx * sy)
+                      / ((n * sxx - sx * sx) * (n * syy - sy * sy)) END,
+                6) AS r2
+            FROM s
+        """,
+        # horizon fan-out replay; alpha .5 => pow(.5, k) is an exact
+        # power of two, so num/den are exact sums in both engines
+        "ewma_volume": """
+            WITH c AS (SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT)
+                         AS d, count(*)::BIGINT AS x
+                       FROM events GROUP BY 1),
+            b AS (SELECT min(d) AS lo, max(d) AS hi FROM c),
+            sp AS (SELECT hi, unnest(range(lo, hi + 1)) AS d FROM b),
+            daily AS (SELECT sp.hi, sp.d, coalesce(c.x, 0)::DOUBLE AS x
+                      FROM sp LEFT JOIN c ON sp.d = c.d),
+            contrib AS (SELECT d AS src, x,
+                          unnest(range(d, least(d + 30, hi + 1))) AS d2
+                        FROM daily),
+            w AS (SELECT d2 AS d,
+                    sum(x * pow(0.5, (d2 - src)::DOUBLE)) AS num,
+                    sum(pow(0.5, (d2 - src)::DOUBLE)) AS den
+                  FROM contrib GROUP BY d2)
+            SELECT w.d, daily.x::BIGINT AS x, round(num / den, 6) AS ewma
+            FROM w JOIN daily ON w.d = daily.d
         """,
         "fd_violations": """
             WITH t AS (SELECT count(*)::BIGINT AS tt FROM documents),

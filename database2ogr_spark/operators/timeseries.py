@@ -265,6 +265,143 @@ def rolling_distinct_users(
     )
 
 
+def trend_slope(
+    events: DataFrame,
+    *,
+    ts_col: str = "ts",
+    group_col: str = "event_type",
+) -> DataFrame:
+    """Per-group OLS trend of daily event volume (closed-form simple
+    linear regression — the 'is this stream growing or dying' audit the
+    CUSUM change point doesn't answer): per group, regress daily count y
+    on day index x over the group's own observed [min, max] day range,
+    with zero-activity days counted as y=0 via a day spine (a decaying
+    stream whose last days are silent MUST see those zeros). x is
+    centered at the group's first day so the sums stay small and
+    engine-stable.
+
+    slope = (nΣxy − ΣxΣy) / (nΣx² − (Σx)²), intercept = ȳ − slope·x̄,
+    r² = cov²/(var_x·var_y). slope/intercept NULL on single-day groups
+    (var_x = 0); r² additionally NULL on constant-volume groups
+    (var_y = 0). Doubles rounded 6 dp.
+
+    Output: (group_col, n_days, slope, intercept, r2), one row per group.
+
+    Scale: one (group, day)-keyed partial-agg'd count (the only
+    corpus-sized shuffle), a per-group bounds broadcast + spine explode
+    (#groups × #days rows), then a #groups-key aggregate. Group count and
+    day count bound everything after the first aggregation.
+    """
+    day = F.floor(F.unix_timestamp(F.col(ts_col)) / F.lit(86400)).cast("long")
+    counts = (
+        events.select(F.col(group_col).alias("g"), day.alias("d"))
+        .groupBy("g", "d")
+        .agg(F.count(F.lit(1)).alias("y"))
+    )
+    bounds = counts.groupBy("g").agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    spine = bounds.select(
+        "g", "lo", F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("d")
+    )
+    daily = spine.join(counts, ["g", "d"], "left").select(
+        "g",
+        (F.col("d") - F.col("lo")).cast("double").alias("x"),
+        F.coalesce(F.col("y"), F.lit(0)).cast("double").alias("y"),
+    )
+    sums = daily.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    cov_n = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    varx_n = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary_n = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    slope = F.when(varx_n > 0, cov_n / varx_n)
+    return sums.select(
+        F.col("g").alias(group_col),
+        F.col("n").cast("bigint").alias("n_days"),
+        F.round(slope, 6).alias("slope"),
+        F.round(
+            F.col("sy") / F.col("n") - slope * (F.col("sx") / F.col("n")), 6
+        ).alias("intercept"),
+        F.round(
+            F.when(
+                (varx_n > 0) & (vary_n > 0), cov_n * cov_n / (varx_n * vary_n)
+            ),
+            6,
+        ).alias("r2"),
+    )
+
+
+def ewma_daily(
+    events: DataFrame,
+    *,
+    ts_col: str = "ts",
+    alpha: float = 0.3,
+    horizon: int = 30,
+) -> DataFrame:
+    """Bounded-horizon EWMA of daily event volume — the smoothed baseline
+    an ops dashboard plots under the raw counts. Exact finite-window
+    form: ewma_d = Σ_{k=0..h−1} (1−α)^k·x_{d−k} / Σ_{k} (1−α)^k, with the
+    weight mass renormalized to the lags that exist near the series head
+    (no warm-up bias) and zero-activity days counted via the day spine.
+
+    The textbook recursive EWMA is an unbounded sequential scan — the one
+    shape a distributed engine cannot parallelize. The bounded form is
+    embarrassingly parallel: each day's count fans out to the ≤h later
+    days it influences (a ×h explode on the ALREADY-AGGREGATED #days-row
+    table, not on the corpus) and one day-keyed sum collects the
+    contributions. With α=0.3, lag 29's weight is 0.7²⁹ ≈ 2e-5 — the
+    truncation is far below the 6-dp rounding.
+
+    Output: (d, x, ewma) per day in the observed range, ewma rounded 6.
+
+    Scale: corpus-sized work is ONE day-keyed partial-agg'd count;
+    everything after runs on #days × horizon rows.
+    """
+    if not (0.0 < alpha <= 1.0):
+        raise ValueError("alpha must be in (0, 1]")
+    if horizon < 1:
+        raise ValueError("horizon must be >= 1")
+    day = F.floor(F.unix_timestamp(F.col(ts_col)) / F.lit(86400)).cast("long")
+    counts = events.select(day.alias("d")).groupBy("d").agg(
+        F.count(F.lit(1)).alias("x")
+    )
+    bounds = counts.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    spine = bounds.select(
+        "hi", F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("d")
+    )
+    daily = spine.join(counts, "d", "left").select(
+        "hi", "d", F.coalesce(F.col("x"), F.lit(0)).cast("double").alias("x")
+    )
+    # fan each day's count out to the horizon days it influences; k is the
+    # lag seen from the TARGET day, so the weight is (1-α)^k
+    contrib = daily.select(
+        "x",
+        F.col("d").alias("src"),
+        F.explode(
+            F.sequence(
+                F.col("d"), F.least(F.col("d") + horizon - 1, F.col("hi"))
+            )
+        ).alias("d"),
+    )
+    w = F.pow(F.lit(1.0 - alpha), (F.col("d") - F.col("src")).cast("double"))
+    out = contrib.groupBy("d").agg(
+        F.sum(F.col("x") * w).alias("num"),
+        F.sum(w).alias("den"),
+    )
+    return (
+        out.join(daily.select("d", "x"), "d")
+        .select(
+            "d",
+            F.col("x").cast("bigint").alias("x"),
+            F.round(F.col("num") / F.col("den"), 6).alias("ewma"),
+        )
+    )
+
+
 def changepoint_cusum(
     events: DataFrame,
     *,

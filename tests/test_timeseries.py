@@ -288,3 +288,73 @@ def test_changepoint_cusum_finds_shift(spark):
     ).selectExpr("event_id", "CAST(sec AS TIMESTAMP) AS ts")
     rf = changepoint_cusum(flat).collect()[0]
     assert rf.normalized is None
+
+
+def test_trend_slope_hand_values(spark):
+    # type 'up': exact line y = 2x + 3 over days 0..4 -> slope 2, r2 1
+    # type 'flat': constant 4/day -> slope 0, r2 NULL (var_y = 0)
+    # type 'one': a single day -> slope/intercept/r2 NULL
+    rows = []
+    eid = 0
+    for d in range(5):
+        for _ in range(2 * d + 3):
+            rows.append((eid, d * 86400 + 10, "up")); eid += 1
+        for _ in range(4):
+            rows.append((eid, d * 86400 + 20, "flat")); eid += 1
+    rows.append((eid, 2 * 86400, "one"))
+    df = spark.createDataFrame(
+        rows, "event_id long, sec long, event_type string"
+    ).selectExpr("event_id", "CAST(sec AS TIMESTAMP) AS ts", "event_type")
+    from database2ogr_spark.operators.timeseries import trend_slope
+
+    out = {r.event_type: r for r in trend_slope(df).collect()}
+    assert out["up"].n_days == 5
+    assert abs(out["up"].slope - 2.0) < 1e-6
+    assert abs(out["up"].intercept - 3.0) < 1e-6
+    assert abs(out["up"].r2 - 1.0) < 1e-6
+    assert abs(out["flat"].slope - 0.0) < 1e-6
+    assert out["flat"].r2 is None
+    assert out["one"].slope is None and out["one"].r2 is None
+
+
+def test_trend_slope_counts_silent_days(spark):
+    # days 0,1,2 active then 3,4 silent: zeros must drag the slope negative
+    rows = [(i, (i % 3) * 86400 + 5, "t") for i in range(9)]
+    # extend observed range to day 4 with a single day-4 event of another
+    # type?  No - range is per group, so add one day-4 't' event and check
+    # the zero days 3 (spine) matter: use days 0..2 = 3/day, day 4 = 1.
+    rows.append((99, 4 * 86400 + 5, "t"))
+    df = spark.createDataFrame(
+        rows, "event_id long, sec long, event_type string"
+    ).selectExpr("event_id", "CAST(sec AS TIMESTAMP) AS ts", "event_type")
+    from database2ogr_spark.operators.timeseries import trend_slope
+
+    r = trend_slope(df).collect()[0]
+    # y = [3,3,3,0,1] over x = 0..4 -> slope = (5*13-10*10)/(5*30-100) = -0.7
+    assert r.n_days == 5
+    assert abs(r.slope - (-0.7)) < 1e-6
+
+
+def test_ewma_daily_hand_values(spark):
+    import pytest as _pytest
+
+    # days 0..2 with counts 10, 0 (silent), 4; alpha .5, horizon 3
+    rows = [(i, 0 * 86400 + 1) for i in range(10)] + [
+        (100 + i, 2 * 86400 + 1) for i in range(4)
+    ]
+    df = spark.createDataFrame(rows, "event_id long, sec long").selectExpr(
+        "event_id", "CAST(sec AS TIMESTAMP) AS ts"
+    )
+    from database2ogr_spark.operators.timeseries import ewma_daily
+
+    out = {r.d: r for r in ewma_daily(df, alpha=0.5, horizon=3).collect()}
+    assert [out[d].x for d in (0, 1, 2)] == [10, 0, 4]
+    # d0: 10 (only itself); d1: (0 + .5*10)/(1.5) = 3.3333;
+    # d2: (4 + .5*0 + .25*10)/(1.75) = 6.5/1.75 = 3.714286
+    assert abs(out[0].ewma - 10.0) < 1e-6
+    assert abs(out[1].ewma - 10.0 / 3) < 1e-4
+    assert abs(out[2].ewma - 6.5 / 1.75) < 1e-4
+    with _pytest.raises(ValueError):
+        ewma_daily(df, alpha=0.0)
+    with _pytest.raises(ValueError):
+        ewma_daily(df, horizon=0)
