@@ -1222,6 +1222,15 @@ def q_ewma_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ewma_daily(_t(spark, sf_dir, "events"), alpha=0.5, horizon=30)
 
 
+def q_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-concentration audit (validate.concentration_report): per
+    source char-mass share + Lorenz cumulative share, with corpus Gini
+    and HHI replicated per row — integer masses keep every sum exact."""
+    from database2ogr_spark.operators.validate import concentration_report
+
+    return concentration_report(_t(spark, sf_dir, "documents"))
+
+
 def q_fd_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Functional-dependency report (validate.fd_violations): doc_id →
     source (holds exactly) and source → lang (violated — sources span
@@ -4028,7 +4037,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     auc_by_lang, best_threshold, term_dispersion, entropy_rate,
     burrows_delta, phrase_merge, davies_bouldin, fd_violations,
     benford, changepoint, mi_value_type, geometric_median,
-    bootstrap_ci, funnel_windowed, trend_slope, ewma_volume."""
+    bootstrap_ci, funnel_windowed, trend_slope, ewma_volume,
+    concentration."""
     return {
         # --- (b) first-ever driver rows: the 37 late-round-4 additions ---
         # (five partsupp-family TPC-H completions, unpivot, rolling window
@@ -4184,6 +4194,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_windowed": q_funnel_windowed,
         "trend_slope": q_trend_slope,
         "ewma_volume": q_ewma_volume,
+        "concentration": q_concentration,
         "transition_matrix": q_transition_matrix,
         # Everything ABOVE this line and below slot 50 is the round-5
         # never-driver-graded set (slots 51 onward, in the order added) —
@@ -7431,6 +7442,27 @@ def oracle_sql() -> dict[str, str]:
                   FROM contrib GROUP BY d2)
             SELECT w.d, daily.x::BIGINT AS x, round(num / den, 6) AS ewma
             FROM w JOIN daily ON w.d = daily.d
+        """,
+        # Gini over ascending (mass, group) ranks; integer sums exact
+        "concentration": """
+            WITH per AS (SELECT source AS g, count(*)::BIGINT AS n_rows,
+                           sum(n_chars)::BIGINT AS mass
+                         FROM documents GROUP BY source),
+            r AS (SELECT *, row_number() OVER
+                    (ORDER BY mass ASC, g ASC NULLS FIRST) AS rk,
+                    sum(mass) OVER (ORDER BY mass ASC, g ASC NULLS FIRST
+                      ROWS UNBOUNDED PRECEDING) AS cmass
+                  FROM per),
+            t AS (SELECT count(*)::BIGINT AS n, sum(mass) AS m,
+                    sum((2 * rk - 1) * mass) AS gnum,
+                    sum(mass * mass) AS ssq
+                  FROM r)
+            SELECT g AS source, n_rows, mass,
+              round(mass / m::DOUBLE, 6) AS share,
+              round(cmass / m::DOUBLE, 6) AS cum_share,
+              round((gnum - n * m) / (n * m)::DOUBLE, 6) AS gini,
+              round(ssq / (m * m)::DOUBLE, 6) AS hhi
+            FROM r CROSS JOIN t
         """,
         "fd_violations": """
             WITH t AS (SELECT count(*)::BIGINT AS tt FROM documents),

@@ -663,3 +663,67 @@ def benford_test(
     return per.crossJoin(F.broadcast(mad)).select(
         "digit", "n", "obs_freq", "exp_freq", "dev", "mad"
     )
+
+
+def concentration_report(
+    df: DataFrame,
+    *,
+    mass_col: str = "n_chars",
+    group_col: str = "source",
+) -> DataFrame:
+    """Corpus-concentration audit over ``group_col`` — how unequally the
+    training mass is distributed across sources/domains, the governance
+    question behind "one crawl dominates the mixture". Per group: mass,
+    share, and ascending-cumulative share (the Lorenz curve's y values);
+    replicated on every row, the two standard scalars: the Gini
+    coefficient over group masses (G = Σ_g (2·r_g − n − 1)·m_g / (n·Σm),
+    ranks ascending with (mass, group) tie-break so G is deterministic)
+    and the Herfindahl–Hirschman index (Σ share², the antitrust
+    concentration measure).
+
+    NULL group values form their own bucket (rendered as NULL — mass
+    without provenance is exactly what this audit should surface, not
+    drop). Integer masses make every sum exact in any engine; shares and
+    G are single divisions of exact integers, so the 6-dp rounding is
+    cosmetic rather than load-bearing.
+
+    Output: (group_col, n_rows, mass, share, cum_share, gini, hhi), one
+    row per group, ordered by nothing (caller sorts).
+
+    Scale: ONE group-keyed partial-agg'd sum is the only corpus-sized
+    work; the rank window and both scalars run on #groups rows.
+    """
+    from pyspark.sql.window import Window
+
+    per = df.groupBy(F.col(group_col).alias("g")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col(mass_col)).cast("bigint").alias("mass"),
+    )
+    w = Window.orderBy(F.col("mass").asc(), F.col("g").asc_nulls_first())
+    ranked = per.withColumn("r", F.row_number().over(w))
+    tot = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("mass").alias("m"),
+        F.sum((2 * F.col("r") - 1) * F.col("mass")).alias("gnum"),
+        F.sum(F.col("mass") * F.col("mass")).alias("ssq"),
+    )
+    cum = Window.orderBy(F.col("mass").asc(), F.col("g").asc_nulls_first()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        ranked.withColumn("cmass", F.sum("mass").over(cum))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("g").alias(group_col),
+            F.col("n_rows").cast("bigint").alias("n_rows"),
+            "mass",
+            F.round(F.col("mass") / F.col("m"), 6).alias("share"),
+            F.round(F.col("cmass") / F.col("m"), 6).alias("cum_share"),
+            F.round(
+                (F.col("gnum") - F.col("n") * F.col("m"))
+                / (F.col("n") * F.col("m")),
+                6,
+            ).alias("gini"),
+            F.round(F.col("ssq") / (F.col("m") * F.col("m")), 6).alias("hhi"),
+        )
+    )

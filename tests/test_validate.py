@@ -298,3 +298,39 @@ def test_benford_test_conforming_vs_uniform(spark):
     # digit extraction exactness: obs of digit 1 for uniform = 111/900
     got = {r.digit: r for r in r_unif}
     assert abs(got[1].obs_freq - 100 / 900) < 1e-5
+
+
+def test_concentration_report_hand_values(spark):
+    from database2ogr_spark.operators.validate import concentration_report
+
+    # masses: a=10, b=30, c=60 -> shares .1/.3/.6; HHI = .01+.09+.36 = .46
+    # Gini (asc ranks 1,2,3): sum((2r-n-1)m) = (-2*10 + 0*30 + 2*60)/...
+    #   = 100; /(3*100) = 0.333333
+    rows = [(1, "a", 4), (2, "a", 6), (3, "b", 30), (4, "c", 60)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    out = {r.source: r for r in concentration_report(df).collect()}
+    assert out["c"].n_rows == 1 and out["a"].n_rows == 2
+    assert abs(out["a"].share - 0.1) < 1e-9
+    assert abs(out["c"].cum_share - 1.0) < 1e-9
+    assert abs(out["a"].cum_share - 0.1) < 1e-9   # 'a' is the smallest mass
+    assert abs(out["b"].cum_share - 0.4) < 1e-9
+    for r in out.values():
+        assert abs(r.gini - 0.333333) < 1e-6
+        assert abs(r.hhi - 0.46) < 1e-9
+
+
+def test_concentration_report_equal_and_null_groups(spark):
+    from database2ogr_spark.operators.validate import concentration_report
+
+    # perfectly equal masses -> Gini 0, HHI = 1/n
+    eq = spark.createDataFrame(
+        [(i, f"s{i}", 50) for i in range(4)], "doc_id long, source string, n_chars long"
+    )
+    r0 = concentration_report(eq).collect()[0]
+    assert abs(r0.gini - 0.0) < 1e-9 and abs(r0.hhi - 0.25) < 1e-9
+    # NULL group forms its own audited bucket
+    withnull = spark.createDataFrame(
+        [(1, "a", 70), (2, None, 30)], "doc_id long, source string, n_chars long"
+    )
+    got = {r.source: r for r in concentration_report(withnull).collect()}
+    assert None in got and abs(got[None].share - 0.3) < 1e-9
