@@ -1231,6 +1231,19 @@ def q_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return concentration_report(_t(spark, sf_dir, "documents"))
 
 
+def q_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keywords (collocations.textrank_keywords, window 2,
+    3 integer-PageRank rounds, top 50): centrality over the distinct
+    token co-occurrence graph — composes the windowed-pair codegen
+    expansion with graph.pagerank_integer's engine-stable bigint
+    arithmetic; the oracle unrolls the rounds as CTEs."""
+    from database2ogr_spark.operators.collocations import textrank_keywords
+
+    return textrank_keywords(
+        _t(spark, sf_dir, "documents"), window=2, iters=3, top_n=50
+    )
+
+
 def q_fd_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Functional-dependency report (validate.fd_violations): doc_id →
     source (holds exactly) and source → lang (violated — sources span
@@ -4038,7 +4051,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     burrows_delta, phrase_merge, davies_bouldin, fd_violations,
     benford, changepoint, mi_value_type, geometric_median,
     bootstrap_ci, funnel_windowed, trend_slope, ewma_volume,
-    concentration."""
+    concentration, textrank."""
     return {
         # --- (b) first-ever driver rows: the 37 late-round-4 additions ---
         # (five partsupp-family TPC-H completions, unpivot, rolling window
@@ -4195,6 +4208,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trend_slope": q_trend_slope,
         "ewma_volume": q_ewma_volume,
         "concentration": q_concentration,
+        "textrank": q_textrank,
         "transition_matrix": q_transition_matrix,
         # Everything ABOVE this line and below slot 50 is the round-5
         # never-driver-graded set (slots 51 onward, in the order added) —
@@ -7463,6 +7477,53 @@ def oracle_sql() -> dict[str, str]:
               round((gnum - n * m) / (n * m)::DOUBLE, 6) AS gini,
               round(ssq / (m * m)::DOUBLE, 6) AS hhi
             FROM r CROSS JOIN t
+        """,
+        # window-2 co-occurrence edges + 3 unrolled integer-PageRank
+        # rounds (same bigint div arithmetic as copurchase_pagerank)
+        "textrank": f"""
+            WITH wt AS (SELECT doc_id, {_WORDS_SQL} AS ws FROM documents),
+            bp AS (SELECT ws[CAST(i AS INT)] AS a,
+                     ws[CAST(i + d AS INT)] AS b
+                   FROM wt CROSS JOIN
+                     (SELECT unnest(range(1,
+                        (SELECT max(len(ws)) FROM wt) + 1)) AS i) ii
+                   CROSS JOIN (SELECT unnest(range(1, 3)) AS d) dd
+                   WHERE i + d <= len(ws)),
+            edges AS (SELECT DISTINCT a, b FROM
+                        (SELECT a, b FROM bp
+                         UNION ALL SELECT b, a FROM bp) u
+                      WHERE a <> b),
+            deg AS (SELECT a AS src, count(*) AS deg FROM edges GROUP BY 1),
+            nodes AS (SELECT DISTINCT a AS node FROM edges
+                      UNION SELECT DISTINCT b FROM edges),
+            r0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS rank_c9
+                   FROM nodes),
+            c1 AS (SELECT e.b AS dst,
+                     CAST(sum((85 * r.rank_c9) // (100 * d.deg))
+                       AS BIGINT) AS s
+                   FROM edges e JOIN r0 r ON e.a = r.node
+                   JOIN deg d ON e.a = d.src GROUP BY 1),
+            r1 AS (SELECT n.node,
+                     CAST(150000000 + coalesce(c.s, 0) AS BIGINT) AS rank_c9
+                   FROM nodes n LEFT JOIN c1 c ON n.node = c.dst),
+            c2 AS (SELECT e.b AS dst,
+                     CAST(sum((85 * r.rank_c9) // (100 * d.deg))
+                       AS BIGINT) AS s
+                   FROM edges e JOIN r1 r ON e.a = r.node
+                   JOIN deg d ON e.a = d.src GROUP BY 1),
+            r2 AS (SELECT n.node,
+                     CAST(150000000 + coalesce(c.s, 0) AS BIGINT) AS rank_c9
+                   FROM nodes n LEFT JOIN c2 c ON n.node = c.dst),
+            c3 AS (SELECT e.b AS dst,
+                     CAST(sum((85 * r.rank_c9) // (100 * d.deg))
+                       AS BIGINT) AS s
+                   FROM edges e JOIN r2 r ON e.a = r.node
+                   JOIN deg d ON e.a = d.src GROUP BY 1),
+            r3 AS (SELECT n.node,
+                     CAST(150000000 + coalesce(c.s, 0) AS BIGINT) AS rank_c9
+                   FROM nodes n LEFT JOIN c3 c ON n.node = c.dst)
+            SELECT node AS token, rank_c9 FROM r3
+            ORDER BY rank_c9 DESC, token ASC LIMIT 50
         """,
         "fd_violations": """
             WITH t AS (SELECT count(*)::BIGINT AS tt FROM documents),

@@ -473,3 +473,68 @@ def apply_phrases(
         )
         .select(F.col("id").alias(id_col), "text", "n_merges")
     )
+
+
+def textrank_keywords(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    window: int = 2,
+    iters: int = 3,
+    top_n: int = 50,
+) -> DataFrame:
+    """TextRank keyword extraction (public Mihalcea & Tarau 2004):
+    PageRank over the token co-occurrence graph — a token matters when it
+    co-occurs with tokens that matter, which surfaces corpus keywords
+    plain frequency ranking misses (and demotes boilerplate tokens whose
+    neighbors are all the same).
+
+    The graph: one DISTINCT undirected edge per token pair co-occurring
+    within ``window`` positions, built with the same in-codegen
+    slice+zip_with expansion as :func:`windowed_pmi` (linear in tokens ×
+    window — never a positions self-join), symmetrized by unioning both
+    directions. Centrality: :func:`graph.pagerank_integer` — scaled-
+    integer arithmetic, so ranks are deterministic across engines,
+    partitionings, and retries, and the top-``top_n`` cut is stable.
+
+    Output: (token, rank_c9), (rank DESC, token ASC) top-``top_n``.
+
+    Scale: pair expansion is corpus-linear; the distinct-edge reduction
+    and the per-iteration join+agg shuffle on token keys are the standard
+    PageRank cost (|E| per round), with the degree-annotated edge table
+    persisted once by pagerank_integer. Windows never exceed ``window``
+    so edge fanout per token position is bounded.
+    """
+    from database2ogr_spark.operators.graph import pagerank_integer
+
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    ws = words(F.col(text_col))
+    offs = F.sequence(F.lit(1), F.lit(window))
+    pairs = df.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    offs,
+                    lambda d: F.zip_with(
+                        F.slice(ws, 1, F.greatest(F.size(ws) - d, F.lit(0))),
+                        F.slice(
+                            ws, d + 1, F.greatest(F.size(ws) - d, F.lit(0))
+                        ),
+                        lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+    edges = (
+        pairs.union(pairs.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    ranks = pagerank_integer(edges, iters=iters, src_col="a", dst_col="b")
+    return (
+        ranks.select(F.col("node").alias("token"), "rank_c9")
+        .orderBy(F.col("rank_c9").desc(), F.col("token").asc())
+        .limit(top_n)
+    )

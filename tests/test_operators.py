@@ -319,3 +319,26 @@ def test_char_entropy_known_values(spark):
     # empty/NULL text: kept, zero chars, zero entropy
     assert out[4].n_chars_counted == 0 and out[4].char_entropy == 0.0
     assert out[5].n_chars_counted == 0 and out[5].char_entropy == 0.0
+
+
+def test_textrank_keywords_hub_wins(spark):
+    from database2ogr_spark.operators.collocations import textrank_keywords
+
+    # 'hub' co-occurs with many distinct tokens; 'loner' repeats next to
+    # the same partner every time -> hub must outrank loner despite equal
+    # frequency
+    docs = [
+        (1, "hub alpha"), (2, "hub beta"), (3, "hub gamma"),
+        (4, "hub delta"), (5, "loner mate"), (6, "loner mate"),
+        (7, "loner mate"), (8, "loner mate"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = textrank_keywords(df, window=1, top_n=10).collect()
+    ranks = {r.token: r.rank_c9 for r in out}
+    assert ranks["hub"] > ranks["loner"]
+    # deterministic: re-run bit-identical
+    again = {r.token: r.rank_c9 for r in textrank_keywords(df, window=1, top_n=10).collect()}
+    assert ranks == again
+    import pytest as _p
+    with _p.raises(ValueError):
+        textrank_keywords(df, window=0)
