@@ -1231,6 +1231,25 @@ def q_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return concentration_report(_t(spark, sf_dir, "documents"))
 
 
+def q_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-volume autocorrelation, lags 1..14 (timeseries.acf_daily) —
+    the seasonality fingerprint; integer power sums make the per-lag
+    estimator engine-exact before its cosmetic rounding."""
+    from database2ogr_spark.operators.timeseries import acf_daily
+
+    return acf_daily(_t(spark, sf_dir, "events"), max_lag=14)
+
+
+def q_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Kendall nonparametric trend test on daily volume
+    (timeseries.mann_kendall): integer sign sum over day pairs of the
+    AGGREGATED series + tie-corrected variance; catches monotone
+    nonlinear drift OLS r² misses."""
+    from database2ogr_spark.operators.timeseries import mann_kendall
+
+    return mann_kendall(_t(spark, sf_dir, "events"))
+
+
 def q_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TextRank keywords (collocations.textrank_keywords, window 2,
     3 integer-PageRank rounds, top 50): centrality over the distinct
@@ -4051,7 +4070,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     burrows_delta, phrase_merge, davies_bouldin, fd_violations,
     benford, changepoint, mi_value_type, geometric_median,
     bootstrap_ci, funnel_windowed, trend_slope, ewma_volume,
-    concentration, textrank."""
+    concentration, textrank, acf, mann_kendall."""
     return {
         # --- (b) first-ever driver rows: the 37 late-round-4 additions ---
         # (five partsupp-family TPC-H completions, unpivot, rolling window
@@ -4209,6 +4228,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ewma_volume": q_ewma_volume,
         "concentration": q_concentration,
         "textrank": q_textrank,
+        "acf": q_acf,
+        "mann_kendall": q_mann_kendall,
         "transition_matrix": q_transition_matrix,
         # Everything ABOVE this line and below slot 50 is the round-5
         # never-driver-graded set (slots 51 onward, in the order added) —
@@ -7524,6 +7545,71 @@ def oracle_sql() -> dict[str, str]:
                    FROM nodes n LEFT JOIN c3 c ON n.node = c.dst)
             SELECT node AS token, rank_c9 FROM r3
             ORDER BY rank_c9 DESC, token ASC LIMIT 50
+        """,
+        # lag fan-out replay; all aggregates are exact bigints, the
+        # per-lag float expression is identical scalar arithmetic
+        "acf": """
+            WITH c AS (SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT)
+                         AS d, count(*)::BIGINT AS x
+                       FROM events GROUP BY 1),
+            b AS (SELECT min(d) AS lo, max(d) AS hi FROM c),
+            sp AS (SELECT hi, unnest(range(lo, hi + 1)) AS d FROM b),
+            daily AS (SELECT sp.hi, sp.d, coalesce(c.x, 0)::BIGINT AS x
+                      FROM sp LEFT JOIN c ON sp.d = c.d),
+            st AS (SELECT count(*)::BIGINT AS n, sum(x) AS s1,
+                     sum(x * x) AS q FROM daily),
+            fan AS (SELECT x AS xa, d + k AS d, k
+                    FROM daily CROSS JOIN
+                      (SELECT unnest(range(1, 15)) AS k) kk
+                    WHERE d + k <= hi),
+            pairs AS (SELECT f.k, f.xa, dl.x AS xb
+                      FROM fan f JOIN daily dl ON f.d = dl.d),
+            per AS (SELECT k, count(*)::BIGINT AS n_pairs,
+                      sum(xa * xb) AS a, sum(xa) AS hb, sum(xb) AS tb
+                    FROM pairs GROUP BY k)
+            SELECT k::INT AS lag, n_pairs,
+              round(CASE WHEN q::DOUBLE - n * (s1::DOUBLE / n)
+                           * (s1::DOUBLE / n) > 0
+                    THEN (a::DOUBLE - (s1::DOUBLE / n)
+                           * (hb + tb)::DOUBLE
+                           + n_pairs * (s1::DOUBLE / n)
+                           * (s1::DOUBLE / n))
+                      / (q::DOUBLE - n * (s1::DOUBLE / n)
+                           * (s1::DOUBLE / n)) END, 6) AS r
+            FROM per CROSS JOIN st
+        """,
+        # integer sign sum over aggregated day pairs + tie correction
+        "mann_kendall": """
+            WITH c AS (SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT)
+                         AS d, count(*)::BIGINT AS x
+                       FROM events GROUP BY 1),
+            b AS (SELECT min(d) AS lo, max(d) AS hi FROM c),
+            sp AS (SELECT unnest(range(lo, hi + 1)) AS d FROM b),
+            daily AS (SELECT sp.d, coalesce(c.x, 0)::BIGINT AS x
+                      FROM sp LEFT JOIN c ON sp.d = c.d),
+            s AS (SELECT CAST(sum(sign(bb.x - aa.x)) AS BIGINT) AS s
+                  FROM daily aa JOIN daily bb ON bb.d > aa.d),
+            t AS (SELECT sum(t * (t - 1) * (2 * t + 5)) AS tsum FROM
+                    (SELECT count(*)::BIGINT AS t FROM daily GROUP BY x) g),
+            n AS (SELECT count(*)::BIGINT AS n FROM daily),
+            j AS (SELECT s.s, t.tsum, n.n,
+                    (n.n * (n.n - 1) * (2 * n.n + 5) - t.tsum)::DOUBLE
+                      / 18.0 AS v
+                  FROM s CROSS JOIN t CROSS JOIN n)
+            SELECT n AS n_days, s, round(v, 6) AS var_s,
+              round(CASE WHEN v > 0 THEN
+                CASE WHEN s > 0 THEN (s - 1) / sqrt(v)
+                     WHEN s < 0 THEN (s + 1) / sqrt(v)
+                     ELSE 0.0 END END, 6) AS z,
+              CASE WHEN v <= 0 THEN NULL
+                   WHEN (CASE WHEN s > 0 THEN (s - 1) / sqrt(v)
+                              WHEN s < 0 THEN (s + 1) / sqrt(v)
+                              ELSE 0.0 END) > 1.96 THEN 'increasing'
+                   WHEN (CASE WHEN s > 0 THEN (s - 1) / sqrt(v)
+                              WHEN s < 0 THEN (s + 1) / sqrt(v)
+                              ELSE 0.0 END) < -1.96 THEN 'decreasing'
+                   ELSE 'no_trend' END AS trend
+            FROM j
         """,
         "fd_violations": """
             WITH t AS (SELECT count(*)::BIGINT AS tt FROM documents),

@@ -463,3 +463,161 @@ def changepoint_cusum(
             ),
         ).alias("normalized"),
     )
+
+
+def acf_daily(
+    events: DataFrame,
+    *,
+    ts_col: str = "ts",
+    max_lag: int = 14,
+) -> DataFrame:
+    """Sample autocorrelation of daily event volume at lags 1..max_lag —
+    the seasonality fingerprint (weekly traffic shows a lag-7 spike) and
+    the 'is this series even structured' audit behind forecasting
+    choices. Standard estimator: r_k = Σ_{t≤n−k}(x_t−x̄)(x_{t+k}−x̄) /
+    Σ(x_t−x̄)², expanded to integer power sums (Σx_t·x_{t+k}, head/tail
+    sums) so every aggregate is EXACT in any engine; the float expression
+    on top is per-lag scalar arithmetic — identical operations in
+    identical order, hence bit-stable before the cosmetic 6-dp round.
+
+    Zero-activity days count via the day spine. NULL r at lags with no
+    overlap (k ≥ n) never appear (no pair rows); constant series → NULL
+    (zero variance).
+
+    Output: (lag, n_pairs, r), one row per lag 1..max_lag with overlap.
+
+    Scale: corpus-sized work is ONE day-keyed count; the lag fan-out is
+    ×max_lag on #days rows and the final math runs on max_lag rows.
+    """
+    if max_lag < 1:
+        raise ValueError("max_lag must be >= 1")
+    day = F.floor(F.unix_timestamp(F.col(ts_col)) / F.lit(86400)).cast("long")
+    counts = events.select(day.alias("d")).groupBy("d").agg(
+        F.count(F.lit(1)).alias("x")
+    )
+    bounds = counts.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    spine = bounds.select(
+        "hi", F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("d")
+    )
+    daily = spine.join(counts, "d", "left").select(
+        "hi", "d", F.coalesce(F.col("x"), F.lit(0)).cast("long").alias("x")
+    )
+    stats = daily.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("s1"),
+        F.sum(F.col("x") * F.col("x")).alias("q"),
+    )
+    # fan each day out to (d+k, k) for k = 1..max_lag (clipped at hi) and
+    # equi-join back on the target day: A_k, head/tail sums are bigints
+    # NB: Spark's sequence(1, 0) yields a DESCENDING [1, 0] rather than an
+    # empty array, which would fabricate a lag-0 self-pair at the series
+    # tail — guard the end bound explicitly
+    end = F.least(F.lit(max_lag), F.col("hi") - F.col("d"))
+    fan = daily.select(
+        F.col("x").alias("xa"),
+        F.explode(
+            F.when(
+                end >= 1,
+                F.transform(
+                    F.sequence(F.lit(1), end),
+                    lambda k: F.struct(
+                        (F.col("d") + k).alias("d"), k.alias("k")
+                    ),
+                ),
+            ).otherwise(F.array())
+        ).alias("t"),
+    ).select("xa", F.col("t.d").alias("d"), F.col("t.k").alias("k"))
+    pairs = fan.join(daily.select("d", F.col("x").alias("xb")), "d")
+    per = pairs.groupBy("k").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(F.col("xa") * F.col("xb")).alias("a"),
+        F.sum("xa").alias("hb"),
+        F.sum("xb").alias("tb"),
+    )
+    m = F.col("s1").cast("double") / F.col("n")
+    den = F.col("q").cast("double") - F.col("n") * m * m
+    num = (
+        F.col("a").cast("double")
+        - m * (F.col("hb") + F.col("tb")).cast("double")
+        + F.col("n_pairs") * m * m
+    )
+    return (
+        per.crossJoin(F.broadcast(stats))
+        .select(
+            F.col("k").cast("int").alias("lag"),
+            F.col("n_pairs").cast("bigint").alias("n_pairs"),
+            F.round(F.when(den > 0, num / den), 6).alias("r"),
+        )
+    )
+
+
+def mann_kendall(
+    events: DataFrame,
+    *,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Mann–Kendall trend test on daily event volume — the nonparametric
+    twin of :func:`trend_slope`: S = Σ_{i<j} sign(x_j − x_i) over the
+    day-ordered series, tie-corrected variance Var = [n(n−1)(2n+5) −
+    Σ_t t(t−1)(2t+5)]/18, continuity-corrected z = (S∓1)/√Var. Monotone
+    drift shows up here even when it is nonlinear enough to defeat OLS
+    (r² ≈ 0 on an S-curve; MK still fires). S and both variance terms
+    are INTEGER aggregates — engine-stable by construction.
+
+    Output: ONE row (n_days, s, var_s, z, trend) with trend ∈
+    {'increasing','decreasing','no_trend'} at the 5% two-sided line
+    (|z| > 1.96); z/trend NULL when Var = 0 (all-tied series).
+
+    Scale: corpus-sized work is ONE day-keyed count; the sign sum is a
+    #days² pair comparison ON THE AGGREGATED TABLE (a decade of days is
+    ~6.7M pairs — driver-free but deliberately quadratic in DAYS, never
+    in events). Tie groups are a #distinct-values aggregate.
+    """
+    day = F.floor(F.unix_timestamp(F.col(ts_col)) / F.lit(86400)).cast("long")
+    counts = events.select(day.alias("d")).groupBy("d").agg(
+        F.count(F.lit(1)).alias("x")
+    )
+    bounds = counts.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    spine = bounds.select(
+        F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("d")
+    )
+    daily = spine.join(counts, "d", "left").select(
+        "d", F.coalesce(F.col("x"), F.lit(0)).cast("long").alias("x")
+    )
+    a = daily.select(F.col("d").alias("da"), F.col("x").alias("xa"))
+    b = daily.select(F.col("d").alias("db"), F.col("x").alias("xb"))
+    s_agg = (
+        a.join(b, F.col("db") > F.col("da"))
+        .agg(F.sum(F.signum((F.col("xb") - F.col("xa")).cast("double")).cast("long")).alias("s"))
+    )
+    ties = (
+        daily.groupBy("x")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .agg(
+            F.sum(
+                F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+            ).alias("tsum"),
+        )
+    )
+    n_df = daily.agg(F.count(F.lit(1)).alias("n"))
+    joined = s_agg.crossJoin(F.broadcast(ties)).crossJoin(F.broadcast(n_df))
+    var = (
+        F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5) - F.col("tsum")
+    ).cast("double") / F.lit(18.0)
+    z = F.when(
+        var > 0,
+        F.when(F.col("s") > 0, (F.col("s") - 1) / F.sqrt(var))
+        .when(F.col("s") < 0, (F.col("s") + 1) / F.sqrt(var))
+        .otherwise(F.lit(0.0)),
+    )
+    return joined.select(
+        F.col("n").cast("bigint").alias("n_days"),
+        F.col("s").cast("bigint").alias("s"),
+        F.round(var, 6).alias("var_s"),
+        F.round(z, 6).alias("z"),
+        F.when(z.isNull(), F.lit(None).cast("string"))
+        .when(z > 1.96, F.lit("increasing"))
+        .when(z < -1.96, F.lit("decreasing"))
+        .otherwise(F.lit("no_trend"))
+        .alias("trend"),
+    )

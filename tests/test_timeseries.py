@@ -358,3 +358,59 @@ def test_ewma_daily_hand_values(spark):
         ewma_daily(df, alpha=0.0)
     with _pytest.raises(ValueError):
         ewma_daily(df, horizon=0)
+
+
+def test_acf_daily_alternating_series(spark):
+    import pytest as _pytest
+
+    # alternating 2,4,2,4,... over 8 days -> r1 = -1-ish, r2 = +1-ish
+    # (exact: deviations are ±1, r1 = -7/8? compute: n=8, m=3,
+    #  num_k = sum of dev products over n-k pairs; den = 8.
+    #  r1 = -7/8 = -0.875, r2 = +6/8 = 0.75)
+    rows = []
+    eid = 0
+    for d in range(8):
+        for _ in (range(2) if d % 2 == 0 else range(4)):
+            rows.append((eid, d * 86400 + 7)); eid += 1
+    df = spark.createDataFrame(rows, "event_id long, sec long").selectExpr(
+        "event_id", "CAST(sec AS TIMESTAMP) AS ts"
+    )
+    from database2ogr_spark.operators.timeseries import acf_daily
+
+    out = {r.lag: r for r in acf_daily(df, max_lag=3).collect()}
+    assert out[1].n_pairs == 7 and out[2].n_pairs == 6
+    assert abs(out[1].r - (-0.875)) < 1e-6
+    assert abs(out[2].r - 0.75) < 1e-6
+    # constant series -> zero variance -> NULL r
+    flat = spark.createDataFrame(
+        [(i, (i % 4) * 86400) for i in range(8)], "event_id long, sec long"
+    ).selectExpr("event_id", "CAST(sec AS TIMESTAMP) AS ts")
+    rf = acf_daily(flat, max_lag=2).collect()
+    assert all(r.r is None for r in rf)
+    with _pytest.raises(ValueError):
+        acf_daily(df, max_lag=0)
+
+
+def test_mann_kendall_monotone_and_tied(spark):
+    # strictly increasing daily volume 1..6 -> S = 15 (all pairs +1),
+    # no ties beyond singletons -> Var = 6*5*17/18 = 28.333..., z > 1.96
+    rows = []
+    eid = 0
+    for d in range(6):
+        for _ in range(d + 1):
+            rows.append((eid, d * 86400 + 3)); eid += 1
+    df = spark.createDataFrame(rows, "event_id long, sec long").selectExpr(
+        "event_id", "CAST(sec AS TIMESTAMP) AS ts"
+    )
+    from database2ogr_spark.operators.timeseries import mann_kendall
+
+    r = mann_kendall(df).collect()[0]
+    assert r.n_days == 6 and r.s == 15
+    assert abs(r.var_s - 6 * 5 * 17 / 18) < 1e-6
+    assert r.trend == "increasing"
+    # all-tied series -> Var 0 -> NULL z, NULL trend
+    flat = spark.createDataFrame(
+        [(i, (i % 5) * 86400) for i in range(10)], "event_id long, sec long"
+    ).selectExpr("event_id", "CAST(sec AS TIMESTAMP) AS ts")
+    rf = mann_kendall(flat).collect()[0]
+    assert rf.s == 0 and rf.z is None and rf.trend is None
