@@ -1231,6 +1231,16 @@ def q_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return concentration_report(_t(spark, sf_dir, "documents"))
 
 
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-document estimate over raw text
+    (sketches.hll_distinct, p=8) with the exact-count audit column —
+    integer rho via bin() bitlength and a DECIMAL-exact harmonic
+    numerator, so the replay is drift-free by construction."""
+    from database2ogr_spark.operators.sketches import hll_distinct
+
+    return hll_distinct(_t(spark, sf_dir, "documents"), "text")
+
+
 def q_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily-volume autocorrelation, lags 1..14 (timeseries.acf_daily) —
     the seasonality fingerprint; integer power sums make the per-lag
@@ -4070,7 +4080,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     burrows_delta, phrase_merge, davies_bouldin, fd_violations,
     benford, changepoint, mi_value_type, geometric_median,
     bootstrap_ci, funnel_windowed, trend_slope, ewma_volume,
-    concentration, textrank, acf, mann_kendall."""
+    concentration, textrank, acf, mann_kendall, hll_distinct."""
     return {
         # --- (b) first-ever driver rows: the 37 late-round-4 additions ---
         # (five partsupp-family TPC-H completions, unpivot, rolling window
@@ -4230,6 +4240,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "textrank": q_textrank,
         "acf": q_acf,
         "mann_kendall": q_mann_kendall,
+        "hll_distinct": q_hll_distinct,
         "transition_matrix": q_transition_matrix,
         # Everything ABOVE this line and below slot 50 is the round-5
         # never-driver-graded set (slots 51 onward, in the order added) —
@@ -7545,6 +7556,40 @@ def oracle_sql() -> dict[str, str]:
                    FROM nodes n LEFT JOIN c3 c ON n.node = c.dst)
             SELECT node AS token, rank_c9 FROM r3
             ORDER BY rank_c9 DESC, token ASC LIMIT 50
+        """,
+        # integer rho via bin() bitlength; harmonic numerator summed as
+        # exact integers (HUGEINT) so no float-order drift is possible
+        "hll_distinct": """
+            WITH rws AS (SELECT text AS v FROM documents
+                         WHERE text IS NOT NULL),
+            h AS (SELECT ('0x' || substr(md5('7' || chr(31) || v), 1, 15))
+                    ::BIGINT AS h FROM rws),
+            hr AS (SELECT h % 256 AS reg, h // 256 AS rest FROM h),
+            rho AS (SELECT reg, 53 - (CASE WHEN rest > 0
+                      THEN length(bin(rest)) ELSE 0 END) AS rho FROM hr),
+            regs AS (SELECT reg, max(rho) AS mj FROM rho GROUP BY reg),
+            spine AS (SELECT unnest(range(0, 256)) AS reg),
+            fl AS (SELECT coalesce(mj, 0)::INT AS mj
+                   FROM spine LEFT JOIN regs USING (reg)),
+            agg AS (SELECT sum(1::BIGINT << (61 - mj)) AS num,
+                      sum(CASE WHEN mj = 0 THEN 1 ELSE 0 END)::BIGINT AS v0
+                    FROM fl),
+            st AS (SELECT count(*)::BIGINT AS n_rows,
+                     count(DISTINCT v)::BIGINT AS exact_distinct FROM rws),
+            e AS (SELECT n_rows, exact_distinct, v0,
+                    round(CASE WHEN (0.7213 / (1.0 + 1.079 / 256.0))
+                            * 256.0 * 256.0 * 2305843009213693952.0
+                            / num::DOUBLE <= 640.0 AND v0 > 0
+                          THEN 256.0 * ln(256.0 / v0::DOUBLE)
+                          ELSE (0.7213 / (1.0 + 1.079 / 256.0))
+                            * 256.0 * 256.0 * 2305843009213693952.0
+                            / num::DOUBLE END, 6) AS estimate
+                  FROM agg CROSS JOIN st)
+            SELECT n_rows, exact_distinct, estimate,
+              round(abs(estimate - exact_distinct)
+                / exact_distinct::DOUBLE, 6) AS rel_error,
+              v0 AS zero_registers
+            FROM e
         """,
         # lag fan-out replay; all aggregates are exact bigints, the
         # per-lag float expression is identical scalar arithmetic

