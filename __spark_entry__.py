@@ -1231,6 +1231,70 @@ def q_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return concentration_report(_t(spark, sf_dir, "documents"))
 
 
+def q_mmr_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity-aware top-5 via Maximal Marginal Relevance
+    (similarity.mmr_select, λ=0.7, pool 50, query = vec 0): greedy
+    argmax of λ·rel − (1−λ)·max-sim-to-selected with the rounded-to-9 /
+    id-tie-break determinism discipline; oracle unrolls the 5 greedy
+    rounds as CTEs."""
+    from database2ogr_spark.operators.similarity import mmr_select
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    ]
+    return mmr_select(
+        emb.filter(F.col("vec_id") != 0), qvec, k=5, lam=0.7, pool=50
+    )
+
+
+def _mmr_sql(k: int = 5, lam: float = 0.7, pool: int = 50) -> str:
+    """DuckDB twin of q_mmr_select: pool cut + k unrolled greedy rounds.
+    ``1.0 - {lam}`` is left as the same IEEE subtraction the Spark side
+    performs rather than a pre-folded literal."""
+    cos_q = (
+        "round(list_dot_product(p.v, q.q) / "
+        "(sqrt(list_dot_product(p.v, p.v)) * "
+        "sqrt(list_dot_product(q.q, q.q))), 9)"
+    )
+    cos_s = (
+        "round(list_dot_product(p.v, s.v) / "
+        "(sqrt(list_dot_product(p.v, p.v)) * "
+        "sqrt(list_dot_product(s.v, s.v))), 9)"
+    )
+    parts = [
+        f"""WITH ve AS (SELECT vec_id,
+              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings),
+        q AS (SELECT v AS q FROM ve WHERE vec_id = 0),
+        pool AS (SELECT p.vec_id AS id, p.v, {cos_q} AS rel
+                 FROM ve p CROSS JOIN q WHERE p.vec_id <> 0
+                 ORDER BY rel DESC, id LIMIT {pool}),
+        s1 AS (SELECT 1 AS step, id, v, rel,
+                 round({lam} * rel, 9) AS score
+               FROM pool ORDER BY round({lam} * rel, 9) DESC, id LIMIT 1)"""
+    ]
+    for n in range(2, k + 1):
+        sel = " UNION ALL ".join(f"SELECT * FROM s{i}" for i in range(1, n))
+        parts.append(
+            f"""sel{n} AS ({sel}),
+        m{n} AS (SELECT p.id, p.v, p.rel, max({cos_s}) AS ms
+                 FROM pool p CROSS JOIN sel{n} s
+                 WHERE p.id NOT IN (SELECT id FROM sel{n})
+                 GROUP BY p.id, p.v, p.rel),
+        s{n} AS (SELECT {n} AS step, id, v, rel,
+                   round({lam}::DOUBLE * rel
+                     - (1.0::DOUBLE - {lam}::DOUBLE) * ms, 9) AS score
+                 FROM m{n} ORDER BY score DESC, id LIMIT 1)"""
+        )
+    final = " UNION ALL ".join(
+        f"SELECT step, id AS vec_id, rel, score FROM s{i}"
+        for i in range(1, k + 1)
+    )
+    return ",\n        ".join(parts) + f"\n        {final}"
+
+
 def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog distinct-document estimate over raw text
     (sketches.hll_distinct, p=8) with the exact-count audit column —
@@ -4080,7 +4144,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     burrows_delta, phrase_merge, davies_bouldin, fd_violations,
     benford, changepoint, mi_value_type, geometric_median,
     bootstrap_ci, funnel_windowed, trend_slope, ewma_volume,
-    concentration, textrank, acf, mann_kendall, hll_distinct."""
+    concentration, textrank, acf, mann_kendall, hll_distinct,
+    mmr_select."""
     return {
         # --- (b) first-ever driver rows: the 37 late-round-4 additions ---
         # (five partsupp-family TPC-H completions, unpivot, rolling window
@@ -4241,6 +4306,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "acf": q_acf,
         "mann_kendall": q_mann_kendall,
         "hll_distinct": q_hll_distinct,
+        "mmr_select": q_mmr_select,
         "transition_matrix": q_transition_matrix,
         # Everything ABOVE this line and below slot 50 is the round-5
         # never-driver-graded set (slots 51 onward, in the order added) —
@@ -7557,6 +7623,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT node AS token, rank_c9 FROM r3
             ORDER BY rank_c9 DESC, token ASC LIMIT 50
         """,
+        "mmr_select": _mmr_sql(k=5, lam=0.7, pool=50),
         # integer rho via bin() bitlength; harmonic numerator summed as
         # exact integers (HUGEINT) so no float-order drift is possible
         "hll_distinct": """

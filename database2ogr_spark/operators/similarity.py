@@ -1390,3 +1390,96 @@ def geometric_median(
         .groupBy(label_col)
         .applyInPandas(gmed, schema=f"label {label_type}, dim int, gmedian double")
     )
+
+
+def mmr_select(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    *,
+    k: int = 5,
+    lam: float = 0.7,
+    pool: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance selection (public Carbonell & Goldstein
+    1998) — the diversity-aware top-k every retrieval/data-selection
+    stack needs: greedily pick the item maximizing ``λ·rel − (1−λ)·max
+    cos-sim to the already-selected set``, so near-duplicates of an
+    already-chosen item are demoted instead of filling the slate.
+
+    Determinism discipline: relevance and every pairwise similarity are
+    rounded to 9 dp BEFORE comparison (the k-means replay rule), ties
+    break on ascending id, and the multiplier ``1−λ`` is computed as the
+    same IEEE subtraction in both engines — so each greedy argmax is
+    engine-stable. Step 1's score is ``λ·rel`` (empty selected set, no
+    penalty term).
+
+    Scale: ONE distributed relevance pass over the corpus feeds a
+    (rel DESC, id) top-``pool`` cut (TakeOrdered — no global sort); the
+    greedy loop then runs ``k`` rounds ON THE POOL ONLY, each a codegen
+    cosine against ≤k literal vectors + a 1-row argmax collect. The
+    sequential part is bounded by ``k × pool``, never by the corpus —
+    the standard two-stage (retrieve-then-rerank) shape.
+
+    Output: (step, id_col, rel, score) — the k selections in pick order.
+    """
+    from pyspark.sql import Row
+
+    if k < 1 or not 0.0 <= lam <= 1.0 or pool < k:
+        raise ValueError("need k >= 1, 0 <= lam <= 1, pool >= k")
+    dim = len(query_vec)
+    qcol = F.array(*[F.lit(float(x)) for x in query_vec])
+    rel = F.round(cosine(F.col(vec_col), qcol), 9)
+    cand = (
+        embeddings.select(
+            F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+            rel.alias("rel"),
+        )
+        .orderBy(F.col("rel").desc(), F.col("id").asc())
+        .limit(pool)
+        .persist()
+    )
+    mu = F.lit(1.0) - F.lit(lam)  # same IEEE subtraction as the oracle
+    picked: list = []
+    spark = embeddings.sparkSession
+    for step in range(1, k + 1):
+        remaining = cand
+        for r in picked:
+            remaining = remaining.filter(F.col("id") != r["id"])
+        if not picked:
+            score = F.round(F.lit(lam) * F.col("rel"), 9)
+        else:
+            sims = [
+                F.round(
+                    cosine(
+                        F.col("v"),
+                        F.array(*[F.lit(float(x)) for x in r["v"]]),
+                    ),
+                    9,
+                )
+                for r in picked
+            ]
+            ms = sims[0] if len(sims) == 1 else F.greatest(*sims)
+            score = F.round(F.lit(lam) * F.col("rel") - mu * ms, 9)
+        top = (
+            remaining.withColumn("score", score)
+            .orderBy(F.col("score").desc(), F.col("id").asc())
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        picked.append(
+            {"step": step, "id": top[0]["id"], "v": top[0]["v"],
+             "rel": top[0]["rel"], "score": top[0]["score"]}
+        )
+    cand.unpersist()
+    return spark.createDataFrame(
+        [
+            Row(step=r["step"], **{id_col: r["id"]}, rel=float(r["rel"]),
+                score=float(r["score"]))
+            for r in picked
+        ],
+        schema=f"step int, {id_col} bigint, rel double, score double",
+    )

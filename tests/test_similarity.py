@@ -535,3 +535,33 @@ def test_geometric_median_robust_to_outlier(spark):
     # deterministic
     gm2 = {r.dim: r.gmedian for r in geometric_median(df, n_iter=8).collect()}
     assert gm == gm2
+
+
+def test_mmr_select_demotes_near_duplicates(spark):
+    from database2ogr_spark.operators.similarity import mmr_select
+
+    # a and a2 are near-identical high-relevance vectors; b is less
+    # relevant but far from a. Plain top-2 by relevance picks {a, a2};
+    # MMR (diversity-weighted, lam=0.3) must pick {a, b}. The query is
+    # NOT parallel to a, so rel and sim-to-a genuinely differ.
+    rows = [
+        (1, [0.9, 0.1, 0.0]),    # a: rel ~.994
+        (2, [0.9, 0.11, 0.0]),   # a2: rel ~.993, sim(a2,a) ~1.0
+        (3, [0.5, 0.0, 0.866]),  # b: rel .5, sim(b,a) ~.497
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = [1.0, 0.0, 0.0]
+    out = mmr_select(df, q, k=2, lam=0.3, pool=3).collect()
+    assert [r.vec_id for r in out] == [1, 3]
+    assert out[0].step == 1 and out[1].step == 2
+    # determinism: same picks on re-run
+    again = mmr_select(df, q, k=2, lam=0.3, pool=3).collect()
+    assert [(r.step, r.vec_id, r.score) for r in out] == [
+        (r.step, r.vec_id, r.score) for r in again
+    ]
+    # lam=1 degenerates to plain relevance ranking
+    rel_only = mmr_select(df, q, k=2, lam=1.0, pool=3).collect()
+    assert [r.vec_id for r in rel_only] == [1, 2]
+    import pytest as _p
+    with _p.raises(ValueError):
+        mmr_select(df, q, k=5, pool=3)
