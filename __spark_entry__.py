@@ -1231,6 +1231,27 @@ def q_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return concentration_report(_t(spark, sf_dir, "documents"))
 
 
+def q_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified 5-fold CV assignment (sampling.kfold_assign, stratify
+    by lang): exact ±1 per-stratum balance via hash-ordered row_number
+    mod k — what hash-mod folds only approximate."""
+    from database2ogr_spark.operators.sampling import kfold_assign
+
+    return kfold_assign(
+        _t(spark, sf_dir, "documents"), k=5, stratify_col="lang"
+    ).select("doc_id", "lang", "fold")
+
+
+def q_iqr_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey boxplot outlier days (timeseries.iqr_anomaly_days) over
+    spined daily volume — exact interpolated percentiles (the winsorize
+    quantile_cont portability contract); graded in report_all form so
+    the bounds are hash-verified even on a quiet series."""
+    from database2ogr_spark.operators.timeseries import iqr_anomaly_days
+
+    return iqr_anomaly_days(_t(spark, sf_dir, "events"), report_all=True)
+
+
 def q_mmr_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Diversity-aware top-5 via Maximal Marginal Relevance
     (similarity.mmr_select, λ=0.7, pool 50, query = vec 0): greedy
@@ -4145,7 +4166,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     benford, changepoint, mi_value_type, geometric_median,
     bootstrap_ci, funnel_windowed, trend_slope, ewma_volume,
     concentration, textrank, acf, mann_kendall, hll_distinct,
-    mmr_select."""
+    mmr_select, kfold, iqr_anomaly_days."""
     return {
         # --- (b) first-ever driver rows: the 37 late-round-4 additions ---
         # (five partsupp-family TPC-H completions, unpivot, rolling window
@@ -4307,6 +4328,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mann_kendall": q_mann_kendall,
         "hll_distinct": q_hll_distinct,
         "mmr_select": q_mmr_select,
+        "kfold": q_kfold,
+        "iqr_anomaly_days": q_iqr_anomaly_days,
         "transition_matrix": q_transition_matrix,
         # Everything ABOVE this line and below slot 50 is the round-5
         # never-driver-graded set (slots 51 onward, in the order added) —
@@ -7624,6 +7647,36 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY rank_c9 DESC, token ASC LIMIT 50
         """,
         "mmr_select": _mmr_sql(k=5, lam=0.7, pool=50),
+        "kfold": """
+            SELECT doc_id, lang,
+              CAST((row_number() OVER (PARTITION BY lang
+                ORDER BY h ASC, doc_id ASC) - 1) % 5 AS INT) AS fold
+            FROM (SELECT doc_id, lang,
+                    ('0x' || substr(md5('11' || chr(31)
+                      || doc_id::VARCHAR), 1, 15))::BIGINT AS h
+                  FROM documents) t
+        """,
+        "iqr_anomaly_days": """
+            WITH c AS (SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT)
+                         AS d, count(*)::BIGINT AS x
+                       FROM events GROUP BY 1),
+            b AS (SELECT min(d) AS lo_d, max(d) AS hi_d FROM c),
+            sp AS (SELECT unnest(range(lo_d, hi_d + 1)) AS d FROM b),
+            daily AS (SELECT sp.d, coalesce(c.x, 0)::BIGINT AS x
+                      FROM sp LEFT JOIN c ON sp.d = c.d),
+            q AS (SELECT
+                    round(quantile_cont(x::DOUBLE, 0.25)
+                      - 1.5 * (quantile_cont(x::DOUBLE, 0.75)
+                        - quantile_cont(x::DOUBLE, 0.25)), 6) AS lo,
+                    round(quantile_cont(x::DOUBLE, 0.75)
+                      + 1.5 * (quantile_cont(x::DOUBLE, 0.75)
+                        - quantile_cont(x::DOUBLE, 0.25)), 6) AS hi
+                  FROM daily)
+            SELECT d, x, lo, hi,
+              CASE WHEN x < lo THEN 'low'
+                   WHEN x > hi THEN 'high' END AS side
+            FROM daily CROSS JOIN q
+        """,
         # integer rho via bin() bitlength; harmonic numerator summed as
         # exact integers (HUGEINT) so no float-order drift is possible
         "hll_distinct": """

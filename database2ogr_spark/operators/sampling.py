@@ -950,3 +950,44 @@ def temporal_split(
         .otherwise(F.lit("discard"))
     )
     return joined.select(*events.columns, split.alias("split"))
+
+
+def kfold_assign(
+    df: DataFrame,
+    *,
+    k: int = 5,
+    id_col: str = "doc_id",
+    stratify_col: str | None = None,
+    seed: int = 11,
+) -> DataFrame:
+    """Stratified k-fold cross-validation assignment: adds a ``fold``
+    column (0..k−1) with EXACT per-stratum balance — within each stratum
+    the fold sizes differ by at most one, the property hash-mod
+    assignment only approximates (a 5% lang stratum at k=5 can easily
+    land 2:1 skewed by hash luck; exact balance is what keeps per-fold
+    metrics comparable).
+
+    Assignment: hash-shuffle rows within each stratum (stable_hash64 of
+    the id, id tie-break), take ``row_number() % k``. Deterministic
+    under repartitioning and retries; NOT append-stable (adding rows
+    renumbers a stratum — use :func:`split_corpus` for frozen eval
+    sets; k-fold is a within-snapshot protocol by nature).
+
+    Scale: ONE shuffle, partitioned by stratum. For the unstratified
+    form (``stratify_col=None``) a single global row_number would
+    funnel through one task — instead the hash itself becomes a 256-way
+    sub-stratum (balanced in expectation at corpus scale, exact within
+    each sub-stratum), keeping the window parallel.
+    """
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    h = stable_hash64(F.col(id_col).cast("string"), seed=seed)
+    if stratify_col is not None:
+        part = [F.col(stratify_col)]
+    else:
+        # 256 hash sub-strata: parallel windows, ±1 balance within each
+        part = [F.shiftright(h, 52)]
+    w = Window.partitionBy(*part).orderBy(h.asc(), F.col(id_col).asc())
+    return df.withColumn(
+        "fold", ((F.row_number().over(w) - 1) % k).cast("int")
+    )

@@ -621,3 +621,61 @@ def mann_kendall(
         .otherwise(F.lit("no_trend"))
         .alias("trend"),
     )
+
+
+def iqr_anomaly_days(
+    events: DataFrame,
+    *,
+    ts_col: str = "ts",
+    k_iqr: float = 1.5,
+    report_all: bool = False,
+) -> DataFrame:
+    """Tukey boxplot outlier screen on daily event volume — the ops
+    audit behind 'which days were weird': days whose count falls
+    outside [q1 − k·IQR, q3 + k·IQR] over the spined daily series
+    (zero-activity days are candidates — an outage day should flag).
+    Quantiles are exact linear-interpolated ``percentile`` (bit-matching
+    DuckDB's ``quantile_cont`` — the winsorize portability contract).
+
+    Output: (d, x, lo, hi, side) for flagged days only, side ∈
+    {'low','high'}; bounds rounded 6 dp and replicated per row.
+    ``report_all=True`` returns EVERY day with side NULL on normal days
+    — the auditable report form (bounds verifiable even on a quiet
+    series).
+
+    Scale: one day-keyed partial-agg'd count; the exact percentile
+    shuffles #days values to one reducer (fine — #days is bounded);
+    flagging is a broadcast-joined filter on #days rows.
+    """
+    day = F.floor(F.unix_timestamp(F.col(ts_col)) / F.lit(86400)).cast("long")
+    counts = events.select(day.alias("d")).groupBy("d").agg(
+        F.count(F.lit(1)).alias("x")
+    )
+    bounds = counts.agg(F.min("d").alias("lo_d"), F.max("d").alias("hi_d"))
+    spine = bounds.select(
+        F.explode(F.sequence(F.col("lo_d"), F.col("hi_d"))).alias("d")
+    )
+    daily = spine.join(counts, "d", "left").select(
+        "d", F.coalesce(F.col("x"), F.lit(0)).cast("long").alias("x")
+    )
+    q = daily.agg(
+        F.percentile(F.col("x").cast("double"), 0.25).alias("q1"),
+        F.percentile(F.col("x").cast("double"), 0.75).alias("q3"),
+    ).select(
+        F.round(F.col("q1") - k_iqr * (F.col("q3") - F.col("q1")), 6).alias("lo"),
+        F.round(F.col("q3") + k_iqr * (F.col("q3") - F.col("q1")), 6).alias("hi"),
+    )
+    joined = daily.crossJoin(F.broadcast(q))
+    if not report_all:
+        joined = joined.filter(
+            (F.col("x") < F.col("lo")) | (F.col("x") > F.col("hi"))
+        )
+    return joined.select(
+        "d",
+        "x",
+        "lo",
+        "hi",
+        F.when(F.col("x") < F.col("lo"), F.lit("low"))
+        .when(F.col("x") > F.col("hi"), F.lit("high"))
+        .alias("side"),
+    )

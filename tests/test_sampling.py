@@ -687,3 +687,32 @@ def test_temporal_split_user_blocked(spark):
 
     out = {r.event_id: r.split for r in temporal_split(df, cutoff="2024-02-01 00:00:00").collect()}
     assert out == {1: "train", 2: "discard", 3: "test", 4: "test", 5: "train"}
+
+
+def test_kfold_assign_balance_and_determinism(spark):
+    import pytest as _p
+
+    from database2ogr_spark.operators.sampling import kfold_assign
+
+    rows = [(i, "a" if i % 10 < 7 else "b") for i in range(103)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = kfold_assign(df, k=5, stratify_col="lang")
+    sizes = {
+        (r.lang, r.fold): r.n
+        for r in out.groupBy("lang", "fold").count().withColumnRenamed("count", "n").collect()
+    }
+    # exact ±1 balance within each stratum
+    for lang in ("a", "b"):
+        per = [sizes.get((lang, f), 0) for f in range(5)]
+        assert max(per) - min(per) <= 1, per
+    assert out.filter((F.col("fold") < 0) | (F.col("fold") >= 5)).count() == 0
+    # deterministic under repartitioning
+    a = {r.doc_id: r.fold for r in out.collect()}
+    b = {r.doc_id: r.fold for r in kfold_assign(df.repartition(7), k=5, stratify_col="lang").collect()}
+    assert a == b
+    # unstratified path still balances overall (sub-strata each +-1)
+    u = kfold_assign(df, k=5)
+    per = [r["count"] for r in u.groupBy("fold").count().collect()]
+    assert max(per) - min(per) <= 256  # bounded by sub-stratum count
+    with _p.raises(ValueError):
+        kfold_assign(df, k=1)

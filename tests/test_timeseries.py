@@ -414,3 +414,20 @@ def test_mann_kendall_monotone_and_tied(spark):
     ).selectExpr("event_id", "CAST(sec AS TIMESTAMP) AS ts")
     rf = mann_kendall(flat).collect()[0]
     assert rf.s == 0 and rf.z is None and rf.trend is None
+
+
+def test_iqr_anomaly_days_flags_spike_and_outage(spark):
+    # 20 steady days at 10/day, one spike day at 100, one silent day
+    rows = []
+    eid = 0
+    for d in range(22):
+        n = 100 if d == 5 else (0 if d == 11 else 10)
+        for _ in range(n):
+            rows.append((eid, d * 86400 + 9)); eid += 1
+    df = spark.createDataFrame(rows, "event_id long, sec long").selectExpr(
+        "event_id", "CAST(sec AS TIMESTAMP) AS ts"
+    )
+    from database2ogr_spark.operators.timeseries import iqr_anomaly_days
+
+    out = {r.d: r.side for r in iqr_anomaly_days(df).collect()}
+    assert out == {5: "high", 11: "low"}
