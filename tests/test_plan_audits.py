@@ -489,3 +489,37 @@ def test_ks_test_histogram_before_window(spark):
     # so a HashAggregate must appear below the Window
     assert "Window" in plan and "HashAggregate" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+@pytest.mark.parametrize(
+    "name,max_shuffles",
+    [
+        # (group, day) count + per-group bounds + spine join + final agg:
+        # group-keyed shuffles; AQE broadcasts the tiny post-agg sides
+        ("trend_slope", 3),
+        # day count + spine join + horizon fan-out re-agg + final join
+        ("ewma_volume", 3),
+        # one source-mass agg + the #groups-row rank window
+        ("concentration", 2),
+        # day count + spine + lag fan-out re-agg (+ 1-row stats broadcast)
+        ("acf", 3),
+        # the ONE stratum-partitioned window shuffle
+        ("kfold", 1),
+        # day count + spine + 1-row quantile agg broadcast back
+        ("iqr_anomaly_days", 3),
+    ],
+)
+def test_round5_timeseries_shuffle_budgets(spark, name, max_shuffles):
+    plan = _plan(spark, name)
+    n = plan.count("Exchange hashpartitioning") + plan.count(
+        "Exchange rangepartitioning"
+    )
+    assert n <= max_shuffles, f"{name}: {n} shuffles (budget {max_shuffles})\n{plan}"
+
+
+def test_kfold_scan_prunes_to_needed_columns(spark):
+    # fold assignment must not drag the text column through the shuffle
+    plan = _plan(spark, "kfold")
+    for schema in _read_schemas(plan):
+        got = {c.split(":")[0] for c in schema.split(",")}
+        assert got <= {"doc_id", "lang"}, schema
