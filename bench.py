@@ -166,6 +166,17 @@ HEADLINE = [
     "mi_value_type",
     "geometric_median",
     "bootstrap_ci",
+    "funnel_windowed",
+    "trend_slope",
+    "ewma_volume",
+    "concentration",
+    "textrank",
+    "acf",
+    "mann_kendall",
+    "hll_distinct",
+    "mmr_select",
+    "kfold",
+    "iqr_anomaly_days",
 ]
 
 #: the queries that were in BENCH_r01 (the operative baseline — BASELINE.md:
