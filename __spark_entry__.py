@@ -1231,6 +1231,17 @@ def q_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return concentration_report(_t(spark, sf_dir, "documents"))
 
 
+def q_embedding_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ε-neighborhood density + DBSCAN core flag
+    (similarity.embedding_density, τ=0.35 min_pts=5) riding the
+    block-matmul pair kernel; oracle is the brute self-join count."""
+    from database2ogr_spark.operators.similarity import embedding_density
+
+    return embedding_density(
+        _t(spark, sf_dir, "embeddings"), threshold=0.35, min_pts=5
+    )
+
+
 def q_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stratified 5-fold CV assignment (sampling.kfold_assign, stratify
     by lang): exact ±1 per-stratum balance via hash-ordered row_number
@@ -4166,7 +4177,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     benford, changepoint, mi_value_type, geometric_median,
     bootstrap_ci, funnel_windowed, trend_slope, ewma_volume,
     concentration, textrank, acf, mann_kendall, hll_distinct,
-    mmr_select, kfold, iqr_anomaly_days."""
+    mmr_select, kfold, iqr_anomaly_days, embedding_density."""
     return {
         # --- (b) first-ever driver rows: the 37 late-round-4 additions ---
         # (five partsupp-family TPC-H completions, unpivot, rolling window
@@ -4330,6 +4341,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mmr_select": q_mmr_select,
         "kfold": q_kfold,
         "iqr_anomaly_days": q_iqr_anomaly_days,
+        "embedding_density": q_embedding_density,
         "transition_matrix": q_transition_matrix,
         # Everything ABOVE this line and below slot 50 is the round-5
         # never-driver-graded set (slots 51 onward, in the order added) —
@@ -7647,6 +7659,23 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY rank_c9 DESC, token ASC LIMIT 50
         """,
         "mmr_select": _mmr_sql(k=5, lam=0.7, pool=50),
+        "embedding_density": """
+            WITH v AS (SELECT vec_id,
+                         list_transform(embedding, x -> CAST(x AS DOUBLE))
+                           AS v
+                       FROM embeddings),
+            p AS (SELECT a.vec_id AS ia, b.vec_id AS ib
+                  FROM v a JOIN v b ON a.vec_id < b.vec_id
+                  WHERE round(list_dot_product(a.v, b.v) /
+                    (sqrt(list_dot_product(a.v, a.v)) *
+                     sqrt(list_dot_product(b.v, b.v))), 6) >= 0.35),
+            t AS (SELECT id, count(*)::BIGINT AS n FROM
+                    (SELECT ia AS id FROM p
+                     UNION ALL SELECT ib FROM p) u GROUP BY id)
+            SELECT v.vec_id, coalesce(t.n, 0)::BIGINT AS n_neighbors,
+              coalesce(t.n, 0) >= 5 AS is_core
+            FROM v LEFT JOIN t ON v.vec_id = t.id
+        """,
         "kfold": """
             SELECT doc_id, lang,
               CAST((row_number() OVER (PARTITION BY lang

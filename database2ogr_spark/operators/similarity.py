@@ -1483,3 +1483,54 @@ def mmr_select(
         ],
         schema=f"step int, {id_col} bigint, rel double, score double",
     )
+
+
+def embedding_density(
+    corpus: DataFrame,
+    *,
+    threshold: float = 0.35,
+    min_pts: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    blocks: int | None = None,
+) -> DataFrame:
+    """ε-neighborhood density report — the DBSCAN core-point primitive
+    (public Ester et al. 1996) over cosine space: per vector, how many
+    OTHER vectors sit at rounded cosine ≥ ``threshold``, plus the
+    ``is_core`` flag (≥ ``min_pts`` neighbors). Dense regions are where
+    semantic dedup will collapse mass and where a diffuse corpus hides
+    mode collapse; isolated points (0 neighbors) are outlier candidates.
+
+    Rides :func:`cosine_pairs_exact`'s distributed block-matmul kernel
+    (each row shipped to exactly ``blocks`` tasks, vectorized numpy
+    scoring, pairs materialized once) — the density pass on top is one
+    explode + one id-keyed count + a left join back to the full vector
+    set so zero-neighbor vectors keep their honest 0.
+
+    Output: (id_col, n_neighbors, is_core), one row per input vector.
+
+    Scale: identical envelope to the pair kernel (shuffle B·|corpus|,
+    per-task 2·(n/B)·d·8 bytes); the count is on the surviving-pair
+    table only. At 100 TB swap the kernel for the LSH-bucketed sibling
+    and accept its recall contract — the report shape is unchanged.
+    """
+    pairs = cosine_pairs_exact(
+        corpus,
+        threshold=threshold,
+        id_col=id_col,
+        vec_col=vec_col,
+        blocks=blocks,
+    )
+    touched = (
+        pairs.select(
+            F.explode(F.array(F.col("id_a"), F.col("id_b"))).alias("id")
+        )
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    nodes = corpus.select(F.col(id_col).cast("long").alias("id"))
+    return nodes.join(touched, "id", "left").select(
+        F.col("id").alias(id_col),
+        F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n_neighbors"),
+        (F.coalesce(F.col("n"), F.lit(0)) >= min_pts).alias("is_core"),
+    )

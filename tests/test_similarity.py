@@ -565,3 +565,37 @@ def test_mmr_select_demotes_near_duplicates(spark):
     import pytest as _p
     with _p.raises(ValueError):
         mmr_select(df, q, k=5, pool=3)
+
+
+def test_embedding_density_counts_and_core_flag(spark):
+    from database2ogr_spark.operators.similarity import embedding_density
+
+    # cluster of 3 identical directions + 1 orthogonal outlier
+    rows = [
+        (1, [1.0, 0.0]),
+        (2, [2.0, 0.0]),
+        (3, [3.0, 0.001]),
+        (4, [0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r.vec_id: r for r in embedding_density(df, threshold=0.9, min_pts=2).collect()}
+    assert out[1].n_neighbors == 2 and out[1].is_core
+    assert out[2].n_neighbors == 2 and out[2].is_core
+    assert out[3].n_neighbors == 2
+    assert out[4].n_neighbors == 0 and not out[4].is_core
+    # brute-force cross-check on random-ish vectors
+    import itertools, math
+    vecs = {i: [math.sin(i * 1.7 + j) for j in range(4)] for i in range(12)}
+    df2 = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()], "vec_id long, embedding array<float>"
+    )
+    got = {r.vec_id: r.n_neighbors for r in embedding_density(df2, threshold=0.5, min_pts=3).collect()}
+    import numpy as np
+    want = {i: 0 for i in vecs}
+    for a, b in itertools.combinations(vecs, 2):
+        va = np.array([np.float32(x) for x in vecs[a]], dtype=np.float64)
+        vb = np.array([np.float32(x) for x in vecs[b]], dtype=np.float64)
+        c = round(float(va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb))), 6)
+        if c >= 0.5:
+            want[a] += 1; want[b] += 1
+    assert got == want
