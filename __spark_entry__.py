@@ -1231,6 +1231,22 @@ def q_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return concentration_report(_t(spark, sf_dir, "documents"))
 
 
+def q_brier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brier score + skill vs climatology (classifier.brier_score) over
+    the same scored set as calibration_report/classifier_ece — the
+    proper-scoring-rule release gate (grades calibration AND sharpness;
+    BSS ≤ 0 = no better than the prior)."""
+    from database2ogr_spark.operators.classifier import (
+        brier_score,
+        quality_classifier_scores,
+    )
+
+    scored = quality_classifier_scores(
+        _t(spark, sf_dir, "documents"), F.col("lang") == "en"
+    )
+    return brier_score(scored)
+
+
 def q_embedding_density(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ε-neighborhood density + DBSCAN core flag
     (similarity.embedding_density, τ=0.35 min_pts=5) riding the
@@ -4177,7 +4193,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     benford, changepoint, mi_value_type, geometric_median,
     bootstrap_ci, funnel_windowed, trend_slope, ewma_volume,
     concentration, textrank, acf, mann_kendall, hll_distinct,
-    mmr_select, kfold, iqr_anomaly_days, embedding_density."""
+    mmr_select, kfold, iqr_anomaly_days, embedding_density, brier."""
     return {
         # --- (b) first-ever driver rows: the 37 late-round-4 additions ---
         # (five partsupp-family TPC-H completions, unpivot, rolling window
@@ -4342,6 +4358,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kfold": q_kfold,
         "iqr_anomaly_days": q_iqr_anomaly_days,
         "embedding_density": q_embedding_density,
+        "brier": q_brier,
         "transition_matrix": q_transition_matrix,
         # Everything ABOVE this line and below slot 50 is the round-5
         # never-driver-graded set (slots 51 onward, in the order added) —
@@ -7659,6 +7676,22 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY rank_c9 DESC, token ASC LIMIT 50
         """,
         "mmr_select": _mmr_sql(k=5, lam=0.7, pool=50),
+        # same unrolled logreg twin; Brier + climatology skill score
+        "brier": f"""
+            WITH sc AS ({_logreg_sql()}),
+            a AS (SELECT count(*)::BIGINT AS n_rows,
+                    avg(label::DOUBLE) AS rate,
+                    avg((prob - label::DOUBLE) * (prob - label::DOUBLE))
+                      AS b
+                  FROM sc)
+            SELECT n_rows, round(rate, 6) AS base_rate,
+              round(b, 6) AS brier,
+              round(rate * (1.0::DOUBLE - rate), 6) AS reference,
+              round(CASE WHEN rate * (1.0::DOUBLE - rate) > 0
+                    THEN 1.0::DOUBLE - b / (rate * (1.0::DOUBLE - rate))
+                    END, 6) AS bss
+            FROM a
+        """,
         "embedding_density": """
             WITH v AS (SELECT vec_id,
                          list_transform(embedding, x -> CAST(x AS DOUBLE))

@@ -456,3 +456,42 @@ def best_threshold(
     return j.select(
         F.col("s").alias("threshold"), "tpr", "fpr", "j"
     )
+
+
+def brier_score(
+    scored: DataFrame,
+    *,
+    label_col: str = "label",
+    prob_col: str = "prob",
+) -> DataFrame:
+    """Brier score of a probabilistic filter (public Brier 1950) — the
+    proper scoring rule that grades calibration AND sharpness together,
+    where ECE grades calibration alone: ``mean((prob − label)²)``. The
+    report carries the climatology reference ``base_rate·(1−base_rate)``
+    (the Brier of always predicting the base rate) and the skill score
+    ``BSS = 1 − brier/reference`` — BSS ≤ 0 means the classifier is no
+    better than predicting the prior, the honest release gate.
+
+    Output: ONE row (n_rows, base_rate, brier, reference, bss), rounded
+    6 dp; bss NULL on degenerate single-class inputs (reference 0).
+
+    Scale: ONE partial-agg'd aggregation over the scored set — no join,
+    no window, no shuffle beyond the final 1-row reduce.
+    """
+    y = F.col(label_col).cast("double")
+    p = F.col(prob_col)
+    agg = scored.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.avg(y).alias("rate"),
+        F.avg((p - y) * (p - y)).alias("b"),
+    )
+    ref = F.col("rate") * (F.lit(1.0) - F.col("rate"))
+    return agg.select(
+        "n_rows",
+        F.round(F.col("rate"), 6).alias("base_rate"),
+        F.round(F.col("b"), 6).alias("brier"),
+        F.round(ref, 6).alias("reference"),
+        F.round(
+            F.when(ref > 0, F.lit(1.0) - F.col("b") / ref), 6
+        ).alias("bss"),
+    )

@@ -306,3 +306,23 @@ def test_best_threshold_single_class_empty(spark):
 
     df = spark.createDataFrame([(1, 0.5), (1, 0.9)], "label int, prob double")
     assert best_threshold(df).collect() == []
+
+
+def test_brier_score_hand_values(spark):
+    from database2ogr_spark.operators.classifier import brier_score
+
+    # two rows: (p=.8,y=1) -> .04 ; (p=.4,y=0) -> .16 ; brier = .10
+    # base rate .5 -> reference .25 -> bss = 1 - .4 = .6
+    df = spark.createDataFrame([(1, 0.8), (0, 0.4)], "label int, prob double")
+    r = brier_score(df).collect()[0]
+    assert r.n_rows == 2
+    assert abs(r.brier - 0.10) < 1e-9
+    assert abs(r.reference - 0.25) < 1e-9
+    assert abs(r.bss - 0.6) < 1e-9
+    # single-class input -> reference 0 -> NULL bss
+    one = spark.createDataFrame([(1, 0.9), (1, 0.7)], "label int, prob double")
+    assert brier_score(one).collect()[0].bss is None
+    # perfect predictions -> brier 0, bss 1
+    perf = spark.createDataFrame([(1, 1.0), (0, 0.0)], "label int, prob double")
+    rp = brier_score(perf).collect()[0]
+    assert rp.brier == 0.0 and abs(rp.bss - 1.0) < 1e-9
