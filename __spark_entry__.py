@@ -1231,6 +1231,17 @@ def q_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return concentration_report(_t(spark, sf_dir, "documents"))
 
 
+def q_events_dashboard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-plan product-analytics dashboard (plans/analytics.
+    events_dashboard): volume/reach/engagement + the conversion funnel +
+    OLS trend + CUSUM shift strength, long-form (metric, value) — the
+    composed showcase of the events tier; the oracle unions the verified
+    constituent fragments."""
+    from database2ogr_spark.plans.analytics import events_dashboard
+
+    return events_dashboard(read_events(spark, os.path.join(sf_dir, "events.parquet")))
+
+
 def q_brier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brier score + skill vs climatology (classifier.brier_score) over
     the same scored set as calibration_report/classifier_ece — the
@@ -4193,7 +4204,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     benford, changepoint, mi_value_type, geometric_median,
     bootstrap_ci, funnel_windowed, trend_slope, ewma_volume,
     concentration, textrank, acf, mann_kendall, hll_distinct,
-    mmr_select, kfold, iqr_anomaly_days, embedding_density, brier."""
+    mmr_select, kfold, iqr_anomaly_days, embedding_density, brier,
+    events_dashboard."""
     return {
         # --- (b) first-ever driver rows: the 37 late-round-4 additions ---
         # (five partsupp-family TPC-H completions, unpivot, rolling window
@@ -4359,6 +4371,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iqr_anomaly_days": q_iqr_anomaly_days,
         "embedding_density": q_embedding_density,
         "brier": q_brier,
+        "events_dashboard": q_events_dashboard,
         "transition_matrix": q_transition_matrix,
         # Everything ABOVE this line and below slot 50 is the round-5
         # never-driver-graded set (slots 51 onward, in the order added) —
@@ -7676,6 +7689,68 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY rank_c9 DESC, token ASC LIMIT 50
         """,
         "mmr_select": _mmr_sql(k=5, lam=0.7, pool=50),
+        # union of the verified constituent fragments: funnel chain,
+        # day-spine trend (constant group), CUSUM strength, base counts
+        "events_dashboard": """
+            WITH s1 AS (SELECT user_id, min(ts) AS rt FROM events
+                        WHERE event_type = 'view' GROUP BY user_id),
+            s2 AS (SELECT e.user_id, min(e.ts) AS rt
+                   FROM events e JOIN s1 ON e.user_id = s1.user_id
+                                        AND e.ts > s1.rt
+                   WHERE e.event_type = 'click' GROUP BY e.user_id),
+            s3 AS (SELECT e.user_id, min(e.ts) AS rt
+                   FROM events e JOIN s2 ON e.user_id = s2.user_id
+                                        AND e.ts > s2.rt
+                   WHERE e.event_type = 'purchase' GROUP BY e.user_id),
+            fc AS (
+              SELECT 1 AS step, 'view' AS et, count(*)::BIGINT AS users
+              FROM s1
+              UNION ALL SELECT 2, 'click', count(*)::BIGINT FROM s2
+              UNION ALL SELECT 3, 'purchase', count(*)::BIGINT FROM s3),
+            fw AS (SELECT step, et, users,
+                     round(users / first_value(users) OVER (ORDER BY step),
+                       6) AS conv_from_first
+                   FROM fc),
+            cd AS (SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS d,
+                     count(*)::BIGINT AS x
+                   FROM events GROUP BY 1),
+            bb AS (SELECT min(d) AS lo, max(d) AS hi FROM cd),
+            sp AS (SELECT lo, unnest(range(lo, hi + 1)) AS d FROM bb),
+            daily AS (SELECT sp.lo, sp.d, coalesce(cd.x, 0)::DOUBLE AS x
+                      FROM sp LEFT JOIN cd ON sp.d = cd.d),
+            tr AS (SELECT count(*)::BIGINT AS n,
+                     sum((d - lo)::DOUBLE) AS sx, sum(x) AS sy,
+                     sum((d - lo)::DOUBLE * x) AS sxy,
+                     sum((d - lo)::DOUBLE * (d - lo)::DOUBLE) AS sxx
+                   FROM daily),
+            st AS (SELECT count(*)::BIGINT AS n, avg(x) AS mu,
+                     stddev_pop(x) AS sd FROM daily),
+            cum AS (SELECT d, n, sd,
+                      round(abs(sum(x - mu) OVER (ORDER BY d
+                        ROWS UNBOUNDED PRECEDING)), 6) AS s_abs
+                    FROM daily CROSS JOIN st),
+            cp AS (SELECT CASE WHEN sd > 0
+                     THEN round(s_abs / (sd * sqrt(n::DOUBLE)), 6) END AS v
+                   FROM cum ORDER BY s_abs DESC, d ASC LIMIT 1),
+            base AS (SELECT count(*)::DOUBLE AS n_events,
+                       count(DISTINCT user_id)::DOUBLE AS n_users,
+                       count(DISTINCT CAST(floor(epoch(ts) / 86400)
+                         AS BIGINT))::DOUBLE AS n_days
+                     FROM events)
+            SELECT 'n_events' AS metric, n_events AS value FROM base
+            UNION ALL SELECT 'n_users', n_users FROM base
+            UNION ALL SELECT 'n_days', n_days FROM base
+            UNION ALL SELECT 'events_per_user',
+              round(n_events / n_users, 6) FROM base
+            UNION ALL SELECT 'funnel_users_' || et, users::DOUBLE FROM fw
+            UNION ALL (SELECT 'funnel_conversion', conv_from_first
+              FROM fw ORDER BY step DESC LIMIT 1)
+            UNION ALL SELECT 'trend_slope',
+              round(CASE WHEN n * sxx - sx * sx > 0
+                    THEN (n * sxy - sx * sy) / (n * sxx - sx * sx) END, 6)
+              FROM tr
+            UNION ALL SELECT 'changepoint_strength', v FROM cp
+        """,
         # same unrolled logreg twin; Brier + climatology skill score
         "brier": f"""
             WITH sc AS ({_logreg_sql()}),

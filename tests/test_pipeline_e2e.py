@@ -215,3 +215,26 @@ def test_pretrain_ledger_partitions_input_exactly(spark):
     # resampling can drop (rate < 1) but never add docs: pipeline ⊆ kept
     assert pipeline_docs <= kept_ledger
     spark.catalog.clearCache()
+
+
+def test_events_dashboard_composes_verified_blocks(spark):
+    from database2ogr_spark.plans.analytics import events_dashboard
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    got = {r.metric: r.value for r in events_dashboard(ev).collect()}
+    # structural: every expected metric present exactly once
+    assert set(got) == {
+        "n_events", "n_users", "n_days", "events_per_user",
+        "funnel_users_view", "funnel_users_click", "funnel_users_purchase",
+        "funnel_conversion", "trend_slope", "changepoint_strength",
+    }
+    # cross-check the cheap ones against direct queries
+    assert got["n_events"] == ev.count()
+    assert got["n_users"] == ev.select("user_id").distinct().count()
+    # funnel monotonicity
+    assert (
+        got["funnel_users_view"]
+        >= got["funnel_users_click"]
+        >= got["funnel_users_purchase"]
+    )
+    assert 0.0 <= got["funnel_conversion"] <= 1.0
