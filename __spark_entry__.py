@@ -1231,6 +1231,28 @@ def q_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return concentration_report(_t(spark, sf_dir, "documents"))
 
 
+def q_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Jaccard between event-type user sets
+    (funnel.audience_overlap): one (type,user) distinct + a per-user
+    bounded self-join; disjoint pairs appear with jaccard 0 via the
+    type-pair spine."""
+    from database2ogr_spark.operators.funnel import audience_overlap
+
+    return audience_overlap(read_events(spark, os.path.join(sf_dir, "events.parquet")))
+
+
+def q_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert quantiles view→click→purchase
+    (funnel.conversion_latency) — exact interpolated percentiles over
+    the funnel chain's converted-user latencies."""
+    from database2ogr_spark.operators.funnel import conversion_latency
+
+    return conversion_latency(
+        read_events(spark, os.path.join(sf_dir, "events.parquet")),
+        ["view", "click", "purchase"],
+    )
+
+
 def q_events_dashboard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-plan product-analytics dashboard (plans/analytics.
     events_dashboard): volume/reach/engagement + the conversion funnel +
@@ -4205,7 +4227,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     bootstrap_ci, funnel_windowed, trend_slope, ewma_volume,
     concentration, textrank, acf, mann_kendall, hll_distinct,
     mmr_select, kfold, iqr_anomaly_days, embedding_density, brier,
-    events_dashboard."""
+    events_dashboard, audience_overlap, conversion_latency."""
     return {
         # --- (b) first-ever driver rows: the 37 late-round-4 additions ---
         # (five partsupp-family TPC-H completions, unpivot, rolling window
@@ -4372,6 +4394,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_density": q_embedding_density,
         "brier": q_brier,
         "events_dashboard": q_events_dashboard,
+        "audience_overlap": q_audience_overlap,
+        "conversion_latency": q_conversion_latency,
         "transition_matrix": q_transition_matrix,
         # Everything ABOVE this line and below slot 50 is the round-5
         # never-driver-graded set (slots 51 onward, in the order added) —
@@ -7689,6 +7713,44 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY rank_c9 DESC, token ASC LIMIT 50
         """,
         "mmr_select": _mmr_sql(k=5, lam=0.7, pool=50),
+        "audience_overlap": """
+            WITH tu AS (SELECT DISTINCT event_type AS t, user_id AS u
+                        FROM events),
+            sizes AS (SELECT t, count(*)::BIGINT AS n FROM tu GROUP BY t),
+            bo AS (SELECT a.t AS ta, b.t AS tb, count(*)::BIGINT
+                       AS n_both
+                     FROM tu a JOIN tu b ON a.u = b.u AND a.t < b.t
+                     GROUP BY 1, 2),
+            pairs AS (SELECT sa.t AS ta, sb.t AS tb, sa.n AS n_a,
+                        sb.n AS n_b
+                      FROM sizes sa CROSS JOIN sizes sb
+                      WHERE sa.t < sb.t)
+            SELECT ta AS type_a, tb AS type_b, n_a, n_b,
+              coalesce(n_both, 0)::BIGINT AS n_both,
+              round(coalesce(n_both, 0)
+                / (n_a + n_b - coalesce(n_both, 0))::DOUBLE, 6) AS jaccard
+            FROM pairs LEFT JOIN bo USING (ta, tb)
+        """,
+        "conversion_latency": """
+            WITH s1 AS (SELECT user_id, min(ts) AS rt FROM events
+                        WHERE event_type = 'view' GROUP BY user_id),
+            s2 AS (SELECT e.user_id, min(e.ts) AS rt
+                   FROM events e JOIN s1 ON e.user_id = s1.user_id
+                                        AND e.ts > s1.rt
+                   WHERE e.event_type = 'click' GROUP BY e.user_id),
+            s3 AS (SELECT e.user_id, min(e.ts) AS rt
+                   FROM events e JOIN s2 ON e.user_id = s2.user_id
+                                        AND e.ts > s2.rt
+                   WHERE e.event_type = 'purchase' GROUP BY e.user_id),
+            lat AS (SELECT epoch_us(s3.rt) - epoch_us(s1.rt) AS us
+                    FROM s3 JOIN s1 ON s3.user_id = s1.user_id)
+            SELECT count(*)::BIGINT AS n_converted,
+              round(quantile_cont(us::DOUBLE, 0.25) / 1000000.0, 6) AS p25,
+              round(quantile_cont(us::DOUBLE, 0.50) / 1000000.0, 6) AS p50,
+              round(quantile_cont(us::DOUBLE, 0.75) / 1000000.0, 6) AS p75,
+              round(quantile_cont(us::DOUBLE, 0.90) / 1000000.0, 6) AS p90
+            FROM lat
+        """,
         # union of the verified constituent fragments: funnel chain,
         # day-spine trend (constant group), CUSUM strength, base counts
         "events_dashboard": """

@@ -207,3 +207,118 @@ def transition_matrix(
         "n",
         F.round(F.col("n").cast("double") / F.col("__t"), 6).alias("prob"),
     )
+
+
+def audience_overlap(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Audience-overlap matrix: exact Jaccard between the USER SETS of
+    every event-type pair — 'do the people who click overlap the people
+    who purchase', the segmentation question the per-event counts can't
+    answer. Ordered pairs a < b once each.
+
+    Plan: ONE distinct over (type, user) (the only corpus-sized shuffle),
+    then a user-keyed self-join bounded by each user's distinct-type
+    count (≤ #types, a constant) for intersections, and a #types-row
+    broadcast for set sizes — |a∪b| = |a|+|b|−|a∩b|, never a second
+    corpus pass. Pairs with empty intersection appear with jaccard 0 via
+    the type-pair spine (absence IS the signal for disjoint audiences).
+
+    Output: (type_a, type_b, n_a, n_b, n_both, jaccard rounded 6).
+    """
+    tu = events.select(
+        F.col(type_col).alias("t"), F.col(user_col).alias("u")
+    ).distinct()
+    sizes = tu.groupBy("t").agg(F.count(F.lit(1)).alias("n"))
+    both = (
+        tu.alias("a")
+        .join(tu.alias("b"), "u")
+        .filter(F.col("a.t") < F.col("b.t"))
+        .groupBy(F.col("a.t").alias("ta"), F.col("b.t").alias("tb"))
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    pairs = (
+        sizes.alias("sa")
+        .crossJoin(sizes.alias("sb"))
+        .filter(F.col("sa.t") < F.col("sb.t"))
+        .select(
+            F.col("sa.t").alias("ta"),
+            F.col("sb.t").alias("tb"),
+            F.col("sa.n").alias("n_a"),
+            F.col("sb.n").alias("n_b"),
+        )
+    )
+    return pairs.join(both, ["ta", "tb"], "left").select(
+        F.col("ta").alias("type_a"),
+        F.col("tb").alias("type_b"),
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        F.coalesce(F.col("n_both"), F.lit(0)).cast("bigint").alias("n_both"),
+        F.round(
+            F.coalesce(F.col("n_both"), F.lit(0))
+            / (F.col("n_a") + F.col("n_b")
+               - F.coalesce(F.col("n_both"), F.lit(0))).cast("double"),
+            6,
+        ).alias("jaccard"),
+    )
+
+
+def conversion_latency(
+    events: DataFrame,
+    steps: list[str],
+    *,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Time-to-convert distribution: for users completing the whole
+    funnel, quantiles of (last-step reach − first-step reach) in seconds
+    — the 'how long does the journey take' metric next to the funnel's
+    'how many finish it'. Reach times are the funnel's own semantics
+    (strictly-ordered min-per-step chain), so this composes rather than
+    re-derives them; quantiles are exact interpolated ``percentile``
+    (the quantile_cont portability contract) over INTEGER MICROSECOND
+    latencies (``unix_micros`` — whole-second truncation would round
+    sub-second reach times differently across engines), reported in
+    seconds.
+
+    Output: ONE row (n_converted, p25, p50, p75, p90) — latencies in
+    whole seconds, quantiles rounded 6.
+
+    Scale: the funnel chain's shrinking user-keyed joins, then ONE
+    aggregate over the converted users' latency column.
+    """
+    if len(steps) < 2:
+        raise ValueError("need at least 2 steps")
+    ev = events.select(
+        F.col(user_col).alias("u"),
+        F.col(type_col).alias("t"),
+        F.col(ts_col).alias("ts"),
+    )
+    stage = (
+        ev.filter(F.col("t") == steps[0]).groupBy("u").agg(F.min("ts").alias("rt"))
+    )
+    first = stage.select("u", F.col("rt").alias("rt0"))
+    for s in steps[1:]:
+        stage = (
+            ev.filter(F.col("t") == s)
+            .join(stage.select("u", F.col("rt").alias("prt")), "u")
+            .filter(F.col("ts") > F.col("prt"))
+            .groupBy("u")
+            .agg(F.min("ts").alias("rt"))
+        )
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))
+    lat = stage.join(first, "u").select((us("rt") - us("rt0")).alias("us"))
+    q = lambda p: F.round(
+        F.percentile(F.col("us").cast("double"), p) / F.lit(1000000.0), 6
+    )
+    return lat.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_converted"),
+        q(0.25).alias("p25"),
+        q(0.50).alias("p50"),
+        q(0.75).alias("p75"),
+        q(0.90).alias("p90"),
+    )

@@ -144,3 +144,52 @@ def test_funnel_max_gap_windowed(spark):
     ).collect()}
     assert unbounded == {1: 2, 2: 2}
     assert windowed == {1: 2, 2: 1}
+
+
+def test_audience_overlap_hand_values(spark):
+    from pyspark.sql import functions as F
+
+    from database2ogr_spark.operators.funnel import audience_overlap
+
+    # users: view {1,2,3}, click {2,3}, buy {9} (disjoint from both)
+    rows = [
+        (1, 1, "view"), (2, 2, "view"), (3, 3, "view"), (4, 2, "view"),
+        (5, 2, "click"), (6, 3, "click"),
+        (7, 9, "buy"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string"
+    ).withColumn("ts", F.current_timestamp())
+    out = {(r.type_a, r.type_b): r for r in audience_overlap(df).collect()}
+    assert len(out) == 3  # all pairs, including the disjoint one
+    r = out[("click", "view")]
+    assert (r.n_a, r.n_b, r.n_both) == (2, 3, 2)
+    assert abs(r.jaccard - 2 / 3) < 1e-6
+    rb = out[("buy", "click")]
+    assert rb.n_both == 0 and rb.jaccard == 0.0
+
+
+def test_conversion_latency_hand_values(spark):
+    from database2ogr_spark.operators.funnel import conversion_latency
+
+    rows = [
+        # user 1: view at 0, purchase at 100 -> 100s
+        (1, 1, "2024-01-01 00:00:00", "view"),
+        (2, 1, "2024-01-01 00:01:40", "purchase"),
+        # user 2: view at 0, purchase at 300 -> 300s
+        (3, 2, "2024-01-01 00:00:00", "view"),
+        (4, 2, "2024-01-01 00:05:00", "purchase"),
+        # user 3: purchase BEFORE view -> not converted
+        (5, 3, "2024-01-01 00:05:00", "view"),
+        (6, 3, "2024-01-01 00:00:00", "purchase"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts string, event_type string"
+    ).selectExpr("event_id", "user_id", "CAST(ts AS TIMESTAMP) AS ts", "event_type")
+    r = conversion_latency(df, ["view", "purchase"]).collect()[0]
+    assert r.n_converted == 2
+    assert abs(r.p50 - 200.0) < 1e-6   # interpolated median of {100, 300}
+    assert abs(r.p25 - 150.0) < 1e-6
+    import pytest as _p
+    with _p.raises(ValueError):
+        conversion_latency(df, ["view"])
