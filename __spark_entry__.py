@@ -1231,6 +1231,38 @@ def q_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return concentration_report(_t(spark, sf_dir, "documents"))
 
 
+def q_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 2-hop reach on the co-purchase graph for a deterministic
+    1/37 part sample (graph.khop_reach) — the absolute blast-radius
+    audit next to PageRank's relative centrality; the expansion walks
+    the FULL edge table but reach sets exist only for sampled sources
+    (the dense-graph audit shape — unsampled measured 101 s at
+    sf0.1)."""
+    from database2ogr_spark.operators.graph import khop_reach
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    edges = (
+        li.alias("a")
+        .join(
+            li.alias("b"),
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .distinct()
+    )
+    return khop_reach(
+        edges, hops=2, source_filter=F.col("v") % 37 == 0
+    ).withColumnRenamed("node", "part_id")
+
+
 def q_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact Jaccard between event-type user sets
     (funnel.audience_overlap): one (type,user) distinct + a per-user
@@ -4227,7 +4259,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     bootstrap_ci, funnel_windowed, trend_slope, ewma_volume,
     concentration, textrank, acf, mann_kendall, hll_distinct,
     mmr_select, kfold, iqr_anomaly_days, embedding_density, brier,
-    events_dashboard, audience_overlap, conversion_latency."""
+    events_dashboard, audience_overlap, conversion_latency,
+    khop_reach."""
     return {
         # --- (b) first-ever driver rows: the 37 late-round-4 additions ---
         # (five partsupp-family TPC-H completions, unpivot, rolling window
@@ -4396,6 +4429,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_dashboard": q_events_dashboard,
         "audience_overlap": q_audience_overlap,
         "conversion_latency": q_conversion_latency,
+        "khop_reach": q_khop_reach,
         "transition_matrix": q_transition_matrix,
         # Everything ABOVE this line and below slot 50 is the round-5
         # never-driver-graded set (slots 51 onward, in the order added) —
@@ -7713,6 +7747,21 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY rank_c9 DESC, token ASC LIMIT 50
         """,
         "mmr_select": _mmr_sql(k=5, lam=0.7, pool=50),
+        "khop_reach": """
+            WITH li AS (SELECT DISTINCT l_orderkey, l_partkey
+                        FROM lineitem),
+            e AS (SELECT DISTINCT a.l_partkey AS v, b.l_partkey AS u
+                  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+                   AND a.l_partkey <> b.l_partkey),
+            st AS (SELECT v, u FROM e WHERE v % 37 = 0),
+            f2 AS (SELECT DISTINCT f.v, g.u
+                   FROM st f JOIN e g ON f.u = g.v),
+            reach AS (SELECT DISTINCT v, u FROM
+                        (SELECT v, u FROM st
+                         UNION ALL SELECT v, u FROM f2) r)
+            SELECT v AS part_id, count(*)::BIGINT AS n_reach
+            FROM reach WHERE v <> u GROUP BY v
+        """,
         "audience_overlap": """
             WITH tu AS (SELECT DISTINCT event_type AS t, user_id AS u
                         FROM events),

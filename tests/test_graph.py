@@ -363,3 +363,21 @@ def test_triangle_count_matches_bruteforce_and_canonicalizes(spark):
             expect[y] += 1
             expect[z] += 1
     assert out == expect
+
+
+def test_khop_reach_path_graph(spark):
+    from database2ogr_spark.operators.graph import khop_reach
+
+    # directed path 1->2->3->4: 2-hop reach: 1:{2,3}, 2:{3,4}, 3:{4}
+    e = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], "src long, dst long")
+    out = {r.node: r.n_reach for r in khop_reach(e, hops=2).collect()}
+    assert out == {1: 2, 2: 2, 3: 1}
+    # 1 hop = out-degree; 3 hops reaches the whole path from node 1
+    assert {r.node: r.n_reach for r in khop_reach(e, hops=1).collect()} == {1: 1, 2: 1, 3: 1}
+    assert {r.node: r.n_reach for r in khop_reach(e, hops=3).collect()}[1] == 3
+    # cycles must not double-count or include self
+    c = spark.createDataFrame([(1, 2), (2, 1)], "src long, dst long")
+    assert {r.node: r.n_reach for r in khop_reach(c, hops=2).collect()} == {1: 1, 2: 1}
+    import pytest as _p
+    with _p.raises(ValueError):
+        khop_reach(e, hops=0)
