@@ -177,6 +177,12 @@ HEADLINE = [
     "mmr_select",
     "kfold",
     "iqr_anomaly_days",
+    "embedding_density",
+    "brier",
+    "events_dashboard",
+    "audience_overlap",
+    "conversion_latency",
+    "khop_reach",
 ]
 
 #: the queries that were in BENCH_r01 (the operative baseline — BASELINE.md:

@@ -220,18 +220,26 @@ def audience_overlap(
     who purchase', the segmentation question the per-event counts can't
     answer. Ordered pairs a < b once each.
 
-    Plan: ONE distinct over (type, user) (the only corpus-sized shuffle),
-    then a user-keyed self-join bounded by each user's distinct-type
-    count (≤ #types, a constant) for intersections, and a #types-row
-    broadcast for set sizes — |a∪b| = |a|+|b|−|a∩b|, never a second
-    corpus pass. Pairs with empty intersection appear with jaccard 0 via
-    the type-pair spine (absence IS the signal for disjoint audiences).
+    Plan: ONE distinct over (type, user) (the only corpus-sized
+    shuffle), PERSISTED because three branches reuse it (sizes, both
+    self-join sides — unpersisted it re-executed the corpus distinct
+    per branch: 8 exchanges, measured; callers clearCache when done,
+    the dedup-operator contract), then a user-keyed self-join bounded
+    by each user's distinct-type count (≤ #types, a constant) for
+    intersections, and a #types-row broadcast for set sizes —
+    |a∪b| = |a|+|b|−|a∩b|, never a second corpus pass. Pairs with
+    empty intersection appear with jaccard 0 via the type-pair spine
+    (absence IS the signal for disjoint audiences).
 
     Output: (type_a, type_b, n_a, n_b, n_both, jaccard rounded 6).
     """
-    tu = events.select(
-        F.col(type_col).alias("t"), F.col(user_col).alias("u")
-    ).distinct()
+    from pyspark import StorageLevel
+
+    tu = (
+        events.select(F.col(type_col).alias("t"), F.col(user_col).alias("u"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     sizes = tu.groupBy("t").agg(F.count(F.lit(1)).alias("n"))
     both = (
         tu.alias("a")

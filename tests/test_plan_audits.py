@@ -517,9 +517,36 @@ def test_round5_timeseries_shuffle_budgets(spark, name, max_shuffles):
     assert n <= max_shuffles, f"{name}: {n} shuffles (budget {max_shuffles})\n{plan}"
 
 
+def test_audience_overlap_distinct_is_cached_once(spark):
+    # the (type,user) distinct must be persisted and reused by every
+    # branch — without it the corpus distinct re-executed per branch
+    plan = _plan(spark, "audience_overlap")
+    assert plan.count("InMemoryTableScan") >= 3, plan
+
+
 def test_kfold_scan_prunes_to_needed_columns(spark):
     # fold assignment must not drag the text column through the shuffle
     plan = _plan(spark, "kfold")
     for schema in _read_schemas(plan):
         got = {c.split(":")[0] for c in schema.split(",")}
         assert got <= {"doc_id", "lang"}, schema
+
+
+@pytest.mark.parametrize(
+    "name,max_shuffles",
+    [
+        # the corpus-sized work is the ONE persisted (type,user)
+        # distinct (InMemoryTableScan reuse pinned below); the other
+        # exchanges move #types- and #users-distinct-row tables only
+        ("audience_overlap", 8),
+        # block-matmul pair kernel (one B-replicated shuffle) + explode
+        # count + node left join
+        ("embedding_density", 4),
+    ],
+)
+def test_round5_events_embedding_budgets(spark, name, max_shuffles):
+    plan = _plan(spark, name)
+    n = plan.count("Exchange hashpartitioning") + plan.count(
+        "Exchange rangepartitioning"
+    )
+    assert n <= max_shuffles, f"{name}: {n} shuffles (budget {max_shuffles})\n{plan}"
