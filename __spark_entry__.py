@@ -1231,6 +1231,19 @@ def q_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return concentration_report(_t(spark, sf_dir, "documents"))
 
 
+def q_rolling_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day WAU via merged HLL registers
+    (sketches.rolling_hll_users) — the mergeable-sketch scale path for
+    trailing distinct users, graded per window against the exact fan-out
+    twin it replaces at 100 TB."""
+    from database2ogr_spark.operators.sketches import rolling_hll_users
+
+    return rolling_hll_users(
+        read_events(spark, os.path.join(sf_dir, "events.parquet")),
+        window_days=7,
+    )
+
+
 def q_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 2-hop reach on the co-purchase graph for a deterministic
     1/37 part sample (graph.khop_reach) — the absolute blast-radius
@@ -4260,7 +4273,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     concentration, textrank, acf, mann_kendall, hll_distinct,
     mmr_select, kfold, iqr_anomaly_days, embedding_density, brier,
     events_dashboard, audience_overlap, conversion_latency,
-    khop_reach."""
+    khop_reach, rolling_hll_users."""
     return {
         # --- (b) first-ever driver rows: the 37 late-round-4 additions ---
         # (five partsupp-family TPC-H completions, unpivot, rolling window
@@ -4430,6 +4443,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audience_overlap": q_audience_overlap,
         "conversion_latency": q_conversion_latency,
         "khop_reach": q_khop_reach,
+        "rolling_hll_users": q_rolling_hll_users,
         "transition_matrix": q_transition_matrix,
         # Everything ABOVE this line and below slot 50 is the round-5
         # never-driver-graded set (slots 51 onward, in the order added) —
@@ -7747,6 +7761,55 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY rank_c9 DESC, token ASC LIMIT 50
         """,
         "mmr_select": _mmr_sql(k=5, lam=0.7, pool=50),
+        # per-(day, register) max -> windowed register merge -> the same
+        # HUGEINT-exact harmonic estimate as hll_distinct; exact twin
+        # rides along for the per-window error column
+        "rolling_hll_users": """
+            WITH hh AS (SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT)
+                          AS d,
+                          ('0x' || substr(md5('7' || chr(31)
+                            || user_id::VARCHAR), 1, 15))::BIGINT AS h
+                        FROM events),
+            hr AS (SELECT d, h % 256 AS reg, h // 256 AS rest FROM hh),
+            dr AS (SELECT d, reg, max(53 - CASE WHEN rest > 0
+                     THEN length(bin(rest)) ELSE 0 END) AS mj
+                   FROM hr GROUP BY d, reg),
+            fan AS (SELECT unnest(range(d, d + 7)) AS e, reg, mj FROM dr),
+            wr AS (SELECT e, reg, max(mj) AS mj FROM fan GROUP BY e, reg),
+            agg AS (SELECT e, sum(1::BIGINT << (61 - mj)) AS np,
+                      count(*)::BIGINT AS cnt
+                    FROM wr GROUP BY e),
+            du AS (SELECT DISTINCT CAST(floor(epoch(ts) / 86400)
+                     AS BIGINT) AS d, user_id AS u FROM events),
+            b AS (SELECT min(d) AS lo, max(d) AS hi FROM du),
+            f2 AS (SELECT unnest(range(d, d + 7)) AS e, u FROM du),
+            cx AS (SELECT e, count(DISTINCT u)::BIGINT AS n
+                   FROM f2 GROUP BY e),
+            sp AS (SELECT unnest(range(lo, hi + 1)) AS e FROM b),
+            ex AS (SELECT sp.e AS wd, coalesce(cx.n, 0)::BIGINT AS n_users
+                   FROM sp LEFT JOIN cx ON sp.e = cx.e),
+            j AS (SELECT ex.wd, ex.n_users,
+                    coalesce(agg.np::HUGEINT
+                      + (256 - agg.cnt)::HUGEINT
+                        * (1::BIGINT << 61)::HUGEINT,
+                      256::HUGEINT * (1::BIGINT << 61)::HUGEINT) AS num,
+                    coalesce(256 - agg.cnt, 256)::BIGINT AS v0
+                  FROM ex LEFT JOIN agg ON ex.wd = agg.e),
+            est AS (SELECT wd, n_users, v0,
+                      round(CASE WHEN (0.7213 / (1.0 + 1.079 / 256.0))
+                              * 256.0 * 256.0 * 2305843009213693952.0
+                              / num::DOUBLE <= 640.0 AND v0 > 0
+                            THEN 256.0 * ln(256.0 / v0::DOUBLE)
+                            ELSE (0.7213 / (1.0 + 1.079 / 256.0))
+                              * 256.0 * 256.0 * 2305843009213693952.0
+                              / num::DOUBLE END, 6) AS estimate
+                    FROM j)
+            SELECT wd AS window_end_day, n_users, estimate,
+              round(CASE WHEN n_users > 0
+                    THEN abs(estimate - n_users) / n_users::DOUBLE END,
+                6) AS rel_error
+            FROM est
+        """,
         "khop_reach": """
             WITH li AS (SELECT DISTINCT l_orderkey, l_partkey
                         FROM lineitem),

@@ -183,6 +183,7 @@ HEADLINE = [
     "audience_overlap",
     "conversion_latency",
     "khop_reach",
+    "rolling_hll_users",
 ]
 
 #: the queries that were in BENCH_r01 (the operative baseline — BASELINE.md:

@@ -306,3 +306,117 @@ def hll_distinct(
             F.col("v0").alias("zero_registers"),
         )
     )
+
+
+def rolling_hll_users(
+    events: DataFrame,
+    *,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    window_days: int = 7,
+    p: int = 8,
+    seed: int = 7,
+) -> DataFrame:
+    """Rolling WAU/MAU via MERGED HyperLogLog registers — the 100 TB
+    path for trailing-window distinct users, where the exact fan-out
+    (:func:`timeseries.rolling_distinct_users`) ships every (day, user)
+    pair ×w: registers merge by per-register MAX, so each day stores 2^p
+    integers and a w-day window is a ×w fan of 2^p-row register tables,
+    INDEPENDENT of user cardinality. Same deterministic machinery as
+    :func:`hll_distinct` (bin()-bitlength rho, DECIMAL-exact harmonic
+    numerator, linear-counting small range), so the replay is drift-free.
+
+    The report joins the EXACT rolling count per day (the audit this
+    sketch replaces at scale) with the estimate and relative error —
+    sketch quality is graded per window, not just once.
+
+    Output: (window_end_day, n_users, estimate, rel_error) — one row per
+    day in the observed range; rel_error NULL on zero-user windows.
+
+    Scale: one hash per event, ONE (day, register)-keyed max (the only
+    corpus-sized shuffle), then ×w fan on #days·2^p rows; the exact twin
+    riding along is the expensive half and exists for the audit column.
+    """
+    if not 4 <= p <= 16:
+        raise ValueError("p must be in [4, 16]")
+    if window_days < 1:
+        raise ValueError("window_days must be >= 1")
+    from database2ogr_spark.operators.timeseries import rolling_distinct_users
+
+    m = 1 << p
+    w = 60 - p
+    day = F.floor(F.unix_timestamp(F.col(ts_col)) / F.lit(86400)).cast("long")
+    h = stable_hash64(F.col(user_col).cast("string"), seed=seed)
+    hashed = events.select(
+        day.alias("d"), (h % m).alias("reg"), F.shiftright(h, p).alias("rest")
+    )
+    rho = (
+        F.lit(w + 1)
+        - F.when(F.col("rest") > 0, F.length(F.bin(F.col("rest")))).otherwise(
+            F.lit(0)
+        )
+    ).alias("rho")
+    day_regs = (
+        hashed.select("d", "reg", rho)
+        .groupBy("d", "reg")
+        .agg(F.max("rho").alias("mj"))
+    )
+    fanned = day_regs.select(
+        F.explode(
+            F.sequence(F.col("d"), F.col("d") + F.lit(window_days - 1))
+        ).alias("e"),
+        "reg",
+        "mj",
+    )
+    win_regs = fanned.groupBy("e", "reg").agg(F.max("mj").alias("mj"))
+    two61 = F.lit(1 << 61).cast("decimal(38,0)")
+    agg = win_regs.groupBy("e").agg(
+        F.sum(
+            F.expr("CAST(shiftleft(CAST(1 AS BIGINT), 61 - mj) AS DECIMAL(38,0))")
+        ).alias("num_present"),
+        F.count(F.lit(1)).alias("cnt"),
+    ).select(
+        "e",
+        (
+            F.col("num_present")
+            + (F.lit(m) - F.col("cnt")).cast("decimal(38,0)") * two61
+        ).alias("num"),
+        (F.lit(m) - F.col("cnt")).cast("bigint").alias("v0"),
+    )
+    exact = rolling_distinct_users(
+        events, ts_col=ts_col, user_col=user_col, window_days=window_days
+    )
+    joined = exact.join(
+        agg, exact.window_end_day == agg.e, "left"
+    ).select(
+        "window_end_day",
+        "n_users",
+        # a day with no sketch rows is an all-zero register bank
+        F.coalesce(F.col("num"), (F.lit(m).cast("decimal(38,0)") * two61)).alias("num"),
+        F.coalesce(F.col("v0"), F.lit(m)).cast("bigint").alias("v0"),
+    )
+    alpha = F.lit(0.7213) / (F.lit(1.0) + F.lit(1.079) / F.lit(float(m)))
+    e_raw = (
+        alpha
+        * F.lit(float(m))
+        * F.lit(float(m))
+        * F.lit(float(1 << 61))
+        / F.col("num").cast("double")
+    )
+    est = F.when(
+        (e_raw <= F.lit(2.5 * m)) & (F.col("v0") > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("v0").cast("double")),
+    ).otherwise(e_raw)
+    return joined.select(
+        "window_end_day",
+        "n_users",
+        F.round(est, 6).alias("estimate"),
+        F.round(
+            F.when(
+                F.col("n_users") > 0,
+                F.abs(F.round(est, 6) - F.col("n_users"))
+                / F.col("n_users").cast("double"),
+            ),
+            6,
+        ).alias("rel_error"),
+    )

@@ -153,3 +153,44 @@ def test_hll_distinct_merge_equivalence(spark):
     # union of shards is exactly "the concatenated data" — per-register
     # max over the union equals max of per-shard maxes by associativity
     assert r.rel_error < 0.20
+
+
+def test_rolling_hll_users_tracks_exact(spark):
+    import pytest as _p
+
+    from database2ogr_spark.operators.sketches import rolling_hll_users
+
+    # 3 days, 300 users/day with 150 overlapping across adjacent days
+    rows = []
+    eid = 0
+    for d in range(3):
+        for u in range(d * 150, d * 150 + 300):
+            rows.append((eid, d * 86400 + 5, u)); eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, sec long, user_id long"
+    ).selectExpr("event_id", "CAST(sec AS TIMESTAMP) AS ts", "user_id")
+    out = {r.window_end_day: r for r in rolling_hll_users(df, window_days=2).collect()}
+    assert out[0].n_users == 300 and out[1].n_users == 450 and out[2].n_users == 450
+    for d in (0, 1, 2):
+        assert out[d].rel_error < 0.25, (d, out[d])
+    # determinism
+    again = {r.window_end_day: r.estimate for r in rolling_hll_users(df, window_days=2).collect()}
+    assert {d: r.estimate for d, r in out.items()} == again
+    with _p.raises(ValueError):
+        rolling_hll_users(df, window_days=0)
+    with _p.raises(ValueError):
+        rolling_hll_users(df, p=2)
+
+
+def test_rolling_hll_users_zero_user_gap_day(spark):
+    from database2ogr_spark.operators.sketches import rolling_hll_users
+
+    # activity on days 0 and 3 only, window 1: days 1,2 have zero users
+    rows = [(1, 5, 10), (2, 3 * 86400 + 5, 11)]
+    df = spark.createDataFrame(
+        rows, "event_id long, sec long, user_id long"
+    ).selectExpr("event_id", "CAST(sec AS TIMESTAMP) AS ts", "user_id")
+    out = {r.window_end_day: r for r in rolling_hll_users(df, window_days=1).collect()}
+    assert out[1].n_users == 0 and out[1].estimate == 0.0
+    assert out[1].rel_error is None
+    assert out[0].n_users == 1 and abs(out[0].estimate - 1.0) < 0.1
