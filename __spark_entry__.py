@@ -1231,6 +1231,15 @@ def q_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return concentration_report(_t(spark, sf_dir, "documents"))
 
 
+def q_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly churn report (funnel.churn_weekly): last week's actives
+    who did not return, by inclusion-exclusion off one (week,user)
+    distinct — the loss-side twin of retention_cohorts."""
+    from database2ogr_spark.operators.funnel import churn_weekly
+
+    return churn_weekly(read_events(spark, os.path.join(sf_dir, "events.parquet")))
+
+
 def q_rolling_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling 7-day WAU via merged HLL registers
     (sketches.rolling_hll_users) — the mergeable-sketch scale path for
@@ -4273,7 +4282,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     concentration, textrank, acf, mann_kendall, hll_distinct,
     mmr_select, kfold, iqr_anomaly_days, embedding_density, brier,
     events_dashboard, audience_overlap, conversion_latency,
-    khop_reach, rolling_hll_users."""
+    khop_reach, rolling_hll_users, churn."""
     return {
         # --- (b) first-ever driver rows: the 37 late-round-4 additions ---
         # (five partsupp-family TPC-H completions, unpivot, rolling window
@@ -4444,6 +4453,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conversion_latency": q_conversion_latency,
         "khop_reach": q_khop_reach,
         "rolling_hll_users": q_rolling_hll_users,
+        "churn": q_churn,
         "transition_matrix": q_transition_matrix,
         # Everything ABOVE this line and below slot 50 is the round-5
         # never-driver-graded set (slots 51 onward, in the order added) —
@@ -7761,6 +7771,32 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY rank_c9 DESC, token ASC LIMIT 50
         """,
         "mmr_select": _mmr_sql(k=5, lam=0.7, pool=50),
+        "churn": """
+            WITH wu AS (SELECT DISTINCT
+                          CAST(floor(floor(epoch(ts) / 86400) / 7)
+                            AS BIGINT) AS w,
+                          user_id AS u
+                        FROM events),
+            act AS (SELECT w, count(*)::BIGINT AS n FROM wu GROUP BY w),
+            bo AS (SELECT b.w, count(*)::BIGINT AS n_retained
+                   FROM wu a JOIN wu b ON a.u = b.u AND b.w = a.w + 1
+                   GROUP BY b.w),
+            bd AS (SELECT min(w) AS lo, max(w) AS hi FROM wu),
+            sp AS (SELECT unnest(range(lo + 1, hi + 1)) AS w FROM bd),
+            pv AS (SELECT w + 1 AS w, n AS n_prev FROM act)
+            SELECT sp.w AS week,
+              coalesce(pv.n_prev, 0)::BIGINT AS n_prev,
+              coalesce(bo.n_retained, 0)::BIGINT AS n_retained,
+              (coalesce(pv.n_prev, 0)
+                - coalesce(bo.n_retained, 0))::BIGINT AS n_churned,
+              round(CASE WHEN coalesce(pv.n_prev, 0) > 0
+                    THEN (coalesce(pv.n_prev, 0)
+                      - coalesce(bo.n_retained, 0))
+                      / coalesce(pv.n_prev, 0)::DOUBLE END, 6)
+                AS churn_rate
+            FROM sp LEFT JOIN pv ON sp.w = pv.w
+            LEFT JOIN bo ON sp.w = bo.w
+        """,
         # per-(day, register) max -> windowed register merge -> the same
         # HUGEINT-exact harmonic estimate as hll_distinct; exact twin
         # rides along for the per-window error column

@@ -184,6 +184,7 @@ HEADLINE = [
     "conversion_latency",
     "khop_reach",
     "rolling_hll_users",
+    "churn",
 ]
 
 #: the queries that were in BENCH_r01 (the operative baseline — BASELINE.md:

@@ -330,3 +330,74 @@ def conversion_latency(
         q(0.75).alias("p75"),
         q(0.90).alias("p90"),
     )
+
+
+def churn_weekly(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Weekly churn: for every epoch-week with a predecessor in the
+    observed range, how many of the previous week's active users did
+    NOT return — the retention dashboard's loss-side twin (cohort
+    retention answers 'of the week-0 cohort, who is left'; churn
+    answers 'of last week's actives, who left NOW'). Integer epoch-week
+    arithmetic (floor(epoch_day / 7) — the retention_cohorts
+    convention, no calendar functions).
+
+    n_churned = n_prev − n_retained by inclusion-exclusion: ONE distinct
+    over (week, user) (the only corpus-sized shuffle), one self-join
+    shifted by a week for the retained counts, two #weeks-row joins on
+    the week spine. Weeks with zero actives count as full churn of the
+    predecessor (n_retained 0) and an empty base for the next row —
+    rate NULL when the base week is empty.
+
+    Output: (week, n_prev, n_retained, n_churned, churn_rate rounded 6).
+    """
+    week = (
+        F.floor(F.floor(F.unix_timestamp(F.col(ts_col)) / F.lit(86400)) / F.lit(7))
+    ).cast("long")
+    wu = events.select(week.alias("w"), F.col(user_col).alias("u")).distinct()
+    act = wu.groupBy("w").agg(F.count(F.lit(1)).alias("n"))
+    both = (
+        wu.alias("a")
+        .join(
+            wu.alias("b"),
+            (F.col("a.u") == F.col("b.u"))
+            & (F.col("b.w") == F.col("a.w") + 1),
+        )
+        .groupBy(F.col("b.w").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_retained"))
+    )
+    bounds = wu.agg(F.min("w").alias("lo"), F.max("w").alias("hi"))
+    spine = bounds.select(
+        F.explode(F.sequence(F.col("lo") + 1, F.col("hi"))).alias("w")
+    )
+    prev = act.select((F.col("w") + 1).alias("w"), F.col("n").alias("n_prev"))
+    return (
+        spine.join(prev, "w", "left")
+        .join(both, "w", "left")
+        .select(
+            F.col("w").alias("week"),
+            F.coalesce(F.col("n_prev"), F.lit(0)).cast("bigint").alias("n_prev"),
+            F.coalesce(F.col("n_retained"), F.lit(0))
+            .cast("bigint")
+            .alias("n_retained"),
+            (
+                F.coalesce(F.col("n_prev"), F.lit(0))
+                - F.coalesce(F.col("n_retained"), F.lit(0))
+            ).cast("bigint").alias("n_churned"),
+            F.round(
+                F.when(
+                    F.coalesce(F.col("n_prev"), F.lit(0)) > 0,
+                    (
+                        F.coalesce(F.col("n_prev"), F.lit(0))
+                        - F.coalesce(F.col("n_retained"), F.lit(0))
+                    )
+                    / F.coalesce(F.col("n_prev"), F.lit(0)).cast("double"),
+                ),
+                6,
+            ).alias("churn_rate"),
+        )
+    )

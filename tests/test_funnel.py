@@ -193,3 +193,37 @@ def test_conversion_latency_hand_values(spark):
     import pytest as _p
     with _p.raises(ValueError):
         conversion_latency(df, ["view"])
+
+
+def test_churn_weekly_hand_values(spark):
+    from database2ogr_spark.operators.funnel import churn_weekly
+
+    # week 0: users {1,2,3}; week 1: {2,3,4}; week 2: {9}
+    rows = []
+    eid = 0
+    for w, users in [(0, [1, 2, 3]), (1, [2, 3, 4]), (2, [9])]:
+        for u in users:
+            rows.append((eid, w * 7 * 86400 + 50, u)); eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, sec long, user_id long"
+    ).selectExpr("event_id", "CAST(sec AS TIMESTAMP) AS ts", "user_id")
+    out = {r.week: r for r in churn_weekly(df).collect()}
+    assert set(out) == {1, 2}
+    assert (out[1].n_prev, out[1].n_retained, out[1].n_churned) == (3, 2, 1)
+    assert abs(out[1].churn_rate - 1 / 3) < 1e-6
+    assert (out[2].n_prev, out[2].n_retained, out[2].n_churned) == (3, 0, 3)
+    assert out[2].churn_rate == 1.0
+
+
+def test_churn_weekly_gap_week_null_rate(spark):
+    from database2ogr_spark.operators.funnel import churn_weekly
+
+    # activity in weeks 0 and 2 only: week 1 churns everyone, week 2's
+    # base (week 1) is empty -> NULL rate
+    rows = [(1, 50, 7), (2, 2 * 7 * 86400 + 50, 8)]
+    df = spark.createDataFrame(
+        rows, "event_id long, sec long, user_id long"
+    ).selectExpr("event_id", "CAST(sec AS TIMESTAMP) AS ts", "user_id")
+    out = {r.week: r for r in churn_weekly(df).collect()}
+    assert out[1].n_prev == 1 and out[1].churn_rate == 1.0
+    assert out[2].n_prev == 0 and out[2].churn_rate is None
