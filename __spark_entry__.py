@@ -1258,7 +1258,7 @@ def q_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     1/37 part sample (graph.khop_reach) — the absolute blast-radius
     audit next to PageRank's relative centrality; the expansion walks
     the FULL edge table but reach sets exist only for sampled sources
-    (the dense-graph audit shape — unsampled measured 101 s at
+    (the dense-graph audit shape — unsampled measured 101 s, sampled 3.9 s at
     sf0.1)."""
     from database2ogr_spark.operators.graph import khop_reach
 

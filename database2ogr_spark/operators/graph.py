@@ -582,7 +582,7 @@ def khop_reach(
     table, but frontiers and the distinct reach sets exist only for the
     sampled sources — on a dense graph the reach table is |sources| ×
     avg_reach, so sampling is the difference between an audit and a
-    full materialization (measured 101 s → 3 s at sf0.1 on the
+    full materialization (measured 101 s → 3.9 s at sf0.1 on the
     co-purchase graph with a 1/37 sample).
 
     Output: (node, n_reach) — one row per (sampled) node with
