@@ -1231,6 +1231,18 @@ def q_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return concentration_report(_t(spark, sf_dir, "documents"))
 
 
+def q_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV-sketch audience Jaccard (sketches.kmv_audience_jaccard,
+    k=256) with the exact inclusion-exclusion audit per pair — the
+    set-intersection sketch HLL cannot be; integer hashes/ranks/ratios
+    only, deterministic by construction."""
+    from database2ogr_spark.operators.sketches import kmv_audience_jaccard
+
+    return kmv_audience_jaccard(
+        read_events(spark, os.path.join(sf_dir, "events.parquet")), k=256
+    )
+
+
 def q_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly churn report (funnel.churn_weekly): last week's actives
     who did not return, by inclusion-exclusion off one (week,user)
@@ -4282,7 +4294,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     concentration, textrank, acf, mann_kendall, hll_distinct,
     mmr_select, kfold, iqr_anomaly_days, embedding_density, brier,
     events_dashboard, audience_overlap, conversion_latency,
-    khop_reach, rolling_hll_users, churn."""
+    khop_reach, rolling_hll_users, churn, kmv_jaccard."""
     return {
         # --- (b) first-ever driver rows: the 37 late-round-4 additions ---
         # (five partsupp-family TPC-H completions, unpivot, rolling window
@@ -4454,6 +4466,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "khop_reach": q_khop_reach,
         "rolling_hll_users": q_rolling_hll_users,
         "churn": q_churn,
+        "kmv_jaccard": q_kmv_jaccard,
         "transition_matrix": q_transition_matrix,
         # Everything ABOVE this line and below slot 50 is the round-5
         # never-driver-graded set (slots 51 onward, in the order added) —
@@ -7771,6 +7784,55 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY rank_c9 DESC, token ASC LIMIT 50
         """,
         "mmr_select": _mmr_sql(k=5, lam=0.7, pool=50),
+        # k-minimum-values replay: distinct hashes, per-type k smallest,
+        # pair-merged rank<=k, match fraction; exact twin rides along
+        "kmv_jaccard": """
+            WITH tu AS (SELECT DISTINCT event_type AS t, user_id AS u
+                        FROM events),
+            th AS (SELECT DISTINCT t,
+                     ('0x' || substr(md5('7' || chr(31) || u::VARCHAR),
+                       1, 15))::BIGINT AS h
+                   FROM tu),
+            kmin AS (SELECT t, h FROM
+                       (SELECT t, h, row_number() OVER
+                          (PARTITION BY t ORDER BY h ASC) AS rn
+                        FROM th) r WHERE rn <= 256),
+            types AS (SELECT DISTINCT t FROM tu),
+            spine AS (SELECT a.t AS ta, b.t AS tb
+                      FROM types a CROSS JOIN types b WHERE a.t < b.t),
+            sides AS (SELECT ta, tb, h, 1 AS flag
+                      FROM spine JOIN kmin ON kmin.t = spine.ta
+                      UNION ALL
+                      SELECT ta, tb, h, 2
+                      FROM spine JOIN kmin ON kmin.t = spine.tb),
+            merged AS (SELECT ta, tb, h, sum(flag) AS fl
+                       FROM sides GROUP BY 1, 2, 3),
+            ranked AS (SELECT * FROM
+                         (SELECT *, row_number() OVER
+                            (PARTITION BY ta, tb ORDER BY h ASC) AS rn
+                          FROM merged) r WHERE rn <= 256),
+            est AS (SELECT ta, tb, count(*)::BIGINT AS k_used,
+                      sum(CASE WHEN fl = 3 THEN 1 ELSE 0 END)::BIGINT
+                        AS n_match
+                    FROM ranked GROUP BY 1, 2),
+            sizes AS (SELECT t, count(*)::BIGINT AS n FROM tu GROUP BY t),
+            bo AS (SELECT x.t AS ta, y.t AS tb, count(*)::BIGINT AS nb
+                   FROM tu x JOIN tu y ON x.u = y.u AND x.t < y.t
+                   GROUP BY 1, 2),
+            exact AS (SELECT sa.t AS ta, sb.t AS tb,
+                        round(coalesce(bo.nb, 0)
+                          / (sa.n + sb.n - coalesce(bo.nb, 0))::DOUBLE, 6)
+                          AS jaccard_exact
+                      FROM sizes sa CROSS JOIN sizes sb
+                      LEFT JOIN bo ON bo.ta = sa.t AND bo.tb = sb.t
+                      WHERE sa.t < sb.t)
+            SELECT e.ta AS type_a, e.tb AS type_b, e.k_used, e.n_match,
+              round(e.n_match / e.k_used::DOUBLE, 6) AS jaccard_est,
+              x.jaccard_exact,
+              round(abs(round(e.n_match / e.k_used::DOUBLE, 6)
+                - x.jaccard_exact), 6) AS abs_error
+            FROM est e JOIN exact x ON e.ta = x.ta AND e.tb = x.tb
+        """,
         "churn": """
             WITH wu AS (SELECT DISTINCT
                           CAST(floor(floor(epoch(ts) / 86400) / 7)

@@ -185,6 +185,7 @@ HEADLINE = [
     "khop_reach",
     "rolling_hll_users",
     "churn",
+    "kmv_jaccard",
 ]
 
 #: the queries that were in BENCH_r01 (the operative baseline — BASELINE.md:

@@ -24,8 +24,10 @@ from __future__ import annotations
 
 from functools import reduce
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from database2ogr_spark.functions.hashing import stable_hash64
 
@@ -419,4 +421,119 @@ def rolling_hll_users(
             ),
             6,
         ).alias("rel_error"),
+    )
+
+
+def kmv_audience_jaccard(
+    events: DataFrame,
+    *,
+    k: int = 256,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    seed: int = 7,
+) -> DataFrame:
+    """KMV (k-minimum-values) sketch Jaccard between event-type
+    audiences — the set-INTERSECTION sketch HLL cannot be (inclusion-
+    exclusion on HLLs explodes the error; the KMV/theta family estimates
+    overlap directly, public Beyer et al. 2007 / the theta-sketch
+    lineage): per type keep the k smallest 60-bit user hashes; for a
+    pair, the k smallest of the union form the combined sample and the
+    fraction present in BOTH sets estimates Jaccard. Everything is
+    integer hashes, ranks, and exact ratios — deterministic and
+    replayable cross-engine by construction (no float accumulation
+    anywhere).
+
+    The report joins the EXACT Jaccard (the audience_overlap
+    inclusion-exclusion audit this sketch replaces at scale) so sketch
+    quality is graded per pair. Sketches merge: a shard's k-set unions
+    with another's and re-trims — the mergeability contract of the
+    count-min/HLL siblings.
+
+    Output: (type_a, type_b, k_used, n_match, jaccard_est,
+    jaccard_exact, abs_error), one row per unordered type pair.
+
+    Scale: ONE (type, user) distinct is the corpus-sized work (shared
+    shape with audience_overlap); the per-type k-smallest is a
+    type-partitioned window on distinct hashes; everything pairwise
+    runs on ≤ 2k·#types² rows.
+    """
+    if k < 8:
+        raise ValueError("k must be >= 8")
+    tu = events.select(
+        F.col(type_col).alias("t"), F.col(user_col).alias("u")
+    ).distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    h = stable_hash64(F.col("u").cast("string"), seed=seed)
+    th = tu.select("t", h.alias("h")).distinct()
+    w = Window.partitionBy("t").orderBy(F.col("h").asc())
+    kmin = th.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= k
+    ).select("t", "h")
+    types = tu.select("t").distinct()
+    spine = (
+        types.alias("a")
+        .crossJoin(types.alias("b"))
+        .filter(F.col("a.t") < F.col("b.t"))
+        .select(F.col("a.t").alias("ta"), F.col("b.t").alias("tb"))
+    )
+    sides = (
+        spine.join(kmin.withColumnRenamed("t", "ta"), "ta").select(
+            "ta", "tb", "h", F.lit(1).alias("flag")
+        )
+    ).union(
+        spine.join(kmin.withColumnRenamed("t", "tb"), "tb").select(
+            "ta", "tb", "h", F.lit(2).alias("flag")
+        )
+    )
+    merged = sides.groupBy("ta", "tb", "h").agg(F.sum("flag").alias("fl"))
+    wp = Window.partitionBy("ta", "tb").orderBy(F.col("h").asc())
+    ranked = merged.withColumn("rn", F.row_number().over(wp)).filter(
+        F.col("rn") <= k
+    )
+    est = ranked.groupBy("ta", "tb").agg(
+        F.count(F.lit(1)).cast("bigint").alias("k_used"),
+        F.sum(F.when(F.col("fl") == 3, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_match"),
+    )
+    # exact audit: inclusion-exclusion off the same persisted distinct
+    sizes = tu.groupBy("t").agg(F.count(F.lit(1)).alias("n"))
+    both = (
+        tu.alias("x")
+        .join(tu.alias("y"), "u")
+        .filter(F.col("x.t") < F.col("y.t"))
+        .groupBy(F.col("x.t").alias("ta"), F.col("y.t").alias("tb"))
+        .agg(F.count(F.lit(1)).alias("nb"))
+    )
+    exact = (
+        sizes.alias("sa")
+        .crossJoin(sizes.alias("sb"))
+        .filter(F.col("sa.t") < F.col("sb.t"))
+        .select(
+            F.col("sa.t").alias("ta"),
+            F.col("sb.t").alias("tb"),
+            F.col("sa.n").alias("na"),
+            F.col("sb.n").alias("nbb"),
+        )
+        .join(both, ["ta", "tb"], "left")
+        .select(
+            "ta",
+            "tb",
+            F.round(
+                F.coalesce(F.col("nb"), F.lit(0))
+                / (
+                    F.col("na") + F.col("nbb") - F.coalesce(F.col("nb"), F.lit(0))
+                ).cast("double"),
+                6,
+            ).alias("jaccard_exact"),
+        )
+    )
+    je = F.round(F.col("n_match") / F.col("k_used").cast("double"), 6)
+    return est.join(exact, ["ta", "tb"]).select(
+        F.col("ta").alias("type_a"),
+        F.col("tb").alias("type_b"),
+        "k_used",
+        "n_match",
+        je.alias("jaccard_est"),
+        "jaccard_exact",
+        F.round(F.abs(je - F.col("jaccard_exact")), 6).alias("abs_error"),
     )

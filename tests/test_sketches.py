@@ -194,3 +194,39 @@ def test_rolling_hll_users_zero_user_gap_day(spark):
     assert out[1].n_users == 0 and out[1].estimate == 0.0
     assert out[1].rel_error is None
     assert out[0].n_users == 1 and abs(out[0].estimate - 1.0) < 0.1
+
+
+def test_kmv_jaccard_small_sets_exact_and_bounded_error(spark):
+    import pytest as _p
+
+    from database2ogr_spark.operators.sketches import kmv_audience_jaccard
+
+    # audiences smaller than k: the k-set IS the full set -> exact
+    rows = []
+    eid = 0
+    for u in range(30):
+        rows.append((eid, "a", u)); eid += 1
+    for u in range(15, 45):
+        rows.append((eid, "b", u)); eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, event_type string, user_id long"
+    ).withColumn("ts", F.current_timestamp())
+    r = kmv_audience_jaccard(df, k=256).collect()[0]
+    # |a|=30 |b|=30 |both|=15 -> J = 15/45
+    assert abs(r.jaccard_exact - 15 / 45) < 1e-6
+    assert r.abs_error < 1e-9  # full sets inside the sketch
+    # large audiences: error bounded by the sketch envelope
+    big = []
+    eid = 0
+    for u in range(3000):
+        big.append((eid, "a", u)); eid += 1
+    for u in range(1000, 4000):
+        big.append((eid, "b", u)); eid += 1
+    bdf = spark.createDataFrame(
+        big, "event_id long, event_type string, user_id long"
+    ).withColumn("ts", F.current_timestamp())
+    rb = kmv_audience_jaccard(bdf, k=256).collect()[0]
+    assert abs(rb.jaccard_exact - 2000 / 4000) < 1e-6
+    assert rb.abs_error < 0.12, rb
+    with _p.raises(ValueError):
+        kmv_audience_jaccard(df, k=4)
