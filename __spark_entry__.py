@@ -1231,6 +1231,15 @@ def q_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return concentration_report(_t(spark, sf_dir, "documents"))
 
 
+def q_hourly_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day traffic shape + chi-square uniformity flag
+    (timeseries.hourly_profile) — the 'is this stream organic' audit;
+    24-key agg, everything else on 24 rows."""
+    from database2ogr_spark.operators.timeseries import hourly_profile
+
+    return hourly_profile(_t(spark, sf_dir, "events"))
+
+
 def q_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV-sketch audience Jaccard (sketches.kmv_audience_jaccard,
     k=256) with the exact inclusion-exclusion audit per pair — the
@@ -4294,7 +4303,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     concentration, textrank, acf, mann_kendall, hll_distinct,
     mmr_select, kfold, iqr_anomaly_days, embedding_density, brier,
     events_dashboard, audience_overlap, conversion_latency,
-    khop_reach, rolling_hll_users, churn, kmv_jaccard."""
+    khop_reach, rolling_hll_users, churn, kmv_jaccard,
+    hourly_profile."""
     return {
         # --- (b) first-ever driver rows: the 37 late-round-4 additions ---
         # (five partsupp-family TPC-H completions, unpivot, rolling window
@@ -4467,6 +4477,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_hll_users": q_rolling_hll_users,
         "churn": q_churn,
         "kmv_jaccard": q_kmv_jaccard,
+        "hourly_profile": q_hourly_profile,
         "transition_matrix": q_transition_matrix,
         # Everything ABOVE this line and below slot 50 is the round-5
         # never-driver-graded set (slots 51 onward, in the order added) —
@@ -7784,6 +7795,26 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY rank_c9 DESC, token ASC LIMIT 50
         """,
         "mmr_select": _mmr_sql(k=5, lam=0.7, pool=50),
+        "hourly_profile": """
+            WITH c AS (SELECT (CAST(floor(epoch(ts) / 3600) AS BIGINT)
+                          % 24 + 24) % 24 AS h, count(*)::BIGINT AS n
+                       FROM events GROUP BY 1),
+            sp AS (SELECT unnest(range(0, 24)) AS h),
+            fl AS (SELECT sp.h, coalesce(c.n, 0)::BIGINT AS n
+                   FROM sp LEFT JOIN c ON sp.h = c.h),
+            t AS (SELECT sum(n)::BIGINT AS tot FROM fl),
+            cells AS (SELECT h, n, tot,
+                        (n - tot::DOUBLE / 24.0::DOUBLE)
+                          * (n - tot::DOUBLE / 24.0::DOUBLE)
+                          / (tot::DOUBLE / 24.0::DOUBLE) AS cell
+                      FROM fl CROSS JOIN t),
+            st AS (SELECT round(sum(cell), 6) AS chisq FROM cells)
+            SELECT h::INT AS hour, n,
+              round(n / tot::DOUBLE, 6) AS share,
+              round(cell, 6) AS chisq_cell, chisq,
+              chisq > 35.172::DOUBLE AS nonuniform
+            FROM cells CROSS JOIN st
+        """,
         # k-minimum-values replay: distinct hashes, per-type k smallest,
         # pair-merged rank<=k, match fraction; exact twin rides along
         "kmv_jaccard": """

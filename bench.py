@@ -186,6 +186,7 @@ HEADLINE = [
     "rolling_hll_users",
     "churn",
     "kmv_jaccard",
+    "hourly_profile",
 ]
 
 #: the queries that were in BENCH_r01 (the operative baseline — BASELINE.md:

@@ -679,3 +679,55 @@ def iqr_anomaly_days(
         .when(F.col("x") > F.col("hi"), F.lit("high"))
         .alias("side"),
     )
+
+
+def hourly_profile(
+    events: DataFrame,
+    *,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Hour-of-day traffic profile with a chi-square uniformity test —
+    the 'is this stream organic' shape audit (human traffic has a
+    diurnal curve; uniform-by-hour volume at scale usually means bots,
+    backfill, or synthetic data). One row per hour 0..23 (absent hours
+    appear with n=0 via the hour spine), with the per-cell chi-square
+    contribution and the total statistic replicated (df=23; 35.172 is
+    the 95% line — the flag column applies it).
+
+    All counts are integers; shares and χ² cells are single divisions
+    of exact integers — engine-stable before the cosmetic rounding.
+
+    Scale: ONE 24-key partial-agg'd count; everything after runs on 24
+    rows.
+    """
+    hour = F.pmod(
+        F.floor(F.unix_timestamp(F.col(ts_col)) / F.lit(3600)).cast("long"),
+        F.lit(24),
+    )
+    counts = events.select(hour.alias("h")).groupBy("h").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    spine = events.sparkSession.range(24).select(F.col("id").alias("h"))
+    full = spine.join(counts, "h", "left").select(
+        "h", F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n")
+    )
+    tot = full.agg(F.sum("n").alias("tot"))
+    cells = full.crossJoin(F.broadcast(tot)).select(
+        "h",
+        "n",
+        "tot",
+        (
+            (F.col("n") - F.col("tot") / 24.0)
+            * (F.col("n") - F.col("tot") / 24.0)
+            / (F.col("tot") / 24.0)
+        ).alias("cell"),
+    )
+    stat = cells.agg(F.round(F.sum("cell"), 6).alias("chisq"))
+    return cells.crossJoin(F.broadcast(stat)).select(
+        F.col("h").cast("int").alias("hour"),
+        F.col("n").cast("bigint").alias("n"),
+        F.round(F.col("n") / F.col("tot").cast("double"), 6).alias("share"),
+        F.round(F.col("cell"), 6).alias("chisq_cell"),
+        "chisq",
+        (F.col("chisq") > 35.172).alias("nonuniform"),
+    )

@@ -431,3 +431,27 @@ def test_iqr_anomaly_days_flags_spike_and_outage(spark):
 
     out = {r.d: r.side for r in iqr_anomaly_days(df).collect()}
     assert out == {5: "high", 11: "low"}
+
+
+def test_hourly_profile_uniform_vs_spiked(spark):
+    from database2ogr_spark.operators.timeseries import hourly_profile
+
+    # perfectly uniform: 10 events per hour -> chisq 0, not flagged
+    rows = [(h * 100 + i, h * 3600 + 30) for h in range(24) for i in range(10)]
+    df = spark.createDataFrame(rows, "event_id long, sec long").selectExpr(
+        "event_id", "CAST(sec AS TIMESTAMP) AS ts"
+    )
+    out = hourly_profile(df).collect()
+    assert len(out) == 24
+    assert all(r.chisq == 0.0 and not r.nonuniform for r in out)
+    # shares are individually rounded to 6 dp: allow 24 half-ulps
+    assert abs(sum(r.share for r in out) - 1.0) < 24 * 5e-7
+    # everything in one hour -> extreme chisq, flagged; absent hours n=0
+    spiked = spark.createDataFrame(
+        [(i, 5 * 3600 + i) for i in range(240)], "event_id long, sec long"
+    ).selectExpr("event_id", "CAST(sec AS TIMESTAMP) AS ts")
+    so = {r.hour: r for r in hourly_profile(spiked).collect()}
+    assert so[5].n == 240 and so[0].n == 0
+    assert so[0].nonuniform  # replicated flag
+    # chisq for all-in-one-cell: sum = (240-10)^2/10 + 23*(0-10)^2/10 = 5520
+    assert abs(so[5].chisq - 5520.0) < 1e-6
