@@ -1231,6 +1231,36 @@ def q_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return concentration_report(_t(spark, sf_dir, "documents"))
 
 
+def q_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable fixed-bin histogram quantiles over event values
+    (sketches.histogram_quantiles, bin 10) — the shard-addable
+    percentile path, graded per quantile against the exact interpolated
+    percentile it replaces."""
+    from database2ogr_spark.operators.sketches import histogram_quantiles
+
+    return histogram_quantiles(
+        _t(spark, sf_dir, "events"), "value", bin_width=10.0
+    )
+
+
+def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch gaps-and-islands sessionization summary
+    (funnel.session_stats, 1800 s gap) — the batch twin of the
+    streaming state operator; one shared-order window pair, integer
+    micro gaps, exact duration percentiles."""
+    from database2ogr_spark.operators.funnel import session_stats
+
+    return session_stats(read_events(spark, os.path.join(sf_dir, "events.parquet")))
+
+
+def q_top_journeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most common 3-step event-type journeys (funnel.top_journeys) —
+    lead() chains over the per-user order; (n DESC, path) top-20."""
+    from database2ogr_spark.operators.funnel import top_journeys
+
+    return top_journeys(read_events(spark, os.path.join(sf_dir, "events.parquet")))
+
+
 def q_hourly_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hour-of-day traffic shape + chi-square uniformity flag
     (timeseries.hourly_profile) — the 'is this stream organic' audit;
@@ -4304,7 +4334,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     mmr_select, kfold, iqr_anomaly_days, embedding_density, brier,
     events_dashboard, audience_overlap, conversion_latency,
     khop_reach, rolling_hll_users, churn, kmv_jaccard,
-    hourly_profile."""
+    hourly_profile, hist_quantiles, session_stats, top_journeys."""
     return {
         # --- (b) first-ever driver rows: the 37 late-round-4 additions ---
         # (five partsupp-family TPC-H completions, unpivot, rolling window
@@ -4478,6 +4508,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "churn": q_churn,
         "kmv_jaccard": q_kmv_jaccard,
         "hourly_profile": q_hourly_profile,
+        "hist_quantiles": q_hist_quantiles,
+        "session_stats": q_session_stats,
+        "top_journeys": q_top_journeys,
         "transition_matrix": q_transition_matrix,
         # Everything ABOVE this line and below slot 50 is the round-5
         # never-driver-graded set (slots 51 onward, in the order added) —
@@ -7795,6 +7828,77 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY rank_c9 DESC, token ASC LIMIT 50
         """,
         "mmr_select": _mmr_sql(k=5, lam=0.7, pool=50),
+        # cumulative-histogram interpolation per quantile; exact twin
+        # columns; all divisions pinned ::DOUBLE
+        "hist_quantiles": """
+            WITH vals AS (SELECT value AS v FROM events
+                          WHERE value IS NOT NULL),
+            hist AS (SELECT CAST(floor(v / 10.0::DOUBLE) AS BIGINT) AS b,
+                       count(*)::BIGINT AS n
+                     FROM vals GROUP BY 1),
+            cum AS (SELECT b, n, sum(n) OVER (ORDER BY b
+                      ROWS UNBOUNDED PRECEDING) AS cn FROM hist),
+            t AS (SELECT count(*)::BIGINT AS tot,
+                    quantile_cont(v::DOUBLE, 0.5) AS x0,
+                    quantile_cont(v::DOUBLE, 0.9) AS x1,
+                    quantile_cont(v::DOUBLE, 0.95) AS x2,
+                    quantile_cont(v::DOUBLE, 0.99) AS x3
+                  FROM vals),
+            qq AS (SELECT * FROM (VALUES (0.5::DOUBLE, 0), (0.9::DOUBLE, 1),
+                     (0.95::DOUBLE, 2), (0.99::DOUBLE, 3)) AS v(q, i)),
+            hit AS (SELECT qq.q, qq.i, c.b, c.n, c.cn, t.tot,
+                      row_number() OVER (PARTITION BY qq.q
+                        ORDER BY c.b ASC) AS rn
+                    FROM qq CROSS JOIN t
+                    JOIN cum c ON c.cn::DOUBLE >= qq.q * t.tot::DOUBLE),
+            est AS (SELECT q, i,
+                      round(b::DOUBLE * 10.0::DOUBLE + 10.0::DOUBLE
+                        * (q * tot::DOUBLE - (cn - n)::DOUBLE)
+                        / n::DOUBLE, 6) AS e
+                    FROM hit WHERE rn = 1)
+            SELECT q, e AS estimate,
+              round(CASE i WHEN 0 THEN x0 WHEN 1 THEN x1
+                    WHEN 2 THEN x2 ELSE x3 END, 6) AS exact,
+              round(abs(e - round(CASE i WHEN 0 THEN x0 WHEN 1 THEN x1
+                    WHEN 2 THEN x2 ELSE x3 END, 6)), 6) AS abs_error
+            FROM est CROSS JOIN t
+        """,
+        "session_stats": """
+            WITH f AS (SELECT user_id AS u, epoch_us(ts) AS us, event_id,
+                         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+                           (PARTITION BY user_id ORDER BY ts, event_id)
+                           > 1800000000 THEN 1 ELSE 0 END AS brk
+                       FROM events),
+            s AS (SELECT u, us, sum(brk) OVER (PARTITION BY u
+                    ORDER BY us, event_id ROWS UNBOUNDED PRECEDING)
+                    AS sid
+                  FROM f),
+            per AS (SELECT u, sid, count(*)::BIGINT AS n_ev,
+                      max(us) - min(us) AS dur_us
+                    FROM s GROUP BY u, sid)
+            SELECT count(*)::BIGINT AS n_sessions,
+              count(DISTINCT u)::BIGINT AS n_users,
+              sum(CASE WHEN n_ev = 1 THEN 1 ELSE 0 END)::BIGINT
+                AS single_event_sessions,
+              round(avg(n_ev::DOUBLE), 6) AS mean_events,
+              round(quantile_cont(dur_us::DOUBLE, 0.5) / 1000000.0::DOUBLE,
+                6) AS p50_duration_s,
+              round(quantile_cont(dur_us::DOUBLE, 0.9) / 1000000.0::DOUBLE,
+                6) AS p90_duration_s
+            FROM per
+        """,
+        "top_journeys": """
+            WITH p AS (SELECT event_type || '>' ||
+                         lead(event_type, 1) OVER w || '>' ||
+                         lead(event_type, 2) OVER w AS path,
+                         lead(event_type, 2) OVER w IS NOT NULL AS fl
+                       FROM events
+                       WINDOW w AS (PARTITION BY user_id
+                         ORDER BY ts, event_id))
+            SELECT path, count(*)::BIGINT AS n
+            FROM p WHERE fl GROUP BY path
+            ORDER BY n DESC, path ASC LIMIT 20
+        """,
         "hourly_profile": """
             WITH c AS (SELECT (CAST(floor(epoch(ts) / 3600) AS BIGINT)
                           % 24 + 24) % 24 AS h, count(*)::BIGINT AS n

@@ -187,6 +187,9 @@ HEADLINE = [
     "churn",
     "kmv_jaccard",
     "hourly_profile",
+    "hist_quantiles",
+    "session_stats",
+    "top_journeys",
 ]
 
 #: the queries that were in BENCH_r01 (the operative baseline — BASELINE.md:

@@ -401,3 +401,113 @@ def churn_weekly(
             ).alias("churn_rate"),
         )
     )
+
+
+def session_stats(
+    events: DataFrame,
+    *,
+    gap_seconds: int = 1800,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Batch sessionization summary — the gaps-and-islands twin of the
+    streaming ``sessionize`` state operator: a session breaks when the
+    inter-event gap exceeds ``gap_seconds``, computed with two windows
+    over ONE (user, (ts, tiebreak)) sort (the lag flag and the running
+    session index share partitioning, so Catalyst plans a single
+    Exchange + Sort — the rolling_features discipline). Gaps are
+    integer microseconds (``unix_micros``, cross-engine exact).
+
+    Output: ONE row (n_sessions, n_users, single_event_sessions,
+    mean_events, p50_duration_s, p90_duration_s) — events per session
+    rounded 6, durations exact interpolated percentiles over integer
+    micros reported in seconds.
+
+    Scale: one user-keyed shuffle for the windows, one (user, session)
+    partial agg, one 1-row reduce. The session index is per-user
+    (cumulative sum inside the user partition) — no global ordering
+    anywhere.
+    """
+    if gap_seconds < 1:
+        raise ValueError("gap_seconds must be >= 1")
+    w = Window.partitionBy(user_col).orderBy(
+        F.col(ts_col).asc(), F.col(tiebreak_col).asc()
+    )
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    flagged = events.select(
+        F.col(user_col).alias("u"),
+        us.alias("us"),
+        F.col(tiebreak_col).alias("tb"),
+        F.when(
+            (us - F.lag(us).over(w)) > F.lit(gap_seconds) * 1_000_000, 1
+        )
+        .otherwise(0)
+        .alias("brk"),
+    )
+    # the running sum MUST share the lag window's total order (incl. the
+    # tiebreak): with ties on us alone, a break row and its tied follower
+    # could permute and move the follower into the previous session
+    w2 = Window.partitionBy("u").orderBy(
+        F.col("us").asc(), F.col("tb").asc()
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    sess = flagged.withColumn("sid", F.sum("brk").over(w2))
+    per = sess.groupBy("u", "sid").agg(
+        F.count(F.lit(1)).alias("n_ev"),
+        (F.max("us") - F.min("us")).alias("dur_us"),
+    )
+    return per.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+        F.countDistinct("u").cast("bigint").alias("n_users"),
+        F.sum(F.when(F.col("n_ev") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("single_event_sessions"),
+        F.round(F.avg(F.col("n_ev").cast("double")), 6).alias("mean_events"),
+        F.round(
+            F.percentile(F.col("dur_us").cast("double"), 0.5) / F.lit(1e6), 6
+        ).alias("p50_duration_s"),
+        F.round(
+            F.percentile(F.col("dur_us").cast("double"), 0.9) / F.lit(1e6), 6
+        ).alias("p90_duration_s"),
+    )
+
+
+def top_journeys(
+    events: DataFrame,
+    *,
+    length: int = 3,
+    top_n: int = 20,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Most common consecutive event-type paths of ``length`` steps per
+    user — the 'what do people actually do' journey mining behind every
+    product-flow diagram. Paths come from ``lead()`` chains over the
+    per-user (ts, tiebreak) order (one window shuffle, same discipline
+    as transition_matrix, which is the ``length=2`` probability view of
+    the same data); the count table is at most #types^length keys and
+    the cut is a deterministic (n DESC, path ASC) top-``top_n``.
+
+    Output: (path, n) — path as 'a>b>c'.
+    """
+    if length < 2:
+        raise ValueError("length must be >= 2")
+    w = Window.partitionBy(user_col).orderBy(
+        F.col(ts_col).asc(), F.col(tiebreak_col).asc()
+    )
+    cols = [F.col(type_col)] + [
+        F.lead(F.col(type_col), i).over(w) for i in range(1, length)
+    ]
+    paths = events.select(
+        F.concat_ws(">", *cols).alias("path"),
+        cols[-1].isNotNull().alias("full"),
+    ).filter(F.col("full"))
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("path").asc())
+        .limit(top_n)
+        .select("path", F.col("n").cast("bigint").alias("n"))
+    )

@@ -537,3 +537,83 @@ def kmv_audience_jaccard(
         "jaccard_exact",
         F.round(F.abs(je - F.col("jaccard_exact")), 6).alias("abs_error"),
     )
+
+
+def histogram_quantiles(
+    df: DataFrame,
+    value_col: str = "value",
+    *,
+    bin_width: float = 10.0,
+    quantiles: tuple = (0.5, 0.9, 0.95, 0.99),
+) -> DataFrame:
+    """Mergeable fixed-bin histogram quantiles — the single-pass,
+    shard-addable percentile path for 100 TB telemetry (exact
+    ``percentile`` shuffles every value to one reducer; histogram cells
+    ADD across shards/days like the count-min/HLL/KMV siblings, and the
+    quantile is read off the cumulative histogram with linear
+    interpolation inside the hit bin). Estimate error is bounded by
+    ``bin_width`` by construction — and the report grades it: each
+    quantile row carries the EXACT interpolated percentile and the
+    absolute error next to the estimate.
+
+    Bins are ``floor(value / bin_width)`` (integer keys, engine-exact);
+    the within-bin interpolation assumes uniform mass, the standard
+    histogram-quantile semantics. NULL values are excluded (both the
+    histogram and the exact twin see the same rows).
+
+    Output: (q, estimate, exact, abs_error), one row per requested
+    quantile, rounded 6.
+
+    Scale: ONE bin-keyed partial-agg'd count (cells ≤ value-range /
+    bin_width); the cumulative walk and interpolation run on #bins
+    rows. The exact twin is the expensive half and exists for the audit
+    columns.
+    """
+    if bin_width <= 0:
+        raise ValueError("bin_width must be positive")
+    if not quantiles:
+        raise ValueError("need at least one quantile")
+    vals = df.select(F.col(value_col).alias("v")).filter(F.col("v").isNotNull())
+    bw = float(bin_width)
+    hist = vals.select(
+        F.floor(F.col("v") / F.lit(bw)).cast("long").alias("b")
+    ).groupBy("b").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.withColumn("cn", F.sum("n").over(w))
+    tot = vals.agg(
+        F.count(F.lit(1)).alias("tot"),
+        *[
+            F.percentile(F.col("v").cast("double"), q).alias(f"x{i}")
+            for i, q in enumerate(quantiles)
+        ],
+    )
+    rows = []
+    for i, q in enumerate(quantiles):
+        # target rank in [1, tot]; hit bin = first with cn >= target
+        target = F.lit(float(q)) * F.col("tot").cast("double")
+        hit = (
+            cum.crossJoin(F.broadcast(tot))
+            .filter(F.col("cn").cast("double") >= target)
+            .orderBy("b")
+            .limit(1)
+        )
+        est = (
+            F.col("b").cast("double") * F.lit(bw)
+            + F.lit(bw)
+            * (target - (F.col("cn") - F.col("n")).cast("double"))
+            / F.col("n").cast("double")
+        )
+        rows.append(
+            hit.select(
+                F.lit(float(q)).alias("q"),
+                F.round(est, 6).alias("estimate"),
+                F.round(F.col(f"x{i}"), 6).alias("exact"),
+                F.round(F.abs(F.round(est, 6) - F.round(F.col(f"x{i}"), 6)), 6).alias(
+                    "abs_error"
+                ),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out

@@ -227,3 +227,47 @@ def test_churn_weekly_gap_week_null_rate(spark):
     out = {r.week: r for r in churn_weekly(df).collect()}
     assert out[1].n_prev == 1 and out[1].churn_rate == 1.0
     assert out[2].n_prev == 0 and out[2].churn_rate is None
+
+
+def test_session_stats_hand_values(spark):
+    import pytest as _p
+
+    from database2ogr_spark.operators.funnel import session_stats
+
+    rows = [
+        # user 1: events at 0s, 10s (one session, 10s), then 5000s (new)
+        (1, 1, 0), (2, 1, 10), (3, 1, 5000),
+        # user 2: single event
+        (4, 2, 100),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, sec long"
+    ).selectExpr("event_id", "user_id", "CAST(sec AS TIMESTAMP) AS ts")
+    r = session_stats(df, gap_seconds=1800).collect()[0]
+    assert r.n_sessions == 3 and r.n_users == 2
+    assert r.single_event_sessions == 2
+    assert abs(r.mean_events - 4 / 3) < 1e-6
+    # durations: {10, 0, 0} -> p50 = 0
+    assert r.p50_duration_s == 0.0
+    with _p.raises(ValueError):
+        session_stats(df, gap_seconds=0)
+
+
+def test_top_journeys_hand_values(spark):
+    from database2ogr_spark.operators.funnel import top_journeys
+
+    rows = [
+        (1, 1, 0, "a"), (2, 1, 1, "b"), (3, 1, 2, "c"),   # a>b>c
+        (4, 2, 0, "a"), (5, 2, 1, "b"), (6, 2, 2, "c"),   # a>b>c
+        (7, 3, 0, "x"), (8, 3, 1, "y"), (9, 3, 2, "z"), (10, 3, 3, "w"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, sec long, event_type string"
+    ).selectExpr("event_id", "user_id", "CAST(sec AS TIMESTAMP) AS ts", "event_type")
+    out = top_journeys(df, length=3, top_n=10).collect()
+    assert out[0].path == "a>b>c" and out[0].n == 2
+    # user 3 contributes two overlapping windows: x>y>z and y>z>w
+    got = {r.path: r.n for r in out}
+    assert got["x>y>z"] == 1 and got["y>z>w"] == 1
+    # never crosses users: total paths = 2 + 2
+    assert sum(got.values()) == 4

@@ -230,3 +230,22 @@ def test_kmv_jaccard_small_sets_exact_and_bounded_error(spark):
     assert rb.abs_error < 0.12, rb
     with _p.raises(ValueError):
         kmv_audience_jaccard(df, k=4)
+
+
+def test_histogram_quantiles_error_bounded_by_bin(spark):
+    import pytest as _p
+
+    from database2ogr_spark.operators.sketches import histogram_quantiles
+
+    # values 0..999 uniform: true p50 = 499.5; bin width 10 -> error < 10
+    df = spark.createDataFrame([(float(i),) for i in range(1000)], "value double")
+    out = {r.q: r for r in histogram_quantiles(df, bin_width=10.0).collect()}
+    for q, r in out.items():
+        assert r.abs_error < 10.0, r
+    assert abs(out[0.5].exact - 499.5) < 1e-6
+    # sharded merge equivalence: histogram of union == union of histograms
+    # (cells add) -- verified by running on a reshuffled frame
+    again = {r.q: r.estimate for r in histogram_quantiles(df.repartition(13), bin_width=10.0).collect()}
+    assert {q: r.estimate for q, r in out.items()} == again
+    with _p.raises(ValueError):
+        histogram_quantiles(df, bin_width=0)
