@@ -1231,6 +1231,24 @@ def q_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return concentration_report(_t(spark, sf_dir, "documents"))
 
 
+def q_cohort_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-weighted cohort matrix / LTV curve (funnel.cohort_value):
+    day-anchored cohorts, exact scaled-integer cent sums, per-cohort
+    cumulative on matrix rows."""
+    from database2ogr_spark.operators.funnel import cohort_value
+
+    return cohort_value(read_events(spark, os.path.join(sf_dir, "events.parquet")))
+
+
+def q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM quintile segmentation without a global sort (funnel.
+    rfm_segments): exact percentile boundaries from ONE aggregate,
+    broadcast CASE bucketing, ≤125-cell count."""
+    from database2ogr_spark.operators.funnel import rfm_segments
+
+    return rfm_segments(read_events(spark, os.path.join(sf_dir, "events.parquet")))
+
+
 def q_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable fixed-bin histogram quantiles over event values
     (sketches.histogram_quantiles, bin 10) — the shard-addable
@@ -4334,7 +4352,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     mmr_select, kfold, iqr_anomaly_days, embedding_density, brier,
     events_dashboard, audience_overlap, conversion_latency,
     khop_reach, rolling_hll_users, churn, kmv_jaccard,
-    hourly_profile, hist_quantiles, session_stats, top_journeys."""
+    hourly_profile, hist_quantiles, session_stats, top_journeys,
+    cohort_value, rfm."""
     return {
         # --- (b) first-ever driver rows: the 37 late-round-4 additions ---
         # (five partsupp-family TPC-H completions, unpivot, rolling window
@@ -4511,6 +4530,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hist_quantiles": q_hist_quantiles,
         "session_stats": q_session_stats,
         "top_journeys": q_top_journeys,
+        "cohort_value": q_cohort_value,
+        "rfm": q_rfm,
         "transition_matrix": q_transition_matrix,
         # Everything ABOVE this line and below slot 50 is the round-5
         # never-driver-graded set (slots 51 onward, in the order added) —
@@ -7828,6 +7849,63 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY rank_c9 DESC, token ASC LIMIT 50
         """,
         "mmr_select": _mmr_sql(k=5, lam=0.7, pool=50),
+        "cohort_value": """
+            WITH a AS (SELECT user_id AS u,
+                         CAST(floor(epoch(ts) / 86400) AS BIGINT) AS d,
+                         CAST(round(value * 100, 0) AS BIGINT) AS v_c2
+                       FROM events),
+            a2 AS (SELECT u, d, v_c2, min(d) OVER (PARTITION BY u) AS d0
+                   FROM a),
+            cells AS (SELECT CAST(floor(d0 / 7) AS BIGINT)
+                        AS cohort_bucket,
+                        CAST(floor((d - d0) / 7) AS BIGINT) AS "offset",
+                        count(*)::BIGINT AS n_events, sum(v_c2) AS s
+                      FROM a2 GROUP BY 1, 2)
+            SELECT cohort_bucket, "offset", n_events,
+              round(s / 100.0::DOUBLE, 2) AS value_sum,
+              round(sum(s) OVER (PARTITION BY cohort_bucket
+                ORDER BY "offset" ROWS UNBOUNDED PRECEDING)
+                / 100.0::DOUBLE, 2) AS cum_value
+            FROM cells
+        """,
+        "rfm": """
+            WITH pu AS (SELECT user_id AS u,
+                          max(CAST(floor(epoch(ts) / 86400) AS BIGINT))
+                            AS last_d,
+                          count(*)::BIGINT AS f,
+                          sum(CAST(round(value * 100, 0) AS BIGINT))
+                            AS m_c2
+                        FROM events GROUP BY 1),
+            mx AS (SELECT max(last_d) AS maxd FROM pu),
+            rfm AS (SELECT u, (maxd - last_d)::DOUBLE AS r,
+                      f::DOUBLE AS f, m_c2::DOUBLE AS m
+                    FROM pu CROSS JOIN mx),
+            b AS (SELECT
+                    quantile_cont(r, 0.2) AS r0, quantile_cont(r, 0.4)
+                      AS r1, quantile_cont(r, 0.6) AS r2,
+                      quantile_cont(r, 0.8) AS r3,
+                    quantile_cont(f, 0.2) AS f0, quantile_cont(f, 0.4)
+                      AS f1, quantile_cont(f, 0.6) AS f2,
+                      quantile_cont(f, 0.8) AS f3,
+                    quantile_cont(m, 0.2) AS m0, quantile_cont(m, 0.4)
+                      AS m1, quantile_cont(m, 0.6) AS m2,
+                      quantile_cont(m, 0.8) AS m3
+                  FROM rfm),
+            seg AS (SELECT
+                      CASE WHEN r <= r0 THEN 0 WHEN r <= r1 THEN 1
+                           WHEN r <= r2 THEN 2 WHEN r <= r3 THEN 3
+                           ELSE 4 END::INT AS r_bucket,
+                      CASE WHEN f <= f0 THEN 0 WHEN f <= f1 THEN 1
+                           WHEN f <= f2 THEN 2 WHEN f <= f3 THEN 3
+                           ELSE 4 END::INT AS f_bucket,
+                      CASE WHEN m <= m0 THEN 0 WHEN m <= m1 THEN 1
+                           WHEN m <= m2 THEN 2 WHEN m <= m3 THEN 3
+                           ELSE 4 END::INT AS m_bucket
+                    FROM rfm CROSS JOIN b)
+            SELECT r_bucket, f_bucket, m_bucket,
+              count(*)::BIGINT AS n_users
+            FROM seg GROUP BY 1, 2, 3
+        """,
         # cumulative-histogram interpolation per quantile; exact twin
         # columns; all divisions pinned ::DOUBLE
         "hist_quantiles": """

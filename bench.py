@@ -190,6 +190,8 @@ HEADLINE = [
     "hist_quantiles",
     "session_stats",
     "top_journeys",
+    "cohort_value",
+    "rfm",
 ]
 
 #: the queries that were in BENCH_r01 (the operative baseline — BASELINE.md:

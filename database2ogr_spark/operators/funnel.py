@@ -511,3 +511,127 @@ def top_journeys(
         .limit(top_n)
         .select("path", F.col("n").cast("bigint").alias("n"))
     )
+
+
+def cohort_value(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    bucket_days: int = 7,
+) -> DataFrame:
+    """Value-weighted cohort matrix (the LTV curve behind revenue
+    retention): cohort = the user's first active epoch-bucket (same
+    day-anchored convention as :func:`retention_cohorts`), and per
+    (cohort, offset) the SUM OF EVENT VALUE plus its running cumulative
+    — 'how much has the week-w cohort produced by offset k'. Money is
+    summed as scaled-integer cents (``round(value·100)`` → bigint — the
+    rolling_features/money-c4 discipline), so the sums are exact and
+    engine-stable; the cumulative is a per-cohort window on the matrix
+    rows, never the corpus.
+
+    Output: (cohort_bucket, offset, n_events, value_sum, cum_value) —
+    sums reported as doubles (cents / 100, exact division by a power
+    of ten... reported rounded 2).
+
+    Scale: one user window for first-day anchoring (user-keyed
+    shuffle), one (cohort, offset) partial agg, then windows over
+    matrix rows (#cohorts × #offsets).
+    """
+    day = F.floor(F.unix_timestamp(F.col(ts_col)) / F.lit(86400))
+    w = Window.partitionBy("u")
+    anchored = events.select(
+        F.col(user_col).alias("u"),
+        day.alias("d"),
+        F.round(F.col(value_col) * 100).cast("bigint").alias("v_c2"),
+    ).select(
+        "u", "d", "v_c2", F.min("d").over(w).alias("d0")
+    )
+    cells = anchored.select(
+        F.floor(F.col("d0") / bucket_days).alias("cohort_bucket"),
+        F.floor((F.col("d") - F.col("d0")) / bucket_days).alias("offset"),
+        "v_c2",
+    ).groupBy("cohort_bucket", "offset").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("v_c2").alias("s_c2"),
+    )
+    wc = Window.partitionBy("cohort_bucket").orderBy("offset").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return cells.select(
+        F.col("cohort_bucket").cast("bigint").alias("cohort_bucket"),
+        F.col("offset").cast("bigint").alias("offset"),
+        F.col("n_events").cast("bigint").alias("n_events"),
+        F.round(F.col("s_c2") / 100.0, 2).alias("value_sum"),
+        F.round(F.sum("s_c2").over(wc) / 100.0, 2).alias("cum_value"),
+    )
+
+
+def rfm_segments(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    n_buckets: int = 5,
+) -> DataFrame:
+    """RFM segmentation (recency / frequency / monetary quintiles) —
+    the classic customer-base map — WITHOUT the global ``ntile`` sort
+    the textbook version pays: per dimension, the ``n_buckets``−1 exact
+    interpolated percentile boundaries come from ONE aggregate
+    (broadcast back), and each user is bucketed by comparison against
+    them (ties take the lower bucket — deterministic). At corpus scale
+    this is three scalar quantiles + a narrow map stage instead of a
+    single-reducer total order.
+
+    R = days since the user's last event (relative to the corpus max
+    day, so the report is input-determined); F = event count; M =
+    scaled-integer value sum. Bucket 0 is the lowest raw value for
+    every dimension; flip R's interpretation downstream if 'recent =
+    high score' is wanted.
+
+    Output: (r_bucket, f_bucket, m_bucket, n_users), one row per
+    occupied RFM cell (≤ n_buckets³).
+
+    Scale: one user-keyed agg (the corpus-sized shuffle), one 1-row
+    quantile aggregate over #users rows, one broadcast CASE map, one
+    ≤n³-key count.
+    """
+    if n_buckets < 2:
+        raise ValueError("n_buckets must be >= 2")
+    day = F.floor(F.unix_timestamp(F.col(ts_col)) / F.lit(86400)).cast("long")
+    per_user = events.groupBy(F.col(user_col).alias("u")).agg(
+        F.max(day).alias("last_d"),
+        F.count(F.lit(1)).cast("long").alias("f"),
+        F.sum(F.round(F.col(value_col) * 100).cast("bigint")).alias("m_c2"),
+    )
+    maxd = per_user.agg(F.max("last_d").alias("maxd"))
+    rfm = per_user.crossJoin(F.broadcast(maxd)).select(
+        "u",
+        (F.col("maxd") - F.col("last_d")).cast("double").alias("r"),
+        F.col("f").cast("double").alias("f"),
+        F.col("m_c2").cast("double").alias("m"),
+    )
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    bounds = rfm.agg(
+        *[F.percentile(F.col(c), q).alias(f"{c}{i}")
+          for c in ("r", "f", "m") for i, q in enumerate(qs)]
+    )
+
+    def bucket(c: str):
+        expr = F.lit(n_buckets - 1)
+        for i in reversed(range(len(qs))):
+            expr = F.when(F.col(c) <= F.col(f"{c}{i}"), F.lit(i)).otherwise(expr)
+        return expr.cast("int")
+
+    return (
+        rfm.crossJoin(F.broadcast(bounds))
+        .select(
+            bucket("r").alias("r_bucket"),
+            bucket("f").alias("f_bucket"),
+            bucket("m").alias("m_bucket"),
+        )
+        .groupBy("r_bucket", "f_bucket", "m_bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+    )

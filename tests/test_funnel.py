@@ -271,3 +271,47 @@ def test_top_journeys_hand_values(spark):
     assert got["x>y>z"] == 1 and got["y>z>w"] == 1
     # never crosses users: total paths = 2 + 2
     assert sum(got.values()) == 4
+
+
+def test_cohort_value_hand_values(spark):
+    from database2ogr_spark.operators.funnel import cohort_value
+
+    rows = [
+        # user 1 first active day 0: 1.50 on day 0, 2.25 on day 8 (offset 1)
+        (1, 1, 0, 1.50), (2, 1, 8 * 86400, 2.25),
+        # user 2 first active day 1 (same cohort bucket 0): 0.75 on day 1
+        (3, 2, 86400, 0.75),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, sec long, value double"
+    ).selectExpr("event_id", "user_id", "CAST(sec AS TIMESTAMP) AS ts", "value")
+    out = {(r.cohort_bucket, r.offset): r for r in cohort_value(df).collect()}
+    assert out[(0, 0)].value_sum == 2.25   # 1.50 + 0.75
+    assert out[(0, 1)].value_sum == 2.25
+    assert out[(0, 1)].cum_value == 4.50
+    assert out[(0, 0)].n_events == 2
+
+
+def test_rfm_segments_balance_and_determinism(spark):
+    import pytest as _p
+
+    from database2ogr_spark.operators.funnel import rfm_segments
+
+    rows = []
+    eid = 0
+    for u in range(50):
+        for k in range(u % 7 + 1):              # frequency varies 1..7
+            rows.append((eid, u, (u % 11) * 86400 + k, float(u)))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, sec long, value double"
+    ).selectExpr("event_id", "user_id", "CAST(sec AS TIMESTAMP) AS ts", "value")
+    out = rfm_segments(df, n_buckets=5).collect()
+    total = sum(r.n_users for r in out)
+    assert total == 50
+    for r in out:
+        assert 0 <= r.r_bucket < 5 and 0 <= r.f_bucket < 5 and 0 <= r.m_bucket < 5
+    again = rfm_segments(df.repartition(9), n_buckets=5).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+    with _p.raises(ValueError):
+        rfm_segments(df, n_buckets=1)
