@@ -1231,6 +1231,31 @@ def q_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return concentration_report(_t(spark, sf_dir, "documents"))
 
 
+def q_fanout_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders→lineitem 1:N fan-out shape (validate.fanout_profile) —
+    the skewed-join early warning FK integrity doesn't give; childless
+    parents count via the left join, exact percentiles."""
+    from database2ogr_spark.operators.validate import fanout_profile
+
+    return fanout_profile(
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "lineitem"),
+        parent_key="o_orderkey",
+        child_key="l_orderkey",
+    )
+
+
+def q_repeat_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-purchase interval distribution (funnel.repeat_interval):
+    per-user consecutive 'purchase' gaps in integer micros, exact
+    percentiles reported in days."""
+    from database2ogr_spark.operators.funnel import repeat_interval
+
+    return repeat_interval(
+        read_events(spark, os.path.join(sf_dir, "events.parquet")), "purchase"
+    )
+
+
 def q_cohort_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Value-weighted cohort matrix / LTV curve (funnel.cohort_value):
     day-anchored cohorts, exact scaled-integer cent sums, per-cohort
@@ -4353,7 +4378,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     events_dashboard, audience_overlap, conversion_latency,
     khop_reach, rolling_hll_users, churn, kmv_jaccard,
     hourly_profile, hist_quantiles, session_stats, top_journeys,
-    cohort_value, rfm."""
+    cohort_value, rfm, fanout_profile, repeat_interval."""
     return {
         # --- (b) first-ever driver rows: the 37 late-round-4 additions ---
         # (five partsupp-family TPC-H completions, unpivot, rolling window
@@ -4532,6 +4557,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_journeys": q_top_journeys,
         "cohort_value": q_cohort_value,
         "rfm": q_rfm,
+        "fanout_profile": q_fanout_profile,
+        "repeat_interval": q_repeat_interval,
         "transition_matrix": q_transition_matrix,
         # Everything ABOVE this line and below slot 50 is the round-5
         # never-driver-graded set (slots 51 onward, in the order added) —
@@ -7849,6 +7876,40 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY rank_c9 DESC, token ASC LIMIT 50
         """,
         "mmr_select": _mmr_sql(k=5, lam=0.7, pool=50),
+        "fanout_profile": """
+            WITH pc AS (SELECT l_orderkey AS k, count(*)::BIGINT AS n
+                        FROM lineitem GROUP BY 1),
+            fl AS (SELECT coalesce(pc.n, 0)::BIGINT AS n
+                   FROM orders o LEFT JOIN pc ON o.o_orderkey = pc.k)
+            SELECT count(*)::BIGINT AS n_parents,
+              sum(n)::BIGINT AS n_children,
+              sum(CASE WHEN n = 0 THEN 1 ELSE 0 END)::BIGINT
+                AS childless_parents,
+              round(avg(n::DOUBLE), 6) AS mean_fanout,
+              round(quantile_cont(n::DOUBLE, 0.5), 6) AS p50,
+              round(quantile_cont(n::DOUBLE, 0.95), 6) AS p95,
+              max(n)::BIGINT AS max_fanout
+            FROM fl
+        """,
+        "repeat_interval": """
+            WITH g AS (SELECT user_id AS u,
+                         epoch_us(ts) - lag(epoch_us(ts)) OVER
+                           (PARTITION BY user_id ORDER BY ts, event_id)
+                           AS g
+                       FROM events WHERE event_type = 'purchase'),
+            gg AS (SELECT u, g FROM g WHERE g IS NOT NULL)
+            SELECT count(DISTINCT u)::BIGINT AS n_users_repeating,
+              count(*)::BIGINT AS n_intervals,
+              round(quantile_cont(g::DOUBLE, 0.25)
+                / 86400000000.0::DOUBLE, 6) AS p25_days,
+              round(quantile_cont(g::DOUBLE, 0.50)
+                / 86400000000.0::DOUBLE, 6) AS p50_days,
+              round(quantile_cont(g::DOUBLE, 0.75)
+                / 86400000000.0::DOUBLE, 6) AS p75_days,
+              round(sum(g)::DOUBLE / count(*)::DOUBLE
+                / 86400000000.0::DOUBLE, 6) AS mean_days
+            FROM gg
+        """,
         "cohort_value": """
             WITH a AS (SELECT user_id AS u,
                          CAST(floor(epoch(ts) / 86400) AS BIGINT) AS d,

@@ -192,6 +192,8 @@ HEADLINE = [
     "top_journeys",
     "cohort_value",
     "rfm",
+    "fanout_profile",
+    "repeat_interval",
 ]
 
 #: the queries that were in BENCH_r01 (the operative baseline — BASELINE.md:

@@ -635,3 +635,58 @@ def rfm_segments(
         .groupBy("r_bucket", "f_bucket", "m_bucket")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
     )
+
+
+def repeat_interval(
+    events: DataFrame,
+    event_type: str,
+    *,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Inter-repeat interval distribution for one event type — 'how
+    often do buyers come back': per user, gaps between CONSECUTIVE
+    events of that type (lag over the per-user (ts, tiebreak) order,
+    integer microseconds), summarized with exact interpolated
+    percentiles in days. The repeat-purchase cadence that sets
+    reorder-nudge timing and the horizon of any LTV projection.
+
+    Output: ONE row (n_users_repeating, n_intervals, p25_days,
+    p50_days, p75_days, mean_days) — day values rounded 6.
+
+    Scale: one type filter (pushed to the scan), one user-keyed window
+    shuffle, one 1-row reduce.
+    """
+    w = Window.partitionBy(user_col).orderBy(
+        F.col(ts_col).asc(), F.col(tiebreak_col).asc()
+    )
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    gaps = (
+        events.filter(F.col(type_col) == event_type)
+        .select(F.col(user_col).alias("u"), (us - F.lag(us).over(w)).alias("g"))
+        .filter(F.col("g").isNotNull())
+    )
+    day_us = 86400.0 * 1e6
+    return gaps.agg(
+        F.countDistinct("u").cast("bigint").alias("n_users_repeating"),
+        F.count(F.lit(1)).cast("bigint").alias("n_intervals"),
+        F.round(
+            F.percentile(F.col("g").cast("double"), 0.25) / F.lit(day_us), 6
+        ).alias("p25_days"),
+        F.round(
+            F.percentile(F.col("g").cast("double"), 0.50) / F.lit(day_us), 6
+        ).alias("p50_days"),
+        F.round(
+            F.percentile(F.col("g").cast("double"), 0.75) / F.lit(day_us), 6
+        ).alias("p75_days"),
+        # mean from the EXACT bigint sum (a float sum of micros can pass
+        # 2^53 and go order-dependent), divided once at the end
+        F.round(
+            F.sum("g").cast("double")
+            / F.count(F.lit(1)).cast("double")
+            / F.lit(day_us),
+            6,
+        ).alias("mean_days"),
+    )

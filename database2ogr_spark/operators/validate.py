@@ -727,3 +727,44 @@ def concentration_report(
             F.round(F.col("ssq") / (F.col("m") * F.col("m")), 6).alias("hhi"),
         )
     )
+
+
+def fanout_profile(
+    parent: DataFrame,
+    child: DataFrame,
+    *,
+    parent_key: str,
+    child_key: str,
+) -> DataFrame:
+    """1:N relationship shape audit — the data-modeling question FK
+    integrity (orphan detection) doesn't answer: HOW is the fan-out
+    distributed? A parent with 10⁶ children is tomorrow's skewed join;
+    a majority of childless parents means the join should be re-planned
+    or the table pruned. Children per parent over the FULL parent set
+    (childless parents count as 0 via a left join), summarized with
+    exact interpolated percentiles (the quantile_cont contract).
+
+    Output: ONE row (n_parents, n_children, childless_parents,
+    mean_fanout, p50, p95, max_fanout) — mean rounded 6.
+
+    Scale: one child-keyed partial-agg'd count + one broadcast-able
+    left join on the parent key + a 1-row reduce (the percentile sees
+    #parents values).
+    """
+    pc = child.groupBy(F.col(child_key).alias("k")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    full = parent.select(F.col(parent_key).alias("k")).join(
+        pc, "k", "left"
+    ).select(F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n"))
+    return full.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_parents"),
+        F.sum("n").cast("bigint").alias("n_children"),
+        F.sum(F.when(F.col("n") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("childless_parents"),
+        F.round(F.avg(F.col("n").cast("double")), 6).alias("mean_fanout"),
+        F.round(F.percentile(F.col("n").cast("double"), 0.5), 6).alias("p50"),
+        F.round(F.percentile(F.col("n").cast("double"), 0.95), 6).alias("p95"),
+        F.max("n").cast("bigint").alias("max_fanout"),
+    )

@@ -315,3 +315,22 @@ def test_rfm_segments_balance_and_determinism(spark):
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
     with _p.raises(ValueError):
         rfm_segments(df, n_buckets=1)
+
+
+def test_repeat_interval_hand_values(spark):
+    from database2ogr_spark.operators.funnel import repeat_interval
+
+    rows = [
+        # user 1 purchases on days 0, 2, 3 -> gaps 2d, 1d
+        (1, 1, 0, "purchase"), (2, 1, 2 * 86400, "purchase"),
+        (3, 1, 3 * 86400, "purchase"),
+        # user 2 purchases once -> no interval; views ignored
+        (4, 2, 0, "purchase"), (5, 2, 86400, "view"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, sec long, event_type string"
+    ).selectExpr("event_id", "user_id", "CAST(sec AS TIMESTAMP) AS ts", "event_type")
+    r = repeat_interval(df, "purchase").collect()[0]
+    assert r.n_users_repeating == 1 and r.n_intervals == 2
+    assert abs(r.p50_days - 1.5) < 1e-6
+    assert abs(r.mean_days - 1.5) < 1e-6

@@ -334,3 +334,19 @@ def test_concentration_report_equal_and_null_groups(spark):
     )
     got = {r.source: r for r in concentration_report(withnull).collect()}
     assert None in got and abs(got[None].share - 0.3) < 1e-9
+
+
+def test_fanout_profile_hand_values(spark):
+    from database2ogr_spark.operators.validate import fanout_profile
+
+    parent = spark.createDataFrame([(1,), (2,), (3,), (4,)], "pk long")
+    child = spark.createDataFrame(
+        [(10, 1), (11, 1), (12, 1), (13, 2)], "ck long, fk long"
+    )
+    r = fanout_profile(parent, child, parent_key="pk", child_key="fk").collect()[0]
+    assert r.n_parents == 4 and r.n_children == 4
+    assert r.childless_parents == 2
+    assert abs(r.mean_fanout - 1.0) < 1e-9
+    # fanouts {3,1,0,0}: p50 interpolated = 0.5, max 3
+    assert abs(r.p50 - 0.5) < 1e-9
+    assert r.max_fanout == 3
