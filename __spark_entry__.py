@@ -1231,6 +1231,18 @@ def q_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return concentration_report(_t(spark, sf_dir, "documents"))
 
 
+def q_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness over (source → lang) (validate.t_closeness_report)
+    — completes the k-anonymity / l-diversity privacy triad: per-group
+    total-variation distance from the corpus sensitive distribution,
+    absent cells folded algebraically (no group×value spine)."""
+    from database2ogr_spark.operators.validate import t_closeness_report
+
+    return t_closeness_report(
+        _t(spark, sf_dir, "documents"), ["source"], "lang", t=0.3
+    )
+
+
 def q_fanout_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """orders→lineitem 1:N fan-out shape (validate.fanout_profile) —
     the skewed-join early warning FK integrity doesn't give; childless
@@ -4378,7 +4390,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     events_dashboard, audience_overlap, conversion_latency,
     khop_reach, rolling_hll_users, churn, kmv_jaccard,
     hourly_profile, hist_quantiles, session_stats, top_journeys,
-    cohort_value, rfm, fanout_profile, repeat_interval."""
+    cohort_value, rfm, fanout_profile, repeat_interval, t_closeness."""
     return {
         # --- (b) first-ever driver rows: the 37 late-round-4 additions ---
         # (five partsupp-family TPC-H completions, unpivot, rolling window
@@ -4559,6 +4571,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rfm": q_rfm,
         "fanout_profile": q_fanout_profile,
         "repeat_interval": q_repeat_interval,
+        "t_closeness": q_t_closeness,
         "transition_matrix": q_transition_matrix,
         # Everything ABOVE this line and below slot 50 is the round-5
         # never-driver-graded set (slots 51 onward, in the order added) —
@@ -7876,6 +7889,29 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY rank_c9 DESC, token ASC LIMIT 50
         """,
         "mmr_select": _mmr_sql(k=5, lam=0.7, pool=50),
+        "t_closeness": """
+            WITH joint AS (SELECT source, lang AS v, count(*)::BIGINT
+                             AS n
+                           FROM documents GROUP BY 1, 2),
+            gl AS (SELECT v, sum(n) AS gn FROM joint GROUP BY v),
+            tt AS (SELECT sum(gn) AS tot FROM gl),
+            gm AS (SELECT v, gn::DOUBLE / tot AS p
+                   FROM gl CROSS JOIN tt),
+            gs AS (SELECT source, sum(n) AS gn_tot FROM joint GROUP BY 1),
+            j AS (SELECT joint.source, gs.gn_tot, gm.p,
+                    joint.n::DOUBLE / gs.gn_tot AS pg
+                  FROM joint JOIN gs ON joint.source = gs.source
+                  JOIN gm ON joint.v = gm.v),
+            per AS (SELECT source, max(gn_tot) AS n,
+                      sum(abs(pg - p)) AS ps, sum(p) AS pm
+                    FROM j GROUP BY source)
+            SELECT source, n::BIGINT AS n,
+              round((ps + (1.0::DOUBLE - pm)) / 2.0::DOUBLE, 6)
+                AS distance,
+              round((ps + (1.0::DOUBLE - pm)) / 2.0::DOUBLE, 6)
+                > 0.3::DOUBLE AS at_risk
+            FROM per
+        """,
         "fanout_profile": """
             WITH pc AS (SELECT l_orderkey AS k, count(*)::BIGINT AS n
                         FROM lineitem GROUP BY 1),

@@ -194,6 +194,7 @@ HEADLINE = [
     "rfm",
     "fanout_profile",
     "repeat_interval",
+    "t_closeness",
 ]
 
 #: the queries that were in BENCH_r01 (the operative baseline — BASELINE.md:

@@ -768,3 +768,72 @@ def fanout_profile(
         F.round(F.percentile(F.col("n").cast("double"), 0.95), 6).alias("p95"),
         F.max("n").cast("bigint").alias("max_fanout"),
     )
+
+
+def t_closeness_report(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    *,
+    t: float = 0.3,
+) -> DataFrame:
+    """Privacy screening, step three — t-closeness (Li, Li &
+    Venkatasubramanian 2007), completing the k-anonymity / l-diversity
+    triad: a group can be k-large AND l-diverse yet still leak by
+    SKEW (99% of one sensitive value where the corpus has 50%). For the
+    categorical case the distance is the variational / total-variation
+    distance ``½ Σ_v |p_group(v) − p_corpus(v)|``; ``at_risk`` flags
+    groups with distance > ``t``. NULL sensitive values are a category
+    (the l-diversity convention).
+
+    Output: (*quasi_cols, n, distance, at_risk) — one row per
+    quasi-identifier group, distance rounded 6.
+
+    Scale: ONE (quasi, sensitive) count aggregation is the corpus-sized
+    work; global marginals reduce from it (#values rows, broadcast),
+    and the per-group distance sum runs on the joint table. The
+    |p_g − p| sum needs every corpus value per group — absent
+    (group, value) cells contribute p(v) each, folded in algebraically
+    as ``Σ_v p(v) − Σ_{v∈group} p(v)`` so no group×value spine is ever
+    materialized (the term_dispersion trick).
+    """
+    if not quasi_cols:
+        raise ValueError("need at least one quasi column")
+    q = [F.col(c) for c in quasi_cols]
+    joint = df.groupBy(*q, F.col(sensitive_col).alias("__v")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    glob = joint.groupBy("__v").agg(F.sum("n").alias("gn"))
+    tot = glob.agg(F.sum("gn").alias("tot"))
+    gm = glob.crossJoin(F.broadcast(tot)).select(
+        "__v", (F.col("gn").cast("double") / F.col("tot")).alias("p")
+    )
+    gsize = joint.groupBy(*quasi_cols).agg(F.sum("n").alias("gn_tot"))
+    j = (
+        joint.join(gsize, quasi_cols)
+        .join(gm, "__v")
+        .select(
+            *quasi_cols,
+            "gn_tot",
+            "p",
+            (F.col("n").cast("double") / F.col("gn_tot")).alias("pg"),
+        )
+    )
+    per = j.groupBy(*quasi_cols).agg(
+        F.max("gn_tot").alias("n"),
+        F.sum(F.abs(F.col("pg") - F.col("p"))).alias("present_sum"),
+        F.sum("p").alias("present_mass"),
+    )
+    # absent corpus values contribute |0 - p(v)| = p(v) each:
+    # total = present_sum + (1 - present_mass)
+    dist = F.round(
+        (F.col("present_sum") + (F.lit(1.0) - F.col("present_mass")))
+        / F.lit(2.0),
+        6,
+    )
+    return per.select(
+        *quasi_cols,
+        F.col("n").cast("bigint").alias("n"),
+        dist.alias("distance"),
+        (dist > F.lit(float(t))).alias("at_risk"),
+    )

@@ -350,3 +350,39 @@ def test_fanout_profile_hand_values(spark):
     # fanouts {3,1,0,0}: p50 interpolated = 0.5, max 3
     assert abs(r.p50 - 0.5) < 1e-9
     assert r.max_fanout == 3
+
+
+def test_t_closeness_hand_values(spark):
+    import pytest as _p
+
+    from database2ogr_spark.operators.validate import t_closeness_report
+
+    # corpus: 8 rows, sensitive 50/50 a/b. group g1 all 'a' (skewed),
+    # group g2 balanced.
+    rows = (
+        [(i, "g1", "a") for i in range(4)]
+        + [(10 + i, "g2", "a" if i < 2 else "b") for i in range(4)]
+    )
+    df = spark.createDataFrame(rows, "id long, src string, lang string")
+    out = {r.src: r for r in t_closeness_report(df, ["src"], "lang", t=0.3).collect()}
+    # corpus p: a=.75, b=.25. g1: pg(a)=1 -> dist = (|1-.75| + .25)/2 = .25
+    assert abs(out["g1"].distance - 0.25) < 1e-6
+    # g2: pg(a)=.5, pg(b)=.5 -> (|.5-.75|+|.5-.25|)/2 = .25
+    assert abs(out["g2"].distance - 0.25) < 1e-6
+    # tighter threshold flags both
+    flagged = {r.src: r.at_risk for r in t_closeness_report(df, ["src"], "lang", t=0.2).collect()}
+    assert flagged == {"g1": True, "g2": True}
+    with _p.raises(ValueError):
+        t_closeness_report(df, [], "lang")
+
+
+def test_t_closeness_identical_group_zero_distance(spark):
+    from database2ogr_spark.operators.validate import t_closeness_report
+
+    # one group == whole corpus -> distance 0, never at risk
+    df = spark.createDataFrame(
+        [(i, "g", "a" if i % 3 else "b") for i in range(9)],
+        "id long, src string, lang string",
+    )
+    r = t_closeness_report(df, ["src"], "lang").collect()[0]
+    assert r.distance == 0.0 and not r.at_risk
