@@ -1231,6 +1231,15 @@ def q_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return concentration_report(_t(spark, sf_dir, "documents"))
 
 
+def q_wow_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week volume delta decomposed by event type
+    (timeseries.wow_decomposition) — the 'what drove the drop'
+    attribution table; week×type spine so vanished segments answer."""
+    from database2ogr_spark.operators.timeseries import wow_decomposition
+
+    return wow_decomposition(_t(spark, sf_dir, "events"))
+
+
 def q_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """t-closeness over (source → lang) (validate.t_closeness_report)
     — completes the k-anonymity / l-diversity privacy triad: per-group
@@ -4390,7 +4399,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     events_dashboard, audience_overlap, conversion_latency,
     khop_reach, rolling_hll_users, churn, kmv_jaccard,
     hourly_profile, hist_quantiles, session_stats, top_journeys,
-    cohort_value, rfm, fanout_profile, repeat_interval, t_closeness."""
+    cohort_value, rfm, fanout_profile, repeat_interval, t_closeness,
+    wow_decomposition."""
     return {
         # --- (b) first-ever driver rows: the 37 late-round-4 additions ---
         # (five partsupp-family TPC-H completions, unpivot, rolling window
@@ -4572,6 +4582,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fanout_profile": q_fanout_profile,
         "repeat_interval": q_repeat_interval,
         "t_closeness": q_t_closeness,
+        "wow_decomposition": q_wow_decomposition,
         "transition_matrix": q_transition_matrix,
         # Everything ABOVE this line and below slot 50 is the round-5
         # never-driver-graded set (slots 51 onward, in the order added) —
@@ -7889,6 +7900,30 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY rank_c9 DESC, token ASC LIMIT 50
         """,
         "mmr_select": _mmr_sql(k=5, lam=0.7, pool=50),
+        "wow_decomposition": """
+            WITH c AS (SELECT CAST(floor(floor(epoch(ts) / 86400) / 7)
+                         AS BIGINT) AS w, event_type AS v,
+                         count(*)::BIGINT AS n
+                       FROM events GROUP BY 1, 2),
+            b AS (SELECT min(w) AS lo, max(w) AS hi FROM c),
+            wk AS (SELECT unnest(range(lo, hi + 1)) AS w FROM b),
+            vv AS (SELECT DISTINCT v FROM c),
+            sp AS (SELECT wk.w, vv.v FROM wk CROSS JOIN vv),
+            fl AS (SELECT sp.w, sp.v, coalesce(c.n, 0)::BIGINT AS n
+                   FROM sp LEFT JOIN c ON sp.w = c.w AND sp.v = c.v),
+            cur AS (SELECT w, v, n,
+                      lag(n) OVER (PARTITION BY v ORDER BY w) AS prev
+                    FROM fl),
+            cc AS (SELECT * FROM cur WHERE prev IS NOT NULL),
+            t AS (SELECT w, sum(n - prev) AS total_delta
+                  FROM cc GROUP BY w)
+            SELECT cc.w AS week, cc.v AS event_type, cc.n AS cur,
+              cc.prev, (cc.n - cc.prev)::BIGINT AS delta,
+              round(CASE WHEN t.total_delta <> 0
+                    THEN (cc.n - cc.prev) / t.total_delta::DOUBLE END, 6)
+                AS share
+            FROM cc JOIN t ON cc.w = t.w
+        """,
         "t_closeness": """
             WITH joint AS (SELECT source, lang AS v, count(*)::BIGINT
                              AS n

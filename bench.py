@@ -195,6 +195,7 @@ HEADLINE = [
     "fanout_profile",
     "repeat_interval",
     "t_closeness",
+    "wow_decomposition",
 ]
 
 #: the queries that were in BENCH_r01 (the operative baseline — BASELINE.md:

@@ -731,3 +731,65 @@ def hourly_profile(
         "chisq",
         (F.col("chisq") > 35.172).alias("nonuniform"),
     )
+
+
+def wow_decomposition(
+    events: DataFrame,
+    *,
+    ts_col: str = "ts",
+    dim_col: str = "event_type",
+) -> DataFrame:
+    """Week-over-week volume delta DECOMPOSED by a dimension — the
+    'WAU dropped 8%, what drove it' attribution table: for every week
+    with a predecessor and every dimension value, current/previous
+    counts, the delta, and the share of the week's TOTAL delta this
+    value explains (deltas are additive, so shares sum to 1 per week —
+    the whole point of decomposing by a partition of the traffic).
+
+    Absent (week, value) cells count 0 via the week×value spine (a
+    segment that disappeared IS the answer). Integer epoch-week
+    arithmetic; share NULL when the total delta is 0.
+
+    Output: (week, dim value, cur, prev, delta, share) — share rounded
+    6, rows only for weeks ≥ lo+1.
+
+    Scale: ONE (week, dim) partial-agg'd count; the spine is #weeks ×
+    #values rows and every window/join after runs on it.
+    """
+    week = (
+        F.floor(F.floor(F.unix_timestamp(F.col(ts_col)) / F.lit(86400)) / F.lit(7))
+    ).cast("long")
+    counts = events.select(week.alias("w"), F.col(dim_col).alias("v")).groupBy(
+        "w", "v"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    bounds = counts.agg(F.min("w").alias("lo"), F.max("w").alias("hi"))
+    weeks = bounds.select(
+        F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("w")
+    )
+    vals = counts.select("v").distinct()
+    spine = weeks.crossJoin(F.broadcast(vals))
+    full = spine.join(counts, ["w", "v"], "left").select(
+        "w", "v", F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n")
+    )
+    wv = Window.partitionBy("v").orderBy("w")
+    cur = full.select(
+        "w", "v", "n", F.lag("n").over(wv).alias("prev")
+    ).filter(F.col("prev").isNotNull())
+    tot = cur.groupBy("w").agg(
+        F.sum(F.col("n") - F.col("prev")).alias("total_delta")
+    )
+    return cur.join(tot, "w").select(
+        F.col("w").alias("week"),
+        F.col("v").alias(dim_col),
+        F.col("n").cast("bigint").alias("cur"),
+        F.col("prev").cast("bigint").alias("prev"),
+        (F.col("n") - F.col("prev")).cast("bigint").alias("delta"),
+        F.round(
+            F.when(
+                F.col("total_delta") != 0,
+                (F.col("n") - F.col("prev"))
+                / F.col("total_delta").cast("double"),
+            ),
+            6,
+        ).alias("share"),
+    )

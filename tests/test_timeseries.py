@@ -455,3 +455,27 @@ def test_hourly_profile_uniform_vs_spiked(spark):
     assert so[0].nonuniform  # replicated flag
     # chisq for all-in-one-cell: sum = (240-10)^2/10 + 23*(0-10)^2/10 = 5520
     assert abs(so[5].chisq - 5520.0) < 1e-6
+
+
+def test_wow_decomposition_hand_values(spark):
+    from database2ogr_spark.operators.timeseries import wow_decomposition
+
+    # week 0: a=10, b=5; week 1: a=7, b=8 -> total delta 0 -> NULL shares
+    # week 2: a=7, b=0 (b disappears) -> total -8, b explains 100%
+    rows = []
+    eid = 0
+    for w, t, n in [(0, "a", 10), (0, "b", 5), (1, "a", 7), (1, "b", 8), (2, "a", 7)]:
+        for _ in range(n):
+            rows.append((eid, w * 7 * 86400 + 9, t)); eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, sec long, event_type string"
+    ).selectExpr("event_id", "CAST(sec AS TIMESTAMP) AS ts", "event_type")
+    out = {(r.week, r.event_type): r for r in wow_decomposition(df).collect()}
+    assert out[(1, "a")].delta == -3 and out[(1, "b")].delta == 3
+    assert out[(1, "a")].share is None  # zero total delta
+    assert out[(2, "b")].cur == 0 and out[(2, "b")].delta == -8
+    assert abs(out[(2, "b")].share - 1.0) < 1e-6
+    assert abs(out[(2, "a")].share - 0.0) < 1e-6
+    # shares sum to 1 when total delta nonzero
+    s = out[(2, "a")].share + out[(2, "b")].share
+    assert abs(s - 1.0) < 1e-6
