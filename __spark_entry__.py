@@ -1231,6 +1231,27 @@ def q_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return concentration_report(_t(spark, sf_dir, "documents"))
 
 
+def q_class_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balanced loss weights over lang (sampling.class_weights,
+    β=0.999 — Cui et al. 2019 effective numbers), normalized to mean 1;
+    the imbalance table a trainer joins instead of naive 1/n."""
+    from database2ogr_spark.operators.sampling import class_weights
+
+    return class_weights(_t(spark, sf_dir, "documents"), "lang", beta=0.999)
+
+
+def q_nested_subsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested power-of-two scaling-law subsets manifest
+    (sampling.nested_subsets, 6 levels over doc_id hash, mass =
+    n_chars): smaller ⊂ larger by hash-threshold construction, ONE
+    conditional-sum pass."""
+    from database2ogr_spark.operators.sampling import nested_subsets
+
+    return nested_subsets(
+        _t(spark, sf_dir, "documents"), mass_col="n_chars", levels=6
+    )
+
+
 def q_wow_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Week-over-week volume delta decomposed by event type
     (timeseries.wow_decomposition) — the 'what drove the drop'
@@ -4400,7 +4421,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     khop_reach, rolling_hll_users, churn, kmv_jaccard,
     hourly_profile, hist_quantiles, session_stats, top_journeys,
     cohort_value, rfm, fanout_profile, repeat_interval, t_closeness,
-    wow_decomposition."""
+    wow_decomposition, class_weights, nested_subsets."""
     return {
         # --- (b) first-ever driver rows: the 37 late-round-4 additions ---
         # (five partsupp-family TPC-H completions, unpivot, rolling window
@@ -4583,6 +4604,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repeat_interval": q_repeat_interval,
         "t_closeness": q_t_closeness,
         "wow_decomposition": q_wow_decomposition,
+        "class_weights": q_class_weights,
+        "nested_subsets": q_nested_subsets,
         "transition_matrix": q_transition_matrix,
         # Everything ABOVE this line and below slot 50 is the round-5
         # never-driver-graded set (slots 51 onward, in the order added) —
@@ -7900,6 +7923,41 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY rank_c9 DESC, token ASC LIMIT 50
         """,
         "mmr_select": _mmr_sql(k=5, lam=0.7, pool=50),
+        # effective-number weights; 1−β left as the IEEE subtraction
+        "class_weights": """
+            WITH per AS (SELECT lang, count(*)::BIGINT AS n
+                         FROM documents GROUP BY lang),
+            e AS (SELECT lang, n,
+                    (1.0::DOUBLE - pow(0.999::DOUBLE, n::DOUBLE))
+                      / (1.0::DOUBLE - 0.999::DOUBLE) AS eff
+                  FROM per),
+            t AS (SELECT sum(1.0::DOUBLE / eff) AS s,
+                    count(*)::BIGINT AS k FROM e)
+            SELECT lang, n, round(eff, 6) AS effective_n,
+              round((1.0::DOUBLE / eff) * k::DOUBLE / s, 6) AS weight
+            FROM e CROSS JOIN t
+        """,
+        "nested_subsets": """
+            WITH h AS (SELECT ('0x' || substr(md5('23' || chr(31)
+                         || doc_id::VARCHAR), 1, 15))::BIGINT AS h,
+                         n_chars
+                       FROM documents),
+            lv AS (SELECT * FROM (VALUES
+                     (0, 0.03125::DOUBLE, 36028797018963968::BIGINT),
+                     (1, 0.0625::DOUBLE, 72057594037927936::BIGINT),
+                     (2, 0.125::DOUBLE, 144115188075855872::BIGINT),
+                     (3, 0.25::DOUBLE, 288230376151711744::BIGINT),
+                     (4, 0.5::DOUBLE, 576460752303423488::BIGINT),
+                     (5, 1.0::DOUBLE, 1152921504606846976::BIGINT))
+                   AS v(level, keep_fraction, cut))
+            SELECT level::INT AS level,
+              round(keep_fraction, 9) AS keep_fraction,
+              sum(CASE WHEN h.h < cut THEN 1 ELSE 0 END)::BIGINT
+                AS n_rows,
+              sum(CASE WHEN h.h < cut THEN n_chars ELSE 0 END)::BIGINT
+                AS mass
+            FROM h CROSS JOIN lv GROUP BY 1, 2
+        """,
         "wow_decomposition": """
             WITH c AS (SELECT CAST(floor(floor(epoch(ts) / 86400) / 7)
                          AS BIGINT) AS w, event_type AS v,

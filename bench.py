@@ -196,6 +196,8 @@ HEADLINE = [
     "repeat_interval",
     "t_closeness",
     "wow_decomposition",
+    "class_weights",
+    "nested_subsets",
 ]
 
 #: the queries that were in BENCH_r01 (the operative baseline — BASELINE.md:

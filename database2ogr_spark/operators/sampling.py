@@ -991,3 +991,91 @@ def kfold_assign(
     return df.withColumn(
         "fold", ((F.row_number().over(w) - 1) % k).cast("int")
     )
+
+
+def class_weights(
+    df: DataFrame,
+    label_col: str,
+    *,
+    beta: float = 0.999,
+) -> DataFrame:
+    """Class-balanced loss weights (public Cui et al. 2019, 'effective
+    number of samples'): per label, ``w = (1−β)/(1−β^n)`` normalized so
+    weights average 1 over classes — the table a trainer joins against
+    an imbalanced corpus instead of naive 1/n re-weighting (which
+    over-boosts tiny noisy classes; the effective-number form saturates).
+    β→1 approaches inverse-frequency, β=0 gives uniform.
+
+    Output: (label_col, n, effective_n, weight) — one row per label,
+    doubles rounded 6. NULL labels form their own class (they will hit
+    the loss too).
+
+    Scale: ONE label-keyed partial-agg'd count; the weight arithmetic
+    and normalization run on #classes rows.
+    """
+    if not 0.0 <= beta < 1.0:
+        raise ValueError("beta must be in [0, 1)")
+    per = df.groupBy(F.col(label_col)).agg(F.count(F.lit(1)).alias("n"))
+    eff = (F.lit(1.0) - F.pow(F.lit(beta), F.col("n").cast("double"))) / F.lit(
+        1.0 - beta
+    )
+    raw = F.lit(1.0) / eff
+    tot = per.select(F.sum(raw).alias("s"), F.count(F.lit(1)).alias("k"))
+    return per.crossJoin(F.broadcast(tot)).select(
+        label_col,
+        F.col("n").cast("bigint").alias("n"),
+        F.round(eff, 6).alias("effective_n"),
+        F.round(raw * F.col("k").cast("double") / F.col("s"), 6).alias("weight"),
+    )
+
+
+def nested_subsets(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    mass_col: str | None = None,
+    levels: int = 6,
+    seed: int = 23,
+) -> DataFrame:
+    """Nested power-of-two subsets for scaling-law / learning-curve runs:
+    level k keeps rows whose 60-bit id-hash falls below 2⁶⁰/2^(levels−1−k)
+    — so every smaller subset is a SUBSET of every larger one (the
+    property that makes loss curves comparable across scales; fresh
+    random samples per size are not nested and confound the curve) and
+    membership is stable under repartitioning, retries, and appends.
+
+    Output: (level, keep_fraction, n_rows, mass) — one row per level
+    0..levels−1 (level levels−1 = the full corpus), mass = Σ mass_col
+    (row count when None). A trainer materializes level k via the same
+    hash predicate; this report is the manifest.
+
+    Scale: ONE pass — each row contributes to every level it belongs to
+    via a conditional-sum aggregate (no per-level scans, no explode).
+    """
+    if levels < 2:
+        raise ValueError("levels must be >= 2")
+    h = stable_hash64(F.col(id_col).cast("string"), seed=seed)
+    m = F.lit(1).cast("long") if mass_col is None else F.col(mass_col)
+    space = 1 << 60
+    aggs = []
+    for k in range(levels):
+        cut = space // (1 << (levels - 1 - k))
+        aggs += [
+            F.sum(F.when(h < cut, 1).otherwise(0)).cast("bigint").alias(f"n{k}"),
+            F.sum(F.when(h < cut, m).otherwise(0)).cast("bigint").alias(f"m{k}"),
+        ]
+    row = df.agg(*aggs)
+    per = F.array(
+        *[
+            F.struct(
+                F.lit(k).alias("level"),
+                F.round(F.lit(1.0 / (1 << (levels - 1 - k))), 9).alias(
+                    "keep_fraction"
+                ),
+                F.col(f"n{k}").alias("n_rows"),
+                F.col(f"m{k}").alias("mass"),
+            )
+            for k in range(levels)
+        ]
+    )
+    return row.select(F.explode(per).alias("p")).select("p.*")

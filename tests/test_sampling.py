@@ -716,3 +716,40 @@ def test_kfold_assign_balance_and_determinism(spark):
     assert max(per) - min(per) <= 256  # bounded by sub-stratum count
     with _p.raises(ValueError):
         kfold_assign(df, k=1)
+
+
+def test_class_weights_hand_values(spark):
+    import pytest as _p
+
+    from database2ogr_spark.operators.sampling import class_weights
+
+    # beta=0.5: n=1 -> eff = (1-.5)/.5 = 1; n=2 -> (1-.25)/.5 = 1.5
+    df = spark.createDataFrame([(1, "a"), (2, "b"), (3, "b")], "id long, lab string")
+    out = {r.lab: r for r in class_weights(df, "lab", beta=0.5).collect()}
+    assert abs(out["a"].effective_n - 1.0) < 1e-6
+    assert abs(out["b"].effective_n - 1.5) < 1e-6
+    # raw weights 1, 2/3 -> normalized to mean 1: sum = 5/3, k=2
+    assert abs(out["a"].weight - (1.0 * 2 / (5 / 3))) < 1e-6
+    assert abs(out["b"].weight - ((2 / 3) * 2 / (5 / 3))) < 1e-6
+    with _p.raises(ValueError):
+        class_weights(df, "lab", beta=1.0)
+
+
+def test_nested_subsets_monotone_and_stable(spark):
+    import pytest as _p
+
+    from database2ogr_spark.operators.sampling import nested_subsets
+
+    df = spark.createDataFrame([(i, i % 50 + 1) for i in range(4000)], "doc_id long, n_chars long")
+    out = sorted(nested_subsets(df, mass_col="n_chars").collect(), key=lambda r: r.level)
+    # full corpus at the top level
+    assert out[-1].n_rows == 4000
+    # strictly nested: counts monotone nondecreasing, roughly halving
+    for a, b in zip(out, out[1:]):
+        assert a.n_rows <= b.n_rows
+    assert 0.3 < out[-2].n_rows / out[-1].n_rows < 0.7
+    # repartition stability
+    again = sorted(nested_subsets(df.repartition(11), mass_col="n_chars").collect(), key=lambda r: r.level)
+    assert [(r.n_rows, r.mass) for r in out] == [(r.n_rows, r.mass) for r in again]
+    with _p.raises(ValueError):
+        nested_subsets(df, levels=1)
