@@ -1231,6 +1231,16 @@ def q_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return concentration_report(_t(spark, sf_dir, "documents"))
 
 
+def q_fightin_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distinctive vocabulary (overlap.fightin_words —
+    Monroe et al. 2008 Dirichlet log-odds z-scores, top 10 per source):
+    the 'what characterizes this source' report tf-idf gets wrong on
+    rare words; one (group, token) count feeds everything."""
+    from database2ogr_spark.operators.overlap import fightin_words
+
+    return fightin_words(_t(spark, sf_dir, "documents"), top_n=10)
+
+
 def q_class_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Class-balanced loss weights over lang (sampling.class_weights,
     β=0.999 — Cui et al. 2019 effective numbers), normalized to mean 1;
@@ -4421,7 +4431,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     khop_reach, rolling_hll_users, churn, kmv_jaccard,
     hourly_profile, hist_quantiles, session_stats, top_journeys,
     cohort_value, rfm, fanout_profile, repeat_interval, t_closeness,
-    wow_decomposition, class_weights, nested_subsets."""
+    wow_decomposition, class_weights, nested_subsets, fightin_words."""
     return {
         # --- (b) first-ever driver rows: the 37 late-round-4 additions ---
         # (five partsupp-family TPC-H completions, unpivot, rolling window
@@ -4606,6 +4616,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wow_decomposition": q_wow_decomposition,
         "class_weights": q_class_weights,
         "nested_subsets": q_nested_subsets,
+        "fightin_words": q_fightin_words,
         "transition_matrix": q_transition_matrix,
         # Everything ABOVE this line and below slot 50 is the round-5
         # never-driver-graded set (slots 51 onward, in the order added) —
@@ -7923,6 +7934,35 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY rank_c9 DESC, token ASC LIMIT 50
         """,
         "mmr_select": _mmr_sql(k=5, lam=0.7, pool=50),
+        # Dirichlet log-odds z, same operand order as the Column expr
+        "fightin_words": f"""
+            WITH gt AS (SELECT g, w, count(*)::BIGINT AS y FROM
+                          (SELECT source AS g, unnest({_WORDS_SQL}) AS w
+                           FROM documents) u
+                        GROUP BY 1, 2),
+            tok AS (SELECT w, sum(y) AS ty FROM gt GROUP BY w),
+            grp AS (SELECT g, sum(y) AS n FROM gt GROUP BY g),
+            vb AS (SELECT count(*)::BIGINT AS v, sum(ty) AS nn FROM tok),
+            j AS (SELECT gt.g, gt.w, gt.y, tok.ty - gt.y AS ry, grp.n,
+                    vb.nn - grp.n AS rn, vb.v
+                  FROM gt JOIN tok USING (w) JOIN grp USING (g)
+                  CROSS JOIN vb),
+            z AS (SELECT g, w, y, ry AS n_rest,
+                    round((ln((y::DOUBLE + 0.01::DOUBLE)
+                        / (n::DOUBLE + 0.01::DOUBLE * v::DOUBLE
+                           - (y::DOUBLE + 0.01::DOUBLE)))
+                      - ln((ry::DOUBLE + 0.01::DOUBLE)
+                        / (rn::DOUBLE + 0.01::DOUBLE * v::DOUBLE
+                           - (ry::DOUBLE + 0.01::DOUBLE))))
+                      / sqrt(1.0::DOUBLE / (y::DOUBLE + 0.01::DOUBLE)
+                        + 1.0::DOUBLE / (ry::DOUBLE + 0.01::DOUBLE)),
+                      6) AS zscore
+                  FROM j),
+            r AS (SELECT *, row_number() OVER (PARTITION BY g
+                    ORDER BY zscore DESC, w ASC) AS rk FROM z)
+            SELECT g AS source, w AS token, y AS n_in, n_rest, zscore
+            FROM r WHERE rk <= 10
+        """,
         # effective-number weights; 1−β left as the IEEE subtraction
         "class_weights": """
             WITH per AS (SELECT lang, count(*)::BIGINT AS n

@@ -198,6 +198,7 @@ HEADLINE = [
     "wow_decomposition",
     "class_weights",
     "nested_subsets",
+    "fightin_words",
 ]
 
 #: the queries that were in BENCH_r01 (the operative baseline — BASELINE.md:

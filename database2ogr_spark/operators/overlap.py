@@ -30,6 +30,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from database2ogr_spark.functions.gramkernel import distinct_gram_table
 
@@ -253,4 +254,88 @@ def burrows_delta(
         .filter(F.col("group_a") < F.col("group_b"))
         .groupBy("group_a", "group_b")
         .agg(F.round(F.avg(F.abs(F.col("za") - F.col("zb"))), 6).alias("delta"))
+    )
+
+
+def fightin_words(
+    df: DataFrame,
+    *,
+    group_col: str = "source",
+    text_col: str = "text",
+    alpha: float = 0.01,
+    top_n: int = 10,
+) -> DataFrame:
+    """Distinctive terms per group — the Monroe/Colaresi/Quinn 2008
+    'Fightin' Words' log-odds with a Dirichlet prior: what vocabulary
+    characterizes THIS source against the rest of the corpus, with the
+    prior shrinking rare-word noise that raw log-odds and PMI both
+    amplify (the standard tool when tf-idf's 'distinctive' is really
+    'hapax'). Per (group, token):
+
+    δ = ln((y + α) / (n + αV − y − α)) − ln((Y + α) / (N + αV − Y − α))
+    z = δ / √(1/(y + α) + 1/(Y + α))
+
+    with y the in-group count, Y the rest-of-corpus count, n/N the
+    totals, V the vocabulary size. Top-``top_n`` per group by
+    (z DESC, token ASC) — deterministic cut.
+
+    Output: (group_col, token, n_in, n_rest, zscore rounded 6).
+
+    Scale: ONE (group, token) count is the corpus-sized work; token
+    marginals reduce from it; the z arithmetic and per-group top-k
+    window run on the count table (≤ V × #groups rows).
+    """
+    from database2ogr_spark.functions.hashing import words
+
+    if top_n < 1:
+        raise ValueError("top_n must be >= 1")
+    gt = (
+        df.select(F.col(group_col).alias("g"), F.explode(words(F.col(text_col))).alias("w"))
+        .groupBy("g", "w")
+        .agg(F.count(F.lit(1)).alias("y"))
+    )
+    tok = gt.groupBy("w").agg(F.sum("y").alias("ty"))
+    grp = gt.groupBy("g").agg(F.sum("y").alias("n"))
+    vocab = tok.agg(
+        F.count(F.lit(1)).alias("v"), F.sum("ty").alias("nn")
+    )
+    a = float(alpha)
+    j = (
+        gt.join(tok, "w")
+        .join(F.broadcast(grp), "g")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "g",
+            "w",
+            "y",
+            (F.col("ty") - F.col("y")).alias("ry"),
+            "n",
+            (F.col("nn") - F.col("n")).alias("rn"),
+            "v",
+        )
+    )
+    av = F.lit(a) * F.col("v").cast("double")
+    ly = F.col("y").cast("double") + F.lit(a)
+    lr = F.col("ry").cast("double") + F.lit(a)
+    delta = (
+        F.log(ly / (F.col("n").cast("double") + av - ly))
+        - F.log(lr / (F.col("rn").cast("double") + av - lr))
+    )
+    z = F.round(delta / F.sqrt(F.lit(1.0) / ly + F.lit(1.0) / lr), 6)
+    ranked = j.select(
+        "g", "w", "y", F.col("ry").alias("n_rest"), z.alias("zscore")
+    ).withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("g").orderBy(
+                F.col("zscore").desc(), F.col("w").asc()
+            )
+        ),
+    )
+    return ranked.filter(F.col("rk") <= top_n).select(
+        F.col("g").alias(group_col),
+        F.col("w").alias("token"),
+        F.col("y").cast("bigint").alias("n_in"),
+        F.col("n_rest").cast("bigint").alias("n_rest"),
+        "zscore",
     )

@@ -86,3 +86,26 @@ def test_burrows_delta_style_separation(spark):
     assert out[("a", "b")] < out[("b", "c")]
     with _pytest.raises(ValueError):
         burrows_delta(df, top_n_words=0)
+
+
+def test_fightin_words_surfaces_distinctive_terms(spark):
+    import pytest as _p
+
+    from database2ogr_spark.operators.overlap import fightin_words
+
+    # 'spam' dominates source A; 'ham' dominates B; 'the' is common
+    rows = []
+    i = 0
+    for _ in range(20):
+        rows.append((i, "A", "the spam spam offer")); i += 1
+        rows.append((i, "B", "the ham ham recipe")); i += 1
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = fightin_words(df, top_n=2).collect()
+    top = {(r.source, r.token) for r in out}
+    assert ("A", "spam") in top and ("B", "ham") in top
+    # 'the' is never the most distinctive for either side
+    assert ("A", "the") not in top and ("B", "the") not in top
+    za = {r.token: r.zscore for r in out if r.source == "A"}
+    assert za["spam"] > 0
+    with _p.raises(ValueError):
+        fightin_words(df, top_n=0)
