@@ -199,6 +199,7 @@ HEADLINE = [
     "class_weights",
     "nested_subsets",
     "fightin_words",
+    "ql_topk",
 ]
 
 #: the queries that were in BENCH_r01 (the operative baseline — BASELINE.md:

@@ -256,3 +256,89 @@ def rrf_fuse(
     if top_n is not None:
         out = out.filter(F.col("fused_rank") <= top_n)
     return out
+
+
+def ql_topk(
+    spark: SparkSession,
+    index_dir: str,
+    terms: list[str],
+    *,
+    k: int = 10,
+    mu: float = 2000.0,
+) -> DataFrame:
+    """Query-likelihood ranked retrieval with Dirichlet smoothing
+    (public Ponte & Croft 1998 / Zhai & Lafferty 2001) — the language-
+    modeling member of the retrieval family next to BM25's probabilistic
+    ranking: score(q, d) = Σ_w ln((tf + μ·p(w|C)) / (dl + μ)), with
+    p(w|C) the corpus unigram probability. Differs from BM25 exactly
+    where the literature says it should: long documents are smoothed
+    toward the corpus model rather than length-penalized, and corpus-
+    frequent query terms are absorbed by μ·p(w|C) instead of an idf cut.
+
+    A document missing a query term still contributes that term's
+    smoothed corpus mass — handled via the per-document constant
+    Σ_w ln(μ·p(w|C)/(dl+μ)) plus a correction only on matched terms, so
+    the plan touches ONLY the query terms' postings plus the doc-length
+    table (never #docs × #terms rows).
+
+    Plan mirrors :func:`bm25_topk`: doc lengths and corpus stats from
+    one index pass (materialized at index-build time at scale), 1-row
+    broadcast stats, scores rounded 6, deterministic (score DESC,
+    doc_id) cut. Returns (doc_id, score) — scores are log-probabilities
+    (negative; higher = better).
+    """
+    if mu <= 0:
+        raise ValueError("mu must be positive")
+    qt = sorted(set(terms))
+    idx = spark.read.parquet(index_dir)
+    dl = idx.groupBy("doc").agg(F.sum("tf").alias("dl"))
+    ctot = idx.agg(F.sum("tf").alias("ct"))
+    cf = (
+        idx.filter(F.col("token").isin(qt))
+        .groupBy("token")
+        .agg(F.sum("tf").alias("cf"))
+        .crossJoin(F.broadcast(ctot))
+        .select("token", (F.col("cf").cast("double") / F.col("ct")).alias("pc"))
+    )
+    # per-document baseline: every query term contributes its smoothed
+    # corpus mass ln(mu*pc/(dl+mu)); terms absent from the corpus
+    # entirely are dropped (both engines agree: no posting, no pc)
+    base_terms = cf.agg(
+        F.sum(F.log(F.lit(mu) * F.col("pc"))).alias("sum_ln_mupc"),
+        F.count(F.lit(1)).alias("n_terms"),
+    )
+    baseline = dl.crossJoin(F.broadcast(base_terms)).select(
+        "doc",
+        "dl",
+        (
+            F.col("sum_ln_mupc")
+            - F.col("n_terms").cast("double")
+            * F.log(F.col("dl").cast("double") + F.lit(mu))
+        ).alias("base"),
+    )
+    matches = idx.filter(F.col("token").isin(qt)).select("token", "doc", "tf")
+    corr = (
+        matches.join(F.broadcast(cf), "token")
+        .select(
+            "doc",
+            (
+                F.log(
+                    F.col("tf").cast("double") + F.lit(mu) * F.col("pc")
+                )
+                - F.log(F.lit(mu) * F.col("pc"))
+            ).alias("_c"),
+        )
+        .groupBy("doc")
+        .agg(F.sum("_c").alias("corr"))
+    )
+    return (
+        baseline.join(corr, "doc", "left")
+        .select(
+            F.col("doc").alias("doc_id"),
+            F.round(
+                F.col("base") + F.coalesce(F.col("corr"), F.lit(0.0)), 6
+            ).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )

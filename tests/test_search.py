@@ -162,3 +162,27 @@ def test_rrf_fuse_hand_computed(spark):
         rrf_fuse([])
     with _pytest.raises(ValueError):
         rrf_fuse([a], k_rrf=0)
+
+
+def test_ql_topk_ranks_matching_docs_first(spark, tmp_path):
+    import pytest as _p
+
+    from database2ogr_spark.operators.search import build_positional_index, ql_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark shuffle spark shuffle"),   # both terms, repeated
+            (2, "spark window function"),          # one term
+            (3, "pandas numpy matplotlib"),        # neither
+        ],
+        "doc_id long, text string",
+    )
+    out = str(tmp_path / "idx")
+    build_positional_index(docs, out)
+    res = ql_topk(spark, out, ["spark", "shuffle"], k=3).collect()
+    order = [r.doc_id for r in res]
+    assert order[0] == 1 and order[1] == 2 and order[2] == 3
+    # scores are log-probs: negative and strictly ordered
+    assert res[0].score < 0 and res[0].score > res[1].score > res[2].score
+    with _p.raises(ValueError):
+        ql_topk(spark, out, ["spark"], mu=0)
