@@ -1231,6 +1231,16 @@ def q_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return concentration_report(_t(spark, sf_dir, "documents"))
 
 
+def q_user_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user feature mart (funnel.user_features, half-life 7 d):
+    span/volume/value/type-diversity + deterministic max_by dominant
+    type + time-decayed engagement — the feature-store table an event
+    log becomes."""
+    from database2ogr_spark.operators.funnel import user_features
+
+    return user_features(read_events(spark, os.path.join(sf_dir, "events.parquet")))
+
+
 def q_ql_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dirichlet query-likelihood top-15 for 'spark window shuffle'
     (search.ql_topk, μ=2000) — the LM retrieval member next to BM25;
@@ -4447,7 +4457,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     hourly_profile, hist_quantiles, session_stats, top_journeys,
     cohort_value, rfm, fanout_profile, repeat_interval, t_closeness,
     wow_decomposition, class_weights, nested_subsets, fightin_words,
-    ql_topk."""
+    ql_topk, user_features."""
     return {
         # --- (b) first-ever driver rows: the 37 late-round-4 additions ---
         # (five partsupp-family TPC-H completions, unpivot, rolling window
@@ -4634,6 +4644,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nested_subsets": q_nested_subsets,
         "fightin_words": q_fightin_words,
         "ql_topk": q_ql_topk,
+        "user_features": q_user_features,
         "transition_matrix": q_transition_matrix,
         # Everything ABOVE this line and below slot 50 is the round-5
         # never-driver-graded set (slots 51 onward, in the order added) —
@@ -7951,6 +7962,34 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY rank_c9 DESC, token ASC LIMIT 50
         """,
         "mmr_select": _mmr_sql(k=5, lam=0.7, pool=50),
+        "user_features": """
+            WITH e AS (SELECT user_id AS u,
+                         CAST(floor(epoch(ts) / 86400) AS BIGINT) AS d,
+                         event_type AS t,
+                         CAST(round(value * 100, 0) AS BIGINT) AS v_c2
+                       FROM events),
+            mx AS (SELECT max(d) AS maxd FROM e),
+            base AS (SELECT u, min(d) AS first_day, max(d) AS last_day,
+                       count(*)::BIGINT AS n_events,
+                       count(DISTINCT d)::BIGINT AS n_active_days,
+                       count(DISTINCT t)::BIGINT AS n_types,
+                       sum(v_c2) AS v_c2,
+                       round(sum(pow(0.5::DOUBLE,
+                         (maxd - d)::DOUBLE / 7.0::DOUBLE)), 6)
+                         AS decay_score
+                     FROM e CROSS JOIN mx GROUP BY u),
+            tc AS (SELECT u, t, count(*)::BIGINT AS n
+                   FROM e GROUP BY u, t),
+            tp AS (SELECT u, t AS top_type FROM
+                     (SELECT u, t, row_number() OVER (PARTITION BY u
+                        ORDER BY n DESC, t DESC) AS rn FROM tc) r
+                   WHERE rn = 1)
+            SELECT base.u AS user_id, first_day, last_day,
+              (last_day - first_day)::BIGINT AS tenure_days, n_events,
+              n_active_days, n_types, top_type,
+              round(v_c2 / 100.0::DOUBLE, 2) AS total_value, decay_score
+            FROM base JOIN tp ON base.u = tp.u
+        """,
         # Dirichlet-smoothed QL replay off the corpus tokenization
         "ql_topk": """
             WITH tk AS (SELECT doc_id, list_filter(string_split(

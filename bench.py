@@ -200,6 +200,7 @@ HEADLINE = [
     "nested_subsets",
     "fightin_words",
     "ql_topk",
+    "user_features",
 ]
 
 #: the queries that were in BENCH_r01 (the operative baseline — BASELINE.md:

@@ -690,3 +690,81 @@ def repeat_interval(
             6,
         ).alias("mean_days"),
     )
+
+
+def user_features(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    half_life_days: float = 7.0,
+) -> DataFrame:
+    """Per-user feature mart — the 'user 360' table every feature store
+    materializes from an event log: activity span, volume, value, type
+    diversity, the user's dominant event type, and a time-decayed
+    engagement score (Σ 0.5^(age/half_life) relative to the corpus max
+    day — yesterday's click outweighs last quarter's).
+
+    Determinism discipline: the dominant type uses ``max_by`` over a
+    (count, type) struct so ties break on the LEXICALLY LARGER type
+    consistently in both engines; money is exact scaled cents; the
+    decay sum is rounded 6 (pow is the only float surface).
+
+    Output: (user, first_day, last_day, tenure_days, n_events,
+    n_active_days, n_types, top_type, total_value, decay_score).
+
+    Scale: ONE user-keyed aggregation pass for most features + a
+    (user, type) count feeding the max_by (second partial-agg on the
+    same key — AQE coalesces the shuffles); the corpus max day is a
+    1-row broadcast.
+    """
+    day = F.floor(F.unix_timestamp(F.col(ts_col)) / F.lit(86400)).cast("long")
+    maxd = events.agg(F.max(day).alias("maxd"))
+    base = (
+        events.crossJoin(F.broadcast(maxd))
+        .groupBy(F.col(user_col).alias("u"))
+        .agg(
+            F.min(day).alias("first_day"),
+            F.max(day).alias("last_day"),
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.countDistinct(day).cast("bigint").alias("n_active_days"),
+            F.countDistinct(type_col).cast("bigint").alias("n_types"),
+            F.sum(F.round(F.col(value_col) * 100).cast("bigint")).alias("v_c2"),
+            F.round(
+                F.sum(
+                    F.pow(
+                        F.lit(0.5),
+                        (F.col("maxd") - day).cast("double")
+                        / F.lit(float(half_life_days)),
+                    )
+                ),
+                6,
+            ).alias("decay_score"),
+        )
+    )
+    top = (
+        events.groupBy(F.col(user_col).alias("u"), F.col(type_col).alias("t"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .groupBy("u")
+        .agg(
+            F.max_by(
+                F.col("t"), F.struct(F.col("n"), F.col("t"))
+            ).alias("top_type")
+        )
+    )
+    return base.join(top, "u").select(
+        F.col("u").alias(user_col),
+        "first_day",
+        "last_day",
+        (F.col("last_day") - F.col("first_day")).cast("bigint").alias(
+            "tenure_days"
+        ),
+        "n_events",
+        "n_active_days",
+        "n_types",
+        "top_type",
+        F.round(F.col("v_c2") / 100.0, 2).alias("total_value"),
+        "decay_score",
+    )

@@ -334,3 +334,35 @@ def test_repeat_interval_hand_values(spark):
     assert r.n_users_repeating == 1 and r.n_intervals == 2
     assert abs(r.p50_days - 1.5) < 1e-6
     assert abs(r.mean_days - 1.5) < 1e-6
+
+
+def test_user_features_hand_values(spark):
+    from database2ogr_spark.operators.funnel import user_features
+
+    rows = [
+        # user 1: days 0 and 2 (max day overall = 2); 2 views 1 click;
+        # values 1.00 + 2.00 + 3.50
+        (1, 1, 0, "view", 1.00),
+        (2, 1, 0, "view", 2.00),
+        (3, 1, 2 * 86400, "click", 3.50),
+        # user 2: one event on day 2
+        (4, 2, 2 * 86400 + 5, "view", 0.25),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, sec long, event_type string, value double"
+    ).selectExpr("event_id", "user_id", "CAST(sec AS TIMESTAMP) AS ts", "event_type", "value")
+    out = {r.user_id: r for r in user_features(df, half_life_days=2.0).collect()}
+    u1 = out[1]
+    assert (u1.first_day, u1.last_day, u1.tenure_days) == (0, 2, 2)
+    assert u1.n_events == 3 and u1.n_active_days == 2 and u1.n_types == 2
+    assert u1.top_type == "view"           # 2 views beat 1 click
+    assert abs(u1.total_value - 6.50) < 1e-9
+    # decay (half-life 2d, max day 2): day0 events weight .5 each, day2 = 1
+    assert abs(u1.decay_score - (0.5 + 0.5 + 1.0)) < 1e-6
+    assert out[2].top_type == "view" and out[2].tenure_days == 0
+    # tie on counts -> lexically larger type wins (documented)
+    tie = spark.createDataFrame(
+        [(1, 9, 0, "a", 0.0), (2, 9, 10, "b", 0.0)],
+        "event_id long, user_id long, sec long, event_type string, value double",
+    ).selectExpr("event_id", "user_id", "CAST(sec AS TIMESTAMP) AS ts", "event_type", "value")
+    assert user_features(tie).collect()[0].top_type == "b"
