@@ -347,18 +347,25 @@ def churn_weekly(
     convention, no calendar functions).
 
     n_churned = n_prev − n_retained by inclusion-exclusion: ONE distinct
-    over (week, user) (the only corpus-sized shuffle), one self-join
-    shifted by a week for the retained counts, two #weeks-row joins on
-    the week spine. Weeks with zero actives count as full churn of the
+    over (week, user) (the only corpus-sized shuffle — PERSISTED: four
+    branches reuse it; callers clearCache, the dedup-operator contract),
+    one self-join shifted by a week for the retained counts, two
+    #weeks-row joins on the week spine. Weeks with zero actives count as full churn of the
     predecessor (n_retained 0) and an empty base for the next row —
     rate NULL when the base week is empty.
 
     Output: (week, n_prev, n_retained, n_churned, churn_rate rounded 6).
     """
+    from pyspark import StorageLevel
+
     week = (
         F.floor(F.floor(F.unix_timestamp(F.col(ts_col)) / F.lit(86400)) / F.lit(7))
     ).cast("long")
-    wu = events.select(week.alias("w"), F.col(user_col).alias("u")).distinct()
+    wu = (
+        events.select(week.alias("w"), F.col(user_col).alias("u"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     act = wu.groupBy("w").agg(F.count(F.lit(1)).alias("n"))
     both = (
         wu.alias("a")

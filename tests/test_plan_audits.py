@@ -550,3 +550,42 @@ def test_round5_events_embedding_budgets(spark, name, max_shuffles):
         "Exchange rangepartitioning"
     )
     assert n <= max_shuffles, f"{name}: {n} shuffles (budget {max_shuffles})\n{plan}"
+
+
+@pytest.mark.parametrize(
+    "name,max_shuffles",
+    [
+        # the static plan repeats the persisted distinct's subtree per
+        # reference (4 InMemoryRelation scans — pinned below); at
+        # runtime the corpus-sized distinct executes ONCE and the other
+        # exchanges move #weeks-row tables
+        ("churn", 7),
+        # lag flag + running index share one user sort; per-session agg
+        ("session_stats", 3),
+        # (week,dim) count + spine join + per-dim lag window + totals
+        ("wow_decomposition", 4),
+        # user agg + (user,type) count + champion join
+        ("user_features", 4),
+        # one label-keyed count + the 1-row normalizer agg
+        ("class_weights", 2),
+        # ONE conditional-sum pass, no per-level scans
+        ("nested_subsets", 0),
+    ],
+)
+def test_round5_batch35_shuffle_budgets(spark, name, max_shuffles):
+    plan = _plan(spark, name)
+    n = plan.count("Exchange hashpartitioning") + plan.count(
+        "Exchange rangepartitioning"
+    )
+    assert n <= max_shuffles, f"{name}: {n} shuffles (budget {max_shuffles})\n{plan}"
+
+
+def test_churn_distinct_is_cached_once(spark):
+    plan = _plan(spark, "churn")
+    assert plan.count("InMemoryTableScan") >= 3, plan
+
+
+def test_session_stats_single_sort(spark):
+    # both windows must share one (user, (ts, id)) sort
+    plan = _plan(spark, "session_stats")
+    assert plan.count("+- Sort") <= 2, plan
