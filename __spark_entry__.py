@@ -1231,6 +1231,22 @@ def q_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return concentration_report(_t(spark, sf_dir, "documents"))
 
 
+def q_prf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pseudo-relevance-feedback top-15 for 'spark window'
+    (search.prf_topk, 5 feedback docs, 10 expansion terms) — the
+    retrieval capstone: two verified BM25 passes with the feedback and
+    expansion cuts kept IN-PLAN (limit subqueries joined back, no
+    driver collect)."""
+    from database2ogr_spark.operators.search import (
+        build_positional_index,
+        prf_topk,
+    )
+
+    out = os.path.join(tempfile.gettempdir(), "d2o_prf_idx")
+    build_positional_index(_t(spark, sf_dir, "documents"), out)
+    return prf_topk(spark, out, ["spark", "window"], k=15)
+
+
 def q_user_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user feature mart (funnel.user_features, half-life 7 d):
     span/volume/value/type-diversity + deterministic max_by dominant
@@ -4457,7 +4473,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     hourly_profile, hist_quantiles, session_stats, top_journeys,
     cohort_value, rfm, fanout_profile, repeat_interval, t_closeness,
     wow_decomposition, class_weights, nested_subsets, fightin_words,
-    ql_topk, user_features."""
+    ql_topk, user_features, prf_topk."""
     return {
         # --- (b) first-ever driver rows: the 37 late-round-4 additions ---
         # (five partsupp-family TPC-H completions, unpivot, rolling window
@@ -4645,6 +4661,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fightin_words": q_fightin_words,
         "ql_topk": q_ql_topk,
         "user_features": q_user_features,
+        "prf_topk": q_prf_topk,
         "transition_matrix": q_transition_matrix,
         # Everything ABOVE this line and below slot 50 is the round-5
         # never-driver-graded set (slots 51 onward, in the order added) —
@@ -7962,6 +7979,57 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY rank_c9 DESC, token ASC LIMIT 50
         """,
         "mmr_select": _mmr_sql(k=5, lam=0.7, pool=50),
+        # two unrolled BM25 passes with deterministic feedback cuts
+        "prf_topk": """
+            WITH tk AS (SELECT doc_id, list_filter(string_split(
+                          regexp_replace(text, '\\s+', ' ', 'g'), ' '),
+                          x -> x <> '') AS w
+                        FROM documents),
+            tok AS (SELECT doc_id, unnest(w) AS token FROM tk),
+            tf AS (SELECT doc_id, token, count(*)::BIGINT AS tf
+                   FROM tok GROUP BY doc_id, token),
+            dl AS (SELECT doc_id, sum(tf)::BIGINT AS dl
+                   FROM tf GROUP BY doc_id),
+            st AS (SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl
+                   FROM dl),
+            orig AS (SELECT unnest(['spark', 'window']) AS token),
+            m1 AS (SELECT tf.doc_id, tf.token, tf.tf
+                   FROM tf JOIN orig USING (token)),
+            d1 AS (SELECT token, count(DISTINCT doc_id)::BIGINT AS dfreq
+                   FROM m1 GROUP BY token),
+            s1 AS (SELECT m1.doc_id,
+                     round(sum(ln(1 + (n_docs - dfreq + 0.5)
+                         / (dfreq + 0.5))
+                       * (tf * 2.2)
+                       / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 6)
+                       AS score
+                   FROM m1 JOIN d1 USING (token) JOIN dl USING (doc_id)
+                   CROSS JOIN st GROUP BY m1.doc_id),
+            fb AS (SELECT doc_id FROM s1
+                   ORDER BY score DESC, doc_id LIMIT 5),
+            ex AS (SELECT token FROM
+                     (SELECT tf.token, sum(tf.tf) AS wt
+                      FROM tf JOIN fb USING (doc_id)
+                      WHERE tf.token NOT IN (SELECT token FROM orig)
+                      GROUP BY tf.token) e
+                   ORDER BY wt DESC, token LIMIT 10),
+            q2 AS (SELECT token FROM orig
+                   UNION ALL SELECT token FROM ex),
+            m2 AS (SELECT tf.doc_id, tf.token, tf.tf
+                   FROM tf JOIN q2 USING (token)),
+            d2 AS (SELECT token, count(DISTINCT doc_id)::BIGINT AS dfreq
+                   FROM m2 GROUP BY token),
+            s2 AS (SELECT m2.doc_id,
+                     round(sum(ln(1 + (n_docs - dfreq + 0.5)
+                         / (dfreq + 0.5))
+                       * (tf * 2.2)
+                       / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 6)
+                       AS score
+                   FROM m2 JOIN d2 USING (token) JOIN dl USING (doc_id)
+                   CROSS JOIN st GROUP BY m2.doc_id)
+            SELECT doc_id, score FROM s2
+            ORDER BY score DESC, doc_id ASC LIMIT 15
+        """,
         "user_features": """
             WITH e AS (SELECT user_id AS u,
                          CAST(floor(epoch(ts) / 86400) AS BIGINT) AS d,

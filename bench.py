@@ -201,6 +201,7 @@ HEADLINE = [
     "fightin_words",
     "ql_topk",
     "user_features",
+    "prf_topk",
 ]
 
 #: the queries that were in BENCH_r01 (the operative baseline — BASELINE.md:

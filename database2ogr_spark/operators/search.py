@@ -342,3 +342,92 @@ def ql_topk(
         .orderBy(F.col("score").desc(), F.col("doc_id").asc())
         .limit(k)
     )
+
+
+def prf_topk(
+    spark: SparkSession,
+    index_dir: str,
+    terms: list[str],
+    *,
+    k: int = 10,
+    fb_docs: int = 5,
+    fb_terms: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Pseudo-relevance-feedback retrieval (public Rocchio 1971 /
+    standard PRF): BM25 first pass → assume the top ``fb_docs`` are
+    relevant → harvest their ``fb_terms`` strongest new terms → re-run
+    BM25 with the expanded query. The recall lever when the user's two
+    words under-specify the need — and the retrieval family's capstone
+    here, composing the verified BM25 scorer twice.
+
+    EVERYTHING stays in one Catalyst plan — the feedback docs and the
+    expansion terms are ``limit`` subqueries joined back to the index,
+    never collected to the driver (the textbook implementation collects
+    the term list; at scale that is a driver round-trip and a lineage
+    break). All cuts are deterministic: (score DESC, doc), then
+    (Σtf DESC, token), then (score DESC, doc).
+
+    Returns (doc_id, score) — at most ``k`` rows, scores rounded 6.
+    """
+    if fb_docs < 1 or fb_terms < 1:
+        raise ValueError("fb_docs and fb_terms must be >= 1")
+    qt = sorted(set(terms))
+    idx = spark.read.parquet(index_dir)
+    dl = idx.groupBy("doc").agg(F.sum("tf").alias("dl"))
+    stats = dl.agg(F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl"))
+    orig = spark.createDataFrame([(t,) for t in qt], "token string")
+
+    def bm25(query_df):
+        matches = idx.join(F.broadcast(query_df), "token").select(
+            "token", "doc", "tf"
+        )
+        dfreq = matches.groupBy("token").agg(
+            F.countDistinct("doc").alias("dfreq")
+        )
+        return (
+            matches.join(F.broadcast(dfreq), "token")
+            .join(dl, "doc")
+            .crossJoin(F.broadcast(stats))
+            .select(
+                "doc",
+                (
+                    F.log(
+                        F.lit(1.0)
+                        + (F.col("n_docs") - F.col("dfreq") + F.lit(0.5))
+                        / (F.col("dfreq") + F.lit(0.5))
+                    )
+                    * (F.col("tf") * (k1 + 1.0))
+                    / (
+                        F.col("tf")
+                        + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+                    )
+                ).alias("_s"),
+            )
+            .groupBy("doc")
+            .agg(F.round(F.sum("_s"), 6).alias("score"))
+        )
+
+    fb = (
+        bm25(orig)
+        .orderBy(F.col("score").desc(), F.col("doc").asc())
+        .limit(fb_docs)
+        .select("doc")
+    )
+    expansion = (
+        idx.join(F.broadcast(fb), "doc")
+        .join(F.broadcast(orig), "token", "left_anti")
+        .groupBy("token")
+        .agg(F.sum("tf").alias("wt"))
+        .orderBy(F.col("wt").desc(), F.col("token").asc())
+        .limit(fb_terms)
+        .select("token")
+    )
+    q2 = orig.union(expansion)
+    return (
+        bm25(q2)
+        .select(F.col("doc").alias("doc_id"), "score")
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )

@@ -186,3 +186,28 @@ def test_ql_topk_ranks_matching_docs_first(spark, tmp_path):
     assert res[0].score < 0 and res[0].score > res[1].score > res[2].score
     with _p.raises(ValueError):
         ql_topk(spark, out, ["spark"], mu=0)
+
+
+def test_prf_topk_expands_recall(spark, tmp_path):
+    import pytest as _p
+
+    from database2ogr_spark.operators.search import build_positional_index, prf_topk
+
+    # doc 1 matches the query and pairs 'spark' with 'shuffle'; doc 2
+    # contains only 'shuffle' — invisible to the original query, found
+    # after expansion through doc 1's vocabulary
+    docs = spark.createDataFrame(
+        [
+            (1, "spark shuffle spark shuffle tuning"),
+            (2, "shuffle tuning guide"),
+            (3, "gardening tips"),
+        ],
+        "doc_id long, text string",
+    )
+    out = str(tmp_path / "idx")
+    build_positional_index(docs, out)
+    res = {r.doc_id for r in prf_topk(spark, out, ["spark"], k=3, fb_docs=1, fb_terms=3).collect()}
+    assert 1 in res and 2 in res       # doc 2 reached via expansion
+    assert 3 not in res
+    with _p.raises(ValueError):
+        prf_topk(spark, out, ["spark"], fb_docs=0)
