@@ -1231,6 +1231,27 @@ def q_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return concentration_report(_t(spark, sf_dir, "documents"))
 
 
+def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Flesch reading ease (functions/textstats) — the
+    readability tier of the quality stack; sentence/syllable counts are
+    pure regex arithmetic, deterministic where NLP syllabifiers are
+    not."""
+    from database2ogr_spark.functions.textstats import (
+        flesch_reading_ease,
+        sentence_count,
+        syllable_count,
+        whitespace_token_count,
+    )
+
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        sentence_count("text").cast("int").alias("n_sents"),
+        whitespace_token_count("text").cast("int").alias("n_words"),
+        syllable_count("text").cast("int").alias("n_syll"),
+        F.round(flesch_reading_ease("text"), 6).alias("flesch"),
+    )
+
+
 def q_prf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pseudo-relevance-feedback top-15 for 'spark window'
     (search.prf_topk, 5 feedback docs, 10 expansion terms) — the
@@ -4473,7 +4494,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     hourly_profile, hist_quantiles, session_stats, top_journeys,
     cohort_value, rfm, fanout_profile, repeat_interval, t_closeness,
     wow_decomposition, class_weights, nested_subsets, fightin_words,
-    ql_topk, user_features, prf_topk."""
+    ql_topk, user_features, prf_topk, readability."""
     return {
         # --- (b) first-ever driver rows: the 37 late-round-4 additions ---
         # (five partsupp-family TPC-H completions, unpivot, rolling window
@@ -4662,6 +4683,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ql_topk": q_ql_topk,
         "user_features": q_user_features,
         "prf_topk": q_prf_topk,
+        "readability": q_readability,
         "transition_matrix": q_transition_matrix,
         # Everything ABOVE this line and below slot 50 is the round-5
         # never-driver-graded set (slots 51 onward, in the order added) —
@@ -7979,6 +8001,26 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY rank_c9 DESC, token ASC LIMIT 50
         """,
         "mmr_select": _mmr_sql(k=5, lam=0.7, pool=50),
+        "readability": f"""
+            WITH b AS (SELECT doc_id,
+                         len({_WORDS_SQL})::INT AS n_words,
+                         greatest(len(list_filter(string_split(
+                           regexp_replace(text, '[.!?]+', chr(0), 'g'),
+                           chr(0)), x -> trim(x) <> '')), 1)::INT
+                           AS n_sents,
+                         (len(string_split_regex(lower(text),
+                           '[aeiouy]+')) - 1)::INT AS vg
+                       FROM documents),
+            c AS (SELECT doc_id, n_sents, n_words,
+                    greatest(vg, n_words)::INT AS n_syll
+                  FROM b)
+            SELECT doc_id, n_sents, n_words, n_syll,
+              round(CASE WHEN n_words > 0 THEN 206.835::DOUBLE
+                - 1.015::DOUBLE * (n_words::DOUBLE / n_sents::DOUBLE)
+                - 84.6::DOUBLE * (n_syll::DOUBLE / n_words::DOUBLE)
+                END, 6) AS flesch
+            FROM c
+        """,
         # two unrolled BM25 passes with deterministic feedback cuts
         "prf_topk": """
             WITH tk AS (SELECT doc_id, list_filter(string_split(

@@ -202,6 +202,7 @@ HEADLINE = [
     "ql_topk",
     "user_features",
     "prf_topk",
+    "readability",
 ]
 
 #: the queries that were in BENCH_r01 (the operative baseline — BASELINE.md:

@@ -274,3 +274,44 @@ def lexical_diversity(
             ).alias("distinct_bigram_ratio"),
         )
     )
+
+
+def sentence_count(col: Column | str) -> Column:
+    """Sentence count as terminal-punctuation RUNS (``[.!?]+`` — '?!'
+    and '...' end ONE sentence), floored at 1 for any non-blank text so
+    ratio denominators stay sane on fragments."""
+    runs = F.size(
+        F.filter(
+            F.split(F.regexp_replace(_c(col), r"[.!?]+", "\x00"), "\x00"),
+            lambda x: F.trim(x) != "",
+        )
+    )
+    return F.greatest(runs, F.lit(1))
+
+
+def syllable_count(col: Column | str) -> Column:
+    """Approximate syllables: VOWEL GROUPS per word (the standard
+    dictionary-free heuristic — each maximal run of [aeiouy] counts
+    once), floored at one per word. Pure regex arithmetic, so the count
+    is deterministic and engine-replayable — which an NLP-library
+    syllabifier is not.
+    """
+    lower = F.lower(_c(col))
+    # split on vowel runs: pieces - 1 == number of vowel groups
+    vg = F.size(F.split(lower, r"[aeiouy]+")) - F.lit(1)
+    words = whitespace_token_count(col)
+    # every word has >= 1 syllable: take the max of the two estimates
+    return F.greatest(vg, words)
+
+
+def flesch_reading_ease(col: Column | str) -> Column:
+    """Flesch reading ease (public 1948 formula): 206.835 −
+    1.015·(words/sentences) − 84.6·(syllables/words); NULL on blank
+    text. All three counts are the deterministic regex forms above."""
+    w = whitespace_token_count(col).cast("double")
+    s = sentence_count(col).cast("double")
+    sy = syllable_count(col).cast("double")
+    return F.when(
+        w > 0,
+        F.lit(206.835) - F.lit(1.015) * (w / s) - F.lit(84.6) * (sy / w),
+    )

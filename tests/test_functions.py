@@ -561,3 +561,40 @@ def test_detect_phrases_scores(spark):
     assert ("new", "york") in ph
     # (new, york) scores far above (the, city): c1 c2 small and exclusive
     assert ph[("new", "york")] > 2 * ph.get(("the", "city"), 0.0)
+
+
+def test_readability_functions(spark):
+    from pyspark.sql import functions as F
+
+    from database2ogr_spark.functions.textstats import (
+        flesch_reading_ease,
+        sentence_count,
+        syllable_count,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "The cat sat. The dog ran!"),
+            (2, "Incomprehensibility notwithstanding... onwards?!"),
+            (3, "no terminal punctuation here"),
+        ],
+        "id long, text string",
+    )
+    out = {
+        r.id: r
+        for r in df.select(
+            "id",
+            sentence_count("text").alias("s"),
+            syllable_count("text").alias("sy"),
+            F.round(flesch_reading_ease("text"), 3).alias("f"),
+        ).collect()
+    }
+    assert out[1].s == 2           # two sentences
+    assert out[2].s == 2           # '...' and '?!' are one terminator each
+    assert out[3].s == 1           # floor at 1
+    # 'the cat sat' -> vowel groups e/a/a = 3; doc 1 has 6 words, 6 groups
+    assert out[1].sy == 6
+    # simple monosyllabic text scores as very easy (high Flesch)
+    assert out[1].f > 90
+    # polysyllabic text scores much harder
+    assert out[2].f < out[1].f - 50
