@@ -4441,8 +4441,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     bounded prefix (observed: first 50 entries), so the prefix carries, in
     priority order, (a) entries that are NEW or CHANGED this round, (b)
     entries that have NEVER held a driver row, and (c) the round-robin of
-    entries whose last green row is oldest. With ~153 entries and a
-    50-slot gate, the steady-state rotation period is three rounds (the
+    entries whose last green row is oldest. With 273 entries and a
+    50-slot gate, the steady-state rotation period is ~6 rounds (the
     original "no entry waits more than 2 rounds" promise predates the
     registry outgrowing 100 entries and is arithmetically impossible now);
     the queue below the prefix is kept in EXACT round-6 priority order so
