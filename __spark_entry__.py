@@ -1081,7 +1081,7 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         build_positional_index,
     )
 
-    out = os.path.join(tempfile.gettempdir(), "d2o_bm25_idx")
+    out = _tmp("d2o_bm25_idx")
     build_positional_index(_t(spark, sf_dir, "documents"), out)
     return bm25_topk(spark, out, ["spark", "window", "shuffle"], k=15)
 
@@ -1263,7 +1263,7 @@ def q_prf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         prf_topk,
     )
 
-    out = os.path.join(tempfile.gettempdir(), "d2o_prf_idx")
+    out = _tmp("d2o_prf_idx")
     build_positional_index(_t(spark, sf_dir, "documents"), out)
     return prf_topk(spark, out, ["spark", "window"], k=15)
 
@@ -1288,7 +1288,7 @@ def q_ql_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ql_topk,
     )
 
-    out = os.path.join(tempfile.gettempdir(), "d2o_ql_idx")
+    out = _tmp("d2o_ql_idx")
     build_positional_index(_t(spark, sf_dir, "documents"), out)
     return ql_topk(spark, out, ["spark", "window", "shuffle"], k=15)
 
@@ -1808,7 +1808,7 @@ def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         rrf_fuse,
     )
 
-    out = os.path.join(tempfile.gettempdir(), "d2o_bm25_idx_rrf")
+    out = _tmp("d2o_bm25_idx_rrf")
     build_positional_index(_t(spark, sf_dir, "documents"), out)
     bm = bm25_topk(spark, out, ["spark", "window", "shuffle"], k=15)
     w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
@@ -2303,7 +2303,7 @@ def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     the table exactly (good side complete, quarantine empty)."""
     from database2ogr_spark.sources.jsonl import read_jsonl
 
-    out = os.path.join(tempfile.gettempdir(), "d2o_jsonl_roundtrip")
+    out = _tmp("d2o_jsonl_roundtrip")
     docs = _t(spark, sf_dir, "documents")
     docs.coalesce(4).write.mode("overwrite").json(out)
     good, quarantine = read_jsonl(spark, out)
@@ -2317,7 +2317,7 @@ def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     reproduce the table exactly (good side complete, quarantine empty)."""
     from database2ogr_spark.sources.csvfile import read_csv_quarantine
 
-    out = os.path.join(tempfile.gettempdir(), "d2o_csv_roundtrip")
+    out = _tmp("d2o_csv_roundtrip")
     docs = _t(spark, sf_dir, "documents")
     docs.coalesce(4).write.mode("overwrite").csv(out)
     good, quarantine = read_csv_quarantine(spark, out)
@@ -2692,7 +2692,7 @@ def q_boolean_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         search_all_terms,
     )
 
-    idx = os.path.join(tempfile.gettempdir(), "d2o_inverted_index")
+    idx = _tmp("d2o_inverted_index")
     build_inverted_index(_t(spark, sf_dir, "documents"), idx)
     return search_all_terms(spark, idx, ["spark", "window"])
 
@@ -2736,7 +2736,7 @@ def q_corrupt_file_resilience(spark: SparkSession, sf_dir: str) -> DataFrame:
     (deterministic, so the oracle is the even-id selection). The default
     (fail-fast) remains the right posture for silent-loss-intolerant
     pipelines; this flag is the explicit opt-in, scoped to this read."""
-    out = os.path.join(tempfile.gettempdir(), "d2o_corrupt_resilience")
+    out = _tmp("d2o_corrupt_resilience")
     docs = _t(spark, sf_dir, "documents")
     docs.filter(F.col("doc_id") % 2 == 0).select("doc_id", "lang", "source")\
         .coalesce(2).write.mode("overwrite").parquet(f"{out}/batch=0")
@@ -2797,7 +2797,7 @@ def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     directory; ``mergeSchema`` reconciles them — old rows surface the new
     column as NULL. At scale this is how a corpus accretes columns without
     rewriting history. Footer-only schema merge; per-file pruning intact."""
-    out = os.path.join(tempfile.gettempdir(), "d2o_schema_evo")
+    out = _tmp("d2o_schema_evo")
     docs = _t(spark, sf_dir, "documents")
     old = docs.filter(F.col("doc_id") % 2 == 0).select("doc_id", "lang")
     new = docs.filter(F.col("doc_id") % 2 == 1).select("doc_id", "lang", "source")
@@ -2975,7 +2975,7 @@ def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     reproduce the table exactly. ORC is Spark-native (columnar, predicate
     pushdown, splittable) — the third interchange format after parquet and
     the quarantine-checked JSONL/CSV line formats."""
-    out = os.path.join(tempfile.gettempdir(), "d2o_orc_roundtrip")
+    out = _tmp("d2o_orc_roundtrip")
     docs = _t(spark, sf_dir, "documents")
     docs.coalesce(4).write.mode("overwrite").orc(out)
     return spark.read.orc(out).select("doc_id", "lang", "source", "n_chars")
@@ -2987,7 +2987,7 @@ def q_corpus_shards_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     label intact (oracle = the split_corpus assignment itself)."""
     from database2ogr_spark.sinks.corpus import write_corpus_shards
 
-    out = os.path.join(tempfile.gettempdir(), "d2o_corpus_shards")
+    out = _tmp("d2o_corpus_shards")
     split = SMP.split_corpus(
         _t(spark, sf_dir, "documents"), {"train": 90, "val": 5, "test": 5}
     )
@@ -3208,7 +3208,7 @@ def q_webdataset_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     payload AND metadata survive the sink byte-exactly."""
     from database2ogr_spark.sinks.webdataset import read_tar_shards, write_tar_shards
 
-    out = os.path.join(tempfile.gettempdir(), "d2o_wds_shards")
+    out = _tmp("d2o_wds_shards")
     docs = _t(spark, sf_dir, "documents")
     write_tar_shards(docs, out, shards=4, meta_cols=("lang",)).collect()
     back = read_tar_shards(spark, out)
@@ -3587,7 +3587,7 @@ def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         phrase_search,
     )
 
-    out = os.path.join(tempfile.gettempdir(), "d2o_positional_idx")
+    out = _tmp("d2o_positional_idx")
     build_positional_index(_t(spark, sf_dir, "documents"), out)
     return phrase_search(spark, out, ["slow", "hash", "batch"])
 
@@ -3842,7 +3842,7 @@ def q_ivf_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = _t(spark, sf_dir, "embeddings")
-    idx = os.path.join(tempfile.gettempdir(), "d2o_ivf_index")
+    idx = _tmp("d2o_ivf_index")
     build_ivf_index(emb, idx, n_centroids=16)
     queries_df = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
@@ -4002,7 +4002,7 @@ def _ates_catalog(spark: SparkSession) -> Catalog:
     from database2ogr_spark.sources.fixtures import write_ates_fixtures
 
     if _ATES_DIR is None:
-        _ATES_DIR = os.path.join(tempfile.gettempdir(), "d2o_ates_fixtures")
+        _ATES_DIR = _tmp("d2o_ates_fixtures")
         write_ates_fixtures(spark, _ATES_DIR)
     return Catalog(spark, _ATES_DIR)
 
@@ -4093,7 +4093,7 @@ def q_ates_kml_document(spark: SparkSession, sf_dir: str) -> DataFrame:
                 hashlib.md5(doc.encode("utf-8")).hexdigest(),
             )
         )
-    kmz_path = os.path.join(tempfile.gettempdir(), "d2o_ates_area1.kmz")
+    kmz_path = _tmp("d2o_ates_area1") + ".kmz"
     export_kmz(cat, 1, kmz_path, lang="en", icon_number=11)
     with zipfile.ZipFile(kmz_path) as zf:
         payload = zf.read("doc.kml")
@@ -4429,6 +4429,13 @@ def q_window_top_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFra
 
 # ---------------------------------------------------------------------------
 # registry
+
+
+def _tmp(name: str) -> str:
+    """Process-unique scratch path: two Spark processes (a pytest run
+    next to a check_oracle sweep) must never rebuild the same fixture
+    or index directory underneath each other."""
+    return os.path.join(tempfile.gettempdir(), f"{name}_{os.getpid()}")
 
 
 def entry(spark: SparkSession) -> DataFrame:
