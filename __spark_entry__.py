@@ -1231,6 +1231,17 @@ def q_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return concentration_report(_t(spark, sf_dir, "documents"))
 
 
+def q_u_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U-shaped 40-20-40 multi-touch attribution (funnel.
+    u_shaped_attribution): per-channel credit for touches before each
+    user's first purchase; exact small-rational weights."""
+    from database2ogr_spark.operators.funnel import u_shaped_attribution
+
+    return u_shaped_attribution(
+        read_events(spark, os.path.join(sf_dir, "events.parquet"))
+    )
+
+
 def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document Flesch reading ease (functions/textstats) — the
     readability tier of the quality stack; sentence/syllable counts are
@@ -4501,7 +4512,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     hourly_profile, hist_quantiles, session_stats, top_journeys,
     cohort_value, rfm, fanout_profile, repeat_interval, t_closeness,
     wow_decomposition, class_weights, nested_subsets, fightin_words,
-    ql_topk, user_features, prf_topk, readability."""
+    ql_topk, user_features, prf_topk, readability, u_attribution."""
     return {
         # --- (b) first-ever driver rows: the 37 late-round-4 additions ---
         # (five partsupp-family TPC-H completions, unpivot, rolling window
@@ -4691,6 +4702,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_features": q_user_features,
         "prf_topk": q_prf_topk,
         "readability": q_readability,
+        "u_attribution": q_u_attribution,
         "transition_matrix": q_transition_matrix,
         # Everything ABOVE this line and below slot 50 is the round-5
         # never-driver-graded set (slots 51 onward, in the order added) —
@@ -8008,6 +8020,31 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY rank_c9 DESC, token ASC LIMIT 50
         """,
         "mmr_select": _mmr_sql(k=5, lam=0.7, pool=50),
+        "u_attribution": """
+            WITH conv AS (SELECT user_id AS u, min(ts) AS cts
+                          FROM events WHERE event_type = 'purchase'
+                          GROUP BY user_id),
+            tch AS (SELECT e.user_id AS u, e.event_type AS t, e.ts,
+                      e.event_id AS tb
+                    FROM events e JOIN conv ON e.user_id = conv.u
+                    WHERE e.event_type IN ('view', 'click')
+                      AND e.ts < conv.cts),
+            pos AS (SELECT u, t,
+                      row_number() OVER (PARTITION BY u
+                        ORDER BY ts ASC, tb ASC) AS p,
+                      count(*) OVER (PARTITION BY u) AS n
+                    FROM tch),
+            cr AS (SELECT t,
+                     CASE WHEN n = 1 THEN 1.0::DOUBLE
+                          WHEN n = 2 THEN 0.5::DOUBLE
+                          WHEN p = 1 THEN 0.4::DOUBLE
+                          WHEN p = n THEN 0.4::DOUBLE
+                          ELSE 0.2::DOUBLE / (n - 2)::DOUBLE END AS c
+                   FROM pos)
+            SELECT t AS event_type, count(*)::BIGINT AS n_touches,
+              round(sum(c), 6) AS credit
+            FROM cr GROUP BY t
+        """,
         "readability": f"""
             WITH b AS (SELECT doc_id,
                          len({_WORDS_SQL})::INT AS n_words,

@@ -203,6 +203,7 @@ HEADLINE = [
     "user_features",
     "prf_topk",
     "readability",
+    "u_attribution",
 ]
 
 #: the queries that were in BENCH_r01 (the operative baseline — BASELINE.md:

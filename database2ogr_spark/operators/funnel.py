@@ -775,3 +775,73 @@ def user_features(
         F.round(F.col("v_c2") / 100.0, 2).alias("total_value"),
         "decay_score",
     )
+
+
+def u_shaped_attribution(
+    events: DataFrame,
+    conversion_type: str = "purchase",
+    touch_types: tuple = ("view", "click"),
+    *,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Position-based (U-shaped / 40-20-40) multi-touch attribution —
+    the standard middle ground between first- and last-touch models:
+    for each converting user, the touches strictly before their FIRST
+    conversion share the credit with 0.4 to the first touch, 0.4 to the
+    last, and 0.2 split evenly across the middle (1 touch → 1.0; 2
+    touches → 0.5 each). Credit is then rolled up by touch type — the
+    channel-budget table this model exists to produce.
+
+    Determinism: touch order is (ts, tiebreak); weights are exact
+    rationals of small integers evaluated identically in both engines;
+    per-type credit is rounded 6 only at the end.
+
+    Output: (event_type, n_touches, credit) — one row per touch type
+    with ≥1 attributed touch.
+
+    Scale: one user-keyed min for the conversion anchor (broadcastable
+    per-user table), one filtered join, ONE (user) window pair sharing
+    a sort for position/count, and a #types-key rollup.
+    """
+    ev = events.select(
+        F.col(user_col).alias("u"),
+        F.col(type_col).alias("t"),
+        F.col(ts_col).alias("ts"),
+        F.col(tiebreak_col).alias("tb"),
+    )
+    conv = (
+        ev.filter(F.col("t") == conversion_type)
+        .groupBy("u")
+        .agg(F.min("ts").alias("cts"))
+    )
+    touches = (
+        ev.filter(F.col("t").isin(list(touch_types)))
+        .join(conv, "u")
+        .filter(F.col("ts") < F.col("cts"))
+    )
+    w = Window.partitionBy("u").orderBy(F.col("ts").asc(), F.col("tb").asc())
+    wc = Window.partitionBy("u")
+    pos = touches.select(
+        "u",
+        "t",
+        F.row_number().over(w).alias("p"),
+        F.count(F.lit(1)).over(wc).alias("n"),
+    )
+    credit = (
+        F.when(F.col("n") == 1, F.lit(1.0))
+        .when((F.col("n") == 2), F.lit(0.5))
+        .when(F.col("p") == 1, F.lit(0.4))
+        .when(F.col("p") == F.col("n"), F.lit(0.4))
+        .otherwise(F.lit(0.2) / (F.col("n") - 2).cast("double"))
+    )
+    return (
+        pos.select("t", credit.alias("c"))
+        .groupBy(F.col("t").alias(type_col))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_touches"),
+            F.round(F.sum("c"), 6).alias("credit"),
+        )
+    )

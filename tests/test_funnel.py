@@ -366,3 +366,30 @@ def test_user_features_hand_values(spark):
         "event_id long, user_id long, sec long, event_type string, value double",
     ).selectExpr("event_id", "user_id", "CAST(sec AS TIMESTAMP) AS ts", "event_type", "value")
     assert user_features(tie).collect()[0].top_type == "b"
+
+
+def test_u_shaped_attribution_hand_values(spark):
+    from database2ogr_spark.operators.funnel import u_shaped_attribution
+
+    rows = [
+        # user 1: view, click, view, view then purchase ->
+        # weights .4 (view), .2 (click, middle of 4? n=4: middle two get
+        # .1 each), ... sequence: v c v v -> first v .4, last v .4,
+        # middle c .1, middle v .1
+        (1, 1, 0, "view"), (2, 1, 10, "click"), (3, 1, 20, "view"),
+        (4, 1, 30, "view"), (5, 1, 40, "purchase"),
+        # user 2: single click then purchase -> click gets 1.0
+        (6, 2, 0, "click"), (7, 2, 5, "purchase"),
+        # user 3: touches AFTER purchase don't count
+        (8, 3, 10, "purchase"), (9, 3, 20, "view"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, sec long, event_type string"
+    ).selectExpr("event_id", "user_id", "CAST(sec AS TIMESTAMP) AS ts", "event_type")
+    out = {r.event_type: r for r in u_shaped_attribution(df).collect()}
+    # views: .4 + .1 + .4 = .9 ; clicks: .1 + 1.0 = 1.1
+    assert abs(out["view"].credit - 0.9) < 1e-6
+    assert abs(out["click"].credit - 1.1) < 1e-6
+    assert out["view"].n_touches == 3 and out["click"].n_touches == 2
+    # total credit = number of converting users with >=1 touch
+    assert abs(out["view"].credit + out["click"].credit - 2.0) < 1e-6
