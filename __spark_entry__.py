@@ -1231,6 +1231,17 @@ def q_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return concentration_report(_t(spark, sf_dir, "documents"))
 
 
+def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier user-lifetime survival curve
+    (timeseries.kaplan_meier, 7-day censor horizon) — the
+    censoring-correct retention curve (naive 'lasted ≥ t' counts
+    still-active users as churned); forward-cumulative at-risk set,
+    sequential log-sum product identical in both engines."""
+    from database2ogr_spark.operators.timeseries import kaplan_meier
+
+    return kaplan_meier(read_events(spark, os.path.join(sf_dir, "events.parquet")))
+
+
 def q_u_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """U-shaped 40-20-40 multi-touch attribution (funnel.
     u_shaped_attribution): per-channel credit for touches before each
@@ -4512,7 +4523,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     hourly_profile, hist_quantiles, session_stats, top_journeys,
     cohort_value, rfm, fanout_profile, repeat_interval, t_closeness,
     wow_decomposition, class_weights, nested_subsets, fightin_words,
-    ql_topk, user_features, prf_topk, readability, u_attribution."""
+    ql_topk, user_features, prf_topk, readability, u_attribution,
+    kaplan_meier."""
     return {
         # --- (b) first-ever driver rows: the 37 late-round-4 additions ---
         # (five partsupp-family TPC-H completions, unpivot, rolling window
@@ -4703,6 +4715,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prf_topk": q_prf_topk,
         "readability": q_readability,
         "u_attribution": q_u_attribution,
+        "kaplan_meier": q_kaplan_meier,
         "transition_matrix": q_transition_matrix,
         # Everything ABOVE this line and below slot 50 is the round-5
         # never-driver-graded set (slots 51 onward, in the order added) —
@@ -8020,6 +8033,33 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY rank_c9 DESC, token ASC LIMIT 50
         """,
         "mmr_select": _mmr_sql(k=5, lam=0.7, pool=50),
+        "kaplan_meier": """
+            WITH per AS (SELECT user_id AS u,
+                           min(CAST(floor(epoch(ts) / 86400) AS BIGINT))
+                             AS f,
+                           max(CAST(floor(epoch(ts) / 86400) AS BIGINT))
+                             AS l
+                         FROM events GROUP BY 1),
+            mx AS (SELECT max(l) AS maxd FROM per),
+            lab AS (SELECT (l - f)::BIGINT AS t,
+                      CASE WHEN l <= maxd - 7 THEN 1 ELSE 0 END AS ch
+                    FROM per CROSS JOIN mx),
+            tbl AS (SELECT t, sum(ch)::BIGINT AS d,
+                      sum(1 - ch)::BIGINT AS c
+                    FROM lab GROUP BY t),
+            st AS (SELECT t, d, c,
+                     sum(d + c) OVER (ORDER BY t ROWS BETWEEN CURRENT
+                       ROW AND UNBOUNDED FOLLOWING) AS n
+                   FROM tbl),
+            fin AS (SELECT t, d, c, n,
+                      exp(sum(ln(greatest(1.0::DOUBLE
+                        - d::DOUBLE / n::DOUBLE, 1e-300::DOUBLE)))
+                        OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)) AS s
+                    FROM st)
+            SELECT t AS t_days, n::BIGINT AS n_at_risk, d AS n_churned,
+              c AS n_censored, round(s, 6) AS survival
+            FROM fin
+        """,
         "u_attribution": """
             WITH conv AS (SELECT user_id AS u, min(ts) AS cts
                           FROM events WHERE event_type = 'purchase'

@@ -204,6 +204,7 @@ HEADLINE = [
     "prf_topk",
     "readability",
     "u_attribution",
+    "kaplan_meier",
 ]
 
 #: the queries that were in BENCH_r01 (the operative baseline — BASELINE.md:

@@ -793,3 +793,73 @@ def wow_decomposition(
             6,
         ).alias("share"),
     )
+
+
+def kaplan_meier(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    censor_horizon_days: int = 7,
+) -> DataFrame:
+    """Kaplan–Meier survival curve of user lifetime (public KM 1958) —
+    the censoring-correct retention curve: naive 'share of users who
+    lasted ≥ t days' treats every still-active user as churned, biasing
+    retention DOWN; KM removes censored users from the at-risk set
+    instead. A user's lifetime is last_day − first_day; they count as
+    churned only when their last event is at least ``censor_horizon_days``
+    before the corpus end (otherwise they may still be alive — censored).
+
+    S(t) = Π_{s ≤ t} (1 − d_s/n_s) over distinct lifetimes, computed as
+    exp of the running sum of ln terms (the cumulative window is
+    sequential in both engines, so the float path is order-identical;
+    the 1e−300 floor makes an exhausted risk set a clean 0.0 rather
+    than an engine-specific ln(0)).
+
+    Output: (t_days, n_at_risk, n_churned, n_censored, survival) — one
+    row per distinct observed lifetime, survival rounded 6.
+
+    Scale: ONE user-keyed agg (the corpus-sized shuffle), a ≤#users-key
+    lifetime rollup, then windows over #distinct-lifetimes rows.
+    """
+    if censor_horizon_days < 0:
+        raise ValueError("censor_horizon_days must be >= 0")
+    day = F.floor(F.unix_timestamp(F.col(ts_col)) / F.lit(86400)).cast("long")
+    per = events.groupBy(F.col(user_col).alias("u")).agg(
+        F.min(day).alias("f"), F.max(day).alias("l")
+    )
+    maxd = per.agg(F.max("l").alias("maxd"))
+    lab = per.crossJoin(F.broadcast(maxd)).select(
+        (F.col("l") - F.col("f")).alias("t"),
+        (F.col("l") <= F.col("maxd") - censor_horizon_days)
+        .cast("int")
+        .alias("churned"),
+    )
+    tbl = lab.groupBy("t").agg(
+        F.sum("churned").alias("d"),
+        F.sum(F.lit(1) - F.col("churned")).alias("c"),
+    )
+    # at risk at lifetime t = everyone whose lifetime is >= t: a forward
+    # cumulative over the lifetime table — fully lazy, no driver count
+    wf = Window.orderBy("t").rowsBetween(0, Window.unboundedFollowing)
+    wk = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    at_risk = F.sum(F.col("d") + F.col("c")).over(wf)
+    staged = tbl.select(
+        "t",
+        "d",
+        "c",
+        at_risk.alias("n"),
+    )
+    term = F.log(
+        F.greatest(
+            F.lit(1.0) - F.col("d").cast("double") / F.col("n").cast("double"),
+            F.lit(1e-300),
+        )
+    )
+    return staged.select(
+        F.col("t").cast("bigint").alias("t_days"),
+        F.col("n").cast("bigint").alias("n_at_risk"),
+        F.col("d").cast("bigint").alias("n_churned"),
+        F.col("c").cast("bigint").alias("n_censored"),
+        F.round(F.exp(F.sum(term).over(wk)), 6).alias("survival"),
+    )

@@ -479,3 +479,34 @@ def test_wow_decomposition_hand_values(spark):
     # shares sum to 1 when total delta nonzero
     s = out[(2, "a")].share + out[(2, "b")].share
     assert abs(s - 1.0) < 1e-6
+
+
+def test_kaplan_meier_hand_values(spark):
+    import pytest as _p
+
+    from database2ogr_spark.operators.timeseries import kaplan_meier
+
+    # corpus end = day 20, horizon 7 -> churned iff last <= 13
+    # u1: days 0..2   -> t=2, churned
+    # u2: days 0..2   -> t=2, churned
+    # u3: days 0..5   -> t=5, churned
+    # u4: days 10..20 -> t=10, CENSORED (active at corpus end)
+    rows = []
+    eid = 0
+    for u, days in [(1, [0, 2]), (2, [0, 1, 2]), (3, [0, 5]), (4, [10, 20])]:
+        for d in days:
+            rows.append((eid, u, d * 86400 + 3)); eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, sec long"
+    ).selectExpr("event_id", "user_id", "CAST(sec AS TIMESTAMP) AS ts")
+    out = {r.t_days: r for r in kaplan_meier(df, censor_horizon_days=7).collect()}
+    # t=2: at risk 4, 2 churn -> S = 0.5
+    assert (out[2].n_at_risk, out[2].n_churned) == (4, 2)
+    assert abs(out[2].survival - 0.5) < 1e-6
+    # t=5: at risk 2, 1 churn -> S = 0.5 * 0.5 = 0.25
+    assert (out[5].n_at_risk, out[5].n_churned) == (2, 1)
+    assert abs(out[5].survival - 0.25) < 1e-6
+    # t=10: censored only -> survival unchanged
+    assert out[10].n_censored == 1 and abs(out[10].survival - 0.25) < 1e-6
+    with _p.raises(ValueError):
+        kaplan_meier(df, censor_horizon_days=-1)
