@@ -205,6 +205,7 @@ HEADLINE = [
     "readability",
     "u_attribution",
     "kaplan_meier",
+    "ann_ndcg",
 ]
 
 #: the queries that were in BENCH_r01 (the operative baseline — BASELINE.md:
