@@ -1231,6 +1231,16 @@ def q_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return concentration_report(_t(spark, sf_dir, "documents"))
 
 
+def q_forecast_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive (lag-7) forecast baseline scored with
+    MAE/MAPE/sMAPE (timeseries.forecast_eval) — the numbers any
+    forecasting model must beat; MAPE's zero-actual exclusion is
+    explicit, not hidden."""
+    from database2ogr_spark.operators.timeseries import forecast_eval
+
+    return forecast_eval(_t(spark, sf_dir, "events"), season_days=7)
+
+
 def q_ann_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN RANKING quality row — NDCG@10 of the multiprobe sign-LSH
     answer against brute-force cosine, on the same rotated query set
@@ -4595,7 +4605,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     cohort_value, rfm, fanout_profile, repeat_interval, t_closeness,
     wow_decomposition, class_weights, nested_subsets, fightin_words,
     ql_topk, user_features, prf_topk, readability, u_attribution,
-    kaplan_meier, ann_ndcg."""
+    kaplan_meier, ann_ndcg, forecast_eval."""
     return {
         # --- (b) first-ever driver rows: the 37 late-round-4 additions ---
         # (five partsupp-family TPC-H completions, unpivot, rolling window
@@ -4788,6 +4798,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "u_attribution": q_u_attribution,
         "kaplan_meier": q_kaplan_meier,
         "ann_ndcg": q_ann_ndcg,
+        "forecast_eval": q_forecast_eval,
         "transition_matrix": q_transition_matrix,
         # Everything ABOVE this line and below slot 50 is the round-5
         # never-driver-graded set (slots 51 onward, in the order added) —
@@ -8105,6 +8116,32 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY rank_c9 DESC, token ASC LIMIT 50
         """,
         "mmr_select": _mmr_sql(k=5, lam=0.7, pool=50),
+        "forecast_eval": """
+            WITH c AS (SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT)
+                         AS d, count(*)::BIGINT AS x
+                       FROM events GROUP BY 1),
+            b AS (SELECT min(d) AS lo, max(d) AS hi FROM c),
+            sp AS (SELECT unnest(range(lo, hi + 1)) AS d FROM b),
+            daily AS (SELECT sp.d, coalesce(c.x, 0)::BIGINT AS x
+                      FROM sp LEFT JOIN c ON sp.d = c.d),
+            pr AS (SELECT d + 7 AS d, x AS yhat FROM daily),
+            j AS (SELECT daily.d, daily.x, pr.yhat
+                  FROM daily JOIN pr ON daily.d = pr.d)
+            SELECT count(*)::BIGINT AS n_eval,
+              sum(CASE WHEN x > 0 THEN 1 ELSE 0 END)::BIGINT
+                AS n_mape_eval,
+              round(sum(abs(x - yhat))::DOUBLE / count(*)::DOUBLE, 6)
+                AS mae,
+              round(sum(CASE WHEN x > 0 THEN
+                  abs(x - yhat)::DOUBLE / x::DOUBLE END)
+                / sum(CASE WHEN x > 0 THEN 1 ELSE 0 END)::DOUBLE, 6)
+                AS mape,
+              round(sum(CASE WHEN (x + yhat) > 0 THEN
+                  2.0::DOUBLE * abs(x - yhat)::DOUBLE
+                    / (x + yhat)::DOUBLE
+                ELSE 0.0::DOUBLE END) / count(*)::DOUBLE, 6) AS smape
+            FROM j
+        """,
         # same scored-pair scan as ann_recall_lsh; NDCG@10 math on top
         "ann_ndcg": f"""
             WITH c AS (SELECT vec_id,

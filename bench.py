@@ -206,6 +206,7 @@ HEADLINE = [
     "u_attribution",
     "kaplan_meier",
     "ann_ndcg",
+    "forecast_eval",
 ]
 
 #: the queries that were in BENCH_r01 (the operative baseline — BASELINE.md:

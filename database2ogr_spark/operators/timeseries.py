@@ -863,3 +863,74 @@ def kaplan_meier(
         F.col("c").cast("bigint").alias("n_censored"),
         F.round(F.exp(F.sum(term).over(wk)), 6).alias("survival"),
     )
+
+
+def forecast_eval(
+    events: DataFrame,
+    *,
+    ts_col: str = "ts",
+    season_days: int = 7,
+) -> DataFrame:
+    """Seasonal-naive forecast error on daily volume — the baseline
+    every forecasting effort must beat before it earns a model:
+    ŷ(d) = y(d − season) over the spined series, scored with MAE
+    (exact integers), MAPE (zero-actual days excluded — division by
+    the actual, the classic MAPE caveat, documented not hidden), and
+    sMAPE (defined on all days except 0/0, which contributes 0 —
+    the standard convention). A model that can't beat these numbers is
+    a regression; publishing them per snapshot is the guardrail.
+
+    Output: ONE row (n_eval, n_mape_eval, mae, mape, smape) — errors
+    rounded 6; MAE exact before rounding (integer sums).
+
+    Scale: one day-keyed count + the spine + a self-join shifted by
+    ``season_days`` on #days rows.
+    """
+    if season_days < 1:
+        raise ValueError("season_days must be >= 1")
+    day = F.floor(F.unix_timestamp(F.col(ts_col)) / F.lit(86400)).cast("long")
+    counts = events.select(day.alias("d")).groupBy("d").agg(
+        F.count(F.lit(1)).alias("x")
+    )
+    bounds = counts.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    spine = bounds.select(
+        F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("d")
+    )
+    daily = spine.join(counts, "d", "left").select(
+        "d", F.coalesce(F.col("x"), F.lit(0)).cast("long").alias("x")
+    )
+    pred = daily.select(
+        (F.col("d") + season_days).alias("d"), F.col("x").alias("yhat")
+    )
+    j = daily.join(pred, "d")  # inner: only days with a seasonal lag
+    ae = F.abs(F.col("x") - F.col("yhat"))
+    return j.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_eval"),
+        F.sum(F.when(F.col("x") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_mape_eval"),
+        F.round(
+            F.sum(ae).cast("double") / F.count(F.lit(1)).cast("double"), 6
+        ).alias("mae"),
+        F.round(
+            F.sum(
+                F.when(
+                    F.col("x") > 0,
+                    ae.cast("double") / F.col("x").cast("double"),
+                )
+            )
+            / F.sum(F.when(F.col("x") > 0, 1).otherwise(0)).cast("double"),
+            6,
+        ).alias("mape"),
+        F.round(
+            F.sum(
+                F.when(
+                    (F.col("x") + F.col("yhat")) > 0,
+                    F.lit(2.0) * ae.cast("double")
+                    / (F.col("x") + F.col("yhat")).cast("double"),
+                ).otherwise(F.lit(0.0))
+            )
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("smape"),
+    )

@@ -510,3 +510,29 @@ def test_kaplan_meier_hand_values(spark):
     assert out[10].n_censored == 1 and abs(out[10].survival - 0.25) < 1e-6
     with _p.raises(ValueError):
         kaplan_meier(df, censor_horizon_days=-1)
+
+
+def test_forecast_eval_hand_values(spark):
+    import pytest as _p
+
+    from database2ogr_spark.operators.timeseries import forecast_eval
+
+    # 2-day season, days 0..5 with counts 10, 20, 12, 18, 0, 22:
+    # evaluable days 2..5: preds 10,20,12,18; errors 2,2,12,4
+    rows = []
+    eid = 0
+    for d, n in [(0, 10), (1, 20), (2, 12), (3, 18), (5, 22)]:
+        for _ in range(n):
+            rows.append((eid, d * 86400 + 4)); eid += 1
+    df = spark.createDataFrame(rows, "event_id long, sec long").selectExpr(
+        "event_id", "CAST(sec AS TIMESTAMP) AS ts"
+    )
+    r = forecast_eval(df, season_days=2).collect()[0]
+    assert r.n_eval == 4 and r.n_mape_eval == 3   # day 4 actual is 0
+    assert abs(r.mae - (2 + 2 + 12 + 4) / 4) < 1e-6
+    assert abs(r.mape - (2 / 12 + 2 / 18 + 4 / 22) / 3) < 1e-6
+    # smape: 2*2/22 + 2*2/38 + 2*12/12 + 2*4/40, all over 4
+    want = (4 / 22 + 4 / 38 + 24 / 12 + 8 / 40) / 4
+    assert abs(r.smape - want) < 1e-6
+    with _p.raises(ValueError):
+        forecast_eval(df, season_days=0)
