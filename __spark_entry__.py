@@ -1231,6 +1231,24 @@ def q_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return concentration_report(_t(spark, sf_dir, "documents"))
 
 
+def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment dedup (dedup.containment_pairs) on a
+    corpus with planted EXCERPT docs (first 12 normalized words of
+    every doc_id % 20 == 7 document, id + 10⁶): embedded duplicates
+    score containment ≈ 1 while their symmetric Jaccard stays diluted
+    — the quote/boilerplate-wrapper case the Jaccard family is blind
+    to."""
+    from database2ogr_spark.functions.hashing import words
+    from database2ogr_spark.operators.dedup import containment_pairs
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    excerpts = docs.filter(F.col("doc_id") % 20 == 7).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.array_join(F.slice(words(F.col("text")), 1, 12), " ").alias("text"),
+    )
+    return containment_pairs(docs.union(excerpts), threshold=0.9)
+
+
 def q_forecast_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seasonal-naive (lag-7) forecast baseline scored with
     MAE/MAPE/sMAPE (timeseries.forecast_eval) — the numbers any
@@ -4605,7 +4623,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     cohort_value, rfm, fanout_profile, repeat_interval, t_closeness,
     wow_decomposition, class_weights, nested_subsets, fightin_words,
     ql_topk, user_features, prf_topk, readability, u_attribution,
-    kaplan_meier, ann_ndcg, forecast_eval."""
+    kaplan_meier, ann_ndcg, forecast_eval, containment."""
     return {
         # --- (b) first-ever driver rows: the 37 late-round-4 additions ---
         # (five partsupp-family TPC-H completions, unpivot, rolling window
@@ -4799,6 +4817,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kaplan_meier": q_kaplan_meier,
         "ann_ndcg": q_ann_ndcg,
         "forecast_eval": q_forecast_eval,
+        "containment": q_containment,
         "transition_matrix": q_transition_matrix,
         # Everything ABOVE this line and below slot 50 is the round-5
         # never-driver-graded set (slots 51 onward, in the order added) —
@@ -8116,6 +8135,36 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY rank_c9 DESC, token ASC LIMIT 50
         """,
         "mmr_select": _mmr_sql(k=5, lam=0.7, pool=50),
+        # shingle containment over the corpus + planted excerpts
+        "containment": f"""
+            WITH sh AS ({_shingles_sql(3, '''(SELECT doc_id, text
+                    FROM documents
+                    UNION ALL
+                    SELECT doc_id + 1000000,
+                      array_to_string(list_slice(''' + _WORDS_SQL + ''',
+                        1, 12), ' ')
+                    FROM documents WHERE doc_id % 20 = 7) b''')}),
+            ex AS (SELECT DISTINCT doc_id, g FROM
+                   (SELECT doc_id, unnest(s) AS g FROM sh) u),
+            sizes AS (SELECT doc_id, count(*) AS n FROM ex
+                      GROUP BY doc_id),
+            shared AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                count(*)::BIGINT AS shared
+              FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+            sc AS (SELECT id_a, id_b, sa.n::BIGINT AS n_a,
+                     sb.n::BIGINT AS n_b, shared,
+                     round(shared / CAST(least(sa.n, sb.n) AS DOUBLE), 6)
+                       AS containment,
+                     round(shared / CAST(sa.n + sb.n - shared AS DOUBLE),
+                       6) AS jaccard
+                   FROM shared
+                   JOIN sizes sa ON id_a = sa.doc_id
+                   JOIN sizes sb ON id_b = sb.doc_id)
+            SELECT id_a, id_b, n_a, n_b, shared, containment, jaccard
+            FROM sc WHERE containment >= 0.9
+        """,
         "forecast_eval": """
             WITH c AS (SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT)
                          AS d, count(*)::BIGINT AS x

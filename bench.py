@@ -207,6 +207,7 @@ HEADLINE = [
     "kaplan_meier",
     "ann_ndcg",
     "forecast_eval",
+    "containment",
 ]
 
 #: the queries that were in BENCH_r01 (the operative baseline — BASELINE.md:

@@ -1300,3 +1300,71 @@ def winnow_pairs(
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    k_shingle: int = 3,
+    threshold: float = 0.9,
+    release_cache: bool = True,
+) -> DataFrame:
+    """ASYMMETRIC near-dup detection — shingle containment
+    ``|A∩B| / min(|A|, |B|)`` (the Broder containment measure): a short
+    document EMBEDDED verbatim inside a long one has containment ≈ 1
+    while its symmetric Jaccard can sit far below every dedup
+    threshold (|A∩B|/|A∪B| is diluted by the long doc's extra mass) —
+    the quote-expansion / boilerplate-wrapper duplication the Jaccard
+    family is structurally blind to. Both scores are reported so the
+    'embedded but not near-identical' band (high containment, low
+    jaccard) is directly filterable.
+
+    Same inverted-index join and Arrow gram kernel as
+    :func:`ngram_jaccard_pairs` (shared-count per candidate pair, per-doc
+    distinct-gram counts riding the join); at scale the same hot-shingle
+    guard considerations apply — compose with that operator's ``max_df``
+    semantics by pre-filtering if the corpus needs it.
+
+    Output: (id_a, id_b, n_a, n_b, shared, containment, jaccard) for
+    pairs with containment ≥ ``threshold``; scores rounded 6.
+    """
+    from database2ogr_spark.functions.gramkernel import distinct_gram_table
+
+    sh = (
+        distinct_gram_table(spread(df), id_col, text_col, k_shingle, with_count=True)
+        .withColumnRenamed("gram", "shingle")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    shared = (
+        sh.alias("l")
+        .join(
+            sh.alias("r"),
+            (F.col("l.shingle") == F.col("r.shingle"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .groupBy(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .agg(
+            F.count(F.lit(1)).alias("shared"),
+            F.min(F.col("l.n")).alias("n_a"),
+            F.min(F.col("r.n")).alias("n_b"),
+        )
+    )
+    cont = F.round(
+        F.col("shared").cast("double")
+        / F.least(F.col("n_a"), F.col("n_b")).cast("double"),
+        6,
+    )
+    jac = F.round(
+        F.col("shared").cast("double")
+        / (F.col("n_a") + F.col("n_b") - F.col("shared")).cast("double"),
+        6,
+    )
+    pairs = (
+        shared.withColumn("containment", cont)
+        .withColumn("jaccard", jac)
+        .filter(F.col("containment") >= threshold)
+        .select("id_a", "id_b", "n_a", "n_b", "shared", "containment", "jaccard")
+    )
+    return _finalize(pairs, sh, release=release_cache)

@@ -673,3 +673,24 @@ def test_winnow_guarantee_property(spark):
     for a in range(6):
         for b in range(a + 1, 6):
             assert fps[a] & fps[b], (a, b)
+
+
+def test_containment_pairs_catches_embedded_duplicate(spark):
+    from database2ogr_spark.operators.dedup import containment_pairs
+
+    short = "alpha beta gamma delta epsilon zeta"
+    long_doc = (
+        "intro words here first. " + short + " and then a very long tail "
+        "of unrelated filler content continues onward for a while with "
+        "many extra distinct tokens one two three four five six seven"
+    )
+    df = spark.createDataFrame(
+        [(1, short), (2, long_doc), (3, "completely different text body")],
+        "doc_id long, text string",
+    )
+    out = {(r.id_a, r.id_b): r for r in containment_pairs(df, threshold=0.9).collect()}
+    assert (1, 2) in out
+    r = out[(1, 2)]
+    assert r.containment >= 0.9          # short doc fully embedded
+    assert r.jaccard < 0.5               # symmetric Jaccard is diluted
+    assert (1, 3) not in out and (2, 3) not in out
