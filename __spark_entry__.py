@@ -6739,7 +6739,10 @@ def oracle_sql() -> dict[str, str]:
             FROM orders
             UNION ALL
             SELECT 'unique:o_orderkey',
-              coalesce(sum(n - 1), 0) FROM (
+              -- sum() of BIGINT is HUGEINT in DuckDB; pandas (the driver
+              -- canonicalizer) renders HUGEINT as float64, and this branch
+              -- coerces the whole UNION-ALL column → r5 hash-FAIL. Cast.
+              CAST(coalesce(sum(n - 1), 0) AS BIGINT) FROM (
                 SELECT count(*) AS n FROM orders
                 WHERE o_orderkey IS NOT NULL GROUP BY o_orderkey)
             UNION ALL
@@ -6762,15 +6765,15 @@ def oracle_sql() -> dict[str, str]:
             FROM o WHERE cw >= tot / 2.0 GROUP BY 1
         """,
         "pivot_event_counts": """
+            -- count(*) FILTER, not sum(CASE...): DuckDB types sum(int) as
+            -- HUGEINT → pandas float64 at the driver → r5 hash-FAIL vs
+            -- Spark's bigint. count(*) is BIGINT natively.
             SELECT user_id,
-              sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
-                AS click,
-              sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view,
-              sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
-                AS purchase,
-              sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
-                AS signup,
-              sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error
+              count(*) FILTER (WHERE event_type = 'click') AS click,
+              count(*) FILTER (WHERE event_type = 'view') AS view,
+              count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+              count(*) FILTER (WHERE event_type = 'signup') AS signup,
+              count(*) FILTER (WHERE event_type = 'error') AS error
             FROM events GROUP BY 1
         """,
         "rank_functions": """
@@ -9708,7 +9711,10 @@ def oracle_sql() -> dict[str, str]:
               FROM ct CROSS JOIN qt
               WHERE ct.vec_id <> qt.query_id
               GROUP BY 1, 2, 3),
-            s AS (SELECT query_id, vec_id, sum(ms) AS score_x1e6
+            -- CAST: sum(BIGINT) is HUGEINT in DuckDB → float64 under the
+            -- driver's pandas canonicalizer → r5 hash-FAIL vs Spark bigint
+            s AS (SELECT query_id, vec_id,
+                    CAST(sum(ms) AS BIGINT) AS score_x1e6
                   FROM m GROUP BY 1, 2),
             r AS (SELECT *, row_number() OVER (PARTITION BY query_id
                     ORDER BY score_x1e6 DESC, vec_id)::INT AS rank

@@ -1,6 +1,11 @@
 """Local stand-in for the driver's t2 correctness gate: run every
 ``queries()`` entry and its ``oracle_sql()`` twin at sf0.01, compare
-row-count, column names, and order-insensitive values.
+row-count, column names, order-insensitive values, AND pandas dtype
+*kind* per column (the driver canonicalizes both sides through pandas,
+so an oracle column that pandas renders float64 while Spark emits int64
+hash-FAILs at the driver even when the values are numerically equal —
+the r5 HUGEINT class: DuckDB types integer ``sum()`` as HUGEINT, which
+``.df()`` renders as float64 while ``fetchall()`` yields Python ints).
 
 Usage: python scripts/check_oracle.py [sf_dir] [only_query ...]
 """
@@ -11,6 +16,7 @@ import math
 import sys
 
 import duckdb
+import pandas as pd
 from pyspark.sql.types import ArrayType, MapType, StructType
 
 sys.path.insert(0, "/root/repo")
@@ -31,6 +37,44 @@ def complex_typed_cols(schema) -> list[str]:
         for f in schema.fields
         if isinstance(f.dataType, (ArrayType, MapType, StructType))
     ]
+
+
+def dtype_kind(dt) -> str:
+    """Collapse a pandas dtype to the kind class the driver's value-hash
+    is sensitive to: int vs float vs bool vs datetime vs object. ``2``
+    (int64) and ``2.0`` (float64) hash differently at the driver even
+    though ``2 == 2.0`` — this is the class that shipped in r5."""
+    k = getattr(dt, "kind", "O")
+    if k in ("i", "u"):
+        return "int"
+    if k == "f":
+        return "float"
+    if k == "b":
+        return "bool"
+    if k in ("M", "m"):
+        return "datetime"
+    return "object"
+
+
+def dtype_mismatches(scols, srows, odf: pd.DataFrame) -> list[str]:
+    """Compare pandas dtype kinds between the Spark result (canonicalized
+    the driver's way: a DataFrame built from collected rows — nullable
+    ints become float64, exactly like ``toPandas``) and the oracle
+    fetched via ``.df()`` (the driver's path, where HUGEINT → float64).
+    Returns human-readable per-column mismatch strings."""
+    if not srows or len(odf) == 0:
+        return []  # dtypes of an empty frame are inference artifacts
+    spdf = pd.DataFrame.from_records(
+        [tuple(r) for r in srows], columns=list(scols)
+    )
+    out = []
+    for c in scols:
+        if c not in odf.columns:
+            continue  # column-name mismatch is reported separately
+        sk, ok = dtype_kind(spdf[c].dtype), dtype_kind(odf[c].dtype)
+        if sk != ok:
+            out.append(f"dtype[{c}] spark={sk} oracle={ok}")
+    return out
 
 
 def norm_cell(v):
@@ -98,11 +142,16 @@ def main() -> int:
             res = con.sql(oracles[name])
             ocols = res.columns
             orows = res.fetchall()
+            # re-run through .df(): the DRIVER's fetch path. fetchall()
+            # yields HUGEINT as Python int (2 == 2.0 passes below); .df()
+            # yields float64 and the driver hash-FAILs. Both fetches are
+            # needed: fetchall for the value compare, .df for dtypes.
+            odf = con.sql(oracles[name]).df()
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {e}")
             failures += 1
             continue
-        problems = []
+        problems = dtype_mismatches(scols, srows, odf)
         if sorted(scols) != sorted(ocols):
             problems.append(f"cols spark={sorted(scols)} oracle={sorted(ocols)}")
         if len(srows) != len(orows):

@@ -47,6 +47,53 @@ def test_complex_typed_cols_passes_scalars(spark):
     assert mod.complex_typed_cols(df.schema) == []
 
 
+def test_dtype_gate_catches_uncast_hugeint_sum(spark):
+    """The r5 failure class end-to-end: DuckDB types integer ``sum()`` as
+    HUGEINT, which ``.df()`` (the driver's fetch path) renders float64
+    while Spark emits bigint — values equal, hashes differ.  The hardened
+    harness must flag the dtype-kind mismatch that ``fetchall()``-based
+    value comparison tolerates (``2 == 2.0``)."""
+    import duckdb
+
+    mod = _check_oracle_mod()
+    sdf = spark.range(3).select(F.col("id"), (F.col("id") * 2).alias("s"))
+    srows = sdf.collect()
+    odf = duckdb.sql(
+        "SELECT id, sum(id * 2) AS s FROM range(3) t(id) GROUP BY id"
+    ).df()
+    bad = mod.dtype_mismatches(sdf.columns, srows, odf)
+    assert bad == ["dtype[s] spark=int oracle=float"]
+    # and the cast repairs it
+    odf_cast = duckdb.sql(
+        "SELECT id, CAST(sum(id * 2) AS BIGINT) AS s FROM range(3) t(id) GROUP BY id"
+    ).df()
+    assert mod.dtype_mismatches(sdf.columns, srows, odf_cast) == []
+
+
+def test_dtype_gate_catches_int_vs_float_literal(spark):
+    """A plainer instance of the same class: oracle emits DOUBLE where
+    Spark emits bigint (e.g. ``n / 1`` vs ``n``)."""
+    import duckdb
+
+    mod = _check_oracle_mod()
+    sdf = spark.range(4).select(F.col("id"))
+    odf = duckdb.sql("SELECT id / 1.0 AS id FROM range(4) t(id)").df()
+    assert mod.dtype_mismatches(sdf.columns, sdf.collect(), odf) == [
+        "dtype[id] spark=int oracle=float"
+    ]
+
+
+def test_dtype_gate_skips_empty_results(spark):
+    """Dtypes of an empty frame are inference artifacts — no false FAILs
+    on legitimately-empty query results."""
+    import duckdb
+
+    mod = _check_oracle_mod()
+    sdf = spark.range(1).filter(F.lit(False)).select("id")
+    odf = duckdb.sql("SELECT id FROM range(1) t(id) WHERE false").df()
+    assert mod.dtype_mismatches(sdf.columns, sdf.collect(), odf) == []
+
+
 def test_no_registry_entry_declares_complex_output(spark, tmp_path):
     """Every queries() entry must emit scalar columns only.  Checked via
     the declared schema at sf0.001 (schema resolution only — no job runs
