@@ -4566,142 +4566,50 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is load-bearing: the driver's oracle check covers a
-    bounded prefix (observed: first 50 entries), so the prefix carries, in
-    priority order, (a) entries that are NEW or CHANGED this round, (b)
-    entries that have NEVER held a driver row, and (c) the round-robin of
-    entries whose last green row is oldest. With 273 entries and a
-    50-slot gate, the steady-state rotation period is ~6 rounds (the
-    original "no entry waits more than 2 rounds" promise predates the
-    registry outgrowing 100 entries and is arithmetically impossible now);
-    the queue below the prefix is kept in EXACT round-6 priority order so
-    the next rotation is a pure cut at slot 50.
+    bounded prefix (observed: first 50 entries), so the prefix carries the
+    entries most in need of a driver row and the queue below it is kept in
+    EXACT next-round priority order, making each rotation a pure cut at
+    slot 50.
 
-    Round 5 prefix (50): the thirty-seven late-round-4 additions that the
-    slot-50 comment promised would lead (slots 1-37, first-ever driver
-    rows); the two round-4 gate-err entries, re-shaped to scalar long form
-    (project_embeddings, multimodal_decode — the driver canonicalizer
-    cannot sort array cells); the two never-graded all-scalar multimodal
-    entries (multimodal_resize, multimodal_frame_sample); and the NINE
-    new round-5 entries (ann_recall_lsh, quality_classifier, zorder_key,
-    weighted_sample, countmin_tokens, late_interaction, pmi_bigrams,
-    pretrain_ledger, stupid_backoff) — exactly 50. The round-6 queue is
-    led by the round-5 entries that landed AFTER the prefix filled
-    (curriculum_order, normalize_homoglyphs, the three-entry BPE family,
-    novelty_stats, phrase_search, length_bucketed_batches — see the
-    slot-50 comment), then the twenty r1/r2 re-earners (new work
-    legitimately outranks re-grading; every displaced entry's machinery
-    is a graded constituent of a prefix entry). winsorize_values, training_order,
-    dedup_survivors_priority, and gap_fill additionally carry this round's
-    advisor fixes (left-join NULL groups, 256-bucket shift, widened
-    sort-key pads) — all inside the prefix.
+    THE REGISTRY IS FROZEN AT 278 ENTRIES as of round 6 (VERDICT r5 #4):
+    no new queries() entries until the never-graded backlog clears. The
+    honest rotation contract (replacing the r2-era "<=2-round" promise that
+    278 entries made arithmetically impossible): with a frozen registry of
+    N=278 and a 50-slot gate, every entry is re-graded within ceil(278/50)
+    = 6 rounds of its last row — sooner for the priority classes below.
+    Prefix priority: (a) entries whose code or oracle CHANGED this round,
+    (b) entries that have NEVER held a driver row, (c) re-earners, oldest
+    rows first, with reference-surface (SURVEY §2) rows jumping the
+    re-earner queue so the core surface is never the stalest.
 
-    Round-5 additions that landed after the prefix froze (all locally
-    hash-matched via scripts/check_oracle.py, queued at the round-6 head
-    behind the earlier round-5 group): triangle_count, budget_select,
-    mad_outliers, hard_negatives, whiten_embeddings, char_entropy,
-    quantile_normalize, fuzzy_match, multimodal_exact_dedup,
-    multimodal_phash, fk_integrity, drift_report, skew_report,
-    dedup_recall, lang_confusion, classifier_auc, label_diversity,
-    funnel_steps, retention_cohorts, bm25_topk, source_overlap,
-    k_anonymity, windowed_pmi, mutual_information, zipf_fit,
-    tfidf_cosine_pairs, dsir_select, vocab_growth, kappa_langid,
-    tokenizer_fertility, preference_pairs, mine_bitext, l_diversity,
-    lexical_diversity, corpus_divergence, transition_matrix,
-    winnow_pairs, kneser_ney, ks_test, intrinsic_dimension,
-    skipgram_negatives, dataset_datasheet, temporal_split,
-    rolling_active_users, frequent_itemsets, basket_rules,
-    classifier_ece, randomization_test, ams_f2, hybrid_rrf,
-    auc_by_lang, best_threshold, term_dispersion, entropy_rate,
-    burrows_delta, phrase_merge, davies_bouldin, fd_violations,
-    benford, changepoint, mi_value_type, geometric_median,
-    bootstrap_ci, funnel_windowed, trend_slope, ewma_volume,
-    concentration, textrank, acf, mann_kendall, hll_distinct,
-    mmr_select, kfold, iqr_anomaly_days, embedding_density, brier,
-    events_dashboard, audience_overlap, conversion_latency,
-    khop_reach, rolling_hll_users, churn, kmv_jaccard,
-    hourly_profile, hist_quantiles, session_stats, top_journeys,
-    cohort_value, rfm, fanout_profile, repeat_interval, t_closeness,
-    wow_decomposition, class_weights, nested_subsets, fightin_words,
-    ql_topk, user_features, prf_topk, readability, u_attribution,
-    kaplan_meier, ann_ndcg, forecast_eval, containment."""
+    Round 6 prefix (50): the THREE entries whose oracle twins changed this
+    round — validate_constraints, pivot_event_counts, late_interaction,
+    the r5 hash-FAILs (un-cast HUGEINT integer sums, now CAST AS BIGINT /
+    count(*) FILTER; kept in the prefix per VERDICT r5 #1 so the fix is
+    driver-verified) — then the first 47 of the 117-entry never-graded
+    queue in the order documented last round (curriculum_order …
+    corpus_divergence).
+
+    Round 7 queue head (dict order below slot 50, per VERDICT r5 #5 —
+    round 6's prefix could not fit them behind 3 changed + 47 first-evers):
+    the TEN r2-vintage reference-surface constituents (a1_distinct,
+    s2_full_scan, u1_union, p3_envelope, j2_dim_lookup, x1_slugify,
+    x2_reverse_stem, x4_coords_key, x11_unescape, f5_nonblank_tokens —
+    they lead round 7 so §2 staleness is capped at 4 rounds), then the
+    remaining 70 never-graded round-5 entries (winnow_pairs …
+    transition_matrix, draining the backlog to zero by round 8), then the
+    ten remaining r1/r2 re-earners (lang_id … frequent_tokens), then the
+    round-3-green set, the round-4-green set, and last the 47 entries that
+    earned fresh rows in round 5 (freshest rows at the back)."""
     return {
-        # --- (b) first-ever driver rows: the 37 late-round-4 additions ---
-        # (five partsupp-family TPC-H completions, unpivot, rolling window
-        # frames, text normalization, winsorization, the contamination-
-        # fraction pair, token-budget truncation, the CSV quarantine
-        # source, the persistent-IVF query path, the mergeable-sketch
-        # rollup, the ORC round-trip, integer PageRank, dataset diff, LOCF
-        # gap-fill, label propagation, set operations, stream-static
-        # enrichment, generic pivot, ranking windows, weighted median, the
-        # constraint validator, schema-evolution read, explicit grouping
-        # sets, the leakage-safe grouped split, the frequent-items sketch,
-        # the corrupt-file resilience read, distributed global enumeration,
-        # semantic decontamination, boolean search, priority-aware dedup
-        # retention, the packing manifest, vocab coverage) — promoted
-        # exactly as the round-4 slot-50 comment promised.
-        "tpch_q2_min_cost_supplier": q_tpch_q2_min_cost_supplier,
-        "tpch_q9_product_profit": q_tpch_q9_product_profit,
-        "tpch_q11_important_parts": q_tpch_q11_important_parts,
-        "tpch_q16_supplier_part_counts": q_tpch_q16_supplier_part_counts,
-        "tpch_q20_promotable_suppliers": q_tpch_q20_promotable_suppliers,
-        "unpivot_measures": q_unpivot_measures,
-        "rolling_features": q_rolling_features,
-        "normalize_text": q_normalize_text,
-        "winsorize_values": q_winsorize_values,
-        "contamination_report": q_contamination_report,
-        "decontaminate_fraction": q_decontaminate_fraction,
-        "truncate_to_budget": q_truncate_to_budget,
-        "csv_roundtrip": q_csv_roundtrip,
-        "ivf_index_topk": q_ivf_index_topk,
-        "sketch_rollup": q_sketch_rollup,
-        "orc_roundtrip": q_orc_roundtrip,
-        "copurchase_pagerank": q_copurchase_pagerank,
-        "dataset_diff": q_dataset_diff,
-        "gap_fill": q_gap_fill,
-        "label_propagation": q_label_propagation,
-        "set_operations": q_set_operations,
-        "events_enrich_dim": q_events_enrich_dim,
-        "pivot_event_counts": q_pivot_event_counts,
-        "rank_functions": q_rank_functions,
-        "weighted_median": q_weighted_median,
+    # --- (a) oracle twins CHANGED this round: the three r5 hash-FAILs,
+    # re-cast to BIGINT — driver must re-grade the fix (VERDICT r5 #1) --
         "validate_constraints": q_validate_constraints,
-        "schema_evolution": q_schema_evolution,
-        "grouping_sets": q_grouping_sets,
-        "split_corpus_grouped": q_split_corpus_grouped,
-        "heavy_hitters_sketch": q_heavy_hitters_sketch,
-        "corrupt_file_resilience": q_corrupt_file_resilience,
-        "training_order": q_training_order,
-        "decontaminate_semantic": q_decontaminate_semantic,
-        "boolean_search": q_boolean_search,
-        "dedup_survivors_priority": q_dedup_survivors_priority,
-        "pack_manifest": q_pack_manifest,
-        "vocab_coverage": q_vocab_coverage,
-        # ---------------------------------------------- 37 ^
-        # --- (a) CHANGED this round: the two round-4 gate-err entries,
-        # re-shaped to scalar long form (posexplode) with mirrored twins --
-        "project_embeddings": q_project_embeddings,
-        "multimodal_decode": q_multimodal_decode,
-        # --- (b) never driver-graded, all-scalar output (VERDICT r4 #5) --
-        "multimodal_resize": q_multimodal_resize,
-        "multimodal_frame_sample": q_multimodal_frame_sample,
-        # --- (a) NEW: ANN recall property row (VERDICT r4 #10) and the
-        # in-engine weak-label quality classifier ------------------------
-        "ann_recall_lsh": q_ann_recall_lsh,
-        "quality_classifier": q_quality_classifier,
-        "zorder_key": q_zorder_key,
-        "weighted_sample": q_weighted_sample,
-        "countmin_tokens": q_countmin_tokens,
+        "pivot_event_counts": q_pivot_event_counts,
         "late_interaction": q_late_interaction,
-        "pmi_bigrams": q_pmi_bigrams,
-        "pretrain_ledger": q_pretrain_ledger,
-        "stupid_backoff": q_stupid_backoff,
-        # ------------------------------------------------------- slot 50 ^
-        # curriculum_order, normalize_homoglyphs, the BPE family
-        # (learn/segment/subword vocab), novelty_stats, phrase_search,
-        # length_bucketed_batches, blocklist_screen, profile_columns,
-        # calibration_report, and apply_changes (new round 5, landed
-        # after the prefix filled with promised entries that cannot
-        # yield) lead the round-6 queue, ahead of the twenty re-earners:
+    # --- (b) never driver-graded: first 47 of the 117-entry queue, in
+    # the order documented in round 5 (12 post-freeze r5 entries, then
+    # the r5 additions in the order added) ---------------------------
         "curriculum_order": q_curriculum_order,
         "normalize_homoglyphs": q_normalize_homoglyphs,
         "bpe_learn": q_bpe_learn,
@@ -4749,6 +4657,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "l_diversity": q_l_diversity,
         "lexical_diversity": q_lexical_diversity,
         "corpus_divergence": q_corpus_divergence,
+    # ------------------------------------------------------- slot 50 ^
+    # ROUND 7 HEAD: ten r2-vintage SURVEY-§2 reference-surface
+    # constituents — oldest rows in the ledger, re-earn first (r5 #5) -
+        "a1_distinct": q_a1_distinct,
+        "s2_full_scan": q_s2_full_scan,
+        "u1_union": q_u1_union,
+        "p3_envelope": q_p3_envelope,
+        "j2_dim_lookup": q_j2_dim_lookup,
+        "x1_slugify": q_x1_slugify,
+        "x2_reverse_stem": q_x2_reverse_stem,
+        "x4_coords_key": q_x4_coords_key,
+        "x11_unescape": q_x11_unescape,
+        "f5_nonblank_tokens": q_f5_nonblank_tokens,
+    # --- remaining 70 never-graded round-5 entries (rounds 7-8) ------
         "winnow_pairs": q_winnow_pairs,
         "kneser_ney": q_kneser_ney,
         "ks_test": q_ks_test,
@@ -4819,36 +4741,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "forecast_eval": q_forecast_eval,
         "containment": q_containment,
         "transition_matrix": q_transition_matrix,
-        # Everything ABOVE this line and below slot 50 is the round-5
-        # never-driver-graded set (slots 51 onward, in the order added) —
-        # all locally hash-matched at sf0.01 AND sf0.1. ROUND-6 PRIORITY,
-        # and the order this dict physically encodes: the round-6 prefix
-        # is a pure cut at slot 50 after deleting slots 1-37's round-5
-        # first-ever rows from the front (they will then hold fresh green
-        # rows), which promotes (a) the remaining round-5 never-graded
-        # entries FIRST — first-ever driver rows for new operators beat
-        # re-earning machinery that round-4/5 composites already cover —
-        # then (b) the TWENTY r1/r2-vintage re-earners listed below
-        # (a1_distinct, s2_full_scan, u1_union, p3_envelope, j2_dim_lookup,
-        # x1_slugify, x2_reverse_stem, x4_coords_key, x11_unescape,
-        # f5_nonblank_tokens, lang_id, minhash_signatures,
-        # near_dup_groups_exact, dedup_exact_survivors, embedding_near_dup,
-        # embedding_normalize, events_props_extract, events_windowed,
-        # fingerprint_rolling, frequent_tokens — each one's machinery is a
-        # graded constituent of a prefix entry, which is why they can wait
-        # without hiding a wrong answer; the ≤2-round rotation promise is
-        # acknowledged BROKEN for them and that is the recorded tradeoff),
-        # then (c) the round-3-green set, then (d) the round-4-green set.
-        "a1_distinct": q_a1_distinct,
-        "s2_full_scan": q_s2_full_scan,
-        "u1_union": q_u1_union,
-        "p3_envelope": q_p3_envelope,
-        "j2_dim_lookup": q_j2_dim_lookup,
-        "x1_slugify": q_x1_slugify,
-        "x2_reverse_stem": q_x2_reverse_stem,
-        "x4_coords_key": q_x4_coords_key,
-        "x11_unescape": q_x11_unescape,
-        "f5_nonblank_tokens": q_f5_nonblank_tokens,
+    # --- remaining r1/r2 re-earners (machinery constituent-covered) --
         "lang_id": q_lang_id,
         "minhash_signatures": q_minhash_signatures,
         "near_dup_groups_exact": q_near_dup_groups_exact,
@@ -4859,7 +4752,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_windowed": q_events_windowed,
         "fingerprint_rolling": q_fingerprint_rolling,
         "frequent_tokens": q_frequent_tokens,
-        # --- green round 3; 3 rounds old by round 6 ----------------------
+    # --- green round 3; 3 rounds old by round 6 ----------------------
         "remove_boilerplate": q_remove_boilerplate,
         "dedup_paragraphs": q_dedup_paragraphs,
         "quality_flags": q_quality_flags,
@@ -4903,7 +4796,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental": q_dedup_incremental,
         "embedding_quantize": q_embedding_quantize,
         "ates_kml_document": q_ates_kml_document,
-        # --- green round 4; 2 rounds old by round 6 ----------------------
+    # --- green round 4; 2 rounds old by round 6 ----------------------
         "kmeans_embeddings": q_kmeans_embeddings,
         "semantic_dedup": q_semantic_dedup,
         "webdataset_roundtrip": q_webdataset_roundtrip,
@@ -4952,6 +4845,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j3_style_lookup": q_j3_style_lookup,
         "x12_html_popup": q_x12_html_popup,
         "x13_recipe_layers": q_x13_recipe_layers,
+    # --- green round 5 (fresh rows; 47 = r5 prefix minus the three
+    # changed entries now leading) ------------------------------------
+        "tpch_q2_min_cost_supplier": q_tpch_q2_min_cost_supplier,
+        "tpch_q9_product_profit": q_tpch_q9_product_profit,
+        "tpch_q11_important_parts": q_tpch_q11_important_parts,
+        "tpch_q16_supplier_part_counts": q_tpch_q16_supplier_part_counts,
+        "tpch_q20_promotable_suppliers": q_tpch_q20_promotable_suppliers,
+        "unpivot_measures": q_unpivot_measures,
+        "rolling_features": q_rolling_features,
+        "normalize_text": q_normalize_text,
+        "winsorize_values": q_winsorize_values,
+        "contamination_report": q_contamination_report,
+        "decontaminate_fraction": q_decontaminate_fraction,
+        "truncate_to_budget": q_truncate_to_budget,
+        "csv_roundtrip": q_csv_roundtrip,
+        "ivf_index_topk": q_ivf_index_topk,
+        "sketch_rollup": q_sketch_rollup,
+        "orc_roundtrip": q_orc_roundtrip,
+        "copurchase_pagerank": q_copurchase_pagerank,
+        "dataset_diff": q_dataset_diff,
+        "gap_fill": q_gap_fill,
+        "label_propagation": q_label_propagation,
+        "set_operations": q_set_operations,
+        "events_enrich_dim": q_events_enrich_dim,
+        "rank_functions": q_rank_functions,
+        "weighted_median": q_weighted_median,
+        "schema_evolution": q_schema_evolution,
+        "grouping_sets": q_grouping_sets,
+        "split_corpus_grouped": q_split_corpus_grouped,
+        "heavy_hitters_sketch": q_heavy_hitters_sketch,
+        "corrupt_file_resilience": q_corrupt_file_resilience,
+        "training_order": q_training_order,
+        "decontaminate_semantic": q_decontaminate_semantic,
+        "boolean_search": q_boolean_search,
+        "dedup_survivors_priority": q_dedup_survivors_priority,
+        "pack_manifest": q_pack_manifest,
+        "vocab_coverage": q_vocab_coverage,
+        "project_embeddings": q_project_embeddings,
+        "multimodal_decode": q_multimodal_decode,
+        "multimodal_resize": q_multimodal_resize,
+        "multimodal_frame_sample": q_multimodal_frame_sample,
+        "ann_recall_lsh": q_ann_recall_lsh,
+        "quality_classifier": q_quality_classifier,
+        "zorder_key": q_zorder_key,
+        "weighted_sample": q_weighted_sample,
+        "countmin_tokens": q_countmin_tokens,
+        "pmi_bigrams": q_pmi_bigrams,
+        "pretrain_ledger": q_pretrain_ledger,
+        "stupid_backoff": q_stupid_backoff,
     }
 
 
@@ -7060,9 +7002,12 @@ def oracle_sql() -> dict[str, str]:
             WITH t AS (SELECT doc_id, source, n_chars // 4 + 1 AS n_tokens,
                               -abs(n_chars - 500) AS score FROM documents),
             c AS (SELECT doc_id, source, n_tokens,
-                         sum(n_tokens) OVER (PARTITION BY source
+                         -- CAST: sum(BIGINT) is HUGEINT in DuckDB → float64
+                         -- under the driver's pandas canonicalizer vs
+                         -- Spark's bigint (the r5 hash-FAIL class)
+                         CAST(sum(n_tokens) OVER (PARTITION BY source
                            ORDER BY score DESC, doc_id
-                           ROWS UNBOUNDED PRECEDING) AS cum_cost
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cost
                   FROM t)
             SELECT doc_id, source, n_tokens, cum_cost
             FROM c WHERE cum_cost <= 1000
@@ -8426,7 +8371,8 @@ def oracle_sql() -> dict[str, str]:
                     vb.nn - grp.n AS rn, vb.v
                   FROM gt JOIN tok USING (w) JOIN grp USING (g)
                   CROSS JOIN vb),
-            z AS (SELECT g, w, y, ry AS n_rest,
+            -- CAST: ry = HUGEINT sum minus y → float64 at the driver
+            z AS (SELECT g, w, y, CAST(ry AS BIGINT) AS n_rest,
                     round((ln((y::DOUBLE + 0.01::DOUBLE)
                         / (n::DOUBLE + 0.01::DOUBLE * v::DOUBLE
                            - (y::DOUBLE + 0.01::DOUBLE)))
@@ -9348,7 +9294,10 @@ def oracle_sql() -> dict[str, str]:
             u AS (SELECT lang, sum(p_s) AS n_pos, sum(n_s) AS n_neg,
                          sum(p_s * cum_n + 0.5 * p_s * n_s) AS uu
                   FROM c GROUP BY lang)
-            SELECT lang, n_pos, n_neg,
+            -- CAST like sibling classifier_auc: the un-cast sums are
+            -- HUGEINT → float64 at the driver vs Spark bigint
+            SELECT lang, CAST(n_pos AS BIGINT) AS n_pos,
+              CAST(n_neg AS BIGINT) AS n_neg,
               CASE WHEN n_pos > 0 AND n_neg > 0
                    THEN round(uu / (n_pos * n_neg), 6) END AS auc
             FROM u

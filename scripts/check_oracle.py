@@ -56,22 +56,51 @@ def dtype_kind(dt) -> str:
     return "object"
 
 
-def dtype_mismatches(scols, srows, odf: pd.DataFrame) -> list[str]:
+def _spark_col_kind(values, spark_type) -> str:
+    """The pandas dtype *kind* ``toPandas`` (the driver's Spark-side
+    canonicalization) would give this column. Plain value inference
+    (``from_records``) is unfaithful for all-None columns — it yields
+    ``object`` where ``toPandas`` uses the declared Spark type (an
+    all-NULL bigint column is float64 under toPandas AND under DuckDB
+    ``.df()``, so the driver passes it — the frequent_itemsets ``i3``
+    false-positive)."""
+    name = spark_type.typeName()
+    has_null = any(v is None for v in values)
+    if name in ("byte", "short", "integer", "long"):
+        return "float" if has_null else "int"
+    if name in ("float", "double"):
+        return "float"
+    if name == "boolean":
+        return "object" if has_null else "bool"
+    if name == "timestamp":
+        return "datetime"
+    # string/date/decimal/binary → object under toPandas
+    return "object"
+
+
+def dtype_mismatches(scols, srows, odf: pd.DataFrame, schema=None) -> list[str]:
     """Compare pandas dtype kinds between the Spark result (canonicalized
-    the driver's way: a DataFrame built from collected rows — nullable
-    ints become float64, exactly like ``toPandas``) and the oracle
+    the driver's way — ``toPandas`` semantics, derived from the declared
+    Spark schema when given, else inferred from values) and the oracle
     fetched via ``.df()`` (the driver's path, where HUGEINT → float64).
     Returns human-readable per-column mismatch strings."""
     if not srows or len(odf) == 0:
         return []  # dtypes of an empty frame are inference artifacts
-    spdf = pd.DataFrame.from_records(
-        [tuple(r) for r in srows], columns=list(scols)
-    )
+    if schema is not None:
+        skinds = {
+            f.name: _spark_col_kind([r[f.name] for r in srows], f.dataType)
+            for f in schema.fields
+        }
+    else:
+        spdf = pd.DataFrame.from_records(
+            [tuple(r) for r in srows], columns=list(scols)
+        )
+        skinds = {c: dtype_kind(spdf[c].dtype) for c in scols}
     out = []
     for c in scols:
         if c not in odf.columns:
             continue  # column-name mismatch is reported separately
-        sk, ok = dtype_kind(spdf[c].dtype), dtype_kind(odf[c].dtype)
+        sk, ok = skinds[c], dtype_kind(odf[c].dtype)
         if sk != ok:
             out.append(f"dtype[{c}] spark={sk} oracle={ok}")
     return out
@@ -151,7 +180,7 @@ def main() -> int:
             print(f"FAIL {name}: duckdb error: {e}")
             failures += 1
             continue
-        problems = dtype_mismatches(scols, srows, odf)
+        problems = dtype_mismatches(scols, srows, odf, schema=sdf.schema)
         if sorted(scols) != sorted(ocols):
             problems.append(f"cols spark={sorted(scols)} oracle={sorted(ocols)}")
         if len(srows) != len(orows):

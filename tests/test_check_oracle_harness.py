@@ -109,3 +109,27 @@ def test_no_registry_entry_declares_complex_output(spark, tmp_path):
         if bad:
             offenders[name] = bad
     assert not offenders, f"complex-typed outputs would err the driver gate: {offenders}"
+
+
+def test_dtype_gate_schema_faithful_for_all_null_bigint(spark):
+    """An all-NULL bigint column is float64 under BOTH toPandas (the
+    driver's Spark-side path) and DuckDB .df() — the driver passes it.
+    Value inference alone calls it object → false FAIL (the r6
+    frequent_itemsets i3 case). With the declared schema the gate must
+    agree with the driver."""
+    import duckdb
+
+    mod = _check_oracle_mod()
+    sdf = spark.range(2).select(
+        F.col("id"), F.lit(None).cast("bigint").alias("i3")
+    )
+    odf = duckdb.sql(
+        "SELECT id, CAST(NULL AS BIGINT) AS i3 FROM range(2) t(id)"
+    ).df()
+    srows = sdf.collect()
+    # schema-faithful: no mismatch (both sides float64 at the driver)
+    assert mod.dtype_mismatches(sdf.columns, srows, odf, schema=sdf.schema) == []
+    # and the schemaless fallback is the stricter artifact this guards
+    assert mod.dtype_mismatches(sdf.columns, srows, odf) == [
+        "dtype[i3] spark=object oracle=float"
+    ]
