@@ -1,7 +1,12 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+bounded (<1.5 KB — the driver keeps a 2000-char stdout tail) JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {5 slowest},
+"sf": ..., "baseline_r01_subtotal": ..., "worst5_vs_prev_round": ...,
+"full_timings": "BENCH_FULL_r{N}.json"}. The complete per-query dict is
+written to that repo sidecar file, which is the durable per-round record
+(the inline-everything format broke the driver parser in round 5 once the
+headline set reached 178 queries).
 
 Each query is materialized with the no-op writer (full execution, no
 collect-to-driver skew in the timing). A warmup query initializes the JVM,
@@ -289,9 +294,21 @@ def main() -> None:
     baseline_subtotal = round(
         sum(v for k, v in timings.items() if k in BASELINE_R01_SET), 3
     )
-    print(
-        json.dumps(
+
+    # The driver captures only a bounded stdout TAIL (observed: 2000 chars),
+    # so inlining all per-query timings made BENCH_r05 unparseable once the
+    # headline set outgrew ~50 queries ("parsed": null — VERDICT r5 #3).
+    # Contract since round 6: the full per-query dict goes to a durable repo
+    # sidecar (BENCH_FULL_r{N}.json), and stdout carries ONE bounded line —
+    # totals, the r01-set subtotal, counts, the 5 slowest queries, and the
+    # worst-5 regression ratios vs the previous round's per-query data.
+    repo = os.path.dirname(os.path.abspath(__file__))
+    this_round = _next_round(repo)
+    full_path = os.path.join(repo, f"BENCH_FULL_r{this_round:02d}.json")
+    with open(full_path, "w") as f:
+        json.dump(
             {
+                "round": this_round,
                 "metric": "headline_queries_total",
                 "value": total,
                 "unit": "sec",
@@ -300,12 +317,104 @@ def main() -> None:
                 "runs_per_query": RUNS,
                 "agg": "min",
                 "baseline_r01_subtotal": baseline_subtotal,
-                "n_baseline_r01_queries": sum(
-                    1 for k in timings if k in BASELINE_R01_SET
-                ),
-            }
+                "baseline_r01_queries": {
+                    k: v for k, v in timings.items() if k in BASELINE_R01_SET
+                },
+            },
+            f,
+            indent=1,
         )
+
+    prev = _prev_round_timings(repo, this_round)
+    worst5_vs_prev = {}
+    if prev:
+        ratios = {
+            k: round(timings[k] / prev[k], 2)
+            for k in timings
+            if k in prev and prev[k] > 0.05  # sub-50ms floors are noise
+        }
+        worst5_vs_prev = dict(
+            sorted(ratios.items(), key=lambda kv: -kv[1])[:5]
+        )
+    slowest5 = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:5])
+
+    line = json.dumps(
+        {
+            "metric": "headline_queries_total",
+            "value": total,
+            "unit": "sec",
+            "queries": slowest5,
+            "sf": sf,
+            "runs_per_query": RUNS,
+            "agg": "min",
+            "n_headline": len(timings),
+            "baseline_r01_subtotal": baseline_subtotal,
+            "n_baseline_r01_queries": sum(
+                1 for k in timings if k in BASELINE_R01_SET
+            ),
+            "worst5_vs_prev_round": worst5_vs_prev,
+            "full_timings": os.path.basename(full_path),
+        }
     )
+    assert len(line) < 1500, f"stdout line {len(line)}B breaks driver capture"
+    print(line)
+
+
+def _next_round(repo: str) -> int:
+    """Current round number, derived from the driver's artifacts: the driver
+    writes BENCH_r{N}.json AFTER running bench, so at run time the newest
+    recorded round is N-1. Falls back to counting our own sidecars so a
+    second run within one round overwrites (not increments) its sidecar."""
+    import re
+
+    rounds = [0]
+    for name in os.listdir(repo):
+        m = re.fullmatch(r"BENCH_r(\d+)\.json", name)
+        if m:
+            rounds.append(int(m.group(1)))
+    driver_next = max(rounds) + 1
+    for name in os.listdir(repo):
+        m = re.fullmatch(r"BENCH_FULL_r(\d+)\.json", name)
+        if m and int(m.group(1)) == driver_next:
+            return driver_next  # re-run within the same round: overwrite
+    return driver_next
+
+
+def _prev_round_timings(repo: str, this_round: int) -> dict[str, float]:
+    """Per-query timings from the most recent prior round, for regression
+    ratios. Prefers our BENCH_FULL_r{N}.json sidecars (complete by
+    construction); falls back to parsing the JSON line out of the driver's
+    BENCH_r{N}.json 2000-char tail (works through r4; r5's tail was
+    truncated, which is why this function exists)."""
+    import re
+
+    sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf.rstrip("/").split("sf")[-1]
+    for n in range(this_round - 1, 0, -1):
+        full = os.path.join(repo, f"BENCH_FULL_r{n:02d}.json")
+        if os.path.exists(full):
+            try:
+                with open(full) as f:
+                    d = json.load(f)
+                # ratios across different scale factors are meaningless
+                if str(d.get("sf")) == sf:
+                    return d["queries"]
+            except (OSError, ValueError, KeyError):
+                pass
+            continue
+        tail_file = os.path.join(repo, f"BENCH_r{n:02d}.json")
+        if os.path.exists(tail_file):
+            try:
+                with open(tail_file) as f:
+                    tail = json.load(f).get("tail", "")
+                m = re.search(r'\{"metric".*', tail)
+                if m:
+                    d = json.loads(m.group(0))
+                    if str(d.get("sf")) == sf:
+                        return d["queries"]
+            except (OSError, ValueError, KeyError):
+                continue
+    return {}
 
 
 if __name__ == "__main__":
