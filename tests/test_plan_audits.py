@@ -428,7 +428,17 @@ def test_k_anonymity_single_shuffle(spark):
 
 
 def test_tfidf_cosine_pairs_no_cartesian_and_weighted_cached(spark):
-    plan = _plan(spark, "tfidf_cosine_pairs")
+    # Built with release_cache=False: the default eager finalize
+    # (localCheckpoint) collapses the returned plan to a checkpoint scan,
+    # hiding the join topology this audit exists to pin
+    from database2ogr_spark.operators.tfidf import tfidf_cosine_pairs
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    df = tfidf_cosine_pairs(
+        docs, threshold=0.25, max_df=100, terms="shingles",
+        release_cache=False,
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan, plan
     # four plan branches (pair sides a/b + two norm joins) read the
     # weighted table; the persist must make all four InMemoryTableScans
@@ -436,6 +446,22 @@ def test_tfidf_cosine_pairs_no_cartesian_and_weighted_cached(spark):
     # without the persist the corpus is scanned 4x)
     assert plan.count("InMemoryTableScan") == 4, plan
     spark.catalog.clearCache()
+
+
+def test_tfidf_cosine_pairs_releases_cache_by_default(spark):
+    """VERDICT r5 #9: with the default ``release_cache=True`` no
+    operator-owned persisted blocks may outlive the call — same
+    lifecycle contract as the dedup family."""
+    from database2ogr_spark.operators.tfidf import tfidf_cosine_pairs
+
+    sc = spark.sparkContext
+    before = sc._jsc.getPersistentRDDs().size()
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(200)
+    out = tfidf_cosine_pairs(docs, threshold=0.25, max_df=100, terms="shingles")
+    out.count()
+    # localCheckpoint blocks are ContextCleaner-managed (released when the
+    # result df is unreachable); the operator's own persist must be gone
+    assert sc._jsc.getPersistentRDDs().size() - before <= 1
 
 
 def test_dsir_select_broadcast_model_takeordered_cut(spark):
