@@ -106,11 +106,20 @@ def dtype_mismatches(scols, srows, odf: pd.DataFrame, schema=None) -> list[str]:
     return out
 
 
+#: --exact: compare floats bit-for-bit instead of at 9 dp. The driver's
+#: value-hash sees exact values, so a 9-dp-tolerant local pass can hide a
+#: sub-9dp engine drift in any UN-rounded double column (operators that
+#: follow the repo's round-to-6dp convention are immune: 6-dp-rounded
+#: doubles that agree at 9 dp are identical bits). Run with --exact to
+#: enumerate the residual-risk entries.
+EXACT = False
+
+
 def norm_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return round(v, 9)
+        return v if EXACT else round(v, 9)
     return v
 
 
@@ -125,8 +134,11 @@ def df_to_rows(cols, rows):
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    global EXACT
+    args = [a for a in sys.argv[1:] if a != "--exact"]
+    EXACT = "--exact" in sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
     spark = get_spark()
     spark.sparkContext.setLogLevel("ERROR")
     con = duckdb.connect()
