@@ -72,7 +72,7 @@ def _spark_col_kind(values, spark_type) -> str:
         return "float"
     if name == "boolean":
         return "object" if has_null else "bool"
-    if name == "timestamp":
+    if name in ("timestamp", "timestamp_ntz"):
         return "datetime"
     # string/date/decimal/binary → object under toPandas
     return "object"

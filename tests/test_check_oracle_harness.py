@@ -133,3 +133,20 @@ def test_dtype_gate_schema_faithful_for_all_null_bigint(spark):
     assert mod.dtype_mismatches(sdf.columns, srows, odf) == [
         "dtype[i3] spark=object oracle=float"
     ]
+
+
+def test_dtype_gate_timestamp_ntz_is_datetime(spark):
+    """Spark timestamp_ntz columns render datetime64 under toPandas, same
+    as DuckDB TIMESTAMP under .df() — the gate must not flag them
+    (rolling_features false positive: typeName() is 'timestamp_ntz',
+    not 'timestamp')."""
+    import duckdb
+
+    mod = _check_oracle_mod()
+    sdf = spark.sql(
+        "SELECT TIMESTAMP_NTZ '2024-01-01 00:00:00' AS ts, 1L AS n"
+    )
+    odf = duckdb.sql("SELECT TIMESTAMP '2024-01-01' AS ts, 1::BIGINT AS n").df()
+    assert mod.dtype_mismatches(
+        sdf.columns, sdf.collect(), odf, schema=sdf.schema
+    ) == []
