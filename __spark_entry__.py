@@ -4505,11 +4505,21 @@ def q_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     with ``hll_union_agg`` instead of touching raw data again.
 
     PROPERTY-GRADED like distinct_users_approx: the query emits the exact
-    count plus (a) ``merge_exact`` — the merged estimate EQUALS the
-    directly-built coarse sketch's estimate (Datasketches register-max
-    union loses nothing vs one pass over the union of streams), and (b)
-    ``within_5pct`` vs exact. The oracle asserts exact counts + two literal
-    TRUEs."""
+    count plus (a) ``merge_close`` — the merged estimate is within 2% of
+    the directly-built coarse sketch's estimate, and (b) ``within_5pct``
+    vs exact. The oracle asserts exact counts + two literal TRUEs.
+
+    ``merge_close`` deliberately does NOT assert bit-equality: Datasketches
+    register-max union replays the direct build exactly only while every
+    input sketch is still in sparse/coupon mode — at sf0.1 cardinalities
+    some (event_type, day) sketches go dense and the union path's estimator
+    state diverges from the single-pass build by well under the sketch's
+    own error scale (measured 0.40% at sf0.1 vs σ ≈ 1.6% at lgK=12; at
+    sf0.01 the paths are still bit-identical). A broken union — dropping a
+    day's sketch, wrong register merge — lands far outside 2%, so the
+    bound still grades mergeability. The literal-TRUE contract therefore
+    holds at every tested scale instead of only below the sparse→dense
+    transition (found by the round-6 --exact sf0.1 sweep)."""
     ev = read_events(spark, os.path.join(sf_dir, "events.parquet"))
     fine = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
         F.hll_sketch_agg("user_id").alias("sk")
@@ -4524,10 +4534,13 @@ def q_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     err = F.abs(F.col("est_merged") - F.col("n_users")).cast("double") / F.col(
         "n_users"
     ).cast("double")
+    merge_drift = F.abs(
+        F.col("est_merged").cast("double") - F.col("est_direct").cast("double")
+    ) / F.col("est_direct").cast("double")
     return merged.join(direct, "event_type").select(
         "event_type",
         "n_users",
-        (F.col("est_merged") == F.col("est_direct")).alias("merge_exact"),
+        (merge_drift <= 0.02).alias("merge_close"),
         (err <= 0.05).alias("within_5pct"),
     )
 
@@ -4582,17 +4595,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     rows first, with reference-surface (SURVEY §2) rows jumping the
     re-earner queue so the core surface is never the stalest.
 
-    Round 6 prefix (50): the THREE entries whose oracle twins changed this
-    round — validate_constraints, pivot_event_counts, late_interaction,
-    the r5 hash-FAILs (un-cast HUGEINT integer sums, now CAST AS BIGINT /
-    count(*) FILTER; kept in the prefix per VERDICT r5 #1 so the fix is
-    driver-verified) — then the first 47 of the 117-entry never-graded
-    queue in the order documented last round (curriculum_order …
-    corpus_divergence).
+    Round 6 prefix (50): the FOUR entries whose code or oracle changed
+    this round — validate_constraints, pivot_event_counts,
+    late_interaction (the r5 hash-FAILs: un-cast HUGEINT integer sums,
+    now CAST AS BIGINT / count(*) FILTER; kept in the prefix per VERDICT
+    r5 #1 so the fix is driver-verified) and sketch_rollup (merge_exact →
+    merge_close: the bit-equality property breaks past the HLL
+    sparse→dense transition, found by this round's --exact sf0.1 sweep) —
+    then the first 46 of the 117-entry never-graded queue in the order
+    documented last round (curriculum_order … lexical_diversity).
 
     Round 7 queue head (dict order below slot 50, per VERDICT r5 #5 —
-    round 6's prefix could not fit them behind 3 changed + 47 first-evers):
-    the TEN r2-vintage reference-surface constituents (a1_distinct,
+    round 6's prefix could not fit them behind 4 changed + 46 first-evers):
+    corpus_divergence (displaced from slot 50 by the sketch_rollup
+    change), then the TEN r2-vintage reference-surface constituents (a1_distinct,
     s2_full_scan, u1_union, p3_envelope, j2_dim_lookup, x1_slugify,
     x2_reverse_stem, x4_coords_key, x11_unescape, f5_nonblank_tokens —
     they lead round 7 so §2 staleness is capped at 4 rounds), then the
@@ -4607,6 +4623,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "validate_constraints": q_validate_constraints,
         "pivot_event_counts": q_pivot_event_counts,
         "late_interaction": q_late_interaction,
+        # sketch_rollup's merge property changed this round (merge_exact ->
+        # merge_close: bit-equality of the union and direct estimator paths
+        # breaks past the sparse->dense transition, found by the --exact
+        # sf0.1 sweep) -> re-grade; displaces corpus_divergence to slot 51
+        "sketch_rollup": q_sketch_rollup,
     # --- (b) never driver-graded: first 47 of the 117-entry queue, in
     # the order documented in round 5 (12 post-freeze r5 entries, then
     # the r5 additions in the order added) ---------------------------
@@ -4656,10 +4677,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mine_bitext": q_mine_bitext,
         "l_diversity": q_l_diversity,
         "lexical_diversity": q_lexical_diversity,
-        "corpus_divergence": q_corpus_divergence,
     # ------------------------------------------------------- slot 50 ^
-    # ROUND 7 HEAD: ten r2-vintage SURVEY-§2 reference-surface
-    # constituents — oldest rows in the ledger, re-earn first (r5 #5) -
+    # ROUND 7 HEAD: corpus_divergence (displaced from slot 50 by the
+    # sketch_rollup property change), then ten r2-vintage SURVEY-§2
+    # reference-surface constituents — oldest rows in the ledger (r5 #5) -
+        "corpus_divergence": q_corpus_divergence,
         "a1_distinct": q_a1_distinct,
         "s2_full_scan": q_s2_full_scan,
         "u1_union": q_u1_union,
@@ -4861,7 +4883,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "truncate_to_budget": q_truncate_to_budget,
         "csv_roundtrip": q_csv_roundtrip,
         "ivf_index_topk": q_ivf_index_topk,
-        "sketch_rollup": q_sketch_rollup,
         "orc_roundtrip": q_orc_roundtrip,
         "copurchase_pagerank": q_copurchase_pagerank,
         "dataset_diff": q_dataset_diff,
@@ -5792,7 +5813,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "sketch_rollup": """
             SELECT event_type, count(DISTINCT user_id) AS n_users,
-              TRUE AS merge_exact, TRUE AS within_5pct
+              TRUE AS merge_close, TRUE AS within_5pct
             FROM events GROUP BY 1
         """,
         "tpch_q7_nation_volume": """
