@@ -150,3 +150,15 @@ def test_dtype_gate_timestamp_ntz_is_datetime(spark):
     assert mod.dtype_mismatches(
         sdf.columns, sdf.collect(), odf, schema=sdf.schema
     ) == []
+
+
+def test_every_registry_entry_has_an_oracle_twin():
+    """278/278 as of round 6: no ROWS-ONLY entries remain — every
+    queries() entry is hash-gradeable against DuckDB. New entries must
+    ship with a twin (or consciously delete this invariant, which is the
+    point of the test)."""
+    import __spark_entry__ as entrymod
+
+    qs = set(entrymod.queries())
+    oracles = set(entrymod.oracle_sql())
+    assert qs <= oracles, sorted(qs - oracles)
