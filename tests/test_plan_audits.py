@@ -663,3 +663,45 @@ def test_whole_registry_has_no_cartesian_product(spark):
             offenders[name] = plan.count("CartesianProduct")
         spark.catalog.clearCache()
     assert not offenders, offenders
+
+
+def _escaped_persists(sc) -> list[str]:
+    """Persistent RDDs that are neither SQL-cache-managed (those were just
+    released by ``clearCache``) nor localCheckpoint artifacts (released by
+    the ContextCleaner once the finalized DataFrame is unreferenced) —
+    i.e. raw ``rdd.persist()`` storage that nothing will ever reclaim."""
+    out = []
+    it = sc._jsc.getPersistentRDDs().entrySet().iterator()
+    while it.hasNext():
+        e = it.next()
+        rdd = e.getValue().rdd()
+        if not rdd.isLocallyCheckpointed():
+            out.append(f"{e.getKey()}:{rdd.getClass().getSimpleName()}")
+    return out
+
+
+@pytest.mark.skipif(
+    os.environ.get("SPARK_GRAFT_FULL_PLAN_AUDIT") != "1",
+    reason="executes the graded prefix end-to-end (~4 min at sf0.001) — opt-in via SPARK_GRAFT_FULL_PLAN_AUDIT=1",
+)
+def test_graded_prefix_leaves_no_escaped_persists(spark):
+    """Executor-memory hygiene over the driver-graded prefix: run each
+    entry's action, then assert that after ``clearCache()`` (the bench /
+    driver lifecycle) no persisted storage remains except localCheckpoint
+    artifacts awaiting the async ContextCleaner. The registry persist
+    contract is two-tier — DataFrame ``persist()`` (SQL-cache-managed,
+    caller clears; e.g. dedup_recall's two pair tables) or
+    ``localCheckpoint`` finalize (self-releasing) — so anything this
+    audit flags is a third, unreclaimed tier: a 100 TB executor-memory
+    leak even when results stay correct. Round-6 baseline: zero."""
+    sc = spark.sparkContext
+    sf_small = "/root/testdata/sf0.001"
+    qs = entrymod.queries()
+    leaks = {}
+    for name in list(qs)[:50]:
+        qs[name](spark, sf_small).collect()
+        spark.catalog.clearCache()
+        left = _escaped_persists(sc)
+        if left:
+            leaks[name] = left
+    assert not leaks, leaks
