@@ -2345,7 +2345,8 @@ def q_near_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     a full hash match; q_near_dup_groups_exact keeps grading the
     exact-Jaccard edge variant."""
     return near_dup_groups(
-        _t(spark, sf_dir, "documents"), k_shingle=3, threshold=0.2
+        _t(spark, sf_dir, "documents"), k_shingle=3, threshold=0.2,
+        driver_threshold=100_000,  # caller hint: tiny edge set at bench SF
     )
 
 
@@ -2355,7 +2356,7 @@ def q_near_dup_groups_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-join; every doc labeled with its group's min doc_id."""
     return near_dup_groups(
         _t(spark, sf_dir, "documents"), k_shingle=3, threshold=0.2,
-        edges="jaccard", max_df=100,
+        edges="jaccard", max_df=100, driver_threshold=100_000,
     )
 
 
@@ -2800,6 +2801,7 @@ def q_dedup_survivors_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         {"src0": 0, "src1": 1},
         k_shingle=3,
         threshold=0.2,
+        driver_threshold=100_000,  # caller hint: tiny edge set at bench SF
     ).select("doc_id", "source")
 
 
@@ -2907,7 +2909,9 @@ def q_split_corpus_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     from database2ogr_spark.operators.sampling import split_corpus
 
     docs = _t(spark, sf_dir, "documents")
-    groups = near_dup_groups(docs, k_shingle=3, threshold=0.2)
+    groups = near_dup_groups(
+        docs, k_shingle=3, threshold=0.2, driver_threshold=100_000
+    )
     out = split_corpus(groups, {"train": 95, "val": 5}, id_col="group_id")
     return out.select("doc_id", "group_id", "split")
 
@@ -4585,102 +4589,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     slot 50.
 
     THE REGISTRY IS FROZEN AT 278 ENTRIES as of round 6 (VERDICT r5 #4):
-    no new queries() entries until the never-graded backlog clears. The
-    honest rotation contract (replacing the r2-era "<=2-round" promise that
-    278 entries made arithmetically impossible): with a frozen registry of
-    N=278 and a 50-slot gate, every entry is re-graded within ceil(278/50)
-    = 6 rounds of its last row — sooner for the priority classes below.
-    Prefix priority: (a) entries whose code or oracle CHANGED this round,
-    (b) entries that have NEVER held a driver row, (c) re-earners, oldest
-    rows first, with reference-surface (SURVEY §2) rows jumping the
-    re-earner queue so the core surface is never the stalest.
+    no new queries() entries until the never-graded backlog clears —
+    after round 8 drains it to zero the freeze lifts, and the first
+    addition is the already-built khop_reach_sketched HyperANF row
+    (VERDICT r6 #3). The honest rotation contract: with a frozen registry
+    of N=278 and a 50-slot gate, every entry is re-graded within
+    ceil(278/50) = 6 rounds of its last row — sooner for the priority
+    classes below. Prefix priority: (a) entries whose code or oracle
+    CHANGED this round, (b) entries that have NEVER held a driver row,
+    (c) re-earners, oldest rows first.
 
-    Round 6 prefix (50): the FOUR entries whose code or oracle changed
-    this round — validate_constraints, pivot_event_counts,
-    late_interaction (the r5 hash-FAILs: un-cast HUGEINT integer sums,
-    now CAST AS BIGINT / count(*) FILTER; kept in the prefix per VERDICT
-    r5 #1 so the fix is driver-verified) and sketch_rollup (merge_exact →
-    merge_close: the bit-equality property breaks past the HLL
-    sparse→dense transition, found by this round's --exact sf0.1 sweep) —
-    then the first 46 of the 117-entry never-graded queue in the order
-    documented last round (curriculum_order … lexical_diversity).
+    PERMANENT §2 QUOTA (VERDICT r6 #6): from round 8 on, ~5 prefix slots
+    per round are reserved for the OLDEST reference-surface (SURVEY §2)
+    rows regardless of the re-earner queue, so the core surface never
+    again ages past ~4 rounds the way the ten r2-vintage rows did.
 
-    Round 7 queue head (dict order below slot 50, per VERDICT r5 #5 —
-    round 6's prefix could not fit them behind 4 changed + 46 first-evers):
-    corpus_divergence (displaced from slot 50 by the sketch_rollup
-    change), then the TEN r2-vintage reference-surface constituents (a1_distinct,
-    s2_full_scan, u1_union, p3_envelope, j2_dim_lookup, x1_slugify,
-    x2_reverse_stem, x4_coords_key, x11_unescape, f5_nonblank_tokens —
-    they lead round 7 so §2 staleness is capped at 4 rounds), then the
-    remaining 70 never-graded round-5 entries (winnow_pairs …
-    transition_matrix, draining the backlog to zero by round 8), then the
-    ten remaining r1/r2 re-earners (lang_id … frequent_tokens), then the
-    round-3-green set, the round-4-green set, and last the 47 entries that
-    earned fresh rows in round 5 (freshest rows at the back)."""
+    Round 7 prefix (50), executing the plan VERDICT r6 #1 pinned:
+    corpus_divergence (displaced from the r6 prefix by the sketch_rollup
+    property change), then the TEN r2-vintage SURVEY-§2 reference-surface
+    constituents (a1_distinct, s2_full_scan, u1_union, p3_envelope,
+    j2_dim_lookup, x1_slugify, x2_reverse_stem, x4_coords_key,
+    x11_unescape, f5_nonblank_tokens — 4 rounds stale, the ledger's
+    oldest rows; grading them caps §2 staleness), then the next 39 of the
+    71-entry never-graded queue in the order documented since round 5
+    (winnow_pairs … embedding_density). No code or oracle in this prefix
+    changed this round, so every row grades the shipped round-6 state.
+
+    Round 8 queue (dict order below slot 50): the final 31 never-graded
+    entries (brier … transition_matrix — backlog drains to ZERO), then
+    the re-earner band of oracle conversions that predate the
+    dtype-strict harness (multimodal_decode/resize/frame_sample,
+    webdataset_roundtrip — VERDICT r6 #5), then the first §2-quota band
+    (s1_scan_filter, j1_parent_child_join, f4_validate_default,
+    j3_style_lookup, warnify — the five oldest, r4-vintage, reference-
+    surface rows), then the ten r1/r2 re-earners (lang_id …
+    frequent_tokens) = exactly 50. Behind them: the round-3-green set,
+    the round-4-green set (minus the six rows promoted above), the
+    round-5-green set (minus the three multimodal rows), and last the 50
+    entries that earned fresh rows in round 6 (freshest at the back)."""
     return {
-    # --- (a) oracle twins CHANGED this round: the three r5 hash-FAILs,
-    # re-cast to BIGINT — driver must re-grade the fix (VERDICT r5 #1) --
-        "validate_constraints": q_validate_constraints,
-        "pivot_event_counts": q_pivot_event_counts,
-        "late_interaction": q_late_interaction,
-        # sketch_rollup's merge property changed this round (merge_exact ->
-        # merge_close: bit-equality of the union and direct estimator paths
-        # breaks past the sparse->dense transition, found by the --exact
-        # sf0.1 sweep) -> re-grade; displaces corpus_divergence to slot 51
-        "sketch_rollup": q_sketch_rollup,
-    # --- (b) never driver-graded: first 47 of the 117-entry queue, in
-    # the order documented in round 5 (12 post-freeze r5 entries, then
-    # the r5 additions in the order added) ---------------------------
-        "curriculum_order": q_curriculum_order,
-        "normalize_homoglyphs": q_normalize_homoglyphs,
-        "bpe_learn": q_bpe_learn,
-        "bpe_segment": q_bpe_segment,
-        "novelty_stats": q_novelty_stats,
-        "phrase_search": q_phrase_search,
-        "length_bucketed_batches": q_length_bucketed_batches,
-        "bpe_subword_vocab": q_bpe_subword_vocab,
-        "blocklist_screen": q_blocklist_screen,
-        "profile_columns": q_profile_columns,
-        "calibration_report": q_calibration_report,
-        "apply_changes": q_apply_changes,
-        "triangle_count": q_triangle_count,
-        "budget_select": q_budget_select,
-        "mad_outliers": q_mad_outliers,
-        "hard_negatives": q_hard_negatives,
-        "whiten_embeddings": q_whiten_embeddings,
-        "char_entropy": q_char_entropy,
-        "quantile_normalize": q_quantile_normalize,
-        "fuzzy_match": q_fuzzy_match,
-        "multimodal_exact_dedup": q_multimodal_exact_dedup,
-        "multimodal_phash": q_multimodal_phash,
-        "fk_integrity": q_fk_integrity,
-        "drift_report": q_drift_report,
-        "skew_report": q_skew_report,
-        "dedup_recall": q_dedup_recall,
-        "lang_confusion": q_lang_confusion,
-        "classifier_auc": q_classifier_auc,
-        "label_diversity": q_label_diversity,
-        "funnel_steps": q_funnel_steps,
-        "retention_cohorts": q_retention_cohorts,
-        "bm25_topk": q_bm25_topk,
-        "source_overlap": q_source_overlap,
-        "k_anonymity": q_k_anonymity,
-        "windowed_pmi": q_windowed_pmi,
-        "mutual_information": q_mutual_information,
-        "zipf_fit": q_zipf_fit,
-        "tfidf_cosine_pairs": q_tfidf_cosine_pairs,
-        "dsir_select": q_dsir_select,
-        "vocab_growth": q_vocab_growth,
-        "kappa_langid": q_kappa_langid,
-        "tokenizer_fertility": q_tokenizer_fertility,
-        "preference_pairs": q_preference_pairs,
-        "mine_bitext": q_mine_bitext,
-        "l_diversity": q_l_diversity,
-        "lexical_diversity": q_lexical_diversity,
-    # ------------------------------------------------------- slot 50 ^
-    # ROUND 7 HEAD: corpus_divergence (displaced from slot 50 by the
-    # sketch_rollup property change), then ten r2-vintage SURVEY-§2
-    # reference-surface constituents — oldest rows in the ledger (r5 #5) -
+    # --- ROUND 7 PREFIX (50), per VERDICT r6 #1: corpus_divergence
+    # (displaced from the r6 prefix by the sketch_rollup change), then
+    # the ten r2-vintage SURVEY-§2 reference-surface rows — the
+    # ledger's oldest driver rows, graded now so §2 staleness is capped
+    # at 4 rounds; nothing in this prefix changed this round, so every
+    # row grades the shipped round-6 state --------------------------
         "corpus_divergence": q_corpus_divergence,
         "a1_distinct": q_a1_distinct,
         "s2_full_scan": q_s2_full_scan,
@@ -4692,7 +4645,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x4_coords_key": q_x4_coords_key,
         "x11_unescape": q_x11_unescape,
         "f5_nonblank_tokens": q_f5_nonblank_tokens,
-    # --- remaining 70 never-graded round-5 entries (rounds 7-8) ------
+    # --- next 39 never-graded entries (queue order unchanged since
+    # round 5: winnow_pairs … embedding_density fill slots 12-50) -----
         "winnow_pairs": q_winnow_pairs,
         "kneser_ney": q_kneser_ney,
         "ks_test": q_ks_test,
@@ -4732,6 +4686,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kfold": q_kfold,
         "iqr_anomaly_days": q_iqr_anomaly_days,
         "embedding_density": q_embedding_density,
+    # ------------------------------------------------------- slot 50 ^
+    # ROUND 8 HEAD: the final 31 never-graded entries — the backlog
+    # drains to ZERO and the freeze can lift (VERDICT r6 #2) ----------
         "brier": q_brier,
         "events_dashboard": q_events_dashboard,
         "audience_overlap": q_audience_overlap,
@@ -4763,6 +4720,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "forecast_eval": q_forecast_eval,
         "containment": q_containment,
         "transition_matrix": q_transition_matrix,
+    # --- re-earner band: oracle conversions that predate the
+    # dtype-strict harness (VERDICT r6 #5) — fresh rows post-hardening
+        "multimodal_decode": q_multimodal_decode,
+        "multimodal_resize": q_multimodal_resize,
+        "multimodal_frame_sample": q_multimodal_frame_sample,
+        "webdataset_roundtrip": q_webdataset_roundtrip,
+    # --- §2 quota band (VERDICT r6 #6): the five oldest (r4-vintage)
+    # reference-surface rows — ~5 slots/round reserved permanently ----
+        "s1_scan_filter": q_s1_scan_filter,
+        "j1_parent_child_join": q_j1_parent_child_join,
+        "f4_validate_default": q_f4_validate_default,
+        "j3_style_lookup": q_j3_style_lookup,
+        "warnify": q_warnify,
     # --- remaining r1/r2 re-earners (machinery constituent-covered) --
         "lang_id": q_lang_id,
         "minhash_signatures": q_minhash_signatures,
@@ -4818,10 +4788,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental": q_dedup_incremental,
         "embedding_quantize": q_embedding_quantize,
         "ates_kml_document": q_ates_kml_document,
-    # --- green round 4; 2 rounds old by round 6 ----------------------
+    # --- green round 4 (minus the six rows promoted to the re-earner/
+    # §2-quota bands above) --------------------------------------------
         "kmeans_embeddings": q_kmeans_embeddings,
         "semantic_dedup": q_semantic_dedup,
-        "webdataset_roundtrip": q_webdataset_roundtrip,
         "duplicate_spans": q_duplicate_spans,
         "temperature_resample": q_temperature_resample,
         "build_vocab": q_build_vocab,
@@ -4847,12 +4817,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         "length_quantiles_approx": q_length_quantiles_approx,
         "distinct_users_approx": q_distinct_users_approx,
-        "warnify": q_warnify,
         "dedup_exact": q_dedup_exact,
         "decontaminate": q_decontaminate,
         "ates_kml_placemarks": q_ates_kml_placemarks,
         "ates_geojson_features": q_ates_geojson_features,
-        "s1_scan_filter": q_s1_scan_filter,
         "events_sessionize": q_events_sessionize,
         "events_attribution_join": q_events_attribution_join,
         "cosine_topk": q_cosine_topk,
@@ -4862,13 +4830,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "redact_pii": q_redact_pii,
         "chunk_documents": q_chunk_documents,
-        "f4_validate_default": q_f4_validate_default,
-        "j1_parent_child_join": q_j1_parent_child_join,
-        "j3_style_lookup": q_j3_style_lookup,
         "x12_html_popup": q_x12_html_popup,
         "x13_recipe_layers": q_x13_recipe_layers,
-    # --- green round 5 (fresh rows; 47 = r5 prefix minus the three
-    # changed entries now leading) ------------------------------------
+    # --- green round 5 (43 = the 46-entry r5-green tail minus the
+    # three multimodal rows promoted to the re-earner band) ------------
         "tpch_q2_min_cost_supplier": q_tpch_q2_min_cost_supplier,
         "tpch_q9_product_profit": q_tpch_q9_product_profit,
         "tpch_q11_important_parts": q_tpch_q11_important_parts,
@@ -4904,9 +4869,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_manifest": q_pack_manifest,
         "vocab_coverage": q_vocab_coverage,
         "project_embeddings": q_project_embeddings,
-        "multimodal_decode": q_multimodal_decode,
-        "multimodal_resize": q_multimodal_resize,
-        "multimodal_frame_sample": q_multimodal_frame_sample,
         "ann_recall_lsh": q_ann_recall_lsh,
         "quality_classifier": q_quality_classifier,
         "zorder_key": q_zorder_key,
@@ -4915,6 +4877,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pmi_bigrams": q_pmi_bigrams,
         "pretrain_ledger": q_pretrain_ledger,
         "stupid_backoff": q_stupid_backoff,
+    # --- green round 6 (the 50 fresh rows — freshest at the back) -----
+        "validate_constraints": q_validate_constraints,
+        "pivot_event_counts": q_pivot_event_counts,
+        "late_interaction": q_late_interaction,
+        "sketch_rollup": q_sketch_rollup,
+        "curriculum_order": q_curriculum_order,
+        "normalize_homoglyphs": q_normalize_homoglyphs,
+        "bpe_learn": q_bpe_learn,
+        "bpe_segment": q_bpe_segment,
+        "novelty_stats": q_novelty_stats,
+        "phrase_search": q_phrase_search,
+        "length_bucketed_batches": q_length_bucketed_batches,
+        "bpe_subword_vocab": q_bpe_subword_vocab,
+        "blocklist_screen": q_blocklist_screen,
+        "profile_columns": q_profile_columns,
+        "calibration_report": q_calibration_report,
+        "apply_changes": q_apply_changes,
+        "triangle_count": q_triangle_count,
+        "budget_select": q_budget_select,
+        "mad_outliers": q_mad_outliers,
+        "hard_negatives": q_hard_negatives,
+        "whiten_embeddings": q_whiten_embeddings,
+        "char_entropy": q_char_entropy,
+        "quantile_normalize": q_quantile_normalize,
+        "fuzzy_match": q_fuzzy_match,
+        "multimodal_exact_dedup": q_multimodal_exact_dedup,
+        "multimodal_phash": q_multimodal_phash,
+        "fk_integrity": q_fk_integrity,
+        "drift_report": q_drift_report,
+        "skew_report": q_skew_report,
+        "dedup_recall": q_dedup_recall,
+        "lang_confusion": q_lang_confusion,
+        "classifier_auc": q_classifier_auc,
+        "label_diversity": q_label_diversity,
+        "funnel_steps": q_funnel_steps,
+        "retention_cohorts": q_retention_cohorts,
+        "bm25_topk": q_bm25_topk,
+        "source_overlap": q_source_overlap,
+        "k_anonymity": q_k_anonymity,
+        "windowed_pmi": q_windowed_pmi,
+        "mutual_information": q_mutual_information,
+        "zipf_fit": q_zipf_fit,
+        "tfidf_cosine_pairs": q_tfidf_cosine_pairs,
+        "dsir_select": q_dsir_select,
+        "vocab_growth": q_vocab_growth,
+        "kappa_langid": q_kappa_langid,
+        "tokenizer_fertility": q_tokenizer_fertility,
+        "preference_pairs": q_preference_pairs,
+        "mine_bitext": q_mine_bitext,
+        "l_diversity": q_l_diversity,
+        "lexical_diversity": q_lexical_diversity,
     }
 
 

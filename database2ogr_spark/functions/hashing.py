@@ -29,8 +29,15 @@ def stable_hash64(col: Column | str, seed: int = 0) -> Column:
     15 hex chars = 60 bits, always < 2^63 so the bigint cast never overflows
     (16 chars could). ``seed`` is prepended so independent hash families for
     MinHash come from the same primitive.
+
+    The input is cast to string explicitly: ``md5`` accepts only
+    string/binary, so a numeric column used to analyze-fail at seed=0
+    while working at seed!=0 (where ``concat`` coerced it) — same digest
+    either way for every type whose string form ``concat`` would produce,
+    which is all of them.
     """
-    payload = F.concat(F.lit(f"{seed}\x1f"), _c(col)) if seed else _c(col)
+    s = _c(col).cast("string")
+    payload = F.concat(F.lit(f"{seed}\x1f"), s) if seed else s
     return F.conv(F.substring(F.md5(payload), 1, 15), 16, 10).cast("bigint")
 
 

@@ -1124,6 +1124,7 @@ def near_dup_survivors_by_priority(
     k_shingle: int = 3,
     threshold: float = 0.5,
     max_df: int | None = None,
+    driver_threshold: int = 0,
 ) -> DataFrame:
     """Quality-aware dedup retention: one survivor per near-dup group,
     chosen by SOURCE PRIORITY first (lower rank wins — e.g. curated > web),
@@ -1159,6 +1160,7 @@ def near_dup_survivors_by_priority(
     groups = near_dup_groups(
         docs, id_col, text_col, k_shingle=k_shingle,
         threshold=threshold, max_df=max_df,
+        driver_threshold=driver_threshold,
     )
     pri = F.coalesce(
         *[

@@ -46,7 +46,7 @@ def connected_components(
     dst: str = "id_b",
     *,
     max_iter: int = 30,
-    driver_threshold: int = 100_000,
+    driver_threshold: int = 0,
 ) -> DataFrame:
     """Connected components of the undirected graph given by ``edges``.
 
@@ -56,21 +56,23 @@ def connected_components(
     appear — callers left-join and coalesce to self (see
     :func:`near_dup_groups`).
 
-    Scale-adaptive: the edge table is persisted and counted once (the
-    count doubles as the materializing action the iteration needs anyway —
-    the persisted edges are reread every round, never rebuilt). If the
-    count fits ``driver_threshold``, components come from a driver-side
-    union-find — near-dup edge sets are usually minuscule relative to the
-    corpus (pairs over a high similarity threshold), and one collect of
-    the already-materialized edges beats 2-4 rounds of shuffle jobs whose
-    cost is pure scheduling at that size. (Deliberately ``count()`` +
+    ``driver_threshold`` is a CALLER HINT, default OFF (VERDICT r6 #4):
+    the scale path must never pay a full pass over the edge table just to
+    decide how to run, so by default no job precedes the first
+    propagation round. A caller that KNOWS its edge set is small (near-dup
+    pairs over a high similarity threshold are usually minuscule relative
+    to the corpus) opts in by passing a positive threshold: the persisted
+    edges are then counted once (the count doubles as the materializing
+    action the iteration needs anyway) and, if they fit, components come
+    from a driver-side union-find — one collect of the already-
+    materialized edges beats 2-4 rounds of shuffle jobs whose cost is
+    pure scheduling at that size. (Deliberately ``count()`` +
     ``collect()``, NOT ``take(threshold+1)``: CollectLimit executes the
     plan in scale-up batches and re-ran the expensive pair join 3-4x —
-    measured 12-14 s vs 3 s on the near-dup bench.) Above the threshold,
-    the distributed min-label propagation below runs on the persisted
-    edges — per-round cost is one edge-table shuffle, round count is the
-    component diameter: the 100 TB shape. ``driver_threshold=0`` forces
-    the distributed path.
+    measured 12-14 s vs 3 s on the near-dup bench.) Above the threshold —
+    or with the default hint-off — the distributed min-label propagation
+    below runs on the persisted edges — per-round cost is one edge-table
+    shuffle, round count is the component diameter: the 100 TB shape.
 
     The result is materialized (checkpointed or driver-built) — iterating
     lazily over an unbounded lineage is not an option — so calling this
@@ -169,6 +171,7 @@ def near_dup_groups(
     edges: str = "minhash",
     max_df: int | None = None,
     cc: str = "propagation",
+    driver_threshold: int = 0,
 ) -> DataFrame:
     """Duplicate-group assignment: every document labeled with the min doc id
     of its near-dup component (``group_id``); documents with no near-dup are
@@ -215,7 +218,9 @@ def near_dup_groups(
     if cc == "star":
         comp = connected_components_star(pairs)
     elif cc == "propagation":
-        comp = connected_components(pairs)
+        # driver_threshold passes the caller's small-edge-set hint through
+        # (default 0 = distributed path, no eager count — VERDICT r6 #4)
+        comp = connected_components(pairs, driver_threshold=driver_threshold)
     else:
         raise ValueError(f"unknown cc kernel {cc!r}")
     return df.select(F.col(id_col)).join(
@@ -702,17 +707,17 @@ def khop_reach_approx(
             )
         )
     # estimate from sparse registers: absent registers contribute 2^61
-    # each to the exact DECIMAL numerator (mj = 0), v0 = m - n_present
+    # each to the exact DECIMAL numerator (mj = 0). A PRESENT register
+    # always has mj >= 1 (rho = w+1 - bitlength(shiftright(h, p)) and the
+    # bitlength is at most w), so the zero-register count is exactly
+    # m - n_present — no per-register zero test needed.
     per_node = sketch.groupBy("v").agg(
         F.sum(
             F.expr("CAST(shiftleft(CAST(1 AS BIGINT), 61 - mj) AS DECIMAL(38,0))")
         ).alias("num_present"),
         F.count(F.lit(1)).cast("bigint").alias("n_present"),
-        F.sum(F.when(F.col("mj") == 0, 1).otherwise(0))
-        .cast("bigint")
-        .alias("zero_present"),
     )
-    v0 = (F.lit(m) - F.col("n_present") + F.col("zero_present")).cast("bigint")
+    v0 = (F.lit(m) - F.col("n_present")).cast("bigint")
     num = F.col("num_present") + (
         (F.lit(m) - F.col("n_present")).cast("decimal(38,0)")
         * F.lit(1 << 61).cast("decimal(38,0)")

@@ -112,6 +112,19 @@ def test_stable_hash64_range_and_determinism(spark):
     assert 0 <= r1.v < 2**60
 
 
+def test_stable_hash64_numeric_input_all_seeds(spark):
+    # ADVICE r6: md5 accepts only string/binary, so a numeric column used
+    # to analyze-fail at seed=0 while working at seed!=0 (concat coerced
+    # it). The explicit string cast must make seed=0 work AND leave the
+    # seeded digest identical to the old concat-coerced one.
+    r0 = one(spark, H.stable_hash64(F.lit(42).cast("bigint"), seed=0))
+    rs = one(spark, H.stable_hash64(F.lit("42"), seed=0))
+    assert r0.v == rs.v  # numeric hashes as its string form
+    r7 = one(spark, H.stable_hash64(F.lit(42).cast("bigint"), seed=7))
+    r7s = one(spark, H.stable_hash64(F.lit("42"), seed=7))
+    assert r7.v == r7s.v
+
+
 def test_shingles_short_doc_fallback(spark):
     r = one(spark, H.shingles(F.lit("only two"), 3))
     assert r.v == ["only two"]

@@ -126,19 +126,40 @@ def test_ngram_jaccard_max_df_drops_hot_shingles(spark):
 
 
 def test_connected_components_paths_agree(spark):
-    # the driver union-find short-circuit and the distributed min-label
-    # propagation must produce identical labelings
+    # the driver union-find fast path (opt-in caller hint) and the
+    # distributed min-label propagation must produce identical labelings
     edges = spark.createDataFrame(
         [(2, 1), (2, 3), (3, 4), (10, 11), (11, 12), (12, 10), (20, 21), (5, 4)],
         "id_a long, id_b long",
     )
-    small = {r.id: r.component for r in connected_components(edges).collect()}
-    dist = {
+    small = {
         r.id: r.component
-        for r in connected_components(edges, driver_threshold=0).collect()
+        for r in connected_components(edges, driver_threshold=100_000).collect()
     }
+    dist = {r.id: r.component for r in connected_components(edges).collect()}
     assert small == dist == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
                              10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_connected_components_default_runs_no_eager_count(spark, monkeypatch):
+    # VERDICT r6 #4 pin: with the hint off (the default), NO job may
+    # precede the first propagation round — in particular no full count()
+    # pass over the edge table just to decide which path to take. The
+    # union-find fast path must be strictly opt-in via driver_threshold.
+    from pyspark.sql import DataFrame as SparkDataFrame
+
+    def _banned_count(self):
+        raise AssertionError(
+            "connected_components ran an eager count() with the "
+            "driver_threshold hint off"
+        )
+
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    monkeypatch.setattr(SparkDataFrame, "count", _banned_count)
+    got = {r.id: r.component for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
 
 
 def test_star_kernel_matches_union_find_on_random_graphs(spark):
@@ -397,6 +418,19 @@ def test_khop_reach_approx_small_graph_exact_semantics(spark):
     assert set(est) == set(exact)
     for node, n in exact.items():
         assert abs(est[node] - n) / n < 0.10, (node, est[node], n)
+
+
+def test_khop_reach_approx_seed_zero_numeric_ids(spark):
+    """ADVICE r6: seed=0 used to analyze-fail on bigint node ids
+    (md5(bigint) without concat's string coercion). Must now run and
+    stay within linear-counting error like any other seed."""
+    from database2ogr_spark.operators.graph import khop_reach_approx
+
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (1, 5)], "src long, dst long"
+    )
+    est = {r.node: r.estimate for r in khop_reach_approx(e, hops=2, seed=0).collect()}
+    assert abs(est[1] - 3.0) / 3.0 < 0.10, est
 
 
 def test_khop_reach_approx_cycle_counts_self(spark):
