@@ -496,3 +496,91 @@ def test_khop_reach_approx_property_vs_exact_copurchase(spark):
         rels.append(rel)
         assert rel < 0.20, (node, est[node], n)
     assert sum(rels) / len(rels) < 0.12, sum(rels) / len(rels)
+
+
+def test_khop_reach_approx_duckdb_register_merge_twin(spark):
+    """Round-8 prep for the khop_reach_sketched registry row (VERDICT r6
+    #3): the HyperANF estimate must be EXACTLY replayable in DuckDB by an
+    unrolled register-merge — same md5-based hash family, same bin()-
+    bitlength rho, same DECIMAL-exact harmonic numerator, same linear-
+    counting branch, same 6 dp rounding (the rolling_hll_users/
+    hll_distinct contract style). Runs on the sf0.001 co-purchase graph
+    with the exact operator's unroll depth (hops=2, p=8, seed=7)."""
+    import duckdb
+
+    from database2ogr_spark.operators.graph import khop_reach_approx
+    from pyspark.sql import functions as F
+
+    li = (
+        spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    edges = (
+        li.alias("a")
+        .join(
+            li.alias("b"),
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .distinct()
+    )
+    got = {
+        r.node: r.estimate
+        for r in khop_reach_approx(edges, hops=2, p=8, seed=7).collect()
+    }
+
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW lineitem AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/lineitem.parquet')"
+    )
+    twin = con.sql(
+        """
+        WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        e AS (SELECT DISTINCT a.l_partkey AS v, b.l_partkey AS u
+              FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+               AND a.l_partkey <> b.l_partkey),
+        -- 2-hop ball, PRE self-exclusion (the sketch's documented
+        -- semantics: a merge cannot subtract v back out of a cycle)
+        ball AS (SELECT DISTINCT v, u FROM
+                   (SELECT v, u FROM e
+                    UNION ALL
+                    SELECT f.v, g.u FROM e f JOIN e g ON f.u = g.v) r),
+        -- identical hash family: md5('7' || US || node-as-string),
+        -- first 15 hex chars -> 60-bit nonnegative bigint
+        h AS (SELECT v, ('0x' || substr(md5('7' || chr(31) || u::VARCHAR),
+                1, 15))::BIGINT AS h FROM ball),
+        hr AS (SELECT v, h % 256 AS reg, h // 256 AS rest FROM h),
+        rho AS (SELECT v, reg, 53 - (CASE WHEN rest > 0
+                  THEN length(bin(rest)) ELSE 0 END) AS rho FROM hr),
+        regs AS (SELECT v, reg, max(rho) AS mj FROM rho GROUP BY v, reg),
+        agg AS (SELECT v,
+                  sum((1::BIGINT << (61 - mj))::DECIMAL(38,0))
+                    AS num_present,
+                  count(*)::BIGINT AS n_present
+                FROM regs GROUP BY v),
+        est AS (SELECT v,
+                  (256 - n_present)::BIGINT AS v0,
+                  (num_present + (256 - n_present)::DECIMAL(38,0)
+                     * 2305843009213693952::DECIMAL(38,0))::DOUBLE AS num
+                FROM agg)
+        SELECT v AS node,
+          round(CASE WHEN (0.7213 / (1.0 + 1.079 / 256.0))
+                  * 256.0 * 256.0 * 2305843009213693952.0 / num
+                  <= 640.0 AND v0 > 0
+                THEN 256.0 * ln(256.0 / v0::DOUBLE)
+                ELSE (0.7213 / (1.0 + 1.079 / 256.0))
+                  * 256.0 * 256.0 * 2305843009213693952.0 / num
+                END, 6) AS estimate
+        FROM est
+        """
+    ).fetchall()
+    want = {int(v): float(x) for v, x in twin}
+    assert set(got) == set(want)
+    diffs = {n: (got[n], want[n]) for n in got if got[n] != want[n]}
+    assert not diffs, dict(list(diffs.items())[:5])
