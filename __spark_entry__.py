@@ -4612,8 +4612,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     x11_unescape, f5_nonblank_tokens — 4 rounds stale, the ledger's
     oldest rows; grading them caps §2 staleness), then the next 39 of the
     71-entry never-graded queue in the order documented since round 5
-    (winnow_pairs … embedding_density). No code or oracle in this prefix
-    changed this round, so every row grades the shipped round-6 state.
+    (winnow_pairs … embedding_density). No oracle changed this round and
+    the only shared-primitive code change (stable_hash64's explicit
+    string cast, ADVICE r6) is digest-preserving — proven by the
+    15-entry hash-sensitive spot sweep plus the whole-registry --exact
+    sweep, both 0 failures.
 
     Round 8 queue (dict order below slot 50): the final 31 never-graded
     entries (brier … transition_matrix — backlog drains to ZERO), then
@@ -4632,8 +4635,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (displaced from the r6 prefix by the sketch_rollup change), then
     # the ten r2-vintage SURVEY-§2 reference-surface rows — the
     # ledger's oldest driver rows, graded now so §2 staleness is capped
-    # at 4 rounds; nothing in this prefix changed this round, so every
-    # row grades the shipped round-6 state --------------------------
+    # at 4 rounds; no oracle changed and the one shared-primitive code
+    # change (stable_hash64 string cast) is digest-preserving ---------
         "corpus_divergence": q_corpus_divergence,
         "a1_distinct": q_a1_distinct,
         "s2_full_scan": q_s2_full_scan,
