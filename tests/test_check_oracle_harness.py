@@ -162,3 +162,47 @@ def test_every_registry_entry_has_an_oracle_twin():
     qs = set(entrymod.queries())
     oracles = set(entrymod.oracle_sql())
     assert qs <= oracles, sorted(qs - oracles)
+
+
+def test_round7_graded_prefix_is_the_documented_rotation():
+    """The driver grades only the FIRST 50 queries() entries (dict
+    order), so the prefix IS the round's verification plan — an
+    accidental dict reshuffle would silently spend the round re-grading
+    the wrong entries. Pin the shipped round-7 prefix: corpus_divergence,
+    the ten r2-vintage SURVEY-§2 rows, then the next 39 of the
+    never-graded queue (winnow_pairs … embedding_density). Update this
+    list ONLY together with the rotation docstring in queries()."""
+    import __spark_entry__ as entrymod
+
+    want = [
+        "corpus_divergence",
+        # the ten r2-vintage reference-surface rows
+        "a1_distinct", "s2_full_scan", "u1_union", "p3_envelope",
+        "j2_dim_lookup", "x1_slugify", "x2_reverse_stem", "x4_coords_key",
+        "x11_unescape", "f5_nonblank_tokens",
+        # next 39 never-graded, queue order unchanged since round 5
+        "winnow_pairs", "kneser_ney", "ks_test", "intrinsic_dimension",
+        "skipgram_negatives", "dataset_datasheet", "temporal_split",
+        "rolling_active_users", "frequent_itemsets", "basket_rules",
+        "classifier_ece", "randomization_test", "ams_f2", "hybrid_rrf",
+        "auc_by_lang", "best_threshold", "term_dispersion", "entropy_rate",
+        "burrows_delta", "phrase_merge", "davies_bouldin", "fd_violations",
+        "benford", "changepoint", "mi_value_type", "geometric_median",
+        "bootstrap_ci", "funnel_windowed", "trend_slope", "ewma_volume",
+        "concentration", "textrank", "acf", "mann_kendall", "hll_distinct",
+        "mmr_select", "kfold", "iqr_anomaly_days", "embedding_density",
+    ]
+    got = list(entrymod.queries())[:50]
+    assert got == want, [
+        (i, g, w) for i, (g, w) in enumerate(zip(got, want)) if g != w
+    ]
+
+
+def test_registry_is_frozen_at_278():
+    """Freeze invariant (VERDICT r5 #4 / r6 #1): no new queries() entries
+    until the never-graded backlog drains (round 8). When the freeze
+    lifts, update this count together with the rotation docstring —
+    khop_reach_sketched is first in line."""
+    import __spark_entry__ as entrymod
+
+    assert len(entrymod.queries()) == 278
