@@ -198,6 +198,10 @@ def near_dup_groups(
     :func:`connected_components_star` (identical labels, O(log² n) rounds)
     — for corpora whose near-dup graph has chain-like diameter rather than
     the usual dense-cluster shape.
+
+    ``driver_threshold`` (propagation kernel only) is the small-edge-set
+    caller hint forwarded to :func:`connected_components`; the default 0
+    keeps the fully distributed path with no eager count.
     """
     from database2ogr_spark.operators.dedup import (
         minhash_lsh_pairs,
