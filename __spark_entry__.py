@@ -4618,18 +4618,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     15-entry hash-sensitive spot sweep plus the whole-registry --exact
     sweep, both 0 failures.
 
-    Round 8 queue (dict order below slot 50): the final 31 never-graded
-    entries (brier … transition_matrix — backlog drains to ZERO), then
-    the re-earner band of oracle conversions that predate the
-    dtype-strict harness (multimodal_decode/resize/frame_sample,
-    webdataset_roundtrip — VERDICT r6 #5), then the first §2-quota band
-    (s1_scan_filter, j1_parent_child_join, f4_validate_default,
-    j3_style_lookup, warnify — the five oldest, r4-vintage, reference-
-    surface rows), then the ten r1/r2 re-earners (lang_id …
-    frequent_tokens) = exactly 50. Behind them: the round-3-green set,
-    the round-4-green set (minus the six rows promoted above), the
-    round-5-green set (minus the three multimodal rows), and last the 50
-    entries that earned fresh rows in round 6 (freshest at the back)."""
+    Round 8 queue (dict order below slot 50): FIRST ates_kml_document —
+    priority (a), its code and oracle changed in round 7 (within-folder
+    placemark order pinned so the document is partition-order-
+    independent; found by the scripts/check_invariance.py sweep, md5
+    literals regenerated) — then the final 31 never-graded entries
+    (brier … transition_matrix — backlog drains to ZERO), then the
+    re-earner band of oracle conversions that predate the dtype-strict
+    harness (multimodal_decode/resize/frame_sample, webdataset_roundtrip
+    — VERDICT r6 #5), then the first §2-quota band (s1_scan_filter,
+    j1_parent_child_join, f4_validate_default, j3_style_lookup, warnify
+    — the five oldest, r4-vintage, reference-surface rows), then nine of
+    the ten r1/r2 re-earners (lang_id …; frequent_tokens slides to round
+    9 behind the changed entry) = exactly 50. Behind them: the
+    round-3-green set, the round-4-green set (minus the six rows
+    promoted above), the round-5-green set (minus the three multimodal
+    rows), and last the 50 entries that earned fresh rows in round 6
+    (freshest at the back)."""
     return {
     # --- ROUND 7 PREFIX (50), per VERDICT r6 #1: corpus_divergence
     # (displaced from the r6 prefix by the sketch_rollup change), then
@@ -4690,8 +4695,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iqr_anomaly_days": q_iqr_anomaly_days,
         "embedding_density": q_embedding_density,
     # ------------------------------------------------------- slot 50 ^
-    # ROUND 8 HEAD: the final 31 never-graded entries — the backlog
-    # drains to ZERO and the freeze can lift (VERDICT r6 #2) ----------
+    # ROUND 8 HEAD, priority (a) — changed in round 7: within-folder
+    # placemark order pinned (partition-order-independence fix found by
+    # scripts/check_invariance.py) + oracle md5 literals regenerated ---
+        "ates_kml_document": q_ates_kml_document,
+    # --- the final 31 never-graded entries — the backlog drains to
+    # ZERO and the freeze can lift (VERDICT r6 #2) ---------------------
         "brier": q_brier,
         "events_dashboard": q_events_dashboard,
         "audience_overlap": q_audience_overlap,
@@ -4790,7 +4799,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_fraction_per_source": q_top_fraction_per_source,
         "dedup_incremental": q_dedup_incremental,
         "embedding_quantize": q_embedding_quantize,
-        "ates_kml_document": q_ates_kml_document,
     # --- green round 4 (minus the six rows promoted to the re-earner/
     # §2-quota bands above) --------------------------------------------
         "kmeans_embeddings": q_kmeans_embeddings,
@@ -10302,16 +10310,22 @@ def oracle_sql() -> dict[str, str]:
         "ates_kml_document": """
             SELECT part, CAST(pos AS INT) AS pos,
                    CAST(nbytes AS BIGINT) AS nbytes, md5
+            -- byte-exact literals for the PARTITION-ORDER-INDEPENDENT
+            -- document: within-folder placemark order is pinned to the
+            -- rendered string (round 7 — a bare collect() baked the scan
+            -- split layout into the document; same bytes at any
+            -- spark.sql.files.maxPartitionBytes / shuffle.partitions /
+            -- AQE setting, proven by scripts/check_invariance.py)
             FROM (VALUES
               ('folder:Area', 1, 281, 'cd70dfb82edd1df9d6e76fc37b602f6d'),
-              ('folder:Points of interest', 2, 927, '39b36b151d6d6023ca60da6e907d4f0c'),
+              ('folder:Points of interest', 2, 927, '1bde67ffe1cb68627f1ed66b50ba4ccd'),
               ('folder:Access road', 3, 235, 'f66f0e85b877be04620f84c77ee7a0c1'),
-              ('folder:Avalanche path', 4, 386, 'ba3954c46718b00836c883f9b1050d37'),
+              ('folder:Avalanche path', 4, 386, 'b0a3a212bd2bcda2b653c9a55ac943c4'),
               ('folder:Decision point', 5, 2279, '186dfcfa77635502e98ebbf8ccb4e8f1'),
-              ('folder:Zone', 6, 828, '2dbdafcfe4dc1667c896992e607df8a2'),
-              ('document:en', 97, 6942, 'f2e1e62c883b999c9e36dbad3459af3f'),
-              ('document:fr', 98, 6955, '8cfa72459068749c49cedba6633980ec'),
-              ('kmz:doc.kml', 99, 6942, 'f2e1e62c883b999c9e36dbad3459af3f')
+              ('folder:Zone', 6, 828, '5cd5ba31f2b23275a7b526752c0c19fb'),
+              ('document:en', 97, 6942, '1448eebde7103403bc1cc27db4d2181e'),
+              ('document:fr', 98, 6955, '136677e6c37b5afb7f4e56c1834ac76a'),
+              ('kmz:doc.kml', 99, 6942, '1448eebde7103403bc1cc27db4d2181e')
             ) AS t(part, pos, nbytes, md5)
         """,
         "events_attribution_join": """

@@ -94,7 +94,13 @@ def feature_collection_json(
     :class:`DriverSinkOverflow` pointing at the distributed K2 sink.
 
     Section order follows the input list order, mirroring the reference's
-    query-list ordering guarantee (SURVEY.md §2.7).
+    query-list ordering guarantee (SURVEY.md §2.7). WITHIN a section,
+    rows are ordered by the rendered feature string (bug-ledger pin: the
+    reference's within-section order is whatever its DB scan returned —
+    accidental; a bare ``collect()`` here would likewise bake the
+    partition layout into the document, so the same export could hash
+    differently across cluster runs — caught by
+    ``scripts/check_invariance.py``).
     """
     budget = max_rows
     chunks: list[str] = []
@@ -103,7 +109,8 @@ def feature_collection_json(
             df, cap=budget, sink="feature_collection_json (K1)",
             alternative="write_ndjson (K2, distributed)",
         )
-        chunks.extend(r[0] for r in with_feature(df).collect())
+        rendered = with_feature(df).orderBy("feature")
+        chunks.extend(r[0] for r in rendered.collect())
     return '{"type":"FeatureCollection","features":[' + ",".join(chunks) + "]}"
 
 

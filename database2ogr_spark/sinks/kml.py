@@ -274,7 +274,13 @@ def kml_document(
     lang_names = NAMES.get(lang, NAMES["en"])
     folders = []
     for table, df in table_dfs:
-        rendered = df.select(placemark_xml(df))
+        # within-folder placemark order is pinned to the rendered string
+        # (the reference's order is its DB's accidental row order; a bare
+        # collect() bakes the partition layout into the document — the
+        # same export would hash differently across cluster runs)
+        rendered = df.select(placemark_xml(df).alias("placemark")).orderBy(
+            "placemark"
+        )
         budget -= guard_driver_rows(
             rendered, cap=budget, sink="kml_document (K3)",
             alternative="write_ndjson (K2, distributed) or per-partition KML fragments",
