@@ -1704,10 +1704,12 @@ def q_mmr_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     from database2ogr_spark.operators.similarity import mmr_select
 
     emb = _t(spark, sf_dir, "embeddings")
-    qvec = [
-        float(x)
-        for x in emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
-    ]
+    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").first()
+    if qrow is None:  # empty corpus: no query vector, empty slate
+        return spark.createDataFrame(
+            [], "step int, vec_id bigint, rel double, score double"
+        )
+    qvec = [float(x) for x in qrow[0]]
     return mmr_select(
         emb.filter(F.col("vec_id") != 0), qvec, k=5, lam=0.7, pool=50
     )
@@ -3110,14 +3112,21 @@ def q_corpus_shards_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sharded corpus export round-trip (sinks/corpus.py): split + write
     partitioned/sharded + read back must reproduce every row with its split
     label intact (oracle = the split_corpus assignment itself)."""
-    from database2ogr_spark.sinks.corpus import write_corpus_shards
+    from database2ogr_spark.sinks.corpus import (
+        read_corpus_shards,
+        write_corpus_shards,
+    )
 
     out = _tmp("d2o_corpus_shards")
     split = SMP.split_corpus(
         _t(spark, sf_dir, "documents"), {"train": 90, "val": 5, "test": 5}
     )
     write_corpus_shards(split, out, partition_by=("split",), shards=3)
-    return spark.read.parquet(out).select("doc_id", "lang", "split")
+    # explicit writer-side schema: an empty corpus reads back as an empty
+    # frame instead of UNABLE_TO_INFER_SCHEMA (no part files were written)
+    return read_corpus_shards(spark, out, split.schema).select(
+        "doc_id", "lang", "split"
+    )
 
 
 #: shared duplicate paragraph for the pretrain-pipeline entry — long and
@@ -4612,29 +4621,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     x11_unescape, f5_nonblank_tokens — 4 rounds stale, the ledger's
     oldest rows; grading them caps §2 staleness), then the next 39 of the
     71-entry never-graded queue in the order documented since round 5
-    (winnow_pairs … embedding_density). No oracle changed this round and
-    the only shared-primitive code change (stable_hash64's explicit
-    string cast, ADVICE r6) is digest-preserving — proven by the
-    15-entry hash-sensitive spot sweep plus the whole-registry --exact
-    sweep, both 0 failures.
+    (winnow_pairs … embedding_density). No oracle in this prefix changed
+    this round; two result-preserving code changes touch it, both
+    sweep-proven at sf0.01 AND sf0.1 --exact (0 failures): stable_hash64's
+    explicit string cast (ADVICE r6, digest-preserving), and empty-input
+    robustness guards on dataset_datasheet / hll_distinct / mmr_select
+    (try_divide + a None-query guard; fire only on zero-row input, found
+    by the round-7 empty-table probe) — so their round-7 driver rows
+    grade the fixed code, priority (a) satisfied in-round.
 
-    Round 8 queue (dict order below slot 50): FIRST ates_kml_document —
-    priority (a), its code and oracle changed in round 7 (within-folder
+    Round 8 queue (dict order below slot 50): FIRST the four priority-(a)
+    entries changed in round 7 — ates_kml_document (within-folder
     placemark order pinned so the document is partition-order-
-    independent; found by the scripts/check_invariance.py sweep, md5
-    literals regenerated) — then the final 31 never-graded entries
-    (brier … transition_matrix — backlog drains to ZERO), then the
-    re-earner band of oracle conversions that predate the dtype-strict
-    harness (multimodal_decode/resize/frame_sample, webdataset_roundtrip
-    — VERDICT r6 #5), then the first §2-quota band (s1_scan_filter,
+    independent; found by the scripts/check_invariance.py sweep, oracle
+    md5 literals regenerated) and corpus_shards_roundtrip / fk_integrity
+    / drift_report (empty-input robustness: explicit-schema shard reader
+    and try_divide guards, found by the empty-table probe; non-empty
+    results bit-identical at both SFs) — then the final 31 never-graded
+    entries (brier … transition_matrix — backlog drains to ZERO; this
+    band includes events_dashboard and hourly_profile, which also carry
+    round-7 try_divide fixes), then the re-earner band of oracle
+    conversions that predate the dtype-strict harness
+    (multimodal_decode/resize/frame_sample, webdataset_roundtrip — the
+    latter also carrying its round-7 empty-shard-read fix — VERDICT r6
+    #5), then the first §2-quota band (s1_scan_filter,
     j1_parent_child_join, f4_validate_default, j3_style_lookup, warnify
-    — the five oldest, r4-vintage, reference-surface rows), then nine of
-    the ten r1/r2 re-earners (lang_id …; frequent_tokens slides to round
-    9 behind the changed entry) = exactly 50. Behind them: the
-    round-3-green set, the round-4-green set (minus the six rows
-    promoted above), the round-5-green set (minus the three multimodal
-    rows), and last the 50 entries that earned fresh rows in round 6
-    (freshest at the back)."""
+    — the five oldest, r4-vintage, reference-surface rows), then six of
+    the ten r1/r2 re-earners (lang_id … embedding_normalize;
+    events_props_extract, events_windowed, fingerprint_rolling and
+    frequent_tokens slide to round 9 behind the changed entries) =
+    exactly 50. Behind them: the round-3-green set, the round-4-green
+    set (minus the rows promoted above), the round-5-green set (minus
+    the three multimodal rows), and last the round-6-green set (minus
+    fk_integrity/drift_report promoted above; freshest at the back)."""
     return {
     # --- ROUND 7 PREFIX (50), per VERDICT r6 #1: corpus_divergence
     # (displaced from the r6 prefix by the sketch_rollup change), then
@@ -4695,10 +4714,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iqr_anomaly_days": q_iqr_anomaly_days,
         "embedding_density": q_embedding_density,
     # ------------------------------------------------------- slot 50 ^
-    # ROUND 8 HEAD, priority (a) — changed in round 7: within-folder
-    # placemark order pinned (partition-order-independence fix found by
-    # scripts/check_invariance.py) + oracle md5 literals regenerated ---
+    # ROUND 8 HEAD, priority (a) — changed in round 7:
+    # ates_kml_document: within-folder placemark order pinned (partition-
+    # order-independence fix found by scripts/check_invariance.py) +
+    # oracle md5 literals regenerated; the other three: empty-input
+    # robustness fixes (try_divide / explicit-schema reader) from the
+    # empty-table probe — non-empty results proven bit-identical at both
+    # SFs. (events_dashboard, hourly_profile, webdataset_roundtrip got
+    # the same class of fix and already sit inside this round-8 window;
+    # dataset_datasheet, hll_distinct, mmr_select sit in the round-7
+    # prefix itself, so their fixes are driver-graded THIS round.) ------
         "ates_kml_document": q_ates_kml_document,
+        "corpus_shards_roundtrip": q_corpus_shards_roundtrip,
+        "fk_integrity": q_fk_integrity,
+        "drift_report": q_drift_report,
     # --- the final 31 never-graded entries — the backlog drains to
     # ZERO and the freeze can lift (VERDICT r6 #2) ---------------------
         "brier": q_brier,
@@ -4822,7 +4851,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_groups": q_near_dup_groups,
         "decontaminate_bloom": q_decontaminate_bloom,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
-        "corpus_shards_roundtrip": q_corpus_shards_roundtrip,
         "lsh_topk": q_lsh_topk,
         "ivf_topk": q_ivf_topk,
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
@@ -4915,8 +4943,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_match": q_fuzzy_match,
         "multimodal_exact_dedup": q_multimodal_exact_dedup,
         "multimodal_phash": q_multimodal_phash,
-        "fk_integrity": q_fk_integrity,
-        "drift_report": q_drift_report,
         "skew_report": q_skew_report,
         "dedup_recall": q_dedup_recall,
         "lang_confusion": q_lang_confusion,

@@ -161,8 +161,11 @@ def drift_report(
     tot = joined.agg(
         F.sum("base_n").alias("bt"), F.sum("cur_n").alias("ct")
     )
-    pb = F.greatest(F.col("base_n") / F.col("bt"), F.lit(float(eps)))
-    pc = F.greatest(F.col("cur_n") / F.col("ct"), F.lit(float(eps)))
+    # try_divide: a zero-row side yields NULL shares, and greatest()
+    # skips NULLs, so empty snapshots degrade to the eps floor instead
+    # of an ANSI DIVIDE_BY_ZERO crash; identical arithmetic otherwise
+    pb = F.greatest(F.try_divide(F.col("base_n"), F.col("bt")), F.lit(float(eps)))
+    pc = F.greatest(F.try_divide(F.col("cur_n"), F.col("ct")), F.lit(float(eps)))
     return (
         joined.crossJoin(F.broadcast(tot))
         .select(

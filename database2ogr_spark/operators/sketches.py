@@ -300,9 +300,12 @@ def hll_distinct(
             "n_rows",
             "exact_distinct",
             "estimate",
+            # NULL (not a DIVIDE_BY_ZERO crash) when the input is empty
             F.round(
-                F.abs(F.col("estimate") - F.col("exact_distinct"))
-                / F.col("exact_distinct").cast("double"),
+                F.try_divide(
+                    F.abs(F.col("estimate") - F.col("exact_distinct")),
+                    F.col("exact_distinct").cast("double"),
+                ),
                 6,
             ).alias("rel_error"),
             F.col("v0").alias("zero_registers"),

@@ -716,17 +716,21 @@ def hourly_profile(
         "h",
         "n",
         "tot",
-        (
+        # try_divide: NULL cells (not a DIVIDE_BY_ZERO crash) when the
+        # stream is empty (tot = 0); identical arithmetic otherwise
+        F.try_divide(
             (F.col("n") - F.col("tot") / 24.0)
-            * (F.col("n") - F.col("tot") / 24.0)
-            / (F.col("tot") / 24.0)
+            * (F.col("n") - F.col("tot") / 24.0),
+            F.col("tot") / 24.0,
         ).alias("cell"),
     )
     stat = cells.agg(F.round(F.sum("cell"), 6).alias("chisq"))
     return cells.crossJoin(F.broadcast(stat)).select(
         F.col("h").cast("int").alias("hour"),
         F.col("n").cast("bigint").alias("n"),
-        F.round(F.col("n") / F.col("tot").cast("double"), 6).alias("share"),
+        F.round(F.try_divide(F.col("n"), F.col("tot").cast("double")), 6).alias(
+            "share"
+        ),
         F.round(F.col("cell"), 6).alias("chisq_cell"),
         "chisq",
         (F.col("chisq") > 35.172).alias("nonuniform"),

@@ -310,7 +310,10 @@ def fk_orphans(
             "n_child",
             "n_null_fk",
             "n_orphans",
-            F.round(F.col("n_orphans") / F.col("n_child"), 6).alias("orphan_frac"),
+            # NULL (not a DIVIDE_BY_ZERO crash) when the child table is empty
+            F.round(F.try_divide(F.col("n_orphans"), F.col("n_child")), 6).alias(
+                "orphan_frac"
+            ),
         )
     )
 
@@ -524,15 +527,21 @@ def dataset_datasheet(
             "n_tokens",
             "n_chars",
             "vocab_size",
+            # try_divide: identical to / when n_docs > 0; NULL (not an ANSI
+            # DIVIDE_BY_ZERO crash) on an empty corpus — a filter-to-zero
+            # intermediate must degrade to NULL rates, not kill the job
             F.round(
-                F.lit(1.0) - F.col("n_distinct_texts") / F.col("n_docs").cast("double"),
+                F.lit(1.0)
+                - F.try_divide(
+                    F.col("n_distinct_texts"), F.col("n_docs").cast("double")
+                ),
                 6,
             ).alias("dup_doc_rate"),
             "n_langs",
             "lang_entropy",
-            F.round(F.col("n_pii") / F.col("n_docs").cast("double"), 6).alias(
-                "pii_doc_rate"
-            ),
+            F.round(
+                F.try_divide(F.col("n_pii"), F.col("n_docs").cast("double")), 6
+            ).alias("pii_doc_rate"),
             "median_len",
         )
     )

@@ -58,7 +58,8 @@ def events_dashboard(
                 ),
                 F.array(
                     F.col("n_events"), F.col("n_users"), F.col("n_days"),
-                    F.round(F.col("n_events") / F.col("n_users"), 6),
+                    # NULL (not a DIVIDE_BY_ZERO crash) on an empty stream
+                    F.round(F.try_divide(F.col("n_events"), F.col("n_users")), 6),
                 ),
             )
         ).alias("metric", "value")

@@ -74,6 +74,17 @@ def write_corpus_shards(
     return out_dir
 
 
+def read_corpus_shards(spark, out_dir: str, schema) -> DataFrame:
+    """Read a sharded corpus back with an EXPLICIT schema (pass the
+    writer-side ``df.schema``). A partitioned write of an empty frame
+    leaves no part files, and a bare ``spark.read.parquet`` then dies
+    with UNABLE_TO_INFER_SCHEMA — at scale an empty split cell is
+    routine, so the reader must degrade to an empty frame instead.
+    Production readers should pass explicit schemas anyway (schema drift
+    surfaces as a typed error, not a silently different inference)."""
+    return spark.read.schema(schema).parquet(out_dir)
+
+
 def compact_dataset(
     spark,
     in_dir: str,

@@ -130,8 +130,19 @@ def write_tar_shards(
 def read_tar_shards(spark: SparkSession, out_dir: str) -> DataFrame:
     """Read WebDataset shards back: (key, text, meta) with ``meta`` the raw
     JSON string from the ``.json`` member. Whole-shard parallelism — one
-    ``binaryFile`` row per tar, unpacked inside ``mapInPandas``."""
-    bins = spark.read.format("binaryFile").load(os.path.join(out_dir, "shard-*.tar"))
+    ``binaryFile`` row per tar, unpacked inside ``mapInPandas``.
+
+    A directory with no shards (an empty corpus was written) reads back
+    as an EMPTY frame with the same schema — a partition that produced
+    zero shards must not kill the read side with PATH_NOT_FOUND."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        bins = spark.read.format("binaryFile").load(
+            os.path.join(out_dir, "shard-*.tar")
+        )
+    except AnalysisException:
+        return spark.createDataFrame([], "key long, text string, meta string")
 
     def parse(batches):
         import pandas as pd
