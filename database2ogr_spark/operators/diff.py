@@ -228,17 +228,22 @@ def ks_test(
         .select(
             "n_a",
             "n_b",
+            # try_divide: a zero-row sample makes the test undefined
+            # (NULL), not an ANSI DIVIDE_BY_ZERO crash; identical when
+            # both samples are non-empty
             F.abs(
-                F.col("fa").cast("double") / F.col("n_a")
-                - F.col("fb").cast("double") / F.col("n_b")
+                F.try_divide(F.col("fa").cast("double"), F.col("n_a"))
+                - F.try_divide(F.col("fb").cast("double"), F.col("n_b"))
             ).alias("__d"),
         )
         .groupBy("n_a", "n_b")
         .agg(F.max("__d").alias("__dmax"))
     )
     crit = F.lit(1.358) * F.sqrt(
-        (F.col("n_a") + F.col("n_b")).cast("double")
-        / (F.col("n_a") * F.col("n_b")).cast("double")
+        F.try_divide(
+            (F.col("n_a") + F.col("n_b")).cast("double"),
+            (F.col("n_a") * F.col("n_b")).cast("double"),
+        )
     )
     return d.select(
         "n_a",

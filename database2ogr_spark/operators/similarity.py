@@ -489,10 +489,13 @@ def ivf_topk(
             m = np.array(pdf["q_vec"].tolist(), dtype=np.float64)
             norms = np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
             sims = (m / norms) @ c.T
-            lists = np.argsort(-sims, axis=1)[:, :n_probe]
+            # a tiny corpus can have fewer lists than n_probe — probe
+            # them all instead of crashing on the repeat-length mismatch
+            eff = min(n_probe, sims.shape[1])
+            lists = np.argsort(-sims, axis=1)[:, :eff]
             rows = {
-                "query_id": np.repeat(pdf["query_id"].to_numpy(), n_probe),
-                "q_vec": [v for v in pdf["q_vec"] for _ in range(n_probe)],
+                "query_id": np.repeat(pdf["query_id"].to_numpy(), eff),
+                "q_vec": [v for v in pdf["q_vec"] for _ in range(eff)],
                 "list_id": lists.reshape(-1),
             }
             yield pd.DataFrame(rows)
