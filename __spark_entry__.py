@@ -1614,6 +1614,44 @@ def q_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumnRenamed("node", "part_id")
 
 
+def q_khop_reach_sketched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperANF 2-hop reach estimate over the FULL co-purchase graph
+    (graph.khop_reach_approx, p=8, seed=7) — the 100 TB tier next to
+    q_khop_reach's exact-but-sampled audit: per-node HLL registers
+    propagated along edges, so each hop is ONE node-keyed shuffle of a
+    register table capped at |V|·2^p rows no matter how the true
+    frontiers explode (measured 20 s full-coverage vs 101 s exact
+    unsampled at sf0.1, flat hop growth — SCALE.md). The estimate is
+    bit-replayable in DuckDB via an unrolled register merge (same
+    md5 hash family, bin()-bitlength rho, DECIMAL-exact harmonic
+    numerator, linear-counting branch, 6 dp rounding), pinned by
+    tests/test_graph.py::test_khop_reach_approx_duckdb_register_merge_twin.
+    First post-freeze registry addition (VERDICT r6 #3 / r7 #2)."""
+    from database2ogr_spark.operators.graph import khop_reach_approx
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    edges = (
+        li.alias("a")
+        .join(
+            li.alias("b"),
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .distinct()
+    )
+    return khop_reach_approx(edges, hops=2, p=8, seed=7).withColumnRenamed(
+        "node", "part_id"
+    )
+
+
 def q_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact Jaccard between event-type user sets
     (funnel.audience_overlap): one (type,user) distinct + a per-user
@@ -4597,136 +4635,76 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     EXACT next-round priority order, making each rotation a pure cut at
     slot 50.
 
-    THE REGISTRY IS FROZEN AT 278 ENTRIES as of round 6 (VERDICT r5 #4):
-    no new queries() entries until the never-graded backlog clears —
-    after round 8 drains it to zero the freeze lifts, and the first
-    addition is the already-built khop_reach_sketched HyperANF row
-    (VERDICT r6 #3). The honest rotation contract: with a frozen registry
-    of N=278 and a 50-slot gate, every entry is re-graded within
-    ceil(278/50) = 6 rounds of its last row — sooner for the priority
-    classes below. Prefix priority: (a) entries whose code or oracle
-    CHANGED this round, (b) entries that have NEVER held a driver row,
-    (c) re-earners, oldest rows first.
+    THE FREEZE IS LIFTED IN ROUND 8: the registry was frozen at 278
+    entries in round 6 (VERDICT r5 #4) until the never-graded backlog
+    cleared; this round's prefix drains the final 31 to ZERO, so the
+    first post-freeze addition rides in the same prefix —
+    khop_reach_sketched, the HyperANF reach tier (VERDICT r6 #3 /
+    r7 #2), bringing the registry to N=279. The honest rotation
+    contract: with N=279 and a 50-slot gate, every entry is re-graded
+    within ceil(279/50) = 6 rounds of its last row — sooner for the
+    priority classes below. Prefix priority: (a) entries whose code or
+    oracle CHANGED this round, (b) entries that have NEVER held a
+    driver row, (c) re-earners, oldest rows first.
 
     PERMANENT §2 QUOTA (VERDICT r6 #6): from round 8 on, ~5 prefix slots
     per round are reserved for the OLDEST reference-surface (SURVEY §2)
     rows regardless of the re-earner queue, so the core surface never
     again ages past ~4 rounds the way the ten r2-vintage rows did.
 
-    Round 7 prefix (50), executing the plan VERDICT r6 #1 pinned:
-    corpus_divergence (displaced from the r6 prefix by the sketch_rollup
-    property change), then the TEN r2-vintage SURVEY-§2 reference-surface
-    constituents (a1_distinct, s2_full_scan, u1_union, p3_envelope,
-    j2_dim_lookup, x1_slugify, x2_reverse_stem, x4_coords_key,
-    x11_unescape, f5_nonblank_tokens — 4 rounds stale, the ledger's
-    oldest rows; grading them caps §2 staleness), then the next 39 of the
-    71-entry never-graded queue in the order documented since round 5
-    (winnow_pairs … embedding_density). No oracle in this prefix changed
-    this round; two result-preserving code changes touch it, both
-    sweep-proven at sf0.01 AND sf0.1 --exact (0 failures): stable_hash64's
-    explicit string cast (ADVICE r6, digest-preserving), and degenerate-
-    input robustness guards on dataset_datasheet / hll_distinct /
-    mmr_select / ks_test (try_divide + a None-query guard; fire only on
-    zero-row samples, found by the round-7 empty-table and one-row
-    probes) — so their round-7 driver rows grade the fixed code,
-    priority (a) satisfied in-round.
-
-    Round 8 queue (dict order below slot 50): FIRST the five priority-(a)
-    entries changed in round 7 — ates_kml_document (within-folder
-    placemark order pinned so the document is partition-order-
-    independent; found by the scripts/check_invariance.py sweep, oracle
-    md5 literals regenerated), corpus_shards_roundtrip / fk_integrity /
-    drift_report (empty-input robustness: explicit-schema shard reader
-    and try_divide guards, found by the empty-table probe) and ivf_topk
+    Round 8 prefix (50), executing the plan VERDICT r7 #1 pinned:
+    FIRST the five priority-(a) entries changed in round 7 —
+    ates_kml_document (within-folder placemark order pinned so the
+    document is partition-order-independent; found by the
+    scripts/check_invariance.py sweep, oracle md5 literals
+    regenerated), corpus_shards_roundtrip / fk_integrity / drift_report
+    (empty-input robustness: explicit-schema shard reader and
+    try_divide guards, found by the empty-table probe) and ivf_topk
     (probe kernel fixed for n_lists < n_probe, found by the one-row
     probe; all non-degenerate results bit-identical at both SFs) — then
-    the final 31 never-graded
-    entries (brier … transition_matrix — backlog drains to ZERO; this
-    band includes events_dashboard and hourly_profile, which also carry
-    round-7 try_divide fixes), then the re-earner band of oracle
-    conversions that predate the dtype-strict harness
-    (multimodal_decode/resize/frame_sample, webdataset_roundtrip — the
-    latter also carrying its round-7 empty-shard-read fix — VERDICT r6
-    #5), then the first §2-quota band (s1_scan_filter,
-    j1_parent_child_join, f4_validate_default, j3_style_lookup, warnify
-    — the five oldest, r4-vintage, reference-surface rows), then five of
-    the ten r1/r2 re-earners (lang_id … embedding_near_dup;
-    embedding_normalize, events_props_extract, events_windowed,
-    fingerprint_rolling and frequent_tokens slide to round 9 behind the
-    changed entries) = exactly 50. Behind them: the round-3-green set, the round-4-green
-    set (minus the rows promoted above), the round-5-green set (minus
-    the three multimodal rows), and last the round-6-green set (minus
-    fk_integrity/drift_report promoted above; freshest at the back)."""
+    the final 31 never-graded entries (brier … transition_matrix — the
+    backlog drains to ZERO; this band includes events_dashboard and
+    hourly_profile, which also carry round-7 try_divide fixes), then
+    khop_reach_sketched (NEW this round, the freeze-lifting addition —
+    graded in its debut round so never-graded debt stays zero at round
+    end), then the re-earner band of oracle conversions that predate
+    the dtype-strict harness (multimodal_decode/resize/frame_sample,
+    webdataset_roundtrip — the latter also carrying its round-7
+    empty-shard-read fix — VERDICT r6 #5), then the first §2-quota band
+    (s1_scan_filter, j1_parent_child_join, f4_validate_default,
+    j3_style_lookup, warnify — the five oldest, r4-vintage,
+    reference-surface rows), then FOUR of the r1/r2 re-earners
+    (lang_id, minhash_signatures, near_dup_groups_exact,
+    dedup_exact_survivors) = exactly 50 (5+31+1+4+5+4).
+    embedding_near_dup — an r1/r2 re-earner holding a green row, so
+    sliding it creates no never-graded debt — yields its slot to
+    khop_reach_sketched (the only way VERDICT r7 #1 'drain to zero' and
+    #2 'green driver row for the new entry' both land in round 8) and
+    leads the round-9 queue.
+
+    Round 9 queue (dict order below slot 50): the six remaining r1/r2
+    re-earners (embedding_near_dup, embedding_normalize,
+    events_props_extract, events_windowed, fingerprint_rolling,
+    frequent_tokens — the ledger's oldest rows after this round), then
+    the round-9 §2-quota band (ates_kml_placemarks,
+    ates_geojson_features, geojson_features, x12_html_popup,
+    x13_recipe_layers — the five oldest reference-surface rows after
+    the r8 grade, all r4-vintage, promoted from the r4-green set per
+    VERDICT r7 #3). Behind them: the round-3-green set, the
+    round-4-green set (minus the rows promoted above), the
+    round-5-green set, the round-6-green set, and last the
+    round-7-green set (corpus_divergence … embedding_density; freshest
+    at the back)."""
     return {
-    # --- ROUND 7 PREFIX (50), per VERDICT r6 #1: corpus_divergence
-    # (displaced from the r6 prefix by the sketch_rollup change), then
-    # the ten r2-vintage SURVEY-§2 reference-surface rows — the
-    # ledger's oldest driver rows, graded now so §2 staleness is capped
-    # at 4 rounds; no oracle changed and the one shared-primitive code
-    # change (stable_hash64 string cast) is digest-preserving ---------
-        "corpus_divergence": q_corpus_divergence,
-        "a1_distinct": q_a1_distinct,
-        "s2_full_scan": q_s2_full_scan,
-        "u1_union": q_u1_union,
-        "p3_envelope": q_p3_envelope,
-        "j2_dim_lookup": q_j2_dim_lookup,
-        "x1_slugify": q_x1_slugify,
-        "x2_reverse_stem": q_x2_reverse_stem,
-        "x4_coords_key": q_x4_coords_key,
-        "x11_unescape": q_x11_unescape,
-        "f5_nonblank_tokens": q_f5_nonblank_tokens,
-    # --- next 39 never-graded entries (queue order unchanged since
-    # round 5: winnow_pairs … embedding_density fill slots 12-50) -----
-        "winnow_pairs": q_winnow_pairs,
-        "kneser_ney": q_kneser_ney,
-        "ks_test": q_ks_test,
-        "intrinsic_dimension": q_intrinsic_dimension,
-        "skipgram_negatives": q_skipgram_negatives,
-        "dataset_datasheet": q_dataset_datasheet,
-        "temporal_split": q_temporal_split,
-        "rolling_active_users": q_rolling_active_users,
-        "frequent_itemsets": q_frequent_itemsets,
-        "basket_rules": q_basket_rules,
-        "classifier_ece": q_classifier_ece,
-        "randomization_test": q_randomization_test,
-        "ams_f2": q_ams_f2,
-        "hybrid_rrf": q_hybrid_rrf,
-        "auc_by_lang": q_auc_by_lang,
-        "best_threshold": q_best_threshold,
-        "term_dispersion": q_term_dispersion,
-        "entropy_rate": q_entropy_rate,
-        "burrows_delta": q_burrows_delta,
-        "phrase_merge": q_phrase_merge,
-        "davies_bouldin": q_davies_bouldin,
-        "fd_violations": q_fd_violations,
-        "benford": q_benford,
-        "changepoint": q_changepoint,
-        "mi_value_type": q_mi_value_type,
-        "geometric_median": q_geometric_median,
-        "bootstrap_ci": q_bootstrap_ci,
-        "funnel_windowed": q_funnel_windowed,
-        "trend_slope": q_trend_slope,
-        "ewma_volume": q_ewma_volume,
-        "concentration": q_concentration,
-        "textrank": q_textrank,
-        "acf": q_acf,
-        "mann_kendall": q_mann_kendall,
-        "hll_distinct": q_hll_distinct,
-        "mmr_select": q_mmr_select,
-        "kfold": q_kfold,
-        "iqr_anomaly_days": q_iqr_anomaly_days,
-        "embedding_density": q_embedding_density,
-    # ------------------------------------------------------- slot 50 ^
-    # ROUND 8 HEAD, priority (a) — changed in round 7:
+    # --- ROUND 8 PREFIX (50), per VERDICT r7 #1: priority (a) first —
+    # the five entries whose code/oracle changed in round 7.
     # ates_kml_document: within-folder placemark order pinned (partition-
     # order-independence fix found by scripts/check_invariance.py) +
     # oracle md5 literals regenerated; the other three: empty-input
     # robustness fixes (try_divide / explicit-schema reader) from the
-    # empty-table probe — non-empty results proven bit-identical at both
-    # SFs. (events_dashboard, hourly_profile, webdataset_roundtrip got
-    # the same class of fix and already sit inside this round-8 window;
-    # dataset_datasheet, hll_distinct, mmr_select sit in the round-7
-    # prefix itself, so their fixes are driver-graded THIS round.) ------
+    # empty-table probe; ivf_topk: probe kernel fixed for
+    # n_lists < n_probe — non-empty results proven bit-identical at both
+    # SFs. ---------------------------------------------------------------
         "ates_kml_document": q_ates_kml_document,
         "corpus_shards_roundtrip": q_corpus_shards_roundtrip,
         "fk_integrity": q_fk_integrity,
@@ -4768,6 +4746,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "forecast_eval": q_forecast_eval,
         "containment": q_containment,
         "transition_matrix": q_transition_matrix,
+    # ^-- backlog drained to ZERO (VERDICT r7 #1). Freeze lifts here:
+    # khop_reach_sketched is the first post-freeze addition (VERDICT
+    # r6 #3 / r7 #2), graded in its debut round so never-graded debt
+    # stays zero at round end. -------------------------------------------
+        "khop_reach_sketched": q_khop_reach_sketched,
     # --- re-earner band: oracle conversions that predate the
     # dtype-strict harness (VERDICT r6 #5) — fresh rows post-hardening
         "multimodal_decode": q_multimodal_decode,
@@ -4781,17 +4764,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f4_validate_default": q_f4_validate_default,
         "j3_style_lookup": q_j3_style_lookup,
         "warnify": q_warnify,
-    # --- remaining r1/r2 re-earners (machinery constituent-covered) --
+    # --- r1/r2 re-earner band, FOUR slots (machinery constituent-
+    # covered); embedding_near_dup yields its slot to khop_reach_sketched
+    # and leads the round-9 queue below ---------------------------------
         "lang_id": q_lang_id,
         "minhash_signatures": q_minhash_signatures,
         "near_dup_groups_exact": q_near_dup_groups_exact,
         "dedup_exact_survivors": q_dedup_exact_survivors,
+    # ------------------------------------------------------- slot 50 ^
+    # ROUND 9 QUEUE: the six remaining r1/r2 re-earners (the ledger's
+    # oldest rows after this round) ...
         "embedding_near_dup": q_embedding_near_dup,
         "embedding_normalize": q_embedding_normalize,
         "events_props_extract": q_events_props_extract,
         "events_windowed": q_events_windowed,
         "fingerprint_rolling": q_fingerprint_rolling,
         "frequent_tokens": q_frequent_tokens,
+    # ... then the round-9 §2-quota band (VERDICT r7 #3): the five
+    # oldest reference-surface rows after the r8 grade, all r4-vintage,
+    # promoted here from the r4-green set so the r9 cut stays a pure
+    # slice at slot 50 ---------------------------------------------------
+        "ates_kml_placemarks": q_ates_kml_placemarks,
+        "ates_geojson_features": q_ates_geojson_features,
+        "geojson_features": q_geojson_features,
+        "x12_html_popup": q_x12_html_popup,
+        "x13_recipe_layers": q_x13_recipe_layers,
     # --- green round 3; 3 rounds old by round 6 ----------------------
         "remove_boilerplate": q_remove_boilerplate,
         "dedup_paragraphs": q_dedup_paragraphs,
@@ -4836,7 +4833,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental": q_dedup_incremental,
         "embedding_quantize": q_embedding_quantize,
     # --- green round 4 (minus the six rows promoted to the re-earner/
-    # §2-quota bands above) --------------------------------------------
+    # §2-quota bands and the five promoted to the round-9 §2 band above)
         "kmeans_embeddings": q_kmeans_embeddings,
         "semantic_dedup": q_semantic_dedup,
         "duplicate_spans": q_duplicate_spans,
@@ -4864,19 +4861,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_users_approx": q_distinct_users_approx,
         "dedup_exact": q_dedup_exact,
         "decontaminate": q_decontaminate,
-        "ates_kml_placemarks": q_ates_kml_placemarks,
-        "ates_geojson_features": q_ates_geojson_features,
         "events_sessionize": q_events_sessionize,
         "events_attribution_join": q_events_attribution_join,
         "cosine_topk": q_cosine_topk,
-        "geojson_features": q_geojson_features,
         "text_quality": q_text_quality,
         "repetition_stats": q_repetition_stats,
         "pack_sequences": q_pack_sequences,
         "redact_pii": q_redact_pii,
         "chunk_documents": q_chunk_documents,
-        "x12_html_popup": q_x12_html_popup,
-        "x13_recipe_layers": q_x13_recipe_layers,
     # --- green round 5 (43 = the 46-entry r5-green tail minus the
     # three multimodal rows promoted to the re-earner band) ------------
         "tpch_q2_min_cost_supplier": q_tpch_q2_min_cost_supplier,
@@ -4971,6 +4963,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mine_bitext": q_mine_bitext,
         "l_diversity": q_l_diversity,
         "lexical_diversity": q_lexical_diversity,
+    # --- green round 7 (the 50 fresh rows — freshest at the back) -----
+        "corpus_divergence": q_corpus_divergence,
+        "a1_distinct": q_a1_distinct,
+        "s2_full_scan": q_s2_full_scan,
+        "u1_union": q_u1_union,
+        "p3_envelope": q_p3_envelope,
+        "j2_dim_lookup": q_j2_dim_lookup,
+        "x1_slugify": q_x1_slugify,
+        "x2_reverse_stem": q_x2_reverse_stem,
+        "x4_coords_key": q_x4_coords_key,
+        "x11_unescape": q_x11_unescape,
+        "f5_nonblank_tokens": q_f5_nonblank_tokens,
+        "winnow_pairs": q_winnow_pairs,
+        "kneser_ney": q_kneser_ney,
+        "ks_test": q_ks_test,
+        "intrinsic_dimension": q_intrinsic_dimension,
+        "skipgram_negatives": q_skipgram_negatives,
+        "dataset_datasheet": q_dataset_datasheet,
+        "temporal_split": q_temporal_split,
+        "rolling_active_users": q_rolling_active_users,
+        "frequent_itemsets": q_frequent_itemsets,
+        "basket_rules": q_basket_rules,
+        "classifier_ece": q_classifier_ece,
+        "randomization_test": q_randomization_test,
+        "ams_f2": q_ams_f2,
+        "hybrid_rrf": q_hybrid_rrf,
+        "auc_by_lang": q_auc_by_lang,
+        "best_threshold": q_best_threshold,
+        "term_dispersion": q_term_dispersion,
+        "entropy_rate": q_entropy_rate,
+        "burrows_delta": q_burrows_delta,
+        "phrase_merge": q_phrase_merge,
+        "davies_bouldin": q_davies_bouldin,
+        "fd_violations": q_fd_violations,
+        "benford": q_benford,
+        "changepoint": q_changepoint,
+        "mi_value_type": q_mi_value_type,
+        "geometric_median": q_geometric_median,
+        "bootstrap_ci": q_bootstrap_ci,
+        "funnel_windowed": q_funnel_windowed,
+        "trend_slope": q_trend_slope,
+        "ewma_volume": q_ewma_volume,
+        "concentration": q_concentration,
+        "textrank": q_textrank,
+        "acf": q_acf,
+        "mann_kendall": q_mann_kendall,
+        "hll_distinct": q_hll_distinct,
+        "mmr_select": q_mmr_select,
+        "kfold": q_kfold,
+        "iqr_anomaly_days": q_iqr_anomaly_days,
+        "embedding_density": q_embedding_density,
     }
 
 
@@ -8867,6 +8910,48 @@ def oracle_sql() -> dict[str, str]:
                          UNION ALL SELECT v, u FROM f2) r)
             SELECT v AS part_id, count(*)::BIGINT AS n_reach
             FROM reach WHERE v <> u GROUP BY v
+        """,
+        # Unrolled HyperANF register merge — bit-exact twin of
+        # graph.khop_reach_approx (hops=2, p=8, seed=7): same md5 hash
+        # family as stable_hash64, same bin()-bitlength rho, the same
+        # DECIMAL(38,0)-exact harmonic numerator and linear-counting
+        # branch, same 6 dp rounding. Mirrors the pytest twin
+        # tests/test_graph.py::test_khop_reach_approx_duckdb_register_merge_twin.
+        "khop_reach_sketched": """
+            WITH li AS (SELECT DISTINCT l_orderkey, l_partkey
+                        FROM lineitem),
+            e AS (SELECT DISTINCT a.l_partkey AS v, b.l_partkey AS u
+                  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+                   AND a.l_partkey <> b.l_partkey),
+            ball AS (SELECT DISTINCT v, u FROM
+                       (SELECT v, u FROM e
+                        UNION ALL
+                        SELECT f.v, g.u FROM e f JOIN e g ON f.u = g.v) r),
+            h AS (SELECT v, ('0x' || substr(md5('7' || chr(31) || u::VARCHAR),
+                    1, 15))::BIGINT AS h FROM ball),
+            hr AS (SELECT v, h % 256 AS reg, h // 256 AS rest FROM h),
+            rho AS (SELECT v, reg, 53 - (CASE WHEN rest > 0
+                      THEN length(bin(rest)) ELSE 0 END) AS rho FROM hr),
+            regs AS (SELECT v, reg, max(rho) AS mj FROM rho GROUP BY v, reg),
+            agg AS (SELECT v,
+                      sum((1::BIGINT << (61 - mj))::DECIMAL(38,0))
+                        AS num_present,
+                      count(*)::BIGINT AS n_present
+                    FROM regs GROUP BY v),
+            est AS (SELECT v,
+                      (256 - n_present)::BIGINT AS v0,
+                      (num_present + (256 - n_present)::DECIMAL(38,0)
+                         * 2305843009213693952::DECIMAL(38,0))::DOUBLE AS num
+                    FROM agg)
+            SELECT v AS part_id,
+              round(CASE WHEN (0.7213 / (1.0 + 1.079 / 256.0))
+                      * 256.0 * 256.0 * 2305843009213693952.0 / num
+                      <= 640.0 AND v0 > 0
+                    THEN 256.0 * ln(256.0 / v0::DOUBLE)
+                    ELSE (0.7213 / (1.0 + 1.079 / 256.0))
+                      * 256.0 * 256.0 * 2305843009213693952.0 / num
+                    END, 6) AS estimate
+            FROM est
         """,
         "audience_overlap": """
             WITH tu AS (SELECT DISTINCT event_type AS t, user_id AS u

@@ -188,6 +188,7 @@ HEADLINE = [
     "audience_overlap",
     "conversion_latency",
     "khop_reach",
+    "khop_reach_sketched",
     "rolling_hll_users",
     "churn",
     "kmv_jaccard",
@@ -363,7 +364,14 @@ def main() -> None:
             break
         payload.pop(drop, None)
         line = json.dumps(payload)
-    print(line[:1999])
+    if len(line) > 1999:
+        # last resort (ADVICE r7): a sliced JSON string is unparseable —
+        # emit a minimal fixed payload instead, never a truncated one
+        line = json.dumps(
+            {"metric": "headline_queries_total", "value": total,
+             "unit": "sec", "sf": sf}
+        )
+    print(line)
 
 
 def _next_round(repo: str) -> int:

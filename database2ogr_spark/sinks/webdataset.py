@@ -134,14 +134,23 @@ def read_tar_shards(spark: SparkSession, out_dir: str) -> DataFrame:
 
     A directory with no shards (an empty corpus was written) reads back
     as an EMPTY frame with the same schema — a partition that produced
-    zero shards must not kill the read side with PATH_NOT_FOUND."""
+    zero shards must not kill the read side with PATH_NOT_FOUND. ONLY
+    that condition is absorbed (ADVICE r7): any other analysis-time
+    error — corrupt metadata, a misconfigured reader — re-raises, so a
+    genuinely broken read can never masquerade as an empty corpus."""
     from pyspark.errors import AnalysisException
 
     try:
         bins = spark.read.format("binaryFile").load(
             os.path.join(out_dir, "shard-*.tar")
         )
-    except AnalysisException:
+    except AnalysisException as e:
+        cond = (
+            e.getCondition() if hasattr(e, "getCondition")
+            else e.getErrorClass()
+        )
+        if cond != "PATH_NOT_FOUND":
+            raise
         return spark.createDataFrame([], "key long, text string, meta string")
 
     def parse(batches):

@@ -47,11 +47,27 @@ def canon(df) -> list[str]:
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if not a.startswith("--prefix")]
+    # '--prefix=N', '--prefix N' (the following token is CONSUMED, not
+    # leaked into the name filter — ADVICE r7), or bare '--prefix' = 50
+    argv = sys.argv[1:]
+    args: list[str] = []
     prefix = None
-    for a in sys.argv[1:]:
+    i = 0
+    while i < len(argv):
+        a = argv[i]
         if a.startswith("--prefix"):
-            prefix = int(a.split("=", 1)[1] if "=" in a else a.removeprefix("--prefix") or 50)
+            if "=" in a:
+                prefix = int(a.split("=", 1)[1])
+            elif a != "--prefix":
+                prefix = int(a.removeprefix("--prefix"))
+            elif i + 1 < len(argv) and argv[i + 1].isdigit():
+                prefix = int(argv[i + 1])
+                i += 1
+            else:
+                prefix = 50
+        else:
+            args.append(a)
+        i += 1
     sf_dir = args[0] if args and "/" in args[0] else "/root/testdata/sf0.01"
     only = set(a for a in args if "/" not in a)
 
@@ -61,6 +77,10 @@ def main() -> int:
     names = list(qs)[:prefix] if prefix else list(qs)
     if only:
         names = [n for n in names if n in only] or [n for n in qs if n in only]
+    if not names:
+        # a filter that matches nothing must never read as a green sweep
+        print(f"FAIL: no queries match filter {sorted(only)}")
+        return 1
 
     defaults = {k: spark.conf.get(k) for k in PERTURBED}
     failures = 0

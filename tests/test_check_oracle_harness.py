@@ -164,45 +164,83 @@ def test_every_registry_entry_has_an_oracle_twin():
     assert qs <= oracles, sorted(qs - oracles)
 
 
-def test_round7_graded_prefix_is_the_documented_rotation():
+#: The shipped round-8 prefix, band by band (VERDICT r7 #1/#2). The
+#: boundaries are load-bearing: the driver grades exactly slots 1-50,
+#: and the docstring's band arithmetic (5+31+1+4+5+4 = 50) is what
+#: makes the next rotation a pure cut at slot 50. Update ONLY together
+#: with the rotation docstring in queries().
+R8_PRIORITY_A = [
+    "ates_kml_document", "corpus_shards_roundtrip", "fk_integrity",
+    "drift_report", "ivf_topk",
+]
+R8_NEVER_GRADED = [
+    "brier", "events_dashboard", "audience_overlap", "conversion_latency",
+    "khop_reach", "rolling_hll_users", "churn", "kmv_jaccard",
+    "hourly_profile", "hist_quantiles", "session_stats", "top_journeys",
+    "cohort_value", "rfm", "fanout_profile", "repeat_interval",
+    "t_closeness", "wow_decomposition", "class_weights", "nested_subsets",
+    "fightin_words", "ql_topk", "user_features", "prf_topk", "readability",
+    "u_attribution", "kaplan_meier", "ann_ndcg", "forecast_eval",
+    "containment", "transition_matrix",
+]
+R8_POST_FREEZE = ["khop_reach_sketched"]
+R8_DTYPE_REEARNERS = [
+    "multimodal_decode", "multimodal_resize", "multimodal_frame_sample",
+    "webdataset_roundtrip",
+]
+R8_S2_QUOTA = [
+    "s1_scan_filter", "j1_parent_child_join", "f4_validate_default",
+    "j3_style_lookup", "warnify",
+]
+R8_R1R2_REEARNERS = [
+    "lang_id", "minhash_signatures", "near_dup_groups_exact",
+    "dedup_exact_survivors",
+]
+R9_QUEUE_HEAD = [
+    # the six remaining r1/r2 re-earners (embedding_near_dup yielded its
+    # r8 slot to khop_reach_sketched), then the round-9 §2-quota band
+    "embedding_near_dup", "embedding_normalize", "events_props_extract",
+    "events_windowed", "fingerprint_rolling", "frequent_tokens",
+    "ates_kml_placemarks", "ates_geojson_features", "geojson_features",
+    "x12_html_popup", "x13_recipe_layers",
+]
+
+
+def test_round8_graded_prefix_is_the_documented_rotation():
     """The driver grades only the FIRST 50 queries() entries (dict
     order), so the prefix IS the round's verification plan — an
     accidental dict reshuffle would silently spend the round re-grading
-    the wrong entries. Pin the shipped round-7 prefix: corpus_divergence,
-    the ten r2-vintage SURVEY-§2 rows, then the next 39 of the
-    never-graded queue (winnow_pairs … embedding_density). Update this
-    list ONLY together with the rotation docstring in queries()."""
+    the wrong entries. Pin the shipped round-8 prefix band by band
+    (VERDICT r7 #5: the band boundaries themselves are asserted, not
+    just the flat list) AND the head of the round-9 queue, so the next
+    rotation stays a pure cut at slot 50."""
     import __spark_entry__ as entrymod
 
-    want = [
-        "corpus_divergence",
-        # the ten r2-vintage reference-surface rows
-        "a1_distinct", "s2_full_scan", "u1_union", "p3_envelope",
-        "j2_dim_lookup", "x1_slugify", "x2_reverse_stem", "x4_coords_key",
-        "x11_unescape", "f5_nonblank_tokens",
-        # next 39 never-graded, queue order unchanged since round 5
-        "winnow_pairs", "kneser_ney", "ks_test", "intrinsic_dimension",
-        "skipgram_negatives", "dataset_datasheet", "temporal_split",
-        "rolling_active_users", "frequent_itemsets", "basket_rules",
-        "classifier_ece", "randomization_test", "ams_f2", "hybrid_rrf",
-        "auc_by_lang", "best_threshold", "term_dispersion", "entropy_rate",
-        "burrows_delta", "phrase_merge", "davies_bouldin", "fd_violations",
-        "benford", "changepoint", "mi_value_type", "geometric_median",
-        "bootstrap_ci", "funnel_windowed", "trend_slope", "ewma_volume",
-        "concentration", "textrank", "acf", "mann_kendall", "hll_distinct",
-        "mmr_select", "kfold", "iqr_anomaly_days", "embedding_density",
+    bands = [
+        ("priority-a", R8_PRIORITY_A, 5),
+        ("never-graded drain", R8_NEVER_GRADED, 31),
+        ("post-freeze addition", R8_POST_FREEZE, 1),
+        ("dtype re-earners", R8_DTYPE_REEARNERS, 4),
+        ("§2 quota", R8_S2_QUOTA, 5),
+        ("r1/r2 re-earners", R8_R1R2_REEARNERS, 4),
     ]
-    got = list(entrymod.queries())[:50]
+    # the documented band arithmetic must actually sum to the gate size
+    assert [len(b) for _, b, _ in bands] == [n for _, _, n in bands]
+    want = [name for _, band, _ in bands for name in band]
+    assert len(want) == 50
+    names = list(entrymod.queries())
+    got = names[:50]
     assert got == want, [
         (i, g, w) for i, (g, w) in enumerate(zip(got, want)) if g != w
     ]
+    # round-9 queue head: re-earners then the promoted §2-quota band
+    assert names[50:50 + len(R9_QUEUE_HEAD)] == R9_QUEUE_HEAD
 
 
-def test_registry_is_frozen_at_278():
-    """Freeze invariant (VERDICT r5 #4 / r6 #1): no new queries() entries
-    until the never-graded backlog drains (round 8). When the freeze
-    lifts, update this count together with the rotation docstring —
-    khop_reach_sketched is first in line."""
+def test_registry_is_279_post_freeze():
+    """The freeze lifted in round 8 (VERDICT r7 #1/#2): the 278-entry
+    frozen registry plus khop_reach_sketched, the first post-freeze
+    addition. Update this count together with the rotation docstring."""
     import __spark_entry__ as entrymod
 
-    assert len(entrymod.queries()) == 278
+    assert len(entrymod.queries()) == 279
