@@ -4682,17 +4682,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #2 'green driver row for the new entry' both land in round 8) and
     leads the round-9 queue.
 
-    Round 9 queue (dict order below slot 50): the six remaining r1/r2
-    re-earners (embedding_near_dup, embedding_normalize,
-    events_props_extract, events_windowed, fingerprint_rolling,
+    Round 9 queue (dict order below slot 50), vintage-FIFO: the six
+    remaining r1/r2 re-earners (embedding_near_dup …
     frequent_tokens — the ledger's oldest rows after this round), then
-    the round-9 §2-quota band (ates_kml_placemarks,
-    ates_geojson_features, geojson_features, x12_html_popup,
-    x13_recipe_layers — the five oldest reference-surface rows after
-    the r8 grade, all r4-vintage, promoted from the r4-green set per
-    VERDICT r7 #3). Behind them: the round-3-green set, the
-    round-4-green set (minus the rows promoted above), the
-    round-5-green set, the round-6-green set, and last the
+    the FULL 42-row round-3-green set (6+42 = 48; r3 rows pushed to
+    round 10 would be 7 rounds stale — a ≤6-round-contract violation —
+    so they take precedence over the younger §2 band), then the
+    round-9 §2-quota band (ates_kml_placemarks, ates_geojson_features,
+    geojson_features, x12_html_popup, x13_recipe_layers — the five
+    oldest reference-surface rows after the r8 grade, all r4-vintage,
+    promoted from the r4-green set per VERDICT r7 #3; within contract
+    in either r9 or r10, so the band straddles the slot-50 cut: the
+    first two fill r9 slots 49-50, the last three lead the r10 queue).
+    Behind them: the round-4-green set (minus the rows promoted
+    above), the round-5-green set, the round-6-green set, and last the
     round-7-green set (corpus_divergence … embedding_density; freshest
     at the back)."""
     return {
@@ -4773,23 +4776,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_survivors": q_dedup_exact_survivors,
     # ------------------------------------------------------- slot 50 ^
     # ROUND 9 QUEUE: the six remaining r1/r2 re-earners (the ledger's
-    # oldest rows after this round) ...
+    # oldest rows after this round), then the FULL 42-row r3-green set,
+    # then the §2-quota band. Vintage-FIFO ordering is forced by the
+    # ≤6-round contract: r3 rows graded in r10 would be 7 rounds stale
+    # (violation), while the r4-vintage §2 rows are within contract in
+    # either r9 or r10 — so the §2 band straddles the r9 slot-50 cut
+    # (first two in, last three lead r10) instead of displacing r3 rows.
         "embedding_near_dup": q_embedding_near_dup,
         "embedding_normalize": q_embedding_normalize,
         "events_props_extract": q_events_props_extract,
         "events_windowed": q_events_windowed,
         "fingerprint_rolling": q_fingerprint_rolling,
         "frequent_tokens": q_frequent_tokens,
-    # ... then the round-9 §2-quota band (VERDICT r7 #3): the five
-    # oldest reference-surface rows after the r8 grade, all r4-vintage,
-    # promoted here from the r4-green set so the r9 cut stays a pure
-    # slice at slot 50 ---------------------------------------------------
-        "ates_kml_placemarks": q_ates_kml_placemarks,
-        "ates_geojson_features": q_ates_geojson_features,
-        "geojson_features": q_geojson_features,
-        "x12_html_popup": q_x12_html_popup,
-        "x13_recipe_layers": q_x13_recipe_layers,
-    # --- green round 3; 3 rounds old by round 6 ----------------------
+    # --- green round 3; the whole set re-earns in round 9 -------------
         "remove_boilerplate": q_remove_boilerplate,
         "dedup_paragraphs": q_dedup_paragraphs,
         "quality_flags": q_quality_flags,
@@ -4832,6 +4831,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_fraction_per_source": q_top_fraction_per_source,
         "dedup_incremental": q_dedup_incremental,
         "embedding_quantize": q_embedding_quantize,
+    # --- round-9 §2-quota band (VERDICT r7 #3): the five oldest
+    # reference-surface rows after the r8 grade, all r4-vintage,
+    # promoted from the r4-green set; sits AFTER the r3 set per the
+    # vintage-FIFO note above — slots 49-50 of the r9 prefix land on
+    # ates_kml_placemarks/ates_geojson_features, the other three lead
+    # the r10 queue -------------------------------------------------------
+        "ates_kml_placemarks": q_ates_kml_placemarks,
+        "ates_geojson_features": q_ates_geojson_features,
+        "geojson_features": q_geojson_features,
+        "x12_html_popup": q_x12_html_popup,
+        "x13_recipe_layers": q_x13_recipe_layers,
     # --- green round 4 (minus the six rows promoted to the re-earner/
     # §2-quota bands and the five promoted to the round-9 §2 band above)
         "kmeans_embeddings": q_kmeans_embeddings,

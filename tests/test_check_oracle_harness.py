@@ -198,11 +198,12 @@ R8_R1R2_REEARNERS = [
 ]
 R9_QUEUE_HEAD = [
     # the six remaining r1/r2 re-earners (embedding_near_dup yielded its
-    # r8 slot to khop_reach_sketched), then the round-9 §2-quota band
+    # r8 slot to khop_reach_sketched); the FULL r3-green set follows
+    # (vintage-FIFO: r3 rows in r10 would be 7 rounds stale), and the
+    # round-9 §2-quota band straddles the future slot-50 cut behind it
     "embedding_near_dup", "embedding_normalize", "events_props_extract",
     "events_windowed", "fingerprint_rolling", "frequent_tokens",
-    "ates_kml_placemarks", "ates_geojson_features", "geojson_features",
-    "x12_html_popup", "x13_recipe_layers",
+    "remove_boilerplate", "dedup_paragraphs", "quality_flags",
 ]
 
 
@@ -233,8 +234,16 @@ def test_round8_graded_prefix_is_the_documented_rotation():
     assert got == want, [
         (i, g, w) for i, (g, w) in enumerate(zip(got, want)) if g != w
     ]
-    # round-9 queue head: re-earners then the promoted §2-quota band
+    # round-9 queue head: re-earners then the r3-green set (vintage-FIFO)
     assert names[50:50 + len(R9_QUEUE_HEAD)] == R9_QUEUE_HEAD
+    # the round-9 §2-quota band must start at slot 99 (index 98) so the
+    # next pure cut at slot 50 puts its first two rows in the r9 prefix
+    # (6 re-earners + 42 r3 rows + 2 = 50) and the last three lead r10
+    s2_band = [
+        "ates_kml_placemarks", "ates_geojson_features", "geojson_features",
+        "x12_html_popup", "x13_recipe_layers",
+    ]
+    assert names[98:103] == s2_band, names[95:105]
 
 
 def test_registry_is_279_post_freeze():
