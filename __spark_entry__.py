@@ -64,6 +64,28 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+#: DuckDB mirror of operators/similarity.is_valid_embedding — the
+#: engine-wide embedding ingestion contract (non-null, non-empty, all
+#: elements finite, nonzero norm). Every oracle twin that reads the
+#: embeddings table reads it through this view (oracle_sql() rewrites
+#: `FROM embeddings)` mechanically), exactly as every queries() entry
+#: loads it through _emb(). No-op on clean corpora; on dirty corpora
+#: (scripts/check_nulls.py) it keeps both sides bit-aligned.
+EMB_VALID_SQL = (
+    "SELECT * FROM embeddings WHERE embedding IS NOT NULL "
+    "AND len(embedding) > 0 "
+    "AND len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR isinf(x))) = 0 "
+    "AND len(list_filter(embedding, x -> x <> 0)) > 0"
+)
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The embeddings table through the ingestion guard (see
+    operators/similarity.is_valid_embedding): validate once at the scan,
+    so no downstream kernel meets a null/ragged/NaN/zero-norm vector."""
+    return SIM.valid_embeddings(_t(spark, sf_dir, "embeddings"))
+
+
 def _f2(col) -> F.Column:
     """printf('%.2f', x) — identical formatting in Spark and DuckDB for the
     integer-hundredths values constructed below (no rounding ties)."""
@@ -742,7 +764,7 @@ def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     applyInPandas (operators/similarity.label_centroids)."""
     from database2ogr_spark.operators.similarity import label_centroids
 
-    return label_centroids(_t(spark, sf_dir, "embeddings"))
+    return label_centroids(_emb(spark, sf_dir))
 
 
 def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -930,7 +952,7 @@ def q_cap_per_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_embedding_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L2 norm + first normalized component per embedding (the narrow
     pre-processing stage every ANN pipeline runs)."""
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _emb(spark, sf_dir)
     norm = SIM.l2_norm(F.col("embedding"))
     return emb.select(
         "vec_id",
@@ -1034,7 +1056,7 @@ def q_label_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairwise dot per label via the sum-vector identity — one grouped
     aggregation, NOTHING quadratic. Twin replays per-dim sums and the
     identity in DuckDB list arithmetic."""
-    return SIM.label_diversity(_t(spark, sf_dir, "embeddings"), dim=64)
+    return SIM.label_diversity(_emb(spark, sf_dir), dim=64)
 
 
 def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1141,7 +1163,7 @@ def q_geometric_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     mean; unrolled-iteration replay discipline as k-means."""
     from database2ogr_spark.operators.similarity import geometric_median
 
-    return geometric_median(_t(spark, sf_dir, "embeddings"), n_iter=3)
+    return geometric_median(_emb(spark, sf_dir), n_iter=3)
 
 
 def _gmedian_sql(n_iter: int = 3, dim: int = 64) -> str:
@@ -1163,7 +1185,8 @@ d{k} AS (SELECT v.label, v.v,
            round(sqrt(greatest(list_dot_product(v.v, v.v)
              - 2 * list_dot_product(v.v, y.y)
              + list_dot_product(y.y, y.y), 0)), 9) AS d
-         FROM v JOIN y{k - 1} y USING (label)),
+         FROM v JOIN y{k - 1} y
+           ON v.label IS NOT DISTINCT FROM y.label),
 y{k}m AS (SELECT label, p,
             round(sum(v[CAST(p AS INT)] / greatest(d, 1e-9))
                   / sum(1.0 / greatest(d, 1e-9)), 6) AS m
@@ -1268,7 +1291,7 @@ def q_ann_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
     the 10 barely-similar members, scores lower). Graded relevance =
     the exact rounded cosine; DCG/IDCG use ln(r+1)/ln 2 explicitly so
     both engines run the identical float path."""
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _emb(spark, sf_dir)
     c = emb.select(
         "vec_id",
         F.col("embedding").alias("cv"),
@@ -1708,7 +1731,7 @@ def q_embedding_density(spark: SparkSession, sf_dir: str) -> DataFrame:
     from database2ogr_spark.operators.similarity import embedding_density
 
     return embedding_density(
-        _t(spark, sf_dir, "embeddings"), threshold=0.35, min_pts=5
+        _emb(spark, sf_dir), threshold=0.35, min_pts=5
     )
 
 
@@ -1741,7 +1764,7 @@ def q_mmr_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounds as CTEs."""
     from database2ogr_spark.operators.similarity import mmr_select
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _emb(spark, sf_dir)
     qrow = emb.filter(F.col("vec_id") == 0).select("embedding").first()
     if qrow is None:  # empty corpus: no query vector, empty slate
         return spark.createDataFrame(
@@ -1870,7 +1893,7 @@ def q_davies_bouldin(spark: SparkSession, sf_dir: str) -> DataFrame:
     cosine distances rounded exactly as the assignment rounds them."""
     from database2ogr_spark.operators.clustering import davies_bouldin
 
-    return davies_bouldin(_t(spark, sf_dir, "embeddings"), k=8, n_iter=3)
+    return davies_bouldin(_emb(spark, sf_dir), k=8, n_iter=3)
 
 
 def q_phrase_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1976,7 +1999,7 @@ def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     bm_ranked = bm.select(
         "doc_id", F.row_number().over(w).cast("int").alias("rank")
     )
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _emb(spark, sf_dir)
     q = emb.filter(F.col("vec_id") == 0).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
@@ -2129,7 +2152,7 @@ def q_intrinsic_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
     contract, exact duplicates excluded per the published procedure."""
     from database2ogr_spark.operators.similarity import intrinsic_dimension
 
-    return intrinsic_dimension(_t(spark, sf_dir, "embeddings"))
+    return intrinsic_dimension(_emb(spark, sf_dir))
 
 
 def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2338,7 +2361,7 @@ def q_mine_bitext(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocks, margin logic unchanged."""
     from database2ogr_spark.operators.similarity import mine_bitext
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _emb(spark, sf_dir)
     return mine_bitext(
         emb.filter(F.col("label") < 5),
         emb.filter(F.col("label") >= 5),
@@ -2615,7 +2638,7 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     most-similar DIFFERENT-label vectors per query — broadcast query set,
     label filter inside the scan stage. Twin mirrors the cosine_topk
     arithmetic plus the label predicate."""
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _emb(spark, sf_dir)
     qset = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"), "embedding", "label"
     )
@@ -2627,7 +2650,7 @@ def q_whiten_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     2·dim unrolled moments in ONE aggregation (no explode, no dim
     shuffle), broadcast back, elementwise projection. Graded in scalar
     long form (vec_id, dim, w) per the complex-type gate rule."""
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _emb(spark, sf_dir)
     wide = SIM.whiten_embeddings(emb, dim=64)
     return wide.select(
         "vec_id", F.posexplode("whitened").alias("dim", "w")
@@ -2871,7 +2894,7 @@ def q_decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     planted vectors in tests/test_similarity.py."""
     from database2ogr_spark.operators.similarity import decontaminate_semantic
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _emb(spark, sf_dir)
     bench = emb.filter(F.col("vec_id") % 20 == 0)
     corpus = emb.filter(F.col("vec_id") % 20 != 0)
     return decontaminate_semantic(corpus, bench, threshold=0.45).select("vec_id")
@@ -3267,7 +3290,7 @@ def q_project_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     scalar ``(vec_id, dim, value)`` row per component — same values, same
     hash contract, complex-type-free (scripts/check_oracle.py now rejects
     array outputs outright)."""
-    out = SIM.project_embeddings(_t(spark, sf_dir, "embeddings"), out_dim=16)
+    out = SIM.project_embeddings(_emb(spark, sf_dir), out_dim=16)
     return out.select("vec_id", F.posexplode("proj").alias("dim", "value"))
 
 
@@ -3459,7 +3482,7 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _emb(spark, sf_dir)
     queries_df = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
@@ -3469,7 +3492,7 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric int8 quantization (operators/similarity.quantize_embeddings)
     — scale + scalar code projections so the oracle stays hashable."""
-    q = SIM.quantize_embeddings(_t(spark, sf_dir, "embeddings"))
+    q = SIM.quantize_embeddings(_emb(spark, sf_dir))
     return q.select(
         F.col("id").alias("vec_id"),
         F.round(F.col("scale"), 9).alias("scale_r"),
@@ -3485,7 +3508,7 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Int8-code brute-force ANN (rows-only — approximate by construction;
     recall vs the float path pinned in tests/test_similarity.py)."""
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _emb(spark, sf_dir)
     queries_df = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
@@ -3493,7 +3516,7 @@ def q_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return SIM.cosine_pairs_exact(_t(spark, sf_dir, "embeddings"), threshold=0.35)
+    return SIM.cosine_pairs_exact(_emb(spark, sf_dir), threshold=0.35)
 
 
 def q_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3502,7 +3525,7 @@ def q_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     but deterministic given the pinned hyperplanes, so the DuckDB oracle
     replays bucket assignment + in-bucket cosine exactly (hash-matched)."""
     return SIM.embedding_near_dup_pairs(
-        _t(spark, sf_dir, "embeddings"), threshold=0.35, bits=4, dim=64
+        _emb(spark, sf_dir), threshold=0.35, bits=4, dim=64
     )
 
 
@@ -3513,7 +3536,7 @@ def q_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     similarities rounded to 9 before argmax), so the DuckDB twin unrolls
     the same three iterations as CTEs and the assignment hash-matches."""
     return KM.kmeans_embeddings(
-        _t(spark, sf_dir, "embeddings"), k=8, n_iter=3
+        _emb(spark, sf_dir), k=8, n_iter=3
     )
 
 
@@ -3523,7 +3546,7 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     lower-id vector in its cluster. The oracle composes the unrolled
     k-means CTEs with a within-cluster pair anti-join."""
     return KM.semantic_dedup(
-        _t(spark, sf_dir, "embeddings"), k=8, n_iter=3, threshold=0.4
+        _emb(spark, sf_dir), k=8, n_iter=3, threshold=0.4
     )
 
 
@@ -3532,7 +3555,7 @@ def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     pinned in tests/test_similarity.py) but DETERMINISTIC given the pinned
     md5-derived hyperplanes — the DuckDB twin embeds the same ±1 literals
     and replays the bucket assignment and probe exactly (hash-matched)."""
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _emb(spark, sf_dir)
     queries_df = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
@@ -3562,7 +3585,7 @@ def q_ann_recall_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     contiguously and both top-10 sets fall out of a single shuffle (the
     operator-composed version scanned and scored the corpus twice,
     ~2× this entry's cost at sf0.1)."""
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _emb(spark, sf_dir)
     # expr-string tiers: the Column-object versions of these unrolled
     # expressions cost ~6.7 s of py4j DRIVER time to BUILD per invocation
     # (vs ~1 s of execution) — the parsed-SQL twins are arithmetic-
@@ -3904,7 +3927,7 @@ def q_late_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     the cosine_topk and ann_recall sets)."""
     from database2ogr_spark.operators.similarity import late_interaction_topk
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _emb(spark, sf_dir)
     queries_df = emb.filter(F.col("vec_id") % 89 == 7).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
@@ -3994,7 +4017,7 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-seeded centroids — the DuckDB twin re-derives the 16 centroids
     (lowest stable_hash64(vec_id, seed 11)), the argmax list assignment,
     and the 4-list probe (hash-matched)."""
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _emb(spark, sf_dir)
     queries_df = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
@@ -4013,7 +4036,7 @@ def q_ivf_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ivf_index_topk,
     )
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _emb(spark, sf_dir)
     idx = _tmp("d2o_ivf_index")
     build_ivf_index(emb, idx, n_centroids=16)
     queries_df = emb.filter(F.col("vec_id") < 5).select(
@@ -10210,7 +10233,7 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN b.n > 1
                         THEN round((q.sum_sq - b.ssq) / (b.n * (b.n - 1)), 6)
                         END AS mean_pairwise_dot
-            FROM base b JOIN sq q USING (label)
+            FROM base b JOIN sq q ON b.label IS NOT DISTINCT FROM q.label
         """,
         "funnel_steps": """
             WITH s1 AS (SELECT user_id, min(ts) AS rt FROM events
@@ -10563,4 +10586,14 @@ def oracle_sql() -> dict[str, str]:
                  AS rank
         FROM top CROSS JOIN t
     """
-    return out
+    # Embedding ingestion contract, oracle side: every twin reads the
+    # embeddings table through the validity view (mirror of
+    # operators/similarity.is_valid_embedding; every queries() entry
+    # loads through _emb()). All twin references are uniformly written
+    # `FROM embeddings)` (subquery tail), so the rewrite is mechanical
+    # and total; tests/test_check_oracle_harness.py pins both the
+    # uniform spelling and the rewrite.
+    return {
+        name: sql.replace("FROM embeddings)", f"FROM ({EMB_VALID_SQL}) embeddings)")
+        for name, sql in out.items()
+    }

@@ -22,6 +22,39 @@ from pyspark.sql.window import Window
 from database2ogr_spark.functions.hashing import stable_hash64
 
 
+def is_valid_embedding(e: Column) -> Column:
+    """The engine-wide embedding ingestion contract, as one boolean column.
+
+    A 100 TB embedding corpus contains encoder failures: null vectors,
+    empty arrays, NaN/Inf-poisoned elements, and all-zero vectors. Each
+    breaks a different downstream kernel — ragged arrays kill Arrow
+    batch stacking, zero norms turn cosine into DIVIDE_BY_ZERO (ANSI)
+    or NaN, one NaN element poisons every centroid it touches. The
+    contract: validate ONCE at ingestion, so every operator below may
+    assume rectangular, finite, non-degenerate vectors instead of
+    re-guarding (and re-paying) per kernel. All four predicates are
+    JVM-side higher-order functions over the array — one scan-time pass,
+    no shuffle, and a no-op on clean corpora.
+
+    The DuckDB oracle twins apply the byte-identical predicate
+    (``EMB_VALID_SQL`` in ``__spark_entry__``), so driver-graded results
+    agree on dirty data too (probed by ``scripts/check_nulls.py``).
+    """
+    finite = F.forall(
+        e,
+        lambda x: x.isNotNull()
+        & ~F.isnan(x)
+        & (F.abs(x) < F.lit(float("inf"))),
+    )
+    nonzero = F.exists(e, lambda x: x != F.lit(0.0))
+    return e.isNotNull() & (F.size(e) > 0) & finite & nonzero
+
+
+def valid_embeddings(df: DataFrame, col: str = "embedding") -> DataFrame:
+    """Filter ``df`` to rows whose ``col`` passes ``is_valid_embedding``."""
+    return df.filter(is_valid_embedding(F.col(col)))
+
+
 def dot(a: Column, b: Column) -> Column:
     """Σ aᵢ·bᵢ in float64, left-to-right (matches the oracle's list ops)."""
     return F.aggregate(

@@ -142,14 +142,17 @@ def build_nulled_fixture(spark: SparkSession, out: str, src: str) -> str:
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if a != "--exact"]
+    flags = {"--exact", "--reuse"}
+    args = [a for a in sys.argv[1:] if a not in flags]
     exact = "--exact" in sys.argv[1:]
+    reuse = "--reuse" in sys.argv[1:]
     src = os.environ.get("SPARK_GRAFT_NULLS_SRC", "/root/testdata/sf0.001")
     out = os.path.join(tempfile.gettempdir(), "sf_nulled")
 
     spark = get_spark()
     spark.sparkContext.setLogLevel("ERROR")
-    build_nulled_fixture(spark, out, src)
+    if not (reuse and os.path.exists(os.path.join(out, "embeddings.parquet"))):
+        build_nulled_fixture(spark, out, src)
 
     # Reuse the driver-faithful compare loop verbatim: same dtype-kind
     # rules, same order-insensitive value sort, same --exact float rule.
