@@ -1207,7 +1207,9 @@ def q_mi_value_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     tier of the MI leakage detector; same one-pass joint table."""
     from database2ogr_spark.operators.validate import mutual_information
 
-    ev = _t(spark, sf_dir, "events").withColumn(
+    from database2ogr_spark.operators.cleaning import drop_nonfinite
+
+    ev = drop_nonfinite(_t(spark, sf_dir, "events"), "value").withColumn(
         "vbin", F.floor(F.col("value") / 50).cast("bigint")
     )
     return mutual_information(ev, "vbin", "event_type")
@@ -6229,7 +6231,7 @@ def oracle_sql() -> dict[str, str]:
               count(value) OVER (w ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING)
                 AS roll_n,
               row_number() OVER w - 1 AS seen_n
-            FROM events
+            FROM events WHERE (value IS NULL OR isfinite(value)) AND ts IS NOT NULL
             WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
         """,
         "normalize_text": """
@@ -6416,8 +6418,12 @@ def oracle_sql() -> dict[str, str]:
         "asof_join": """
             WITH r AS (
               SELECT user_id, ts, max(value) AS state_value
-              FROM events WHERE event_id % 10 = 0 GROUP BY user_id, ts),
-            l AS (SELECT event_id, user_id, ts FROM events)
+              FROM events
+              WHERE event_id % 10 = 0 AND ts IS NOT NULL
+                AND user_id IS NOT NULL
+              GROUP BY user_id, ts),
+            l AS (SELECT event_id, user_id, ts FROM events
+                  WHERE ts IS NOT NULL)
             SELECT l.event_id, l.user_id,
               CAST(floor(epoch(l.ts)) AS BIGINT) AS ts_epoch,
               coalesce(round(r.state_value, 6), -1.0) AS asof_state_value
@@ -6429,8 +6435,12 @@ def oracle_sql() -> dict[str, str]:
         "asof_tolerance": """
             WITH r AS (
               SELECT user_id, ts, max(value) AS state_value
-              FROM events WHERE event_id % 10 = 0 GROUP BY user_id, ts),
-            l AS (SELECT event_id, user_id, ts FROM events)
+              FROM events
+              WHERE event_id % 10 = 0 AND ts IS NOT NULL
+                AND user_id IS NOT NULL
+              GROUP BY user_id, ts),
+            l AS (SELECT event_id, user_id, ts FROM events
+                  WHERE ts IS NOT NULL)
             SELECT l.event_id, l.user_id,
               CAST(floor(epoch(l.ts)) AS BIGINT) AS ts_epoch,
               coalesce(CASE WHEN epoch(l.ts) - epoch(r.ts) <= 600
@@ -8076,7 +8086,8 @@ def oracle_sql() -> dict[str, str]:
         "mi_value_type": """
             WITH j AS (SELECT CAST(floor(value / 50) AS BIGINT) AS x,
                          event_type AS y, count(*)::BIGINT AS n
-                       FROM events GROUP BY 1, 2),
+                       FROM events WHERE (value IS NULL OR isfinite(value))
+                       GROUP BY 1, 2),
             t AS (SELECT CAST(sum(n) AS DOUBLE) AS tot FROM j),
             hxy AS (SELECT -sum((n / tot) * ln(n / tot)) AS h
                     FROM j CROSS JOIN t),
@@ -8455,7 +8466,7 @@ def oracle_sql() -> dict[str, str]:
                          CAST(floor(epoch(ts) / 86400) AS BIGINT) AS d,
                          event_type AS t,
                          CAST(round(value * 100, 0) AS BIGINT) AS v_c2
-                       FROM events),
+                       FROM events WHERE (value IS NULL OR isfinite(value))),
             mx AS (SELECT max(d) AS maxd FROM e),
             base AS (SELECT u, min(d) AS first_day, max(d) AS last_day,
                        count(*)::BIGINT AS n_events,
@@ -8661,7 +8672,8 @@ def oracle_sql() -> dict[str, str]:
             WITH a AS (SELECT user_id AS u,
                          CAST(floor(epoch(ts) / 86400) AS BIGINT) AS d,
                          CAST(round(value * 100, 0) AS BIGINT) AS v_c2
-                       FROM events),
+                       FROM events
+                       WHERE (value IS NULL OR isfinite(value)) AND ts IS NOT NULL),
             a2 AS (SELECT u, d, v_c2, min(d) OVER (PARTITION BY u) AS d0
                    FROM a),
             cells AS (SELECT CAST(floor(d0 / 7) AS BIGINT)
@@ -8683,7 +8695,8 @@ def oracle_sql() -> dict[str, str]:
                           count(*)::BIGINT AS f,
                           sum(CAST(round(value * 100, 0) AS BIGINT))
                             AS m_c2
-                        FROM events GROUP BY 1),
+                        FROM events WHERE (value IS NULL OR isfinite(value))
+                        GROUP BY 1),
             mx AS (SELECT max(last_d) AS maxd FROM pu),
             rfm AS (SELECT u, (maxd - last_d)::DOUBLE AS r,
                       f::DOUBLE AS f, m_c2::DOUBLE AS m
@@ -8718,7 +8731,7 @@ def oracle_sql() -> dict[str, str]:
         # columns; all divisions pinned ::DOUBLE
         "hist_quantiles": """
             WITH vals AS (SELECT value AS v FROM events
-                          WHERE value IS NOT NULL),
+                          WHERE value IS NOT NULL AND isfinite(value)),
             hist AS (SELECT CAST(floor(v / 10.0::DOUBLE) AS BIGINT) AS b,
                        count(*)::BIGINT AS n
                      FROM vals GROUP BY 1),
@@ -10402,12 +10415,12 @@ def oracle_sql() -> dict[str, str]:
                      AS window_start_epoch,
                    event_type, count(*) AS n_events,
                    round(sum(value), 6) AS sum_value
-            FROM events GROUP BY 1, 2
+            FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
         """,
         "events_sessionize": """
             WITH o AS (SELECT user_id, ts,
                          lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS pts
-                       FROM events),
+                       FROM events WHERE ts IS NOT NULL),
             f AS (SELECT user_id, ts,
                     CASE WHEN pts IS NULL OR ts - pts >= INTERVAL '30 minutes'
                          THEN 1 ELSE 0 END AS brk

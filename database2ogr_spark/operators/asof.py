@@ -52,6 +52,16 @@ def asof_join(
     if value_cols is None:
         value_cols = [c for c in right.columns if c not in (key, right_time)]
 
+    # As-of semantics are undefined without a time or a key: a NULL time
+    # cannot be ordered (and engines disagree on where nulls sort in the
+    # carrying window), and a NULL key must NOT match other NULL-key rows
+    # (SQL join semantics — DuckDB's ASOF JOIN never matches NULL keys,
+    # but a partitionBy window would lump them into one group). Both
+    # sides therefore drop NULL-time rows, and the right side drops
+    # NULL-key rows; NULL-key left rows survive with the no-match NULLs.
+    left = left.filter(F.col(left_time).isNotNull())
+    right = right.filter(F.col(right_time).isNotNull() & F.col(key).isNotNull())
+
     rt_type = dict(right.dtypes)[right_time]
     l_tag = left.select(
         *left.columns,

@@ -39,6 +39,25 @@ from database2ogr_spark.functions import textstats as TS
 from database2ogr_spark.functions.hashing import stable_hash64
 
 
+def finite_or_null(c: Column) -> Column:
+    """TRUE when ``c`` is NULL or a finite float — the metric ingestion
+    predicate. At 100 TB a telemetry stream carries NaN/±Inf garbage;
+    one Inf poisons every sum it reaches (or, cast to an integer cents
+    column under ANSI mode, kills the whole job with CAST_OVERFLOW).
+    NULL stays: an event without a metric is normal data and standard
+    aggregate semantics (skip nulls) agree across engines. The DuckDB
+    oracle mirror is ``(col IS NULL OR isfinite(col))``."""
+    return c.isNull() | (~F.isnan(c) & (F.abs(c) < F.lit(float("inf"))))
+
+
+def drop_nonfinite(df: DataFrame, col: str = "value") -> DataFrame:
+    """Filter ``df`` to rows passing :func:`finite_or_null` on ``col`` —
+    the one-line ingestion guard every metric-aggregating operator
+    applies (probed by ``scripts/check_nulls.py``). No-op on clean
+    data; pushes as a scan-time predicate (no shuffle)."""
+    return df.filter(finite_or_null(F.col(col)))
+
+
 def _norm_lines(text_col: Column, sep: str) -> Column:
     """array<string> of trimmed non-empty ``sep``-separated segments.
 

@@ -27,6 +27,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from database2ogr_spark.operators.cleaning import drop_nonfinite
+
 
 def funnel_conversion(
     events: DataFrame,
@@ -546,6 +548,9 @@ def cohort_value(
     shuffle), one (cohort, offset) partial agg, then windows over
     matrix rows (#cohorts × #offsets).
     """
+    # events without a timestamp cannot be cohorted (and a NULL offset
+    # would sort differently across engines in the cumulative window)
+    events = drop_nonfinite(events, value_col).filter(F.col(ts_col).isNotNull())
     day = F.floor(F.unix_timestamp(F.col(ts_col)) / F.lit(86400))
     w = Window.partitionBy("u")
     anchored = events.select(
@@ -607,6 +612,7 @@ def rfm_segments(
     """
     if n_buckets < 2:
         raise ValueError("n_buckets must be >= 2")
+    events = drop_nonfinite(events, value_col)
     day = F.floor(F.unix_timestamp(F.col(ts_col)) / F.lit(86400)).cast("long")
     per_user = events.groupBy(F.col(user_col).alias("u")).agg(
         F.max(day).alias("last_d"),
@@ -727,6 +733,7 @@ def user_features(
     same key — AQE coalesces the shuffles); the corpus max day is a
     1-row broadcast.
     """
+    events = drop_nonfinite(events, value_col)
     day = F.floor(F.unix_timestamp(F.col(ts_col)) / F.lit(86400)).cast("long")
     maxd = events.agg(F.max(day).alias("maxd"))
     base = (

@@ -29,6 +29,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from database2ogr_spark.operators.cleaning import finite_or_null
+
 from database2ogr_spark.functions.hashing import stable_hash64
 
 DEFAULT_WIDTH = 1024
@@ -576,7 +578,9 @@ def histogram_quantiles(
         raise ValueError("bin_width must be positive")
     if not quantiles:
         raise ValueError("need at least one quantile")
-    vals = df.select(F.col(value_col).alias("v")).filter(F.col("v").isNotNull())
+    vals = df.select(F.col(value_col).alias("v")).filter(
+        F.col("v").isNotNull() & finite_or_null(F.col("v"))
+    )
     bw = float(bin_width)
     hist = vals.select(
         F.floor(F.col("v") / F.lit(bw)).cast("long").alias("b")

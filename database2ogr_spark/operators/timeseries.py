@@ -28,6 +28,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from database2ogr_spark.operators.cleaning import drop_nonfinite
+
 
 def range_join(
     events: DataFrame,
@@ -125,6 +127,9 @@ def rolling_features(
     under equal timestamps. Gaps are integer microseconds
     (``unix_micros``) — exact in both engines, no epoch-double drift.
     """
+    # time-ordered features need a time: NULL ts rows are unorderable
+    # (and engines disagree on where nulls sort), so they are excluded
+    events = drop_nonfinite(events, value_col).filter(F.col(ts_col).isNotNull())
     w = Window.partitionBy(key_col).orderBy(
         F.col(ts_col).asc(), F.col(order_tiebreak).asc()
     )

@@ -73,9 +73,12 @@ def windowed_event_counts(
     watermark bounds the aggregation state (required for append mode).
     Output: window_start, window_end, event_type, n_events, sum_value.
     """
-    src = events
+    # event-time semantics require an event time: on the streaming path a
+    # NULL ts row can never pass the watermark, so the batch twin drops it
+    # too (engines also disagree on a NULL-keyed window group's rendering)
+    src = events.filter(F.col("ts").isNotNull())
     if events.isStreaming:
-        src = events.withWatermark("ts", watermark)
+        src = src.withWatermark("ts", watermark)
     return (
         src.groupBy(F.window("ts", window_duration).alias("w"), "event_type")
         .agg(
@@ -223,7 +226,10 @@ def sessionize(
     ``session_window`` (state cleaned by watermark); batch uses the same
     expression without watermark. Output: user_id, session_start,
     session_end, n_events."""
-    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    # same event-time contract as windowed_event_counts: NULL ts rows are
+    # un-sessionizable (they'd never pass the streaming watermark either)
+    src = events.filter(F.col("ts").isNotNull())
+    src = src.withWatermark("ts", watermark) if events.isStreaming else src
     return (
         src.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
         .agg(F.count(F.lit(1)).alias("n_events"))
