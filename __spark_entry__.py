@@ -2562,9 +2562,11 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
         .distinct()
     )
+    # a seed without a label is not a seed: NULL labels would propagate
+    # as NULL votes whose tie-breaks differ across engines
     seeds = (
         _t(spark, sf_dir, "part")
-        .filter(F.col("p_partkey") % 5 == 0)
+        .filter((F.col("p_partkey") % 5 == 0) & F.col("p_brand").isNotNull())
         .select(F.col("p_partkey").alias("node"), F.col("p_brand").alias("label"))
     )
     return label_propagation(edges, seeds, iters=2).select(
@@ -3049,10 +3051,18 @@ def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly. The price passes through untouched (no float arithmetic)."""
     from database2ogr_spark.functions.aggregates import weighted_median
 
-    li = _t(spark, sf_dir, "lineitem").select(
-        "l_returnflag",
-        F.col("l_extendedprice").alias("v"),
-        F.round(F.col("l_quantity") * 100).cast("bigint").alias("w"),
+    # a contribution needs both a price and a weight: NULL v rows are
+    # unorderable in the running-weight twin and NULL w rows carry no mass
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(
+            F.col("l_extendedprice").isNotNull() & F.col("l_quantity").isNotNull()
+        )
+        .select(
+            "l_returnflag",
+            F.col("l_extendedprice").alias("v"),
+            F.round(F.col("l_quantity") * 100).cast("bigint").alias("w"),
+        )
     )
     return li.groupBy("l_returnflag").agg(
         weighted_median()("v", "w").alias("wmedian_price")
@@ -4613,7 +4623,12 @@ def q_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     merge_drift = F.abs(
         F.col("est_merged").cast("double") - F.col("est_direct").cast("double")
     ) / F.col("est_direct").cast("double")
-    return merged.join(direct, "event_type").select(
+    # null-safe merge join: a NULL event_type is a group like any other
+    # (an inner equi-join would silently drop it — the NULL probe's catch)
+    m = merged.withColumnRenamed("event_type", "__et")
+    return m.join(
+        direct, F.col("__et").eqNullSafe(F.col("event_type"))
+    ).select(
         "event_type",
         "n_users",
         (merge_drift <= 0.02).alias("merge_close"),
@@ -6283,12 +6298,14 @@ def oracle_sql() -> dict[str, str]:
               SELECT event_type,
                 quantile_cont(value, 0.05) AS _w_lo,
                 quantile_cont(value, 0.95) AS _w_hi
-              FROM events GROUP BY 1)
+              FROM events WHERE (value IS NULL OR isfinite(value))
+              GROUP BY 1)
             SELECT e.event_id, e.event_type, e.value,
               CASE WHEN e.value IS NULL THEN NULL
                 ELSE round(least(greatest(e.value, b._w_lo), b._w_hi), 6)
               END AS value_w
             FROM events e LEFT JOIN b USING (event_type)
+            WHERE (e.value IS NULL OR isfinite(e.value))
         """,
         "tpch_q13_order_distribution": """
             SELECT c_count, count(*) AS custdist FROM (
@@ -6859,7 +6876,9 @@ def oracle_sql() -> dict[str, str]:
             WITH t AS (
               SELECT l_returnflag, l_extendedprice AS v,
                 CAST(round(l_quantity * 100) AS BIGINT) AS w
-              FROM lineitem),
+              FROM lineitem
+              WHERE l_extendedprice IS NOT NULL
+                AND l_quantity IS NOT NULL),
             o AS (
               SELECT l_returnflag, v,
                 sum(w) OVER (PARTITION BY l_returnflag ORDER BY v
@@ -6919,7 +6938,8 @@ def oracle_sql() -> dict[str, str]:
                 ON a.l_orderkey = b.l_orderkey
                AND a.l_partkey <> b.l_partkey),
             seeds AS (SELECT p_partkey AS node, p_brand AS label
-                      FROM part WHERE p_partkey % 5 = 0),
+                      FROM part
+                      WHERE p_partkey % 5 = 0 AND p_brand IS NOT NULL),
             v1 AS (SELECT e.dst AS node, s.label, count(*) AS n
                    FROM edges e JOIN seeds s ON e.src = s.node GROUP BY 1, 2),
             m1 AS (SELECT node, max(n) AS nm FROM v1 GROUP BY 1),
@@ -7451,12 +7471,14 @@ def oracle_sql() -> dict[str, str]:
             WITH f AS (SELECT user_id, min(ts) AS first_ts FROM events
                        GROUP BY user_id)
             SELECT event_id, e.user_id,
-              CASE WHEN e.ts < TIMESTAMP '2024-01-15 00:00:00'
+              CASE WHEN e.ts IS NULL OR e.user_id IS NULL THEN 'discard'
+                   WHEN e.ts < TIMESTAMP '2024-01-15 00:00:00'
                      THEN 'train'
                    WHEN f.first_ts >= TIMESTAMP '2024-01-15 00:00:00'
                      THEN 'test'
                    ELSE 'discard' END AS split
-            FROM events e JOIN f USING (user_id)
+            FROM events e LEFT JOIN f
+              ON e.user_id IS NOT DISTINCT FROM f.user_id
         """,
         # datasheet: four bounded branches; median via the distinct-length
         # histogram (lower median: smallest nc with cumFreq >= (n+1)/2)
@@ -7685,7 +7707,8 @@ def oracle_sql() -> dict[str, str]:
             WITH s AS (SELECT event_type AS cur_type,
                          lead(event_type) OVER (PARTITION BY user_id
                            ORDER BY ts, event_id) AS next_type
-                       FROM events),
+                       FROM events
+                       WHERE ts IS NOT NULL AND event_type IS NOT NULL),
             c AS (SELECT cur_type, next_type, count(*)::BIGINT AS n
                   FROM s WHERE next_type IS NOT NULL GROUP BY 1, 2),
             t AS (SELECT cur_type, sum(n)::BIGINT AS tt
@@ -8591,7 +8614,9 @@ def oracle_sql() -> dict[str, str]:
             WITH c AS (SELECT CAST(floor(floor(epoch(ts) / 86400) / 7)
                          AS BIGINT) AS w, event_type AS v,
                          count(*)::BIGINT AS n
-                       FROM events GROUP BY 1, 2),
+                       FROM events
+                       WHERE ts IS NOT NULL AND event_type IS NOT NULL
+                       GROUP BY 1, 2),
             b AS (SELECT min(w) AS lo, max(w) AS hi FROM c),
             wk AS (SELECT unnest(range(lo, hi + 1)) AS w FROM b),
             vv AS (SELECT DISTINCT v FROM c),
@@ -8792,6 +8817,7 @@ def oracle_sql() -> dict[str, str]:
                          lead(event_type, 2) OVER w AS path,
                          lead(event_type, 2) OVER w IS NOT NULL AS fl
                        FROM events
+                       WHERE ts IS NOT NULL AND event_type IS NOT NULL
                        WINDOW w AS (PARTITION BY user_id
                          ORDER BY ts, event_id))
             SELECT path, count(*)::BIGINT AS n

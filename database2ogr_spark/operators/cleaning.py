@@ -529,6 +529,10 @@ def winsorize(
     now a left join and missing bounds mean "no clamp".
     """
     out = out_col or f"{value_col}_w"
+    # non-finite measurements are exactly the garbage winsorization exists
+    # to control, and engines disagree on interpolated percentiles over
+    # ±Inf — excluded up front (finite-or-null metric contract)
+    df = drop_nonfinite(df, value_col)
     bounds = df.groupBy(group_col).agg(
         F.percentile(value_col, lo).alias("_w_lo"),
         F.percentile(value_col, hi).alias("_w_hi"),

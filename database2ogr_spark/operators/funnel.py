@@ -192,6 +192,11 @@ def transition_matrix(
     the event stream. Hot users bound a partition's sort, same caveat
     (and same upstream sharding remedy) as events_sessionize.
     """
+    # same typed-timed contract as top_journeys (this is its length=2
+    # probability view): NULL ts / NULL type rows are excluded
+    events = events.filter(
+        F.col(ts_col).isNotNull() & F.col(type_col).isNotNull()
+    )
     w = Window.partitionBy(user_col).orderBy(
         F.col(ts_col).asc(), F.col(order_tiebreak_col).asc()
     )
@@ -503,6 +508,13 @@ def top_journeys(
     """
     if length < 2:
         raise ValueError("length must be >= 2")
+    # journeys are mined over TYPED, TIMED events: a NULL ts cannot be
+    # ordered (engines disagree on null placement) and a NULL type would
+    # silently shorten a path under concat_ws's null-skipping — both are
+    # excluded, so paths are over the typed-event subsequence
+    events = events.filter(
+        F.col(ts_col).isNotNull() & F.col(type_col).isNotNull()
+    )
     w = Window.partitionBy(user_col).orderBy(
         F.col(ts_col).asc(), F.col(tiebreak_col).asc()
     )

@@ -944,8 +944,14 @@ def temporal_split(
     joined = events.join(
         first, events[user_col] == F.col("__u"), "left"
     )
+    # the protocol labels EVERY event: rows with no time or no identity
+    # cannot be placed on either side of the cutoff safely → 'discard'
+    # (explicit first branch, so NULL comparisons never decide a label)
     split = (
-        F.when(F.col(ts_col) < cut, F.lit("train"))
+        F.when(
+            F.col(ts_col).isNull() | F.col(user_col).isNull(), F.lit("discard")
+        )
+        .when(F.col(ts_col) < cut, F.lit("train"))
         .when(F.col("__first") >= cut, F.lit("test"))
         .otherwise(F.lit("discard"))
     )

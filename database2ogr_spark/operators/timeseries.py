@@ -201,7 +201,15 @@ def gap_fill_locf(
             sort_key.alias("_sk"),
         )
         .groupBy(key_col, "bucket")
-        .agg(F.max_by("_v", "_sk").alias("v"))
+        # mask the sort key where the measurement is NULL: an event with
+        # no metric is not an observation, so the latest NON-NULL value
+        # wins the bucket (DuckDB arg_max semantics — its arg_max ignores
+        # null-value rows; Spark's max_by would return them)
+        .agg(
+            F.max_by(
+                "_v", F.when(F.col("_v").isNotNull(), F.col("_sk"))
+            ).alias("v")
+        )
     )
     spans = per_bucket.groupBy(key_col).agg(
         F.min("bucket").alias("b0"), F.max("bucket").alias("b1")
@@ -765,6 +773,12 @@ def wow_decomposition(
     Scale: ONE (week, dim) partial-agg'd count; the spine is #weeks ×
     #values rows and every window/join after runs on it.
     """
+    # attribution needs a week and a dimension value: NULL ts cannot be
+    # bucketed and a NULL dim value would vanish from the spine's equi-
+    # join anyway — both excluded explicitly, identically in the twin
+    events = events.filter(
+        F.col(ts_col).isNotNull() & F.col(dim_col).isNotNull()
+    )
     week = (
         F.floor(F.floor(F.unix_timestamp(F.col(ts_col)) / F.lit(86400)) / F.lit(7))
     ).cast("long")
