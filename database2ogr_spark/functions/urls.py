@@ -106,6 +106,12 @@ def registered_domain(host_col: Column | str) -> Column:
         ".", F.element_at(parts, -3), F.element_at(parts, -2), F.element_at(parts, -1)
     )
     suffixes = F.array(*[F.lit(s) for s in TWO_LABEL_SUFFIXES])
-    return F.when(n <= 2, host).otherwise(
-        F.when(F.array_contains(suffixes, last2), last3).otherwise(last2)
+    # NULL host → NULL domain (SQL null propagation): without the guard,
+    # concat_ws's null-skipping turns element_at(NULL, ·) parts into ''
+    # and a NULL host silently becomes the '' domain (NULL-probe catch)
+    return F.when(
+        host.isNotNull(),
+        F.when(n <= 2, host).otherwise(
+            F.when(F.array_contains(suffixes, last2), last3).otherwise(last2)
+        ),
     )

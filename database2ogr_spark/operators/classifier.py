@@ -71,6 +71,10 @@ def doc_features(
     fraction, punctuation fraction — all built from the same textstats
     primitives the green text_quality/lang_id entries replay in SQL.
     ``extra`` names input columns carried through (e.g. a label)."""
+    # a document with NULL text has no text features: excluded at the
+    # featurization boundary (mirrored by WHERE text IS NOT NULL in the
+    # oracle logreg twin) — the documents-family dirty-data contract
+    df = df.filter(F.col(text_col).isNotNull())
     return df.select(
         F.col(id_col).alias("id"),
         *[F.col(c) for c in extra],
@@ -117,7 +121,11 @@ def train_quality_classifier(
             f"lr={lr} must make lr*{WEIGHT_SCALE}/{GRAD_SCALE} an integer"
         )
     feats = doc_features(
-        df.withColumn("y", label.cast("int").cast("double")),
+        # weak label contract: NULL => negative (a row not positively
+        # labeled is a negative), matching the twin's CASE ... ELSE 0.0
+        df.withColumn(
+            "y", F.coalesce(label.cast("int"), F.lit(0)).cast("double")
+        ),
         id_col,
         text_col,
         extra=("y",),
@@ -189,7 +197,7 @@ def quality_classifier_scores(
         df, label, id_col=id_col, text_col=text_col, n_iter=n_iter, lr=lr
     )
     base = doc_features(
-        df.withColumn("label", label.cast("int")),
+        df.withColumn("label", F.coalesce(label.cast("int"), F.lit(0))),
         id_col,
         text_col,
         extra=("label",),

@@ -523,6 +523,9 @@ def length_bucketed_batches(
 
     shift = max(60 - (n_subbuckets.bit_length() - 1), 0)
     h = stable_hash64(F.col(id_col).cast("string"), seed=seed)
+    # batching needs a length: NULL-text docs have no tokens to pad
+    # against (documents-family dirty-data contract, twin mirrored)
+    df = df.filter(F.col(text_col).isNotNull())
     staged = (
         df.select(
             F.col(id_col),

@@ -504,7 +504,14 @@ def dataset_datasheet(
             6,
         ).alias("lang_entropy"),
     )
-    hist = base.groupBy("nc").agg(F.count(F.lit(1)).alias("hn"))
+    # median length is over docs that HAVE text: a NULL length is not a
+    # length, and engines disagree on where NULLs sort in the cumulative
+    # histogram walk (NULL-probe catch) — excluded on both sides
+    hist = (
+        base.filter(F.col("nc").isNotNull())
+        .groupBy("nc")
+        .agg(F.count(F.lit(1)).alias("hn"))
+    )
     from pyspark.sql.window import Window
 
     cum = hist.withColumn(
