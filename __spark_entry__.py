@@ -21,6 +21,7 @@ Cross-engine parity rules used throughout (so value hashes match):
 from __future__ import annotations
 
 import os
+import re
 import tempfile
 from collections.abc import Callable
 
@@ -71,6 +72,22 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 #: `FROM embeddings)` mechanically), exactly as every queries() entry
 #: loads it through _emb(). No-op on clean corpora; on dirty corpora
 #: (scripts/check_nulls.py) it keeps both sides bit-aligned.
+#: Twins whose operator applies the event-time-domain ingestion guard
+#: (cleaning.within_time_domain / plausible_time). oracle_sql() rewrites
+#: every `FROM events` scan in THESE twins through the domain view;
+#: time-agnostic events twins keep the raw scan.
+_TIME_DOMAIN_TWINS = (
+    "asof_join", "asof_tolerance", "gap_fill", "rolling_features",
+    "rolling_active_users", "changepoint", "trend_slope", "ewma_volume",
+    "forecast_eval", "kaplan_meier", "user_features", "wow_decomposition",
+    "repeat_interval", "cohort_value", "rfm", "session_stats",
+    "hourly_profile", "churn", "rolling_hll_users", "conversion_latency",
+    "events_dashboard", "iqr_anomaly_days", "acf", "mann_kendall",
+    "funnel_steps", "funnel_windowed", "retention_cohorts",
+    "events_windowed", "events_sessionize", "events_attribution_join",
+    "hypertable_rollup", "top_journeys", "transition_matrix",
+)
+
 EMB_VALID_SQL = (
     "SELECT * FROM embeddings WHERE embedding IS NOT NULL "
     "AND len(embedding) > 0 "
@@ -10690,7 +10707,30 @@ def oracle_sql() -> dict[str, str]:
     # `FROM embeddings)` (subquery tail), so the rewrite is mechanical
     # and total; tests/test_check_oracle_harness.py pins both the
     # uniform spelling and the rewrite.
-    return {
+    out = {
         name: sql.replace("FROM embeddings)", f"FROM ({EMB_VALID_SQL}) embeddings)")
         for name, sql in out.items()
     }
+    # Event-time domain contract, oracle side (mirror of
+    # operators/cleaning.within_time_domain): every twin whose OPERATOR
+    # applies the plausible-time guard reads events through the domain
+    # view. Names listed explicitly — time-agnostic events twins
+    # (skew_report, distinct counts, props extraction) keep the raw scan,
+    # exactly as their operators do.
+    ts_view = (
+        "SELECT * FROM events WHERE ts >= TIMESTAMP '1970-01-01 00:00:00' "
+        "AND ts < TIMESTAMP '2100-01-01 00:00:00'"
+    )
+
+    def _events_domain(sql: str) -> str:
+        # `FROM events l` / `FROM events e` keep their alias; bare scans
+        # get the alias `events` so qualified references still resolve
+        def sub(m: "re.Match[str]") -> str:
+            alias = m.group(1)
+            return f"FROM ({ts_view})" + (alias if alias else " events")
+
+        return re.sub(r"FROM events(\s+[lre]\b)?", sub, sql)
+
+    for name in _TIME_DOMAIN_TWINS:
+        out[name] = _events_domain(out[name])
+    return out

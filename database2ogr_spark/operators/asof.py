@@ -56,11 +56,22 @@ def asof_join(
     # cannot be ordered (and engines disagree on where nulls sort in the
     # carrying window), and a NULL key must NOT match other NULL-key rows
     # (SQL join semantics — DuckDB's ASOF JOIN never matches NULL keys,
-    # but a partitionBy window would lump them into one group). Both
-    # sides therefore drop NULL-time rows, and the right side drops
-    # NULL-key rows; NULL-key left rows survive with the no-match NULLs.
-    left = left.filter(F.col(left_time).isNotNull())
-    right = right.filter(F.col(right_time).isNotNull() & F.col(key).isNotNull())
+    # but a partitionBy window would lump them into one group). Timestamp
+    # inputs additionally pass the engine-wide plausible-time domain
+    # (cleaning.TIME_DOMAIN — pre-1970 epochs expose truncation-vs-floor
+    # divergence in every epoch projection of the result); numeric time
+    # columns only need the not-null contract. NULL-key left rows survive
+    # with the no-match NULLs.
+    from database2ogr_spark.operators.cleaning import plausible_time
+
+    def _time_ok(col_name: str, frame: DataFrame):
+        c = F.col(col_name)
+        if dict(frame.dtypes)[col_name].startswith("timestamp"):
+            return plausible_time(c)
+        return c.isNotNull()
+
+    left = left.filter(_time_ok(left_time, left))
+    right = right.filter(_time_ok(right_time, right) & F.col(key).isNotNull())
 
     rt_type = dict(right.dtypes)[right_time]
     l_tag = left.select(

@@ -58,6 +58,33 @@ def drop_nonfinite(df: DataFrame, col: str = "value") -> DataFrame:
     return df.filter(finite_or_null(F.col(col)))
 
 
+#: The engine-wide plausible event-time domain. Telemetry timestamped
+#: before the epoch or beyond 2100 is corrupt ingest, and it is expensive
+#: corruption: (a) pre-1970 epochs expose the one arithmetic the engines
+#: genuinely disagree on (Spark's unix_timestamp truncates seconds toward
+#: zero, SQL floor(epoch(ts)) goes toward -inf — off-by-one on every
+#: negative fraction), and (b) every min→max time spine (gap-fill grids,
+#: day spines, rolling windows) multiplies ONE corrupt row into the
+#: 10^5–10^6 spine rows its 234-year span covers, making plan cost a
+#: function of the single dirtiest row. Found by scripts/check_times.py.
+TIME_DOMAIN = ("1970-01-01 00:00:00", "2100-01-01 00:00:00")
+
+
+def plausible_time(c: Column) -> Column:
+    """TRUE when ``c`` lies inside :data:`TIME_DOMAIN` (NULL fails both
+    comparisons, so the predicate subsumes the not-null event-time
+    contract). DuckDB mirror:
+    ``ts >= TIMESTAMP '1970-01-01' AND ts < TIMESTAMP '2100-01-01'``."""
+    lo, hi = TIME_DOMAIN
+    return (c >= F.lit(lo).cast("timestamp")) & (c < F.lit(hi).cast("timestamp"))
+
+
+def within_time_domain(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Filter to rows whose ``col`` passes :func:`plausible_time` — the
+    time-domain ingestion guard every event-time operator applies."""
+    return df.filter(plausible_time(F.col(col)))
+
+
 def _norm_lines(text_col: Column, sep: str) -> Column:
     """array<string> of trimmed non-empty ``sep``-separated segments.
 

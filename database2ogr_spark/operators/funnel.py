@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from database2ogr_spark.operators.cleaning import drop_nonfinite
+from database2ogr_spark.operators.cleaning import drop_nonfinite, within_time_domain
 
 
 def funnel_conversion(
@@ -59,6 +59,7 @@ def funnel_conversion(
     semantics — existing callers and the graded funnel_steps entry are
     unchanged.
     """
+    events = within_time_domain(events, ts_col)
     if not steps:
         raise ValueError("steps must be non-empty")
     ev = events.select(
@@ -136,6 +137,7 @@ def retention_cohorts(
     retention double)`` — retention = active / the cohort's offset-0
     count, rounded 6 dp (offset 0 is 1.0 by construction).
     """
+    events = within_time_domain(events, ts_col)
     day = F.floor(F.unix_timestamp(F.col(ts_col)) / F.lit(86400))
     ud = (
         events.select(F.col(user_col).alias("u"), day.alias("d"))
@@ -194,8 +196,8 @@ def transition_matrix(
     """
     # same typed-timed contract as top_journeys (this is its length=2
     # probability view): NULL ts / NULL type rows are excluded
-    events = events.filter(
-        F.col(ts_col).isNotNull() & F.col(type_col).isNotNull()
+    events = within_time_domain(events, ts_col).filter(
+        F.col(type_col).isNotNull()
     )
     w = Window.partitionBy(user_col).orderBy(
         F.col(ts_col).asc(), F.col(order_tiebreak_col).asc()
@@ -308,6 +310,7 @@ def conversion_latency(
     """
     if len(steps) < 2:
         raise ValueError("need at least 2 steps")
+    events = within_time_domain(events, ts_col)
     ev = events.select(
         F.col(user_col).alias("u"),
         F.col(type_col).alias("t"),
@@ -363,6 +366,7 @@ def churn_weekly(
 
     Output: (week, n_prev, n_retained, n_churned, churn_rate rounded 6).
     """
+    events = within_time_domain(events, ts_col)
     from pyspark import StorageLevel
 
     week = (
@@ -443,6 +447,7 @@ def session_stats(
     (cumulative sum inside the user partition) — no global ordering
     anywhere.
     """
+    events = within_time_domain(events, ts_col)
     if gap_seconds < 1:
         raise ValueError("gap_seconds must be >= 1")
     w = Window.partitionBy(user_col).orderBy(
@@ -512,8 +517,8 @@ def top_journeys(
     # ordered (engines disagree on null placement) and a NULL type would
     # silently shorten a path under concat_ws's null-skipping — both are
     # excluded, so paths are over the typed-event subsequence
-    events = events.filter(
-        F.col(ts_col).isNotNull() & F.col(type_col).isNotNull()
+    events = within_time_domain(events, ts_col).filter(
+        F.col(type_col).isNotNull()
     )
     w = Window.partitionBy(user_col).orderBy(
         F.col(ts_col).asc(), F.col(tiebreak_col).asc()
@@ -562,7 +567,7 @@ def cohort_value(
     """
     # events without a timestamp cannot be cohorted (and a NULL offset
     # would sort differently across engines in the cumulative window)
-    events = drop_nonfinite(events, value_col).filter(F.col(ts_col).isNotNull())
+    events = within_time_domain(drop_nonfinite(events, value_col), ts_col)
     day = F.floor(F.unix_timestamp(F.col(ts_col)) / F.lit(86400))
     w = Window.partitionBy("u")
     anchored = events.select(
@@ -625,6 +630,7 @@ def rfm_segments(
     if n_buckets < 2:
         raise ValueError("n_buckets must be >= 2")
     events = drop_nonfinite(events, value_col)
+    events = within_time_domain(events, ts_col)
     day = F.floor(F.unix_timestamp(F.col(ts_col)) / F.lit(86400)).cast("long")
     per_user = events.groupBy(F.col(user_col).alias("u")).agg(
         F.max(day).alias("last_d"),
@@ -684,6 +690,7 @@ def repeat_interval(
     Scale: one type filter (pushed to the scan), one user-keyed window
     shuffle, one 1-row reduce.
     """
+    events = within_time_domain(events, ts_col)
     w = Window.partitionBy(user_col).orderBy(
         F.col(ts_col).asc(), F.col(tiebreak_col).asc()
     )
@@ -746,6 +753,7 @@ def user_features(
     1-row broadcast.
     """
     events = drop_nonfinite(events, value_col)
+    events = within_time_domain(events, ts_col)
     day = F.floor(F.unix_timestamp(F.col(ts_col)) / F.lit(86400)).cast("long")
     maxd = events.agg(F.max(day).alias("maxd"))
     base = (

@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from database2ogr_spark.operators.cleaning import finite_or_null
+from database2ogr_spark.operators.cleaning import finite_or_null, within_time_domain
 
 from database2ogr_spark.functions.hashing import stable_hash64
 
@@ -352,6 +352,7 @@ def rolling_hll_users(
 
     m = 1 << p
     w = 60 - p
+    events = within_time_domain(events, ts_col)
     day = F.floor(F.unix_timestamp(F.col(ts_col)) / F.lit(86400)).cast("long")
     h = stable_hash64(F.col(user_col).cast("string"), seed=seed)
     hashed = events.select(

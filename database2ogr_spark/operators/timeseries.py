@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from database2ogr_spark.operators.cleaning import drop_nonfinite
+from database2ogr_spark.operators.cleaning import drop_nonfinite, within_time_domain
 
 
 def range_join(
@@ -86,6 +86,7 @@ def hypertable_rollup(
     grand total): (day, hour, minute — epoch seconds, nullable) +
     n_events + sum_value (rounded to 6 — cross-engine sum-order jitter).
     """
+    events = within_time_domain(events, time_col)
     sel = events.select(
         F.unix_timestamp(F.date_trunc("day", F.col(time_col))).alias("day"),
         F.unix_timestamp(F.date_trunc("hour", F.col(time_col))).alias("hour"),
@@ -129,7 +130,7 @@ def rolling_features(
     """
     # time-ordered features need a time: NULL ts rows are unorderable
     # (and engines disagree on where nulls sort), so they are excluded
-    events = drop_nonfinite(events, value_col).filter(F.col(ts_col).isNotNull())
+    events = within_time_domain(drop_nonfinite(events, value_col), ts_col)
     w = Window.partitionBy(key_col).orderBy(
         F.col(ts_col).asc(), F.col(order_tiebreak).asc()
     )
@@ -182,6 +183,9 @@ def gap_fill_locf(
     (span/unit)·keys rows — pick ``unit`` so the grid is at most ~10× the
     event count, same sizing rule as range_join's bucket.
     """
+    # time-domain guard doubles as the spine bound: ONE corrupt 1965/2199
+    # row would otherwise inflate this key's grid by ~10^6 buckets
+    events = within_time_domain(events, ts_col)
     sort_key = F.concat(
         F.lpad(
             (
@@ -257,6 +261,7 @@ def rolling_distinct_users(
     """
     if window_days < 1:
         raise ValueError(f"window_days must be >= 1, got {window_days}")
+    events = within_time_domain(events, ts_col)
     day = F.floor(F.unix_timestamp(F.col(ts_col)) / F.lit(86400)).cast("long")
     du = events.select(
         day.alias("d"), F.col(user_col).alias("u")
@@ -305,6 +310,7 @@ def trend_slope(
     (#groups × #days rows), then a #groups-key aggregate. Group count and
     day count bound everything after the first aggregation.
     """
+    events = within_time_domain(events, ts_col)
     day = F.floor(F.unix_timestamp(F.col(ts_col)) / F.lit(86400)).cast("long")
     counts = (
         events.select(F.col(group_col).alias("g"), day.alias("d"))
@@ -378,6 +384,7 @@ def ewma_daily(
         raise ValueError("alpha must be in (0, 1]")
     if horizon < 1:
         raise ValueError("horizon must be >= 1")
+    events = within_time_domain(events, ts_col)
     day = F.floor(F.unix_timestamp(F.col(ts_col)) / F.lit(86400)).cast("long")
     counts = events.select(day.alias("d")).groupBy("d").agg(
         F.count(F.lit(1)).alias("x")
@@ -437,6 +444,7 @@ def changepoint_cusum(
     windows/aggregates over #days rows — corpus-size-independent after
     the first aggregation.
     """
+    events = within_time_domain(events, ts_col)
     day = F.floor(F.unix_timestamp(F.col(ts_col)) / F.lit(86400)).cast("long")
     counts = events.select(day.alias("d")).groupBy("d").agg(
         F.count(F.lit(1)).alias("x")
@@ -504,6 +512,7 @@ def acf_daily(
     """
     if max_lag < 1:
         raise ValueError("max_lag must be >= 1")
+    events = within_time_domain(events, ts_col)
     day = F.floor(F.unix_timestamp(F.col(ts_col)) / F.lit(86400)).cast("long")
     counts = events.select(day.alias("d")).groupBy("d").agg(
         F.count(F.lit(1)).alias("x")
@@ -586,6 +595,7 @@ def mann_kendall(
     ~6.7M pairs — driver-free but deliberately quadratic in DAYS, never
     in events). Tie groups are a #distinct-values aggregate.
     """
+    events = within_time_domain(events, ts_col)
     day = F.floor(F.unix_timestamp(F.col(ts_col)) / F.lit(86400)).cast("long")
     counts = events.select(day.alias("d")).groupBy("d").agg(
         F.count(F.lit(1)).alias("x")
@@ -660,6 +670,7 @@ def iqr_anomaly_days(
     shuffles #days values to one reducer (fine — #days is bounded);
     flagging is a broadcast-joined filter on #days rows.
     """
+    events = within_time_domain(events, ts_col)
     day = F.floor(F.unix_timestamp(F.col(ts_col)) / F.lit(86400)).cast("long")
     counts = events.select(day.alias("d")).groupBy("d").agg(
         F.count(F.lit(1)).alias("x")
@@ -713,6 +724,7 @@ def hourly_profile(
     Scale: ONE 24-key partial-agg'd count; everything after runs on 24
     rows.
     """
+    events = within_time_domain(events, ts_col)
     hour = F.pmod(
         F.floor(F.unix_timestamp(F.col(ts_col)) / F.lit(3600)).cast("long"),
         F.lit(24),
@@ -776,8 +788,8 @@ def wow_decomposition(
     # attribution needs a week and a dimension value: NULL ts cannot be
     # bucketed and a NULL dim value would vanish from the spine's equi-
     # join anyway — both excluded explicitly, identically in the twin
-    events = events.filter(
-        F.col(ts_col).isNotNull() & F.col(dim_col).isNotNull()
+    events = within_time_domain(events, ts_col).filter(
+        F.col(dim_col).isNotNull()
     )
     week = (
         F.floor(F.floor(F.unix_timestamp(F.col(ts_col)) / F.lit(86400)) / F.lit(7))
@@ -847,6 +859,7 @@ def kaplan_meier(
     """
     if censor_horizon_days < 0:
         raise ValueError("censor_horizon_days must be >= 0")
+    events = within_time_domain(events, ts_col)
     day = F.floor(F.unix_timestamp(F.col(ts_col)) / F.lit(86400)).cast("long")
     per = events.groupBy(F.col(user_col).alias("u")).agg(
         F.min(day).alias("f"), F.max(day).alias("l")
@@ -911,6 +924,7 @@ def forecast_eval(
     """
     if season_days < 1:
         raise ValueError("season_days must be >= 1")
+    events = within_time_domain(events, ts_col)
     day = F.floor(F.unix_timestamp(F.col(ts_col)) / F.lit(86400)).cast("long")
     counts = events.select(day.alias("d")).groupBy("d").agg(
         F.count(F.lit(1)).alias("x")

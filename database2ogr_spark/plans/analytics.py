@@ -43,6 +43,12 @@ def events_dashboard(
         trend_slope,
     )
 
+    # ONE domain guard at the plan's ingestion so the raw count metrics
+    # and the composed operators (which guard internally) see the same
+    # corpus (cleaning.TIME_DOMAIN — the event-time ingestion contract)
+    from database2ogr_spark.operators.cleaning import within_time_domain
+
+    events = within_time_domain(events, ts_col)
     day = F.floor(F.unix_timestamp(F.col(ts_col)) / F.lit(86400)).cast("long")
     base = events.agg(
         F.count(F.lit(1)).cast("double").alias("n_events"),

@@ -13,6 +13,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from database2ogr_spark.operators.cleaning import plausible_time
 from pyspark.sql import types as T
 
 EVENTS_SCHEMA = T.StructType(
@@ -76,7 +78,7 @@ def windowed_event_counts(
     # event-time semantics require an event time: on the streaming path a
     # NULL ts row can never pass the watermark, so the batch twin drops it
     # too (engines also disagree on a NULL-keyed window group's rendering)
-    src = events.filter(F.col("ts").isNotNull())
+    src = events.filter(plausible_time(F.col("ts")))
     if events.isStreaming:
         src = src.withWatermark("ts", watermark)
     return (
@@ -185,8 +187,11 @@ def attribution_join(
 
     Output: user_id, left_id, right_id, left_ts, right_ts, lag_seconds.
     """
+    left = left.filter(plausible_time(F.col("ts")))
     if right is None:
         right = left
+    else:
+        right = right.filter(plausible_time(F.col("ts")))
     lhs = left.filter(F.col("event_type") == left_type).select(
         F.col("user_id").alias("l_user"),
         F.col("event_id").alias("left_id"),
@@ -228,7 +233,7 @@ def sessionize(
     session_end, n_events."""
     # same event-time contract as windowed_event_counts: NULL ts rows are
     # un-sessionizable (they'd never pass the streaming watermark either)
-    src = events.filter(F.col("ts").isNotNull())
+    src = events.filter(plausible_time(F.col("ts")))
     src = src.withWatermark("ts", watermark) if events.isStreaming else src
     return (
         src.groupBy(F.session_window("ts", gap).alias("w"), "user_id")

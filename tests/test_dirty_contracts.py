@@ -181,3 +181,73 @@ def test_nan_is_comparable_in_probe_normalization():
     spec.loader.exec_module(mod)
     assert mod.norm_cell(float("nan")) == "NaN"
     assert mod.norm_cell(1.0) == 1.0 and math.isinf(mod.norm_cell(float("inf")))
+
+
+def test_plausible_time_domain_classes(spark):
+    from database2ogr_spark.operators.cleaning import within_time_domain
+
+    df = spark.createDataFrame(
+        [
+            (1, "2024-06-15 12:00:00"),            # in domain
+            (2, "1969-12-31 23:59:59.500001"),     # negative epoch w/ fraction
+            (3, "1965-03-02 12:00:00.250000"),     # deep pre-1970
+            (4, "2199-12-31 23:59:59.999999"),     # far future
+            (5, None),                              # null (fails both bounds)
+            (6, "1970-01-01 00:00:00"),            # inclusive lower edge
+        ],
+        "id long, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    kept = sorted(r.id for r in within_time_domain(df).collect())
+    assert kept == [1, 6]
+
+
+def test_negative_epoch_truncation_is_the_divergence_the_domain_excludes(spark):
+    """The arithmetic fact the domain guard exists for: Spark's
+    unix_timestamp truncates seconds toward zero, SQL floor(epoch(ts))
+    goes toward -inf — off-by-one on every pre-1970 fractional second."""
+    import duckdb
+
+    lit = "1965-03-02 12:00:00.250000"
+    s = (
+        spark.range(1)
+        .select(F.unix_timestamp(F.lit(lit).cast("timestamp")).alias("e"))
+        .collect()[0].e
+    )
+    d = duckdb.sql(
+        f"SELECT CAST(floor(epoch(TIMESTAMP '{lit}')) AS BIGINT)"
+    ).fetchone()[0]
+    assert s == d + 1, (s, d)
+
+
+def test_asof_join_numeric_time_columns_still_work(spark):
+    """The domain guard is timestamp-only: numeric time axes (version
+    numbers, offsets) keep plain not-null semantics."""
+    from database2ogr_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 7, 10.0), (2, 7, None)], "event_id long, k long, t double"
+    )
+    right = spark.createDataFrame(
+        [(7, 5.0, 42.0)], "k long, t double, state double"
+    )
+    out = {r.event_id: r.asof_state for r in
+           asof_join(left, right, key="k", left_time="t", right_time="t",
+                     value_cols=["state"]).collect()}
+    assert out == {1: 42.0}
+
+
+def test_gap_fill_span_is_bounded_by_the_domain(spark):
+    """ONE corrupt 1965 row must not inflate a user's hourly grid by
+    half a million buckets — the fan-out hazard the domain guard bounds."""
+    from database2ogr_spark.operators.timeseries import gap_fill_locf
+
+    df = spark.createDataFrame(
+        [
+            (1, "1965-01-01 00:00:00", 1.0, 1),
+            (1, "2024-01-01 00:00:00", 2.0, 2),
+            (1, "2024-01-01 02:00:00", 3.0, 3),
+        ],
+        "user_id long, ts string, value double, event_id long",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = gap_fill_locf(df, unit="hour").collect()
+    assert len(out) == 3, "grid spans 2024 only, not 59 years"

@@ -223,19 +223,31 @@ def test_gap_fill_locf_latest_in_bucket_wins_with_tiebreak(spark):
     assert out2[0].value_filled == 2.0
 
 
-def test_gap_fill_locf_pre_1970_timestamps_order_correctly(spark):
-    """Round-4 advisor catch: negative epoch micros stringify with a '-'
-    whose lexicographic order is REVERSED among negatives.  The +10^18
-    offset keeps the padded key monotone, so the later pre-1970
-    observation must win its bucket."""
+def test_gap_fill_locf_time_domain_and_bucket_order(spark):
+    """Supersedes the round-4 negative-epoch sort-key test: pre-1970
+    event times are now outside cleaning.TIME_DOMAIN and excluded at
+    ingestion (they exposed cross-engine truncation divergence AND
+    unbounded spine fan-out — scripts/check_times.py). The padded key's
+    +10^18 negative-epoch offset remains in the code for robustness but
+    is unreachable through gap_fill's public path; the later-wins bucket
+    order is asserted on in-domain timestamps instead."""
     import datetime as dt
 
     from database2ogr_spark.operators.timeseries import gap_fill_locf
 
-    ev = spark.createDataFrame(
+    pre1970 = spark.createDataFrame(
         [
             (0, dt.datetime(1969, 6, 1, 9, 10), 1, 1.0),
-            (1, dt.datetime(1969, 6, 1, 9, 50), 1, 2.0),  # later → wins
+            (1, dt.datetime(1969, 6, 1, 9, 50), 1, 2.0),
+        ],
+        "event_id long, ts timestamp_ntz, user_id long, value double",
+    )
+    assert gap_fill_locf(pre1970, unit="hour").collect() == []
+
+    ev = spark.createDataFrame(
+        [
+            (0, dt.datetime(2024, 6, 1, 9, 10), 1, 1.0),
+            (1, dt.datetime(2024, 6, 1, 9, 50), 1, 2.0),  # later → wins
         ],
         "event_id long, ts timestamp_ntz, user_id long, value double",
     )
