@@ -253,3 +253,42 @@ def test_registry_is_279_post_freeze():
     import __spark_entry__ as entrymod
 
     assert len(entrymod.queries()) == 279
+
+
+def test_embedding_validity_view_covers_every_embeddings_scan():
+    """The embeddings ingestion contract is a mechanical rewrite of the
+    uniformly-spelled `FROM embeddings)` tail (oracle side of
+    similarity.is_valid_embedding / _emb()). If a future twin spells the
+    scan differently, the rewrite silently misses it — this pin fails
+    instead."""
+    import re
+
+    import __spark_entry__ as entrymod
+
+    o = entrymod.oracle_sql()
+    for name, sql in o.items():
+        stripped = sql.replace(entrymod.EMB_VALID_SQL, "")
+        assert not re.search(r"FROM embeddings\b", stripped), (
+            f"{name}: embeddings scan outside the validity view"
+        )
+
+
+def test_time_domain_view_covers_every_listed_twin():
+    """Mirror pin for the event-time domain contract: every twin named
+    in _TIME_DOMAIN_TWINS reads events ONLY through the [1970, 2100)
+    domain view (oracle side of cleaning.within_time_domain)."""
+    import re
+
+    import __spark_entry__ as entrymod
+
+    view = (
+        "FROM events WHERE ts >= TIMESTAMP '1970-01-01 00:00:00' "
+        "AND ts < TIMESTAMP '2100-01-01 00:00:00'"
+    )
+    o = entrymod.oracle_sql()
+    assert len(entrymod._TIME_DOMAIN_TWINS) == 33
+    for name in entrymod._TIME_DOMAIN_TWINS:
+        stripped = o[name].replace(view, "")
+        assert not re.search(r"FROM events\b", stripped), (
+            f"{name}: events scan outside the time-domain view"
+        )
