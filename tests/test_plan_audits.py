@@ -648,7 +648,7 @@ def test_graded_prefix_has_no_cartesian_product(spark):
     reason="full-registry plan walk (~6 min) — opt-in via SPARK_GRAFT_FULL_PLAN_AUDIT=1; the always-on gate above covers the graded prefix",
 )
 def test_whole_registry_has_no_cartesian_product(spark):
-    """Opt-in extension of the prefix gate to all 278 entries (rounds-7/8
+    """Opt-in extension of the prefix gate to the whole registry (rounds-7/8
     prefixes included). Round-6 baseline: zero CartesianProducts anywhere;
     the heavyweights' shapes are all equi-join + broadcast (measured:
     khop_reach 13 shuffles/3 BHJ, frequent_itemsets 26/11, textrank 43/14
