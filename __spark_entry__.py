@@ -76,6 +76,19 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 #: (cleaning.within_time_domain / plausible_time). oracle_sql() rewrites
 #: every `FROM events` scan in THESE twins through the domain view;
 #: time-agnostic events twins keep the raw scan.
+#:
+#: Deliberate exclusions (ADVICE r8 #3): `u_attribution`
+#: (funnel.u_shaped_attribution) and `range_join`
+#: (timeseries.range_join) are event-time operators left OUTSIDE the
+#: contract on both sides. Neither does epoch truncation or calendar
+#: bucketing — attribution only orders touches by (ts, tiebreak) within
+#: a user, and range_join only compares ts against interval bounds — so
+#: an implausible timestamp cannot corrupt a partition/bucket key the
+#: way it decides a gap-fill spine's fan-out; both are verified
+#: symmetric under scripts/check_times.py's extreme-timestamp probe.
+#: Guarding them would silently drop rows from models whose semantics
+#: ("all touches before first conversion", "all points inside the
+#: interval") make dropping a judgment call the caller should make.
 _TIME_DOMAIN_TWINS = (
     "asof_join", "asof_tolerance", "gap_fill", "rolling_features",
     "rolling_active_users", "changepoint", "trend_slope", "ewma_volume",
@@ -10724,12 +10737,19 @@ def oracle_sql() -> dict[str, str]:
 
     def _events_domain(sql: str) -> str:
         # `FROM events l` / `FROM events e` keep their alias; bare scans
-        # get the alias `events` so qualified references still resolve
+        # get the alias `events` so qualified references still resolve.
+        # The \b after `events` keeps a longer table name (e.g. a future
+        # `events_archive`) from being silently rewritten to scan the
+        # domain view under that alias (ADVICE r8 #1); the single-letter
+        # alias whitelist avoids eating SQL keywords (WHERE/GROUP/JOIN)
+        # that follow a bare scan — a multi-letter alias in a listed twin
+        # yields `(view) events <alias>` which the EXPLAIN parse-check in
+        # tests/test_check_oracle_harness.py rejects instead of shipping.
         def sub(m: "re.Match[str]") -> str:
             alias = m.group(1)
             return f"FROM ({ts_view})" + (alias if alias else " events")
 
-        return re.sub(r"FROM events(\s+[lre]\b)?", sub, sql)
+        return re.sub(r"FROM events\b(\s+[lre]\b)?", sub, sql)
 
     for name in _TIME_DOMAIN_TWINS:
         out[name] = _events_domain(out[name])

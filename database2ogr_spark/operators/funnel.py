@@ -832,6 +832,13 @@ def u_shaped_attribution(
     Scale: one user-keyed min for the conversion anchor (broadcastable
     per-user table), one filtered join, ONE (user) window pair sharing
     a sort for position/count, and a #types-key rollup.
+
+    Time-domain contract: deliberately OUTSIDE cleaning.within_time_domain
+    (see the _TIME_DOMAIN_TWINS note in __spark_entry__): touches are
+    only ORDERED by ts, never truncated or bucketed by it, so an
+    implausible timestamp cannot corrupt a key; dropping it would
+    silently remove a touch from the credit split. Symmetry with the
+    unguarded oracle twin is probed by scripts/check_times.py.
     """
     ev = events.select(
         F.col(user_col).alias("u"),

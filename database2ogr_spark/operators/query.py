@@ -27,6 +27,29 @@ from database2ogr_spark.schemas import GEOMETRY_COLUMN
 from database2ogr_spark.sources.catalog import Catalog
 
 
+def bind_param(expr: str, param: object | None, table: str) -> str:
+    """Bind the reference's ``$1`` into a ``{param}`` placeholder as a SQL
+    VALUE, never as raw expression text (F1 — the reference uses real bind
+    parameters, ``src/from-ground-up.js:979``). Shared by Query and
+    JoinQuery: a hyphenated string id interpolated bare would parse as
+    subtraction (``area_id = no-such-area`` → unresolved-column error),
+    and an embedded quote would be an injection vector."""
+    if "{param}" not in expr:
+        return expr
+    if param is None:
+        raise ValueError(f"query on {table} requires a bind parameter")
+    if isinstance(param, str):
+        # SQL-quote properly: single quotes doubled inside a
+        # single-quoted literal (repr() would emit Python quoting —
+        # invalid/ambiguous SQL for values containing apostrophes)
+        bound = "'" + param.replace("'", "''") + "'"
+    elif isinstance(param, (int, float)):
+        bound = str(param)
+    else:
+        raise TypeError(f"unsupported bind parameter type: {type(param).__name__}")
+    return expr.replace("{param}", bound)
+
+
 @dataclass
 class Query:
     """One table's export query.
@@ -63,21 +86,7 @@ class Query:
         return df.select(*cols)
 
     def _predicate(self, param: object | None) -> Column:
-        expr = self.where
-        if "{param}" in expr:
-            if param is None:
-                raise ValueError(f"query on {self.table} requires a bind parameter")
-            if isinstance(param, str):
-                # SQL-quote properly: single quotes doubled inside a
-                # single-quoted literal (repr() would emit Python quoting —
-                # invalid/ambiguous SQL for values containing apostrophes)
-                bound = "'" + param.replace("'", "''") + "'"
-            elif isinstance(param, (int, float)):
-                bound = str(param)
-            else:
-                raise TypeError(f"unsupported bind parameter type: {type(param).__name__}")
-            expr = expr.replace("{param}", bound)
-        return F.expr(expr)
+        return F.expr(bind_param(self.where, param, self.table))
 
     def _geometry_expr(self) -> Column:
         # P2 — geometry serialization dispatch (reference
@@ -118,10 +127,7 @@ class JoinQuery:
         pk, ck = self.on
         joined = p.join(c, F.col(f"p.{pk}") == F.col(f"c.{ck}"), "inner")
         if self.where is not None:
-            expr = self.where
-            if "{param}" in expr:
-                expr = expr.replace("{param}", str(param))
-            joined = joined.filter(F.expr(expr))
+            joined = joined.filter(F.expr(bind_param(self.where, param, self.table)))
         cols: list[Column] = [F.col(f"p.{col}") for col in self.parent.non_geometry_columns]
         cols += [F.col(f"c.{col}") for col in self.child.non_geometry_columns]
         geom_source = self.parent if self.parent.geometry_column else self.child

@@ -49,6 +49,17 @@ def range_join(
     interval; the event side stays one row. The join is a plain hash
     equi-join on (bucket [, key]) — shuffled, AQE-broadcast when the
     exploded interval side is small, skew-split when a bucket is hot.
+
+    Time-domain contract: deliberately OUTSIDE cleaning.within_time_domain
+    (see the _TIME_DOMAIN_TWINS note in __spark_entry__): the EVENT side
+    takes exactly one bucket per row regardless of how implausible its
+    timestamp is (floor of a negative epoch is still one bucket), so
+    there is no data-dependent fan-out to guard on the big table; the
+    fan-out lives on the caller-provided INTERVAL side, whose
+    ``1 + len/bucket`` explosion is the caller's validated input, not
+    ingested event data. Dropping out-of-domain events here would
+    silently change "every interval containing it" semantics. Symmetry
+    with the unguarded oracle twin is probed by scripts/check_times.py.
     """
     b = F.lit(int(bucket_seconds)).cast("long")
     ev = events.withColumn(

@@ -71,7 +71,14 @@ def build_table_dfs(
     ogr_type: str = "GeoJSON",
 ) -> list[tuple[str, DataFrame]]:
     """Run the query set; ``area_id=None`` → full scans (EP3 batch mode,
-    reference ``src/mapboxing.js:172-226`` passes ``where_clause=null``)."""
+    reference ``src/mapboxing.js:172-226`` passes ``where_clause=null``).
+
+    ``area_id`` is a NUMBER in the reference (``src/from-ground-up.js:129``;
+    the HTTP route admits only ``\\d+`` — service.py:26), so coerce here:
+    an HTTP-layer string like ``"7"`` binds as the integer 7, and garbage
+    raises a clear ValueError instead of a mid-plan ANSI cast error."""
+    if area_id is not None:
+        area_id = int(area_id)
     out: list[tuple[str, DataFrame]] = []
     for q in ates_queries(ogr_type):
         if area_id is None:

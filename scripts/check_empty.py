@@ -30,7 +30,7 @@ import sys
 import tempfile
 import traceback
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import __spark_entry__ as entrymod
 from database2ogr_spark.session import get_spark

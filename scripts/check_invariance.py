@@ -29,7 +29,9 @@ from __future__ import annotations
 
 import sys
 
-sys.path.insert(0, "/root/repo")
+import os
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import __spark_entry__ as entrymod
 from database2ogr_spark.session import get_spark

@@ -19,7 +19,9 @@ import duckdb
 import pandas as pd
 from pyspark.sql.types import ArrayType, MapType, StructType
 
-sys.path.insert(0, "/root/repo")
+import os
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import __spark_entry__ as entrymod
 from database2ogr_spark.session import get_spark

@@ -188,3 +188,19 @@ def test_document_sinks_partition_order_independent(ates_catalog):
         kml_b.encode()
     ).hexdigest()
     assert gj_a == gj_b
+
+
+def test_export_area_id_is_coerced_and_validated(ates_catalog):
+    """Area ids are numbers (reference src/from-ground-up.js:129; the HTTP
+    route admits only digits). Numeric strings coerce at the export layer,
+    garbage raises ValueError there — not an ANSI cast error mid-plan."""
+    import json
+
+    import pytest
+
+    from database2ogr_spark.plans.area_export import export_geojson_document
+
+    d = json.loads(export_geojson_document(ates_catalog, "999"))
+    assert d["type"] == "FeatureCollection" and d["features"] == []
+    with pytest.raises(ValueError):
+        export_geojson_document(ates_catalog, "no-such-area")

@@ -342,3 +342,35 @@ def test_textrank_keywords_hub_wins(spark):
     import pytest as _p
     with _p.raises(ValueError):
         textrank_keywords(df, window=0)
+
+
+def test_join_query_binds_string_param_as_value(ates_catalog):
+    """ADVICE-probe regression (r9): JoinQuery interpolated string params
+    as raw expression text, so a hyphenated area id parsed as subtraction
+    (`area_id = no-such-area` -> unresolved column) and a quoted one was
+    an injection vector. Both builders now share bind_param(): strings
+    become quoted SQL literals (F1 bind semantics, reference
+    src/from-ground-up.js:979) and a missing param raises."""
+    import pytest
+
+    jq = JoinQuery(
+        parent=Query("decision_points", ["id", "name", "area_id", "comments"], None),
+        child=Query("decision_points_warnings", ["warning", "type"], None, None,
+                    geometry_column=None),
+        on=("id", "decision_point_id"),
+        where="cast(p.area_id as string)={param}",
+    )
+    # hyphenated / quoted ids are VALUES: empty result, not AnalysisException
+    assert jq.build(ates_catalog, param="no-such-area").count() == 0
+    assert jq.build(ates_catalog, param="it's-a-trap' OR '1'='1").count() == 0
+    # ints still bind bare and match
+    jq_int = JoinQuery(
+        parent=Query("decision_points", ["id", "name", "area_id", "comments"], None),
+        child=Query("decision_points_warnings", ["warning", "type"], None, None,
+                    geometry_column=None),
+        on=("id", "decision_point_id"),
+        where="p.area_id={param}",
+    )
+    assert jq_int.build(ates_catalog, param=1).count() == 4
+    with pytest.raises(ValueError):
+        jq_int.build(ates_catalog, param=None).count()

@@ -158,7 +158,7 @@ def test_run_pretrain_cli_smoke(spark, tmp_path):
         capture_output=True,
         text=True,
         timeout=240,
-        cwd="/root/repo",
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     )
     assert r.returncode == 0, r.stderr[-2000:]
     manifest = json.loads(r.stdout.strip().splitlines()[-1])
