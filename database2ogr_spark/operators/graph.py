@@ -671,9 +671,16 @@ def khop_reach_approx(
         raise ValueError("p must be in [4, 16]")
     m = 1 << p
     w = 60 - p
-    e = edges.select(
-        F.col(src_col).alias("v"), F.col(dst_col).alias("u")
-    ).distinct()
+    # the deduped edge table is referenced once per hop plus twice in the
+    # seed round; persist it so an expensive upstream edge DERIVATION
+    # (e.g. the co-purchase self-join feeding the graded entry) runs once,
+    # not per reference (same lifecycle as connected_components above:
+    # persist → final eager localCheckpoint → unpersist)
+    e = (
+        edges.select(F.col(src_col).alias("v"), F.col(dst_col).alias("u"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     # hash every node ONCE; rho via bin()-bitlength (no float log2)
     h = stable_hash64(F.col("node"), seed=seed)
     node_sketch = (
@@ -738,6 +745,8 @@ def khop_reach_approx(
         (e_raw <= F.lit(2.5 * m)) & (v0 > 0),
         F.lit(float(m)) * F.log(F.lit(float(m)) / v0.cast("double")),
     ).otherwise(e_raw)
-    return per_node.select(
+    out = per_node.select(
         F.col("v").alias("node"), F.round(est, 6).alias("estimate")
-    )
+    ).localCheckpoint(eager=True)
+    e.unpersist()
+    return out
