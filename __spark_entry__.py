@@ -4752,160 +4752,60 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     EXACT next-round priority order, making each rotation a pure cut at
     slot 50.
 
-    THE FREEZE IS LIFTED IN ROUND 8: the registry was frozen at 278
-    entries in round 6 (VERDICT r5 #4) until the never-graded backlog
-    cleared; this round's prefix drains the final 31 to ZERO, so the
-    first post-freeze addition rides in the same prefix —
-    khop_reach_sketched, the HyperANF reach tier (VERDICT r6 #3 /
-    r7 #2), bringing the registry to N=279. The honest rotation
-    contract: with N=279 and a 50-slot gate, every entry is re-graded
-    within ceil(279/50) = 6 rounds of its last row — sooner for the
-    priority classes below. Prefix priority: (a) entries whose code or
-    oracle CHANGED this round, (b) entries that have NEVER held a
-    driver row, (c) re-earners, oldest rows first.
+    N=279 (post-freeze; khop_reach_sketched was the round-8 addition).
+    The honest rotation contract: with N=279 and a 50-slot gate, every
+    entry is re-graded within ceil(279/50) = 6 rounds of its last row —
+    sooner for the priority classes below. Prefix priority: (a) entries
+    whose code or oracle CHANGED this round, (b) entries that have NEVER
+    held a driver row, (c) re-earners, oldest rows first.
 
-    PERMANENT §2 QUOTA (VERDICT r6 #6): from round 8 on, ~5 prefix slots
-    per round are reserved for the OLDEST reference-surface (SURVEY §2)
-    rows regardless of the re-earner queue, so the core surface never
-    again ages past ~4 rounds the way the ten r2-vintage rows did.
+    PERMANENT §2 QUOTA (VERDICT r6 #6): ~5 prefix slots per round are
+    reserved for the OLDEST reference-surface (SURVEY §2) rows regardless
+    of the re-earner queue, so the core surface never ages past ~4 rounds.
+    This round the vintage-FIFO backlog compresses the quota to ONE slot
+    (see below) — the other four r4-vintage §2 rows lead the r10 queue,
+    where they form the r10 quota band at exactly the contract edge.
 
-    Round 8 prefix (50), executing the plan VERDICT r7 #1 pinned:
-    FIRST the five priority-(a) entries changed in round 7 —
-    ates_kml_document (within-folder placemark order pinned so the
-    document is partition-order-independent; found by the
-    scripts/check_invariance.py sweep, oracle md5 literals
-    regenerated), corpus_shards_roundtrip / fk_integrity / drift_report
-    (empty-input robustness: explicit-schema shard reader and
-    try_divide guards, found by the empty-table probe) and ivf_topk
-    (probe kernel fixed for n_lists < n_probe, found by the one-row
-    probe; all non-degenerate results bit-identical at both SFs) — then
-    the final 31 never-graded entries (brier … transition_matrix — the
-    backlog drains to ZERO; this band includes events_dashboard and
-    hourly_profile, which also carry round-7 try_divide fixes), then
-    khop_reach_sketched (NEW this round, the freeze-lifting addition —
-    graded in its debut round so never-graded debt stays zero at round
-    end), then the re-earner band of oracle conversions that predate
-    the dtype-strict harness (multimodal_decode/resize/frame_sample,
-    webdataset_roundtrip — the latter also carrying its round-7
-    empty-shard-read fix — VERDICT r6 #5), then the first §2-quota band
-    (s1_scan_filter, j1_parent_child_join, f4_validate_default,
-    j3_style_lookup, warnify — the five oldest, r4-vintage,
-    reference-surface rows), then FOUR of the r1/r2 re-earners
-    (lang_id, minhash_signatures, near_dup_groups_exact,
-    dedup_exact_survivors) = exactly 50 (5+31+1+4+5+4).
-    embedding_near_dup — an r1/r2 re-earner holding a green row, so
-    sliding it creates no never-graded debt — yields its slot to
-    khop_reach_sketched (the only way VERDICT r7 #1 'drain to zero' and
-    #2 'green driver row for the new entry' both land in round 8) and
-    leads the round-9 queue.
+    Round 9 prefix (50), executing the plan the r8 rotation pinned, with
+    one amendment: khop_reach_sketched re-enters as the round's single
+    priority-(a) entry (its operator now persists the deduped edge table —
+    results bit-identical, but the driver row must reflect shipped code;
+    VERDICT r8 explicitly requested the tuning). It takes the slot the
+    plan had given to ates_geojson_features (r4-vintage §2 — safe in r10;
+    r3 rows are NOT safe in r10, so none of the 42 slid). Then: the six
+    remaining r1/r2 re-earners (embedding_near_dup … frequent_tokens —
+    the ledger's oldest rows), the FULL 42-row round-3-green set (ordered
+    as laid down in round 8), and ates_kml_placemarks as the §2-quota
+    slot = 1+6+42+1 = 50. After this round the oldest surviving rows are
+    the four remaining r4-vintage §2 rows plus the r4-green set — all
+    within the ≤6-round contract through round 10.
 
-    Round 9 queue (dict order below slot 50), vintage-FIFO: the six
-    remaining r1/r2 re-earners (embedding_near_dup …
-    frequent_tokens — the ledger's oldest rows after this round), then
-    the FULL 42-row round-3-green set (6+42 = 48; r3 rows pushed to
-    round 10 would be 7 rounds stale — a ≤6-round-contract violation —
-    so they take precedence over the younger §2 band), then the
-    round-9 §2-quota band (ates_kml_placemarks, ates_geojson_features,
-    geojson_features, x12_html_popup, x13_recipe_layers — the five
-    oldest reference-surface rows after the r8 grade, all r4-vintage,
-    promoted from the r4-green set per VERDICT r7 #3; within contract
-    in either r9 or r10, so the band straddles the slot-50 cut: the
-    first two fill r9 slots 49-50, the last three lead the r10 queue).
-    Behind them: the round-4-green set (minus the rows promoted
-    above), the round-5-green set, the round-6-green set, and last the
-    round-7-green set (corpus_divergence … embedding_density; freshest
-    at the back)."""
+    Round 10 queue (dict order below slot 50): ates_geojson_features,
+    geojson_features, x12_html_popup, x13_recipe_layers (the rest of the
+    §2 band), then the r4-green set, the r5/r6/r7-green sets in vintage
+    order, and last the round-8-graded prefix (freshest rows at the
+    back; khop_reach_sketched excluded — it re-earns in this round's
+    slot 1)."""
     return {
-    # --- ROUND 8 PREFIX (50), per VERDICT r7 #1: priority (a) first —
-    # the five entries whose code/oracle changed in round 7.
-    # ates_kml_document: within-folder placemark order pinned (partition-
-    # order-independence fix found by scripts/check_invariance.py) +
-    # oracle md5 literals regenerated; the other three: empty-input
-    # robustness fixes (try_divide / explicit-schema reader) from the
-    # empty-table probe; ivf_topk: probe kernel fixed for
-    # n_lists < n_probe — non-empty results proven bit-identical at both
-    # SFs. ---------------------------------------------------------------
-        "ates_kml_document": q_ates_kml_document,
-        "corpus_shards_roundtrip": q_corpus_shards_roundtrip,
-        "fk_integrity": q_fk_integrity,
-        "drift_report": q_drift_report,
-        # ivf_topk: probe kernel fixed for n_lists < n_probe (one-row
-        # probe catch); ks_test got the same-class fix but sits in the
-        # round-7 prefix, so it is driver-graded this round
-        "ivf_topk": q_ivf_topk,
-    # --- the final 31 never-graded entries — the backlog drains to
-    # ZERO and the freeze can lift (VERDICT r6 #2) ---------------------
-        "brier": q_brier,
-        "events_dashboard": q_events_dashboard,
-        "audience_overlap": q_audience_overlap,
-        "conversion_latency": q_conversion_latency,
-        "khop_reach": q_khop_reach,
-        "rolling_hll_users": q_rolling_hll_users,
-        "churn": q_churn,
-        "kmv_jaccard": q_kmv_jaccard,
-        "hourly_profile": q_hourly_profile,
-        "hist_quantiles": q_hist_quantiles,
-        "session_stats": q_session_stats,
-        "top_journeys": q_top_journeys,
-        "cohort_value": q_cohort_value,
-        "rfm": q_rfm,
-        "fanout_profile": q_fanout_profile,
-        "repeat_interval": q_repeat_interval,
-        "t_closeness": q_t_closeness,
-        "wow_decomposition": q_wow_decomposition,
-        "class_weights": q_class_weights,
-        "nested_subsets": q_nested_subsets,
-        "fightin_words": q_fightin_words,
-        "ql_topk": q_ql_topk,
-        "user_features": q_user_features,
-        "prf_topk": q_prf_topk,
-        "readability": q_readability,
-        "u_attribution": q_u_attribution,
-        "kaplan_meier": q_kaplan_meier,
-        "ann_ndcg": q_ann_ndcg,
-        "forecast_eval": q_forecast_eval,
-        "containment": q_containment,
-        "transition_matrix": q_transition_matrix,
-    # ^-- backlog drained to ZERO (VERDICT r7 #1). Freeze lifts here:
-    # khop_reach_sketched is the first post-freeze addition (VERDICT
-    # r6 #3 / r7 #2), graded in its debut round so never-graded debt
-    # stays zero at round end. -------------------------------------------
+    # --- ROUND 9 PREFIX (50), per the r8 rotation plan: priority (a)
+    # first — the ONE entry whose code changed in round 9
+    # (khop_reach_approx now persists its deduped edge table and releases
+    # it behind a final eager localCheckpoint; results proven
+    # bit-identical at sf0.1 and the sf0.01 oracle row re-verified, but
+    # the driver row must reflect the shipped code). ---------------------
         "khop_reach_sketched": q_khop_reach_sketched,
-    # --- re-earner band: oracle conversions that predate the
-    # dtype-strict harness (VERDICT r6 #5) — fresh rows post-hardening
-        "multimodal_decode": q_multimodal_decode,
-        "multimodal_resize": q_multimodal_resize,
-        "multimodal_frame_sample": q_multimodal_frame_sample,
-        "webdataset_roundtrip": q_webdataset_roundtrip,
-    # --- §2 quota band (VERDICT r6 #6): the five oldest (r4-vintage)
-    # reference-surface rows — ~5 slots/round reserved permanently ----
-        "s1_scan_filter": q_s1_scan_filter,
-        "j1_parent_child_join": q_j1_parent_child_join,
-        "f4_validate_default": q_f4_validate_default,
-        "j3_style_lookup": q_j3_style_lookup,
-        "warnify": q_warnify,
-    # --- r1/r2 re-earner band, FOUR slots (machinery constituent-
-    # covered); embedding_near_dup yields its slot to khop_reach_sketched
-    # and leads the round-9 queue below ---------------------------------
-        "lang_id": q_lang_id,
-        "minhash_signatures": q_minhash_signatures,
-        "near_dup_groups_exact": q_near_dup_groups_exact,
-        "dedup_exact_survivors": q_dedup_exact_survivors,
-    # ------------------------------------------------------- slot 50 ^
-    # ROUND 9 QUEUE: the six remaining r1/r2 re-earners (the ledger's
-    # oldest rows after this round), then the FULL 42-row r3-green set,
-    # then the §2-quota band. Vintage-FIFO ordering is forced by the
-    # ≤6-round contract: r3 rows graded in r10 would be 7 rounds stale
-    # (violation), while the r4-vintage §2 rows are within contract in
-    # either r9 or r10 — so the §2 band straddles the r9 slot-50 cut
-    # (first two in, last three lead r10) instead of displacing r3 rows.
+    # --- the six remaining r1/r2 re-earners — the ledger's oldest rows
+    # after the r8 grade (embedding_near_dup yielded its r8 slot to
+    # khop_reach_sketched's debut and leads here) -------------------------
         "embedding_near_dup": q_embedding_near_dup,
         "embedding_normalize": q_embedding_normalize,
         "events_props_extract": q_events_props_extract,
         "events_windowed": q_events_windowed,
         "fingerprint_rolling": q_fingerprint_rolling,
         "frequent_tokens": q_frequent_tokens,
-    # --- green round 3; the whole set re-earns in round 9 -------------
+    # --- the FULL 42-row round-3-green set (vintage-FIFO: r3 rows pushed
+    # to round 10 would be 7 rounds stale — a ≤6-round-contract
+    # violation, so they outrank the younger §2 band) ---------------------
         "remove_boilerplate": q_remove_boilerplate,
         "dedup_paragraphs": q_dedup_paragraphs,
         "quality_flags": q_quality_flags,
@@ -4948,19 +4848,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_fraction_per_source": q_top_fraction_per_source,
         "dedup_incremental": q_dedup_incremental,
         "embedding_quantize": q_embedding_quantize,
-    # --- round-9 §2-quota band (VERDICT r7 #3): the five oldest
-    # reference-surface rows after the r8 grade, all r4-vintage,
-    # promoted from the r4-green set; sits AFTER the r3 set per the
-    # vintage-FIFO note above — slots 49-50 of the r9 prefix land on
-    # ates_kml_placemarks/ates_geojson_features, the other three lead
-    # the r10 queue -------------------------------------------------------
+    # --- round-9 §2-quota slot (VERDICT r6 #6): the oldest reference-
+    # surface row, r4-vintage. The khop priority-(a) slot displaced the
+    # second planned straddler (ates_geojson_features) to the r10 queue
+    # head — still within the ≤6-round contract there (r4 + 6 = r10). ----
+    # ------------------------------------------------------- slot 50 ^
+    # ROUND 10 QUEUE: the four remaining r4-vintage §2-quota rows lead
+    # (with the next-oldest §2 rows they form the r10 quota band), then
+    # the r4/r5/r6/r7-green sets in vintage order, and at the very back
+    # the round-8-graded prefix (freshest rows last).
         "ates_kml_placemarks": q_ates_kml_placemarks,
+    # --- the rest of the round-9 §2 band, leading the r10 queue ---------
         "ates_geojson_features": q_ates_geojson_features,
         "geojson_features": q_geojson_features,
         "x12_html_popup": q_x12_html_popup,
         "x13_recipe_layers": q_x13_recipe_layers,
     # --- green round 4 (minus the six rows promoted to the re-earner/
-    # §2-quota bands and the five promoted to the round-9 §2 band above)
+    # §2-quota bands and the five promoted to the §2 band above) ---------
         "kmeans_embeddings": q_kmeans_embeddings,
         "semantic_dedup": q_semantic_dedup,
         "duplicate_spans": q_duplicate_spans,
@@ -4997,7 +4901,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redact_pii": q_redact_pii,
         "chunk_documents": q_chunk_documents,
     # --- green round 5 (43 = the 46-entry r5-green tail minus the
-    # three multimodal rows promoted to the re-earner band) ------------
+    # three multimodal rows promoted to the r8 re-earner band) -----------
         "tpch_q2_min_cost_supplier": q_tpch_q2_min_cost_supplier,
         "tpch_q9_product_profit": q_tpch_q9_product_profit,
         "tpch_q11_important_parts": q_tpch_q11_important_parts,
@@ -5041,7 +4945,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pmi_bigrams": q_pmi_bigrams,
         "pretrain_ledger": q_pretrain_ledger,
         "stupid_backoff": q_stupid_backoff,
-    # --- green round 6 (the 50 fresh rows — freshest at the back) -----
+    # --- green round 6 -------------------------------------------------
         "validate_constraints": q_validate_constraints,
         "pivot_event_counts": q_pivot_event_counts,
         "late_interaction": q_late_interaction,
@@ -5090,7 +4994,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mine_bitext": q_mine_bitext,
         "l_diversity": q_l_diversity,
         "lexical_diversity": q_lexical_diversity,
-    # --- green round 7 (the 50 fresh rows — freshest at the back) -----
+    # --- green round 7 -------------------------------------------------
         "corpus_divergence": q_corpus_divergence,
         "a1_distinct": q_a1_distinct,
         "s2_full_scan": q_s2_full_scan,
@@ -5141,6 +5045,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kfold": q_kfold,
         "iqr_anomaly_days": q_iqr_anomaly_days,
         "embedding_density": q_embedding_density,
+    # --- the round-8-graded prefix: the freshest 49 rows (minus
+    # khop_reach_sketched, promoted to priority-(a) above) ----------------
+        "ates_kml_document": q_ates_kml_document,
+        "corpus_shards_roundtrip": q_corpus_shards_roundtrip,
+        "fk_integrity": q_fk_integrity,
+        "drift_report": q_drift_report,
+        "ivf_topk": q_ivf_topk,
+        "brier": q_brier,
+        "events_dashboard": q_events_dashboard,
+        "audience_overlap": q_audience_overlap,
+        "conversion_latency": q_conversion_latency,
+        "khop_reach": q_khop_reach,
+        "rolling_hll_users": q_rolling_hll_users,
+        "churn": q_churn,
+        "kmv_jaccard": q_kmv_jaccard,
+        "hourly_profile": q_hourly_profile,
+        "hist_quantiles": q_hist_quantiles,
+        "session_stats": q_session_stats,
+        "top_journeys": q_top_journeys,
+        "cohort_value": q_cohort_value,
+        "rfm": q_rfm,
+        "fanout_profile": q_fanout_profile,
+        "repeat_interval": q_repeat_interval,
+        "t_closeness": q_t_closeness,
+        "wow_decomposition": q_wow_decomposition,
+        "class_weights": q_class_weights,
+        "nested_subsets": q_nested_subsets,
+        "fightin_words": q_fightin_words,
+        "ql_topk": q_ql_topk,
+        "user_features": q_user_features,
+        "prf_topk": q_prf_topk,
+        "readability": q_readability,
+        "u_attribution": q_u_attribution,
+        "kaplan_meier": q_kaplan_meier,
+        "ann_ndcg": q_ann_ndcg,
+        "forecast_eval": q_forecast_eval,
+        "containment": q_containment,
+        "transition_matrix": q_transition_matrix,
+        "multimodal_decode": q_multimodal_decode,
+        "multimodal_resize": q_multimodal_resize,
+        "multimodal_frame_sample": q_multimodal_frame_sample,
+        "webdataset_roundtrip": q_webdataset_roundtrip,
+        "s1_scan_filter": q_s1_scan_filter,
+        "j1_parent_child_join": q_j1_parent_child_join,
+        "f4_validate_default": q_f4_validate_default,
+        "j3_style_lookup": q_j3_style_lookup,
+        "warnify": q_warnify,
+        "lang_id": q_lang_id,
+        "minhash_signatures": q_minhash_signatures,
+        "near_dup_groups_exact": q_near_dup_groups_exact,
+        "dedup_exact_survivors": q_dedup_exact_survivors,
     }
 
 

@@ -165,68 +165,58 @@ def test_every_registry_entry_has_an_oracle_twin():
     assert qs <= oracles, sorted(qs - oracles)
 
 
-#: The shipped round-8 prefix, band by band (VERDICT r7 #1/#2). The
-#: boundaries are load-bearing: the driver grades exactly slots 1-50,
-#: and the docstring's band arithmetic (5+31+1+4+5+4 = 50) is what
-#: makes the next rotation a pure cut at slot 50. Update ONLY together
-#: with the rotation docstring in queries().
-R8_PRIORITY_A = [
-    "ates_kml_document", "corpus_shards_roundtrip", "fk_integrity",
-    "drift_report", "ivf_topk",
-]
-R8_NEVER_GRADED = [
-    "brier", "events_dashboard", "audience_overlap", "conversion_latency",
-    "khop_reach", "rolling_hll_users", "churn", "kmv_jaccard",
-    "hourly_profile", "hist_quantiles", "session_stats", "top_journeys",
-    "cohort_value", "rfm", "fanout_profile", "repeat_interval",
-    "t_closeness", "wow_decomposition", "class_weights", "nested_subsets",
-    "fightin_words", "ql_topk", "user_features", "prf_topk", "readability",
-    "u_attribution", "kaplan_meier", "ann_ndcg", "forecast_eval",
-    "containment", "transition_matrix",
-]
-R8_POST_FREEZE = ["khop_reach_sketched"]
-R8_DTYPE_REEARNERS = [
-    "multimodal_decode", "multimodal_resize", "multimodal_frame_sample",
-    "webdataset_roundtrip",
-]
-R8_S2_QUOTA = [
-    "s1_scan_filter", "j1_parent_child_join", "f4_validate_default",
-    "j3_style_lookup", "warnify",
-]
-R8_R1R2_REEARNERS = [
-    "lang_id", "minhash_signatures", "near_dup_groups_exact",
-    "dedup_exact_survivors",
-]
-R9_QUEUE_HEAD = [
-    # the six remaining r1/r2 re-earners (embedding_near_dup yielded its
-    # r8 slot to khop_reach_sketched); the FULL r3-green set follows
-    # (vintage-FIFO: r3 rows in r10 would be 7 rounds stale), and the
-    # round-9 §2-quota band straddles the future slot-50 cut behind it
+#: The shipped round-9 prefix, band by band. The boundaries are
+#: load-bearing: the driver grades exactly slots 1-50, and the band
+#: arithmetic (1+6+42+1 = 50) is what makes the next rotation a pure cut
+#: at slot 50. Update ONLY together with the rotation docstring in
+#: queries().
+R9_PRIORITY_A = ["khop_reach_sketched"]
+R9_R1R2_REEARNERS = [
     "embedding_near_dup", "embedding_normalize", "events_props_extract",
     "events_windowed", "fingerprint_rolling", "frequent_tokens",
+]
+R9_R3_GREEN = [
     "remove_boilerplate", "dedup_paragraphs", "quality_flags",
+    "mix_sources", "url_normalize", "cap_per_domain",
+    "asof_tolerance", "tfidf_top_terms", "topk_quality_docs",
+    "lang_stats", "user_totals", "asof_join",
+    "lang_source_rollup", "lang_source_cube", "length_quantiles",
+    "deterministic_sample", "stratified_sample", "embedding_centroids",
+    "anti_join_orderless_customers", "distinct_users_exact", "window_top_orders_per_segment",
+    "tpch_q1_pricing_summary", "tpch_q3_shipping_priority", "tpch_q5_local_supplier_volume",
+    "tpch_q6_forecast_revenue", "tpch_q10_returned_items", "tpch_q4_order_priority",
+    "tpch_q13_order_distribution", "tpch_q7_nation_volume", "tpch_q14_promo_revenue",
+    "tpch_q15_top_supplier", "tpch_q17_small_qty_revenue", "tpch_q18_large_orders",
+    "tpch_q19_band_revenue", "tpch_q8_market_share", "tpch_q12_late_lines",
+    "tpch_q21_sole_late_supplier", "tpch_q22_idle_rich_customers", "split_corpus",
+    "top_fraction_per_source", "dedup_incremental", "embedding_quantize",
+]
+R9_S2_QUOTA = ["ates_kml_placemarks"]
+R10_QUEUE_HEAD = [
+    # the rest of the r9 §2 band (r4-vintage — within the ≤6-round
+    # contract in r10, where they form the r10 quota band), then the
+    # r4-green set follows
+    "ates_geojson_features", "geojson_features", "x12_html_popup",
+    "x13_recipe_layers",
+    "kmeans_embeddings", "semantic_dedup", "duplicate_spans",
 ]
 
 
-def test_round8_graded_prefix_is_the_documented_rotation():
+def test_round9_graded_prefix_is_the_documented_rotation():
     """The driver grades only the FIRST 50 queries() entries (dict
     order), so the prefix IS the round's verification plan — an
     accidental dict reshuffle would silently spend the round re-grading
-    the wrong entries. Pin the shipped round-8 prefix band by band
-    (VERDICT r7 #5: the band boundaries themselves are asserted, not
-    just the flat list) AND the head of the round-9 queue, so the next
-    rotation stays a pure cut at slot 50."""
+    the wrong entries. Pin the shipped round-9 prefix band by band AND
+    the head of the round-10 queue, so the next rotation stays a pure
+    cut at slot 50."""
     import __spark_entry__ as entrymod
 
     bands = [
-        ("priority-a", R8_PRIORITY_A, 5),
-        ("never-graded drain", R8_NEVER_GRADED, 31),
-        ("post-freeze addition", R8_POST_FREEZE, 1),
-        ("dtype re-earners", R8_DTYPE_REEARNERS, 4),
-        ("§2 quota", R8_S2_QUOTA, 5),
-        ("r1/r2 re-earners", R8_R1R2_REEARNERS, 4),
+        ("priority-a (khop edge-table persist)", R9_PRIORITY_A, 1),
+        ("r1/r2 re-earners", R9_R1R2_REEARNERS, 6),
+        ("r3-green vintage-FIFO drain", R9_R3_GREEN, 42),
+        ("§2 quota", R9_S2_QUOTA, 1),
     ]
-    # the documented band arithmetic must actually sum to the gate size
     assert [len(b) for _, b, _ in bands] == [n for _, _, n in bands]
     want = [name for _, band, _ in bands for name in band]
     assert len(want) == 50
@@ -235,16 +225,11 @@ def test_round8_graded_prefix_is_the_documented_rotation():
     assert got == want, [
         (i, g, w) for i, (g, w) in enumerate(zip(got, want)) if g != w
     ]
-    # round-9 queue head: re-earners then the r3-green set (vintage-FIFO)
-    assert names[50:50 + len(R9_QUEUE_HEAD)] == R9_QUEUE_HEAD
-    # the round-9 §2-quota band must start at slot 99 (index 98) so the
-    # next pure cut at slot 50 puts its first two rows in the r9 prefix
-    # (6 re-earners + 42 r3 rows + 2 = 50) and the last three lead r10
-    s2_band = [
-        "ates_kml_placemarks", "ates_geojson_features", "geojson_features",
-        "x12_html_popup", "x13_recipe_layers",
-    ]
-    assert names[98:103] == s2_band, names[95:105]
+    # round-10 queue head: the remaining §2 band then the r4-green set
+    assert names[50:50 + len(R10_QUEUE_HEAD)] == R10_QUEUE_HEAD
+    # the freshest rows (r8-graded prefix) sit at the very back
+    assert names[-1] == "dedup_exact_survivors"
+    assert "khop_reach_sketched" not in names[50:]
 
 
 def test_registry_is_279_post_freeze():
