@@ -261,10 +261,19 @@ def _calibrate(spark, sf_dir: str) -> dict[str, float]:
         h = hashlib.sha256(h).digest()
     cpu_single = _time.perf_counter() - t0
 
-    t0 = _time.perf_counter()
-    with mp.Pool(16) as pool:
-        pool.map(_hash_chunk, range(32))
-    cpu_parallel = _time.perf_counter() - t0
+    # spawn context: fork from a JVM-hosting driver is a documented hang
+    # risk, and a hard-coded pool size measures oversubscription on hosts
+    # with fewer cores (ADVICE r9). Worker count is recorded so
+    # cross-machine cpu_parallel_s comparisons stay meaningful.
+    n_workers = os.cpu_count() or 16
+    with mp.get_context("spawn").Pool(n_workers) as pool:
+        # warm the pool OUTSIDE the timed window: spawn workers re-import
+        # this module (and pyspark) at startup, which is process-creation
+        # cost, not hash throughput
+        pool.map(_warm_noop, range(n_workers))
+        t0 = _time.perf_counter()
+        pool.map(_hash_chunk, range(2 * n_workers))
+        cpu_parallel = _time.perf_counter() - t0
 
     t0 = _time.perf_counter()
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).write.format(
@@ -284,10 +293,18 @@ def _calibrate(spark, sf_dir: str) -> dict[str, float]:
     jvm_agg = _time.perf_counter() - t0
     return {
         "cpu_single_s": round(cpu_single, 3),
+        # NOTE r10: protocol changed (spawn pool, os.cpu_count() workers,
+        # 2x-workers chunks) — not comparable with the r6-r9 fork/16w/32c
+        # values; cpu_workers makes the new protocol self-describing.
         "cpu_parallel_s": round(cpu_parallel, 3),
+        "cpu_workers": n_workers,
         "scan_s": round(scan, 3),
         "jvm_agg_s": round(jvm_agg, 3),
     }
+
+
+def _warm_noop(_i: int) -> int:
+    return 0
 
 
 def _hash_chunk(_i: int) -> int:
@@ -297,6 +314,27 @@ def _hash_chunk(_i: int) -> int:
     for _ in range(100_000):
         h = hashlib.sha256(h).digest()
     return 1
+
+
+def _release_all_blocks(spark) -> None:
+    """Deterministically drop EVERY persisted RDD block, including
+    ``localCheckpoint`` blocks.
+
+    ``spark.catalog.clearCache()`` only unpersists CacheManager-registered
+    relations (``df.persist()``); the eager ``localCheckpoint`` blocks the
+    dedup/graph operators use for lineage truncation are raw persisted RDDs
+    the ContextCleaner reclaims only after a JVM GC notices the checkpointed
+    DataFrame became unreachable — i.e. at a nondeterministic later time.
+    Round 9 showed exactly the predicted failure: the two checkpoint-heavy
+    queries (khop_reach_sketched, containment) swung 2.4-4.9x between runs
+    on identical data and plans while the other 177 queries sat flat,
+    because leftover blocks from earlier queries were still occupying the
+    block manager when the min-of-3 passes ran. Explicit blocking unpersist
+    of the JavaSparkContext's persistentRdds map makes every timed pass
+    start from the same empty block manager, deterministically.
+    """
+    for jrdd in list(spark.sparkContext._jsc.getPersistentRDDs().values()):
+        jrdd.unpersist(True)
 
 
 def main() -> None:
@@ -346,18 +384,43 @@ def main() -> None:
     # deltas meaningful under the multi-x ambient/GC swings documented in
     # SCALE.md.
     RUNS = 3
-    timings: dict[str, float] = {name: float("inf") for name in HEADLINE}
+    per_pass: list[dict[str, float]] = []
+    pass_loadavg: list[list[float]] = []
     for _ in range(RUNS):
+        pass_times: dict[str, float] = {}
+        load_before = [round(x, 2) for x in os.getloadavg()]
         for name in HEADLINE:
             t0 = time.perf_counter()
             qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-            timings[name] = min(timings[name], time.perf_counter() - t0)
+            pass_times[name] = time.perf_counter() - t0
             # operators that persist() intermediates (LSH signatures, shingle
             # tables) would otherwise accumulate block-manager memory across
             # the suite — measured 4-10x slowdowns on later queries from the
-            # resulting GC pressure. Each query runs against a cold cache.
+            # resulting GC pressure. Each query runs against a cold cache,
+            # and _release_all_blocks additionally drops localCheckpoint
+            # blocks clearCache cannot see (the r9 instability source).
             spark.catalog.clearCache()
-    timings = {k: round(v, 3) for k, v in timings.items()}
+            _release_all_blocks(spark)
+        per_pass.append(pass_times)
+        # ambient load per pass (VERDICT r9 #7): SCALE.md attributed several
+        # regressions to co-tenant load spikes that were anecdote until now
+        pass_loadavg.append(load_before + [round(os.getloadavg()[0], 2)])
+    timings = {
+        name: round(min(p[name] for p in per_pass), 3) for name in HEADLINE
+    }
+    # per-pass spread (VERDICT r9 #1): max/min per query across the passes,
+    # so run-to-run instability is visible IN the sidecar instead of only
+    # when two sidecars disagree. 5 worst spreads inline; full per-pass
+    # matrix recorded too.
+    spread = {
+        name: round(
+            max(p[name] for p in per_pass) / max(min(p[name] for p in per_pass), 1e-9),
+            2,
+        )
+        for name in HEADLINE
+        if min(p[name] for p in per_pass) > 0.05
+    }
+    worst_spread = dict(sorted(spread.items(), key=lambda kv: -kv[1])[:5])
 
     total = round(sum(timings.values()), 3)
     baseline_subtotal = round(
@@ -390,6 +453,11 @@ def main() -> None:
                     k: v for k, v in timings.items() if k in BASELINE_R01_SET
                 },
                 "calibration": calibration,
+                "per_pass": [
+                    {k: round(v, 3) for k, v in p.items()} for p in per_pass
+                ],
+                "worst5_spread": worst_spread,
+                "loadavg_per_pass": pass_loadavg,
             },
             f,
             indent=1,
@@ -422,6 +490,7 @@ def main() -> None:
             1 for k in timings if k in BASELINE_R01_SET
         ),
         "worst5_vs_prev_round": worst5_vs_prev,
+        "worst5_spread": worst_spread,
         "calibration": calibration,
         "full_timings": os.path.basename(full_path),
     }
@@ -429,7 +498,7 @@ def main() -> None:
     # (drop optional fields, never crash after the sidecar write — a crash
     # here would leave the round with NO stdout metric at all).
     line = json.dumps(payload)
-    for drop in ("worst5_vs_prev_round", "calibration", "queries"):
+    for drop in ("worst5_spread", "worst5_vs_prev_round", "calibration", "queries"):
         if len(line) < 1500:
             break
         payload.pop(drop, None)

@@ -24,6 +24,7 @@ import os
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import __spark_entry__ as entrymod
+import bench as benchmod
 from database2ogr_spark.session import get_spark
 
 TABLES = (
@@ -163,6 +164,11 @@ def main() -> int:
             print(f"FAIL {name}: spark error: {e}")
             failures += 1
             continue
+        finally:
+            # same hygiene as bench.py: leftover persisted/localCheckpoint
+            # blocks from one entry must not shape the next entry's run
+            spark.catalog.clearCache()
+            benchmod._release_all_blocks(spark)
         # The driver's canonicalizer pandas-sorts cell values; list/dict
         # cells are unhashable and err the whole entry (this shipped twice
         # — rounds 2 and 4 — because the str()-sort below tolerates them).
