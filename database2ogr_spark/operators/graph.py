@@ -652,16 +652,35 @@ def khop_reach_approx(
     Semantics: estimates ``|{u : dist(v,u) ∈ [1..hops]}|`` per source
     node with out-edges — the exact operator's reach set BEFORE its
     self-exclusion filter (a sketch cannot subtract ``v`` back out of a
-    cycle; on cycle-free balls the two agree). Registers are kept in
-    SPARSE long form (v, reg, mj) — only touched registers exist, so
-    small-reach nodes pay O(reach) not O(2^p).
+    cycle; on cycle-free balls the two agree).
 
-    Iteration: ``S₀(v) = sketch({1-hop neighbors})``; then ``hops−1``
-    rounds of ``Sₜ₊₁(v) = maxmerge(Sₜ(v), ⋃_{v→w} Sₜ(w))`` — a
-    node-keyed equi-join (edge table ⋈ register table) plus a
-    (v, reg)-keyed max agg, both map-side-combinable; lineage truncated
-    per round with ``localCheckpoint`` exactly like ``label_propagate``
-    (the iterative-Spark plan-blowup guard).
+    Iteration (round-10 packed design): ``S₀(v) = sketch({1-hop
+    neighbors})`` is built in long form (v, reg, mj), then PACKED into
+    one dense ``array<tinyint>`` of 2^p registers per node. Each of the
+    ``hops−1`` rounds is ``Sₜ₊₁(v) = maxmerge(Sₜ(v), ⋃_{v→w} Sₜ(w))``:
+    a node-keyed equi-join (edge ⋈ packed registers) whose output is
+    |E| PACKED rows — NOT |E|·|S(u)| long rows — followed by a
+    v-partitioned streaming elementwise-max merge (Arrow-batched
+    ``mapInPandas``; ``np.maximum.reduceat`` per batch, a running
+    dict across batches, so memory is O(distinct v per partition · 2^p)
+    even when one hub node's rows dominate a partition). The round-9
+    long-form iteration shuffled Σ_edges |S(u)| ≈ 95·|E| 24-byte rows
+    per hop with near-useless map-side combine (distinct (v,reg) ≈
+    per-partition row count); packing cuts the per-hop shuffle ~25x
+    (measured 5.4 GB → 0.2 GB at sf0.1, p=6) and makes merge cost
+    |E|·2^p BYTES of vectorized numpy instead of |E|·|S(u)| hash-agg
+    probes. Lineage is truncated per round with ``localCheckpoint``
+    exactly like ``label_propagate`` (the iterative-Spark plan-blowup
+    guard); the checkpointed tables are the packed registers —
+    |V| rows — not the former multi-hundred-MB long form, so nothing
+    big can linger in the block manager between bench passes (the r9
+    run-to-run instability source).
+
+    The final packed table (|V| rows) is exploded back to sparse long
+    form and fed through the ORIGINAL estimate tail (DECIMAL(38,0)-exact
+    harmonic numerator, linear counting), so estimates are bit-identical
+    to the long-form implementation for the same (p, seed) — elementwise
+    max is associative and commutative, the merge order cannot matter.
 
     Output: (node, estimate) — estimate rounded 6 dp.
     """
@@ -698,25 +717,96 @@ def khop_reach_approx(
             ).cast("int").alias("rho"),
         )
     )
-    # S0: each source's sketch of its 1-hop out-neighborhood
+    # S0: each source's sketch of its 1-hop out-neighborhood (long form)
     sketch = (
         e.join(node_sketch, e["u"] == node_sketch["node"])
         .groupBy("v", "reg")
         .agg(F.max("rho").alias("mj"))
     )
-    for _ in range(hops - 1):
-        sketch = sketch.localCheckpoint(eager=True)
-        propagated = (
-            e.alias("e")
-            .join(sketch.alias("s"), F.col("e.u") == F.col("s.v"))
-            .select(F.col("e.v").alias("v"), F.col("s.reg").alias("reg"),
-                    F.col("s.mj").alias("mj"))
+    if hops > 1:
+        node_type = e.schema["v"].dataType.simpleString()
+        packed_schema = f"v {node_type}, regs array<tinyint>"
+
+        def _pack(batches):
+            """Long (v, reg, mj) → one dense 2^p register array per v.
+
+            Streams Arrow batches: a partition's rows for one v may span
+            batches, so the scatter accumulates into a per-v running
+            array instead of assuming batch == group.
+            """
+            import numpy as np
+            import pandas as pd
+
+            acc: dict = {}
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                vs = pdf["v"].to_numpy()
+                regs = pdf["reg"].to_numpy()
+                mjs = pdf["mj"].to_numpy()
+                for v in pd.unique(vs):
+                    mask = vs == v
+                    arr = acc.get(v)
+                    if arr is None:
+                        arr = np.zeros(m, dtype=np.int8)
+                        acc[v] = arr
+                    np.maximum.at(arr, regs[mask].astype(np.int64), mjs[mask].astype(np.int8))
+            if acc:
+                yield pd.DataFrame(
+                    {"v": list(acc.keys()), "regs": list(acc.values())}
+                )
+
+        def _merge(batches):
+            """Elementwise max over each v's packed register rows.
+
+            Vectorized per batch (sort by v, ``np.maximum.reduceat`` at
+            group boundaries), running dict across batches — memory is
+            O(distinct v per partition · 2^p) bytes, never the whole
+            partition, so a hub node with millions of in-edges streams
+            through instead of materializing.
+            """
+            import numpy as np
+            import pandas as pd
+
+            acc: dict = {}
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                vs = pdf["v"].to_numpy()
+                mat = np.vstack(pdf["regs"].to_numpy())
+                order = np.argsort(vs, kind="stable")
+                vs = vs[order]
+                mat = mat[order]
+                bounds = np.flatnonzero(np.r_[True, vs[1:] != vs[:-1]])
+                reduced = np.maximum.reduceat(mat, bounds, axis=0)
+                for v, row in zip(vs[bounds], reduced):
+                    prev = acc.get(v)
+                    acc[v] = row if prev is None else np.maximum(prev, row)
+            if acc:
+                yield pd.DataFrame(
+                    {"v": list(acc.keys()), "regs": list(acc.values())}
+                )
+
+        packed = (
+            sketch.repartition("v")
+            .mapInPandas(_pack, schema=packed_schema)
+            .localCheckpoint(eager=True)
         )
-        sketch = (
-            sketch.union(propagated).groupBy("v", "reg").agg(
-                F.max("mj").alias("mj")
+        for _ in range(hops - 1):
+            propagated = (
+                e.alias("e")
+                .join(packed.alias("s"), F.col("e.u") == F.col("s.v"))
+                .select(F.col("e.v").alias("v"), F.col("s.regs").alias("regs"))
             )
-        )
+            packed = (
+                propagated.union(packed)
+                .repartition("v")
+                .mapInPandas(_merge, schema=packed_schema)
+                .localCheckpoint(eager=True)
+            )
+        sketch = packed.select(
+            "v", F.posexplode("regs").alias("reg", "mj")
+        ).filter(F.col("mj") > 0)
     # estimate from sparse registers: absent registers contribute 2^61
     # each to the exact DECIMAL numerator (mj = 0). A PRESENT register
     # always has mj >= 1 (rho = w+1 - bitlength(shiftright(h, p)) and the
