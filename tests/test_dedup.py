@@ -87,6 +87,60 @@ def test_ngram_jaccard_guard_paths_equivalent(spark):
     assert kernel  # the guard must not empty the result entirely
 
 
+def test_containment_guard_paths_equivalent(spark):
+    """VERDICT r9 #2 dirty contract: containment_pairs now carries the
+    same max_df hot-shingle guard as its sibling. Corpus crafted so the
+    guard bites (a boilerplate shingle in ALL docs, df=7 > 2): the
+    in-kernel searchsorted mask and the distributed anti-join fallback
+    must agree exactly, a vacuous cutoff must reproduce the unguarded
+    result, and the guarded scores must be the exact containment of the
+    df-FILTERED sets (the embedded excerpt still scores 1.0 after the
+    boilerplate leaves its shingle universe)."""
+    common = "alpha beta gamma"
+    rows = [
+        (i, f"{common} doc{i % 3} unique{i} tail{i} words here and more")
+        for i in range(6)
+    ]
+    # doc 100 = a verbatim excerpt of doc 0 (prefix incl. the hot shingle):
+    # containment must survive the guard via the df-filtered sizes
+    rows.append((100, f"{common} doc0 unique0 tail0"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def run(**kw):
+        return sorted(
+            (r.id_a, r.id_b, r.n_a, r.n_b, r.shared, r.containment, r.jaccard)
+            for r in DD.containment_pairs(
+                df, k_shingle=3, threshold=0.5, max_df=2, **kw
+            ).collect()
+        )
+
+    kernel = run()
+    fallback = run(hot_broadcast_limit=0)
+    assert kernel == fallback
+    emb = {(a, b): (na, nb, c) for a, b, na, nb, _s, c, _j in kernel}
+    # doc 100 has 4 shingles; "alpha beta gamma" (df=7) and "beta gamma
+    # doc0" (df=3: docs 0, 3, 100) exceed the df>2 cutoff, so 2 survive
+    # ("gamma doc0 unique0", "doc0 unique0 tail0") — both inside doc 0
+    # → containment 2/2 = 1.0 over the filtered sets
+    assert emb[(0, 100)][1] == 2 and emb[(0, 100)][2] == 1.0
+    # vacuous cutoff ≡ unguarded operator, bit for bit
+    vacuous = sorted(
+        (r.id_a, r.id_b, r.n_a, r.n_b, r.shared, r.containment, r.jaccard)
+        for r in DD.containment_pairs(
+            df, k_shingle=3, threshold=0.5, max_df=10_000
+        ).collect()
+    )
+    unguarded = sorted(
+        (r.id_a, r.id_b, r.n_a, r.n_b, r.shared, r.containment, r.jaccard)
+        for r in DD.containment_pairs(df, k_shingle=3, threshold=0.5).collect()
+    )
+    assert vacuous == unguarded
+    # and the guard genuinely changed the universe (hot shingles dropped:
+    # the unguarded embed pair counts all 4 excerpt shingles)
+    ung = {(r[0], r[1]): r[3] for r in unguarded}
+    assert ung[(0, 100)] == 4
+
+
 def test_simhash_pairs_complete_at_high_threshold(spark):
     # pigeonhole completeness: every pair with hamming <= max_hamming must be
     # found, for thresholds well beyond the old fixed 4-chunk limit of 3 —
