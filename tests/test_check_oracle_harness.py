@@ -165,57 +165,66 @@ def test_every_registry_entry_has_an_oracle_twin():
     assert qs <= oracles, sorted(qs - oracles)
 
 
-#: The shipped round-9 prefix, band by band. The boundaries are
+#: The shipped round-10 prefix, band by band. The boundaries are
 #: load-bearing: the driver grades exactly slots 1-50, and the band
-#: arithmetic (1+6+42+1 = 50) is what makes the next rotation a pure cut
+#: arithmetic (7+37+6 = 50) is what makes the next rotation a pure cut
 #: at slot 50. Update ONLY together with the rotation docstring in
 #: queries().
-R9_PRIORITY_A = ["khop_reach_sketched"]
-R9_R1R2_REEARNERS = [
-    "embedding_near_dup", "embedding_normalize", "events_props_extract",
-    "events_windowed", "fingerprint_rolling", "frequent_tokens",
+R10_PRIORITY_A = [
+    "khop_reach_sketched", "containment",
+    "ngram_jaccard_pairs", "near_dup_groups_exact",
+    "near_dup_groups_star", "dedup_recall",
+    "streaming_dedup",
 ]
-R9_R3_GREEN = [
-    "remove_boilerplate", "dedup_paragraphs", "quality_flags",
-    "mix_sources", "url_normalize", "cap_per_domain",
-    "asof_tolerance", "tfidf_top_terms", "topk_quality_docs",
-    "lang_stats", "user_totals", "asof_join",
-    "lang_source_rollup", "lang_source_cube", "length_quantiles",
-    "deterministic_sample", "stratified_sample", "embedding_centroids",
-    "anti_join_orderless_customers", "distinct_users_exact", "window_top_orders_per_segment",
-    "tpch_q1_pricing_summary", "tpch_q3_shipping_priority", "tpch_q5_local_supplier_volume",
-    "tpch_q6_forecast_revenue", "tpch_q10_returned_items", "tpch_q4_order_priority",
-    "tpch_q13_order_distribution", "tpch_q7_nation_volume", "tpch_q14_promo_revenue",
-    "tpch_q15_top_supplier", "tpch_q17_small_qty_revenue", "tpch_q18_large_orders",
-    "tpch_q19_band_revenue", "tpch_q8_market_share", "tpch_q12_late_lines",
-    "tpch_q21_sole_late_supplier", "tpch_q22_idle_rich_customers", "split_corpus",
-    "top_fraction_per_source", "dedup_incremental", "embedding_quantize",
+R10_R4_GREEN = [
+    "ates_geojson_features", "geojson_features",
+    "x12_html_popup", "x13_recipe_layers",
+    "kmeans_embeddings", "semantic_dedup",
+    "duplicate_spans", "temperature_resample",
+    "build_vocab", "range_join",
+    "hypertable_rollup", "unigram_logprob",
+    "dedup_incremental_lsh", "pretrain_pipeline",
+    "score_buckets", "bigram_logprob",
+    "strip_duplicate_spans", "jsonl_roundtrip",
+    "quantized_topk", "minhash_lsh_pairs",
+    "simhash_pairs", "near_dup_groups",
+    "decontaminate_bloom", "lsh_topk",
+    "embedding_near_dup_lsh", "length_quantiles_approx",
+    "distinct_users_approx", "dedup_exact",
+    "decontaminate", "events_sessionize",
+    "events_attribution_join", "cosine_topk",
+    "text_quality", "repetition_stats",
+    "pack_sequences", "redact_pii",
+    "chunk_documents",
 ]
-R9_S2_QUOTA = ["ates_kml_placemarks"]
-R10_QUEUE_HEAD = [
-    # the rest of the r9 §2 band (r4-vintage — within the ≤6-round
-    # contract in r10, where they form the r10 quota band), then the
-    # r4-green set follows
-    "ates_geojson_features", "geojson_features", "x12_html_popup",
-    "x13_recipe_layers",
-    "kmeans_embeddings", "semantic_dedup", "duplicate_spans",
+R10_R5_HEAD = [
+    "tpch_q2_min_cost_supplier", "tpch_q9_product_profit",
+    "tpch_q11_important_parts", "tpch_q16_supplier_part_counts",
+    "tpch_q20_promotable_suppliers", "unpivot_measures",
+]
+R11_QUEUE_HEAD = [
+    # the remaining r5-green set leads the r11 queue (vintage-FIFO)
+    "rolling_features", "normalize_text",
+    "winsorize_values", "contamination_report",
+    "decontaminate_fraction", "truncate_to_budget",
+    "csv_roundtrip",
 ]
 
 
-def test_round9_graded_prefix_is_the_documented_rotation():
+def test_round10_graded_prefix_is_the_documented_rotation():
     """The driver grades only the FIRST 50 queries() entries (dict
     order), so the prefix IS the round's verification plan — an
     accidental dict reshuffle would silently spend the round re-grading
-    the wrong entries. Pin the shipped round-9 prefix band by band AND
-    the head of the round-10 queue, so the next rotation stays a pure
+    the wrong entries. Pin the shipped round-10 prefix band by band AND
+    the head of the round-11 queue, so the next rotation stays a pure
     cut at slot 50."""
     import __spark_entry__ as entrymod
 
     bands = [
-        ("priority-a (khop edge-table persist)", R9_PRIORITY_A, 1),
-        ("r1/r2 re-earners", R9_R1R2_REEARNERS, 6),
-        ("r3-green vintage-FIFO drain", R9_R3_GREEN, 42),
-        ("§2 quota", R9_S2_QUOTA, 1),
+        ("priority-a (7 changed-code entries incl. the new streaming_dedup)",
+         R10_PRIORITY_A, 7),
+        ("r4-green vintage-FIFO drain (contract deadline)", R10_R4_GREEN, 37),
+        ("r5-green FIFO head", R10_R5_HEAD, 6),
     ]
     assert [len(b) for _, b, _ in bands] == [n for _, _, n in bands]
     want = [name for _, band, _ in bands for name in band]
@@ -225,20 +234,23 @@ def test_round9_graded_prefix_is_the_documented_rotation():
     assert got == want, [
         (i, g, w) for i, (g, w) in enumerate(zip(got, want)) if g != w
     ]
-    # round-10 queue head: the remaining §2 band then the r4-green set
-    assert names[50:50 + len(R10_QUEUE_HEAD)] == R10_QUEUE_HEAD
-    # the freshest rows (r8-graded prefix) sit at the very back
-    assert names[-1] == "dedup_exact_survivors"
+    # round-11 queue head: the remaining r5-green set
+    assert names[50:50 + len(R11_QUEUE_HEAD)] == R11_QUEUE_HEAD
+    # the freshest rows (r9-graded prefix) sit at the very back
+    assert names[-1] == "ates_kml_placemarks"
     assert "khop_reach_sketched" not in names[50:]
+    assert "containment" not in names[50:]
 
 
-def test_registry_is_279_post_freeze():
+def test_registry_is_280_post_freeze():
     """The freeze lifted in round 8 (VERDICT r7 #1/#2): the 278-entry
-    frozen registry plus khop_reach_sketched, the first post-freeze
-    addition. Update this count together with the rotation docstring."""
+    frozen registry plus khop_reach_sketched (round 8) and
+    streaming_dedup (round 10 — the graded Structured Streaming
+    execution). Update this count together with the rotation
+    docstring."""
     import __spark_entry__ as entrymod
 
-    assert len(entrymod.queries()) == 279
+    assert len(entrymod.queries()) == 280
 
 
 def test_embedding_validity_view_covers_every_embeddings_scan():
@@ -272,7 +284,7 @@ def test_time_domain_view_covers_every_listed_twin():
         "AND ts < TIMESTAMP '2100-01-01 00:00:00'"
     )
     o = entrymod.oracle_sql()
-    assert len(entrymod._TIME_DOMAIN_TWINS) == 33
+    assert len(entrymod._TIME_DOMAIN_TWINS) == 34  # +streaming_dedup (r10)
     for name in entrymod._TIME_DOMAIN_TWINS:
         stripped = o[name].replace(view, "")
         assert not re.search(r"FROM events\b", stripped), (
@@ -281,29 +293,17 @@ def test_time_domain_view_covers_every_listed_twin():
 
 
 def test_events_domain_rewrite_is_table_name_anchored():
-    """ADVICE r8 #1 regression pin: the `FROM events` rewrite must not
-    fire on longer table names (`events_archive` would silently become
-    the domain view aliased `events_archive` — wrong table, quiet hash
-    divergence) and must keep the single-letter alias whitelist (a
-    keyword after a bare scan is not an alias)."""
+    """ADVICE r8 #1 regression pin, now on the SHIPPED helper (ADVICE r9
+    #1: the old pin re-implemented the regex locally and would still
+    pass if __spark_entry__ lost the \\b anchor): the `FROM events`
+    rewrite must not fire on longer table names (`events_archive` would
+    silently become the domain view aliased `events_archive` — wrong
+    table, quiet hash divergence) and must keep the single-letter alias
+    whitelist (a keyword after a bare scan is not an alias)."""
     import __spark_entry__ as entrymod
 
-    o = entrymod.oracle_sql()
-    # grab any rewritten twin to recover the rewrite via the module
-    # (the function is a closure inside oracle_sql; probe its behavior
-    # through crafted twins by re-running the module-level regex)
-    import re
-
-    ts_view = (
-        "SELECT * FROM events WHERE ts >= TIMESTAMP '1970-01-01 00:00:00' "
-        "AND ts < TIMESTAMP '2100-01-01 00:00:00'"
-    )
-
-    def sub(m):
-        alias = m.group(1)
-        return f"FROM ({ts_view})" + (alias if alias else " events")
-
-    rewrite = lambda s: re.sub(r"FROM events\b(\s+[lre]\b)?", sub, s)
+    rewrite = entrymod.events_domain_rewrite
+    ts_view = entrymod.TS_VIEW_SQL
     # 1) longer table names are untouched
     assert rewrite("SELECT * FROM events_archive") == (
         "SELECT * FROM events_archive"
@@ -314,8 +314,8 @@ def test_events_domain_rewrite_is_table_name_anchored():
     # 3) whitelisted alias is preserved
     got = rewrite("SELECT e.ts FROM events e JOIN t ON 1=1")
     assert got == f"SELECT e.ts FROM ({ts_view}) e JOIN t ON 1=1"
-    # 4) the shipped rewrite in oracle_sql() matches this local copy on
-    # every listed twin (drift between test and module fails here)
+    # 4) oracle_sql() routes every listed twin through THIS helper
+    o = entrymod.oracle_sql()
     for name in entrymod._TIME_DOMAIN_TWINS:
         assert f"({ts_view})" in o[name], name
 
