@@ -76,9 +76,14 @@ def build_table_dfs(
     ``area_id`` is a NUMBER in the reference (``src/from-ground-up.js:129``;
     the HTTP route admits only ``\\d+`` — service.py:26), so coerce here:
     an HTTP-layer string like ``"7"`` binds as the integer 7, and garbage
-    raises a clear ValueError instead of a mid-plan ANSI cast error."""
+    raises a clear ValueError instead of a mid-plan ANSI cast error.
+    Coercion goes through ``int(str(...))`` (ADVICE r9): a bare
+    ``int(7.9)`` would silently truncate to area 7 — a digits-only
+    contract must reject non-integral floats, not round them."""
     if area_id is not None:
-        area_id = int(area_id)
+        # int(str(x)) accepts ints and digit-strings; 7.9 (or "7.9")
+        # raises instead of exporting the wrong area
+        area_id = int(str(area_id))
     out: list[tuple[str, DataFrame]] = []
     for q in ates_queries(ogr_type):
         if area_id is None:

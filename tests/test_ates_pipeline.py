@@ -204,3 +204,7 @@ def test_export_area_id_is_coerced_and_validated(ates_catalog):
     assert d["type"] == "FeatureCollection" and d["features"] == []
     with pytest.raises(ValueError):
         export_geojson_document(ates_catalog, "no-such-area")
+    # ADVICE r9: a non-integral float must be REJECTED, not silently
+    # truncated to a different area's export (int(7.9) -> area 7)
+    with pytest.raises(ValueError):
+        export_geojson_document(ates_catalog, 7.9)
