@@ -43,7 +43,7 @@ ATES_TABLES = (
 def pg_env(monkeypatch):
     """The reference's run_mapboxing.bash env contract."""
     monkeypatch.delenv("ATES_CONNECTION_STRING", raising=False)
-    monkeypatch.setenv("PGHOST", "db.example.internal")
+    monkeypatch.setenv("PGHOST", "pg.example.org")
     monkeypatch.setenv("PGDATABASE", "ates_prod")
     monkeypatch.setenv("PGUSER", "ates_ro")
     monkeypatch.setenv("PGPASSWORD", "s3cret")
@@ -57,7 +57,7 @@ def test_pg_reader_options_golden_for_every_ates_table(pg_env):
     for t in ATES_TABLES:
         opts = jdbc_options(f'"{t}"')
         assert opts == {
-            "url": "jdbc:postgresql://db.example.internal/ates_prod",
+            "url": "jdbc:postgresql://pg.example.org/ates_prod",
             "dbtable": f'"{t}"',
             "user": "ates_ro",
             "password": "s3cret",
