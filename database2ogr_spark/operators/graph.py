@@ -742,15 +742,18 @@ def khop_reach_approx(
                 if len(pdf) == 0:
                     continue
                 vs = pdf["v"].to_numpy()
-                regs = pdf["reg"].to_numpy()
-                mjs = pdf["mj"].to_numpy()
-                for v in pd.unique(vs):
-                    mask = vs == v
+                order = np.argsort(vs, kind="stable")
+                vs = vs[order]
+                regs = pdf["reg"].to_numpy()[order].astype(np.int64)
+                mjs = pdf["mj"].to_numpy()[order].astype(np.int8)
+                bounds = np.flatnonzero(np.r_[True, vs[1:] != vs[:-1]])
+                ends = np.r_[bounds[1:], len(vs)]
+                for v, s, e in zip(vs[bounds], bounds, ends):
                     arr = acc.get(v)
                     if arr is None:
                         arr = np.zeros(m, dtype=np.int8)
                         acc[v] = arr
-                    np.maximum.at(arr, regs[mask].astype(np.int64), mjs[mask].astype(np.int8))
+                    np.maximum.at(arr, regs[s:e], mjs[s:e])
             if acc:
                 yield pd.DataFrame(
                     {"v": list(acc.keys()), "regs": list(acc.values())}
