@@ -584,3 +584,27 @@ def test_khop_reach_approx_duckdb_register_merge_twin(spark):
     assert set(got) == set(want)
     diffs = {n: (got[n], want[n]) for n in got if got[n] != want[n]}
     assert not diffs, dict(list(diffs.items())[:5])
+
+
+def test_khop_reach_approx_hops_one_and_three_paths(spark):
+    """The round-10 packed rewrite has three control paths: hops=1 skips
+    packing entirely (long-form S0 feeds the estimate tail), hops=2 runs
+    ONE merge iteration, hops>=3 exercises the repeated
+    checkpoint/propagate/union loop. Pin the 1- and 3-hop paths against
+    exact reach on a path graph (linear counting regime: estimates land
+    within a fraction of a count)."""
+    from database2ogr_spark.operators.graph import khop_reach, khop_reach_approx
+
+    # path 1->2->3->4->5 plus a branch 1->6
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (1, 6)], "src long, dst long"
+    )
+    for hops in (1, 3):
+        exact = {r.node: r.n_reach for r in khop_reach(e, hops=hops).collect()}
+        est = {
+            r.node: r.estimate
+            for r in khop_reach_approx(e, hops=hops).collect()
+        }
+        assert set(est) == set(exact), hops
+        for node, n in exact.items():
+            assert abs(est[node] - n) / n < 0.10, (hops, node, est[node], n)
