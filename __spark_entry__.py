@@ -99,7 +99,7 @@ _TIME_DOMAIN_TWINS = (
     "funnel_steps", "funnel_windowed", "retention_cohorts",
     "events_windowed", "events_sessionize", "events_attribution_join",
     "hypertable_rollup", "top_journeys", "transition_matrix",
-    "streaming_dedup",
+    "streaming_dedup", "streaming_dedup_evicting",
 )
 
 EMB_VALID_SQL = (
@@ -4187,24 +4187,39 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     processAllAvailable — and returns the sink table. Determinism comes
     from the graded surface, not from luck: only the dedup KEY columns
     are projected (identical across duplicates, so WHICH duplicate won
-    cannot show), and the watermark delay (3650 days) exceeds the
-    dataset's time span, so no key's state is evicted mid-run and every
-    distinct key emits exactly once regardless of micro-batch boundaries
-    — first-wins dedup over the full stream ≡ DISTINCT, the batch twin.
-    The bounded-state behavior the big watermark turns off here (late
-    re-emission after eviction) is pinned by
-    tests/test_streaming.py::test_streaming_dedup instead — it needs
-    controlled multi-batch arrival, not a graded corpus. Event-time
-    domain guard applied pre-dedup exactly like the other event-time
-    entries (within_time_domain; twin reads through the domain view)."""
+    cannot show), and the watermark delay EXCEEDS the dataset's time
+    span BY CONSTRUCTION (ADVICE r10: the old hard-coded 3650 days was
+    an unchecked assumption about the corpus — the time domain admits
+    [1970, 2100), so a wider corpus would evict state mid-run and break
+    oracle parity data-dependently; the delay is now derived from the
+    corpus span via a batch min/max probe, floored at 3650 days), so no
+    key's state is evicted mid-run and every distinct key emits exactly
+    once regardless of micro-batch boundaries — first-wins dedup over
+    the full stream ≡ DISTINCT, the batch twin. The bounded-state
+    eviction behavior the wide watermark turns off here is graded by
+    the streaming_dedup_evicting entry (deterministic 3-batch replay)
+    and pinned by tests/test_streaming.py. Event-time domain guard
+    applied pre-dedup exactly like the other event-time entries
+    (within_time_domain; twin reads through the domain view)."""
     from database2ogr_spark.operators.cleaning import within_time_domain
     from database2ogr_spark.streaming.events import (
+        read_events,
         read_events_stream,
         streaming_dedup,
     )
 
     sink = "streaming_dedup_sink"
     spark.catalog.dropTempView(sink)  # stale sink from a prior call
+    # derive a span-exceeding watermark delay from the corpus (batch
+    # min/max over parquet stats — cheap, and the 1-row collect is bounded)
+    span_row = (
+        within_time_domain(read_events(spark, os.path.join(sf_dir, "events.parquet")))
+        .agg(
+            (F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts"))).alias("s")
+        )
+        .collect()[0]
+    )
+    span_days = int((span_row["s"] or 0) // 86400) + 2
     # glob form: the file stream source requires its basePath to be a
     # directory, and a glob'd leaf makes basePath resolve to sf_dir
     stream = read_events_stream(spark, os.path.join(sf_dir, "events*.parquet"))
@@ -4212,7 +4227,7 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         streaming_dedup(
             within_time_domain(stream),
             ["user_id", "event_type"],
-            watermark="3650 days",
+            watermark=f"{max(3650, span_days)} days",
         )
         .writeStream.format("memory")
         .queryName(sink)
@@ -4223,6 +4238,104 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.processAllAvailable()
     finally:
         q.stop()
+    return spark.table(sink).select("user_id", "event_type")
+
+
+def q_streaming_dedup_evicting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GRADED STREAMING EVICTION (VERDICT r10 #3): the bounded-state path
+    of ``dropDuplicatesWithinWatermark`` — the behavior the wide-watermark
+    ``streaming_dedup`` entry deliberately turns off — executed
+    deterministically and hash-checked against a DuckDB twin that encodes
+    the watermark-eviction rule.
+
+    Determinism comes from three constructions, each load-bearing:
+    (1) micro-batch boundaries are pinned by ``stage_replay`` — the
+    domain-filtered events are split into THREE time-ordered batches at
+    hour-grid tertile cuts and replayed one-file-per-trigger, so which
+    rows share a batch is data-defined, not scheduler-defined;
+    (2) event times are hour-truncated and each key is collapsed to its
+    MIN event time per batch, so the state row a key arms is unique (the
+    within-batch "first seen" row would otherwise be partition-order
+    nondeterministic); (3) the delay δ=100 min keeps every comparison off
+    the hour grid (2δ = 200 min ≢ 0 mod 60 min), so no < vs ≤ boundary
+    ambiguity exists anywhere.
+
+    The eviction rule the twin encodes was pinned EMPIRICALLY (4-batch
+    probe, regression test test_streaming.py::
+    test_dedup_eviction_semantics_lagging_cleanup): state probes check
+    EXISTENCE only (a logically-expired entry still drops duplicates),
+    duplicates never refresh stored expiry, and physical removal runs at
+    end-of-batch j with the LAGGING watermark max_ts(batches ≤ j−1) − δ.
+    Hence, with M1 = max staged batch-1 event time: batch-1 keys emit
+    once; batch-2 keys emit iff unseen in batch 1 (watermark still epoch
+    during batch 2 — nothing evicted yet); batch-3 keys emit iff their
+    batch-1 state was evicted at end of batch 2 (first_ts < M1 − 2δ) or
+    they were never armed (absent from batch 1 AND batch 2). Output is
+    the (user_id, event_type) emission multiset — a key evicted and
+    re-armed appears twice, which IS the documented bounded-state trade."""
+    import shutil
+    import tempfile
+
+    from database2ogr_spark.operators.cleaning import within_time_domain
+    from database2ogr_spark.streaming.events import (
+        read_events,
+        stage_replay,
+        streaming_dedup,
+    )
+
+    sink = "streaming_dedup_evicting_sink"
+    spark.catalog.dropTempView(sink)
+    keyed = (
+        within_time_domain(read_events(spark, os.path.join(sf_dir, "events.parquet")))
+        .select(
+            "user_id",
+            "event_type",
+            F.date_trunc("hour", F.col("ts")).alias("tsh"),
+        )
+    )
+    b = keyed.agg(
+        F.unix_timestamp(F.min("tsh")).alias("mn"),
+        F.unix_timestamp(F.max("tsh")).alias("mx"),
+    ).collect()[0]
+    if b["mn"] is None:  # empty-domain corpus (dirty-probe tier): no stream
+        return spark.createDataFrame([], "user_id bigint, event_type string")
+    mn, mx = int(b["mn"]), int(b["mx"])
+    span = mx - mn
+    c1 = mn + (span // 10800) * 3600  # tertile cuts on the hour grid
+    c2 = mn + ((2 * span) // 10800) * 3600
+    te = F.unix_timestamp(F.col("tsh"))
+
+    def _batch(lo: int | None, hi: int | None) -> DataFrame:
+        src = keyed
+        if lo is not None:
+            src = src.filter(te >= F.lit(lo))
+        if hi is not None:
+            src = src.filter(te < F.lit(hi))
+        return src.groupBy("user_id", "event_type").agg(F.min("tsh").alias("ts"))
+
+    tmp = tempfile.mkdtemp(prefix="sdedup_evict_")
+    try:
+        glob, _n = stage_replay(
+            [_batch(None, c1), _batch(c1, c2), _batch(c2, None)], tmp
+        )
+        stream = (
+            spark.readStream.schema("user_id bigint, event_type string, ts timestamp")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(glob)
+        )
+        q = (
+            streaming_dedup(stream, ["user_id", "event_type"], watermark="100 minutes")
+            .writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
     return spark.table(sink).select("user_id", "event_type")
 
 
@@ -4806,112 +4919,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     EXACT next-round priority order, making each rotation a pure cut at
     slot 50.
 
-    N=280 (post-freeze additions: khop_reach_sketched in round 8,
-    streaming_dedup in round 10 — the graded Structured Streaming
-    execution, VERDICT r9 #3). The honest rotation contract: with N=280
-    and a 50-slot gate, every entry is re-graded within ceil(280/50) = 6
-    rounds of its last row — sooner for the priority classes below.
-    Prefix priority: (a) entries whose code or oracle CHANGED this
-    round, (b) entries that have NEVER held a driver row, (c)
-    re-earners, oldest rows first.
+    N=281 (post-freeze additions: khop_reach_sketched in round 8,
+    streaming_dedup in round 10, streaming_dedup_evicting in round 11 —
+    the deterministic bounded-state eviction grading, VERDICT r10 #3).
+    The honest rotation contract: with N=281 and a 50-slot gate, every
+    entry is re-graded within ceil(281/50) = 6 rounds of its last row —
+    sooner for the priority classes below. Prefix priority: (a) entries
+    whose code or oracle CHANGED this round, (b) entries that have
+    NEVER held a driver row, (c) re-earners, oldest rows first.
 
     PERMANENT §2 QUOTA (VERDICT r6 #6): ~5 prefix slots per round are
     reserved for the OLDEST reference-surface (SURVEY §2) rows
-    regardless of the re-earner queue. This round the quota band
-    (ates_geojson_features, geojson_features, x12_html_popup,
-    x13_recipe_layers) leads the r4-vintage drain — quota and FIFO
-    coincide, exactly as the r9 rotation planned.
+    regardless of the re-earner queue. This round the r5 FIFO band
+    contains no §2 entries, so the quota is served explicitly: the five
+    oldest §2 rows (r7-vintage: a1_distinct, s2_full_scan, u1_union,
+    p3_envelope, j2_dim_lookup) take slots 40-44.
 
-    Round 10 prefix (50): priority-(a) first — SEVEN entries whose code
-    changed (khop_reach_sketched: HyperANF rewritten onto packed
-    register arrays; containment: max_df guard + entry + oracle change;
-    ngram_jaccard_pairs / near_dup_groups_exact / near_dup_groups_star /
-    dedup_recall: all ride the refactored _guarded_gram_table kernel;
-    streaming_dedup: new entry, priority (b)) — then the FULL 37-row
-    remainder of the r4-green set (at its 6-round contract deadline,
-    ordered as laid down in round 9), then the six oldest r5-green rows
-    (tpch_q2 … unpivot_measures) = 7+37+6 = 50. After this round the
-    oldest surviving rows are r5-vintage — within the ≤6-round contract
-    through round 11.
+    Round 11 prefix (50): priority slots first — streaming_dedup (a:
+    watermark delay now derived from the corpus span, ADVICE r10 #2;
+    stream reader nanos fallback, ADVICE r10 #1) and
+    streaming_dedup_evicting (b: new) — then the FULL 37-row r5-green
+    band (at its 6-round contract deadline, ordered as laid down in
+    round 10), the five-row §2 quota band, and the six oldest r6-green
+    rows (validate_constraints … normalize_homoglyphs, pulled forward
+    to soften r12) = 2+37+5+6 = 50. After this round the oldest
+    surviving rows are r6-vintage — within the ≤6-round contract
+    through round 12.
 
-    Round 11 queue (dict order below slot 50): the remaining 37
-    r5-green rows (rolling_features leads), then the r6/r7/r8-green
-    sets in vintage order, and last the round-9-graded prefix (freshest
-    rows at the back; prefix members excluded — they re-earn in this
-    round's slots 1-7)."""
+    Round 12 queue (dict order below slot 50): the remaining 41
+    r6-green rows (bpe_learn leads), then the r7 band (the five
+    remaining §2 r7 rows — x1_slugify … f5_nonblank_tokens — are r12's
+    quota band), the r8/r9-green sets in vintage order, and last the
+    round-10-graded prefix (freshest rows at the back; this round's
+    prefix members excluded — they re-earn in slots 1-2)."""
     return {
-    # --- ROUND 10 PREFIX (50). Priority (a) first — the seven entries
-    # whose code or oracle changed in round 10: khop_reach_sketched
-    # (HyperANF rewritten onto packed register arrays — results proven
-    # bit-identical, driver row must reflect shipped code), containment
-    # (max_df hot-shingle guard added, entry now passes max_df=100,
-    # oracle mirrors the filter), ngram_jaccard_pairs /
-    # near_dup_groups_exact / near_dup_groups_star / dedup_recall (all
-    # ride the refactored shared _guarded_gram_table kernel), and
-    # streaming_dedup (NEW registry entry — priority (b): the graded
-    # Structured Streaming execution, VERDICT r9 #3). ------------------
-        "khop_reach_sketched": q_khop_reach_sketched,
-        "containment": q_containment,
-        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
-        "near_dup_groups_exact": q_near_dup_groups_exact,
-        "near_dup_groups_star": q_near_dup_groups_star,
-        "dedup_recall": q_dedup_recall,
+    # --- ROUND 11 PREFIX (50). Priority slots first: streaming_dedup
+    # (a: code changed — the watermark delay is now DERIVED from the
+    # corpus span instead of the hard-coded 3650 days, ADVICE r10 #2;
+    # the stream reader also gained the nanos-parquet fallback, ADVICE
+    # r10 #1) and streaming_dedup_evicting (b: NEW — the bounded-state
+    # watermark-EVICTION path executed as a deterministic 3-batch
+    # replay, VERDICT r10 #3). -------------------------------------------
         "streaming_dedup": q_streaming_dedup,
-    # --- the r4-vintage FIFO drain (37 = the 39-entry r4-green set
-    # minus ngram_jaccard_pairs and near_dup_groups_star, promoted to
-    # the priority-(a) band above): these rows turn 6 rounds old at
-    # r10, so this round is their contract deadline. The first four are
-    # the r10 §2-quota band (ates_geojson_features, geojson_features,
-    # x12_html_popup, x13_recipe_layers) exactly as the r9 rotation
-    # pinned. -----------------------------------------------------------
-        "ates_geojson_features": q_ates_geojson_features,
-        "geojson_features": q_geojson_features,
-        "x12_html_popup": q_x12_html_popup,
-        "x13_recipe_layers": q_x13_recipe_layers,
-        "kmeans_embeddings": q_kmeans_embeddings,
-        "semantic_dedup": q_semantic_dedup,
-        "duplicate_spans": q_duplicate_spans,
-        "temperature_resample": q_temperature_resample,
-        "build_vocab": q_build_vocab,
-        "range_join": q_range_join,
-        "hypertable_rollup": q_hypertable_rollup,
-        "unigram_logprob": q_unigram_logprob,
-        "dedup_incremental_lsh": q_dedup_incremental_lsh,
-        "pretrain_pipeline": q_pretrain_pipeline,
-        "score_buckets": q_score_buckets,
-        "bigram_logprob": q_bigram_logprob,
-        "strip_duplicate_spans": q_strip_duplicate_spans,
-        "jsonl_roundtrip": q_jsonl_roundtrip,
-        "quantized_topk": q_quantized_topk,
-        "minhash_lsh_pairs": q_minhash_lsh_pairs,
-        "simhash_pairs": q_simhash_pairs,
-        "near_dup_groups": q_near_dup_groups,
-        "decontaminate_bloom": q_decontaminate_bloom,
-        "lsh_topk": q_lsh_topk,
-        "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
-        "length_quantiles_approx": q_length_quantiles_approx,
-        "distinct_users_approx": q_distinct_users_approx,
-        "dedup_exact": q_dedup_exact,
-        "decontaminate": q_decontaminate,
-        "events_sessionize": q_events_sessionize,
-        "events_attribution_join": q_events_attribution_join,
-        "cosine_topk": q_cosine_topk,
-        "text_quality": q_text_quality,
-        "repetition_stats": q_repetition_stats,
-        "pack_sequences": q_pack_sequences,
-        "redact_pii": q_redact_pii,
-        "chunk_documents": q_chunk_documents,
-    # --- vintage-FIFO continues: the six oldest r5-green rows ----------
-        "tpch_q2_min_cost_supplier": q_tpch_q2_min_cost_supplier,
-        "tpch_q9_product_profit": q_tpch_q9_product_profit,
-        "tpch_q11_important_parts": q_tpch_q11_important_parts,
-        "tpch_q16_supplier_part_counts": q_tpch_q16_supplier_part_counts,
-        "tpch_q20_promotable_suppliers": q_tpch_q20_promotable_suppliers,
-        "unpivot_measures": q_unpivot_measures,
-    # --- ROUND 11 QUEUE (exact next-round priority order): the
-    # remaining r5-green set, then the r6/r7/r8-green sets in vintage
-    # order, and the round-9-graded prefix at the very back (freshest
-    # rows last; prefix members excluded — they re-earn above). ---------
+        "streaming_dedup_evicting": q_streaming_dedup_evicting,
+    # --- the r5-vintage FIFO drain (37): these rows turn 6 rounds old
+    # at r11 — the contract deadline (VERDICT r10 #1), in exactly the
+    # order the r10 rotation queued them. --------------------------------
         "rolling_features": q_rolling_features,
         "normalize_text": q_normalize_text,
         "winsorize_values": q_winsorize_values,
@@ -4949,12 +5002,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pmi_bigrams": q_pmi_bigrams,
         "pretrain_ledger": q_pretrain_ledger,
         "stupid_backoff": q_stupid_backoff,
+    # --- PERMANENT §2 QUOTA (VERDICT r6 #6, ~5 slots): the five oldest
+    # reference-surface rows (r7-vintage, due r13 — served early because
+    # the r5 FIFO band contains no §2 entries this round). ---------------
+        "a1_distinct": q_a1_distinct,
+        "s2_full_scan": q_s2_full_scan,
+        "u1_union": q_u1_union,
+        "p3_envelope": q_p3_envelope,
+        "j2_dim_lookup": q_j2_dim_lookup,
+    # --- vintage-FIFO continues: the six oldest r6-green rows (pulled
+    # forward to soften r12, where the 41 remaining r6 rows come due). ---
         "validate_constraints": q_validate_constraints,
         "pivot_event_counts": q_pivot_event_counts,
         "late_interaction": q_late_interaction,
         "sketch_rollup": q_sketch_rollup,
         "curriculum_order": q_curriculum_order,
         "normalize_homoglyphs": q_normalize_homoglyphs,
+    # --- ROUND 12 QUEUE (exact next-round priority order): the
+    # remaining r6-green set (due r12), then the r7 band (corpus_
+    # divergence leads; the five remaining §2 r7 rows are next — r12's
+    # quota band), the r8 and r9 bands in vintage order, and the
+    # round-10-graded prefix at the very back (freshest rows last; this
+    # round's prefix members excluded — they re-earn above). -------------
         "bpe_learn": q_bpe_learn,
         "bpe_segment": q_bpe_segment,
         "novelty_stats": q_novelty_stats,
@@ -4997,11 +5066,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "l_diversity": q_l_diversity,
         "lexical_diversity": q_lexical_diversity,
         "corpus_divergence": q_corpus_divergence,
-        "a1_distinct": q_a1_distinct,
-        "s2_full_scan": q_s2_full_scan,
-        "u1_union": q_u1_union,
-        "p3_envelope": q_p3_envelope,
-        "j2_dim_lookup": q_j2_dim_lookup,
         "x1_slugify": q_x1_slugify,
         "x2_reverse_stem": q_x2_reverse_stem,
         "x4_coords_key": q_x4_coords_key,
@@ -5093,7 +5157,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "minhash_signatures": q_minhash_signatures,
         "dedup_exact_survivors": q_dedup_exact_survivors,
-    # --- round-9-graded prefix (freshest driver rows) ------------------
         "embedding_near_dup": q_embedding_near_dup,
         "embedding_normalize": q_embedding_normalize,
         "events_props_extract": q_events_props_extract,
@@ -5143,6 +5206,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental": q_dedup_incremental,
         "embedding_quantize": q_embedding_quantize,
         "ates_kml_placemarks": q_ates_kml_placemarks,
+        "khop_reach_sketched": q_khop_reach_sketched,
+        "containment": q_containment,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "near_dup_groups_exact": q_near_dup_groups_exact,
+        "near_dup_groups_star": q_near_dup_groups_star,
+        "dedup_recall": q_dedup_recall,
+        "ates_geojson_features": q_ates_geojson_features,
+        "geojson_features": q_geojson_features,
+        "x12_html_popup": q_x12_html_popup,
+        "x13_recipe_layers": q_x13_recipe_layers,
+        "kmeans_embeddings": q_kmeans_embeddings,
+        "semantic_dedup": q_semantic_dedup,
+        "duplicate_spans": q_duplicate_spans,
+        "temperature_resample": q_temperature_resample,
+        "build_vocab": q_build_vocab,
+        "range_join": q_range_join,
+        "hypertable_rollup": q_hypertable_rollup,
+        "unigram_logprob": q_unigram_logprob,
+        "dedup_incremental_lsh": q_dedup_incremental_lsh,
+        "pretrain_pipeline": q_pretrain_pipeline,
+        "score_buckets": q_score_buckets,
+        "bigram_logprob": q_bigram_logprob,
+        "strip_duplicate_spans": q_strip_duplicate_spans,
+        "jsonl_roundtrip": q_jsonl_roundtrip,
+        "quantized_topk": q_quantized_topk,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "simhash_pairs": q_simhash_pairs,
+        "near_dup_groups": q_near_dup_groups,
+        "decontaminate_bloom": q_decontaminate_bloom,
+        "lsh_topk": q_lsh_topk,
+        "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
+        "length_quantiles_approx": q_length_quantiles_approx,
+        "distinct_users_approx": q_distinct_users_approx,
+        "dedup_exact": q_dedup_exact,
+        "decontaminate": q_decontaminate,
+        "events_sessionize": q_events_sessionize,
+        "events_attribution_join": q_events_attribution_join,
+        "cosine_topk": q_cosine_topk,
+        "text_quality": q_text_quality,
+        "repetition_stats": q_repetition_stats,
+        "pack_sequences": q_pack_sequences,
+        "redact_pii": q_redact_pii,
+        "chunk_documents": q_chunk_documents,
+        "tpch_q2_min_cost_supplier": q_tpch_q2_min_cost_supplier,
+        "tpch_q9_product_profit": q_tpch_q9_product_profit,
+        "tpch_q11_important_parts": q_tpch_q11_important_parts,
+        "tpch_q16_supplier_part_counts": q_tpch_q16_supplier_part_counts,
+        "tpch_q20_promotable_suppliers": q_tpch_q20_promotable_suppliers,
+        "unpivot_measures": q_unpivot_measures,
     }
 
 
@@ -10541,6 +10653,50 @@ def oracle_sql() -> dict[str, str]:
         # the domain-filtered events
         "streaming_dedup": """
             SELECT DISTINCT user_id, event_type FROM events
+        """,
+        # twin of the EVICTING stream (q_streaming_dedup_evicting): encodes
+        # the empirically-pinned dropDuplicatesWithinWatermark state
+        # machine for the entry's 3-batch hour-grid replay. te = epoch of
+        # the hour-truncated event time; c1/c2 = tertile cuts (integer hour
+        # arithmetic, identical to the entry's Python); δ = 100 min so
+        # 2δ = 12000 s is never ≡ 0 mod 3600 (no boundary ties). Emission
+        # rule (see the entry docstring for the probe that pinned it):
+        # batch-1 keys always emit; batch-2 keys emit iff unseen in batch 1
+        # (nothing is evicted before batch 2 — the watermark lags a batch);
+        # batch-3 keys emit iff their batch-1 state was evicted at end of
+        # batch 2 (t1 < max(staged b1 ts) − 2δ) or they were never armed
+        # (absent from BOTH earlier batches).
+        "streaming_dedup_evicting": """
+            WITH k AS (
+              SELECT user_id, event_type,
+                     CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS te
+              FROM events
+            ),
+            b AS (SELECT min(te) AS mn, max(te) AS mx FROM k),
+            c AS (SELECT mn + ((mx - mn) // 10800) * 3600 AS c1,
+                         mn + ((2 * (mx - mn)) // 10800) * 3600 AS c2
+                  FROM b),
+            b1 AS (SELECT user_id, event_type, min(te) AS t1
+                   FROM k, c WHERE te < c1 GROUP BY user_id, event_type),
+            m1 AS (SELECT max(t1) AS m FROM b1),
+            b2 AS (SELECT DISTINCT user_id, event_type
+                   FROM k, c WHERE te >= c1 AND te < c2),
+            b3 AS (SELECT DISTINCT user_id, event_type
+                   FROM k, c WHERE te >= c2)
+            SELECT user_id, event_type FROM b1
+            UNION ALL
+            SELECT b2.user_id, b2.event_type
+            FROM b2 ANTI JOIN b1 USING (user_id, event_type)
+            UNION ALL
+            SELECT b3.user_id, b3.event_type
+            FROM b3
+            LEFT JOIN b1 USING (user_id, event_type)
+            CROSS JOIN m1
+            WHERE (b1.t1 IS NOT NULL AND b1.t1 < m1.m - 12000)
+               OR (b1.t1 IS NULL AND NOT EXISTS (
+                     SELECT 1 FROM b2
+                     WHERE b2.user_id = b3.user_id
+                       AND b2.event_type = b3.event_type))
         """,
         "events_sessionize": """
             WITH o AS (SELECT user_id, ts,

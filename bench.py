@@ -265,7 +265,15 @@ def _calibrate(spark, sf_dir: str) -> dict[str, float]:
     # risk, and a hard-coded pool size measures oversubscription on hosts
     # with fewer cores (ADVICE r9). Worker count is recorded so
     # cross-machine cpu_parallel_s comparisons stay meaningful.
-    n_workers = os.cpu_count() or 16
+    # sched_getaffinity (ADVICE r10): os.cpu_count() reports host logical
+    # CPUs and ignores cgroup quotas / CPU affinity, so in a constrained
+    # container the pool would measure oversubscription — the very artifact
+    # the r9 fix targeted. The affinity mask is what the scheduler will
+    # actually grant this process.
+    try:
+        n_workers = len(os.sched_getaffinity(0))
+    except (AttributeError, OSError):  # non-Linux fallback
+        n_workers = os.cpu_count() or 16
     with mp.get_context("spawn").Pool(n_workers) as pool:
         # warm the pool OUTSIDE the timed window: spawn workers re-import
         # this module (and pyspark) at startup, which is process-creation
@@ -408,17 +416,26 @@ def main() -> None:
     timings = {
         name: round(min(p[name] for p in per_pass), 3) for name in HEADLINE
     }
-    # per-pass spread (VERDICT r9 #1): max/min per query across the passes,
-    # so run-to-run instability is visible IN the sidecar instead of only
-    # when two sidecars disagree. 5 worst spreads inline; full per-pass
-    # matrix recorded too.
+    # per-pass spread (VERDICT r9 #1): max/min per query across the
+    # STEADY-STATE passes (2..N), so run-to-run instability is visible IN
+    # the sidecar instead of only when two sidecars disagree. Pass 1 is
+    # excluded from the spread (VERDICT r10 #2): each query's first
+    # execution pays its own whole-stage-codegen + C2 JIT compilation (the
+    # suite warmup covers shared infrastructure, not per-plan generated
+    # code), so including it headlined known-stable queries at 3-4x —
+    # first-pass warm-up, not instability — masking the r9 defect class the
+    # metric exists to catch. min() still aggregates over ALL passes (a
+    # warm-up-inflated pass can only lose). 5 worst spreads inline; the
+    # full per-pass matrix is recorded too, so the excluded pass stays
+    # auditable.
+    steady = per_pass[1:] if len(per_pass) > 1 else per_pass
     spread = {
         name: round(
-            max(p[name] for p in per_pass) / max(min(p[name] for p in per_pass), 1e-9),
+            max(p[name] for p in steady) / max(min(p[name] for p in steady), 1e-9),
             2,
         )
         for name in HEADLINE
-        if min(p[name] for p in per_pass) > 0.05
+        if min(p[name] for p in steady) > 0.05
     }
     worst_spread = dict(sorted(spread.items(), key=lambda kv: -kv[1])[:5])
 
@@ -457,6 +474,7 @@ def main() -> None:
                     {k: round(v, 3) for k, v in p.items()} for p in per_pass
                 ],
                 "worst5_spread": worst_spread,
+                "spread_passes": "2..N (pass 1 excluded: per-plan JIT warm-up)",
                 "loadavg_per_pass": pass_loadavg,
             },
             f,

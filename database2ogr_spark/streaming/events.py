@@ -55,12 +55,79 @@ def read_events_stream(
 ) -> DataFrame:
     """File-source stream over event parquet files (each micro-batch picks up
     new files — the local stand-in for a Kafka source; swap ``format`` and
-    options for Kafka in production, the downstream plan is unchanged)."""
-    return (
-        spark.readStream.schema(EVENTS_SCHEMA)
+    options for Kafka in production, the downstream plan is unchanged).
+
+    TIMESTAMP(NANOS) parity with :func:`read_events` (ADVICE r10): the file
+    stream source binds a FIXED schema, so on a nanos-written parquet a
+    TimestampType binding would fail or misread while the tolerant batch
+    twin passes — a silent batch/stream asymmetry. The physical type is
+    probed with a batch footer read of the same glob (cheap: footers only,
+    no data scan); if ``ts`` surfaces as ``bigint`` under ``nanosAsLong``
+    the stream binds LongType and applies the identical
+    nanos→micros conversion.
+    """
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
+    nanos_ts = False
+    try:
+        probed = spark.read.parquet(path_glob).schema
+        nanos_ts = any(
+            f.name == "ts" and isinstance(f.dataType, T.LongType) for f in probed
+        )
+    except Exception:
+        # unreadable/empty glob: keep the canonical schema; the stream will
+        # surface the real error (or stay empty) on start
+        pass
+    schema = EVENTS_SCHEMA
+    if nanos_ts:
+        schema = T.StructType(
+            [
+                f if f.name != "ts" else T.StructField("ts", T.LongType())
+                for f in EVENTS_SCHEMA
+            ]
+        )
+    stream = (
+        spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(path_glob)
     )
+    if nanos_ts:
+        # integer division, same as read_events: epoch nanos exceed double's
+        # 53-bit mantissa
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return stream
+
+
+#: fixed mtime base for replay staging (any constant works: only the
+#: RELATIVE order matters to the file source, which lists oldest-first)
+_REPLAY_MTIME_BASE = 1_700_000_000
+
+
+def stage_replay(batches: list[DataFrame], out_dir: str) -> tuple[str, int]:
+    """Write each frame as one parquet directory under ``out_dir`` and
+    arrange strictly ascending modification times so a file-source stream
+    with ``maxFilesPerTrigger=1`` replays them as micro-batches in EXACTLY
+    list order — deterministic micro-batch boundaries, which is what makes
+    watermark-eviction outcomes reproducible (the file source lists files
+    oldest-mtime-first; ``_``/``.``-prefixed side files are ignored by its
+    hidden-file filter).
+
+    Each batch is ``coalesce(1)`` — replay staging is for bounded graded /
+    test corpora, not a production data path. Returns ``(glob, n_batches)``
+    where ``glob`` is the path pattern to hand ``readStream``.
+    """
+    import os
+
+    for i, b in enumerate(batches):
+        p = os.path.join(out_dir, f"batch-{i:04d}")
+        b.coalesce(1).write.mode("overwrite").parquet(p)
+        stamp = _REPLAY_MTIME_BASE + i * 10
+        os.utime(p, (stamp, stamp))
+        for name in os.listdir(p):
+            os.utime(os.path.join(p, name), (stamp, stamp))
+    return os.path.join(out_dir, "*"), len(batches)
 
 
 def windowed_event_counts(

@@ -166,7 +166,13 @@ def main() -> int:
             continue
         finally:
             # same hygiene as bench.py: leftover persisted/localCheckpoint
-            # blocks from one entry must not shape the next entry's run
+            # blocks from one entry must not shape the next entry's run.
+            # INVARIANT (ADVICE r10): this release drops the localCheckpoint
+            # blocks backing sdf, and a checkpoint TRUNCATES lineage — sdf's
+            # DATA is permanently unrecomputable past this point. Everything
+            # below may touch only driver-side state captured above (srows,
+            # scols) and plan metadata (sdf.schema); any future edit that
+            # re-reads sdf rows must move the read inside the try block.
             spark.catalog.clearCache()
             benchmod._release_all_blocks(spark)
         # The driver's canonicalizer pandas-sorts cell values; list/dict

@@ -165,66 +165,70 @@ def test_every_registry_entry_has_an_oracle_twin():
     assert qs <= oracles, sorted(qs - oracles)
 
 
-#: The shipped round-10 prefix, band by band. The boundaries are
+#: The shipped round-11 prefix, band by band. The boundaries are
 #: load-bearing: the driver grades exactly slots 1-50, and the band
-#: arithmetic (7+37+6 = 50) is what makes the next rotation a pure cut
+#: arithmetic (2+37+5+6 = 50) is what makes the next rotation a pure cut
 #: at slot 50. Update ONLY together with the rotation docstring in
 #: queries().
-R10_PRIORITY_A = [
-    "khop_reach_sketched", "containment",
-    "ngram_jaccard_pairs", "near_dup_groups_exact",
-    "near_dup_groups_star", "dedup_recall",
-    "streaming_dedup",
+R11_PRIORITY = [
+    # (a) streaming_dedup: watermark now corpus-derived (ADVICE r10 #2),
+    # stream reader nanos fallback (ADVICE r10 #1);
+    # (b) streaming_dedup_evicting: NEW (VERDICT r10 #3)
+    "streaming_dedup", "streaming_dedup_evicting",
 ]
-R10_R4_GREEN = [
-    "ates_geojson_features", "geojson_features",
-    "x12_html_popup", "x13_recipe_layers",
-    "kmeans_embeddings", "semantic_dedup",
-    "duplicate_spans", "temperature_resample",
-    "build_vocab", "range_join",
-    "hypertable_rollup", "unigram_logprob",
-    "dedup_incremental_lsh", "pretrain_pipeline",
-    "score_buckets", "bigram_logprob",
-    "strip_duplicate_spans", "jsonl_roundtrip",
-    "quantized_topk", "minhash_lsh_pairs",
-    "simhash_pairs", "near_dup_groups",
-    "decontaminate_bloom", "lsh_topk",
-    "embedding_near_dup_lsh", "length_quantiles_approx",
-    "distinct_users_approx", "dedup_exact",
-    "decontaminate", "events_sessionize",
-    "events_attribution_join", "cosine_topk",
-    "text_quality", "repetition_stats",
-    "pack_sequences", "redact_pii",
-    "chunk_documents",
-]
-R10_R5_HEAD = [
-    "tpch_q2_min_cost_supplier", "tpch_q9_product_profit",
-    "tpch_q11_important_parts", "tpch_q16_supplier_part_counts",
-    "tpch_q20_promotable_suppliers", "unpivot_measures",
-]
-R11_QUEUE_HEAD = [
-    # the remaining r5-green set leads the r11 queue (vintage-FIFO)
+R11_R5_GREEN = [
     "rolling_features", "normalize_text",
     "winsorize_values", "contamination_report",
     "decontaminate_fraction", "truncate_to_budget",
-    "csv_roundtrip",
+    "csv_roundtrip", "ivf_index_topk",
+    "orc_roundtrip", "copurchase_pagerank",
+    "dataset_diff", "gap_fill",
+    "label_propagation", "set_operations",
+    "events_enrich_dim", "rank_functions",
+    "weighted_median", "schema_evolution",
+    "grouping_sets", "split_corpus_grouped",
+    "heavy_hitters_sketch", "corrupt_file_resilience",
+    "training_order", "decontaminate_semantic",
+    "boolean_search", "dedup_survivors_priority",
+    "pack_manifest", "vocab_coverage",
+    "project_embeddings", "ann_recall_lsh",
+    "quality_classifier", "zorder_key",
+    "weighted_sample", "countmin_tokens",
+    "pmi_bigrams", "pretrain_ledger",
+    "stupid_backoff",
+]
+R11_SEC2_QUOTA = [
+    # the five OLDEST §2 rows (r7-vintage) — the permanent quota, served
+    # explicitly because the r5 FIFO band holds no §2 entries
+    "a1_distinct", "s2_full_scan", "u1_union", "p3_envelope",
+    "j2_dim_lookup",
+]
+R11_R6_HEAD = [
+    "validate_constraints", "pivot_event_counts", "late_interaction",
+    "sketch_rollup", "curriculum_order", "normalize_homoglyphs",
+]
+R12_QUEUE_HEAD = [
+    # the remaining r6-green set leads the r12 queue (vintage-FIFO)
+    "bpe_learn", "bpe_segment", "novelty_stats", "phrase_search",
+    "length_bucketed_batches", "bpe_subword_vocab", "blocklist_screen",
 ]
 
 
-def test_round10_graded_prefix_is_the_documented_rotation():
+def test_round11_graded_prefix_is_the_documented_rotation():
     """The driver grades only the FIRST 50 queries() entries (dict
     order), so the prefix IS the round's verification plan — an
     accidental dict reshuffle would silently spend the round re-grading
-    the wrong entries. Pin the shipped round-10 prefix band by band AND
-    the head of the round-11 queue, so the next rotation stays a pure
+    the wrong entries. Pin the shipped round-11 prefix band by band AND
+    the head of the round-12 queue, so the next rotation stays a pure
     cut at slot 50."""
     import __spark_entry__ as entrymod
 
     bands = [
-        ("priority-a (7 changed-code entries incl. the new streaming_dedup)",
-         R10_PRIORITY_A, 7),
-        ("r4-green vintage-FIFO drain (contract deadline)", R10_R4_GREEN, 37),
-        ("r5-green FIFO head", R10_R5_HEAD, 6),
+        ("priority (a: changed streaming_dedup; b: new evicting entry)",
+         R11_PRIORITY, 2),
+        ("r5-green vintage-FIFO drain (contract deadline)", R11_R5_GREEN, 37),
+        ("§2 quota (five oldest reference-surface rows)", R11_SEC2_QUOTA, 5),
+        ("r6-green FIFO head (pulled forward to soften r12)", R11_R6_HEAD, 6),
     ]
     assert [len(b) for _, b, _ in bands] == [n for _, _, n in bands]
     want = [name for _, band, _ in bands for name in band]
@@ -234,23 +238,24 @@ def test_round10_graded_prefix_is_the_documented_rotation():
     assert got == want, [
         (i, g, w) for i, (g, w) in enumerate(zip(got, want)) if g != w
     ]
-    # round-11 queue head: the remaining r5-green set
-    assert names[50:50 + len(R11_QUEUE_HEAD)] == R11_QUEUE_HEAD
-    # the freshest rows (r9-graded prefix) sit at the very back
-    assert names[-1] == "ates_kml_placemarks"
-    assert "khop_reach_sketched" not in names[50:]
-    assert "containment" not in names[50:]
+    # round-12 queue head: the remaining r6-green set
+    assert names[50:50 + len(R12_QUEUE_HEAD)] == R12_QUEUE_HEAD
+    # the freshest rows (r10-graded prefix) sit at the very back
+    assert names[-1] == "unpivot_measures"
+    assert "streaming_dedup" not in names[50:]
+    assert "streaming_dedup_evicting" not in names[50:]
 
 
-def test_registry_is_280_post_freeze():
+def test_registry_is_281_post_freeze():
     """The freeze lifted in round 8 (VERDICT r7 #1/#2): the 278-entry
-    frozen registry plus khop_reach_sketched (round 8) and
-    streaming_dedup (round 10 — the graded Structured Streaming
-    execution). Update this count together with the rotation
+    frozen registry plus khop_reach_sketched (round 8), streaming_dedup
+    (round 10 — the graded Structured Streaming execution), and
+    streaming_dedup_evicting (round 11 — the deterministic bounded-state
+    eviction grading). Update this count together with the rotation
     docstring."""
     import __spark_entry__ as entrymod
 
-    assert len(entrymod.queries()) == 280
+    assert len(entrymod.queries()) == 281
 
 
 def test_embedding_validity_view_covers_every_embeddings_scan():
@@ -284,7 +289,7 @@ def test_time_domain_view_covers_every_listed_twin():
         "AND ts < TIMESTAMP '2100-01-01 00:00:00'"
     )
     o = entrymod.oracle_sql()
-    assert len(entrymod._TIME_DOMAIN_TWINS) == 34  # +streaming_dedup (r10)
+    assert len(entrymod._TIME_DOMAIN_TWINS) == 35  # +streaming_dedup_evicting (r11)
     for name in entrymod._TIME_DOMAIN_TWINS:
         stripped = o[name].replace(view, "")
         assert not re.search(r"FROM events\b", stripped), (

@@ -437,3 +437,143 @@ def test_streaming_dedup_graded_entry_matches_batch_distinct(spark):
     )
     want = sorted((r.user_id, r.event_type) for r in batch.collect())
     assert got and got == want
+
+
+def test_dedup_eviction_semantics_lagging_cleanup(spark, tmp_path):
+    """EMPIRICAL PIN of the dropDuplicatesWithinWatermark state machine —
+    the basis of the streaming_dedup_evicting DuckDB twin (see the entry
+    docstring in __spark_entry__.py). Three properties, each load-bearing
+    for the twin's emission rule, each distinguished by a specific row of
+    this 4-batch replay (δ = 1 hour):
+
+    1. EXISTENCE-ONLY probes: key 3 ('C4', batch 4) is logically expired
+       (expiresAt 11:00 < watermark 19:00) but physically present — it
+       must be DROPPED. A probe-checks-expiry engine would emit it.
+    2. NO REFRESH on duplicates: key 1's dropped duplicate in batch 2
+       ('A2' @10:00) must NOT extend its state, or 'A4' would be dropped.
+    3. LAGGING end-of-batch cleanup: keys 1/2 are removed at end of
+       batch 3 using wm = max_ts(batches ≤ 2) − δ = 9:00 (NOT batch 3's
+       own max), so 'A4'/'B4' re-emit in batch 4 while 'C4' does not.
+
+    If a Spark upgrade changes any of these, this test fails before the
+    graded entry's oracle silently diverges."""
+    from database2ogr_spark.streaming.events import stage_replay, streaming_dedup
+
+    D = dt.datetime
+    batches = [
+        [(1, D(2024, 1, 1, 0, 0), 1, "A", 1.0, "{}"),
+         (2, D(2024, 1, 1, 0, 0), 1, "B", 1.0, "{}")],
+        [(3, D(2024, 1, 1, 10, 0), 1, "C", 1.0, "{}"),
+         (1, D(2024, 1, 1, 10, 0), 1, "A2", 1.0, "{}")],
+        [(4, D(2024, 1, 1, 20, 0), 1, "D", 1.0, "{}")],
+        [(1, D(2024, 1, 1, 20, 30), 1, "A4", 1.0, "{}"),
+         (3, D(2024, 1, 1, 20, 30), 1, "C4", 1.0, "{}"),
+         (2, D(2024, 1, 1, 20, 30), 1, "B4", 1.0, "{}")],
+    ]
+    glob, n = stage_replay(
+        [spark.createDataFrame(b, EVENTS_SCHEMA) for b in batches],
+        str(tmp_path / "evict_pin"),
+    )
+    assert n == 4
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(glob)
+    )
+    q = (
+        streaming_dedup(stream, ["event_id"], watermark="1 hour")
+        .writeStream.format("memory")
+        .queryName("evict_pin_sink")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = sorted(
+            (r.event_id, r.event_type)
+            for r in spark.table("evict_pin_sink").collect()
+        )
+    finally:
+        q.stop()
+    assert rows == [
+        (1, "A"), (1, "A4"), (2, "B"), (2, "B4"), (3, "C"), (4, "D")
+    ]
+
+
+def test_read_events_stream_nanos_parity(spark, tmp_path):
+    """ADVICE r10 #1: the stream reader must read a TIMESTAMP(NANOS)
+    events parquet identically to the tolerant batch reader
+    (read_events), instead of failing/misreading under its fixed
+    TimestampType schema while the batch oracle passes."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from database2ogr_spark.streaming.events import read_events
+
+    src = tmp_path / "nanos_events"
+    src.mkdir()
+    table = pa.table(
+        {
+            "event_id": pa.array([1, 2], pa.int64()),
+            "ts": pa.array(
+                [dt.datetime(2024, 1, 1, 0, 1, 0), dt.datetime(2024, 1, 1, 0, 2, 0)],
+                pa.timestamp("ns"),
+            ),
+            "user_id": pa.array([10, 11], pa.int64()),
+            "event_type": pa.array(["click", "view"], pa.string()),
+            "value": pa.array([1.0, 2.0], pa.float64()),
+            "props": pa.array(["{}", "{}"], pa.string()),
+        }
+    )
+    pq.write_table(table, str(src / "part-0.parquet"), store_schema=False)
+
+    batch_rows = sorted(
+        (r.event_id, r.ts, r.user_id) for r in read_events(spark, str(src)).collect()
+    )
+    assert batch_rows[0][1] == dt.datetime(2024, 1, 1, 0, 1, 0)
+
+    stream = read_events_stream(spark, f"{src}/*.parquet")
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("nanos_sink")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        stream_rows = sorted(
+            (r.event_id, r.ts, r.user_id)
+            for r in spark.table("nanos_sink").collect()
+        )
+    finally:
+        q.stop()
+    assert stream_rows == batch_rows
+
+
+def test_streaming_dedup_evicting_entry_reemits(spark):
+    """The graded eviction entry must actually EXERCISE eviction on the
+    graded corpus: emissions strictly exceed distinct keys (some keys
+    re-emit after their state is evicted), every key emits at most once
+    per batch (≤ 3 total), and the emission multiset covers exactly the
+    distinct-key set."""
+    import collections
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as entrymod
+
+    out = [
+        (r.user_id, r.event_type)
+        for r in entrymod.q_streaming_dedup_evicting(
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    ]
+    counts = collections.Counter(out)
+    distinct = set(out)
+    assert len(out) > len(distinct)  # eviction re-emitted at least one key
+    assert max(counts.values()) <= 3
+    want_keys = {
+        (r.user_id, r.event_type)
+        for r in entrymod.q_streaming_dedup(spark, "/root/testdata/sf0.001").collect()
+    }
+    assert distinct == want_keys
