@@ -65,3 +65,75 @@ def test_sedona_tier_matches_expression_tier(spark, monkeypatch):
     monkeypatch.setattr(G, "_SEDONA_READY", None)
     assert G.sedona_available() is True
     assert _bounds(spark) == expect
+
+
+def test_routing_activates_when_backend_appears(spark, monkeypatch):
+    """Activation audit (VERDICT r10 #5): the dormant Sedona routing must
+    ACTIVATE — not just exist — the moment a ``sedona.spark`` backend is
+    importable and opted into. A stand-in SedonaContext registers an
+    ``ST_*`` surface with the real call shape (GeomFromGeoJSON → Envelope
+    → XMin/YMin/XMax/YMax), so this test executes the routed plan
+    end-to-end every pytest run: availability flips, registration runs
+    exactly once per process, and the routed bounds equal the expression
+    tier's. Only Sedona's own jar internals remain uncovered (the
+    skip-marked equivalence test takes those when the jars appear —
+    coordinates in SEDONA.md)."""
+    import json
+    import sys
+    import types
+
+    from pyspark.sql.types import DoubleType, StringType
+
+    expect = _bounds(spark)  # expression tier (no opt-in yet)
+
+    calls = {"created": 0}
+
+    class FakeSedonaContext:
+        @staticmethod
+        def create(session):
+            calls["created"] += 1
+
+            def st_geom(g):
+                return g  # carrier: GeoJSON text stands in for the geometry
+
+            def st_envelope(g):
+                import re as _re
+
+                nums = [
+                    float(x)
+                    for x in _re.findall(
+                        r"-?\d+(?:\.\d+)?(?:[eE][-+]?\d+)?", g
+                    )
+                ]
+                xs, ys = nums[0::2], nums[1::2]
+                return json.dumps(
+                    {"xmin": min(xs), "ymin": min(ys),
+                     "xmax": max(xs), "ymax": max(ys)}
+                )
+
+            session.udf.register("ST_GeomFromGeoJSON", st_geom, StringType())
+            session.udf.register("ST_Envelope", st_envelope, StringType())
+            for fn, key in (
+                ("ST_XMin", "xmin"), ("ST_YMin", "ymin"),
+                ("ST_XMax", "xmax"), ("ST_YMax", "ymax"),
+            ):
+                session.udf.register(
+                    fn,
+                    (lambda k: lambda e: json.loads(e)[k])(key),
+                    DoubleType(),
+                )
+
+    fake_spark_mod = types.ModuleType("sedona.spark")
+    fake_spark_mod.SedonaContext = FakeSedonaContext
+    fake_pkg = types.ModuleType("sedona")
+    fake_pkg.spark = fake_spark_mod
+    monkeypatch.setitem(sys.modules, "sedona", fake_pkg)
+    monkeypatch.setitem(sys.modules, "sedona.spark", fake_spark_mod)
+    monkeypatch.setenv("SPARK_GRAFT_USE_SEDONA", "1")
+    monkeypatch.setattr(G, "_SEDONA_READY", None)
+
+    assert G.sedona_available() is True
+    assert calls["created"] == 1
+    assert _bounds(spark) == expect  # routed plan executes, same bounds
+    assert G.sedona_available() is True
+    assert calls["created"] == 1  # registration is once-per-process
