@@ -302,26 +302,32 @@ CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS chunk) c
 """
 
 
-def _lsh_bucket_sql(bits: int = 3, dim: int = 64) -> str:
-    """Sign-LSH bucket over a double-list column ``v`` — DuckDB twin of
+def _lsh_bucket_sql(
+    bits: int = 3, dim: int = 64, plane_offset: int = 0, vec: str = "v"
+) -> str:
+    """Sign-LSH bucket over a double-list column ``vec`` — DuckDB twin of
     operators/similarity._signs_bucket: hyperplane j's ±1 components are the
     md5-derived ``int_sign(j, i)`` literals (embedded below), the projection
     is the same left-to-right sequential sum Spark's ``aggregate`` computes
     (±1 multiplication is exact, so the doubles match bit-for-bit), and
-    bucket = Σ 2^(bits-1-j)·[sum_j ≥ 0]."""
+    bucket = Σ 2^(bits-1-j)·[sum_j ≥ 0]. ``plane_offset`` mirrors
+    signs_bucket_expr's banding window ``[offset, offset+bits)``."""
     from database2ogr_spark.operators.similarity import int_sign
 
     terms = []
-    for j in range(bits):
+    for jj in range(bits):
+        j = plane_offset + jj
         signs = "[" + ", ".join(
             f"{float(int_sign(j, i))}" for i in range(dim)
         ) + "]"
         proj = (
             f"list_reduce(list_prepend(0.0, list_transform("
-            f"generate_series(1, {dim}), i -> v[i] * ({signs}::DOUBLE[])[i])), "
+            f"generate_series(1, {dim}), i -> {vec}[i] * ({signs}::DOUBLE[])[i])), "
             f"(a, b) -> a + b)"
         )
-        terms.append(f"(CASE WHEN {proj} >= 0 THEN {1 << (bits - 1 - j)} ELSE 0 END)")
+        terms.append(
+            f"(CASE WHEN {proj} >= 0 THEN {1 << (bits - 1 - jj)} ELSE 0 END)"
+        )
     return " + ".join(terms)
 
 
@@ -2972,6 +2978,29 @@ def q_decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontaminate_semantic(corpus, bench, threshold=0.45).select("vec_id")
 
 
+def q_decontaminate_semantic_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB tier of q_decontaminate_semantic (round-11 addition —
+    the second-decade scaling probe measured the exact operator's cost
+    growing with the |corpus|x|benchmark| PRODUCT when both sides scale,
+    SCALE.md round 11): banded sign-LSH candidate generation (4 bands x
+    4 bits over the shared md5-derived hyperplane family) + exact
+    rounded-cosine verification, so candidate generation is a bucketed
+    equi-join shipping bands*(|corpus|+|bench|) rows instead of the
+    cross product. False positives impossible (verification is the exact
+    predicate); recall < 1 by the standard banding trade — survivors are
+    a SUPERSET of the exact entry's, pinned in tests/test_similarity.py.
+    Deterministic given the pinned hyperplanes, so the DuckDB twin
+    replays banding, candidate dedup, and verification exactly."""
+    from database2ogr_spark.operators.similarity import decontaminate_semantic_lsh
+
+    emb = _emb(spark, sf_dir)
+    bench = emb.filter(F.col("vec_id") % 20 == 0)
+    corpus = emb.filter(F.col("vec_id") % 20 != 0)
+    return decontaminate_semantic_lsh(
+        corpus, bench, threshold=0.45, bands=4, bits=4, dim=64
+    ).select("vec_id")
+
+
 def q_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed global enumeration (sampling.training_order): dense
     0-based positions in hash-shuffled order WITHOUT the single-task
@@ -4919,14 +4948,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     EXACT next-round priority order, making each rotation a pure cut at
     slot 50.
 
-    N=281 (post-freeze additions: khop_reach_sketched in round 8,
-    streaming_dedup in round 10, streaming_dedup_evicting in round 11 —
-    the deterministic bounded-state eviction grading, VERDICT r10 #3).
-    The honest rotation contract: with N=281 and a 50-slot gate, every
-    entry is re-graded within ceil(281/50) = 6 rounds of its last row —
-    sooner for the priority classes below. Prefix priority: (a) entries
-    whose code or oracle CHANGED this round, (b) entries that have
-    NEVER held a driver row, (c) re-earners, oldest rows first.
+    N=282 (post-freeze additions: khop_reach_sketched in round 8,
+    streaming_dedup in round 10; round 11 adds streaming_dedup_evicting
+    — the deterministic bounded-state eviction grading, VERDICT r10 #3 —
+    and decontaminate_semantic_lsh — the banded-LSH scale tier the
+    second-decade probe motivated, VERDICT r10 #4). The honest rotation
+    contract: with N=282 and a 50-slot gate, every entry is re-graded
+    within ceil(282/50) = 6 rounds of its last row — sooner for the
+    priority classes below. Prefix priority: (a) entries whose code or
+    oracle CHANGED this round, (b) entries that have NEVER held a
+    driver row, (c) re-earners, oldest rows first.
 
     PERMANENT §2 QUOTA (VERDICT r6 #6): ~5 prefix slots per round are
     reserved for the OLDEST reference-surface (SURVEY §2) rows
@@ -4937,31 +4968,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Round 11 prefix (50): priority slots first — streaming_dedup (a:
     watermark delay now derived from the corpus span, ADVICE r10 #2;
-    stream reader nanos fallback, ADVICE r10 #1) and
-    streaming_dedup_evicting (b: new) — then the FULL 37-row r5-green
-    band (at its 6-round contract deadline, ordered as laid down in
-    round 10), the five-row §2 quota band, and the six oldest r6-green
-    rows (validate_constraints … normalize_homoglyphs, pulled forward
-    to soften r12) = 2+37+5+6 = 50. After this round the oldest
-    surviving rows are r6-vintage — within the ≤6-round contract
-    through round 12.
+    stream reader nanos fallback, ADVICE r10 #1), plus two (b) entries
+    new this round: streaming_dedup_evicting and
+    decontaminate_semantic_lsh — then the FULL 37-row r5-green band (at
+    its 6-round contract deadline, ordered as laid down in round 10),
+    the five-row §2 quota band, and the five oldest r6-green rows
+    (validate_constraints … curriculum_order, pulled forward to soften
+    r12) = 3+37+5+5 = 50. After this round the oldest surviving rows
+    are r6-vintage — within the ≤6-round contract through round 12.
 
-    Round 12 queue (dict order below slot 50): the remaining 41
-    r6-green rows (bpe_learn leads), then the r7 band (the five
-    remaining §2 r7 rows — x1_slugify … f5_nonblank_tokens — are r12's
-    quota band), the r8/r9-green sets in vintage order, and last the
-    round-10-graded prefix (freshest rows at the back; this round's
-    prefix members excluded — they re-earn in slots 1-2)."""
+    Round 12 queue (dict order below slot 50): the remaining 42
+    r6-green rows (normalize_homoglyphs leads), then the r7 band (the
+    five remaining §2 r7 rows — x1_slugify … f5_nonblank_tokens — are
+    r12's quota band), the r8/r9-green sets in vintage order, and last
+    the round-10-graded prefix (freshest rows at the back; this round's
+    prefix members excluded — they re-earn in slots 1-3)."""
     return {
     # --- ROUND 11 PREFIX (50). Priority slots first: streaming_dedup
     # (a: code changed — the watermark delay is now DERIVED from the
     # corpus span instead of the hard-coded 3650 days, ADVICE r10 #2;
     # the stream reader also gained the nanos-parquet fallback, ADVICE
-    # r10 #1) and streaming_dedup_evicting (b: NEW — the bounded-state
+    # r10 #1), streaming_dedup_evicting (b: NEW — the bounded-state
     # watermark-EVICTION path executed as a deterministic 3-batch
-    # replay, VERDICT r10 #3). -------------------------------------------
+    # replay, VERDICT r10 #3), and decontaminate_semantic_lsh (b: NEW —
+    # the banded sign-LSH scale tier of the exact semantic
+    # decontamination, motivated by the second-decade probe, VERDICT
+    # r10 #4). -----------------------------------------------------------
         "streaming_dedup": q_streaming_dedup,
         "streaming_dedup_evicting": q_streaming_dedup_evicting,
+        "decontaminate_semantic_lsh": q_decontaminate_semantic_lsh,
     # --- the r5-vintage FIFO drain (37): these rows turn 6 rounds old
     # at r11 — the contract deadline (VERDICT r10 #1), in exactly the
     # order the r10 rotation queued them. --------------------------------
@@ -5010,20 +5045,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "u1_union": q_u1_union,
         "p3_envelope": q_p3_envelope,
         "j2_dim_lookup": q_j2_dim_lookup,
-    # --- vintage-FIFO continues: the six oldest r6-green rows (pulled
-    # forward to soften r12, where the 41 remaining r6 rows come due). ---
+    # --- vintage-FIFO continues: the five oldest r6-green rows (pulled
+    # forward to soften r12, where the 42 remaining r6 rows come due). ---
         "validate_constraints": q_validate_constraints,
         "pivot_event_counts": q_pivot_event_counts,
         "late_interaction": q_late_interaction,
         "sketch_rollup": q_sketch_rollup,
         "curriculum_order": q_curriculum_order,
-        "normalize_homoglyphs": q_normalize_homoglyphs,
     # --- ROUND 12 QUEUE (exact next-round priority order): the
     # remaining r6-green set (due r12), then the r7 band (corpus_
     # divergence leads; the five remaining §2 r7 rows are next — r12's
     # quota band), the r8 and r9 bands in vintage order, and the
     # round-10-graded prefix at the very back (freshest rows last; this
     # round's prefix members excluded — they re-earn above). -------------
+        "normalize_homoglyphs": q_normalize_homoglyphs,
         "bpe_learn": q_bpe_learn,
         "bpe_segment": q_bpe_segment,
         "novelty_stats": q_novelty_stats,
@@ -7011,6 +7046,38 @@ def oracle_sql() -> dict[str, str]:
               WHERE round(list_dot_product(v, bv) /
                       (sqrt(list_dot_product(v, v)) *
                        sqrt(list_dot_product(bv, bv))), 6) >= 0.45)
+            SELECT vec_id FROM c
+            WHERE vec_id NOT IN (SELECT vec_id FROM bad)
+        """,
+        # banded sign-LSH twin of the scale-path entry: 4 bands x 4 bits
+        # over the shared hyperplane family (band b = planes [4b, 4b+4)),
+        # candidates = corpus/bench vectors sharing ANY band bucket,
+        # verified with the exact rounded cosine — replays the Spark plan
+        # (signs_bucket_expr windows, dropDuplicates, left_anti) exactly
+        "decontaminate_semantic_lsh": f"""
+            WITH e AS (SELECT vec_id,
+                         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                       FROM embeddings),
+            ben AS (SELECT vec_id AS bid, v AS bv FROM e WHERE vec_id % 20 = 0),
+            c AS (SELECT vec_id, v FROM e WHERE vec_id % 20 <> 0),
+            cb AS ({" UNION ALL ".join(
+                f"SELECT vec_id, {b} AS band, "
+                f"{_lsh_bucket_sql(4, 64, plane_offset=4 * b)} AS bucket FROM c"
+                for b in range(4))}),
+            bb AS ({" UNION ALL ".join(
+                f"SELECT bid, {b} AS band, "
+                f"{_lsh_bucket_sql(4, 64, plane_offset=4 * b, vec='bv')} AS bucket "
+                f"FROM ben" for b in range(4))}),
+            cand AS (SELECT DISTINCT cb.vec_id, bb.bid
+                     FROM cb JOIN bb USING (band, bucket)),
+            bad AS (
+              SELECT DISTINCT c.vec_id
+              FROM cand
+              JOIN c ON c.vec_id = cand.vec_id
+              JOIN ben ON ben.bid = cand.bid
+              WHERE round(list_dot_product(c.v, ben.bv) /
+                      (sqrt(list_dot_product(c.v, c.v)) *
+                       sqrt(list_dot_product(ben.bv, ben.bv))), 6) >= 0.45)
             SELECT vec_id FROM c
             WHERE vec_id NOT IN (SELECT vec_id FROM bad)
         """,

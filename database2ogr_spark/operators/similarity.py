@@ -260,12 +260,19 @@ def cosine_unrolled_expr(a_name: str, b_name: str, dim: int) -> Column:
     )
 
 
-def signs_bucket_expr(vec_name: str, *, bits: int, dim: int) -> Column:
+def signs_bucket_expr(
+    vec_name: str, *, bits: int, dim: int, plane_offset: int = 0
+) -> Column:
     """:func:`_signs_bucket` as ONE parsed SQL string — same md5-derived
     ±1 hyperplanes, same left-to-right summation and >= 0 vote, single
-    py4j call (see :func:`cosine_unrolled_expr` for why)."""
+    py4j call (see :func:`cosine_unrolled_expr` for why).
+
+    ``plane_offset`` selects the hyperplane window ``[offset, offset+bits)``
+    so BANDED schemes (each band an independent bucket over its own plane
+    set — :func:`decontaminate_semantic_lsh`) reuse the same deterministic
+    plane family without collisions between bands."""
     planes = []
-    for j in range(bits):
+    for j in range(plane_offset, plane_offset + bits):
         terms = " + ".join(
             (
                 f"CAST({vec_name}[{i}] AS DOUBLE)"
@@ -866,6 +873,91 @@ def decontaminate_semantic(
             "leftsemi",
         )
         .select(id_col)
+    )
+    return corpus.join(contaminated, id_col, "left_anti")
+
+
+def decontaminate_semantic_lsh(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    bands: int = 4,
+    bits: int = 4,
+    dim: int | None = None,
+) -> DataFrame:
+    """Banded sign-LSH semantic decontamination — the 100 TB tier of
+    :func:`decontaminate_semantic`, whose exact probe is
+    Θ(|corpus|·|benchmark|) dot products (measured growing with the
+    SIZE PRODUCT across the sf0.1 → sf1-equivalent decade when both
+    sides scale — SCALE.md round 11).
+
+    Plan: both sides compute ``bands`` independent sign-LSH buckets
+    (band b = :func:`signs_bucket_expr` over its own hyperplane window
+    ``[b·bits, (b+1)·bits)`` of the shared md5-derived plane family),
+    posexplode to (band, bucket) keys, and equi-join on them — candidate
+    generation is a BUCKETED join shipping bands·(|corpus|+|bench|)
+    fixed-width rows, never the cross product. Candidates deduped per
+    (corpus, bench) pair, then verified with the EXACT rounded cosine —
+    so false positives are impossible; the trade is recall < 1 (a true
+    contamination pair is missed iff its vectors land in different
+    buckets in EVERY band, probability ((1−(1−θ/π)^bits))-ish per the
+    standard banding analysis — drive it up with more bands). Survivors
+    are therefore a SUPERSET of the exact operator's (pinned in
+    tests/test_similarity.py), and an identical-vector contamination is
+    caught with probability 1 (identical vectors share every bucket).
+    Fully deterministic given the pinned hyperplanes, so a DuckDB twin
+    replays candidate generation and verification exactly.
+    """
+    d = dim or _infer_dim(corpus, vec_col) or 0
+    if d == 0:
+        return corpus
+
+    def banded(df: DataFrame, idc: str, vc: str) -> DataFrame:
+        # one bucket expression PER union branch, not an array of all of
+        # them in one projection: the unrolled 64-dim plane sums are ~16 KB
+        # of generated code per band, and bands of them in a single
+        # generate/project stage blow janino's 64 KB method limit — the
+        # whole stage then silently falls back to interpreted eval, which
+        # is exactly the non-codegen path this operator exists to avoid.
+        # Each union branch compiles as its own whole-stage pipeline (same
+        # rows as a posexplode over the bucket array, and the same shape
+        # as the DuckDB twin's UNION ALL).
+        parts = [
+            df.select(
+                F.col(idc),
+                F.col(vc),
+                F.lit(b).alias("_band"),
+                signs_bucket_expr(
+                    vc, bits=bits, dim=d, plane_offset=b * bits
+                ).alias("_bucket"),
+            )
+            for b in range(bands)
+        ]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    c = banded(corpus.select(id_col, vec_col), id_col, vec_col)
+    b = banded(
+        benchmark.select(
+            F.col(id_col).alias("_bid"), F.col(vec_col).alias("_bv")
+        ),
+        "_bid",
+        "_bv",
+    )
+    contaminated = (
+        c.join(b, ["_band", "_bucket"])
+        # a pair matching in several bands verifies once, not per band
+        .dropDuplicates([id_col, "_bid"])
+        .filter(
+            F.round(cosine(F.col(vec_col), F.col("_bv")), 6) >= F.lit(threshold)
+        )
+        .select(id_col)
+        .distinct()
     )
     return corpus.join(contaminated, id_col, "left_anti")
 

@@ -173,8 +173,11 @@ def test_every_registry_entry_has_an_oracle_twin():
 R11_PRIORITY = [
     # (a) streaming_dedup: watermark now corpus-derived (ADVICE r10 #2),
     # stream reader nanos fallback (ADVICE r10 #1);
-    # (b) streaming_dedup_evicting: NEW (VERDICT r10 #3)
+    # (b) streaming_dedup_evicting: NEW (VERDICT r10 #3);
+    # (b) decontaminate_semantic_lsh: NEW (the banded-LSH scale tier the
+    # second-decade probe motivated, VERDICT r10 #4)
     "streaming_dedup", "streaming_dedup_evicting",
+    "decontaminate_semantic_lsh",
 ]
 R11_R5_GREEN = [
     "rolling_features", "normalize_text",
@@ -205,12 +208,12 @@ R11_SEC2_QUOTA = [
 ]
 R11_R6_HEAD = [
     "validate_constraints", "pivot_event_counts", "late_interaction",
-    "sketch_rollup", "curriculum_order", "normalize_homoglyphs",
+    "sketch_rollup", "curriculum_order",
 ]
 R12_QUEUE_HEAD = [
     # the remaining r6-green set leads the r12 queue (vintage-FIFO)
-    "bpe_learn", "bpe_segment", "novelty_stats", "phrase_search",
-    "length_bucketed_batches", "bpe_subword_vocab", "blocklist_screen",
+    "normalize_homoglyphs", "bpe_learn", "bpe_segment", "novelty_stats",
+    "phrase_search", "length_bucketed_batches", "bpe_subword_vocab",
 ]
 
 
@@ -224,11 +227,11 @@ def test_round11_graded_prefix_is_the_documented_rotation():
     import __spark_entry__ as entrymod
 
     bands = [
-        ("priority (a: changed streaming_dedup; b: new evicting entry)",
-         R11_PRIORITY, 2),
+        ("priority (a: changed streaming_dedup; b: two new entries)",
+         R11_PRIORITY, 3),
         ("r5-green vintage-FIFO drain (contract deadline)", R11_R5_GREEN, 37),
         ("§2 quota (five oldest reference-surface rows)", R11_SEC2_QUOTA, 5),
-        ("r6-green FIFO head (pulled forward to soften r12)", R11_R6_HEAD, 6),
+        ("r6-green FIFO head (pulled forward to soften r12)", R11_R6_HEAD, 5),
     ]
     assert [len(b) for _, b, _ in bands] == [n for _, _, n in bands]
     want = [name for _, band, _ in bands for name in band]
@@ -246,16 +249,17 @@ def test_round11_graded_prefix_is_the_documented_rotation():
     assert "streaming_dedup_evicting" not in names[50:]
 
 
-def test_registry_is_281_post_freeze():
+def test_registry_is_282_post_freeze():
     """The freeze lifted in round 8 (VERDICT r7 #1/#2): the 278-entry
     frozen registry plus khop_reach_sketched (round 8), streaming_dedup
-    (round 10 — the graded Structured Streaming execution), and
-    streaming_dedup_evicting (round 11 — the deterministic bounded-state
-    eviction grading). Update this count together with the rotation
-    docstring."""
+    (round 10 — the graded Structured Streaming execution), and the two
+    round-11 additions: streaming_dedup_evicting (deterministic
+    bounded-state eviction grading) and decontaminate_semantic_lsh (the
+    banded-LSH semantic-decontamination scale tier). Update this count
+    together with the rotation docstring."""
     import __spark_entry__ as entrymod
 
-    assert len(entrymod.queries()) == 281
+    assert len(entrymod.queries()) == 282
 
 
 def test_embedding_validity_view_covers_every_embeddings_scan():

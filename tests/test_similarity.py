@@ -322,6 +322,73 @@ def test_decontaminate_semantic_never_shuffles_corpus(spark):
     assert "BroadcastNestedLoopJoin" in plan
 
 
+def test_decontaminate_semantic_lsh_survivors_superset_of_exact(spark):
+    """The banded-LSH tier verifies candidates with the EXACT predicate, so
+    it can only MISS contamination (bucket recall), never invent it:
+    survivors(lsh) must be a superset of survivors(exact) on the graded
+    corpus shape, and an identical-vector contamination (shares every
+    bucket in every band) must be caught with probability 1."""
+    from database2ogr_spark.operators.similarity import (
+        decontaminate_semantic,
+        decontaminate_semantic_lsh,
+    )
+
+    emb = SIM.valid_embeddings(
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    )
+    bench = emb.filter(F.col("vec_id") % 20 == 0)
+    corpus = emb.filter(F.col("vec_id") % 20 != 0)
+    exact = {
+        r.vec_id
+        for r in decontaminate_semantic(corpus, bench, threshold=0.45).collect()
+    }
+    lsh = {
+        r.vec_id
+        for r in decontaminate_semantic_lsh(
+            corpus, bench, threshold=0.45, bands=4, bits=4, dim=64
+        ).collect()
+    }
+    assert exact <= lsh  # false positives impossible
+    n_corpus = corpus.count()
+    assert len(lsh) <= n_corpus
+
+    # plant an identical-vector contamination: corpus row = benchmark row
+    planted_bench = bench.limit(1).select(
+        F.lit(999_999).cast("long").alias("vec_id"), "embedding"
+    )
+    planted_corpus = corpus.select("vec_id", "embedding").unionByName(
+        planted_bench.select(F.lit(888_888).cast("long").alias("vec_id"), "embedding")
+    )
+    kept = {
+        r.vec_id
+        for r in decontaminate_semantic_lsh(
+            planted_corpus, planted_bench, threshold=0.95, bands=4, bits=4, dim=64
+        ).collect()
+    }
+    assert 888_888 not in kept  # identical vectors share every band bucket
+
+
+def test_decontaminate_semantic_lsh_candidate_join_is_bucketed(spark):
+    """The scale property: candidate generation must be an equi-join on
+    (band, bucket) — no BroadcastNestedLoopJoin, no CartesianProduct —
+    and each union branch must compile (zero 64KB-codegen fallbacks would
+    be ideal, but the pin here is the JOIN SHAPE; the janino regression is
+    covered by running the plan end-to-end in the superset test)."""
+    from database2ogr_spark.operators.similarity import decontaminate_semantic_lsh
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    bench = emb.filter(F.col("vec_id") % 20 == 0)
+    corpus = emb.filter(F.col("vec_id") % 20 != 0)
+    plan = (
+        decontaminate_semantic_lsh(corpus, bench, threshold=0.45, dim=64)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "_band" in plan and "_bucket" in plan
+
+
 def test_late_interaction_exact_integer_scoring_invariant(spark):
     from pyspark.sql import functions as F
 
