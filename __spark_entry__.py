@@ -10732,7 +10732,12 @@ def oracle_sql() -> dict[str, str]:
         # (nothing is evicted before batch 2 — the watermark lags a batch);
         # batch-3 keys emit iff their batch-1 state was evicted at end of
         # batch 2 (t1 < max(staged b1 ts) − 2δ) or they were never armed
-        # (absent from BOTH earlier batches).
+        # (absent from BOTH earlier batches). Membership probes are
+        # NULL-SAFE (IS NOT DISTINCT FROM, not USING): the state store
+        # keys on the UnsafeRow of the dedup columns, so a NULL user_id /
+        # event_type matches ITSELF across batches — plain SQL equality
+        # would let every null-key emission re-arm each batch (caught by
+        # scripts/check_nulls.py, round 11).
         "streaming_dedup_evicting": """
             WITH k AS (
               SELECT user_id, event_type,
@@ -10753,17 +10758,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, event_type FROM b1
             UNION ALL
             SELECT b2.user_id, b2.event_type
-            FROM b2 ANTI JOIN b1 USING (user_id, event_type)
+            FROM b2
+            WHERE NOT EXISTS (
+                    SELECT 1 FROM b1
+                    WHERE b1.user_id IS NOT DISTINCT FROM b2.user_id
+                      AND b1.event_type IS NOT DISTINCT FROM b2.event_type)
             UNION ALL
             SELECT b3.user_id, b3.event_type
             FROM b3
-            LEFT JOIN b1 USING (user_id, event_type)
+            LEFT JOIN b1
+              ON b1.user_id IS NOT DISTINCT FROM b3.user_id
+             AND b1.event_type IS NOT DISTINCT FROM b3.event_type
             CROSS JOIN m1
             WHERE (b1.t1 IS NOT NULL AND b1.t1 < m1.m - 12000)
                OR (b1.t1 IS NULL AND NOT EXISTS (
                      SELECT 1 FROM b2
-                     WHERE b2.user_id = b3.user_id
-                       AND b2.event_type = b3.event_type))
+                     WHERE b2.user_id IS NOT DISTINCT FROM b3.user_id
+                       AND b2.event_type IS NOT DISTINCT FROM b3.event_type))
         """,
         "events_sessionize": """
             WITH o AS (SELECT user_id, ts,
