@@ -500,6 +500,60 @@ def test_dedup_eviction_semantics_lagging_cleanup(spark, tmp_path):
     ]
 
 
+def test_dedup_null_keys_match_themselves_across_batches(spark, tmp_path):
+    """EMPIRICAL PIN of the null-key semantics underlying the
+    streaming_dedup_evicting twin's IS NOT DISTINCT FROM membership
+    probes (the round-11 check_nulls catch): dropDuplicatesWithinWatermark
+    keys its state store on the UnsafeRow of the dedup columns, so a
+    NULL key component matches ITSELF across micro-batches and the
+    duplicate is suppressed like any other. Under plain SQL equality
+    (NULL never = NULL) every null-key row would re-arm and re-emit each
+    batch — exactly how the twin first diverged on the dirtied corpus
+    (oracle 196 rows vs spark 181). event_id identifies WHICH physical
+    row emitted, so a wrong-semantics engine fails on membership, not
+    just count."""
+    from database2ogr_spark.streaming.events import stage_replay, streaming_dedup
+
+    D = dt.datetime
+    batches = [
+        [(1, D(2024, 1, 1, 0, 0), None, "A", 1.0, "{}"),
+         (2, D(2024, 1, 1, 0, 0), 7, None, 1.0, "{}"),
+         (3, D(2024, 1, 1, 0, 0), 7, "A", 1.0, "{}")],
+        # 00:30 — inside the 1 h delay, and the watermark still lags at
+        # epoch during batch 2, so NOTHING has been evicted: every
+        # emission below is decided purely by key-match semantics.
+        [(4, D(2024, 1, 1, 0, 30), None, "A", 1.0, "{}"),   # dup of 1
+         (5, D(2024, 1, 1, 0, 30), 7, None, 1.0, "{}"),     # dup of 2
+         (6, D(2024, 1, 1, 0, 30), None, None, 1.0, "{}"),  # new key
+         (7, D(2024, 1, 1, 0, 30), 7, "A", 1.0, "{}")],     # dup of 3
+    ]
+    glob, n = stage_replay(
+        [spark.createDataFrame(b, EVENTS_SCHEMA) for b in batches],
+        str(tmp_path / "null_key_pin"),
+    )
+    assert n == 2
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(glob)
+    )
+    q = (
+        streaming_dedup(stream, ["user_id", "event_type"], watermark="1 hour")
+        .writeStream.format("memory")
+        .queryName("null_key_pin_sink")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        emitted = sorted(
+            r.event_id for r in spark.table("null_key_pin_sink").collect()
+        )
+    finally:
+        q.stop()
+    assert emitted == [1, 2, 3, 6]
+
+
 def test_read_events_stream_nanos_parity(spark, tmp_path):
     """ADVICE r10 #1: the stream reader must read a TIMESTAMP(NANOS)
     events parquet identically to the tolerant batch reader
