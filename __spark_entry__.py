@@ -2573,17 +2573,34 @@ def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CSV source round-trip (sources/csvfile.py): documents written as
-    headerless CSV and read back through the quarantine reader must
-    reproduce the table exactly (good side complete, quarantine empty)."""
-    from database2ogr_spark.sources.csvfile import read_csv_quarantine
+    """CSV source round-trip (sources/csvfile.py): the documents table's
+    STRUCTURED columns written as headerless CSV and read back through
+    the quarantine reader must reproduce them exactly (good side
+    complete, quarantine empty).
 
+    The free-text column is deliberately NOT part of the exchange
+    (round-11 check_skew catch): the reader's records-are-lines contract
+    (csvfile.py module docstring — multiLine CSV serializes the scan per
+    file and has no place in a 100 TB hot path) means a text field with
+    embedded newlines is written as a QUOTED MULTI-LINE field that the
+    line-based reader correctly quarantines — so a corpus where one
+    boilerplate page with newlines is 20% of the crawl broke the old
+    full-table roundtrip's empty-quarantine assertion. Line-safe columns
+    are the CSV exchange surface; text-bearing corpora exchange via
+    JSONL (jsonl_roundtrip), whose records self-delimit."""
+    from pyspark.sql import types as T
+
+    from database2ogr_spark.sources.csvfile import read_csv_quarantine
+    from database2ogr_spark.sources.jsonl import DOCUMENTS_SCHEMA
+
+    cols = ["doc_id", "lang", "source", "n_chars"]
+    schema = T.StructType([f for f in DOCUMENTS_SCHEMA.fields if f.name in cols])
     out = _tmp("d2o_csv_roundtrip")
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents").select(*cols)
     docs.coalesce(4).write.mode("overwrite").csv(out)
-    good, quarantine = read_csv_quarantine(spark, out)
+    good, quarantine = read_csv_quarantine(spark, out, schema)
     assert quarantine.count() == 0
-    return good.select("doc_id", "lang", "source", "n_chars")
+    return good.select(*cols)
 
 
 def q_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5006,6 +5023,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_report": q_contamination_report,
         "decontaminate_fraction": q_decontaminate_fraction,
         "truncate_to_budget": q_truncate_to_budget,
+        # csv_roundtrip doubles as a priority-(a) entry this round: its
+        # code changed (structured-columns-only exchange, the check_skew
+        # newline catch) — already inside the prefix via the r5 drain.
         "csv_roundtrip": q_csv_roundtrip,
         "ivf_index_topk": q_ivf_index_topk,
         "orc_roundtrip": q_orc_roundtrip,

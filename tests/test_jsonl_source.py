@@ -74,3 +74,28 @@ def test_csv_quarantine_survives_count_pruning(spark, tmp_path):
     good, quar = read_csv_quarantine(spark, str(p))
     assert good.count() == len(good.collect()) == 2
     assert quar.count() == 1
+
+
+def test_csv_embedded_newline_quarantined_not_corrupted(spark, tmp_path):
+    """The records-are-lines contract under a Spark-WRITTEN file
+    (round-11 check_skew catch, the basis of csv_roundtrip's
+    structured-columns-only exchange): writing a text field with an
+    embedded newline produces a QUOTED MULTI-LINE field, and the
+    line-based reader must route every fragment of it to quarantine —
+    never emit a half-parsed good row — while clean rows in the same
+    file parse normally. This is why free text goes over JSONL and only
+    line-safe columns go over CSV."""
+    from database2ogr_spark.sources.csvfile import read_csv_quarantine
+
+    out = str(tmp_path / "written")
+    spark.createDataFrame(
+        [(1, "line one\nline two", "en", "web", 17), (2, "plain", "fr", "book", 5)],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    ).coalesce(1).write.mode("overwrite").csv(out)
+    good, quar = read_csv_quarantine(spark, out)
+    g = {r.doc_id for r in good.collect()}
+    assert g == {2}  # the multi-line row must NOT surface as good
+    # both physical lines of the quoted field land in quarantine intact
+    assert quar.count() == 2
+    raw = "\n".join(sorted(r.raw for r in quar.collect()))
+    assert "line one" in raw and "line two" in raw
