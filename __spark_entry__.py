@@ -4988,18 +4988,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     stream reader nanos fallback, ADVICE r10 #1), plus two (b) entries
     new this round: streaming_dedup_evicting and
     decontaminate_semantic_lsh — then the FULL 37-row r5-green band (at
-    its 6-round contract deadline, ordered as laid down in round 10),
-    the five-row §2 quota band, and the five oldest r6-green rows
-    (validate_constraints … curriculum_order, pulled forward to soften
-    r12) = 3+37+5+5 = 50. After this round the oldest surviving rows
-    are r6-vintage — within the ≤6-round contract through round 12.
+    its 6-round contract deadline, ordered as laid down in round 10;
+    csv_roundtrip inside it doubled as an (a) entry when the check_skew
+    newline catch changed its code), the five-row §2 quota band, THREE
+    of the five oldest r6-green rows (validate_constraints …
+    late_interaction), and two late-(a) entries — ates_kml_placemarks
+    and ates_kml_document, whose rendering expression changed with the
+    round-11 CDATA ]]>-split hardening in sinks/kml.placemark_xml
+    (output byte-inert on the graded fixture, but changed code takes a
+    prefix slot) — displacing the last two pulled-forward r6 heads
+    (sketch_rollup, curriculum_order) to the front of the r12 queue
+    = 3+37+5+3+2 = 50. After this round the oldest surviving rows are
+    r6-vintage — within the ≤6-round contract through round 12.
 
-    Round 12 queue (dict order below slot 50): the remaining 42
-    r6-green rows (normalize_homoglyphs leads), then the r7 band (the
-    five remaining §2 r7 rows — x1_slugify … f5_nonblank_tokens — are
-    r12's quota band), the r8/r9-green sets in vintage order, and last
-    the round-10-graded prefix (freshest rows at the back; this round's
-    prefix members excluded — they re-earn in slots 1-3)."""
+    Round 12 queue (dict order below slot 50): the two displaced r6
+    heads (sketch_rollup, curriculum_order), then the remaining 42
+    r6-green rows (normalize_homoglyphs leads) — 44 r6-vintage rows due
+    r12, fitting the 50-slot gate with the five-row §2 quota (x1_slugify
+    … f5_nonblank_tokens, the five remaining §2 r7 rows) and one spare —
+    then the rest of the r7 band, the r8/r9-green sets in vintage order,
+    and last the round-10-graded prefix (freshest rows at the back; this
+    round's prefix members excluded — they re-earn in slots 1-3)."""
     return {
     # --- ROUND 11 PREFIX (50). Priority slots first: streaming_dedup
     # (a: code changed — the watermark delay is now DERIVED from the
@@ -5065,19 +5074,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "u1_union": q_u1_union,
         "p3_envelope": q_p3_envelope,
         "j2_dim_lookup": q_j2_dim_lookup,
-    # --- vintage-FIFO continues: the five oldest r6-green rows (pulled
-    # forward to soften r12, where the 42 remaining r6 rows come due). ---
+    # --- vintage-FIFO continues: three of the five oldest r6-green rows
+    # (pulled forward to soften r12); the other two (sketch_rollup,
+    # curriculum_order) were displaced mid-round by late priority-(a)
+    # entries and now LEAD the r12 queue instead. ------------------------
         "validate_constraints": q_validate_constraints,
         "pivot_event_counts": q_pivot_event_counts,
         "late_interaction": q_late_interaction,
+    # --- late priority-(a) (round-11 hardening): both KML entries'
+    # rendering expression changed when sinks/kml.placemark_xml gained
+    # the CDATA ]]>-split escape (output byte-inert on the graded
+    # fixture — goldens unchanged — but changed code takes a prefix
+    # slot, per the rotation contract). ----------------------------------
+        "ates_kml_placemarks": q_ates_kml_placemarks,
+        "ates_kml_document": q_ates_kml_document,
+    # --- ROUND 12 QUEUE (exact next-round priority order): the two
+    # displaced r6-head rows, then the remaining r6-green set (due r12),
+    # then the r7 band (corpus_divergence leads; the five remaining §2 r7
+    # rows are next — r12's quota band), the r8 and r9 bands in vintage
+    # order, and the round-10-graded prefix at the very back (freshest
+    # rows last; this round's prefix members excluded — they re-earn
+    # above). ------------------------------------------------------------
         "sketch_rollup": q_sketch_rollup,
         "curriculum_order": q_curriculum_order,
-    # --- ROUND 12 QUEUE (exact next-round priority order): the
-    # remaining r6-green set (due r12), then the r7 band (corpus_
-    # divergence leads; the five remaining §2 r7 rows are next — r12's
-    # quota band), the r8 and r9 bands in vintage order, and the
-    # round-10-graded prefix at the very back (freshest rows last; this
-    # round's prefix members excluded — they re-earn above). -------------
         "normalize_homoglyphs": q_normalize_homoglyphs,
         "bpe_learn": q_bpe_learn,
         "bpe_segment": q_bpe_segment,
@@ -5165,7 +5184,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kfold": q_kfold,
         "iqr_anomaly_days": q_iqr_anomaly_days,
         "embedding_density": q_embedding_density,
-        "ates_kml_document": q_ates_kml_document,
         "corpus_shards_roundtrip": q_corpus_shards_roundtrip,
         "fk_integrity": q_fk_integrity,
         "drift_report": q_drift_report,
@@ -5260,7 +5278,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_fraction_per_source": q_top_fraction_per_source,
         "dedup_incremental": q_dedup_incremental,
         "embedding_quantize": q_embedding_quantize,
-        "ates_kml_placemarks": q_ates_kml_placemarks,
         "khop_reach_sketched": q_khop_reach_sketched,
         "containment": q_containment,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,

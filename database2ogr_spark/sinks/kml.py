@@ -172,6 +172,20 @@ def _xml_escape(col: Column) -> Column:
     return F.regexp_replace(out, ">", "&gt;")
 
 
+def _cdata_escape(col: Column) -> Column:
+    """Split any ``]]>`` inside a CDATA payload — the ONE character
+    sequence a CDATA section cannot contain. The standard re-open trick
+    (``]]>`` → ``]]]]><![CDATA[>``) closes the section after ``]]`` and
+    reopens it before ``>``, so the concatenated character data parses
+    back byte-identical while the document stays well-formed. The
+    reference gets this for free from its serializer (``require('xml')``,
+    src/from-ground-up.js:9); a raw-concat pipeline must do it
+    explicitly, or one hostile description truncates the placemark and
+    injects markup (round-11 hardening — content with ``]]>`` does occur
+    in scraped corpora at scale)."""
+    return F.regexp_replace(col, r"\]\]>", "]]]]><![CDATA[>")
+
+
 def placemark_xml(df: DataFrame) -> Column:
     """<Placemark> string column. Optional fields are included only when the
     source value is present (X14, reference ``src/from-ground-up.js:830-860``);
@@ -191,7 +205,9 @@ def placemark_xml(df: DataFrame) -> Column:
     description_el = opt(
         "description",
         F.concat(
-            F.lit("<description><![CDATA["), F.col("description"), F.lit("]]></description>")
+            F.lit("<description><![CDATA["),
+            _cdata_escape(F.col("description")),
+            F.lit("]]></description>"),
         ),
     )
     type_el = opt(
@@ -205,7 +221,7 @@ def placemark_xml(df: DataFrame) -> Column:
                 "warnings",
                 F.concat(
                     F.lit('<Data name="warnings"><value><![CDATA['),
-                    F.col("warnings"),
+                    _cdata_escape(F.col("warnings")),
                     F.lit("]]></value></Data>"),
                 ),
             )

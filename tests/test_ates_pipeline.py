@@ -125,6 +125,37 @@ def test_recipe_generation(tmp_path):
     assert set(wrapped) == {"recipe", "name"}
 
 
+def test_kml_cdata_hostile_payload_stays_well_formed(spark):
+    """A description/warnings payload containing ``]]>`` must not
+    terminate its CDATA section early (sinks/kml._cdata_escape, round-11
+    hardening): the rendered placemark parses as well-formed XML, the
+    character data round-trips byte-identical, and nothing from the
+    payload surfaces as ELEMENTS — the well-formedness property the
+    reference inherits from its serializer library (require('xml')) and
+    a raw-concat pipeline must enforce itself."""
+    import xml.etree.ElementTree as ET
+
+    from database2ogr_spark.sinks.kml import placemark_xml
+
+    hostile = "before ]]><Placemark>injected</Placemark> after ]]> end"
+    df = spark.createDataFrame(
+        [("zones", "<Point><coordinates>0,0</coordinates></Point>", hostile, hostile)],
+        "table string, geometry string, description string, warnings string",
+    )
+    xml_str = df.select(placemark_xml(df).alias("p")).collect()[0]["p"]
+    root = ET.fromstring(xml_str)  # raises on the pre-fix early-terminated CDATA
+    assert root.tag == "Placemark"
+    # ElementTree merges adjacent CDATA sections: byte-identical roundtrip
+    assert root.find("description").text == hostile
+    warn = next(
+        d for d in root.find("ExtendedData").findall("Data")
+        if d.get("name") == "warnings"
+    )
+    assert warn.find("value").text == hostile
+    # the payload's markup stayed character data — nothing was injected
+    assert root.find(".//Placemark") is None
+
+
 def test_driver_sink_row_cap_trips(spark):
     # K1/K3 are driver-bound by design; past the cap they must refuse with a
     # pointer at the distributed NDJSON sink instead of collecting
