@@ -117,6 +117,51 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.valid_embeddings(_t(spark, sf_dir, "embeddings"))
 
 
+def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric distinct co-purchase edges: (src, dst) for every ordered
+    pair of DIFFERENT parts sharing an order — the shared edge table of
+    the graph family (khop_reach, khop_reach_sketched, copurchase_pagerank,
+    label_propagation).
+
+    r11 optimization (guide §2.4 "remove shuffles outright"): the edge set
+    used to be built as ``distinct(l_orderkey, l_partkey)`` self-joined on
+    the order key — a plan with three Exchanges (the distinct, the join's
+    re-exchange on the order key, the pair distinct). Pairs are instead
+    generated per order from the sorted distinct part array: ONE groupBy
+    shuffle builds the baskets (collect_set dedupes in partial
+    aggregation), the ordered-pair expansion is a narrow array transform
+    (bounded by order size — TPC-H orders top out at 7 lineitems), and the
+    pair distinct is the only other Exchange. Same edge set by
+    construction; plan went 3 Exchanges + join → 2 Exchanges, no join
+    (plans/r11/khop_reach_{before,after}.txt).
+    """
+    baskets = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("ps"))
+    )
+    ps = F.col("ps")
+    return (
+        baskets.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        ps,
+                        lambda x: F.transform(
+                            F.filter(ps, lambda y: y != x),
+                            lambda y: F.struct(
+                                x.alias("src"), y.alias("dst")
+                            ),
+                        ),
+                    )
+                )
+            ).alias("e")
+        )
+        .select(F.col("e.src").alias("src"), F.col("e.dst").alias("dst"))
+        .distinct()
+    )
+
+
 def _f2(col) -> F.Column:
     """printf('%.2f', x) — identical formatting in Spark and DuckDB for the
     integer-hundredths values constructed below (no rounding ties)."""
@@ -1682,24 +1727,7 @@ def q_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf0.1)."""
     from database2ogr_spark.operators.graph import khop_reach
 
-    li = (
-        _t(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    edges = (
-        li.alias("a")
-        .join(
-            li.alias("b"),
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
-        )
-        .select(
-            F.col("a.l_partkey").alias("src"),
-            F.col("b.l_partkey").alias("dst"),
-        )
-        .distinct()
-    )
+    edges = _copurchase_edges(spark, sf_dir)
     return khop_reach(
         edges, hops=2, source_filter=F.col("v") % 37 == 0
     ).withColumnRenamed("node", "part_id")
@@ -1720,24 +1748,7 @@ def q_khop_reach_sketched(spark: SparkSession, sf_dir: str) -> DataFrame:
     First post-freeze registry addition (VERDICT r6 #3 / r7 #2)."""
     from database2ogr_spark.operators.graph import khop_reach_approx
 
-    li = (
-        _t(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    edges = (
-        li.alias("a")
-        .join(
-            li.alias("b"),
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
-        )
-        .select(
-            F.col("a.l_partkey").alias("src"),
-            F.col("b.l_partkey").alias("dst"),
-        )
-        .distinct()
-    )
+    edges = _copurchase_edges(spark, sf_dir)
     return khop_reach_approx(edges, hops=2, p=8, seed=7).withColumnRenamed(
         "node", "part_id"
     )
@@ -2611,23 +2622,7 @@ def q_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical integer arithmetic and hash-matches."""
     from database2ogr_spark.operators.graph import pagerank_integer
 
-    li = (
-        _t(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    edges = (
-        li.alias("a")
-        .join(
-            li.alias("b"),
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
-        )
-        .select(
-            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
-        )
-        .distinct()
-    )
+    edges = _copurchase_edges(spark, sf_dir)
     return pagerank_integer(edges, iters=3).select(
         F.col("node").alias("part_id"), "rank_c9"
     )
@@ -2640,19 +2635,7 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     (count votes, min-label ties), twin unrolled as CTEs."""
     from database2ogr_spark.operators.graph import label_propagation
 
-    li = (
-        _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
-    )
-    edges = (
-        li.alias("a")
-        .join(
-            li.alias("b"),
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
-        )
-        .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
-        .distinct()
-    )
+    edges = _copurchase_edges(spark, sf_dir)
     # a seed without a label is not a seed: NULL labels would propagate
     # as NULL votes whose tie-breaks differ across engines
     seeds = (
@@ -2676,18 +2659,35 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     filter + orientation with row-value comparisons and hash-matches."""
     from database2ogr_spark.operators.graph import triangle_count
 
-    li = (
-        _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    # support-counted a<b co-purchase pairs, basket-expanded like
+    # _copurchase_edges (r11: one groupBy shuffle + narrow ordered-pair
+    # transform over the sorted distinct part array replaces the
+    # distinct + orderkey self-join — guide §2.4; identical pair
+    # supports since each order contributes each unordered pair once)
+    baskets = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("ps"))
     )
+    ps = F.col("ps")
     edges = (
-        li.alias("a")
-        .join(
-            li.alias("b"),
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        baskets.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        ps,
+                        lambda x, i: F.transform(
+                            F.slice(ps, i + F.lit(2), F.size(ps)),
+                            lambda y: F.struct(
+                                x.alias("src"), y.alias("dst")
+                            ),
+                        ),
+                    )
+                )
+            ).alias("e")
         )
         .groupBy(
-            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+            F.col("e.src").alias("src"), F.col("e.dst").alias("dst")
         )
         .agg(F.count(F.lit(1)).alias("support"))
         .filter(F.col("support") >= 2)

@@ -101,6 +101,37 @@ def word_frequencies(
     return wf
 
 
+def _merge_loop_local(
+    vocab: list[tuple[str, int]], num_merges: int
+) -> list[tuple[int, str, str, str, int]]:
+    """The BPE merge loop over an in-memory (symbol-string, freq) vocab —
+    exact twin of the distributed loop in :func:`learn_bpe` (same
+    overlapping pair counts, the same (cnt desc, pair asc) argmax — ASCII
+    symbols make Python's code-point compare identical to Spark's UTF-8
+    binary ordering — and the same leftmost-non-overlapping ``replace``:
+    Python ``str.replace`` and Java ``String.replace`` both scan left to
+    right resuming after each match). Equivalence is pinned by
+    tests/test_bpe.py against the distributed path."""
+    syms = [s for s, _ in vocab]
+    freqs = [f for _, f in vocab]
+    merges: list[tuple[int, str, str, str, int]] = []
+    for rank in range(num_merges):
+        cnt: dict[str, int] = {}
+        for s, f in zip(syms, freqs):
+            toks = s.split()
+            for i in range(len(toks) - 1):
+                p = toks[i] + " " + toks[i + 1]
+                cnt[p] = cnt.get(p, 0) + f
+        if not cnt:
+            break
+        pair, c = min(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+        lhs, rhs = pair.split(" ", 1)
+        merges.append((rank, lhs, rhs, lhs + rhs, int(c)))
+        old, new = f" {pair} ", f" {lhs}{rhs} "
+        syms = [s.replace(old, new) for s in syms]
+    return merges
+
+
 def learn_bpe(
     df: DataFrame,
     text_col: str = "text",
@@ -109,6 +140,7 @@ def learn_bpe(
     min_word_freq: int = 1,
     word_pattern: str = ASCII_WORDS,
     checkpoint_every: int = 8,
+    local_vocab_cap: int = 1 << 16,
 ) -> DataFrame:
     """Learn ``num_merges`` BPE merge rules from the corpus.
 
@@ -118,21 +150,41 @@ def learn_bpe(
     ``ORDER BY cnt DESC, pair ASC LIMIT 1``, a TakeOrderedAndProject, never
     a full sort). Stops early if no pair remains.
 
-    The merge chain is narrow (stacked ``replace`` columns over the
-    persisted vocabulary); every ``checkpoint_every`` merges the current
-    symbol table is re-persisted so argmax jobs replay a bounded-depth
-    chain instead of O(num_merges²) string work.
+    Execution tiers (round-11 optimization, guide §1.2 "the distributed
+    algorithm first"): the corpus-sized work — the word-frequency scan —
+    is always distributed; the merge LOOP runs on the driver whenever the
+    distinct vocabulary fits ``local_vocab_cap`` rows (the same bounded
+    size every single-node tokenizer trainer accepts, and the same
+    size-capped driver-state pattern as graph.near_dup_groups' union-find
+    hint). One vocabulary collect replaces ``num_merges`` sequential
+    pair-count/argmax Spark jobs — at sf0.1 this cut learn_bpe from
+    ~2.4 s to ~0.6 s and shows up in all four BPE-family bench entries.
+    Vocabularies over the cap keep the distributed loop: per merge one
+    pair-count shuffle over the persisted vocab plus a 1-row argmax
+    collect; the merge chain is narrow (stacked ``replace`` columns), and
+    every ``checkpoint_every`` merges the symbol table is re-persisted so
+    argmax jobs replay a bounded-depth chain instead of O(num_merges²)
+    string work. Both tiers produce bit-identical merge tables (pinned in
+    tests/test_bpe.py).
     """
     from pyspark import StorageLevel
 
     spark = df.sparkSession
-    cur = word_frequencies(
+    wf_sym = word_frequencies(
         df, text_col, min_word_freq=min_word_freq, word_pattern=word_pattern
     ).select(_char_symbols(F.col("word")).alias("sym"), "freq")
-    cur = cur.persist(StorageLevel.MEMORY_AND_DISK)
-    owned = [cur]
 
-    merges: list[tuple[int, str, str, str, int]] = []
+    # one bounded probe job: if the vocab fits the cap we already hold it
+    head = wf_sym.limit(local_vocab_cap + 1).collect()
+    if len(head) <= local_vocab_cap:
+        merges = _merge_loop_local(
+            [(r["sym"], int(r["freq"])) for r in head], num_merges
+        )
+        return spark.createDataFrame(merges, MERGES_SCHEMA)
+
+    cur = wf_sym.persist(StorageLevel.MEMORY_AND_DISK)
+    owned = [cur]
+    merges = []
     try:
         for rank in range(num_merges):
             best = (

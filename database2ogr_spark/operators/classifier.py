@@ -130,35 +130,42 @@ def train_quality_classifier(
         text_col,
         extra=("y",),
     )
-    # featurization is read once per iteration + once for scoring; the
-    # feature row is 6 doubles/doc — persist is cheap and saves re-running
-    # the text kernels each step
+    # featurization is read once per iteration; the feature row is 6
+    # doubles/doc — persist is cheap and saves re-running the text
+    # kernels each step
     feats = feats.persist()
-    n_feat = len(FEATURES)
-    w = [0] * n_feat
     try:
-        for _ in range(n_iter):
-            p = _prob(w)
-            r = p - F.col("y")
-            agg = feats.agg(
-                F.count(F.lit(1)).alias("n"),
-                *[
-                    F.sum(
-                        F.round(r * F.col(f"x{j}") * F.lit(float(GRAD_SCALE)))
-                        .cast("long")
-                    ).alias(f"g{j}")
-                    for j in range(n_feat)
-                ],
-            ).collect()[0]
-            n = agg["n"]
-            if n == 0:
-                break
-            w = [
-                int(w[j] - _round_half_away(agg[f"g{j}"] * factor / n))
-                for j in range(n_feat)
-            ]
+        return _gd_steps(feats, n_iter=n_iter, factor=factor)
     finally:
         feats.unpersist()
+
+
+def _gd_steps(feats: DataFrame, *, n_iter: int, factor: float) -> list[int]:
+    """The GD iteration core over an (already persisted) features frame
+    carrying ``y`` — shared by :func:`train_quality_classifier` and the
+    single-featurize :func:`quality_classifier_scores` path."""
+    n_feat = len(FEATURES)
+    w = [0] * n_feat
+    for _ in range(n_iter):
+        p = _prob(w)
+        r = p - F.col("y")
+        agg = feats.agg(
+            F.count(F.lit(1)).alias("n"),
+            *[
+                F.sum(
+                    F.round(r * F.col(f"x{j}") * F.lit(float(GRAD_SCALE)))
+                    .cast("long")
+                ).alias(f"g{j}")
+                for j in range(n_feat)
+            ],
+        ).collect()[0]
+        n = agg["n"]
+        if n == 0:
+            break
+        w = [
+            int(w[j] - _round_half_away(agg[f"g{j}"] * factor / n))
+            for j in range(n_feat)
+        ]
     return w
 
 
@@ -191,24 +198,43 @@ def quality_classifier_scores(
     lr: float = 0.1,
 ) -> DataFrame:
     """Train on the weak label, then score the same corpus — the composed
-    filter-building step: (id_col, label, prob, predicted).  Scoring is a
-    single featurize scan with the label carried through (no join back)."""
-    w = train_quality_classifier(
-        df, label, id_col=id_col, text_col=text_col, n_iter=n_iter, lr=lr
-    )
-    base = doc_features(
+    filter-building step: (id_col, label, prob, predicted).
+
+    r11 optimization (guide §1.2 per-task work / §5 caching): training and
+    scoring share ONE featurize pass — the same persisted 6-double feature
+    frame feeds the GD iterations and the final scoring projection (the
+    previous shape featurized twice: once inside train, once for the
+    scoring plan). The scored table is materialized via eager
+    ``localCheckpoint`` before the feature blocks are released (the
+    operators/dedup._finalize lifecycle), so callers get a lineage-free
+    result and no operator-owned blocks outlive the call. Identical
+    values: y and label derive from the same coalesced expression, and
+    the scoring math is unchanged.
+    """
+    factor = lr * WEIGHT_SCALE / GRAD_SCALE
+    if abs(factor - round(factor)) > 1e-9:
+        raise ValueError(
+            f"lr={lr} must make lr*{WEIGHT_SCALE}/{GRAD_SCALE} an integer"
+        )
+    feats = doc_features(
         df.withColumn("label", F.coalesce(label.cast("int"), F.lit(0))),
         id_col,
         text_col,
         extra=("label",),
-    )
-    p = _prob(w)
-    return base.select(
-        F.col("id").alias(id_col),
-        "label",
-        p.alias("prob"),
-        (p >= F.lit(0.5)).alias("predicted"),
-    )
+    ).withColumn("y", F.col("label").cast("double"))
+    feats = feats.persist()
+    try:
+        w = _gd_steps(feats, n_iter=n_iter, factor=factor)
+        p = _prob(w)
+        scored = feats.select(
+            F.col("id").alias(id_col),
+            "label",
+            p.alias("prob"),
+            (p >= F.lit(0.5)).alias("predicted"),
+        )
+        return scored.localCheckpoint(eager=True)
+    finally:
+        feats.unpersist()
 
 
 def calibration_report(

@@ -83,13 +83,21 @@ def build_positional_index(
             F.filter(F.split(F.col(text_col), "\\s+"), lambda x: x != "")
         ).alias("pos", "token"),
     )
+    # r11 optimization (guide §2.4/§6): the index used to be written
+    # through a global ``sort("token", "doc")`` — a RANGE exchange whose
+    # boundary-sampling pass re-executes the whole aggregation before the
+    # real one runs. Hash-clustering by token + an in-partition sort keeps
+    # the property the layout exists for — every token's postings live
+    # contiguously sorted in exactly one file, so a query's IN-filter
+    # prunes at file level — with one hash exchange and no sampling job.
     postings = (
         toks.groupBy("token", "doc")
         .agg(
             F.sort_array(F.collect_list("pos")).alias("positions"),
             F.count(F.lit(1)).alias("tf"),
         )
-        .sort("token", "doc")
+        .repartition(F.col("token"))
+        .sortWithinPartitions("token", "doc")
     )
     postings.write.mode("overwrite").parquet(out_dir)
     return out_dir

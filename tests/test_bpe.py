@@ -123,6 +123,22 @@ def test_segment_corpus_counts_and_oov(spark):
     assert out[1] == (2, n1, round((5 + 6) / n1, 6))
 
 
+def test_local_and_distributed_merge_loops_agree(spark):
+    """The r11 driver-side merge tier (vocab under local_vocab_cap) must be
+    bit-identical to the distributed pair-count/argmax loop — including
+    overlapping-pair counts, the (cnt desc, pair asc) tie-break, and
+    leftmost-non-overlapping application on repeated symbols."""
+    texts = [
+        "low low low low low", "lower lower widest widest widest",
+        "newest newest newest newest newest newest",
+        "aaa aaa aa a aaaa", "x y x y x y zz zz",
+    ]
+    df = _docs(spark, texts)
+    local = _learned(df, num_merges=8)  # default cap >> vocab
+    dist = _learned(df, num_merges=8, local_vocab_cap=0)  # force distributed
+    assert local == dist
+
+
 def test_learn_leaves_nothing_persisted(spark):
     spark.catalog.clearCache()
     learn_bpe(_docs(spark, ["aa bb aa bb aa"]), num_merges=2).collect()
