@@ -222,19 +222,22 @@ def quality_classifier_scores(
         text_col,
         extra=("label",),
     ).withColumn("y", F.col("label").cast("double"))
+    from database2ogr_spark.operators.partitioning import finalize_lifecycle
+
     feats = feats.persist()
     try:
         w = _gd_steps(feats, n_iter=n_iter, factor=factor)
-        p = _prob(w)
-        scored = feats.select(
-            F.col("id").alias(id_col),
-            "label",
-            p.alias("prob"),
-            (p >= F.lit(0.5)).alias("predicted"),
-        )
-        return scored.localCheckpoint(eager=True)
-    finally:
+    except Exception:
         feats.unpersist()
+        raise
+    p = _prob(w)
+    scored = feats.select(
+        F.col("id").alias(id_col),
+        "label",
+        p.alias("prob"),
+        (p >= F.lit(0.5)).alias("predicted"),
+    )
+    return finalize_lifecycle(scored, [feats])
 
 
 def calibration_report(

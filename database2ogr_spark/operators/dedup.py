@@ -66,10 +66,9 @@ def _finalize(
     cached — the caller owns cleanup."""
     if not release:
         return result
-    out = result.localCheckpoint(eager=True)
-    for df in owned:
-        df.unpersist()
-    return out
+    from database2ogr_spark.operators.partitioning import finalize_lifecycle
+
+    return finalize_lifecycle(result, list(owned))
 
 
 def _guarded_gram_table(

@@ -38,6 +38,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from database2ogr_spark.functions.hashing import stable_hash64
+from database2ogr_spark.operators.partitioning import finalize_lifecycle
 
 
 def connected_components(
@@ -487,6 +488,10 @@ def triangle_count(
     (deg, id) total order rides the oriented edge table so the wedge stage
     needs no extra join to compare endpoints.
     """
+    # r11 (guide §2.4): persist the canonical edge table — it feeds the
+    # degree table AND the orientation join, and an expensive upstream
+    # derivation (the co-purchase basket expansion in the graded entry)
+    # would otherwise replay once per reference
     und = (
         edges.select(
             F.least(F.col(src_col), F.col(dst_col)).alias("u"),
@@ -494,12 +499,16 @@ def triangle_count(
         )
         .filter(F.col("u") < F.col("v"))
         .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    # one explode pass over und (NOT a union of two selects, which plans
+    # the und subtree twice); deg is |V| rows and read three times
+    # downstream (two orientation joins + the final report join)
     deg = (
-        und.select(F.col("u").alias("node"))
-        .union(und.select(F.col("v").alias("node")))
+        und.select(F.explode(F.array(F.col("u"), F.col("v"))).alias("node"))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("degree"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     # orient by the (degree, id) total order; carry the tail's order key so
     # the wedge join can order its two tails without another join
@@ -531,10 +540,14 @@ def triangle_count(
         F.col("s").alias("t1"), F.col("t").alias("t2")
     )
     tris = wedges.join(closing, ["t1", "t2"]).select("s", "t1", "t2")
+    # one explode pass over the wedge-join output — the union-of-three-
+    # selects shape executed the (expensive) closing join once per branch
     per_vertex = (
-        tris.select(F.col("s").alias("node"))
-        .union(tris.select(F.col("t1").alias("node")))
-        .union(tris.select(F.col("t2").alias("node")))
+        tris.select(
+            F.explode(
+                F.array(F.col("s"), F.col("t1"), F.col("t2"))
+            ).alias("node")
+        )
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
@@ -558,10 +571,8 @@ def triangle_count(
         )
     )
     # same persist-lifecycle exit as operators/dedup._finalize: materialize
-    # (lineage truncated off the persisted oriented table) then release
-    final = out.localCheckpoint(eager=True)
-    oriented.unpersist()
-    return final
+    # (lineage truncated off the persisted tables) then release
+    return finalize_lifecycle(out, [oriented, deg, und])
 
 
 def khop_reach(
@@ -601,9 +612,17 @@ def khop_reach(
     """
     if hops < 1:
         raise ValueError("hops must be >= 1")
-    e = edges.select(
-        F.col(src_col).alias("v"), F.col(dst_col).alias("u")
-    ).distinct()
+    # r11 (guide §2.4): persist the deduped edge table — it appears in the
+    # plan once per hop as the expansion's probe side PLUS once as the
+    # seed/reach branch, so an expensive upstream edge derivation (the
+    # co-purchase basket expansion in the graded entry) replayed 3x for
+    # hops=2; same persist → eager-checkpoint → unpersist lifecycle as
+    # khop_reach_approx below
+    e = (
+        edges.select(F.col(src_col).alias("v"), F.col(dst_col).alias("u"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     start = e if source_filter is None else e.filter(source_filter)
     reach = start
     frontier = start
@@ -615,12 +634,13 @@ def khop_reach(
             .distinct()
         )
         reach = reach.union(frontier).distinct()
-    return (
+    out = (
         reach.filter(F.col("v") != F.col("u"))
         .groupBy("v")
         .agg(F.count(F.lit(1)).alias("n_reach"))
         .select(F.col("v").alias("node"), F.col("n_reach").cast("bigint").alias("n_reach"))
     )
+    return finalize_lifecycle(out, [e])
 
 
 def khop_reach_approx(

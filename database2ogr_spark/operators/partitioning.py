@@ -10,9 +10,34 @@ default parallelism.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+
+
+def finalize_lifecycle(result: DataFrame, owned: list[DataFrame]) -> DataFrame:
+    """Shared persist-lifecycle exit for operators that persist expensive
+    intermediates: eagerly ``localCheckpoint`` the result (truncating the
+    lineage off the persisted tables so they can be released immediately)
+    and unpersist everything in ``owned``. Leak-free by construction —
+    nothing stays in the block manager after the operator returns.
+
+    Diagnostics escape hatch: with ``D2O_KEEP_LINEAGE=1`` the lazy plan is
+    returned and caches are left in place, so ``explain()`` shows the full
+    computation with its InMemoryTableScan reuse points instead of a
+    ``Scan ExistingRDD`` over the checkpoint. Plan capture only — callers
+    of this mode own cache cleanup (``spark.catalog.clearCache()``), and
+    timings must never be taken under it (the checkpoint's materialization
+    cost is part of the operator).
+    """
+    if os.environ.get("D2O_KEEP_LINEAGE") == "1":
+        return result
+    out = result.localCheckpoint(eager=True)
+    for df in owned:
+        df.unpersist()
+    return out
 
 
 def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:

@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from database2ogr_spark.functions.hashing import words
-from database2ogr_spark.operators.partitioning import spread
+from database2ogr_spark.operators.partitioning import finalize_lifecycle, spread
 
 
 def tfidf_top_terms(
@@ -287,27 +287,36 @@ def stupid_backoff_score(
             ).alias("g"),
         ).select("id", *[F.col(f"g.{c}").alias(c) for c in cols])
 
+    from pyspark import StorageLevel
+
+    # r11 (guide §2.2/§3): persist the trigram/bigram count tables (their
+    # context aggregations would otherwise each replay the corpus
+    # explode+agg) and pre-merge each context total INTO its count table
+    # (model-sized joins) — the corpus-sized event stream then takes 3
+    # keyed joins (trigram, bigram, unigram level) instead of 5. The
+    # context totals c12/c2 are only read when the corresponding count
+    # matched, so riding them on the count row is value-identical.
     train = spread(df.filter(train_filter))
     uni = grams(train, 1, ["w3"]).groupBy("w3").agg(
         F.count(F.lit(1)).alias("c1")
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     big = grams(train, 2, ["w2", "w3"]).groupBy("w2", "w3").agg(
         F.count(F.lit(1)).alias("c23")
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     big_ctx = big.groupBy("w2").agg(F.sum("c23").alias("c2"))
     tri = grams(train, 3, ["w1", "w2", "w3"]).groupBy("w1", "w2", "w3").agg(
         F.count(F.lit(1)).alias("c3")
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     tri_ctx = tri.groupBy("w1", "w2").agg(F.sum("c3").alias("c12"))
     totals = uni.agg(F.sum("c1").alias("n_tok"))
+    tri_model = tri.join(tri_ctx, ["w1", "w2"])
+    big_model = big.join(big_ctx, ["w2"])
 
     events = grams(spread(df), 3, ["w1", "w2", "w3"])
     d = "double"
     joined = (
-        events.join(tri, ["w1", "w2", "w3"], "left")
-        .join(tri_ctx, ["w1", "w2"], "left")
-        .join(big, ["w2", "w3"], "left")
-        .join(big_ctx, ["w2"], "left")
+        events.join(tri_model, ["w1", "w2", "w3"], "left")
+        .join(big_model, ["w2", "w3"], "left")
         .join(uni, ["w3"], "left")
         .crossJoin(F.broadcast(totals))
     )
@@ -322,7 +331,7 @@ def stupid_backoff_score(
     s = F.when(
         F.col("c3").isNotNull(), F.col("c3").cast(d) / F.col("c12").cast(d)
     ).otherwise(a * bi_s)
-    return (
+    out = (
         joined.groupBy("id")
         .agg(
             F.count(F.lit(1)).alias("n_trigrams"),
@@ -330,6 +339,7 @@ def stupid_backoff_score(
         )
         .select(F.col("id").alias(id_col), "n_trigrams", "logprob")
     )
+    return finalize_lifecycle(out, [tri, big, uni])
 
 
 def zipf_fit(
@@ -674,6 +684,8 @@ def kneser_ney_logprob_score(
     partial-agg'd on token keys, nothing beyond bigram_logprob_score's
     cost class; the scoring join chain is the same keyed equi-join shape.
     """
+    from pyspark import StorageLevel
+
     w = words(text_col)
     m = F.greatest(F.size(w) - 1, F.lit(0))
     pairs = (
@@ -688,7 +700,16 @@ def kneser_ney_logprob_score(
         )
         .select("id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
     )
-    counts = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    # r11 (guide §2.2/§3): persist the bigram-count table — four model
+    # aggregations derive from it and would otherwise each replay the
+    # corpus explode+agg — and pre-merge the per-key model tables into it
+    # (model-sized joins) so the corpus-sized scoring stream is joined
+    # ONCE on (w1,w2) instead of three times
+    counts = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     left = counts.groupBy("w1").agg(
         F.sum("c12").alias("c1dot"), F.count(F.lit(1)).alias("n1p_w1")
     )
@@ -698,15 +719,14 @@ def kneser_ney_logprob_score(
         F.sum(F.when(F.col("c12") == 1, 1).otherwise(0)).alias("n1"),
         F.sum(F.when(F.col("c12") == 2, 1).otherwise(0)).alias("n2"),
     )
+    model = counts.join(left, ["w1"]).join(cont, ["w2"])
     d = "double"
     disc = F.when(
         (F.col("n1") + 2 * F.col("n2")) > 0,
         F.col("n1").cast(d) / (F.col("n1") + 2 * F.col("n2")).cast(d),
     ).otherwise(F.lit(0.0))
     scored = (
-        pairs.join(counts, ["w1", "w2"])
-        .join(left, ["w1"])
-        .join(cont, ["w2"])
+        pairs.join(model, ["w1", "w2"])
         .crossJoin(F.broadcast(cc))
         .withColumn("__D", disc)
         .withColumn(
@@ -717,7 +737,7 @@ def kneser_ney_logprob_score(
             * (F.col("n1p_w2").cast(d) / F.col("n_types").cast(d)),
         )
     )
-    return (
+    out = (
         scored.groupBy("id")
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),
@@ -725,3 +745,4 @@ def kneser_ney_logprob_score(
         )
         .select(F.col("id").alias(id_col), "n_bigrams", "logprob")
     )
+    return finalize_lifecycle(out, [counts])

@@ -62,9 +62,16 @@ def main() -> None:
             continue
         if args.plans_dir and args.tag:
             os.makedirs(args.plans_dir, exist_ok=True)
-            df = qs[name](spark, args.sf_dir)
-            plan = df._sc._jvm.PythonSQLUtils.explainString(
-                df._jdf.queryExecution(), "formatted")
+            # capture the plan with lineage kept (persist-lifecycle
+            # operators otherwise checkpoint eagerly and explain() shows
+            # only Scan ExistingRDD); timings below run the real path
+            os.environ["D2O_KEEP_LINEAGE"] = "1"
+            try:
+                df = qs[name](spark, args.sf_dir)
+                plan = df._sc._jvm.PythonSQLUtils.explainString(
+                    df._jdf.queryExecution(), "formatted")
+            finally:
+                os.environ.pop("D2O_KEEP_LINEAGE", None)
             with open(os.path.join(
                     args.plans_dir, f"{name}_{args.tag}.txt"), "w") as f:
                 f.write(plan)
