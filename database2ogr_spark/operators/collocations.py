@@ -59,8 +59,15 @@ def pmi_bigrams(
     big = pairs.groupBy("token_a", "token_b").agg(
         F.count(F.lit(1)).alias("n_pair")
     )
-    totals = toks.agg(F.count(F.lit(1)).alias("n_tok")).crossJoin(
-        pairs.agg(F.count(F.lit(1)).alias("n_big"))
+    # r11 (guide §2.3/§2.4): the totals used to re-run the token AND
+    # bigram explode+count over the corpus (two extra wide passes); both
+    # are exact per-document integer identities — n_tok = Σ size(ws),
+    # n_big = Σ max(size-1, 0) — so ONE narrow agg pass (no explode, no
+    # shuffle beyond the 1-row partial agg) replaces them
+    n_sz = F.size(ws)
+    totals = df.agg(
+        F.sum(n_sz).alias("n_tok"),
+        F.sum(F.greatest(n_sz - 1, F.lit(0))).alias("n_big"),
     )
     d = "double"
     joined = (
@@ -147,8 +154,22 @@ def windowed_pmi(
     big = pairs.groupBy("token_a", "token_b").agg(
         F.count(F.lit(1)).alias("n_pair")
     )
-    totals = toks.agg(F.count(F.lit(1)).alias("n_tok")).crossJoin(
-        pairs.agg(F.count(F.lit(1)).alias("n_big"))
+    # r11 (guide §2.3/§2.4): the totals used to re-run the token AND the
+    # windowed-pair explode+count over the corpus (two extra wide
+    # passes); both are exact per-document integer identities —
+    # n_tok = Σ size(ws), n_big = Σ_d∈1..w max(size-d, 0), the number of
+    # elements each shifted zip emits — so ONE narrow agg pass replaces
+    # them (no explode, nothing shuffled beyond the 1-row partial agg)
+    n_sz = F.size(ws)
+    totals = df.agg(
+        F.sum(n_sz).alias("n_tok"),
+        F.sum(
+            F.aggregate(
+                offs,
+                F.lit(0).cast("bigint"),
+                lambda acc, d: acc + F.greatest(n_sz - d, F.lit(0)),
+            )
+        ).alias("n_big"),
     )
     d_ = "double"
     joined = (
@@ -492,8 +513,11 @@ def textrank_keywords(
     The graph: one DISTINCT undirected edge per token pair co-occurring
     within ``window`` positions, built with the same in-codegen
     slice+zip_with expansion as :func:`windowed_pmi` (linear in tokens ×
-    window — never a positions self-join), symmetrized by unioning both
-    directions. Centrality: :func:`graph.pagerank_integer` — scaled-
+    window — never a positions self-join), canonicalized (least, greatest)
+    BEFORE the distinct so the dedup shuffle carries each undirected edge
+    once, then symmetrized with one explode — a union of two selects over
+    the pair stream would plan (and execute) the corpus expansion twice.
+    Centrality: :func:`graph.pagerank_integer` — scaled-
     integer arithmetic, so ranks are deterministic across engines,
     partitionings, and retries, and the top-``top_n`` cut is stable.
 
@@ -527,11 +551,28 @@ def textrank_keywords(
             )
         ).alias("p")
     ).select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
-    edges = (
-        pairs.union(pairs.select(F.col("b").alias("a"), F.col("a").alias("b")))
-        .filter(F.col("a") != F.col("b"))
+    # r11 (guide §2.3/§2.4): canonicalize before the distinct — half the
+    # dedup shuffle bytes — and symmetrize AFTER it with one explode over
+    # the (far smaller) distinct-edge table; the old
+    # pairs.union(pairs.select(b, a)) planned the corpus pair expansion
+    # twice. Set-equal to the old edges: every undirected pair appears in
+    # exactly both orientations either way.
+    und = (
+        pairs.filter(F.col("a") != F.col("b"))
+        .select(
+            F.least(F.col("a"), F.col("b")).alias("a"),
+            F.greatest(F.col("a"), F.col("b")).alias("b"),
+        )
         .distinct()
     )
+    edges = und.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("a").alias("a"), F.col("b").alias("b")),
+                F.struct(F.col("b").alias("a"), F.col("a").alias("b")),
+            )
+        ).alias("p")
+    ).select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
     ranks = pagerank_integer(edges, iters=iters, src_col="a", dst_col="b")
     return (
         ranks.select(F.col("node").alias("token"), "rank_c9")

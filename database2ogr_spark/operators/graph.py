@@ -370,16 +370,24 @@ def pagerank_integer(
     the localCheckpoint cadence of ``connected_components`` above). Nodes
     with no in-edges settle at the base mass.
     """
+    from pyspark.sql.window import Window
+
     e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    ed = e.join(deg, "src").persist(StorageLevel.MEMORY_AND_DISK)
+    # r11 (guide §2.4): annotate out-degree with a window count over ONE
+    # shuffle of the edge stream instead of groupBy+join — the join form
+    # evaluated the caller's whole edge-construction subtree twice (once
+    # for e, once under the degree aggregate) before the persist could
+    # capture it. count().over(partitionBy) equals the group count exactly.
+    ed = e.withColumn(
+        "deg", F.count(F.lit(1)).over(Window.partitionBy("src"))
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     # nodes MUST derive from the persisted table: it re-enters the plan once
     # per iteration (the no-in-edge left join), and deriving it from the raw
     # edge lineage re-ran the caller's whole edge construction every round
-    # (measured 7.2 s → 2.9 s at sf0.1 on the co-purchase entry)
+    # (measured 7.2 s → 2.9 s at sf0.1 on the co-purchase entry); one
+    # explode pass, not a union of selects (which scans the cache twice)
     nodes = (
-        ed.select(F.col("src").alias("node"))
-        .union(ed.select(F.col("dst").alias("node")))
+        ed.select(F.explode(F.array(F.col("src"), F.col("dst"))).alias("node"))
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
@@ -612,17 +620,17 @@ def khop_reach(
     """
     if hops < 1:
         raise ValueError("hops must be >= 1")
-    # r11 (guide §2.4): persist the deduped edge table — it appears in the
-    # plan once per hop as the expansion's probe side PLUS once as the
-    # seed/reach branch, so an expensive upstream edge derivation (the
-    # co-purchase basket expansion in the graded entry) replayed 3x for
-    # hops=2; same persist → eager-checkpoint → unpersist lifecycle as
-    # khop_reach_approx below
-    e = (
-        edges.select(F.col(src_col).alias("v"), F.col(dst_col).alias("u"))
-        .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    # r11 note: persisting this deduped edge table was TRIED and REJECTED
+    # on an interleaved A/B (guide §1.1): the plan references it 3x for
+    # hops=2, but two of the three references carry the pushed-down
+    # source filter, so re-deriving the (much smaller) filtered streams
+    # beats materializing the full table — 3.96 s (lazy) vs 4.67 s
+    # (persisted) at sf0.1 on the co-purchase entry, and the persisted
+    # variant's pass spread was worse. Contrast triangle_count above,
+    # where all four references are unfiltered and the persist wins.
+    e = edges.select(
+        F.col(src_col).alias("v"), F.col(dst_col).alias("u")
+    ).distinct()
     start = e if source_filter is None else e.filter(source_filter)
     reach = start
     frontier = start
@@ -634,13 +642,12 @@ def khop_reach(
             .distinct()
         )
         reach = reach.union(frontier).distinct()
-    out = (
+    return (
         reach.filter(F.col("v") != F.col("u"))
         .groupBy("v")
         .agg(F.count(F.lit(1)).alias("n_reach"))
         .select(F.col("v").alias("node"), F.col("n_reach").cast("bigint").alias("n_reach"))
     )
-    return finalize_lifecycle(out, [e])
 
 
 def khop_reach_approx(

@@ -101,7 +101,12 @@ def pretrain_ledger(
     deduped = dedup_exact_survivors(kept, id_col, text_col).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    clean = decontaminate(deduped, benchmark, id_col, text_col, k=13)
+    # r11: clean feeds two branches too (the decontaminate anti-join and
+    # the 'kept' ledger rows) — without the persist the decontaminate
+    # shingle+semi-join ran twice off the cached deduped table
+    clean = decontaminate(deduped, benchmark, id_col, text_col, k=13).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     q_drop = docs.select(id_col).join(kept.select(id_col), id_col, "left_anti")
     d_drop = kept.select(id_col).join(
         deduped.select(id_col), id_col, "left_anti"
