@@ -4087,19 +4087,35 @@ def q_countmin_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = d.select(
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
     ).filter(F.col("token") != "")
-    direct = countmin_build(toks, "token")
-    merged = countmin_merge(
-        countmin_build(toks.filter(F.col("doc_id") % 2 == 0), "token"),
-        countmin_build(toks.filter(F.col("doc_id") % 2 == 1), "token"),
+    # ONE corpus explode into a persisted (parity, token) count table
+    # (vocab × 2 rows); the direct sketch, both half sketches, the point-
+    # query item list and the exact counts all derive from it via
+    # countmin_build's weight_col (summing counted increments into cells
+    # is identical to counting occurrences — integer associativity, the
+    # very property this entry grades). Pre-fix the plan replayed the
+    # corpus explode 5x (r11 plan audit). parity keeps doc_id % 2 verbatim
+    # so NULL/negative ids land exactly where the original filters put
+    # them (NULL parity: in `direct`, in neither half — unchanged).
+    tokc = (
+        toks.groupBy((F.col("doc_id") % 2).alias("par"), "token")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .persist()
     )
-    items = toks.select("token").distinct()
+    direct = countmin_build(tokc, "token", weight_col="c")
+    merged = countmin_merge(
+        countmin_build(tokc.filter(F.col("par") == 0), "token", weight_col="c"),
+        countmin_build(tokc.filter(F.col("par") == 1), "token", weight_col="c"),
+    )
+    items = tokc.select("token").distinct()
     est_d = countmin_query(direct, items, "token").withColumnRenamed(
         "est", "n_est"
     )
     est_m = countmin_query(merged, items, "token").withColumnRenamed(
         "est", "est_m"
     )
-    exact = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n_exact"))
+    exact = tokc.groupBy("token").agg(
+        F.sum("c").cast("bigint").alias("n_exact")
+    )
     return (
         exact.join(est_d, "token")
         .join(est_m, "token")

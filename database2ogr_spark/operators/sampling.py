@@ -816,19 +816,36 @@ def skipgram_negative_samples(
             F.col("z.wa").alias("wa"),
             F.col("z.wb").alias("wb"),
         )
-        parts.append(
-            zipped.select(
-                "id", "pos", F.lit(d).alias("ctx_offset"),
-                F.col("wa").alias("center"), F.col("wb").alias("context"),
-            )
-        )
+        # both orientations (+d and −d) emitted from ONE pass via an
+        # inline 2-element explode: referencing `zipped` from two separate
+        # union branches planned (and executed) the slice+zip subtree twice
+        # per offset — 2× the corpus scans for identical output rows
+        # (r11 plan audit)
         parts.append(
             zipped.select(
                 "id",
-                (F.col("pos") + d).alias("pos"),
-                F.lit(-d).alias("ctx_offset"),
-                F.col("wb").alias("center"),
-                F.col("wa").alias("context"),
+                F.explode(
+                    F.array(
+                        F.struct(
+                            F.col("pos").alias("pos"),
+                            F.lit(d).alias("ctx_offset"),
+                            F.col("wa").alias("center"),
+                            F.col("wb").alias("context"),
+                        ),
+                        F.struct(
+                            (F.col("pos") + d).alias("pos"),
+                            F.lit(-d).alias("ctx_offset"),
+                            F.col("wb").alias("center"),
+                            F.col("wa").alias("context"),
+                        ),
+                    )
+                ).alias("p"),
+            ).select(
+                "id",
+                F.col("p.pos").alias("pos"),
+                F.col("p.ctx_offset").alias("ctx_offset"),
+                F.col("p.center").alias("center"),
+                F.col("p.context").alias("context"),
             )
         )
     pos_pairs = parts[0]
@@ -847,13 +864,16 @@ def skipgram_negative_samples(
         ).alias("wt"),
     )
     cw = Window.orderBy(F.col("wt").desc(), F.col("w").asc())
+    # persisted: vocabulary-sized — the interval table feeds both the total
+    # (referenced again by the draw hash) and the bucket explode; without
+    # the persist each reference replays the corpus unigram explode+count
     cum = wtd.select(
         "w", "wt",
         (F.coalesce(
             F.sum("wt").over(cw.rowsBetween(Window.unboundedPreceding, -1)),
             F.lit(0),
         )).alias("lo"),
-    ).withColumn("hi", F.col("lo") + F.col("wt"))
+    ).withColumn("hi", F.col("lo") + F.col("wt")).persist()
     tot = cum.agg(F.max("hi").alias("T"), F.count(F.lit(1)).alias("V"))
 
     # bucketized interval lookup over the integer weight space

@@ -184,6 +184,11 @@ def mutual_information(
     estimates rounded 6 dp; ``nmi = mi / min(h_x, h_y)`` (NULL when a
     column is constant, i.e. min entropy 0).
     """
+    # NOT persisted (r11 A/B): the joint count is referenced by five
+    # branches and the textual plan prints the corpus subtree five times,
+    # but AQE exchange reuse executes the identical agg ONCE at runtime —
+    # a persist here measured as a pure cache-barrier pessimization
+    # (see OPTIMIZATION_r11.md #16)
     joint = (
         df.select(
             F.col(col_x).alias("x"), F.col(col_y).alias("y")
@@ -346,6 +351,10 @@ def cohens_kappa(
     """
     a = F.coalesce(F.col(col_a).cast("string"), F.lit("∅"))
     b = F.coalesce(F.col(col_b).cast("string"), F.lit("∅"))
+    # NOT persisted (r11 A/B): four branches reference the joint count,
+    # but AQE exchange reuse already executes the identical agg (and its
+    # featurize upstream) once at runtime; a persist only added a cache
+    # barrier (see OPTIMIZATION_r11.md #16)
     joint = (
         df.select(a.alias("x"), b.alias("y"))
         .groupBy("x", "y")
@@ -463,21 +472,28 @@ def dataset_datasheet(
     fingerprint count; vocabulary distinct; language distribution;
     length histogram), each partial-agg'd, each reducing to ≤ a
     bounded-cardinality table before anything joins — the crossJoins
-    combine 1-row results. The corpus is scanned per branch; at 100 TB
-    you'd persist the narrow (fp, nt, nc, lang, pii) projection once and
-    run all branches off it (same contract as the other multi-branch
+    combine 1-row results. The narrow (fp, nt, nc, lang, pii) projection
+    is persisted once (r11) and every branch except the vocabulary
+    distinct runs off it (same contract as the other multi-branch
     operators — callers clearCache).
     """
     from database2ogr_spark.functions.hashing import words
     from database2ogr_spark.functions.text import redact
 
+    # persisted: exactly the "persist the narrow (fp, nt, nc, lang, pii)
+    # projection once and run all branches off it" contract this docstring
+    # promises for 100 TB — the corpus stats, the language distribution and
+    # the length histogram all read this ~50-byte/row proxy instead of
+    # re-running md5/redact/tokenize over the raw text per branch (r11 plan
+    # audit: 6 corpus scans pre-fix). Only the vocabulary distinct still
+    # needs the raw text. Operator-owned persist, callers/bench clearCache.
     base = df.select(
         F.md5(F.col(text_col)).alias("fp"),
         F.size(words(text_col)).alias("nt"),
         F.length(F.col(text_col)).alias("nc"),
         F.col(lang_col).alias("lg"),
         (redact(F.col(text_col)) != F.col(text_col)).cast("int").alias("pii"),
-    )
+    ).persist()
     main = base.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.sum("nt").cast("bigint").alias("n_tokens"),
@@ -489,7 +505,9 @@ def dataset_datasheet(
         df.select(F.explode(words(text_col)).alias("w"))
         .agg(F.countDistinct("w").cast("bigint").alias("vocab_size"))
     )
-    lang_counts = df.groupBy(F.col(lang_col).alias("lg")).agg(
+    # language distribution off the persisted proxy (base carries lg for
+    # every input row — value-identical to grouping the raw table)
+    lang_counts = base.groupBy("lg").agg(
         F.count(F.lit(1)).alias("n")
     )
     lang = lang_counts.crossJoin(
