@@ -555,8 +555,13 @@ def test_dedup_operators_release_intermediate_caches(spark):
     df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     sc = spark.sparkContext
 
-    def n_persistent() -> int:
-        return sc._jsc.getPersistentRDDs().size()
+    def persistent_ids() -> set:
+        # Snapshot the *ids* of currently-persisted RDDs. Asserting on the
+        # id-set difference (not a global count delta) is immune to Spark's
+        # async ContextCleaner reclaiming unreferenced RDDs from earlier
+        # calls mid-test (r11 driver flake: the global count dropped by 6
+        # between before/after snapshots and a `>= 1` delta check failed).
+        return set(sc._jsc.getPersistentRDDs().keySet().toArray())
 
     results = []  # keep results alive so their checkpoints stay accounted
     for call in (
@@ -573,20 +578,22 @@ def test_dedup_operators_release_intermediate_caches(spark):
             df, minhash_band_table(df.limit(50)), threshold=0.5
         ),
     ):
-        before = n_persistent()
+        before = persistent_ids()
         out = call()
         out.count()
         results.append(out)
         # at most the one checkpointed result; the MEMORY_AND_DISK
         # intermediates must be gone
-        assert n_persistent() - before <= 1
+        assert len(persistent_ids() - before) <= 1
 
     # opt-out path: the legacy lazy contract still leaves the caller in
-    # charge (intermediate stays cached until clearCache)
-    before = n_persistent()
+    # charge (intermediate stays cached until clearCache). The cached
+    # intermediate is referenced by `lazy`'s plan, so the ContextCleaner
+    # cannot reclaim it while we hold the DataFrame.
+    before = persistent_ids()
     lazy = minhash_lsh_pairs(df, threshold=0.5, release_cache=False)
     lazy.count()
-    assert n_persistent() - before >= 1
+    assert len(persistent_ids() - before) >= 1
     spark.catalog.clearCache()
 
 
