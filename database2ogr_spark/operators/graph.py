@@ -693,16 +693,21 @@ def khop_reach_approx(
     self-exclusion filter (a sketch cannot subtract ``v`` back out of a
     cycle; on cycle-free balls the two agree).
 
-    Iteration (round-10 packed design): ``S₀(v) = sketch({1-hop
-    neighbors})`` is built in long form (v, reg, mj), then PACKED into
-    one dense ``array<tinyint>`` of 2^p registers per node. Each of the
-    ``hops−1`` rounds is ``Sₜ₊₁(v) = maxmerge(Sₜ(v), ⋃_{v→w} Sₜ(w))``:
-    a node-keyed equi-join (edge ⋈ packed registers) whose output is
-    |E| PACKED rows — NOT |E|·|S(u)| long rows — followed by a
-    v-partitioned streaming elementwise-max merge (Arrow-batched
-    ``mapInPandas``; ``np.maximum.reduceat`` per batch, a running
-    dict across batches, so memory is O(distinct v per partition · 2^p)
-    even when one hub node's rows dominate a partition). The round-9
+    Iteration (round-10 packed design, r12 binary kernels): ``S₀(v) =
+    sketch({1-hop neighbors})`` is built as a long (v, reg, mj)
+    contribution stream, then PACKED into one dense 2^p-byte ``binary``
+    register value per node (fixed width — an Arrow batch of registers
+    is one contiguous buffer, so the Python kernels see an (n, 2^p) int8
+    matrix via frombuffer/reshape with zero per-row conversion; r11's
+    ``array<tinyint>`` paid a per-row Arrow-list→numpy conversion plus an
+    object-array vstack per batch). Each of the ``hops−1`` rounds is
+    ``Sₜ₊₁(v) = maxmerge(Sₜ(v), ⋃_{v→w} Sₜ(w))``: a node-keyed equi-join
+    (edge ⋈ packed registers) whose output is |E| PACKED rows — NOT
+    |E|·|S(u)| long rows — followed by a v-partitioned streaming
+    elementwise-max merge (``mapInArrow``; ``np.maximum.reduceat`` per
+    batch, a running dict across batches, so memory is O(distinct v per
+    partition · 2^p) even when one hub node's rows dominate a
+    partition). The round-9
     long-form iteration shuffled Σ_edges |S(u)| ≈ 95·|E| 24-byte rows
     per hop with near-useless map-side combine (distinct (v,reg) ≈
     per-partition row count); packing cuts the per-hop shuffle ~25x
@@ -715,11 +720,12 @@ def khop_reach_approx(
     big can linger in the block manager between bench passes (the r9
     run-to-run instability source).
 
-    The final packed table (|V| rows) is exploded back to sparse long
-    form and fed through the ORIGINAL estimate tail (DECIMAL(38,0)-exact
-    harmonic numerator, linear counting), so estimates are bit-identical
-    to the long-form implementation for the same (p, seed) — elementwise
-    max is associative and commutative, the merge order cannot matter.
+    The final packed table (|V| rows) is unpacked back to sparse long
+    form (a vectorized nonzero scatter per batch) and fed through the
+    ORIGINAL estimate tail (DECIMAL(38,0)-exact harmonic numerator,
+    linear counting), so estimates are bit-identical to the long-form
+    implementation for the same (p, seed) — elementwise max is
+    associative and commutative, the merge order cannot matter.
 
     Output: (node, estimate) — estimate rounded 6 dp.
     """
@@ -756,66 +762,132 @@ def khop_reach_approx(
             ).cast("int").alias("rho"),
         )
     )
-    # S0: each source's sketch of its 1-hop out-neighborhood (long form)
-    sketch = (
-        e.join(node_sketch, e["u"] == node_sketch["node"])
-        .groupBy("v", "reg")
-        .agg(F.max("rho").alias("mj"))
+    # S0 contribution stream: one row per edge carrying the out-neighbor's
+    # register value. For hops == 1 it reduces to the long-form sketch via
+    # one (v, reg) max aggregation (the estimate tail wants one row per
+    # present register). For hops > 1 the pack kernel below performs the
+    # same max as part of packing (``np.maximum.at``), so the stream feeds
+    # ``repartition("v")`` DIRECTLY — the old ``groupBy("v","reg")`` added
+    # a full extra Exchange of the same rows immediately before the pack
+    # shuffle for a max the kernel recomputed anyway (r12, guide §2.4).
+    pairs = e.join(node_sketch, e["u"] == node_sketch["node"]).select(
+        "v", "reg", F.col("rho").alias("mj")
     )
-    if hops > 1:
+    if hops == 1:
+        sketch = pairs.groupBy("v", "reg").agg(F.max("mj").alias("mj"))
+    else:
         node_type = e.schema["v"].dataType.simpleString()
-        packed_schema = f"v {node_type}, regs array<tinyint>"
+        # r12 (guide §4.2): registers travel between hops as a FIXED-WIDTH
+        # 2^p-byte binary value, not array<tinyint>, and the kernels are
+        # mapInArrow. An Arrow binary column is one contiguous data buffer
+        # plus offsets, so a whole batch of registers becomes an (n, 2^p)
+        # int8 matrix via frombuffer+reshape — zero per-row Python work —
+        # where the old list-typed column cost a per-row Arrow-list →
+        # numpy conversion plus an np.vstack over object arrays on every
+        # batch (the dominant merge cost at |E| rows/hop), and the JVM
+        # side wrote per-element array cells instead of one memcpy.
+        packed_schema = f"v {node_type}, regs binary"
+
+        def _mat_of(col):
+            """Zero-copy (n, 2^p) int8 view of a binary register column."""
+            import numpy as np
+            import pyarrow as pa
+
+            n = len(col)
+            bufs = col.buffers()
+            off_dt = (
+                np.int64 if pa.types.is_large_binary(col.type) else np.int32
+            )
+            offs = np.frombuffer(bufs[1], dtype=off_dt)[
+                col.offset : col.offset + n + 1
+            ]
+            flat = np.frombuffer(bufs[2], dtype=np.int8)
+            if offs[-1] - offs[0] == n * m:
+                return flat[offs[0] : offs[-1]].reshape(n, m)
+            # defensive slow path (never taken for our own fixed-width rows)
+            return np.stack([np.frombuffer(x.as_py(), np.int8) for x in col])
+
+        def _emit_packed(acc, vtype):
+            """Accumulator dict → one (v, regs binary) record batch: the
+            register matrix becomes the Arrow data buffer via one
+            tobytes(), offsets are the uniform 2^p stride."""
+            import numpy as np
+            import pyarrow as pa
+
+            k = len(acc)
+            vs_out = np.array(list(acc.keys()))
+            mat_out = np.stack(list(acc.values()))
+            offsets = np.arange(k + 1, dtype=np.int32) * m
+            regs_arr = pa.Array.from_buffers(
+                pa.binary(),
+                k,
+                [
+                    None,
+                    pa.py_buffer(offsets.tobytes()),
+                    pa.py_buffer(mat_out.tobytes()),
+                ],
+            )
+            return pa.RecordBatch.from_arrays(
+                [pa.array(vs_out).cast(vtype), regs_arr], names=["v", "regs"]
+            )
 
         def _pack(batches):
-            """Long (v, reg, mj) → one dense 2^p register array per v.
-
-            Streams Arrow batches: a partition's rows for one v may span
-            batches, so the scatter accumulates into a per-v running
-            array instead of assuming batch == group.
-            """
+            """Long (v, reg, mj) contribution rows → one dense 2^p-byte
+            register value per v. The max over duplicate (v, reg)
+            contributions happens here (``np.maximum.at``). Streams Arrow
+            batches with a per-v running accumulator — a v's rows may
+            span batches, and memory is O(distinct v per partition · 2^p)
+            bytes, never the whole partition."""
             import numpy as np
-            import pandas as pd
 
             acc: dict = {}
-            for pdf in batches:
-                if len(pdf) == 0:
+            vtype = None
+            for rb in batches:
+                if rb.num_rows == 0:
                     continue
-                vs = pdf["v"].to_numpy()
+                vcol = rb.column(0)
+                vtype = vcol.type
+                vs = vcol.to_numpy(zero_copy_only=False)
                 order = np.argsort(vs, kind="stable")
                 vs = vs[order]
-                regs = pdf["reg"].to_numpy()[order].astype(np.int64)
-                mjs = pdf["mj"].to_numpy()[order].astype(np.int8)
+                regs = (
+                    rb.column(1).to_numpy(zero_copy_only=False)[order]
+                    .astype(np.int64)
+                )
+                mjs = (
+                    rb.column(2).to_numpy(zero_copy_only=False)[order]
+                    .astype(np.int8)
+                )
                 bounds = np.flatnonzero(np.r_[True, vs[1:] != vs[:-1]])
                 ends = np.r_[bounds[1:], len(vs)]
-                for v, s, e in zip(vs[bounds], bounds, ends):
+                for v, s, en in zip(vs[bounds], bounds, ends):
                     arr = acc.get(v)
                     if arr is None:
                         arr = np.zeros(m, dtype=np.int8)
                         acc[v] = arr
-                    np.maximum.at(arr, regs[s:e], mjs[s:e])
+                    np.maximum.at(arr, regs[s:en], mjs[s:en])
             if acc:
-                yield pd.DataFrame(
-                    {"v": list(acc.keys()), "regs": list(acc.values())}
-                )
+                yield _emit_packed(acc, vtype)
 
         def _merge(batches):
             """Elementwise max over each v's packed register rows.
 
-            Vectorized per batch (sort by v, ``np.maximum.reduceat`` at
-            group boundaries), running dict across batches — memory is
-            O(distinct v per partition · 2^p) bytes, never the whole
-            partition, so a hub node with millions of in-edges streams
-            through instead of materializing.
-            """
+            Vectorized per batch (frombuffer+reshape, sort by v,
+            ``np.maximum.reduceat`` at group boundaries), running dict
+            across batches — memory is O(distinct v per partition · 2^p)
+            bytes, never the whole partition, so a hub node with millions
+            of in-edges streams through instead of materializing."""
             import numpy as np
-            import pandas as pd
 
             acc: dict = {}
-            for pdf in batches:
-                if len(pdf) == 0:
+            vtype = None
+            for rb in batches:
+                if rb.num_rows == 0:
                     continue
-                vs = pdf["v"].to_numpy()
-                mat = np.vstack(pdf["regs"].to_numpy())
+                vcol = rb.column(0)
+                vtype = vcol.type
+                vs = vcol.to_numpy(zero_copy_only=False)
+                mat = _mat_of(rb.column(1))
                 order = np.argsort(vs, kind="stable")
                 vs = vs[order]
                 mat = mat[order]
@@ -825,13 +897,35 @@ def khop_reach_approx(
                     prev = acc.get(v)
                     acc[v] = row if prev is None else np.maximum(prev, row)
             if acc:
-                yield pd.DataFrame(
-                    {"v": list(acc.keys()), "regs": list(acc.values())}
+                yield _emit_packed(acc, vtype)
+
+        def _unpack(batches):
+            """Packed binary registers → sparse long rows (v, reg, mj>0)
+            for the estimate tail: one vectorized nonzero scatter per
+            batch instead of a JVM posexplode generating 2^p rows per
+            node before the filter."""
+            import numpy as np
+            import pyarrow as pa
+
+            for rb in batches:
+                if rb.num_rows == 0:
+                    continue
+                vcol = rb.column(0)
+                vs = vcol.to_numpy(zero_copy_only=False)
+                mat = _mat_of(rb.column(1))
+                rows, cols = np.nonzero(mat)
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(vs[rows]).cast(vcol.type),
+                        pa.array(cols.astype(np.int32)),
+                        pa.array(mat[rows, cols].astype(np.int32)),
+                    ],
+                    names=["v", "reg", "mj"],
                 )
 
         packed = (
-            sketch.repartition("v")
-            .mapInPandas(_pack, schema=packed_schema)
+            pairs.repartition("v")
+            .mapInArrow(_pack, schema=packed_schema)
             .localCheckpoint(eager=True)
         )
         for _ in range(hops - 1):
@@ -843,12 +937,12 @@ def khop_reach_approx(
             packed = (
                 propagated.union(packed)
                 .repartition("v")
-                .mapInPandas(_merge, schema=packed_schema)
+                .mapInArrow(_merge, schema=packed_schema)
                 .localCheckpoint(eager=True)
             )
-        sketch = packed.select(
-            "v", F.posexplode("regs").alias("reg", "mj")
-        ).filter(F.col("mj") > 0)
+        sketch = packed.mapInArrow(
+            _unpack, schema=f"v {node_type}, reg int, mj int"
+        )
     # estimate from sparse registers: absent registers contribute 2^61
     # each to the exact DECIMAL numerator (mj = 0). A PRESENT register
     # always has mj >= 1 (rho = w+1 - bitlength(shiftright(h, p)) and the
@@ -879,6 +973,12 @@ def khop_reach_approx(
     ).otherwise(e_raw)
     out = per_node.select(
         F.col("v").alias("node"), F.round(est, 6).alias("estimate")
-    ).localCheckpoint(eager=True)
-    e.unpersist()
-    return out
+    )
+    # shared lifecycle exit (r12 — previously a hand-rolled eager
+    # checkpoint + unpersist; finalize_lifecycle is behavior-identical and
+    # additionally honors the D2O_KEEP_LINEAGE plan-capture knob, so the
+    # estimate tail above is auditable in explain() output — the per-hop
+    # checkpoints inside the loop still truncate the iteration itself)
+    from database2ogr_spark.operators.partitioning import finalize_lifecycle
+
+    return finalize_lifecycle(out, [e])
