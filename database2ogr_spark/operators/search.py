@@ -83,23 +83,31 @@ def build_positional_index(
             F.filter(F.split(F.col(text_col), "\\s+"), lambda x: x != "")
         ).alias("pos", "token"),
     )
-    # r11 optimization (guide §2.4/§6): the index used to be written
-    # through a global ``sort("token", "doc")`` — a RANGE exchange whose
-    # boundary-sampling pass re-executes the whole aggregation before the
-    # real one runs. Hash-clustering by token + an in-partition sort keeps
-    # the property the layout exists for — every token's postings live
-    # contiguously sorted in exactly one file, so a query's IN-filter
-    # prunes at file level — with one hash exchange and no sampling job.
-    postings = (
+    # r12 (VERDICT r11 #2; guide §6 "partitioning and sort order on write
+    # determine how well readers can skip data"): the index is written
+    # globally RANGE-sorted by (token, doc) — each output file covers a
+    # contiguous token range, so a query's token IN-filter prunes at file
+    # level off parquet min/max stats. r11 replaced the sort with hash
+    # clustering to kill the range-boundary sampling pass (which
+    # re-executed the whole corpus aggregation), but hash layout spreads
+    # every file across the full token range — min/max pruning dead — and
+    # the driver-machine bench regressed the read-heavy consumers
+    # (prf ×1.30, bm25/hybrid ×1.20 vs a ×1.16 drift floor). This keeps
+    # BOTH properties: the aggregated postings are persisted, so the
+    # sampling pass reads the cache (the corpus explode+agg still runs
+    # once), and the write is the range layout readers can prune.
+    from pyspark import StorageLevel
+
+    agg = (
         toks.groupBy("token", "doc")
         .agg(
             F.sort_array(F.collect_list("pos")).alias("positions"),
             F.count(F.lit(1)).alias("tf"),
         )
-        .repartition(F.col("token"))
-        .sortWithinPartitions("token", "doc")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    postings.write.mode("overwrite").parquet(out_dir)
+    agg.sort("token", "doc").write.mode("overwrite").parquet(out_dir)
+    agg.unpersist()
     return out_dir
 
 
