@@ -864,16 +864,20 @@ def skipgram_negative_samples(
         ).alias("wt"),
     )
     cw = Window.orderBy(F.col("wt").desc(), F.col("w").asc())
-    # persisted: vocabulary-sized — the interval table feeds both the total
-    # (referenced again by the draw hash) and the bucket explode; without
-    # the persist each reference replays the corpus unigram explode+count
+    # NOT persisted (r12, reverting the r11 persist on driver evidence —
+    # skipgram_negatives regressed ×1.24 on the driver machine, local A/B
+    # neutral): the interval table's two references (the total and the
+    # bucket explode) replay an IDENTICAL subtree whose corpus unigram
+    # explode+count sits under an Exchange, so AQE exchange/stage reuse
+    # already executes it once — the r11 #16 rule; the persist only added
+    # a cache-materialization barrier.
     cum = wtd.select(
         "w", "wt",
         (F.coalesce(
             F.sum("wt").over(cw.rowsBetween(Window.unboundedPreceding, -1)),
             F.lit(0),
         )).alias("lo"),
-    ).withColumn("hi", F.col("lo") + F.col("wt")).persist()
+    ).withColumn("hi", F.col("lo") + F.col("wt"))
     tot = cum.agg(F.max("hi").alias("T"), F.count(F.lit(1)).alias("V"))
 
     # bucketized interval lookup over the integer weight space

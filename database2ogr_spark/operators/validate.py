@@ -472,28 +472,31 @@ def dataset_datasheet(
     fingerprint count; vocabulary distinct; language distribution;
     length histogram), each partial-agg'd, each reducing to ≤ a
     bounded-cardinality table before anything joins — the crossJoins
-    combine 1-row results. The narrow (fp, nt, nc, lang, pii) projection
-    is persisted once (r11) and every branch except the vocabulary
-    distinct runs off it (same contract as the other multi-branch
-    operators — callers clearCache).
+    combine 1-row results. The branches stay lazy over the narrow
+    (fp, nt, nc, lang, pii) projection so Catalyst column-prunes each
+    replay (the language branch touches only ``lang_col``, the histogram
+    only ``length(text)``); only the main aggregate pays the full
+    md5/redact/tokenize pass — see the r12 note at the projection below.
     """
     from database2ogr_spark.functions.hashing import words
     from database2ogr_spark.functions.text import redact
 
-    # persisted: exactly the "persist the narrow (fp, nt, nc, lang, pii)
-    # projection once and run all branches off it" contract this docstring
-    # promises for 100 TB — the corpus stats, the language distribution and
-    # the length histogram all read this ~50-byte/row proxy instead of
-    # re-running md5/redact/tokenize over the raw text per branch (r11 plan
-    # audit: 6 corpus scans pre-fix). Only the vocabulary distinct still
-    # needs the raw text. Operator-owned persist, callers/bench clearCache.
+    # NOT persisted (r12, reverting the r11 persist on driver evidence —
+    # dataset_datasheet regressed ×1.56 on the driver machine, and the
+    # local interleaved A/B is at best neutral): materializing the proxy
+    # forces md5/redact/tokenize for EVERY branch's read, while the lazy
+    # plan lets Catalyst column-prune each replay — the language branch
+    # reads only ``lang_col``, the length histogram only ``length(text)``;
+    # only the main aggregate pays the full md5+redact+tokenize pass. At
+    # 100 TB the deployment shape for reusing the proxy across passes is a
+    # checkpoint-to-parquet between jobs, not an in-query cache barrier.
     base = df.select(
         F.md5(F.col(text_col)).alias("fp"),
         F.size(words(text_col)).alias("nt"),
         F.length(F.col(text_col)).alias("nc"),
         F.col(lang_col).alias("lg"),
         (redact(F.col(text_col)) != F.col(text_col)).cast("int").alias("pii"),
-    ).persist()
+    )
     main = base.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.sum("nt").cast("bigint").alias("n_tokens"),
