@@ -249,3 +249,20 @@ def test_histogram_quantiles_error_bounded_by_bin(spark):
     assert {q: r.estimate for q, r in out.items()} == again
     with _p.raises(ValueError):
         histogram_quantiles(df, bin_width=0)
+
+
+def test_countmin_tokens_query_releases_its_persist(spark):
+    """VERDICT r11 #7: the countmin bench entry owns a persisted token
+    count table; it must exit through the shared lifecycle (eager
+    checkpoint of the vocab-sized result + unpersist), leaving at most
+    its own checkpoint behind — never the cached intermediate. Asserts
+    on the persisted-RDD id-set difference (the ContextCleaner-immune
+    form of the dedup cache test)."""
+    import __spark_entry__ as entrymod
+
+    spark.catalog.clearCache()
+    sc = spark.sparkContext
+    before = set(sc._jsc.getPersistentRDDs().keySet().toArray())
+    out = entrymod.queries()["countmin_tokens"](spark, "/root/testdata/sf0.001")
+    out.count()
+    assert len(set(sc._jsc.getPersistentRDDs().keySet().toArray()) - before) <= 1
