@@ -34,7 +34,22 @@ def _n_shuffles(plan: str) -> int:
     executed shuffle (r11: the persist-the-small-agg optimizations made
     the raw count overstate). Distinct lines are the executed set —
     expression ids (#NNN) make genuinely different Exchanges distinct
-    even when their keys share names."""
+    even when their keys share names.
+
+    Config dependency (ADVICE r11): "distinct textual Exchange == one
+    executed shuffle" holds because spark.sql.exchange.reuse and AQE
+    stage reuse are enabled (both default-on; session.py enables AQE
+    explicitly) and plans are deterministic. A session that DISABLED
+    reuse would genuinely re-execute identical duplicate exchanges, and
+    this helper would undercount them — the assertion below pins the
+    config so that drift fails loudly here, not silently in a budget."""
+    from pyspark.sql import SparkSession
+
+    sess = SparkSession.getActiveSession()
+    assert sess is None or (
+        sess.conf.get("spark.sql.exchange.reuse", "true") == "true"
+        and sess.conf.get("spark.sql.adaptive.enabled", "true") == "true"
+    ), "shuffle budgets assume exchange/AQE stage reuse; re-derive if disabled"
     return len(
         set(
             re.findall(r"Exchange (?:hash|range)partitioning[^\n]*", plan)
