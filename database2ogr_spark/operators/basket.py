@@ -35,14 +35,17 @@ def frequent_itemsets(
     every column is scalar and the result is engine-comparable without
     array columns (the driver-gate lesson).
 
-    Scale: level 1 is one distinct + one count; level k joins the
-    surviving (txn, k−1-set) table with the surviving single-item table
-    on the transaction key with the ``item > last`` ordering predicate
-    (each itemset generated exactly once), then one partial-agg'd count.
-    Every join is keyed on the transaction id; support pruning between
-    levels bounds the per-transaction fanout — the A-priori property.
-    ``max_size`` ≤ 3 keeps the column layout fixed; extend by widening
-    the schema, not by nesting arrays.
+    Scale: level 1 is one distinct + one count; the L1 support prune
+    shrinks every basket, then ONE groupBy builds the per-transaction
+    sorted frequent-item array and the pair/triple candidates are narrow
+    in-task array combinations (each itemset generated exactly once in
+    canonical ascending order), each followed by one partial-agg'd
+    count. Combinatorics are bounded by C(frequent items per basket, k)
+    — cap or pre-split pathological hot baskets upstream (r12 note in
+    the body: the between-level prune the old join chain applied cannot
+    change the output, only that bound). ``max_size`` ≤ 3 keeps the
+    column layout fixed; extend by widening the schema, not by nesting
+    arrays.
     """
     if min_support < 1:
         raise ValueError(f"min_support must be >= 1, got {min_support}")
@@ -64,14 +67,40 @@ def frequent_itemsets(
     if max_size == 1:
         return out
 
-    # transactions restricted to frequent single items — the A-priori prune
+    # transactions restricted to frequent single items — the A-priori
+    # L1 prune (the dominant one: it shrinks every basket before any
+    # combinatorics). r12 (guide §2.4, the co-purchase-edge lesson):
+    # candidates are generated per basket from the SORTED frequent-item
+    # array via narrow combination transforms — ONE groupBy shuffle
+    # builds the baskets, and the pair/triple expansions are in-task
+    # array work bounded by basket size — where the old shape ran a
+    # txn-keyed self-join per level (tx1 exchanged twice for pairs, the
+    # surviving-pair table re-exchanged for triples). Canonical ascending
+    # order (i1 < i2 < i3) falls out of the sorted array, so each
+    # candidate is generated exactly once per transaction, identically
+    # to the join form. The L2→L3 support prune survives as a
+    # leading-pair semi-join on the candidate stream (below) — only its
+    # txn-keyed join-chain FORM is gone. In-task combinatorics are
+    # bounded by C(|frequent items per basket|, k): fine for
+    # order-bounded baskets (TPC-H tops out at 7 lineitems); for domains
+    # with unbounded hot baskets, cap or pre-split baskets upstream, the
+    # same guidance cap_per_group documents.
     tx1 = tx.join(f1.select("i"), "i")
-    pairs = (
-        tx1.alias("a")
-        .join(tx1.alias("b"), "t")
-        .filter(F.col("a.i") < F.col("b.i"))
-        .select("t", F.col("a.i").alias("i1"), F.col("b.i").alias("i2"))
-    )
+    baskets = tx1.groupBy("t").agg(F.array_sort(F.collect_set("i")).alias("bs"))
+    bs = F.col("bs")
+    pairs = baskets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    bs,
+                    lambda x, ix: F.transform(
+                        F.slice(bs, ix + F.lit(2), F.size(bs)),
+                        lambda y: F.struct(x.alias("i1"), y.alias("i2")),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select(F.col("p.i1").alias("i1"), F.col("p.i2").alias("i2"))
     p_counts = pairs.groupBy("i1", "i2").agg(F.count(F.lit(1)).alias("support"))
     f2 = p_counts.filter(F.col("support") >= min_support)
     out = out.unionByName(
@@ -86,13 +115,45 @@ def frequent_itemsets(
     if max_size == 2:
         return out
 
-    # L3: surviving pairs per transaction extended by a frequent third item
-    tx2 = pairs.join(f2.select("i1", "i2"), ["i1", "i2"])
-    triples = (
-        tx2.join(tx1.alias("c"), "t")
-        .filter(F.col("c.i") > F.col("i2"))
-        .select("t", "i1", "i2", F.col("c.i").alias("i3"))
+    # L3: all ascending triples per basket (see the equivalence note
+    # above — the final support filter reproduces the pruned chain's
+    # output exactly)
+    triples = baskets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    bs,
+                    lambda x, ix: F.flatten(
+                        F.transform(
+                            F.slice(bs, ix + F.lit(2), F.size(bs)),
+                            lambda y, jx: F.transform(
+                                F.slice(
+                                    bs, ix + jx + F.lit(3), F.size(bs)
+                                ),
+                                lambda z: F.struct(
+                                    x.alias("i1"),
+                                    y.alias("i2"),
+                                    z.alias("i3"),
+                                ),
+                            ),
+                        )
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select(
+        F.col("p.i1").alias("i1"),
+        F.col("p.i2").alias("i2"),
+        F.col("p.i3").alias("i3"),
     )
+    # the A-priori L2→L3 prune, applied as a leading-pair semi-join on
+    # the narrow candidate stream BEFORE the count shuffle (measured: on
+    # sparse baskets f2 is tiny and the surviving-triple stream is a
+    # small fraction of C(k,3), so counting unpruned candidates shuffled
+    # strictly more — the prune is load-bearing, only its JOIN-CHAIN form
+    # was not); AQE picks broadcast while f2 fits and degrades to a
+    # shuffled semi-join when it does not
+    triples = triples.join(f2.select("i1", "i2"), ["i1", "i2"], "left_semi")
     t_counts = triples.groupBy("i1", "i2", "i3").agg(
         F.count(F.lit(1)).alias("support")
     )
