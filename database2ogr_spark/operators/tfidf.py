@@ -266,10 +266,11 @@ def stupid_backoff_score(
     Output: (id_col, n_trigrams, logprob) for docs with ≥1 trigram;
     logprob = round(mean ln S, 6).
 
-    Scale: three count tables (partial-agg'd on token keys), one
-    trigram-event explode over the scored corpus, and a chain of
-    equi-joins on token keys (AQE broadcasts whichever count tables fit);
-    the scored corpus is read once.
+    Scale: ONE train-corpus pass emits all three gram orders into one
+    model-sized (o, w1, w2, w3, c) count table (partial-agg'd on token
+    keys; r12), one trigram-event explode over the scored corpus, and a
+    chain of equi-joins on token keys (AQE broadcasts whichever count
+    tables fit); the train and scored corpora are each read once.
     """
     w = words(text_col)
 
@@ -289,24 +290,59 @@ def stupid_backoff_score(
 
     from pyspark import StorageLevel
 
-    # r11 (guide §2.2/§3): persist the trigram/bigram count tables (their
-    # context aggregations would otherwise each replay the corpus
-    # explode+agg) and pre-merge each context total INTO its count table
-    # (model-sized joins) — the corpus-sized event stream then takes 3
-    # keyed joins (trigram, bigram, unigram level) instead of 5. The
-    # context totals c12/c2 are only read when the corresponding count
-    # matched, so riding them on the count row is value-identical.
+    # r11 (guide §2.2/§3): pre-merge each context total INTO its count
+    # table (model-sized joins) — the corpus-sized event stream then
+    # takes 3 keyed joins (trigram, bigram, unigram level) instead of 5.
+    # The context totals c12/c2 are only read when the corresponding
+    # count matched, so riding them on the count row is value-identical.
+    # r12 (guide §2.3/§2.4): ONE train-corpus pass emits all three gram
+    # orders — per document the uni/bi/tri event structs concat into a
+    # single exploded array tagged by order — into ONE model-sized
+    # persisted (o, w1, w2, w3, c) table; the three count tables are
+    # order filters over the cache. The old shape ran the corpus
+    # explode+agg once per order: three scans, three shuffles of the
+    # same token stream, three cache materializations.
     train = spread(df.filter(train_filter))
-    uni = grams(train, 1, ["w3"]).groupBy("w3").agg(
-        F.count(F.lit(1)).alias("c1")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    big = grams(train, 2, ["w2", "w3"]).groupBy("w2", "w3").agg(
-        F.count(F.lit(1)).alias("c23")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+
+    def order_structs(n: int):
+        """Struct array of this order's gram events, padded with NULL
+        w-slots on the left so all orders share (o, w1, w2, w3)."""
+        n_out = F.greatest(F.size(w) - (n - 1), F.lit(0))
+        z = F.arrays_zip(
+            *[F.slice(w, i + 1, n_out).alias(f"c{i}") for i in range(n)]
+        )
+        pad = 3 - n
+        return F.transform(
+            z,
+            lambda s: F.struct(
+                F.lit(n).alias("o"),
+                *[
+                    F.lit(None).cast("string").alias(f"w{j + 1}")
+                    for j in range(pad)
+                ],
+                *[s[f"c{i}"].alias(f"w{pad + i + 1}") for i in range(n)],
+            ),
+        )
+
+    combined = (
+        train.select(
+            F.explode(
+                F.concat(order_structs(1), order_structs(2), order_structs(3))
+            ).alias("g")
+        )
+        .select("g.o", "g.w1", "g.w2", "g.w3")
+        .groupBy("o", "w1", "w2", "w3")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    uni = combined.filter(F.col("o") == 1).select("w3", F.col("c").alias("c1"))
+    big = combined.filter(F.col("o") == 2).select(
+        "w2", "w3", F.col("c").alias("c23")
+    )
+    tri = combined.filter(F.col("o") == 3).select(
+        "w1", "w2", "w3", F.col("c").alias("c3")
+    )
     big_ctx = big.groupBy("w2").agg(F.sum("c23").alias("c2"))
-    tri = grams(train, 3, ["w1", "w2", "w3"]).groupBy("w1", "w2", "w3").agg(
-        F.count(F.lit(1)).alias("c3")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
     tri_ctx = tri.groupBy("w1", "w2").agg(F.sum("c3").alias("c12"))
     totals = uni.agg(F.sum("c1").alias("n_tok"))
     tri_model = tri.join(tri_ctx, ["w1", "w2"])
@@ -339,7 +375,7 @@ def stupid_backoff_score(
         )
         .select(F.col("id").alias(id_col), "n_trigrams", "logprob")
     )
-    return finalize_lifecycle(out, [tri, big, uni])
+    return finalize_lifecycle(out, [combined])
 
 
 def zipf_fit(
