@@ -87,27 +87,29 @@ def build_positional_index(
     # determine how well readers can skip data"): the index is written
     # globally RANGE-sorted by (token, doc) — each output file covers a
     # contiguous token range, so a query's token IN-filter prunes at file
-    # level off parquet min/max stats. r11 replaced the sort with hash
-    # clustering to kill the range-boundary sampling pass (which
-    # re-executed the whole corpus aggregation), but hash layout spreads
-    # every file across the full token range — min/max pruning dead — and
-    # the driver-machine bench regressed the read-heavy consumers
-    # (prf ×1.30, bm25/hybrid ×1.20 vs a ×1.16 drift floor). This keeps
-    # BOTH properties: the aggregated postings are persisted, so the
-    # sampling pass reads the cache (the corpus explode+agg still runs
-    # once), and the write is the range layout readers can prune.
-    from pyspark import StorageLevel
-
-    agg = (
+    # level off parquet min/max stats. The r11 hash-clustering variant
+    # (repartition(token) + in-partition sort, killing the range-boundary
+    # sampling pass) spread every file across the full token range —
+    # min/max pruning dead — and the driver-machine bench regressed the
+    # read-heavy consumers (prf ×1.30, bm25/hybrid ×1.20 vs a ×1.16 drift
+    # floor). A persist-the-agg-then-sort variant (sampling off the
+    # cache) was also measured this round and is the SLOWEST of the three
+    # in a pass-interleaved A/B (the cache materialization barrier costs
+    # more than the sampling replay it saves: prf median 3.76 s vs 3.68
+    # plain-sort vs 3.54 hash; hash vs plain-sort is local noise). Plain
+    # global sort is the r10 shape the driver measured best — the
+    # sampling pass's aggregation replay is the known, bounded build cost
+    # (at deployment scale the index build is one-time and the read-side
+    # pruning is what compounds).
+    postings = (
         toks.groupBy("token", "doc")
         .agg(
             F.sort_array(F.collect_list("pos")).alias("positions"),
             F.count(F.lit(1)).alias("tf"),
         )
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .sort("token", "doc")
     )
-    agg.sort("token", "doc").write.mode("overwrite").parquet(out_dir)
-    agg.unpersist()
+    postings.write.mode("overwrite").parquet(out_dir)
     return out_dir
 
 
