@@ -928,17 +928,27 @@ def khop_reach_approx(
             .mapInArrow(_pack, schema=packed_schema)
             .localCheckpoint(eager=True)
         )
-        for _ in range(hops - 1):
+        for i in range(hops - 1):
             propagated = (
                 e.alias("e")
                 .join(packed.alias("s"), F.col("e.u") == F.col("s.v"))
                 .select(F.col("e.v").alias("v"), F.col("s.regs").alias("regs"))
             )
-            packed = (
+            merged = (
                 propagated.union(packed)
                 .repartition("v")
                 .mapInArrow(_merge, schema=packed_schema)
-                .localCheckpoint(eager=True)
+            )
+            # intermediate rounds are eagerly checkpointed (the iterative
+            # plan-blowup guard, and the next round references the table
+            # twice — join side + union side); the FINAL round feeds only
+            # the estimate tail once, so it stays lazy and materializes
+            # inside the operator's single finalize job (r12: one fewer
+            # job + packed-table materialization per call)
+            packed = (
+                merged
+                if i == hops - 2
+                else merged.localCheckpoint(eager=True)
             )
         sketch = packed.mapInArrow(
             _unpack, schema=f"v {node_type}, reg int, mj int"
