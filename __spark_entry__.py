@@ -4096,10 +4096,14 @@ def q_countmin_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     # corpus explode 5x (r11 plan audit). parity keeps doc_id % 2 verbatim
     # so NULL/negative ids land exactly where the original filters put
     # them (NULL parity: in `direct`, in neither half — unchanged).
-    tokc = (
-        toks.groupBy((F.col("doc_id") % 2).alias("par"), "token")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .persist()
+    # NOT persisted (r12): in this shape the parity filters sit ABOVE the
+    # aggregation, so every consumer replays the IDENTICAL explode+agg
+    # subtree under the same Exchange — AQE exchange/stage reuse executes
+    # it once (the SCALE.md persist rule), and dropping the r11 persist
+    # also drops the eager-checkpoint exit the leak-free contract needed
+    # (measured: the checkpoint job cost ~0.3–0.5 s per bench pass).
+    tokc = toks.groupBy((F.col("doc_id") % 2).alias("par"), "token").agg(
+        F.count(F.lit(1)).alias("c")
     )
     direct = countmin_build(tokc, "token", weight_col="c")
     merged = countmin_merge(
@@ -4127,13 +4131,10 @@ def q_countmin_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("est_m") == F.col("n_est")).alias("merge_exact"),
         )
     )
-    # r12 (VERDICT r11 #7 leak-free persist exits): the result is
-    # vocab-sized (one row per distinct token), so the shared eager
-    # checkpoint + unpersist exit is cheap and leaves no blocks behind —
-    # previously tokc relied on callers/bench running clearCache.
-    from database2ogr_spark.operators.partitioning import finalize_lifecycle
-
-    return finalize_lifecycle(out, [tokc])
+    # leak-free by construction (VERDICT r11 #7): with no operator-owned
+    # persist there is nothing to release — the id-set leak test in
+    # tests/test_sketches.py pins this.
+    return out
 
 
 def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
